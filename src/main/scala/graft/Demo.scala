@@ -68,6 +68,24 @@ object Demo {
     val df = spark.sql(q)
     println(s"rows: ${df.count()}")
     df.show(5, truncate = false)
+
+    println("\n=== FrameOps drive: retrieve-ids shape on customer ===")
+    import graft.ops.FrameOps
+    import org.apache.spark.sql.functions.col
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    // denormalized "data" knows customers by name; merge in their pk
+    val data = FrameOps.preprocess(
+      customer.select(col("c_name"), col("c_mktsegment")))
+    val dbSide = customer.select(
+      col("c_custkey").as("customer_id"), col("c_name"), col("c_mktsegment"))
+    val merged = FrameOps.mergeIds(data, dbSide, "customer_id", "customer")
+    println(s"merged rows: ${merged.count()}, columns: ${merged.columns.mkString(",")}")
+    // round-trip containment: merged natural columns ⊆ db read-back
+    FrameOps.compareFrames(
+      merged.select(col("c_name"), col("c_mktsegment")),
+      dbSide.select(col("c_name"), col("c_mktsegment")))
+    println("compareFrames: exact match ok")
+    merged.show(3, truncate = false)
     spark.stop()
   }
 }
