@@ -86,6 +86,30 @@ object Demo {
       dbSide.select(col("c_name"), col("c_mktsegment")))
     println("compareFrames: exact match ok")
     merged.show(3, truncate = false)
+
+    println("\n=== Connector drive: normalize parquet data into Derby ===")
+    // real testdata in, normalized star schema out, transactional
+    import graft.connector.{Connector, JdbcFrames}
+    val url = "jdbc:derby:memory:graft_demo;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    val st = c0.createStatement()
+    st.execute("CREATE TABLE regio (id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, r_name VARCHAR(50) NOT NULL UNIQUE)")
+    st.execute("CREATE TABLE natie (regio_id INT REFERENCES regio (id), n_name VARCHAR(50) NOT NULL UNIQUE)")
+    st.close(); c0.commit(); c0.close()
+
+    val denorm = spark.read.parquet(s"$sfDir/nation.parquet")
+      .join(spark.read.parquet(s"$sfDir/region.parquet"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+    Connector.withConnection(spark, url) { c =>
+      val out = c.load(denorm)
+      println(s"loaded; returned columns: ${out.columns.mkString(",")}")
+      val readBack = JdbcFrames.queryToDataFrame(spark, c.conn,
+        "SELECT natie.n_name as n_name, regio.r_name as r_name FROM natie " +
+          "LEFT JOIN regio ON natie.regio_id = regio.id", lowercaseLabels = true)
+      println(s"read back ${readBack.count()} nation rows; " +
+        s"round-trip equal: ${readBack.except(denorm).isEmpty && denorm.except(readBack).isEmpty}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft.connector
+
+import java.sql.{Connection, PreparedStatement, ResultSet, Types}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** DataFrame ↔ single-JDBC-connection bridging.
+  *
+  * Why not `spark.read.jdbc` / `df.write.jdbc`: the reference's
+  * all-or-nothing guarantee (rollback on failed validation,
+  * `sqlite_connector.py:197-204`, README.md:70-71) requires every
+  * statement to run inside ONE transaction on one connection. Spark's
+  * JDBC source opens its own connections and commits per partition,
+  * which would break that contract and, for Derby in-memory DBs, not
+  * see uncommitted state. Rows crossing this boundary are deduped
+  * dimension rows (small by construction); the bulk work — joins,
+  * dedup, compare — stays distributed in Spark.
+  */
+object JdbcFrames {
+
+  /** Execute a query on the transaction's connection and materialize
+    * the result as a (small) DataFrame (B6).
+    */
+  def queryToDataFrame(
+      spark: SparkSession,
+      conn: Connection,
+      sql: String,
+      lowercaseLabels: Boolean = false,
+  ): DataFrame = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val md = rs.getMetaData
+      val n = md.getColumnCount
+      val fields = (1 to n).map { i =>
+        // Derby folds unquoted identifiers/aliases to upper case; the
+        // loader's column names are lower-case throughout
+        val label = md.getColumnLabel(i)
+        StructField(if (lowercaseLabels) label.toLowerCase else label,
+          jdbcToSpark(md.getColumnType(i)), nullable = true)
+      }
+      val schema = StructType(fields)
+      val rows = mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) {
+        rows += Row.fromSeq((1 to n).map(i => readValue(rs, i, fields(i - 1).dataType)))
+      }
+      rs.close()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    } finally st.close()
+  }
+
+  /** Batch-execute a parameterized insert for every row of `df`
+    * (B5 — the reference's `cursor.executemany`, `connector.py:212`).
+    * Parameters bind in `columns` order.
+    */
+  def batchInsert(
+      conn: Connection, sql: String, df: DataFrame, columns: Seq[String],
+  ): Unit = {
+    val rows = df.select(columns.map(org.apache.spark.sql.functions.col): _*).collect()
+    val ps = conn.prepareStatement(sql)
+    try {
+      rows.foreach { row =>
+        columns.indices.foreach { i => bind(ps, i + 1, row.get(i)) }
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+
+  private def bind(ps: PreparedStatement, idx: Int, v: Any): Unit = v match {
+    case null                      => ps.setObject(idx, null)
+    case s: String                 => ps.setString(idx, s)
+    case i: Int                    => ps.setInt(idx, i)
+    case l: Long                   => ps.setLong(idx, l)
+    case d: Double                 => ps.setDouble(idx, d)
+    case f: Float                  => ps.setFloat(idx, f)
+    case b: Boolean                => ps.setBoolean(idx, b)
+    case b: java.math.BigDecimal   => ps.setBigDecimal(idx, b)
+    case b: scala.math.BigDecimal  => ps.setBigDecimal(idx, b.bigDecimal)
+    case d: java.sql.Date          => ps.setDate(idx, d)
+    case t: java.sql.Timestamp     => ps.setTimestamp(idx, t)
+    case s: Short                  => ps.setShort(idx, s)
+    case b: Byte                   => ps.setByte(idx, b)
+    case a: Array[Byte]            => ps.setBytes(idx, a)
+    case other                     => ps.setObject(idx, other)
+  }
+
+  private def jdbcToSpark(t: Int): DataType = t match {
+    case Types.INTEGER | Types.SMALLINT | Types.TINYINT => IntegerType
+    case Types.BIGINT                                   => LongType
+    case Types.DOUBLE | Types.FLOAT | Types.REAL        => DoubleType
+    case Types.DECIMAL | Types.NUMERIC                  => DecimalType(38, 18)
+    case Types.BOOLEAN | Types.BIT                      => BooleanType
+    case Types.DATE                                     => DateType
+    case Types.TIMESTAMP                                => TimestampType
+    case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY => BinaryType
+    case _                                              => StringType
+  }
+
+  private def readValue(rs: ResultSet, i: Int, dt: DataType): Any = {
+    val v: Any = dt match {
+      case IntegerType      => rs.getInt(i)
+      case LongType         => rs.getLong(i)
+      case DoubleType       => rs.getDouble(i)
+      case _: DecimalType   => rs.getBigDecimal(i)
+      case BooleanType      => rs.getBoolean(i)
+      case DateType         => rs.getDate(i)
+      case TimestampType    => rs.getTimestamp(i)
+      case BinaryType       => rs.getBytes(i)
+      case _                => rs.getString(i)
+    }
+    if (rs.wasNull()) null else v
+  }
+}

@@ -40,7 +40,7 @@ object FrameOps {
     */
   def hasNulls(df: DataFrame): Boolean = {
     if (df.columns.isEmpty) return df.isEmpty
-    val anyNull = df.columns.map(c => col(c).isNull).reduce(_ || _)
+    val anyNull = df.columns.map(c => quoted(c).isNull).reduce(_ || _)
     df.isEmpty || df.filter(anyNull).limit(1).count() > 0
   }
 
@@ -51,7 +51,7 @@ object FrameOps {
   def getRows(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.forall(df.columns.contains),
       "Not all columns appear in dataframe.")
-    df.select(columns.map(col): _*).dropDuplicates()
+    df.select(columns.map(quoted): _*).dropDuplicates()
   }
 
   /** A5 (`dataframe_operations.py:79-103`): cast db-fetched columns to
@@ -64,8 +64,8 @@ object FrameOps {
     val targetByName = target.fields.map(f => f.name -> f.dataType).toMap
     dbDf.select(dbDf.columns.map { c =>
       targetByName.get(c) match {
-        case Some(dt) if dt != dbDf.schema(c).dataType => col(c).cast(dt).as(c)
-        case _ => col(c)
+        case Some(dt) if dt != dbDf.schema(c).dataType => quoted(c).cast(dt).as(c)
+        case _ => quoted(c)
       }
     }: _*)
   }
@@ -98,12 +98,12 @@ object FrameOps {
     val r = if (broadcastDb) broadcast(rRaw) else rRaw
 
     val cond: Column = onColumns
-      .map(c => col(s"l.$c") <=> col(s"r.$c"))
+      .map(c => col(s"l.`$c`") <=> col(s"r.`$c`"))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
     val joined = l.join(r, cond, "left")
-      .select(df.columns.map(c => col(s"l.$c")) :+ col(s"r.$alias").as(alias): _*)
+      .select(df.columns.map(c => col(s"l.`$c`")) :+ col(s"r.`$alias`").as(alias): _*)
       .cache()
     try {
       val origLen = df.count()
@@ -112,8 +112,8 @@ object FrameOps {
       if (newLen != origLen && !allowDuplication)
         throw new AssertionError("Rows were duplicated when joining on ids.")
 
-      if (joined.filter(col(alias).isNull).limit(1).count() > 0) {
-        val sample = joined.filter(col(alias).isNull).limit(20).collect()
+      if (joined.filter(quoted(alias).isNull).limit(1).count() > 0) {
+        val sample = joined.filter(quoted(alias).isNull).limit(20).collect()
           .mkString("\n")
         throw new MissingKeysAfterMergeError(
           s"When reading from $table Some id's were returned as NA:\n$sample\n" +
@@ -138,7 +138,7 @@ object FrameOps {
     */
   def compareFrames(df: DataFrame, dbDf: DataFrame, exact: Boolean = true): Unit = {
     val data = if (!exact && hasNulls(df)) df.na.drop() else df
-    val db = dbDf.select(data.columns.map(col): _*)
+    val db = dbDf.select(data.columns.map(quoted): _*)
 
     if (exact) {
       val missing = data.except(db).limit(20).collect()
@@ -170,4 +170,9 @@ object FrameOps {
     */
   def dropReplaced(df: DataFrame, columns: Seq[String]): DataFrame =
     df.drop(columns: _*)
+
+  /** Backtick-quoted column reference — column names may contain dots
+    * (`table.column` prefixes flow through the load pipeline).
+    */
+  def quoted(name: String): Column = col(s"`$name`")
 }
