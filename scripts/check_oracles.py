@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each
+SparkEntry.oracleSql in DuckDB over the testdata parquet tables and
+compare against the parquet written by `graft.Verify`.
+
+Usage: python3 scripts/check_oracles.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v!r}"
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.execute(sql).description]
+            got_rel = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+            continue
+        w = [tuple(norm(r[i]) for i in wi) for r in want]
+        g = [tuple(norm(r[i]) for i in gi) for r in got]
+        if len(w) != len(g):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        if sorted(map(repr, w)) != sorted(map(repr, g)):
+            bad = [(a, b) for a, b in zip(sorted(map(repr, w)), sorted(map(repr, g))) if a != b]
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}")
+            n_fail += 1
+            continue
+        ordered = w == g
+        print(f"PASS {name}: {len(w)} rows (ordered_match={ordered})")
+        n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

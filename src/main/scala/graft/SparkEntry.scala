@@ -1,13 +1,275 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.FrameOps
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` over the
+  * same parquet tables.
+  *
+  * Determinism rules for oracle hash-matching:
+  *   - never sum raw doubles (addition order differs across engines);
+  *     cast per-value to a fixed-scale DECIMAL first — double→decimal
+  *     rounding ties are unreachable (no binary double equals a
+  *     x.5·10^-s decimal boundary), so both engines round identically
+  *     and decimal aggregation is exact;
+  *   - alias every computed column identically on both sides;
+  *   - ORDER BY deterministic keys on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is nanosecond parquet (read as long via
+    * spark.sql.legacy.parquet.nanosAsLong); convert to timestamp.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
+
+  /** price × (1 - discount) with exact decimal arithmetic. */
+  private def revenueExpr: Column =
+    dec(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 6, 4)), 18, 8)
+
+  private val revenueSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(18,8))"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- analytical core (Catalyst-planned joins/aggregations)
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice"), 18, 4)), 24, 4).as("sum_base_price"),
+          dec(sum(revenueExpr), 28, 8).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_shipping_priority" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val lineitem = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dec(sum(revenueExpr), 28, 8).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_local_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dec(sum(revenueExpr), 28, 8).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "w_topk_per_segment" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // ---- reference operator demos (SURVEY.md §2.A)
+    "a1_preprocess" -> ((s, dir) => {
+      FrameOps.preprocess(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")),
+        Map("l_returnflag" -> "flag", "l_linestatus" -> "status"))
+        .orderBy("flag", "status")
+    }),
+    "a3_has_nulls" -> ((s, dir) => {
+      val withNulls = t(s, dir, "orders")
+        .select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("pr"))
+      val hasN = FrameOps.hasNulls(withNulls)
+      val nNull = withNulls.filter(col("pr").isNull).count()
+      s.createDataFrame(
+        java.util.Arrays.asList(Row(nNull, hasN)),
+        StructType(Seq(StructField("n_null_rows", LongType, nullable = false),
+          StructField("has_nulls", BooleanType, nullable = false))))
+    }),
+    "a4_get_rows" -> ((s, dir) => {
+      FrameOps.getRows(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+    "a6_merge_ids" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val data = customer.select(col("c_name"), col("c_mktsegment")).dropDuplicates()
+      val dbSide = customer.select(col("c_custkey").as("customer_id"),
+        col("c_name"), col("c_mktsegment"))
+      FrameOps.mergeIds(data, dbSide, "customer_id", "customer")
+        .orderBy("customer_id")
+    }),
+    "a7_compare_except" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(col("o_orderpriority")).distinct()
+        .except(Seq("1-URGENT").toDF("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }),
+    "a11_drop_nulls" -> ((s, dir) => {
+      FrameOps.dropNulls(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("priority")))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- planner demos (SURVEY.md §2.C): generated SQL is executed
+    // by Spark here and by DuckDB as its own oracle
+    "b7_compare_query" -> ((s, dir) => {
+      Seq("region", "nation", "customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Demo.tpchSchema.getCompareQuery(compareCols, aliasQuote = "`") +
+        "\nORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST")
+    }),
+    "c5_load_instructions" -> ((s, dir) => {
+      val li = Demo.tpchSchema.getLoadInstructions(compareCols)
+      val rows = li.insertAndRetrieve.zipWithIndex.map { case (sp, i) =>
+        Row(i + 1, "insert_and_retrieve", sp.table, sp.alias)
+      } ++ li.insert.zipWithIndex.map { case (sp, i) =>
+        Row(li.insertAndRetrieve.size + i + 1, "insert", sp.table, null)
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("ord", IntegerType, nullable = false),
+          StructField("phase", StringType, nullable = false),
+          StructField("tbl", StringType, nullable = false),
+          StructField("alias", StringType, nullable = true))))
+        .orderBy("ord")
+    }),
+
+    // ---- event-stream shaped aggregation (batch equivalent of the
+    // streaming pipeline in graft.streaming)
+    "ev_hourly_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dec(sum(dec(col("value"), 18, 6)), 28, 6).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    "j_props_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(IntegerType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+  )
+
+  private val compareCols =
+    Seq("c_name", "o_totalprice", "l_quantity", "n_name", "r_name")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sum_base_price,
+        |CAST(SUM(REV) AS DECIMAL(28,8)) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("REV", revenueSql),
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(SUM(REV) AS DECIMAL(28,8)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin.replace("REV", revenueSql),
+    "q5_local_supplier" ->
+      """SELECT n_name, CAST(SUM(REV) AS DECIMAL(28,8)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin.replace("REV", revenueSql),
+    "w_topk_per_segment" ->
+      """SELECT * FROM (
+        |SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders JOIN customer ON o_custkey = c_custkey) x
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+    "a1_preprocess" ->
+      """SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
+        |FROM lineitem ORDER BY flag, status""".stripMargin,
+    "a3_has_nulls" ->
+      """SELECT count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT') IS NULL) AS n_null_rows,
+        |count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT') IS NULL) > 0 AS has_nulls
+        |FROM orders""".stripMargin,
+    "a4_get_rows" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "a6_merge_ids" ->
+      """SELECT d.c_name AS c_name, d.c_mktsegment AS c_mktsegment, c.c_custkey AS customer_id
+        |FROM (SELECT DISTINCT c_name, c_mktsegment FROM customer) d
+        |LEFT JOIN customer c
+        |ON d.c_name IS NOT DISTINCT FROM c.c_name
+        |AND d.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+        |ORDER BY customer_id""".stripMargin,
+    "a7_compare_except" ->
+      """SELECT DISTINCT o_orderpriority FROM orders
+        |EXCEPT SELECT '1-URGENT' AS o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "a11_drop_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS priority
+        |FROM orders WHERE nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "b7_compare_query" ->
+      (Demo.tpchSchema.getCompareQuery(compareCols) +
+        "\nORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST"),
+    "c5_load_instructions" -> {
+      val li = Demo.tpchSchema.getLoadInstructions(compareCols)
+      val values = (li.insertAndRetrieve.zipWithIndex.map { case (sp, i) =>
+        s"(${i + 1}, 'insert_and_retrieve', '${sp.table}', '${sp.alias}')"
+      } ++ li.insert.zipWithIndex.map { case (sp, i) =>
+        s"(${li.insertAndRetrieve.size + i + 1}, 'insert', '${sp.table}', CAST(NULL AS VARCHAR))"
+      }).mkString(",\n")
+      s"SELECT CAST(ord AS INT) AS ord, phase, tbl, alias FROM (VALUES\n$values\n) t(ord, phase, tbl, alias) ORDER BY ord"
+    },
+    "ev_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |count(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "j_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
 }
