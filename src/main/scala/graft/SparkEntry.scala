@@ -179,6 +179,68 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")
     }),
+
+    // ---- corpus pipeline: dedup / similarity / text / multimodal
+    "d_exact_dedup" -> ((s, dir) => {
+      graft.dedup.Dedup
+        .exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
+    "d_ngram_jaccard" -> ((s, dir) => {
+      graft.dedup.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "d_minhash_lsh" -> ((s, dir) => {
+      graft.dedup.Dedup.minhashLshPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = 16, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+    "d_simhash" -> ((s, dir) => {
+      graft.dedup.Dedup.simhash(
+        t(s, dir, "documents").filter(col("doc_id") % 25 === 0),
+        "doc_id", "text")
+        .orderBy("id")
+    }),
+    "t_text_stats" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          bpeishTokenCount(col("text")).cast(IntegerType).as("n_bpeish"),
+          langId(col("text")).as("lang_pred"),
+          qualityScore(col("text")).as("quality"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "e_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "e_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.lshTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "e_cos_neardup" -> ((s, dir) => {
+      graft.ann.Ann.cosineNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+    "mm_decode_meta" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodeMeta(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text"),
+        "doc_id", "content")
+        .orderBy("id")
+    }),
   )
 
   private val compareCols =
@@ -271,5 +333,56 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // corpus pipeline oracles (shared SQL builders in graft.dedup/ann/text)
+    "d_exact_dedup" ->
+      s"""SELECT ${graft.text.TextFunctions.fingerprintSql.replace("TXT", "text")} AS fp,
+         |count(*) AS n_dups, min(doc_id) AS keeper_id
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d_ngram_jaccard" ->
+      graft.dedup.Dedup.ngramJaccardSql(3, 0.5, "WHERE doc_id % 50 = 0"),
+    "d_minhash_lsh" ->
+      graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
+    "d_simhash" ->
+      (graft.dedup.Dedup.simhashSql("WHERE doc_id % 25 = 0") + "\nORDER BY id"),
+    "t_text_stats" -> {
+      import graft.text.TextFunctions._
+      def s(sql: String) = sql.replace("TXT", "text")
+      s"""SELECT doc_id,
+         |CAST(len(${s(tokensSql)}) AS INT) AS n_tokens,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
+         |${s(langIdSql)} AS lang_pred,
+         |${s(qualityScoreSql)} AS quality,
+         |${s(fingerprintSql)} AS fp
+         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+    },
+    "e_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${graft.ann.Ann.cosineSql("qv", "cv", 64)} AS score
+         |  FROM q JOIN c ON query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, score FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e_cos_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // e_ann_lsh: intentionally no oracle — approximate operator, driver
+    // records the weaker rows-only check; exactness is covered by the
+    // recall spec against e_ann_bruteforce.
+    "mm_decode_meta" ->
+      """SELECT doc_id AS id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |CAST(1 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+        |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin,
   )
 }

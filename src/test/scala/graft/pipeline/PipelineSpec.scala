@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+
+/** Specs for the corpus-pipeline operators (dedup, similarity search,
+  * text analysis, multimodal plumbing). Cross-engine value agreement
+  * is covered by the DuckDB oracle gate; these tests pin semantic
+  * behavior on known fixtures.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val rr = rows.map { case (i, t) => Row(i, t) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rr, 2),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+  }
+
+  test("exact dedup groups normalized duplicates") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "something else")
+    val out = Dedup.exactDuplicates(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val d = docs(
+      1L -> "abcdefghij",
+      2L -> "abcdefghij",
+      3L -> "zzzzyyyyxx")
+    val out = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L && out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH finds identical and near-identical docs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 38).map(i => s"word$i").mkString(" ") + " other tokens"
+    val far = (100 to 140).map(i => s"term$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+    val out = Dedup.minhashLshPairs(d, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val identical = out.find(p => p._1 == 1L && p._2 == 2L)
+    assert(identical.exists(_._3 == 1.0), s"identical pair missing in $out")
+    assert(!out.exists(p => p._2 == 4L && p._3 > 0.5), "disjoint doc matched")
+  }
+
+  test("simhash: identical equal, near docs closer than far docs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 37).map(i => s"word$i").mkString(" ") + " a b c"
+    val far = (100 to 140).map(i => s"term$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+    val h = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(ham(1L, 3L) < ham(1L, 4L),
+      s"near ${ham(1L, 3L)} !< far ${ham(1L, 4L)}")
+  }
+
+  test("text functions: tokens, lang id, quality, fingerprint") {
+    val d = docs(
+      1L -> "the cat and the dog went to the park",
+      2L -> "der Hund und die Katze sind nicht mit mir",
+      3L -> "xyzzy plugh")
+    val out = d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n") == 9)
+    assert(out(1L).getAs[String]("lang") == "en")
+    assert(out(2L).getAs[String]("lang") == "de")
+    assert(out(3L).getAs[String]("lang") == "und")
+    assert(out(1L).getAs[Double]("q") > out(3L).getAs[Double]("q"))
+
+    // fingerprint is normalization-invariant
+    val fp = docs(1L -> "A  B\tC", 2L -> "a b c")
+      .select(TextFunctions.fingerprint(col("text"))).distinct().count()
+    assert(fp == 1)
+  }
+
+  test("ANN: brute force exact ranks; LSH achieves recall on clustered vectors") {
+    // clustered vectors: 3 clusters of near-identical directions
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Seq.fill(3)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      val v = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Row(i.toLong, v.toSeq)
+    }
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact top-5 of query i are same-cluster vectors
+    assert(exact.forall { case (q, n) => (q % 3) == (n % 3) })
+
+    val approx = Ann.lshTopK(queries, emb, "vec_id", "embedding", 5, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("multimodal: payload plumbing round trip with stub decoder") {
+    val d = docs(1L -> "abcd", 2L -> "efghijkl")
+    val out = Multimodal.decodeMeta(
+      Multimodal.withFakePayload(d, "text"), "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bytes") == 4L)
+    assert(out(1L).getAs[Int]("width") == 5)
+    assert(out(2L).getAs[Long]("n_bytes") == 8L)
+    assert(out(2L).getAs[String]("format") == "webp")
+  }
+}
