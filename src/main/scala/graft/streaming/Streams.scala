@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Scale notes: windowed aggregation state is partitioned by
+  * (window, event_type) — bounded keyspace, no skew concern; the
+  * watermark bounds state size. Sessionization state is per user_id —
+  * at 100 TB/day scale the state store shards across executors by
+  * user hash; the event-time timeout both closes sessions and evicts
+  * state, so memory is O(active users), not O(history).
+  */
+object Streams {
+
+  final case class EventRow(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, total_value: Double)
+
+  /** Internal accumulator for [[sessionize]] (public: Catalyst encoder
+    * codegen must be able to construct it).
+    */
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /** Tumbling hourly counts per event type with a watermark for late
+    * data — the streaming twin of the batch `ev_hourly_agg` query.
+    */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: events
+    * within `gapMinutes` of each other belong to one session; a
+    * session is emitted (and its state evicted) when the event-time
+    * watermark passes its gap timeout.
+    */
+  def sessionize(
+      events: Dataset[EventRow],
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours",
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(
+              userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

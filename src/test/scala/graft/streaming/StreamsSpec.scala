@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.streaming.Streams.EventRow
+
+/** Structured Streaming specs driven through MemoryStream: windowed
+  * aggregation with watermark/late-data semantics and stateful
+  * gap-sessionization.
+  */
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  private def ev(id: Long, user: Long, minutes: Long, value: Double = 1.0) =
+    EventRow(id, ts(minutes), user, "click", value, "{}")
+
+  test("hourly windowed aggregation over a stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.hourlyEventCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 70))
+      query.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[Timestamp]("hour"), r.getAs[Long]("n_events"))).toSeq
+      // window starts are clock-hour aligned, not event aligned
+      val hourBase = new Timestamp(1699999200000L) // ts(0) truncated to hour
+      val nextHour = new Timestamp(1699999200000L + 3600000L)
+      assert(rows.toSet == Set((hourBase, 2L), (nextHour, 1L)))
+    } finally query.stop()
+  }
+
+  test("gap sessionization emits sessions after watermark passes (flatMapGroupsWithState)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.sessionize(input.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart -> one session
+      input.addData(ev(1, 1, 0, 2.0), ev(2, 1, 10, 3.0))
+      query.processAllAvailable()
+      // far-future event advances the watermark past the session timeout
+      input.addData(ev(3, 2, 600))
+      query.processAllAvailable()
+      input.addData(ev(4, 3, 1200))
+      query.processAllAvailable()
+
+      val sessions = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(sessions.contains((1L, 2, 5.0)), s"got ${sessions.toSeq}")
+    } finally query.stop()
+  }
+
+  test("sessionize splits events farther apart than the gap") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      // same user, 100 min apart -> second batch closes first session inline
+      input.addData(ev(1, 1, 0))
+      query.processAllAvailable()
+      input.addData(ev(2, 1, 100))
+      query.processAllAvailable()
+      input.addData(ev(3, 9, 500))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions2").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events")))
+      assert(sessions.count(_._1 == 1L) == 2, s"got ${sessions.toSeq}")
+    } finally query.stop()
+  }
+}
