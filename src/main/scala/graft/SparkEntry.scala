@@ -241,6 +241,39 @@ object SparkEntry {
         "doc_id", "content")
         .orderBy("id")
     }),
+
+    // ---- the flagship reference capability under the oracle gate:
+    // normalize a denormalized frame into a fresh Derby star schema via
+    // the full load pipeline (plan → conflict-ignoring inserts → id
+    // cascade → auto-generated compare validation), then return the
+    // database read-back. The oracle reconstructs the same frame from
+    // the parquet source directly.
+    "c_load_roundtrip" -> ((s, dir) => {
+      import graft.connector.{Connector, JdbcFrames}
+      val db = s"graft_load_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val c0 = java.sql.DriverManager.getConnection(url)
+      val st = c0.createStatement()
+      st.execute("CREATE TABLE regio (id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, " +
+        "r_name VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("CREATE TABLE natie (regio_id INT REFERENCES regio (id), " +
+        "n_name VARCHAR(50) NOT NULL UNIQUE)")
+      st.close(); c0.commit(); c0.close()
+
+      val denorm = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+      val out = Connector.withConnection(s, url) { c =>
+        c.load(denorm) // includes generated-compare validation
+        JdbcFrames.queryToDataFrame(s, c.conn,
+          "SELECT natie.n_name as n_name, regio.r_name as r_name FROM natie " +
+            "LEFT JOIN regio ON natie.regio_id = regio.id ORDER BY n_name",
+          lowercaseLabels = true)
+      }
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped ok
+      out
+    }),
   )
 
   private val compareCols =
@@ -377,6 +410,9 @@ object SparkEntry {
     // e_ann_lsh: intentionally no oracle — approximate operator, driver
     // records the weaker rows-only check; exactness is covered by the
     // recall spec against e_ann_bruteforce.
+    "c_load_roundtrip" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id AS id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
