@@ -242,6 +242,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "t_rolling_fp" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
+        .orderBy("doc_id")
+    }),
+    "o_asof_join" -> ((s, dir) => {
+      val left = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val right = events(s, dir)
+        .groupBy(col("user_id").as("o_custkey"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.operators.AsOf.asofJoinBackward(
+        left, right, "o_orderdate", "ts",
+        by = Seq("o_custkey"), payload = Seq("ts", "value"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("ts").as("last_ev_ts"), col("value").as("last_ev_value"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- the flagship reference capability under the oracle gate:
     // normalize a denormalized frame into a fresh Derby star schema via
     // the full load pipeline (plan → conflict-ignoring inserts → id
@@ -410,6 +430,17 @@ object SparkEntry {
     // e_ann_lsh: intentionally no oracle — approximate operator, driver
     // records the weaker rows-only check; exactness is covered by the
     // recall spec against e_ann_bruteforce.
+    "t_rolling_fp" ->
+      s"""SELECT doc_id, ${graft.functions.RollingHash.rollingHashSql.replace("TXT", "text")} AS rh
+         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "o_asof_join" ->
+      """WITH l AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+        |       r.ts AS last_ev_ts, r.value AS last_ev_value
+        |FROM l ASOF LEFT JOIN r ON l.o_custkey = r.user_id AND l.o_orderdate >= r.ts
+        |ORDER BY o_orderkey""".stripMargin,
     "c_load_roundtrip" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_name""".stripMargin,

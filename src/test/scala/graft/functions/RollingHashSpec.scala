@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.RollingHash.rolling_hash
+
+class RollingHashSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private def reference(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+
+  test("rolling_hash matches the reference recurrence (codegen path)") {
+    val inputs = Seq("abc", "", "hello world", "ümlaut", "a" * 5000)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(Row(_)) :+ Row(null), 2),
+      StructType(Seq(StructField("s", StringType, nullable = true))))
+    val got = df.select(col("s"), rolling_hash(col("s")).as("h")).collect()
+      .map(r => Option(r.getString(0)) -> Option(r.getAs[java.lang.Long]("h")))
+      .toMap
+    inputs.foreach { s =>
+      assert(got(Some(s)) == Some(reference(s)), s"mismatch for '$s'")
+    }
+    assert(got(None).isEmpty, "null input must hash to null")
+  }
+
+  test("rolling_hash registered for SQL") {
+    RollingHash.register(spark)
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
+    assert(h == reference("abc"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class AsOfSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+
+  private def frame(schema: Seq[StructField], rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(schema))
+
+  test("backward as-of join picks latest right row at or before left time") {
+    val trades = frame(
+      Seq(StructField("sym", StringType), StructField("t", TimestampType),
+        StructField("qty", IntegerType)),
+      Seq(
+        Row("A", ts(10), 1), // after quote at 5 -> px 100.0
+        Row("A", ts(20), 2), // tie with quote at 20 -> inclusive, px 101.0
+        Row("B", ts(10), 3), // no quote for B before 10 -> null
+        Row("B", ts(40), 4))) // quote at 30 -> px 200.0
+    val quotes = frame(
+      Seq(StructField("sym", StringType), StructField("qt", TimestampType),
+        StructField("px", DoubleType)),
+      Seq(
+        Row("A", ts(5), 100.0),
+        Row("A", ts(20), 101.0),
+        Row("A", ts(25), 102.0),
+        Row("B", ts(30), 200.0)))
+
+    val out = AsOf.asofJoinBackward(
+      trades, quotes, "t", "qt", by = Seq("sym"), payload = Seq("px"))
+      .collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Int]("qty"),
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)))
+      .toSet
+
+    assert(out == Set(
+      ("A", 1, Some(100.0)),
+      ("A", 2, Some(101.0)),
+      ("B", 3, None),
+      ("B", 4, Some(200.0))))
+  }
+}
