@@ -123,6 +123,18 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "a_semi_anti_join" -> ((s, dir) => {
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+      val withOrders = building
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = building
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    }),
+
     // ---- reference operator demos (SURVEY.md §2.A)
     "a1_preprocess" -> ((s, dir) => {
       FrameOps.preprocess(
@@ -384,6 +396,12 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey) x
         |WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
+    "a_semi_anti_join" ->
+      """SELECT
+        |(SELECT count(*) FROM customer c WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)) AS n_with_orders,
+        |(SELECT count(*) FROM customer c WHERE c_mktsegment = 'BUILDING'
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin,
     "a1_preprocess" ->
       """SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
         |FROM lineitem ORDER BY flag, status""".stripMargin,
