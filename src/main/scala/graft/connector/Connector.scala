@@ -136,8 +136,9 @@ final class Connector(
     val dbRows = JdbcFrames.queryToDataFrame(spark, conn, q, lowercaseLabels = true)
     val dbCount = dbRows.count()
     assert(dbCount > 0, "Compare query yielded no results.")
-    if (!FrameOps.hasNulls(pre))
-      assert(dbCount >= pre.count(),
+    val (preCount, preHasNulls) = FrameOps.countAndNulls(pre)
+    if (!preHasNulls)
+      assert(dbCount >= preCount,
         s"Compare query yielded fewer rows ($dbCount) than data.")
     FrameOps.compareFrames(pre,
       FrameOps.matchTypes(dbRows, pre.schema), exact = exact)

@@ -38,10 +38,21 @@ object FrameOps {
     * or any value anywhere is null. Single filtered `limit(1)` probe
     * instead of per-column counts.
     */
-  def hasNulls(df: DataFrame): Boolean = {
-    if (df.columns.isEmpty) return df.isEmpty
+  def hasNulls(df: DataFrame): Boolean = countAndNulls(df)._2
+
+  /** (row count, any-null present) in ONE aggregation job — guard
+    * checks are driver barriers, so they are batched wherever the
+    * pipeline needs both facts.
+    */
+  def countAndNulls(df: DataFrame): (Long, Boolean) = {
+    if (df.columns.isEmpty) return (0L, df.isEmpty)
     val anyNull = df.columns.map(c => quoted(c).isNull).reduce(_ || _)
-    df.isEmpty || df.filter(anyNull).limit(1).count() > 0
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(anyNull, 1L).otherwise(0L)).as("nn")).first()
+    val n = row.getLong(0)
+    val nn = if (row.isNullAt(1)) 0L else row.getLong(1)
+    (n, n == 0 || nn > 0)
   }
 
   /** A4 (`dataframe_operations.py:59-76`): project to a column subset
@@ -107,12 +118,16 @@ object FrameOps {
       .cache()
     try {
       val origLen = df.count()
-      val newLen = joined.count()
+      // row count + null-id count in one aggregation job
+      val stats = joined.agg(count(lit(1)).as("n"),
+        sum(when(quoted(alias).isNull, 1L).otherwise(0L)).as("nn")).first()
+      val newLen = stats.getLong(0)
+      val nullIds = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       assert(newLen >= origLen, "Rows were lost when joining on ids.")
       if (newLen != origLen && !allowDuplication)
         throw new AssertionError("Rows were duplicated when joining on ids.")
 
-      if (joined.filter(quoted(alias).isNull).limit(1).count() > 0) {
+      if (nullIds > 0) {
         val sample = joined.filter(quoted(alias).isNull).limit(20).collect()
           .mkString("\n")
         throw new MissingKeysAfterMergeError(
@@ -141,8 +156,12 @@ object FrameOps {
     val db = dbDf.select(data.columns.map(quoted): _*)
 
     if (exact) {
-      val missing = data.except(db).limit(20).collect()
-      val extra = db.except(data).limit(20).collect()
+      // both difference directions in one job
+      val diff = data.except(db).limit(20).withColumn("_side", lit("data"))
+        .unionByName(db.except(data).limit(20).withColumn("_side", lit("db")))
+        .collect()
+      val missing = diff.filter(_.getAs[String]("_side") == "data")
+      val extra = diff.filter(_.getAs[String]("_side") == "db")
       if (missing.nonEmpty || extra.nonEmpty)
         throw new CompareNoExactMatchError(
           "Datasets do not match exactly.\nRows in data and not in db:\n" +
