@@ -42,7 +42,7 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- analytical core (Catalyst-planned joins/aggregations)
@@ -301,6 +301,14 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "s_csv_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      val nation = t(s, dir, "nation")
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Sources.writeCsv(nation, s"$out/n")
+      Sources.readCsv(s, s"$out/n", nation.schema).orderBy("n_nationkey")
+    }),
+
     // ---- the flagship reference capability under the oracle gate:
     // normalize a denormalized frame into a fresh Derby star schema via
     // the full load pipeline (plan → conflict-ignoring inserts → id
@@ -503,6 +511,8 @@ object SparkEntry {
         |       r.ts AS last_ev_ts, r.value AS last_ev_value
         |FROM l ASOF LEFT JOIN r ON l.o_custkey = r.user_id AND l.o_orderdate >= r.ts
         |ORDER BY o_orderkey""".stripMargin,
+    "s_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "c_load_roundtrip" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_name""".stripMargin,

@@ -42,6 +42,17 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup on an id column: duplicates arriving within
+    * the watermark horizon are dropped; state for ids older than the
+    * watermark is evicted (bounded memory). The streaming twin of the
+    * corpus exact-dedup operator.
+    */
+  def streamingDedup(
+      events: DataFrame, idCol: String, watermark: String = "1 hour",
+  ): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: events
     * within `gapMinutes` of each other belong to one session; a
     * session is emitted (and its state evicted) when the event-time

@@ -63,6 +63,23 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.streamingDedup(input.toDF(), "event_id", "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 0), ev(1, 1, 1), ev(2, 2, 2))
+      query.processAllAvailable()
+      input.addData(ev(1, 1, 3), ev(3, 3, 4))
+      query.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("sessionize splits events farther apart than the gap") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
