@@ -266,6 +266,12 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    "e_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.ivfTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_cos_neardup" -> ((s, dir) => {
       graft.ann.Ann.cosineNearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),

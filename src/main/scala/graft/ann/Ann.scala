@@ -117,6 +117,55 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions
+    * the corpus into `nCells` cells; queries scan only the `nProbe`
+    * nearest cells. The index (cell assignment) is computed once and
+    * is joinable/bucketable — at 100 TB the corpus is written
+    * partitioned by cell id and a query touches nProbe/nCells of the
+    * data. Deterministic via fixed seed.
+    */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+      .cache()
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val assigned = model.transform(train)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    // rank each query's distance to every centroid, keep nProbe cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val centroidDf = queries.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — restrict or LSH-prefilter at scale).
     */

@@ -32,4 +32,12 @@ class RollingHashSpec extends AnyFunSuite with SparkSpec {
     val h = spark.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
     assert(h == reference("abc"))
   }
+
+  test("rolling_hash over a literal is constant-folded by Catalyst") {
+    RollingHash.register(spark)
+    val df = spark.range(1).selectExpr("rolling_hash('fold me') AS h")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("rollinghash"),
+      s"expected constant folding, got:\n$optimized")
+  }
 }

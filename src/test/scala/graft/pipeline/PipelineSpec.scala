@@ -121,6 +121,12 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"LSH recall $recall too low")
+
+    val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nCells = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
   }
 
   test("multimodal: payload plumbing round trip with stub decoder") {
