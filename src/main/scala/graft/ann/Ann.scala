@@ -137,6 +137,7 @@ object Ann {
       .withColumn("features", array_to_vector(col("cv")))
       .cache()
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(8) // coarse quantizer: cell quality saturates fast
       .fit(train)
     val assigned = model.transform(train)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
