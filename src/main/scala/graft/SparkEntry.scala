@@ -123,6 +123,27 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "a_intersect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(col("o_orderpriority")).distinct()
+        .intersect(Seq("1-URGENT", "3-MEDIUM", "9-NOPE").toDF("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_cube_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    "dt_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("o_totalprice"), 18, 4)), 28, 4).as("sum_price"))
+        .orderBy("y", "m")
+    }),
     "a_semi_anti_join" -> ((s, dir) => {
       val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = t(s, dir, "orders")
@@ -410,6 +431,20 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey) x
         |WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
+    "a_intersect" ->
+      """SELECT DISTINCT o_orderpriority FROM orders
+        |INTERSECT
+        |SELECT * FROM (VALUES ('1-URGENT'), ('3-MEDIUM'), ('9-NOPE')) t(o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "dt_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
     "a_semi_anti_join" ->
       """SELECT
         |(SELECT count(*) FROM customer c WHERE c_mktsegment = 'BUILDING'
