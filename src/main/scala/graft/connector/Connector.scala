@@ -165,18 +165,27 @@ final class Connector(
     val instructions = schema.getLoadInstructions(pre.columns.toSeq)
 
     // phase 1: insert+retrieve in topo order, ids cascade through the frame
+    val cached = scala.collection.mutable.ArrayBuffer(pre)
     val afterRetrieve = instructions.insertAndRetrieve.foldLeft(pre) {
       (acc, spec) =>
-        insertAndRetrieveIds(acc, spec.table, spec.alias,
+        val next = insertAndRetrieveIds(acc, spec.table, spec.alias,
           spec.columns.toMap, replace, allowDuplication).cache()
+        cached += next
+        next
     }
     // phase 2: plain inserts
     instructions.insert.foreach { spec =>
       insert(afterRetrieve, spec.table, spec.columns.toMap)
     }
 
-    if (compare)
-      this.compare(origData, compareQuery, Map.empty, where, exact)
+    try {
+      if (compare)
+        this.compare(origData, compareQuery, Map.empty, where, exact)
+    } finally {
+      // free intermediates; repeated loads in a long-lived session
+      // would otherwise accumulate cached RDDs until LRU pressure
+      cached.dropRight(1).foreach(_.unpersist())
+    }
 
     FrameOps.postprocess(afterRetrieve, columns)
   }
@@ -202,7 +211,9 @@ object Connector {
       result
     } catch {
       case e: Throwable =>
-        try conn.rollback() finally {}
+        // a dead connection makes rollback throw too — never let that
+        // mask the root cause
+        try conn.rollback() catch { case _: Throwable => () }
         throw e
     } finally conn.close()
   }

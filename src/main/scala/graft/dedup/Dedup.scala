@@ -86,10 +86,13 @@ object Dedup {
     if (n == 1) array_distinct(toks)
     else array_distinct(
       filter(
-        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          i => concat_ws(" ",
-            slice(toks, i, lit(n)))),
-        s => s =!= ""))
+        // floor at 1: sequence(1, 0) would descend through index 0 and
+        // slice would throw; the index guard below drops the one short
+        // window the floor can produce (docs with < n tokens -> empty)
+        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => when(i + (n - 1) <= size(toks),
+            concat_ws(" ", slice(toks, i, lit(n))))),
+        s => s.isNotNull))
   }
 
   /** MinHash signature columns mh0..mh{k-1}: per hash j, the minimum

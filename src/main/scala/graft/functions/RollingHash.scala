@@ -10,7 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: polynomial rolling-hash document
   * fingerprint `h = Σ (h·31 + c_i) mod (2^31 − 1)` over the string's
-  * UTF-16 code units.
+  * Unicode code points (code points, not UTF-16 units, so the oracle's
+  * `unicode()`-based recurrence agrees beyond the BMP).
   *
   * Why a custom `Expression` rather than a UDF: `doGenCode` emits a
   * plain Java loop that fuses into whole-stage codegen — no
@@ -32,8 +33,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * 31 + s.charAt(i)) % 2147483647L
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
     }
     java.lang.Long.valueOf(h)
   }
@@ -46,8 +48,11 @@ case class RollingHash(child: Expression) extends UnaryExpression {
       s"""
          |String $s = $c.toString();
          |long $h = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $h = ($h * 31 + $s.charAt($i)) % 2147483647L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int ${i}cp = $s.codePointAt($i);
+         |  $h = ($h * 31 + ${i}cp) % 2147483647L;
+         |  $i += Character.charCount(${i}cp);
          |}
          |${ev.value} = $h;
        """.stripMargin

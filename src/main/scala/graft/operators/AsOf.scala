@@ -54,13 +54,21 @@ object AsOf {
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = l.unionByName(r).select(
+    // payload travels as ONE struct so every output column comes from
+    // the SAME matched right row — per-column ignoreNulls backfill
+    // would resurrect stale values when the matched row holds a NULL
+    val packed = l.unionByName(r).select(
       (by.map(col) :+ col("_t") :+ col("_side")) ++
-        leftExtras.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        leftExtras.map(col) :+
+        when(col("_side") === 0, struct(payload.map(col): _*)).as("_p"): _*)
+
+    val filled = packed.select(
+      (by.map(col) :+ col("_t") :+ col("_side")) ++
+        leftExtras.map(col) :+
+        last(col("_p"), ignoreNulls = true).over(w).as("_p"): _*)
 
     filled.filter(col("_side") === 1)
       .select(by.map(col) ++ Seq(col("_t").as(leftOn)) ++
-        leftExtras.map(col) ++ payload.map(col): _*)
+        leftExtras.map(col) ++ payload.map(c => col("_p").getField(c).as(c)): _*)
   }
 }

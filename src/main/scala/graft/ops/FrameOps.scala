@@ -152,7 +152,9 @@ object FrameOps {
     * data ⊆ db, else [[CompareMissingRowsError]].
     */
   def compareFrames(df: DataFrame, dbDf: DataFrame, exact: Boolean = true): Unit = {
-    val data = if (!exact && hasNulls(df)) df.na.drop() else df
+    // na.drop() is a no-op on null-free data — no need for a separate
+    // null-probe job first
+    val data = if (!exact) df.na.drop() else df
     val db = dbDf.select(data.columns.map(quoted): _*)
 
     if (exact) {

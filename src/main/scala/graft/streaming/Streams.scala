@@ -84,9 +84,20 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                // within the gap after the end — extend forward
+                case Some(s) if t >= s.last && t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                // late event inside or gap-adjacent to the session —
+                // merge, extending the start backward if needed
+                case Some(s) if t < s.last && t >= s.start - gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t), s.last,
                     s.n + 1, s.total + e.value))
+                // too late to belong to the open session: emit it as
+                // its own completed session (it cannot be extended —
+                // anything near it is older than what we already saw)
+                case Some(s) if t < s.start - gapMs =>
+                  closed ::= SessionOut(userId, e.ts, e.ts, 1, e.value)
+                // beyond the gap after the end — close and start anew
                 case Some(s) =>
                   closed ::= SessionOut(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.total)
@@ -97,7 +108,12 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // a timeout at-or-before the current watermark is
+              // rejected by Spark — clamp just past it (fires on the
+              // next batch, which is also semantically correct: the
+              // session's gap has already fully elapsed in event time)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

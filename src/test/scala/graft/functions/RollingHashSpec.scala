@@ -10,11 +10,19 @@ import graft.functions.RollingHash.rolling_hash
 class RollingHashSpec extends AnyFunSuite with SparkSpec {
   import org.apache.spark.sql.functions.col
 
-  private def reference(s: String): Long =
-    s.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+  private def reference(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   test("rolling_hash matches the reference recurrence (codegen path)") {
-    val inputs = Seq("abc", "", "hello world", "ümlaut", "a" * 5000)
+    val inputs = Seq("abc", "", "hello world", "ümlaut", "emoji \ud83d\ude00 tail", "a" * 5000)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(inputs.map(Row(_)) :+ Row(null), 2),
       StructType(Seq(StructField("s", StringType, nullable = true))))

@@ -47,4 +47,22 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
       ("B", 3, None),
       ("B", 4, Some(200.0))))
   }
+
+  test("null payload in the matched right row is NOT replaced by a stale older value") {
+    val trades = frame(
+      Seq(StructField("sym", StringType), StructField("t", TimestampType)),
+      Seq(Row("A", ts(30))))
+    val quotes = frame(
+      Seq(StructField("sym", StringType), StructField("qt", TimestampType),
+        StructField("px", DoubleType)),
+      Seq(
+        Row("A", ts(10), 100.0),
+        Row("A", ts(20), null))) // matched row carries NULL px
+    val out = AsOf.asofJoinBackward(
+      trades, quotes, "t", "qt", by = Seq("sym"), payload = Seq("qt", "px"))
+      .collect().head
+    // matched row is ts(20): its qt travels AND its null px is kept
+    assert(out.getAs[Timestamp]("qt") == ts(20))
+    assert(out.isNullAt(out.fieldIndex("px")))
+  }
 }

@@ -60,6 +60,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists(p => p._2 == 4L && p._3 > 0.5), "disjoint doc matched")
   }
 
+  test("wordShingles: documents shorter than n yield empty shingle sets, not errors") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(1L -> "solo", 2L -> "two tokens", 3L -> "three whole tokens")
+    val out = d.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("three whole tokens"))
+  }
+
   test("simhash: identical equal, near docs closer than far docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = (1 to 37).map(i => s"word$i").mkString(" ") + " a b c"

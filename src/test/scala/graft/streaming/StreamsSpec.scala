@@ -80,6 +80,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: late in-gap event extends the session start backward") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.sessionize(input.toDS(), gapMinutes = 30, watermark = "3 hours")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 60), ev(2, 1, 70))
+      query.processAllAvailable()
+      // late event 20 min before the session start (inside the gap)
+      input.addData(ev(3, 1, 40))
+      query.processAllAvailable()
+      // advance watermark far past everything to close the session
+      input.addData(ev(4, 9, 600))
+      query.processAllAvailable()
+      input.addData(ev(5, 8, 1200))
+      query.processAllAvailable()
+      val s = spark.table("sessions_late").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(s.length == 1)
+      assert(s.head.getAs[java.sql.Timestamp]("session_start") == ts(40))
+      assert(s.head.getAs[Int]("n_events") == 3)
+    } finally query.stop()
+  }
+
   test("sessionize splits events farther apart than the gap") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
