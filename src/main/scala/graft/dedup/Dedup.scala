@@ -54,17 +54,35 @@ object Dedup {
   /** All-pairs n-gram Jaccard similarity ≥ threshold, computed by
     * exploding grams and joining on shared grams (docs sharing no
     * gram never meet — the join IS the candidate filter).
+    *
+    * @param maxGramDocs skew guard for corpus scale: grams occurring
+    *   in more than this many documents are dropped from the join
+    *   (a gram in d docs contributes d² join rows; ubiquitous
+    *   "stop-grams" dominate cost while carrying no discriminative
+    *   signal). 0 disables the guard — exact Jaccard, used by the
+    *   oracle-checked demo. Document sizes are still computed over
+    *   ALL grams, so enabling the guard only *under*-counts
+    *   intersections (similarity estimates are conservative).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double,
+      n: Int, threshold: Double, maxGramDocs: Long = 0L,
   ): DataFrame = {
     val grams = df
       .select(col(idCol).as("id"),
         explode(charNgrams(col(textCol), n)).as("gram"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
+    val joinGrams =
+      if (maxGramDocs <= 0) grams
+      else {
+        val hot = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramDocs)
+          .select(col("gram"))
+        grams.join(broadcast(hot), Seq("gram"), "left_anti")
+      }
+    val inter = joinGrams.as("a")
+      .join(joinGrams.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))

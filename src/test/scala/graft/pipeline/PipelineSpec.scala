@@ -60,6 +60,22 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists(p => p._2 == 4L && p._3 > 0.5), "disjoint doc matched")
   }
 
+  test("ngram jaccard hot-gram guard drops ubiquitous grams, keeps real dups") {
+    // "zzz..." block shared by ALL docs is the hot gram source; docs 1/2
+    // are otherwise identical, doc 3 disjoint
+    val common = "z" * 20
+    val d = docs(
+      1L -> s"abcdefghij $common",
+      2L -> s"abcdefghij $common",
+      3L -> s"qrstuvwxyz!$common")
+    val guarded = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3,
+      maxGramDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((1L, 2L)))
+    assert(!guarded.contains((1L, 3L)) && !guarded.contains((2L, 3L)),
+      s"hot grams still paired disjoint docs: $guarded")
+  }
+
   test("wordShingles: documents shorter than n yield empty shingle sets, not errors") {
     import org.apache.spark.sql.functions.col
     val d = docs(1L -> "solo", 2L -> "two tokens", 3L -> "three whole tokens")
