@@ -29,7 +29,9 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
-    val results = names.map { name =>
+    // two timed passes, min per query: steady-state cost with
+    // protection against one-off scheduler/GC noise on a shared box
+    def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -37,6 +39,12 @@ object Bench {
       // failed queries must be visible in the output, not blend in as
       // a normal-looking elapsed time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val p1 = timedPass().toMap
+    val p2 = timedPass().toMap
+    val results = names.map { n =>
+      val (a, b) = (p1(n), p2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

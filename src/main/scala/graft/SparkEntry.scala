@@ -123,6 +123,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy("o_orderpriority")
+    }),
+    "e_vector_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"),
+          sqrt(aggregate(
+            zip_with(col("embedding"), col("embedding"),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v)).as("l2_norm"))
+        .orderBy("vec_id")
+    }),
     "a_intersect" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders").select(col("o_orderpriority")).distinct()
@@ -431,6 +449,18 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey) x
         |WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "e_vector_norm" ->
+      s"""SELECT vec_id,
+         |sqrt(list_reduce(list_transform(range(1, 65), i ->
+         |  CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+         |  (acc, v) -> acc + v)) AS l2_norm
+         |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin,
     "a_intersect" ->
       """SELECT DISTINCT o_orderpriority FROM orders
         |INTERSECT
