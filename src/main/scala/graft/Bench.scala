@@ -48,7 +48,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query (-1 sentinel) must invalidate the headline total,
+    // not silently deflate it by 1s — totals stay comparable across runs
+    val total =
+      if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

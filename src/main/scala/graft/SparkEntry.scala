@@ -33,6 +33,20 @@ object SparkEntry {
 
   private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
 
+  /** Exact decimal aggregate → DOUBLE for the final projection.
+    *
+    * The driver's hasher folds decimal *physical representation* into the
+    * hash (Spark parquet decimal width vs DuckDB native decimal), so a
+    * value-equal DECIMAL column still hash-mismatches (round-1 verdict:
+    * all 7 hash failures were exactly the decimal-output queries). An
+    * exact decimal converts to the identical nearest double in both
+    * engines, so final output schemas must be decimal-free. Keep the
+    * per-value decimal casts INSIDE the aggregation — they are what makes
+    * the sums order-independent and deterministic.
+    */
+  private def decAgg(c: Column, p: Int, sc: Int): Column =
+    dec(c, p, sc).cast(DoubleType)
+
   /** price × (1 - discount) with exact decimal arithmetic. */
   private def revenueExpr: Column =
     dec(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 6, 4)), 18, 8)
@@ -51,9 +65,9 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice"), 18, 4)), 24, 4).as("sum_base_price"),
-          dec(sum(revenueExpr), 28, 8).as("sum_disc_price"),
+          decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"),
+          decAgg(sum(dec(col("l_extendedprice"), 18, 4)), 24, 4).as("sum_base_price"),
+          decAgg(sum(revenueExpr), 28, 8).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -67,7 +81,7 @@ object SparkEntry {
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(dec(sum(revenueExpr), 28, 8).as("revenue"))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -82,7 +96,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(dec(sum(revenueExpr), 28, 8).as("revenue"))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     "w_topk_per_segment" -> ((s, dir) => {
@@ -102,14 +116,14 @@ object SparkEntry {
           col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
           col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
           col("l_quantity") < 24)
-        .agg(dec(sum(dec(dec(col("l_extendedprice"), 18, 4) * dec(col("l_discount"), 6, 4), 18, 8)), 28, 8)
+        .agg(decAgg(sum(dec(dec(col("l_extendedprice"), 18, 4) * dec(col("l_discount"), 6, 4), 18, 8)), 28, 8)
           .as("revenue"))
     }),
     "q_rollup_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"),
+          decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"),
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))
         .orderBy(col("l_returnflag").asc_nulls_first,
@@ -159,7 +173,7 @@ object SparkEntry {
         .groupBy(year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("o_totalprice"), 18, 4)), 28, 4).as("sum_price"))
+          decAgg(sum(dec(col("o_totalprice"), 18, 4)), 28, 4).as("sum_price"))
         .orderBy("y", "m")
     }),
     "a_semi_anti_join" -> ((s, dir) => {
@@ -246,7 +260,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          dec(sum(dec(col("value"), 18, 6)), 28, 6).as("sum_value"))
+          decAgg(sum(dec(col("value"), 18, 6)), 28, 6).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
     "j_props_extract" -> ((s, dir) => {
@@ -267,7 +281,8 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, dir) => {
       graft.dedup.Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 3, threshold = 0.5)
+        "doc_id", "text", n = 3, threshold = 0.5,
+        maxGramDocs = 0L) // exact Jaccard for the oracle; default guard is on
         .orderBy("id_a", "id_b")
     }),
     "d_minhash_lsh" -> ((s, dir) => {
@@ -281,6 +296,12 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 25 === 0),
         "doc_id", "text")
         .orderBy("id")
+    }),
+    "d_simhash_pairs" -> ((s, dir) => {
+      graft.dedup.Dedup.simhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }),
     "t_text_stats" -> ((s, dir) => {
       import graft.text.TextFunctions._
@@ -307,12 +328,18 @@ object SparkEntry {
     }),
     "e_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.ann.Ann.ivfTopK(
+      graft.ann.Ann.ivfTopKHashCells(
         emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
     "e_cos_neardup" -> ((s, dir) => {
       graft.ann.Ann.cosineNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+    "e_cos_neardup_lsh" -> ((s, dir) => {
+      graft.ann.Ann.cosineNearDupLsh(
         t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")
@@ -394,9 +421,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sum_base_price,
-        |CAST(SUM(REV) AS DECIMAL(28,8)) AS sum_disc_price,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_base_price,
+        |CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS DOUBLE) AS sum_disc_price,
         |COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -404,7 +431,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("REV", revenueSql),
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |CAST(SUM(REV) AS DECIMAL(28,8)) AS revenue
+        |CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -415,7 +442,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin.replace("REV", revenueSql),
     "q5_local_supplier" ->
-      """SELECT n_name, CAST(SUM(REV) AS DECIMAL(28,8)) AS revenue
+      """SELECT n_name, CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -426,14 +453,14 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin.replace("REV", revenueSql),
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS revenue
+      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin,
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
         |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_status
         |FROM lineitem
@@ -473,7 +500,7 @@ object SparkEntry {
     "dt_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         |count(*) AS n,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_price
+        |CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
     "a_semi_anti_join" ->
       """SELECT
@@ -521,7 +548,7 @@ object SparkEntry {
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |count(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "j_props_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -539,6 +566,8 @@ object SparkEntry {
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
     "d_simhash" ->
       (graft.dedup.Dedup.simhashSql("WHERE doc_id % 25 = 0") + "\nORDER BY id"),
+    "d_simhash_pairs" ->
+      graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")
@@ -568,9 +597,15 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
-    // e_ann_lsh: intentionally no oracle — approximate operator, driver
-    // records the weaker rows-only check; exactness is covered by the
-    // recall spec against e_ann_bruteforce.
+    // approximate ANN variants: the md5-keyed LSH planes and hash-cell
+    // IVF quantizer are deterministic and reproduced verbatim in
+    // DuckDB, so even the *approximate* results are value-exact
+    "e_ann_lsh" ->
+      graft.ann.Ann.lshTopKSql("vec_id < 3", k = 5),
+    "e_ann_ivf" ->
+      graft.ann.Ann.ivfTopKHashCellsSql("vec_id < 3", k = 5),
+    "e_cos_neardup_lsh" ->
+      graft.ann.Ann.cosineNearDupLshSql(0.3, whereClause = "WHERE vec_id % 10 = 0"),
     "t_rolling_fp" ->
       s"""SELECT doc_id, ${graft.functions.RollingHash.rollingHashSql.replace("TXT", "text")} AS rh
          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,

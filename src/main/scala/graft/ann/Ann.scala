@@ -7,20 +7,29 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Two paths:
+  * Three index shapes:
   *   - [[bruteForceTopK]] — exact cosine top-k via a cross join +
   *     window. Correct baseline; O(|Q|·|C|) comparisons. At 100 TB use
   *     it only for small query sets against broadcastable candidates,
-  *     or as the verifier for the approximate path.
+  *     or as the verifier for the approximate paths.
   *   - [[lshTopK]] — random-hyperplane LSH: each vector gets a
   *     `planes`-bit signature (sign of dot with deterministic
   *     pseudo-random hyperplanes); candidates share a bucket with the
   *     query, so the cross join shrinks to a per-bucket join keyed by
-  *     signature. The plane weights derive from a hash of
-  *     (plane, dim) — no RNG state, reproducible across runs and
-  *     engines. Probing multiple buckets (bit-flip neighborhoods)
-  *     trades recall for cost; here we probe the exact bucket plus all
-  *     1-bit flips.
+  *     signature. The plane weights derive from md5(plane:dim) — no
+  *     RNG state, reproducible across runs AND engines (the DuckDB
+  *     oracle evaluates the identical function, [[lshTopKSql]]).
+  *     Probing multiple buckets (bit-flip neighborhoods) trades recall
+  *     for cost; here we probe the exact bucket plus all 1-bit flips.
+  *   - IVF (inverted file): a coarse quantizer partitions the corpus
+  *     into cells; queries scan only the `nProbe` nearest cells.
+  *     [[ivfTopKHashCells]] picks cell centroids deterministically
+  *     (smallest md5(id) — a seeded sample, i.e. k-means random init
+  *     without Lloyd refinement), which makes the whole pipeline
+  *     SQL-expressible and exactly oracle-checkable. [[ivfTopK]] adds
+  *     k-means refinement (better cell balance) trained on a bounded
+  *     deterministic sample — spec-verified by recall against brute
+  *     force.
   *
   * Cosine arithmetic is done in doubles with a sequential fold
   * (`aggregate` over `zip_with`), which both Spark and DuckDB evaluate
@@ -71,12 +80,22 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * maps xxhash64 to (-0.5, 0.5). Evaluated inside codegen; the
-    * planes are never materialized.
+    * maps the top 60 bits of md5("plane:dim") to (-0.5, 0.5).
+    * Evaluated inside codegen; the planes are never materialized.
+    * md5-keyed (not xxhash64) so the DuckDB oracle computes the
+    * identical value — a production deployment would swap in xxhash64
+    * for hash throughput without changing any plan shape.
     */
   private def planeWeight(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(100000L)).cast("double") /
-      lit(100000.0)) - lit(0.5)
+    (conv(substring(md5(concat(lit(s"$plane:"), dim.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % lit(100000L)).cast("double") / lit(100000.0) - lit(0.5)
+
+  /** DuckDB rendering of [[planeWeight]]; `p` and `i` are SQL
+    * expressions for the plane index and the 1-based dimension.
+    */
+  private def planeWeightSql(p: String, i: String): String =
+    s"((CAST(('0x' || substr(md5(CAST($p AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 15)) AS BIGINT) " +
+      s"% 100000) / 100000.0 - 0.5)"
 
   /** `planes`-bit signature of a vector: bit p = sign of dot(v, plane_p). */
   def lshSignature(vec: Column, planes: Int): Column = {
@@ -89,6 +108,16 @@ object Ann {
     }
     bits.reduce(_ + _)
   }
+
+  /** DuckDB rendering of [[lshSignature]] for list column `vecExpr`
+    * of dimension `dim`.
+    */
+  def lshSignatureSql(vecExpr: String, planes: Int, dim: Int): String =
+    (0 until planes).map { p =>
+      val proj = s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST($vecExpr[i] AS DOUBLE) * ${planeWeightSql(p.toString, "i")}), (acc, v) -> acc + v)"
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
 
   /** LSH-bucketed ANN: candidates must share the query's bucket or a
     * 1-bit-flip neighbor bucket. Returns the same schema as
@@ -117,29 +146,162 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions
-    * the corpus into `nCells` cells; queries scan only the `nProbe`
-    * nearest cells. The index (cell assignment) is computed once and
-    * is joinable/bucketable — at 100 TB the corpus is written
-    * partitioned by cell id and a query touches nProbe/nCells of the
-    * data. Deterministic via fixed seed.
+  /** DuckDB rendering of [[lshTopK]] over `embeddings(vec_id,
+    * embedding)` with queries restricted by `queryWhere`.
+    */
+  def lshTopKSql(
+      queryWhere: String, k: Int, planes: Int = 12, dim: Int = 64,
+  ): String = {
+    val sig = lshSignatureSql("embedding", planes, dim)
+    val masks = ((0 until planes).map(p => 1L << p) :+ 0L).mkString(", ")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv, $sig AS bucket
+       |  FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv, $sig AS qsig
+       |  FROM embeddings WHERE $queryWhere),
+       |q AS (SELECT query_id, qv, xor(qsig, m.mask) AS bucket
+       |  FROM q0 CROSS JOIN (SELECT unnest([$masks]) AS mask) m),
+       |scored AS (SELECT DISTINCT query_id, neighbor_id,
+       |    ${cosineSql("qv", "cv", dim)} AS score
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, score FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Deterministic IVF: the coarse quantizer's `nCells` centroids are
+    * the candidates with the smallest md5(id) — a seeded uniform
+    * sample, i.e. k-means random initialization without Lloyd
+    * refinement (a standard, if lower-quality, inverted-file
+    * quantizer). Fully deterministic and SQL-expressible
+    * ([[ivfTopKHashCellsSql]]), so it sits under the exact-value
+    * oracle gate.
+    *
+    * 100 TB shape: centroid pick is a global top-nCells (TakeOrdered,
+    * no full sort); cell assignment and probe selection are *map-only*
+    * scalar argmax over the broadcast centroid array (no shuffle, no
+    * row blow-up); the scored join shuffles only on cell id. Size
+    * `nCells` ≫ parallelism at scale (e.g. 4–16× executor count) so
+    * cells spread across reducers.
+    */
+  def ivfTopKHashCells(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+  ): DataFrame = {
+    // single-row DataFrame holding the centroid array, for broadcast
+    val cents = candidates
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+      .withColumn("ck", md5(col("cell").cast("string")))
+      .orderBy(col("ck"), col("cell")).limit(nCells)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+
+    def cellScores(vec: Column): Column =
+      transform(col("cents"), ct =>
+        struct(cosine(vec, ct("centroid")).as("cos"),
+          (-ct("cell")).as("negcell"), ct("cell").as("cell")))
+
+    // map-only assignment: argmax cosine (ties -> smallest cell id)
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(cellScores(col("cv")))("cell"))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+
+    // map-only probe selection: top-nProbe cells by cosine
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("probe",
+        explode(slice(array_sort(cellScores(col("qv"))), -nProbe, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** DuckDB rendering of [[ivfTopKHashCells]] over
+    * `embeddings(vec_id, embedding)` with queries restricted by
+    * `queryWhere`. (The oracle uses window-ranked argmax — value-equal
+    * to Spark's scalar argmax: max cosine, ties to smallest cell id.)
+    */
+  def ivfTopKHashCellsSql(
+      queryWhere: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+  ): String =
+    s"""WITH cents AS (SELECT vec_id AS cell, embedding AS centroid
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |assign0 AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT neighbor_id, cv, cell FROM assign0 WHERE rn = 1),
+       |probe0 AS (SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM (SELECT * FROM embeddings WHERE $queryWhere) q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qv, cell FROM probe0 WHERE rn <= $nProbe),
+       |scored AS (SELECT DISTINCT query_id, neighbor_id,
+       |    ${cosineSql("qv", "cv", dim)} AS score
+       |  FROM probes JOIN assigned USING (cell) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, score FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The bounded, deterministic training sample for [[ivfTopK]]'s
+    * k-means quantizer: the `maxTrainRows` candidates with smallest
+    * md5(seed:id). A TakeOrdered top-k — independent of input
+    * partitioning, and the fit input stays bounded at any corpus
+    * scale (the full corpus is only ever touched by the single
+    * assignment map pass).
+    */
+  def quantizerSample(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      maxTrainRows: Int, seed: Long,
+  ): DataFrame =
+    candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .orderBy(md5(concat(lit(s"$seed:"), col("neighbor_id").cast("string"))),
+        col("neighbor_id"))
+      .limit(maxTrainRows)
+
+  /** IVF with a k-means coarse quantizer (better-balanced cells than
+    * [[ivfTopKHashCells]]): fit on [[quantizerSample]] (bounded;
+    * never the full corpus), assign the corpus in one map pass,
+    * probe the `nProbe` nearest cells per query. Approximate and
+    * engine-specific (k-means float reductions) — verified by recall
+    * against [[bruteForceTopK]] in the spec suite rather than the
+    * value-exact oracle.
     */
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      maxTrainRows: Int = 100000,
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val train = candidates
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val train = quantizerSample(candidates, idCol, vecCol, maxTrainRows, seed)
       .withColumn("features", array_to_vector(col("cv")))
-      .cache()
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(8) // coarse quantizer: cell quality saturates fast
       .fit(train)
-    val assigned = model.transform(train)
+    val assigned = model.transform(
+      candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
 
     // rank each query's distance to every centroid, keep nProbe cells
@@ -168,7 +330,9 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` among
-    * `df` (exact, all-pairs — restrict or LSH-prefilter at scale).
+    * `df` (exact, all-pairs — O(n²); the baseline/verifier for
+    * [[cosineNearDupLsh]], and usable directly on small or
+    * pre-bucketed slices).
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
@@ -178,5 +342,68 @@ object Ann {
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Scale path for cosine near-dup: band an LSH signature into
+    * `bands` blocks of `planes/bands` bits; a pair becomes a candidate
+    * iff some block matches (OR-amplified LSH, same shape as
+    * MinHash banding); candidates are verified by *exact* cosine ≥
+    * threshold — so precision is exact and only recall is
+    * approximate. Candidate-match probability per pair is
+    * 1-(1-p^r)^bands with p = 1 - θ/π: the r=6, bands=8 default is
+    * tuned for near-dup thresholds (recall ≈ 0.90 at cos 0.8, ≈ 0.98
+    * at cos 0.9) while passing only ~2% of uncorrelated pairs. For
+    * lower thresholds shrink r / raise bands.
+    *
+    * Deterministic and SQL-expressible ([[cosineNearDupLshSql]]).
+    */
+  def cosineNearDupLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 48, bands: Int = 8,
+  ): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bkey"))
+    }
+    val buckets = sig
+      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** DuckDB rendering of [[cosineNearDupLsh]] over
+    * `embeddings(vec_id, embedding)` restricted by `whereClause`.
+    */
+  def cosineNearDupLshSql(
+      threshold: Double, planes: Int = 48, bands: Int = 8,
+      dim: Int = 64, whereClause: String = "",
+  ): String = {
+    val r = planes / bands
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+       |    ${lshSignatureSql("embedding", planes, dim)} AS sig
+       |  FROM embeddings $whereClause),
+       |buckets AS (SELECT id, v, bb.band AS band,
+       |    (sig >> (bb.band * $r)) % ${1L << r} AS bkey
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) bb),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+       |SELECT id_a, id_b, ${cosineSql("ea.v", "eb.v", dim)} AS cos_sim
+       |FROM pairs JOIN e ea ON id_a = ea.id JOIN e eb ON id_b = eb.id
+       |WHERE ${cosineSql("ea.v", "eb.v", dim)} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

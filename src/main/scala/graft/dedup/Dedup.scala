@@ -55,18 +55,18 @@ object Dedup {
     * exploding grams and joining on shared grams (docs sharing no
     * gram never meet — the join IS the candidate filter).
     *
-    * @param maxGramDocs skew guard for corpus scale: grams occurring
-    *   in more than this many documents are dropped from the join
-    *   (a gram in d docs contributes d² join rows; ubiquitous
-    *   "stop-grams" dominate cost while carrying no discriminative
-    *   signal). 0 disables the guard — exact Jaccard, used by the
-    *   oracle-checked demo. Document sizes are still computed over
-    *   ALL grams, so enabling the guard only *under*-counts
+    * @param maxGramDocs skew guard for corpus scale, ON by default:
+    *   grams occurring in more than this many documents are dropped
+    *   from the join (a gram in d docs contributes d² join rows;
+    *   ubiquitous "stop-grams" dominate cost while carrying no
+    *   discriminative signal). Pass 0 to disable — exact Jaccard,
+    *   used by the oracle-checked demo. Document sizes are still
+    *   computed over ALL grams, so the guard only *under*-counts
     *   intersections (similarity estimates are conservative).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxGramDocs: Long = 0L,
+      n: Int, threshold: Double, maxGramDocs: Long = 1000L,
   ): DataFrame = {
     val grams = df
       .select(col(idCol).as("id"),
@@ -135,8 +135,14 @@ object Dedup {
     * (unbiased Jaccard estimate).
     *
     * @param maxBucketSize skew guard: buckets larger than this are
-    *   dropped (pathological boilerplate at corpus scale would
-    *   otherwise create a quadratic reducer).
+    *   dropped entirely via a broadcast anti-join on the (small) hot
+    *   bucket list — the hot key never concentrates on one reducer
+    *   (pathological boilerplate at corpus scale would otherwise
+    *   create a quadratic blow-up). The signature lineage is computed
+    *   twice (hot-bucket census + pair join) rather than cached —
+    *   callers reusing the signatures across many calls should
+    *   persist [[minhashSignatures]] themselves and own its
+    *   lifecycle.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -145,38 +151,42 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes).cache()
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
 
+    // band keys WITH the full signature carried along: the later
+    // verification needs sa.mh*/sb.mh*, and carrying them through the
+    // bucket join replaces two doc-keyed shuffle joins with wider rows
+    // on the one join we already pay for.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}")): _*))
           .as("bkey"))
     }
     val buckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("id") +: explode(array(bandCols: _*)).as("bb") +:
+        (0 until numHashes).map(j => col(s"mh$j")): _*)
+      .select(col("id") +: col("bb.band").as("band") +: col("bb.bkey").as("bkey") +:
+        (0 until numHashes).map(j => col(s"mh$j")): _*)
 
-    val bounded = buckets.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-
-    val pairs = bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // hot-bucket census: tiny (only buckets over the cap), broadcast
+    // anti-joined so no reducer ever owns a pathological bucket
+    val hot = buckets.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val bounded = buckets.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
 
     val agree = (0 until numHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs
-      .join(sig.as("sa"), col("id_a") === col("sa.id"))
-      .join(sig.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"), agree.as("n_common_minhash"),
+    bounded.as("sa")
+      .join(bounded.as("sb"),
+        col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey") &&
+          col("sa.id") < col("sb.id"))
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"),
+        agree.as("n_common_minhash"),
         (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -239,6 +249,67 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pair search: band the [[SimhashBits]]-bit
+    * fingerprint into `blocks` equal bit-blocks, pair documents whose
+    * fingerprints agree on ANY block (LSH band join — same shape as
+    * [[minhashLshPairs]]), then filter candidates by exact
+    * [[hammingDistance]] ≤ `maxHamming`.
+    *
+    * By pigeonhole the candidate step is *exact* (not just
+    * approximate) whenever `maxHamming < blocks`: a pair differing in
+    * at most blocks-1 bits must agree on some block. The default
+    * (3 < 6) therefore finds every qualifying pair.
+    *
+    * Scale shape: fingerprint is map-only; the block join shuffles on
+    * (block, 8-bit key) — boilerplate-heavy corpora concentrate in
+    * few buckets, so at 100 TB add a hot-bucket census/anti-join
+    * exactly like [[minhashLshPairs]] (omitted here because simhash
+    * blocks are 2^8-dense by construction).
+    */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blocks: Int = 6,
+  ): DataFrame = {
+    require(SimhashBits % blocks == 0, "blocks must divide SimhashBits")
+    val w = SimhashBits / blocks
+    val sh = simhash(df, idCol, textCol)
+    val blockCols = (0 until blocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bkey"))
+    }
+    val buckets = sh
+      .select(col("id"), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.blk").as("blk"), col("bb.bkey").as("bkey"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB rendering of [[simhashNearDupPairs]] over
+    * `documents(doc_id, text)` restricted by `whereClause`.
+    */
+  def simhashPairsSql(
+      maxHamming: Int, blocks: Int, whereClause: String,
+  ): String = {
+    val w = SimhashBits / blocks
+    s"""WITH sh AS (${simhashSql(whereClause)}),
+       |buckets AS (SELECT id, simhash, bb.blk AS blk,
+       |    (simhash >> (bb.blk * $w)) % ${1L << w} AS bkey
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $blocks)) AS blk) bb),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM buckets a JOIN buckets b
+       |  ON a.blk = b.blk AND a.bkey = b.bkey AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB rendering of [[minhashLshPairs]] over
     * `documents(doc_id, text)` restricted by `whereClause`.
