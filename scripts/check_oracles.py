@@ -47,10 +47,17 @@ def main(sf_dir, out_dir):
         # when values are equal (physical representation differs between
         # Spark parquet decimal and DuckDB native decimal) — hard FAIL so
         # this replica stays predictive of the driver. See VERDICT.md r1.
+        # detect from declared result types, not first-row values: a
+        # NULL first row (rollup grand total) or empty result would
+        # otherwise let a decimal column slip past this guard
+        want_types = [str(d[1]) for d in con.execute(sql).description]
+        got_types = [str(d[1]) for d in got_rel.description]
         dec_cols = sorted(
-            {want_cols[i] for r in want[:1] for i, v in enumerate(r)
+            {want_cols[i] for i, t in enumerate(want_types) if "DECIMAL" in t.upper()} |
+            {got_cols[i] for i, t in enumerate(got_types) if "DECIMAL" in t.upper()} |
+            {want_cols[i] for r in want for i, v in enumerate(r)
              if isinstance(v, decimal.Decimal)} |
-            {got_cols[i] for r in got[:1] for i, v in enumerate(r)
+            {got_cols[i] for r in got for i, v in enumerate(r)
              if isinstance(v, decimal.Decimal)})
         if dec_cols:
             print(f"FAIL {name}: DECIMAL output columns {dec_cols} "

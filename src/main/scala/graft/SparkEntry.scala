@@ -38,14 +38,20 @@ object SparkEntry {
     * The driver's hasher folds decimal *physical representation* into the
     * hash (Spark parquet decimal width vs DuckDB native decimal), so a
     * value-equal DECIMAL column still hash-mismatches (round-1 verdict:
-    * all 7 hash failures were exactly the decimal-output queries). An
-    * exact decimal converts to the identical nearest double in both
-    * engines, so final output schemas must be decimal-free. Keep the
-    * per-value decimal casts INSIDE the aggregation — they are what makes
-    * the sums order-independent and deterministic.
+    * all 7 hash failures were exactly the decimal-output queries) — final
+    * output schemas must be decimal-free. The conversion goes through a
+    * STRING intermediary on BOTH engine sides: decimal-string → double
+    * parsing is correctly rounded in both Spark (Double.parseDouble) and
+    * DuckDB (fast_float), guaranteeing bit-identical doubles. A direct
+    * decimal → double cast is NOT safe: DuckDB converts int128 → double
+    * then divides by 10^scale — two roundings that can differ from
+    * Spark's correctly-rounded BigDecimal.doubleValue by 1 ulp once the
+    * scaled integer exceeds 2^53 (e.g. DECIMAL(28,8) sums at large scale
+    * factors). Keep the per-value decimal casts INSIDE the aggregation —
+    * they are what makes the sums order-independent and deterministic.
     */
   private def decAgg(c: Column, p: Int, sc: Int): Column =
-    dec(c, p, sc).cast(DoubleType)
+    dec(c, p, sc).cast(StringType).cast(DoubleType)
 
   /** price × (1 - discount) with exact decimal arithmetic. */
   private def revenueExpr: Column =
@@ -339,9 +345,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "e_cos_neardup_lsh" -> ((s, dir) => {
+      // bands=16 (r=3): recall ≈ 0.98 at cos 0.3 per 1-(1-p^r)^b — the
+      // r=6/bands=8 default targets cos ≥ 0.8 and would recall only
+      // ~36% at this demo's low threshold (round-2 verdict item 2)
       graft.ann.Ann.cosineNearDupLsh(
         t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", threshold = 0.3)
+        "vec_id", "embedding", threshold = 0.3, bands = 16)
         .orderBy("id_a", "id_b")
     }),
     "mm_decode_meta" -> ((s, dir) => {
@@ -421,9 +430,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_base_price,
-        |CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS DOUBLE) AS sum_disc_price,
+        |CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |CAST(CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         |COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -431,7 +440,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("REV", revenueSql),
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS DOUBLE) AS revenue
+        |CAST(CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -442,7 +451,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin.replace("REV", revenueSql),
     "q5_local_supplier" ->
-      """SELECT n_name, CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS DOUBLE) AS revenue
+      """SELECT n_name, CAST(CAST(CAST(SUM(REV) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -453,14 +462,14 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin.replace("REV", revenueSql),
     "q6_forecast_revenue" ->
-      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin,
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_status
         |FROM lineitem
@@ -500,7 +509,7 @@ object SparkEntry {
     "dt_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         |count(*) AS n,
-        |CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
+        |CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
     "a_semi_anti_join" ->
       """SELECT
@@ -548,7 +557,7 @@ object SparkEntry {
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |count(*) AS n_events,
-        |CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+        |CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "j_props_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -605,7 +614,8 @@ object SparkEntry {
     "e_ann_ivf" ->
       graft.ann.Ann.ivfTopKHashCellsSql("vec_id < 3", k = 5),
     "e_cos_neardup_lsh" ->
-      graft.ann.Ann.cosineNearDupLshSql(0.3, whereClause = "WHERE vec_id % 10 = 0"),
+      graft.ann.Ann.cosineNearDupLshSql(0.3, bands = 16,
+        whereClause = "WHERE vec_id % 10 = 0"),
     "t_rolling_fp" ->
       s"""SELECT doc_id, ${graft.functions.RollingHash.rollingHashSql.replace("TXT", "text")} AS rh
          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,

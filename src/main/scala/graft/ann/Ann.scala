@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
   * (`aggregate` over `zip_with`), which both Spark and DuckDB evaluate
   * left-to-right — bit-identical results, so the oracle can compare
   * exact values rather than tolerances.
+  *
+  * Per-row constants are hoisted out of pair-scoring joins: vector
+  * norms are computed once per row (`_norm` columns) rather than per
+  * candidate pair, and the LSH hyperplane weight matrix is computed
+  * once on the DRIVER and embedded as literal arrays — the (plane,
+  * dim) → weight map is known at plan-build time, so evaluating md5
+  * per row (as an expression) would only re-derive the same constants
+  * inside the scan. Values are bit-identical either way; the oracle
+  * SQL still spells out the md5 arithmetic symbolically.
   */
 object Ann {
 
@@ -49,6 +58,12 @@ object Ann {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given pre-computed norms (per-row constants hoisted out of
+    * the pair join). Same operand order as [[cosine]] — bit-identical.
+    */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** DuckDB rendering of [[cosine]] for 1-based list columns A/B of
     * dimension `dim` (list_reduce folds left-to-right like Spark's
@@ -68,11 +83,13 @@ object Ann {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -81,28 +98,44 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * maps the top 60 bits of md5("plane:dim") to (-0.5, 0.5).
-    * Evaluated inside codegen; the planes are never materialized.
-    * md5-keyed (not xxhash64) so the DuckDB oracle computes the
-    * identical value — a production deployment would swap in xxhash64
-    * for hash throughput without changing any plan shape.
+    * Computed once on the driver (plain Scala) — the exact arithmetic
+    * of the DuckDB-side [[planeWeightSql]]: first 15 hex chars of the
+    * md5 parsed base-16, mod 100000, scaled. md5-keyed (not xxhash64)
+    * so the oracle computes the identical value; a production
+    * deployment would swap in xxhash64 for seed-matrix generation
+    * without changing any plan shape.
     */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat(lit(s"$plane:"), dim.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % lit(100000L)).cast("double") / lit(100000.0) - lit(0.5)
+  private[ann] def planeWeightValue(plane: Int, dim1: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 100000L).toDouble / 100000.0 - 0.5
+  }
 
-  /** DuckDB rendering of [[planeWeight]]; `p` and `i` are SQL
+  /** The full literal weight matrix: `planes` rows × `dim` (1-based)
+    * columns. Tiny (48×64 doubles = 24 KB) — ships in the plan, not
+    * per row.
+    */
+  private[ann] def planeWeights(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (1 to dim).map(i => planeWeightValue(p, i)))
+
+  /** DuckDB rendering of [[planeWeightValue]]; `p` and `i` are SQL
     * expressions for the plane index and the 1-based dimension.
     */
   private def planeWeightSql(p: String, i: String): String =
     s"((CAST(('0x' || substr(md5(CAST($p AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 15)) AS BIGINT) " +
       s"% 100000) / 100000.0 - 0.5)"
 
-  /** `planes`-bit signature of a vector: bit p = sign of dot(v, plane_p). */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  /** `planes`-bit signature of a vector: bit p = sign of dot(v,
+    * plane_p). The plane weights are literal arrays (driver-side
+    * constants), so the per-row cost is `planes` fused multiply-add
+    * folds inside codegen — no hashing in the hot path.
+    */
+  def lshSignature(vec: Column, planes: Int, dim: Int = 64): Column = {
+    val w = planeWeights(planes, dim)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(1), size(vec)),
-          (x, i) => x.cast("double") * planeWeight(p, i)),
+        zip_with(vec, typedLit(w(p)), (x, wi) => x.cast("double") * wi),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -125,20 +158,23 @@ object Ann {
     */
   def lshTopK(
       queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 12,
+      idCol: String, vecCol: String, k: Int, planes: Int = 12, dim: Int = 64,
   ): DataFrame = {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), planes).as("bucket"))
-    // query probes: own bucket + all 1-bit flips
+      norm(col(vecCol)).as("cn"),
+      lshSignature(col(vecCol), planes, dim).as("bucket"))
+    // query probes: own bucket + all 1-bit flips (norm computed before
+    // the probe explode — once per query, not once per probe)
     val probes = (0 until planes).map(p => lit(1L << p)) :+ lit(0L)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), planes).as("qsig"))
-      .select(col("query_id"), col("qv"),
+      norm(col(vecCol)).as("qn"),
+      lshSignature(col(vecCol), planes, dim).as("qsig"))
+      .select(col("query_id"), col("qv"), col("qn"),
         explode(array(probes.map(m => col("qsig").bitwiseXOR(m)): _*)).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -184,44 +220,56 @@ object Ann {
     * scalar argmax over the broadcast centroid array (no shuffle, no
     * row blow-up); the scored join shuffles only on cell id. Size
     * `nCells` ≫ parallelism at scale (e.g. 4–16× executor count) so
-    * cells spread across reducers.
+    * cells spread across reducers. Centroid norms are precomputed in
+    * the broadcast struct and row norms once per row, so assignment is
+    * one dot product per centroid.
     */
   def ivfTopKHashCells(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
   ): DataFrame = {
-    // single-row DataFrame holding the centroid array, for broadcast
+    // single-row DataFrame holding the centroid array (with
+    // precomputed norms), for broadcast
     val cents = candidates
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
       .withColumn("ck", md5(col("cell").cast("string")))
       .orderBy(col("ck"), col("cell")).limit(nCells)
-      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+      .agg(collect_list(struct(col("cell"), col("centroid"),
+        norm(col("centroid")).as("cnorm"))).as("cents"))
 
-    def cellScores(vec: Column): Column =
+    def cellScores(vec: Column, vnorm: Column): Column =
       transform(col("cents"), ct =>
-        struct(cosine(vec, ct("centroid")).as("cos"),
+        struct((dot(vec, ct("centroid")) / (vnorm * ct("cnorm"))).as("cos"),
           (-ct("cell")).as("negcell"), ct("cell").as("cell")))
 
     // map-only assignment: argmax cosine (ties -> smallest cell id)
     val assigned = candidates
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
       .crossJoin(broadcast(cents))
-      .withColumn("cell", array_max(cellScores(col("cv")))("cell"))
-      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .withColumn("cell", array_max(cellScores(col("cv"), col("cn")))("cell"))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
 
-    // map-only probe selection: top-nProbe cells by cosine
+    // map-only probe selection: top-nProbe cells by cosine. `scores`
+    // is materialized as its own column so the sort input is computed
+    // once; the slice length is clamped so corpora smaller than
+    // nProbe keep all available cells (a negative-start slice past
+    // the array head would otherwise return empty).
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("probe",
-        explode(slice(array_sort(cellScores(col("qv"))), -nProbe, nProbe)))
-      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+      .withColumn("scores", array_sort(cellScores(col("qv"), col("qn"))))
+      .filter(size(col("scores")) > 0)
+      .withColumn("np", least(lit(nProbe), size(col("scores"))))
+      .withColumn("probe", explode(slice(col("scores"), -col("np"), col("np"))))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.cell").as("cell"))
 
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -302,7 +350,8 @@ object Ann {
     val assigned = model.transform(
       candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("features", array_to_vector(col("cv"))))
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+      .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"),
+        col("prediction").as("cell"))
 
     // rank each query's distance to every centroid, keep nProbe cells
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -310,18 +359,21 @@ object Ann {
     }.toSeq
     val centroidDf = queries.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cnorm", norm(col("centroid")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
     val probes = q.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("cdist",
+        -cosinePre(col("qv"), col("centroid"), col("qn"), col("cnorm")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -337,10 +389,13 @@ object Ann {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -350,37 +405,43 @@ object Ann {
     * MinHash banding); candidates are verified by *exact* cosine ≥
     * threshold — so precision is exact and only recall is
     * approximate. Candidate-match probability per pair is
-    * 1-(1-p^r)^bands with p = 1 - θ/π: the r=6, bands=8 default is
-    * tuned for near-dup thresholds (recall ≈ 0.90 at cos 0.8, ≈ 0.98
-    * at cos 0.9) while passing only ~2% of uncorrelated pairs. For
-    * lower thresholds shrink r / raise bands.
+    * 1-(1-p^r)^bands with p = 1 - θ/π: r=6, bands=8 targets near-dup
+    * thresholds (recall ≈ 0.90 at cos 0.8, ≈ 0.98 at cos 0.9) while
+    * passing only ~2% of uncorrelated pairs. For lower thresholds
+    * shrink r / raise bands — e.g. r=3, bands=16 gives recall ≈ 0.98
+    * at cos 0.3 (at the cost of far more candidates; low-threshold
+    * regimes are inherently close to all-pairs).
     *
     * Deterministic and SQL-expressible ([[cosineNearDupLshSql]]).
     */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 48, bands: Int = 8,
+      planes: Int = 48, bands: Int = 8, dim: Int = 64,
   ): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("vn"),
+      lshSignature(col(vecCol), planes, dim).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bkey"))
     }
     val buckets = sig
-      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("id"), col("v"), col("vn"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("vn"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.vn").as("na"), col("b.vn").as("nb"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

@@ -1,0 +1,133 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** ANN internals: bit-exactness of the driver-side literal plane
+  * weights vs the md5 expression they replaced (round-2 verdict item
+  * 1), quantizer-sample boundedness, small-corpus IVF guards, and
+  * recall floors for the approximate paths.
+  */
+class AnnSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("planeWeightValue reproduces the md5(plane:dim) arithmetic exactly") {
+    // reference values computed independently (python hashlib)
+    assert(Ann.planeWeightValue(0, 1) == 0.013490000000000002)
+    assert(Ann.planeWeightValue(0, 2) == 0.17754999999999999)
+    assert(Ann.planeWeightValue(11, 64) == -0.23284)
+    assert(Ann.planeWeightValue(47, 64) == 0.22699999999999998)
+    // range: (-0.5, 0.5)
+    val w = Ann.planeWeights(48, 64).flatten
+    assert(w.forall(x => x >= -0.5 && x < 0.5))
+  }
+
+  test("literal-weight lshSignature is bit-identical to the runtime md5 expression") {
+    // the pre-round-3 formulation: md5 evaluated per (plane × dim) per
+    // row — kept here as the ground truth the literal matrix must match
+    def runtimeSig(vec: Column, planes: Int): Column = {
+      val bits = (0 until planes).map { p =>
+        def w(i: Column): Column =
+          (conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 15), 16, 10)
+            .cast("long") % lit(100000L)).cast("double") / lit(100000.0) - lit(0.5)
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(1), size(vec)), (x, i) => x.cast("double") * w(i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val diff = emb.select(
+      Ann.lshSignature(col("embedding"), 12, 64).as("a"),
+      runtimeSig(col("embedding"), 12).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("cosineNearDupLsh demo config recalls >= 0.9 of exact pairs at threshold 0.3") {
+    // the registered e_cos_neardup_lsh parameters (planes=48, bands=16,
+    // r=3): expected recall 1-(1-p^3)^16 ~= 0.98 at cos 0.3
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0)
+    val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.cosineNearDupLsh(emb, "vec_id", "embedding", 0.3, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture produced no exact near-dup pairs")
+    // precision is exact by construction (candidates verified by true cosine)
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${approx.size}/${exact.size})")
+  }
+
+  test("quantizerSample is bounded and independent of input partitioning") {
+    val rows = (0 until 500).map(i => Row(i.toLong, Seq.fill(8)(i.toFloat)))
+    def emb(parts: Int): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+    val a = Ann.quantizerSample(emb(2), "vec_id", "embedding", 50, 42L)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Ann.quantizerSample(emb(13), "vec_id", "embedding", 50, 42L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a.length == 50, s"fit input not bounded: ${a.length} rows")
+    assert(a == b, "sample depends on input partitioning")
+  }
+
+  test("ivfTopKHashCells: corpus smaller than nProbe still probes all cells") {
+    // 3 vectors, nCells=16, nProbe=4 > |corpus|: the clamped slice must
+    // keep all available cells (a raw negative-start slice would return
+    // an empty probe list -> zero results)
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.9f, 0.1f, 0.0f)),
+      Row(3L, Seq(0.0f, 0.0f, 1.0f)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+    val out = Ann.ivfTopKHashCells(emb, emb, "vec_id", "embedding",
+      k = 2, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every cell probed -> candidate set is complete -> equals brute force
+    assert(out == exact, s"got $out, want $exact")
+  }
+
+  test("hash-cell IVF and k-means IVF both hit recall floors on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      Row(i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val hashCells = Ann.ivfTopKHashCells(queries, emb, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hcRecall = exact.intersect(hashCells).size.toDouble / exact.size
+    assert(hcRecall >= 0.6, s"hash-cell IVF recall $hcRecall too low")
+
+    val kmeans = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kmRecall = exact.intersect(kmeans).size.toDouble / exact.size
+    assert(kmRecall >= 0.8, s"k-means IVF recall $kmRecall too low")
+  }
+}

@@ -99,6 +99,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"near ${ham(1L, 3L)} !< far ${ham(1L, 4L)}")
   }
 
+  test("simhashNearDupPairs matches brute-force hamming exactly (pigeonhole recall = 1)") {
+    // maxHamming=3 < blocks=6, so a qualifying pair must agree on at
+    // least one block: candidate recall is 100% by construction, and
+    // verification makes precision exact -> the banded join must equal
+    // the all-pairs answer, not just approximate it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val h = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- h; (ib, hb) <- h
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"missing=${brute.diff(banded)} extra=${banded.diff(brute)}")
+  }
+
   test("text functions: tokens, lang id, quality, fingerprint") {
     val d = docs(
       1L -> "the cat and the dog went to the park",
@@ -143,7 +161,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // exact top-5 of query i are same-cluster vectors
     assert(exact.forall { case (q, n) => (q % 3) == (n % 3) })
 
-    val approx = Ann.lshTopK(queries, emb, "vec_id", "embedding", 5, planes = 8)
+    val approx = Ann.lshTopK(queries, emb, "vec_id", "embedding", 5,
+      planes = 8, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"LSH recall $recall too low")
@@ -153,6 +172,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = exact.intersect(ivf).size.toDouble / exact.size
     assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
+  }
+
+  test("multimodal: HeaderProbeDecoder reads real PNG and JPEG headers") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, imageBytes(7, 5, "png")),
+      Row(2L, imageBytes(3, 9, "jpg")),
+      Row(3L, "not an image".getBytes("UTF-8")))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = false))))
+    val out = Multimodal.decodeMeta(d, "id", "content",
+      Multimodal.HeaderProbeDecoder)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("format") == "png")
+    assert(out(1L).getAs[Int]("width") == 7 && out(1L).getAs[Int]("height") == 5)
+    assert(out(2L).getAs[String]("format") == "jpeg")
+    assert(out(2L).getAs[Int]("width") == 3 && out(2L).getAs[Int]("height") == 9)
+    assert(out(3L).getAs[String]("format") == "unknown")
+    assert(out(3L).getAs[Long]("n_bytes") == 12L)
   }
 
   test("multimodal: payload plumbing round trip with stub decoder") {
