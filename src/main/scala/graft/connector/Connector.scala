@@ -107,6 +107,21 @@ final class Connector(
     FrameOps.postprocess(out, columns)
   }
 
+  /** Committed-snapshot parallel read of a whole table via Spark's
+    * distributed JDBC source ([[JdbcFrames.readTableParallel]]).
+    * Sees only COMMITTED data — call after a committed load; the
+    * in-transaction path is [[retrieveIds]]/`queryToDataFrame`. Use
+    * for very large retrieve targets where a driver-side ResultSet
+    * would bottleneck.
+    */
+  def retrieveSnapshot(
+      table: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
+  ): DataFrame =
+    JdbcFrames.readTableParallel(spark, conn.getMetaData.getURL, table,
+      partitionColumn, numPartitions)
+
   /** `connector.py:286-324`. */
   def insertAndRetrieveIds(
       data: DataFrame,

@@ -52,6 +52,48 @@ object JdbcFrames {
     } finally st.close()
   }
 
+  /** Committed-snapshot parallel table read (the scale companion to
+    * [[queryToDataFrame]]): Spark's distributed JDBC source, one
+    * connection per partition, range-split on `partitionColumn`
+    * (bounds probed with a single MIN/MAX query). Runs OUTSIDE any
+    * loader transaction — each partition connection sees only
+    * COMMITTED data, so use it for very large retrieve targets after
+    * a committed load; the single-connection [[queryToDataFrame]]
+    * remains the path with in-transaction visibility. On a real
+    * cluster this is the difference between one driver-side ResultSet
+    * and N executors each pulling a key range.
+    */
+  def readTableParallel(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None, numPartitions: Int = 8,
+      lowercaseLabels: Boolean = true,
+  ): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val df = partitionColumn match {
+      case Some(pc) =>
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          val rs = st.executeQuery(s"SELECT MIN($pc), MAX($pc) FROM $table")
+          rs.next()
+          val lo = rs.getLong(1)
+          val loNull = rs.wasNull()
+          val hi = rs.getLong(2)
+          rs.close(); st.close()
+          if (loNull) base.load() // empty table: no range to split
+          else base
+            .option("partitionColumn", pc)
+            .option("lowerBound", lo)
+            .option("upperBound", math.max(hi, lo + 1))
+            .option("numPartitions", numPartitions)
+            .load()
+        } finally c.close()
+      case None => base.load()
+    }
+    if (lowercaseLabels) df.toDF(df.columns.map(_.toLowerCase): _*) else df
+  }
+
   /** Batch-execute a parameterized insert for every row of `df`
     * (B5 — the reference's `cursor.executemany`, `connector.py:212`).
     * Parameters bind in `columns` order.

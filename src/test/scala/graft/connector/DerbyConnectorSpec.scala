@@ -60,6 +60,31 @@ class DerbyConnectorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("retrieveSnapshot: partitioned spark.read.jdbc sees committed rows across N range splits") {
+    val url = freshDb()
+    ddl(url,
+      "CREATE TABLE big (id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, v VARCHAR(50) NOT NULL UNIQUE)")
+    val data = strDf("v" -> (1 to 200).map(i => f"val_$i%03d"))
+    Connector.withConnection(spark, url)(c => c.load(data))
+
+    // read back OUTSIDE the (now committed) load transaction
+    Connector.withConnection(spark, url) { c =>
+      val snap = c.retrieveSnapshot("big", partitionColumn = Some("id"),
+        numPartitions = 4)
+      assert(snap.rdd.getNumPartitions == 4, "range split did not happen")
+      assert(snap.count() == 200)
+      assert(snap.columns.map(_.toLowerCase).sorted.sameElements(Array("id", "v")))
+      val vs = snap.select(lower(col("v"))).collect().map(_.getString(0)).sorted
+      assert(vs.head == "val_001" && vs.last == "val_200")
+
+      // empty table: no bounds to probe, single-partition fallback
+      val st = c.conn.createStatement()
+      st.execute("CREATE TABLE emptytab (id INT PRIMARY KEY)")
+      st.close(); c.conn.commit()
+      assert(c.retrieveSnapshot("emptytab", Some("id")).count() == 0)
+    }
+  }
+
   test("empty schema detected (test_sqlite_connector.py:97-101)") {
     val url = freshDb()
     ddl(url, "VALUES 1") // touch the db so it exists
