@@ -33,11 +33,18 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.execute(sql).description]
-            got_rel = con.execute(
+            # relations: columns/types come from the PLAN (DB-API
+            # description type_codes are generic 'NUMBER' strings and
+            # can't distinguish DECIMAL from DOUBLE), and each query
+            # executes exactly once (fetchall)
+            want_rel = con.sql(sql)
+            want_cols = list(want_rel.columns)
+            want_types = [str(t) for t in want_rel.types]
+            want = want_rel.fetchall()
+            got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
             got = got_rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: exception {e}")
@@ -47,11 +54,9 @@ def main(sf_dir, out_dir):
         # when values are equal (physical representation differs between
         # Spark parquet decimal and DuckDB native decimal) — hard FAIL so
         # this replica stays predictive of the driver. See VERDICT.md r1.
-        # detect from declared result types, not first-row values: a
-        # NULL first row (rollup grand total) or empty result would
-        # otherwise let a decimal column slip past this guard
-        want_types = [str(d[1]) for d in con.execute(sql).description]
-        got_types = [str(d[1]) for d in got_rel.description]
+        # Detect from declared result types, not row values: a NULL
+        # first row (rollup grand total) or an empty result would
+        # otherwise let a decimal column slip past this guard.
         dec_cols = sorted(
             {want_cols[i] for i, t in enumerate(want_types) if "DECIMAL" in t.upper()} |
             {got_cols[i] for i, t in enumerate(got_types) if "DECIMAL" in t.upper()} |

@@ -130,6 +130,12 @@ object Ann {
     * plane_p). The plane weights are literal arrays (driver-side
     * constants), so the per-row cost is `planes` fused multiply-add
     * folds inside codegen — no hashing in the hot path.
+    *
+    * `dim` must match the actual vector length: `zip_with` against a
+    * literal of the wrong length would null-pad and silently produce
+    * all-zero signatures (collapsing every row into one bucket — a
+    * hidden O(n²)), so a mismatched non-null vector raises instead.
+    * Null vectors keep their null signature, as before.
     */
   def lshSignature(vec: Column, planes: Int, dim: Int = 64): Column = {
     val w = planeWeights(planes, dim)
@@ -139,7 +145,11 @@ object Ann {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature: expected $dim-dim vector, got "),
+        size(vec).cast("string"))))
   }
 
   /** DuckDB rendering of [[lshSignature]] for list column `vecExpr`

@@ -72,22 +72,46 @@ object JdbcFrames {
       .option("url", url).option("dbtable", table)
     val df = partitionColumn match {
       case Some(pc) =>
+        // bounds probe. `pc`/`table` are interpolated verbatim —
+        // callers with quoted/mixed-case identifiers must pass them
+        // pre-quoted for their dialect (as with `dbtable` itself).
         val c = java.sql.DriverManager.getConnection(url)
         try {
           val st = c.createStatement()
           val rs = st.executeQuery(s"SELECT MIN($pc), MAX($pc) FROM $table")
           rs.next()
-          val lo = rs.getLong(1)
-          val loNull = rs.wasNull()
-          val hi = rs.getLong(2)
+          // Spark's JDBC source supports numeric, date, and timestamp
+          // partition columns; pick the bound representation by the
+          // probed JDBC type instead of assuming integral
+          val integral = Set(Types.INTEGER, Types.BIGINT, Types.SMALLINT,
+            Types.TINYINT, Types.DECIMAL, Types.NUMERIC)
+          val temporal = Set(Types.DATE, Types.TIMESTAMP)
+          val jdbcType = rs.getMetaData.getColumnType(1)
+          val bounds: Option[(String, String)] =
+            if (integral(jdbcType)) {
+              val lo = rs.getLong(1)
+              val loNull = rs.wasNull()
+              val hi = rs.getLong(2)
+              if (loNull) None
+              else Some((lo.toString, math.max(hi, lo + 1).toString))
+            } else if (temporal(jdbcType)) {
+              val lo = rs.getString(1)
+              val hi = rs.getString(2)
+              if (lo == null || lo == hi) None // empty or single-instant: no range
+              else Some((lo, hi))
+            } else throw new IllegalArgumentException(
+              s"partition column $pc must be integral, date, or timestamp " +
+                s"(jdbc type $jdbcType); use partitionColumn = None for other types")
           rs.close(); st.close()
-          if (loNull) base.load() // empty table: no range to split
-          else base
-            .option("partitionColumn", pc)
-            .option("lowerBound", lo)
-            .option("upperBound", math.max(hi, lo + 1))
-            .option("numPartitions", numPartitions)
-            .load()
+          bounds match {
+            case None => base.load() // empty table: no range to split
+            case Some((lo, hi)) => base
+              .option("partitionColumn", pc)
+              .option("lowerBound", lo)
+              .option("upperBound", hi)
+              .option("numPartitions", numPartitions)
+              .load()
+          }
         } finally c.close()
       case None => base.load()
     }

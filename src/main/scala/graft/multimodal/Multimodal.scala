@@ -79,29 +79,45 @@ object Multimodal {
         MediaMeta(id, n, be32(payload, 16), be32(payload, 20), "png")
       else if (payload.length >= 4 &&
         (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
-        // walk JPEG segments: [0xFF marker] [2-byte length] [payload]
+        // walk JPEG segments: 1+ 0xFF fill bytes, marker code, then —
+        // for markers that carry one — a 2-byte self-inclusive length.
+        // TEM (0x01) and RSTn (0xD0-0xD7) are standalone; EOI/SOS end
+        // the metadata region.
         var off = 2
         var res: MediaMeta = null
-        while (res == null && off + 9 <= payload.length &&
-          (payload(off) & 0xff) == 0xff) {
-          val marker = payload(off + 1) & 0xff
-          val isSof = marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-          if (isSof)
-            res = MediaMeta(id, n, be16(payload, off + 7), be16(payload, off + 5), "jpeg")
-          else off += 2 + be16(payload, off + 2)
+        var halted = false
+        while (res == null && !halted) {
+          if (off + 1 >= payload.length || (payload(off) & 0xff) != 0xff) halted = true
+          else {
+            var m = off + 1
+            while (m + 1 < payload.length && (payload(m) & 0xff) == 0xff) m += 1
+            val marker = payload(m) & 0xff
+            val isSof = marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+            if (isSof && m + 8 <= payload.length)
+              res = MediaMeta(id, n, be16(payload, m + 6), be16(payload, m + 4), "jpeg")
+            else if (isSof || marker == 0xff) halted = true
+            else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) off = m + 1
+            else if (marker == 0xd9 || marker == 0xda) halted = true
+            else if (m + 3 <= payload.length) off = m + 1 + be16(payload, m + 1)
+            else halted = true
+          }
         }
         if (res != null) res else MediaMeta(id, n, 0, 0, "unknown")
       } else MediaMeta(id, n, 0, 0, "unknown")
     }
   }
 
+  /** The output schema of [[decodeMeta]] (derived from the
+    * [[MediaMeta]] encoder — asserted equal in the spec suite so this
+    * documented shape cannot drift).
+    */
   val metaSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+    StructField("format", StringType, nullable = true)))
 
   /** Decode a binary column to typed metadata, partition-batched.
     * Runs as a typed `Dataset.mapPartitions` — one decoder per

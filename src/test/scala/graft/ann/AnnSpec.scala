@@ -51,6 +51,25 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(diff == 0)
   }
 
+  test("lshSignature: wrong-dim vectors raise; null vectors stay null") {
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 2.0f)),
+      Row(2L, null))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true))))
+    // matching dim: computes; null row passes through as null
+    val ok = d.select(Ann.lshSignature(col("embedding"), 4, dim = 2).as("sig"))
+      .collect()
+    assert(!ok(0).isNullAt(0) && ok(1).isNullAt(0))
+    // mismatched dim must raise, not silently bucket everything at 0
+    val e = intercept[Exception] {
+      d.select(Ann.lshSignature(col("embedding"), 4, dim = 64)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("cosineNearDupLsh demo config recalls >= 0.9 of exact pairs at threshold 0.3") {
     // the registered e_cos_neardup_lsh parameters (planes=48, bands=16,
     // r=3): expected recall 1-(1-p^3)^16 ~= 0.98 at cos 0.3

@@ -80,8 +80,26 @@ class DerbyConnectorSpec extends AnyFunSuite with SparkSpec {
       // empty table: no bounds to probe, single-partition fallback
       val st = c.conn.createStatement()
       st.execute("CREATE TABLE emptytab (id INT PRIMARY KEY)")
+      st.execute("CREATE TABLE tstab (ts TIMESTAMP NOT NULL, v INT)")
+      st.execute("INSERT INTO tstab VALUES " +
+        "(TIMESTAMP('2020-01-01 00:00:00'), 1), " +
+        "(TIMESTAMP('2020-06-01 00:00:00'), 2), " +
+        "(TIMESTAMP('2020-12-31 00:00:00'), 3)")
       st.close(); c.conn.commit()
       assert(c.retrieveSnapshot("emptytab", Some("id")).count() == 0)
+
+      // temporal partition column: Spark's JDBC source takes the
+      // probed string bounds directly
+      val ts = c.retrieveSnapshot("tstab", Some("ts"), numPartitions = 2)
+      assert(ts.count() == 3)
+      assert(ts.rdd.getNumPartitions == 2)
+
+      // unsupported partition column type: clear error, not an opaque
+      // Derby conversion failure
+      val err = intercept[IllegalArgumentException] {
+        c.retrieveSnapshot("big", Some("v"))
+      }
+      assert(err.getMessage.contains("must be integral, date, or timestamp"))
     }
   }
 

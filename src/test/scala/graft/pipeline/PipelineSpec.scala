@@ -199,6 +199,17 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getAs[Int]("width") == 3 && out(2L).getAs[Int]("height") == 9)
     assert(out(3L).getAs[String]("format") == "unknown")
     assert(out(3L).getAs[Long]("n_bytes") == 12L)
+
+    // the documented schema equals the encoder-derived actual schema
+    assert(Multimodal.decodeMeta(d, "id", "content").schema ==
+      Multimodal.metaSchema)
+
+    // JPEG spec allows extra 0xFF fill bytes before any marker; the
+    // walker must skip them, not bail to "unknown"
+    val jpeg = imageBytes(3, 9, "jpg")
+    val filled = (jpeg.take(2) :+ 0xff.toByte) ++ jpeg.drop(2)
+    val m = Multimodal.HeaderProbeDecoder.decode(9L, filled)
+    assert(m.format == "jpeg" && m.width == 3 && m.height == 9)
   }
 
   test("multimodal: payload plumbing round trip with stub decoder") {
