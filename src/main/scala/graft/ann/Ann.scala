@@ -47,13 +47,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential-fold dot product of two float-array columns, in
-    * doubles.
+  /** Sequential-fold dot product of two numeric-array columns, in
+    * doubles. Backed by the codegen'd [[graft.functions.VecDot]]
+    * expression — bit-identical to the
+    * `aggregate(zip_with(...))` higher-order formulation (same element
+    * order, widening and fold) but one fused Java loop per pair
+    * instead of interpreted lambda dispatch per element.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -140,9 +142,7 @@ object Ann {
   def lshSignature(vec: Column, planes: Int, dim: Int = 64): Column = {
     val w = planeWeights(planes, dim)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(w(p)), (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, typedLit(w(p)))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     when(vec.isNull, lit(null).cast("long"))

@@ -51,6 +51,38 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(diff == 0)
   }
 
+  test("VecDot expression is bit-identical to the aggregate/zip_with formulation") {
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(5).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      graft.functions.VecDot.vec_dot(col("a"), col("b")).as("x"),
+      hofDot(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff == 0)
+
+    // null semantics: null array -> null; length mismatch -> null
+    val rows = Seq(
+      Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      Row(null, Seq(1.0f, 1.0f)),
+      Row(Seq(1.0f, 2.0f), Seq(1.0f, 1.0f, 1.0f)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("a", ArrayType(FloatType), nullable = true),
+        StructField("b", ArrayType(FloatType), nullable = true))))
+    val out = d.select(graft.functions.VecDot.vec_dot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+
+    // SQL registration works too
+    graft.functions.VecDot.register(spark)
+    d.createOrReplaceTempView("vd")
+    assert(spark.sql("SELECT vec_dot(a, b) FROM vd").collect()(0).getDouble(0) == 11.0)
+  }
+
   test("lshSignature: wrong-dim vectors raise; null vectors stay null") {
     val rows = Seq(
       Row(1L, Seq(1.0f, 2.0f)),
