@@ -362,6 +362,36 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- deterministic sampling / split (training-mix curation)
+    "p_train_test_split" -> ((s, dir) => {
+      graft.ops.Sampling.withSplit(t(s, dir, "documents"), "doc_id",
+        testFraction = 0.2)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+    "p_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+        "lang", "doc_id", Map("en" -> 0.25, "de" -> 1.0),
+        defaultFraction = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+    "t_tfidf_top" -> ((s, dir) => {
+      graft.text.TfIdf.topTerms(
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 5)
+        .orderBy("id", "rnk")
+    }),
+    "mm_frame_sample" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 25 === 0), "text"),
+        "doc_id", "content", stride = 7)
+        .orderBy("id", "frame_idx")
+    }),
+
     "t_rolling_fp" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
@@ -616,6 +646,30 @@ object SparkEntry {
     "e_cos_neardup_lsh" ->
       graft.ann.Ann.cosineNearDupLshSql(0.3, bands = 16,
         whereClause = "WHERE vec_id % 10 = 0"),
+    "p_train_test_split" -> {
+      val b = graft.ops.Sampling.bucketSql("doc_id", 42L)
+      s"""SELECT CASE WHEN $b < 200000 THEN 'test' ELSE 'train' END AS split,
+         |count(*) AS n, min(doc_id) AS min_id
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+    "p_stratified_sample" -> {
+      val b = graft.ops.Sampling.bucketSql("doc_id", 42L)
+      val cut = graft.ops.Sampling.stratifiedCutoffSql("lang",
+        Map("en" -> 0.25, "de" -> 1.0), defaultFraction = 0.5)
+      s"""SELECT lang, count(*) AS n FROM documents
+         |WHERE $b < $cut GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+    },
+    "t_tfidf_top" ->
+      graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    1 + octet_length(encode(text)) % 240 AS n_frames
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |f AS (SELECT id, n_frames, unnest(range(0, n_frames, 7)) AS frame_idx
+        |  FROM d)
+        |SELECT id, n_frames, frame_idx,
+        |  md5(CAST(id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
     "t_rolling_fp" ->
       s"""SELECT doc_id, ${graft.functions.RollingHash.rollingHashSql.replace("TXT", "text")} AS rh
          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,

@@ -142,4 +142,32 @@ object Multimodal {
     */
   def withFakePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("content", encode(col(textCol), "UTF-8"))
+
+  /** Frame-sampling plumbing for video payloads: one output row per
+    * sampled frame (every `stride`-th of `n_frames`), carrying a
+    * deterministic frame fingerprint where a real pipeline would carry
+    * decoded frame bytes. The frame COUNT is stubbed arithmetically
+    * from the payload size (`1 + n_bytes % 240` — no video codec in
+    * this environment, same contract as [[StubDecoder]]); the
+    * Spark-side shape is the real thing: a map-only `sequence` +
+    * `explode` (no shuffle, no decoder state), output partitioned
+    * exactly like the input, row count bounded by
+    * `ceil(n_frames / stride)` per video. A production deployment
+    * replaces the two stub expressions with a [[BinaryDecoder]]-style
+    * probe (frame count from the container header) and a
+    * `mapPartitions` frame extractor.
+    */
+  def sampleFrames(
+      df: DataFrame, idCol: String, binCol: String, stride: Int,
+  ): DataFrame = {
+    require(stride >= 1, s"stride $stride must be >= 1")
+    df.select(col(idCol).cast(LongType).as("id"),
+      (lit(1L) + length(col(binCol)).cast(LongType) % 240L).as("n_frames"))
+      .select(col("id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("id"), col("n_frames"), col("frame_idx"),
+        md5(concat(col("id").cast(StringType), lit(":"),
+          col("frame_idx").cast(StringType))).as("frame_fp"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document salient terms by tf-idf — corpus keyword extraction
+  * for training-data curation (topic balance checks, boilerplate
+  * spotting, near-dup triage).
+  *
+  * The idf factor is the LOG-FREE variant `(N + 1) / (df + 1)`:
+  * division and multiplication are IEEE correctly-rounded and
+  * bit-identical across engines, while `ln` is libm-dependent (Spark's
+  * `Math.log` vs DuckDB's `std::log` can differ in the last ulp), so
+  * this shape keeps the operator under the exact-value oracle gate.
+  * Rank order per document is identical to the classic
+  * `ln`-idf (log is monotone); swap `log(...)` into the score at
+  * deployment without touching the plan shape.
+  *
+  * 100 TB shape: tokenize/explode is map-only; tf aggregates shuffle
+  * on (doc, term) with map-side combine; document frequency aggregates
+  * shuffle on term (vocabulary-sized, heavy-hitter safe because input
+  * is the already-deduped tf set, one row per (doc, term)); the
+  * df-join broadcasts when the vocabulary is bounded, else shuffles on
+  * term; the final top-k is a per-document window after a shuffle on
+  * doc id. No driver-side data besides the single corpus count.
+  */
+object TfIdf {
+
+  /** Top `k` terms per document by tf-idf (ties → lexicographic).
+    * Output: (id, term, tfidf, rnk).
+    */
+  def topTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // one count() action: N must be a plan-time scalar on both engines
+    val n = df.count()
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, Seq("term"))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double") *
+          (lit(n.toDouble + 1.0) / (col("df").cast("double") + 1.0))).as("tfidf"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** DuckDB rendering of [[topTerms]] over `documents(doc_id, text)`
+    * restricted by `whereClause`.
+    */
+  def topTermsSql(k: Int, whereClause: String = ""): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH d AS (SELECT doc_id AS id, text FROM documents $whereClause),
+       |toks AS (SELECT id, unnest($toks) AS term FROM d),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT id, term,
+       |    CAST(tf AS DOUBLE) *
+       |      ((CAST((SELECT count(*) FROM d) AS DOUBLE) + 1.0) /
+       |       (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+       |  FROM tf JOIN dfreq USING (term)),
+       |ranked AS (SELECT id, term, tfidf,
+       |    CAST(row_number() OVER (PARTITION BY id
+       |      ORDER BY tfidf DESC, term) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT id, term, tfidf, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY id, rnk""".stripMargin
+  }
+}

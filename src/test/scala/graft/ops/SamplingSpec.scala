@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ids(n: Int, parts: Int = 4): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, if (i % 3 == 0) "en" else "de"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("lang", StringType, nullable = false))))
+  }
+
+  test("hashSample keeps ~fraction, deterministically, regardless of partitioning") {
+    val a = Sampling.hashSample(ids(10000, 4), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids(10000, 17), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample depends on partitioning")
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02, s"fraction off: ${a.size}")
+  }
+
+  test("membership is stable when the corpus grows (no split contamination)") {
+    val small = Sampling.hashSample(ids(1000), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.hashSample(ids(10000), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet.filter(_ < 1000)
+    assert(small == large, "membership changed when rows were appended")
+  }
+
+  test("withSplit covers every row exactly once with ~testFraction in test") {
+    val d = Sampling.withSplit(ids(10000), "id", 0.2)
+    assert(d.count() == 10000)
+    val byId = d.collect().map(r => r.getLong(0) -> r.getAs[String]("split"))
+    assert(byId.length == byId.map(_._1).distinct.length)
+    val testN = byId.count(_._2 == "test")
+    assert(math.abs(testN / 10000.0 - 0.2) < 0.02, s"test fraction off: $testN")
+    // different seed -> different membership (not a constant function)
+    val other = Sampling.withSplit(ids(10000), "id", 0.2, seed = 7L)
+      .filter(col("split") === "test").collect().map(_.getLong(0)).toSet
+    val mine = byId.filter(_._2 == "test").map(_._1).toSet
+    assert(other != mine)
+  }
+
+  test("stratifiedSample applies per-stratum fractions with default fallback") {
+    val d = ids(9000) // 3000 en, 6000 de
+    val out = Sampling.stratifiedSample(d, "lang", "id",
+      Map("en" -> 0.1), defaultFraction = 0.8)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") / 3000.0 - 0.1) < 0.03, s"en: ${out("en")}")
+    assert(math.abs(out("de") / 6000.0 - 0.8) < 0.03, s"de: ${out("de")}")
+  }
+
+  test("fractions outside [0,1] are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(ids(10), "id", 1.5)
+    }
+  }
+}

@@ -174,6 +174,34 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
   }
 
+  test("tfidf: highest-scoring term per doc is its distinctive frequent term") {
+    val d = docs(
+      1L -> "apple apple banana",
+      2L -> "banana cherry cherry cherry")
+    val out = graft.text.TfIdf.topTerms(d, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // N=2; idf(apple)=3/2, idf(banana)=3/3, idf(cherry)=3/2
+    assert(out(1L) == ("apple", 2.0 * 1.5))
+    assert(out(2L) == ("cherry", 3.0 * 1.5))
+
+    // k=2: banana (shared, idf 1.0) ranks second in both docs
+    val k2 = graft.text.TfIdf.topTerms(d, "doc_id", "text", k = 2)
+      .filter(col("rnk") === 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k2(1L) == "banana" && k2(2L) == "banana")
+  }
+
+  test("frame sampling: every stride-th frame, deterministic fingerprints") {
+    val d = Multimodal.withFakePayload(docs(5L -> "0123456789"), "text")
+    val out = Multimodal.sampleFrames(d, "doc_id", "content", stride = 4)
+      .collect().sortBy(_.getLong(2))
+    // 10 bytes -> n_frames = 11 -> sampled 0, 4, 8
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 4L, 8L))
+    assert(out.forall(_.getLong(1) == 11L))
+    val fp0 = out.head.getString(3)
+    assert(fp0 == org.apache.commons.codec.digest.DigestUtils.md5Hex("5:0"))
+  }
+
   test("multimodal: HeaderProbeDecoder reads real PNG and JPEG headers") {
     def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
