@@ -113,17 +113,47 @@ object Dedup {
         s => s.isNotNull))
   }
 
+  /** Modulus for the affine minhash rehash: the Mersenne prime
+    * 2^31 − 1. Base hashes are 28-bit, multipliers < p, so
+    * `a·h + b < 2^59` — overflow-free in 64-bit on every engine.
+    */
+  val MinhashP = 2147483647L
+
+  /** Driver-side md5 → long (top 60 bits), for deriving the affine
+    * coefficients deterministically (same shape as the LSH plane
+    * weights: constants are computed ONCE at plan build, never per
+    * row).
+    */
+  private def mdLong(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private[dedup] def minhashA(j: Int): Long = mdLong(s"a:$j") % (MinhashP - 1) + 1
+  private[dedup] def minhashB(j: Int): Long = mdLong(s"b:$j") % MinhashP
+
   /** MinHash signature columns mh0..mh{k-1}: per hash j, the minimum
-    * md5("j:" || shingle) over the document's shingles — md5-keyed so
-    * the oracle computes the identical value.
+    * of the affine rehash `(a_j · h + b_j) mod p` over the document's
+    * shingles, where `h` is the 28-bit base hash (top 7 hex chars of
+    * md5(shingle)). ONE md5 per shingle — the per-hash family costs a
+    * multiply-add each, not another digest (16 hashes ≈ 16× less
+    * hashing than md5-per-(hash × shingle) at identical LSH
+    * semantics). md5-keyed so the oracle computes identical values;
+    * the 28-bit base domain makes token collisions possible
+    * (~|vocab|²/2^29) but minhash is a Jaccard *estimator* either way
+    * and the estimate is unbiased under universal hashing.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, numHashes: Int,
   ): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), 1)).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 7), 16, 10).cast("long"))
     val aggs = (0 until numHashes).map { j =>
-      min(md5(concat(lit(s"$j:"), col("tok")))).as(s"mh$j")
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j")
     }
     shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -159,7 +189,8 @@ object Dedup {
     // on the one join we already pay for.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}")): _*))
+        md5(concat_ws("|",
+          (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*))
           .as("bkey"))
     }
     val buckets = sig
@@ -318,16 +349,20 @@ object Dedup {
     val r = numHashes / bands
     val toks = TextFunctions.tokensSql.replace("TXT", "text")
     val mins = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || tok)) AS mh$j").mkString(", ")
+      .map(j => s"min((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j")
+      .mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val key = (0 until r).map(i => s"mh${b * r + i}").mkString(" || '|' || ")
+      val key = (0 until r).map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"SELECT id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
     val agree = (0 until numHashes)
       .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH docs AS (SELECT doc_id, text FROM documents $whereClause),
-       |toks AS (SELECT doc_id AS id, unnest(list_distinct($toks)) AS tok FROM docs),
+       |toks0 AS (SELECT doc_id AS id, unnest(list_distinct($toks)) AS tok FROM docs),
+       |toks AS (SELECT id,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM toks0),
        |sig AS (SELECT id, $mins FROM toks GROUP BY id),
        |bands AS (
        |$bandSelects),
