@@ -419,6 +419,27 @@ object SparkEntry {
       Sources.writeCsv(nation, s"$out/n")
       Sources.readCsv(s, s"$out/n", nation.schema).orderBy("n_nationkey")
     }),
+    "s_json_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      val nation = t(s, dir, "nation")
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      Sources.writeJson(nation, s"$out/n")
+      Sources.readJson(s, s"$out/n", nation.schema).orderBy("n_nationkey")
+    }),
+    // partitioned parquet sink + partition-pruned scan: the filter on
+    // the partition column prunes directories before any IO (the
+    // .explain shows PartitionFilters, not a full scan + filter)
+    "s_partition_prune" -> ((s, dir) => {
+      import graft.sources.Sources
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Sources.writeParquet(t(s, dir, "orders"), s"$out/o",
+        partitionBy = Seq("o_orderstatus"))
+      Sources.readParquet(s, s"$out/o")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
 
     // ---- the flagship reference capability under the oracle gate:
     // normalize a denormalized frame into a fresh Derby star schema via
@@ -683,6 +704,11 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "c_load_roundtrip" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_name""".stripMargin,

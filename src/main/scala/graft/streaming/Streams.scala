@@ -53,6 +53,36 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream interval join (event attribution):
+    * each `effects` row joins the `causes` rows with the same `key`
+    * whose timestamp precedes the effect's by at most
+    * `maxDelayMinutes` — the classic view→click attribution shape.
+    * Inputs must expose distinct column names apart from `key`
+    * (pre-project/rename before calling); `causeTs`/`effectTs` name
+    * each side's event-time column.
+    *
+    * Scale: the watermark plus the interval predicate bound BOTH
+    * state stores — Spark evicts cause rows once the effect-side
+    * watermark passes `causeTs + maxDelay` and effect rows once their
+    * own watermark passes, so state is O(events inside the horizon),
+    * the requirement for an unbounded-stream join. Inner joins emit
+    * in append mode as soon as a match arrives; no watermark wait.
+    */
+  def intervalJoin(
+      causes: DataFrame, effects: DataFrame, key: String,
+      causeTs: String, effectTs: String,
+      maxDelayMinutes: Int, watermark: String = "1 hour",
+  ): DataFrame = {
+    val c = causes.withWatermark(causeTs, watermark).alias("c")
+    val e = effects.withWatermark(effectTs, watermark).alias("e")
+    c.join(e,
+      col(s"c.$key") === col(s"e.$key") &&
+        col(s"e.$effectTs") >= col(s"c.$causeTs") &&
+        col(s"e.$effectTs") <=
+          col(s"c.$causeTs") + expr(s"INTERVAL $maxDelayMinutes MINUTES"))
+      .drop(col(s"e.$key"))
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: events
     * within `gapMinutes` of each other belong to one session; a
     * session is emitted (and its state evicted) when the event-time

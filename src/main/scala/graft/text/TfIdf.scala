@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * df-join broadcasts when the vocabulary is bounded, else shuffles on
   * term; the final top-k is a per-document window after a shuffle on
   * doc id. No driver-side data besides the single corpus count.
+  *
+  * The tf lineage feeds both sides of the df-join (plus the corpus
+  * count), so the plan re-reads the input per use — when the corpus
+  * scan is expensive, persist the input DataFrame (or materialize the
+  * tokenized projection) before calling; the operator does not cache
+  * on the caller's behalf.
   */
 object TfIdf {
 

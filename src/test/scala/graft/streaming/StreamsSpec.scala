@@ -106,6 +106,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin attributes effects to causes within the delay window") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[EventRow]
+    val clicks = MemoryStream[EventRow]
+    val joined = Streams.intervalJoin(
+      views.toDF().select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id")),
+      clicks.toDF().select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")),
+      key = "user_id", causeTs = "view_ts", effectTs = "click_ts",
+      maxDelayMinutes = 15)
+    val query = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData(ev(100, 1, 0), ev(101, 2, 0))
+      clicks.addData(
+        ev(200, 1, 10), // within 15 min of view 100 -> attributed
+        ev(201, 1, 40), // too late -> dropped
+        ev(202, 3, 5)) //  no view for user 3 -> dropped
+      query.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      assert(rows.toSet == Set((100L, 200L)), s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("sessionize splits events farther apart than the gap") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
