@@ -309,6 +309,17 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    "d_contamination" -> ((s, dir) => {
+      // decontamination demo: every 100th doc plays the benchmark set;
+      // 3-gram shingles because the synthetic corpus has little long-
+      // gram overlap (production uses 8-13-gram shingles, same plan)
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.contaminationScan(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 3, minSharedGrams = 1)
+        .orderBy("doc_id", "probe_id")
+    }),
     "t_text_stats" -> ((s, dir) => {
       import graft.text.TextFunctions._
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
@@ -628,6 +639,9 @@ object SparkEntry {
       (graft.dedup.Dedup.simhashSql("WHERE doc_id % 25 = 0") + "\nORDER BY id"),
     "d_simhash_pairs" ->
       graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
+    "d_contamination" ->
+      graft.dedup.Dedup.contaminationSql(3, 1,
+        "WHERE doc_id % 100 <> 0", "WHERE doc_id % 100 = 0"),
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")

@@ -96,13 +96,91 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination scan: corpus documents sharing at least
+    * `minSharedGrams` distinct word `n`-grams with any probe
+    * (benchmark/eval) document — the standard n-gram-overlap
+    * contamination test run before training. Output:
+    * (doc_id, probe_id, n_shared_grams).
+    *
+    * Scale shape: the probe side is SMALL by construction (eval
+    * suites), so its exploded gram set is broadcast; the corpus is
+    * touched in one map pass — explode shingles, broadcast-hash-join,
+    * partial-aggregate on (doc, probe). No corpus-side shuffle of
+    * text, no pairwise blow-up: cost is O(corpus grams) + matches.
+    */
+  def contaminationScan(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, minSharedGrams: Long = 1L,
+  ): DataFrame = {
+    // tokens projected BEFORE windowing: the shingle lambda then reads
+    // a materialized array per row instead of re-tokenizing per window
+    val cg = corpus
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(wordShinglesOf(col("toks"), n)).as("gram"))
+    val pg = probes
+      .select(col(idCol).as("probe_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("probe_id"), explode(wordShinglesOf(col("toks"), n)).as("gram"))
+    cg.join(broadcast(pg), Seq("gram"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minSharedGrams)
+  }
+
+  /** DuckDB rendering of [[contaminationScan]] over
+    * `documents(doc_id, text)`: corpus = `corpusWhere`, probes =
+    * `probeWhere`. The word-shingle construction mirrors
+    * [[wordShingles]] exactly (1-based windows, space-joined,
+    * distinct).
+    */
+  def contaminationSql(
+      n: Int, minSharedGrams: Long,
+      corpusWhere: String, probeWhere: String,
+  ): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "text")
+    // tokens projected in their own CTE (mirrors the Spark side: the
+    // windowing lambda must read a column, not re-tokenize per element)
+    val sh =
+      s"""list_distinct(list_filter(list_transform(
+         |  range(1, greatest(len(t) - ${n - 1}, 1) + 1),
+         |  i -> CASE WHEN i + ${n - 1} <= len(t)
+         |    THEN array_to_string(t[i:i+${n - 1}], ' ') END),
+         |  s -> s IS NOT NULL))""".stripMargin
+    s"""WITH ct AS (SELECT doc_id, $toks AS t FROM documents $corpusWhere),
+       |pt AS (SELECT doc_id, $toks AS t FROM documents $probeWhere),
+       |cg AS (SELECT doc_id, unnest($sh) AS gram FROM ct),
+       |pg AS (SELECT doc_id AS probe_id, unnest($sh) AS gram FROM pt)
+       |SELECT doc_id, probe_id, count(*) AS n_shared_grams
+       |FROM cg JOIN pg USING (gram)
+       |GROUP BY 1, 2 HAVING count(*) >= $minSharedGrams
+       |ORDER BY doc_id, probe_id""".stripMargin
+  }
+
   // ---- MinHash + LSH -------------------------------------------------
 
-  /** Distinct whitespace-token shingles (word `n`-shingles). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    if (n == 1) array_distinct(toks)
-    else array_distinct(
+  /** Distinct whitespace-token shingles (word `n`-shingles).
+    *
+    * IMPORTANT for n > 1: `text` should be an already-projected
+    * tokens-or-text COLUMN reference, not a complex expression —
+    * the windowing lambda references its input per element, and Spark
+    * higher-order functions re-evaluate captured expressions on every
+    * call (tokenizing inside the lambda is O(tokens²) per document).
+    * [[wordShinglesOf]] takes a pre-tokenized array for call sites
+    * that control their projection.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(TextFunctions.tokens(text))
+    else wordShinglesOf(TextFunctions.tokens(text), n)
+
+  /** [[wordShingles]] over an already-tokenized array column. Project
+    * the tokens first (`.select(tokens(...).as("toks"))`) so the
+    * per-window lambda reads a materialized attribute instead of
+    * re-tokenizing per element.
+    */
+  def wordShinglesOf(toks: Column, n: Int): Column =
+    array_distinct(
       filter(
         // floor at 1: sequence(1, 0) would descend through index 0 and
         // slice would throw; the index guard below drops the one short
@@ -111,7 +189,6 @@ object Dedup {
           i => when(i + (n - 1) <= size(toks),
             concat_ws(" ", slice(toks, i, lit(n))))),
         s => s.isNotNull))
-  }
 
   /** Modulus for the affine minhash rehash: the Mersenne prime
     * 2^31 − 1. Base hashes are 28-bit, multipliers < p, so

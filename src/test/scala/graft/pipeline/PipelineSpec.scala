@@ -174,6 +174,23 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
   }
 
+  test("contamination scan finds planted benchmark overlap, skips clean docs") {
+    val benchmark = docs(
+      100L -> "what is the capital of france",
+      101L -> "solve for x in the equation")
+    val corpus = docs(
+      1L -> "trivia night: what is the capital of france everyone", // contaminated
+      2L -> "the capital of france is a lovely city", // shares "the capital of"+"capital of france"
+      3L -> "completely unrelated cooking recipe content here")
+    val out = Dedup.contaminationScan(corpus, benchmark, "doc_id", "text",
+      n = 3, minSharedGrams = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L), s"got ${out.toSeq}")
+    assert(out.forall(_._2 == 100L))
+    // doc 1 contains the full probe: 4 shared 3-grams
+    assert(out.find(_._1 == 1L).get._3 == 4L)
+  }
+
   test("tfidf: highest-scoring term per doc is its distinctive frequent term") {
     val d = docs(
       1L -> "apple apple banana",
