@@ -60,6 +60,17 @@ object SparkEntry {
   private val revenueSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(18,8))"
 
+  /** One deterministic per-process scratch root for sink round-trip
+    * queries: Overwrite-mode writes reuse it across bench/verify
+    * passes instead of leaking a directory per invocation.
+    */
+  private def scratchRoot(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -423,17 +434,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // sink round-trips write to ONE deterministic scratch dir per
+    // query (SaveMode.Overwrite) — repeated bench/verify passes reuse
+    // the path instead of leaking a table copy per invocation
     "s_csv_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       val nation = t(s, dir, "nation")
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = s"${scratchRoot()}/csv_roundtrip"
       Sources.writeCsv(nation, s"$out/n")
       Sources.readCsv(s, s"$out/n", nation.schema).orderBy("n_nationkey")
     }),
     "s_json_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       val nation = t(s, dir, "nation")
-      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val out = s"${scratchRoot()}/json_roundtrip"
       Sources.writeJson(nation, s"$out/n")
       Sources.readJson(s, s"$out/n", nation.schema).orderBy("n_nationkey")
     }),
@@ -442,7 +456,7 @@ object SparkEntry {
     // .explain shows PartitionFilters, not a full scan + filter)
     "s_partition_prune" -> ((s, dir) => {
       import graft.sources.Sources
-      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val out = s"${scratchRoot()}/partition_prune"
       Sources.writeParquet(t(s, dir, "orders"), s"$out/o",
         partitionBy = Seq("o_orderstatus"))
       Sources.readParquet(s, s"$out/o")

@@ -107,12 +107,9 @@ object Ann {
     * deployment would swap in xxhash64 for seed-matrix generation
     * without changing any plan shape.
     */
-  private[ann] def planeWeightValue(plane: Int, dim1: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$dim1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % 100000L).toDouble / 100000.0 - 0.5
-  }
+  private[ann] def planeWeightValue(plane: Int, dim1: Int): Double =
+    (graft.functions.HashSeeds.md5TopLong(s"$plane:$dim1") % 100000L)
+      .toDouble / 100000.0 - 0.5
 
   /** The full literal weight matrix: `planes` rows × `dim` (1-based)
     * columns. Tiny (48×64 doubles = 24 KB) — ships in the plan, not

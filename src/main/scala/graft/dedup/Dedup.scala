@@ -160,35 +160,32 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  /** Distinct whitespace-token shingles (word `n`-shingles).
-    *
-    * IMPORTANT for n > 1: `text` should be an already-projected
-    * tokens-or-text COLUMN reference, not a complex expression —
-    * the windowing lambda references its input per element, and Spark
-    * higher-order functions re-evaluate captured expressions on every
-    * call (tokenizing inside the lambda is O(tokens²) per document).
-    * [[wordShinglesOf]] takes a pre-tokenized array for call sites
-    * that control their projection.
-    */
+  /** Distinct whitespace-token shingles (word `n`-shingles). */
   def wordShingles(text: Column, n: Int): Column =
     if (n == 1) array_distinct(TextFunctions.tokens(text))
     else wordShinglesOf(TextFunctions.tokens(text), n)
 
-  /** [[wordShingles]] over an already-tokenized array column. Project
-    * the tokens first (`.select(tokens(...).as("toks"))`) so the
-    * per-window lambda reads a materialized attribute instead of
-    * re-tokenizing per element.
+  /** [[wordShingles]] over an already-tokenized array column.
+    *
+    * Construction: fold `zip_with(acc, slice(toks, k+1, len), concat)`
+    * for k = 1..n-1 — each shifted slice is evaluated ONCE per row as
+    * a zip_with argument; no expression is captured inside a lambda,
+    * so this is O(n · tokens) per document regardless of what `toks`
+    * expands to. (A windowing `transform` that slices `toks` inside
+    * its lambda re-evaluates the captured expression per element —
+    * Spark HOFs do no caching — which is O(tokens²) per document when
+    * `toks` is itself the tokenizer. Measured: 6 s vs 0.84 s for the
+    * contamination scan at sf0.1.) zip_with null-pads the shorter
+    * side, so windows that run past the end become null and are
+    * filtered; documents with fewer than n tokens yield empty arrays.
     */
-  def wordShinglesOf(toks: Column, n: Int): Column =
-    array_distinct(
-      filter(
-        // floor at 1: sequence(1, 0) would descend through index 0 and
-        // slice would throw; the index guard below drops the one short
-        // window the floor can produce (docs with < n tokens -> empty)
-        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-          i => when(i + (n - 1) <= size(toks),
-            concat_ws(" ", slice(toks, i, lit(n))))),
-        s => s.isNotNull))
+  def wordShinglesOf(toks: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, s => s.isNotNull))
+  }
 
   /** Modulus for the affine minhash rehash: the Mersenne prime
     * 2^31 − 1. Base hashes are 28-bit, multipliers < p, so
@@ -196,20 +193,15 @@ object Dedup {
     */
   val MinhashP = 2147483647L
 
-  /** Driver-side md5 → long (top 60 bits), for deriving the affine
-    * coefficients deterministically (same shape as the LSH plane
-    * weights: constants are computed ONCE at plan build, never per
-    * row).
+  /** Affine coefficients derived driver-side from
+    * [[graft.functions.HashSeeds.md5TopLong]] (same rule as the LSH
+    * plane weights: constants are computed ONCE at plan build, never
+    * per row).
     */
-  private def mdLong(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
-  private[dedup] def minhashA(j: Int): Long = mdLong(s"a:$j") % (MinhashP - 1) + 1
-  private[dedup] def minhashB(j: Int): Long = mdLong(s"b:$j") % MinhashP
+  private[dedup] def minhashA(j: Int): Long =
+    graft.functions.HashSeeds.md5TopLong(s"a:$j") % (MinhashP - 1) + 1
+  private[dedup] def minhashB(j: Int): Long =
+    graft.functions.HashSeeds.md5TopLong(s"b:$j") % MinhashP
 
   /** MinHash signature columns mh0..mh{k-1}: per hash j, the minimum
     * of the affine rehash `(a_j · h + b_j) mod p` over the document's

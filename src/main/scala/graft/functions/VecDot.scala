@@ -111,5 +111,10 @@ object VecDot {
   /** Register `vec_dot` for SQL use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }, "built-in")
 }

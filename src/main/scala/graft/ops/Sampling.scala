@@ -70,13 +70,17 @@ object Sampling {
     df.filter(bucket(col(idCol), seed) < cutoff)
   }
 
-  /** DuckDB rendering of [[stratifiedSample]]'s cutoff expression. */
+  /** DuckDB rendering of [[stratifiedSample]]'s cutoff expression.
+    * Stratum keys are SQL-escaped (doubled quotes), matching the
+    * Spark side's Column equality for keys containing quotes.
+    */
   def stratifiedCutoffSql(
       stratumExpr: String, fractions: Map[String, Double],
       defaultFraction: Double = 1.0,
   ): String =
     fractions.toSeq.sortBy(_._1).reverse
       .foldLeft(s"${thresh(defaultFraction)}") { case (acc, (k, f)) =>
-        s"CASE WHEN $stratumExpr = '$k' THEN ${thresh(f)} ELSE $acc END"
+        val escaped = k.replace("'", "''")
+        s"CASE WHEN $stratumExpr = '$escaped' THEN ${thresh(f)} ELSE $acc END"
       }
 }

@@ -73,6 +73,9 @@ object Streams {
       causeTs: String, effectTs: String,
       maxDelayMinutes: Int, watermark: String = "1 hour",
   ): DataFrame = {
+    require(maxDelayMinutes >= 1,
+      s"maxDelayMinutes $maxDelayMinutes must be >= 1 (a non-positive " +
+        "window makes the join condition unsatisfiable)")
     val c = causes.withWatermark(causeTs, watermark).alias("c")
     val e = effects.withWatermark(effectTs, watermark).alias("e")
     c.join(e,

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   * is the already-deduped tf set, one row per (doc, term)); the
   * df-join broadcasts when the vocabulary is bounded, else shuffles on
   * term; the final top-k is a per-document window after a shuffle on
-  * doc id. No driver-side data besides the single corpus count.
+  * doc id. The corpus count joins in as a broadcast single-row
+  * aggregate — fully lazy, no driver-side action.
   *
   * The tf lineage feeds both sides of the df-join (plus the corpus
   * count), so the plan re-reads the input per use — when the corpus
@@ -42,13 +43,17 @@ object TfIdf {
     val toks = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    // one count() action: N must be a plan-time scalar on both engines
-    val n = df.count()
+    // corpus size as a broadcast single-row join — the plan-time
+    // scalar the oracle writes as (SELECT count(*) FROM d), with no
+    // eager action at plan-construction time
+    val corpusN = df.agg(count(lit(1)).as("corpus_n"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(corpusN))
       .select(col("id"), col("term"),
         (col("tf").cast("double") *
-          (lit(n.toDouble + 1.0) / (col("df").cast("double") + 1.0))).as("tfidf"))
+          ((col("corpus_n").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0))).as("tfidf"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w).cast("int"))
