@@ -375,6 +375,16 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3, bands = 16)
         .orderBy("id_a", "id_b")
     }),
+    "e_quantize_int8" -> ((s, dir) => {
+      import graft.ann.Ann
+      Ann.quantizeInt8(
+        t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding")
+        .select(col("id"), col("qscale"),
+          Ann.dequantMaxError(col("v"), col("qvec"), col("qscale"))
+            .as("max_abs_err"))
+        .orderBy("id")
+    }),
     "mm_decode_meta" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.decodeMeta(
@@ -695,6 +705,8 @@ object SparkEntry {
     "e_cos_neardup_lsh" ->
       graft.ann.Ann.cosineNearDupLshSql(0.3, bands = 16,
         whereClause = "WHERE vec_id % 10 = 0"),
+    "e_quantize_int8" ->
+      graft.ann.Ann.quantizeInt8Sql(64, "WHERE vec_id % 25 = 0"),
     "p_train_test_split" -> {
       val b = graft.ops.Sampling.bucketSql("doc_id", 42L)
       s"""SELECT CASE WHEN $b < 200000 THEN 'test' ELSE 'train' END AS split,

@@ -388,6 +388,57 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** Scalar int8 quantization of an embedding column with a
+    * per-vector scale (max |x_i|): `q_i = floor(x_i / scale · 127 +
+    * 0.5)` — in [-127, 127] by construction since |x_i/scale| ≤ 1.
+    * The 100 TB storage lever: 4× smaller than float32 at ~0.4% max
+    * reconstruction error per component.
+    *
+    * `floor(x + 0.5)` rather than `round(x)` because round's half-tie
+    * behavior is engine-dependent while floor is exactly-rounded IEEE
+    * everywhere — the whole pipeline (scale, quantize, dequantize,
+    * error) is bit-identical across engines and sits under the oracle
+    * gate. Map-only; the scale is projected as a column BEFORE the
+    * per-element lambdas so it is computed once per row, not per
+    * element.
+    *
+    * Output: (id, v, qscale, qvec).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("qscale",
+        array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .withColumn("qvec", transform(col("v"), x =>
+        when(col("qscale") > 0,
+          floor(x.cast("double") / col("qscale") * 127.0 + lit(0.5)))
+          .otherwise(lit(0.0)).cast("int")))
+
+  /** Max per-component reconstruction error of [[quantizeInt8]]
+    * (dequantize = q/127·scale), as a scalar per vector — the quality
+    * audit column.
+    */
+  def dequantMaxError(v: Column, qvec: Column, qscale: Column): Column =
+    array_max(zip_with(v, qvec, (x, q) =>
+      abs(q.cast("double") / 127.0 * qscale - x.cast("double"))))
+
+  /** DuckDB rendering of the quantize → dequantize-error pipeline over
+    * `embeddings(vec_id, embedding)` restricted by `whereClause`.
+    */
+  def quantizeInt8Sql(dim: Int, whereClause: String): String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings $whereClause),
+       |s AS (SELECT id, v,
+       |    list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS qscale
+       |  FROM e),
+       |q AS (SELECT id, v, qscale,
+       |    list_transform(v, x -> CAST(CASE WHEN qscale > 0
+       |      THEN floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5)
+       |      ELSE 0.0 END AS INT)) AS qvec
+       |  FROM s)
+       |SELECT id, qscale,
+       |  list_max(list_transform(range(1, ${dim + 1}), i ->
+       |    abs(CAST(qvec[i] AS DOUBLE) / 127.0 * qscale - CAST(v[i] AS DOUBLE)))) AS max_abs_err
+       |FROM q ORDER BY id""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — O(n²); the baseline/verifier for
     * [[cosineNearDupLsh]], and usable directly on small or

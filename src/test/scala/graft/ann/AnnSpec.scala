@@ -118,6 +118,25 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${approx.size}/${exact.size})")
   }
 
+  test("int8 quantization: bounded range, reconstruction error within half-step, zero-safe") {
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      Row(2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: qscale 0
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+    val q = Ann.quantizeInt8(emb, "vec_id", "embedding")
+      .withColumn("err", Ann.dequantMaxError(col("v"), col("qvec"), col("qscale")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = q(1L).getSeq[Int](3)
+    assert(q1 == Seq(64, -127, 32, 0), s"got $q1")
+    assert(q(1L).getDouble(2) == 1.0) // qscale = max |x|
+    // half-step bound: |err| <= scale/254 plus float noise
+    assert(q(1L).getDouble(4) <= 1.0 / 254.0 + 1e-6)
+    assert(q(2L).getSeq[Int](3) == Seq(0, 0, 0, 0) && q(2L).getDouble(4) == 0.0)
+  }
+
   test("quantizerSample is bounded and independent of input partitioning") {
     val rows = (0 until 500).map(i => Row(i.toLong, Seq.fill(8)(i.toFloat)))
     def emb(parts: Int): DataFrame = spark.createDataFrame(
