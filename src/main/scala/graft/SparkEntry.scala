@@ -706,7 +706,7 @@ object SparkEntry {
       graft.ann.Ann.cosineNearDupLshSql(0.3, bands = 16,
         whereClause = "WHERE vec_id % 10 = 0"),
     "e_quantize_int8" ->
-      graft.ann.Ann.quantizeInt8Sql(64, "WHERE vec_id % 25 = 0"),
+      graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
     "p_train_test_split" -> {
       val b = graft.ops.Sampling.bucketSql("doc_id", 42L)
       s"""SELECT CASE WHEN $b < 200000 THEN 'test' ELSE 'train' END AS split,

@@ -422,9 +422,11 @@ object Ann {
       abs(q.cast("double") / 127.0 * qscale - x.cast("double"))))
 
   /** DuckDB rendering of the quantize → dequantize-error pipeline over
-    * `embeddings(vec_id, embedding)` restricted by `whereClause`.
+    * `embeddings(vec_id, embedding)` restricted by `whereClause`. The
+    * error fold ranges over `len(v)` (not a caller-supplied dim), so a
+    * dimension drift can't silently truncate the oracle-side maximum.
     */
-  def quantizeInt8Sql(dim: Int, whereClause: String): String =
+  def quantizeInt8Sql(whereClause: String): String =
     s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings $whereClause),
        |s AS (SELECT id, v,
        |    list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS qscale
@@ -435,7 +437,7 @@ object Ann {
        |      ELSE 0.0 END AS INT)) AS qvec
        |  FROM s)
        |SELECT id, qscale,
-       |  list_max(list_transform(range(1, ${dim + 1}), i ->
+       |  list_max(list_transform(range(1, len(v) + 1), i ->
        |    abs(CAST(qvec[i] AS DOUBLE) / 127.0 * qscale - CAST(v[i] AS DOUBLE)))) AS max_abs_err
        |FROM q ORDER BY id""".stripMargin
 
