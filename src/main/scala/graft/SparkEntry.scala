@@ -424,6 +424,18 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    "mm_resize_plan" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val meta = Multimodal.decodeMeta(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text"),
+        "doc_id", "content")
+      Multimodal.resizePlan(meta, maxW = 128, maxH = 96)
+        .select(col("id"), col("width"), col("height"),
+          col("out_w"), col("out_h"))
+        .orderBy("id")
+    }),
+
     "t_rolling_fp" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
@@ -722,6 +734,18 @@ object SparkEntry {
     },
     "t_tfidf_top" ->
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |    CAST(1 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |r AS (SELECT id, width, height,
+        |    least(128.0 / CAST(width AS DOUBLE), 96.0 / CAST(height AS DOUBLE), 1.0) AS scale
+        |  FROM m)
+        |SELECT id, width, height,
+        |  greatest(1, CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)) AS out_w,
+        |  greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h
+        |FROM r ORDER BY id""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id,
         |    1 + octet_length(encode(text)) % 240 AS n_frames

@@ -143,6 +143,26 @@ object Multimodal {
   def withFakePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("content", encode(col(textCol), "UTF-8"))
 
+  /** Resize planning over decoded metadata (the output of
+    * [[decodeMeta]]): aspect-fit target dimensions within
+    * (maxW, maxH), never upscaling, floor-rounded with a 1-pixel
+    * floor. The pixel resample itself is the codec-bound step (same
+    * stub boundary as [[BinaryDecoder]]); the dimension arithmetic,
+    * schema, and map-only shape are the real pipeline stage — at
+    * scale this plans the work batch before the expensive decode pass
+    * touches any payload bytes.
+    */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, "target box must be at least 1x1")
+    val w = col("width").cast(DoubleType)
+    val h = col("height").cast(DoubleType)
+    val scale = least(lit(maxW.toDouble) / w, lit(maxH.toDouble) / h, lit(1.0))
+    meta.withColumn("out_w",
+      greatest(lit(1L), floor(w * scale).cast(LongType)))
+      .withColumn("out_h",
+        greatest(lit(1L), floor(h * scale).cast(LongType)))
+  }
+
   /** Frame-sampling plumbing for video payloads: one output row per
     * sampled frame (every `stride`-th of `n_frames`), carrying a
     * deterministic frame fingerprint where a real pipeline would carry

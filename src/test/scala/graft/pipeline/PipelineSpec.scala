@@ -208,6 +208,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(k2(1L) == "banana" && k2(2L) == "banana")
   }
 
+  test("resize plan: aspect-fit within box, no upscale, 1px floor") {
+    val rows = Seq(
+      Row(1L, 10L, 512, 96, "png"), // wide: scale 0.25 -> 128x24
+      Row(2L, 10L, 50, 40, "png"), //  fits: unchanged
+      Row(3L, 10L, 10, 960, "png")) // tall: scale 0.1 -> 1x96
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.metaSchema)
+    val out = Multimodal.resizePlan(meta, maxW = 128, maxH = 96)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
+    assert(out(1L) == ((128L, 24L)))
+    assert(out(2L) == ((50L, 40L)))
+    assert(out(3L) == ((1L, 96L)))
+  }
+
   test("frame sampling: every stride-th frame, deterministic fingerprints") {
     val d = Multimodal.withFakePayload(docs(5L -> "0123456789"), "text")
     val out = Multimodal.sampleFrames(d, "doc_id", "content", stride = 4)
