@@ -51,6 +51,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       "write lost its partitionBy or the filter no longer prunes")
   }
 
+  test("driver smoke gate: entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query has an oracle, and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries-only: ${q.diff(o)}; oracle-only: ${o.diff(q)}")
+  }
+
   test("sampling queries stay map-side before aggregation (no joins at all)") {
     for (q <- Seq("p_train_test_split", "p_stratified_sample")) {
       val p = plan(q)
