@@ -388,8 +388,13 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE the dedup shuffle: the hamming verify is a
+      // single XOR+popcount (unlike the cosine paths, where the
+      // expensive verify runs after dedup), and a qualifying pair can
+      // appear in up to `blocks` buckets — filtering first shrinks the
+      // distinct shuffle by the candidate rejection rate
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** DuckDB rendering of [[simhashNearDupPairs]] over
