@@ -320,6 +320,15 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    "d_dedup_clusters" -> ((s, dir) => {
+      // end-to-end dedup: pair finder -> connected components; keep
+      // min(id) per cluster downstream and the corpus is deduped
+      val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", maxHamming = 3)
+      graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id")
+    }),
     "d_contamination" -> ((s, dir) => {
       // decontamination demo: every 100th doc plays the benchmark set;
       // 3-gram shingles because the synthetic corpus has little long-
@@ -678,6 +687,9 @@ object SparkEntry {
     "d_contamination" ->
       graft.dedup.Dedup.contaminationSql(3, 1,
         "WHERE doc_id % 100 <> 0", "WHERE doc_id % 100 = 0"),
+    "d_dedup_clusters" ->
+      graft.dedup.Dedup.connectedComponentsSql(
+        graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")),
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -447,6 +447,139 @@ object Dedup {
        |FROM pairs JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Connected components over an undirected near-dup pair list:
+    * every document gets the MINIMUM doc id reachable through the
+    * pair graph as its `cluster` label — the step that turns any of
+    * the pair finders ([[minhashLshPairs]], [[simhashNearDupPairs]],
+    * [[Dedup.ngramJaccardPairs]], cosine pairs) into an actual
+    * deduped corpus: keep one doc per cluster, drop the rest.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each
+    * round a node takes the min of its own and its neighbors' labels
+    * (one-hop flood), then jumps to its label's label
+    * (label ← label(label), doubling the effective propagation
+    * distance), so convergence takes O(log diameter) rounds instead
+    * of O(diameter) — long near-dup chains (transitive hamming links)
+    * would otherwise need a round per hop. The invariant holds
+    * throughout: a node's label is always an id inside its own
+    * component, so the fixpoint labels every node with the component
+    * minimum. Each round is three shuffles (neighbor join,
+    * groupBy-min, jump join); each round's labels are
+    * `localCheckpoint`ed — without truncation the logical plan nests
+    * every prior round's joins and Catalyst analysis time grows
+    * superlinearly with iterations (the classic iterative-DataFrame
+    * trap; on a cluster use `checkpoint` with a checkpoint dir for
+    * fault tolerance instead).
+    *
+    * Below `driverThresholdEdges` the labeling is computed by
+    * union-find on the driver instead (identical min-id results, one
+    * action + one parallelize): the pair list is the OUTPUT of a
+    * near-dup finder — tiny relative to the corpus — and iterative
+    * scheduler round-trips dwarf the actual work at that size. The
+    * distributed path exists for the genuinely huge graphs and is
+    * forced in specs via `driverThresholdEdges = 0`.
+    *
+    * Deterministic (min over ids) and oracle-expressible as a
+    * recursive CTE ([[connectedComponentsSql]]). Throws if `maxIter`
+    * rounds don't converge — a partial labeling is NOT a valid
+    * clustering.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      driverThresholdEdges: Long = 5000000L,
+  ): DataFrame = {
+    // symmetric closure via explode — ONE pass over the (potentially
+    // expensive) pair lineage, not a self-union's two
+    val edges = pairs.select(explode(array(
+      struct(col(aCol).as("src"), col(bCol).as("dst")),
+      struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().persist()
+
+    // Size-gated hybrid: near-dup pair lists are usually tiny relative
+    // to the corpus (the expensive part was FINDING them), and each
+    // distributed round costs several scheduler round-trips. Below the
+    // threshold, union-find on the driver computes the identical
+    // min-id labeling in one action + one parallelize — zero iterative
+    // shuffles. Above it, the distributed path below takes over.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverThresholdEdges) {
+      val spark = pairs.sparkSession
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => Row(id, find(id)))
+      edges.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val flooded = labels.as("l")
+        .join(nbrMin, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
+            .as("label"))
+      // pointer jump: label <- label(label); labels are always node
+      // ids of the same component, so the join hits and stays inside it
+      val next = flooded.as("f")
+        .join(flooded.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("f.label") === col("jid"), "left")
+        .select(col("f.id").as("id"),
+          coalesce(col("jlabel"), col("f.label")).as("label"))
+        .localCheckpoint() // truncate lineage: constant-size plans per round
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed ~ log2 of the longest chain)")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** DuckDB rendering of [[connectedComponents]] over a pair query
+    * `pairsSql` producing columns (id_a, id_b, ...): recursive
+    * reachability, then min reachable id per node.
+    */
+  def connectedComponentsSql(pairsSql: String): String =
+    s"""WITH RECURSIVE p AS ($pairsSql),
+       |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id, min(root) AS cluster FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
 
   /** DuckDB rendering of [[ngramJaccardPairs]] over
     * `documents(doc_id, text)` restricted by `whereClause`.

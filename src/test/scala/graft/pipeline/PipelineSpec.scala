@@ -174,6 +174,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
   }
 
+  test("connected components: min-id clusters, chains flood across hops") {
+    val pairRows = Seq((1L, 2L), (2L, 3L), (7L, 8L),
+      // a 6-node chain entered high-to-low: min floods over 5 hops
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .map { case (a, b) => Row(a, b) }
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairRows, 2),
+      StructType(Seq(StructField("id_a", LongType, nullable = false),
+        StructField("id_b", LongType, nullable = false))))
+    // driver union-find path (default threshold)
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L))
+    assert(Seq(7L, 8L).forall(out(_) == 7L))
+    assert((20L to 25L).forall(out(_) == 20L))
+    // distributed pointer-jumping path must produce identical labels
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      driverThresholdEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == out)
+    // non-convergence is an error, not a partial answer
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
+        driverThresholdEdges = 0L)
+    }
+  }
+
   test("contamination scan finds planted benchmark overlap, skips clean docs") {
     val benchmark = docs(
       100L -> "what is the capital of france",
