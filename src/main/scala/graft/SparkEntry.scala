@@ -322,7 +322,10 @@ object SparkEntry {
     }),
     "d_dedup_clusters" -> ((s, dir) => {
       // end-to-end dedup: pair finder -> connected components; keep
-      // min(id) per cluster downstream and the corpus is deduped
+      // min(id) per cluster downstream and the corpus is deduped.
+      // NOTE: like c_load_roundtrip, building this result EXECUTES
+      // eagerly (the component computation is iterative/driver-side) —
+      // plan-only tools should skip it
       val pairs = graft.dedup.Dedup.simhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", maxHamming = 3)

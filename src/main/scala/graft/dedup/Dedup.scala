@@ -487,26 +487,34 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
-      driverThresholdEdges: Long = 5000000L,
+      driverThresholdEdges: Long = 1000000L,
   ): DataFrame = {
     // symmetric closure via explode — ONE pass over the (potentially
-    // expensive) pair lineage, not a self-union's two
+    // expensive) pair lineage, not a self-union's two. Ids are cast to
+    // long up front so both paths accept any integral id column.
     val edges = pairs.select(explode(array(
-      struct(col(aCol).as("src"), col(bCol).as("dst")),
-      struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+      struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+      .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
 
     // Size-gated hybrid: near-dup pair lists are usually tiny relative
     // to the corpus (the expensive part was FINDING them), and each
     // distributed round costs several scheduler round-trips. Below the
-    // threshold, union-find on the driver computes the identical
-    // min-id labeling in one action + one parallelize — zero iterative
-    // shuffles. Above it, the distributed path below takes over.
+    // threshold — counted in DIRECTED edges, i.e. 2× the pair count —
+    // union-find on the driver computes the identical min-id labeling
+    // in one action + one parallelize: 1M edges ≈ tens of MB on the
+    // driver, far below the all-pairs the finder itself already
+    // avoided. Above it, the distributed path below takes over.
+    // (Why not graphx.lib.ConnectedComponents: this library is
+    // DataFrame-only by design — no RDD boundary in operator
+    // lineage — and the labeling must stay oracle-reproducible.)
     val edgeCount = edges.count()
     if (edgeCount <= driverThresholdEdges) {
-      val spark = pairs.sparkSession
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      import pairs.sparkSession.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -520,15 +528,8 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val rows = parent.keys.toSeq.sorted.map(id => Row(id, find(id)))
-      edges.unpersist()
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cluster",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "cluster")
     }
 
     var labels = edges.select(col("src").as("id")).distinct()
@@ -538,11 +539,14 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // materialized so the pointer-jump self-join reads it once, not
+      // re-evaluating the flood join on both sides
       val flooded = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
             .as("label"))
+        .persist()
       // pointer jump: label <- label(label); labels are always node
       // ids of the same component, so the join hits and stays inside it
       val next = flooded.as("f")
@@ -554,6 +558,8 @@ object Dedup {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).count()
+      flooded.unpersist()
+      labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       converged = changed == 0
       i += 1
@@ -561,7 +567,8 @@ object Dedup {
     edges.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "raise maxIter (rounds needed ~ log2 of the longest chain)")
+        "raise maxIter (budget ~ log2 of the longest chain, PLUS one " +
+        "final no-change round to observe convergence)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 
