@@ -315,9 +315,12 @@ object SparkEntry {
         .orderBy("id")
     }),
     "d_simhash_pairs" -> ((s, dir) => {
+      // maxBucketSize = 0: the oracle models the exact block-pair
+      // candidate construction; the census default (on) is the
+      // corpus-scale setting
       graft.dedup.Dedup.simhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", maxHamming = 3)
+        "doc_id", "text", maxHamming = 3, maxBucketSize = 0)
         .orderBy("id_a", "id_b")
     }),
     "d_dedup_clusters" -> ((s, dir) => {
@@ -328,7 +331,7 @@ object SparkEntry {
       // plan-only tools should skip it
       val pairs = graft.dedup.Dedup.simhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", maxHamming = 3)
+        "doc_id", "text", maxHamming = 3, maxBucketSize = 0)
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
     }),

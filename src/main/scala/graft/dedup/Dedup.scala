@@ -21,7 +21,8 @@ import graft.text.TextFunctions
   *   - pair verification joins signatures by doc id — broadcastable
   *     when the candidate set is small, shuffle-join otherwise;
   *   - SimHash is map-only per document; near-dup search over simhash
-  *     is a band join on rotated bit-blocks (same LSH shape).
+  *     is a band join on 16-bit block-pair keys (same LSH shape,
+  *     pigeonhole-exact), with the same hot-bucket census.
   *
   * All hash functions are md5-based so the DuckDB oracle can evaluate
   * the identical function; a production deployment would swap in
@@ -350,68 +351,130 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pair search: band the [[SimhashBits]]-bit
-    * fingerprint into `blocks` equal bit-blocks, pair documents whose
-    * fingerprints agree on ANY block (LSH band join — same shape as
-    * [[minhashLshPairs]]), then filter candidates by exact
-    * [[hammingDistance]] ≤ `maxHamming`.
-    *
-    * By pigeonhole the candidate step is *exact* (not just
-    * approximate) whenever `maxHamming < blocks`: a pair differing in
-    * at most blocks-1 bits must agree on some block. The default
-    * (3 < 6) therefore finds every qualifying pair.
-    *
-    * Scale shape: fingerprint is map-only; the block join shuffles on
-    * (block, 8-bit key) — boilerplate-heavy corpora concentrate in
-    * few buckets, so at 100 TB add a hot-bucket census/anti-join
-    * exactly like [[minhashLshPairs]] (omitted here because simhash
-    * blocks are 2^8-dense by construction).
+  /** SimHash near-duplicate pair search over a corpus: compute
+    * [[simhash]] fingerprints, then delegate to
+    * [[simhashNearDupPairsFromSignatures]]. When `maxBucketSize > 0`
+    * the signature lineage is evaluated twice (hot-bucket census +
+    * pair join) — callers reusing signatures across calls should
+    * compute [[simhash]] once, persist it, and call the
+    * from-signatures variant directly.
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blocks: Int = 6,
+      maxHamming: Int = 3, blocks: Int = 6, maxBucketSize: Int = 1000,
+  ): DataFrame =
+    simhashNearDupPairsFromSignatures(
+      simhash(df, idCol, textCol), maxHamming, blocks, maxBucketSize)
+
+  /** Near-dup pairs from precomputed simhash signatures `(id,
+    * simhash)`: split the [[SimhashBits]]-bit fingerprint into
+    * `blocks` equal bit-blocks and bucket each document under every
+    * PAIR of blocks — C(blocks, 2) tables, each keyed on the 2·w-bit
+    * concatenation of two block values (w = SimhashBits/blocks) —
+    * then filter candidates by exact [[hammingDistance]] ≤
+    * `maxHamming` (Manku et al.'s block-permutation construction,
+    * specialized to block pairs).
+    *
+    * By pigeonhole the candidate step is *exact* whenever
+    * `maxHamming ≤ blocks − 2`: each differing bit dirties at most
+    * one block, so ≤ maxHamming dirty blocks leave ≥ 2 clean blocks —
+    * and that clean pair is a table where both fingerprints agree.
+    * The default (3 ≤ 4) finds every qualifying pair. For larger
+    * Hamming radii raise `blocks` (e.g. maxHamming=4 → blocks=6 is
+    * rejected; use blocks=8 with 12-bit keys).
+    *
+    * Why pairs instead of single blocks: single-block keys are only
+    * w bits wide (2^8 = 256 buckets at the defaults), so candidate
+    * volume scales as ~n²·blocks/2^w regardless of corpus content — a
+    * constant *fraction* of all pairs, catastrophic at corpus scale.
+    * Block-pair keys are 2·w bits (65536 buckets): ~256× fewer chance
+    * collisions for 2.5× more tables, turning the candidate set from
+    * n²/43 to n²/4369 on uniform fingerprints — and real corpora are
+    * additionally protected by the hot-bucket census.
+    *
+    * @param maxBucketSize skew guard (same broadcast-anti-join census
+    *   as [[minhashLshPairs]]): (table, key) buckets larger than this
+    *   are dropped entirely, so boilerplate-heavy corpora can't hand
+    *   one reducer a quadratic bucket. Pass 0 to disable — exact
+    *   candidates, used by the oracle-gated demos.
+    */
+  def simhashNearDupPairsFromSignatures(
+      sh: DataFrame, maxHamming: Int = 3, blocks: Int = 6,
+      maxBucketSize: Int = 1000,
   ): DataFrame = {
     require(SimhashBits % blocks == 0, "blocks must divide SimhashBits")
-    val w = SimhashBits / blocks
-    val sh = simhash(df, idCol, textCol)
-    val blockCols = (0 until blocks).map { b =>
-      struct(lit(b).as("blk"),
-        shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bkey"))
-    }
-    val buckets = sh
-      .select(col("id"), col("simhash"), explode(array(blockCols: _*)).as("bb"))
-      .select(col("id"), col("simhash"),
-        col("bb.blk").as("blk"), col("bb.bkey").as("bkey"))
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bkey") === col("b.bkey") &&
+    require(maxHamming <= blocks - 2,
+      s"block-pair pigeonhole needs maxHamming <= blocks - 2 " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks); raise blocks")
+    val bounded = simhashBlockPairBuckets(sh, blocks, maxBucketSize)
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
       // filter BEFORE the dedup shuffle: the hamming verify is a
       // single XOR+popcount (unlike the cosine paths, where the
       // expensive verify runs after dedup), and a qualifying pair can
-      // appear in up to `blocks` buckets — filtering first shrinks the
-      // distinct shuffle by the candidate rejection rate
+      // appear in up to C(blocks,2) buckets — filtering first shrinks
+      // the distinct shuffle by the candidate rejection rate
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** The banded bucket rows behind
+    * [[simhashNearDupPairsFromSignatures]] — `(id, simhash, tbl,
+    * bkey)` with hot buckets dropped when `maxBucketSize > 0`.
+    * Package-visible so specs can measure candidate volume directly.
+    */
+  private[graft] def simhashBlockPairBuckets(
+      sh: DataFrame, blocks: Int, maxBucketSize: Int,
+  ): DataFrame = {
+    val w = SimhashBits / blocks
+    def blk(b: Int): Column =
+      shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))
+    val tableCols = (for { i <- 0 until blocks; j <- i + 1 until blocks }
+      yield (i, j)).zipWithIndex.map { case ((i, j), t) =>
+      struct(lit(t).as("tbl"), (blk(i) * lit(1L << w) + blk(j)).as("bkey"))
+    }
+    val buckets = sh
+      .select(col("id"), col("simhash"), explode(array(tableCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.tbl").as("tbl"), col("bb.bkey").as("bkey"))
+    if (maxBucketSize <= 0) buckets
+    else {
+      val hot = buckets.groupBy(col("tbl"), col("bkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucketSize)
+        .select(col("tbl"), col("bkey"))
+      buckets.join(broadcast(hot), Seq("tbl", "bkey"), "left_anti")
+    }
+  }
+
   /** DuckDB rendering of [[simhashNearDupPairs]] over
-    * `documents(doc_id, text)` restricted by `whereClause`.
+    * `documents(doc_id, text)` restricted by `whereClause` (census
+    * off — the oracle models the exact candidate construction). Block
+    * PAIRS mirror the Spark side: C(blocks,2) tables keyed on the
+    * 2·w-bit concatenation of the two block values; the table id
+    * (i·blocks+j here vs a sequential index on the Spark side) never
+    * reaches the output — any injective (i,j) labeling joins the
+    * same rows.
     */
   def simhashPairsSql(
       maxHamming: Int, blocks: Int, whereClause: String,
   ): String = {
     val w = SimhashBits / blocks
+    val pairsList = (for { i <- 0 until blocks; j <- i + 1 until blocks }
+      yield s"($i, $j)").mkString(", ")
     s"""WITH sh AS (${simhashSql(whereClause)}),
-       |buckets AS (SELECT id, simhash, bb.blk AS blk,
-       |    (simhash >> (bb.blk * $w)) % ${1L << w} AS bkey
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $blocks)) AS blk) bb),
+       |buckets AS (SELECT id, simhash, t.i * $blocks + t.j AS tbl,
+       |    ((simhash >> (t.i * $w)) % ${1L << w}) * ${1L << w}
+       |      + ((simhash >> (t.j * $w)) % ${1L << w}) AS bkey
+       |  FROM sh CROSS JOIN (VALUES $pairsList) t(i, j)),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |  FROM buckets a JOIN buckets b
-       |  ON a.blk = b.blk AND a.bkey = b.bkey AND a.id < b.id)
+       |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.id < b.id)
        |SELECT id_a, id_b, hamming FROM pairs
        |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }

@@ -100,10 +100,11 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("simhashNearDupPairs matches brute-force hamming exactly (pigeonhole recall = 1)") {
-    // maxHamming=3 < blocks=6, so a qualifying pair must agree on at
-    // least one block: candidate recall is 100% by construction, and
-    // verification makes precision exact -> the banded join must equal
-    // the all-pairs answer, not just approximate it
+    // maxHamming=3 <= blocks-2=4, so a qualifying pair (<= 3 dirty
+    // blocks) always leaves two clean blocks, i.e. agrees on at least
+    // one block-PAIR table: candidate recall is 100% by construction,
+    // and verification makes precision exact -> the banded join must
+    // equal the all-pairs answer, not just approximate it
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val h = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
@@ -115,6 +116,57 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == brute,
       s"missing=${brute.diff(banded)} extra=${banded.diff(brute)}")
+  }
+
+  /** Synthetic signature frame: n uniform-ish 48-bit fingerprints
+    * (md5-derived, deterministic) — the adversarial regime for
+    * candidate volume, since every near-dup structure is absent and
+    * all collisions are chance.
+    */
+  private def syntheticSignatures(n: Int): DataFrame = {
+    spark.range(n).toDF("id")
+      .select(col("id"),
+        conv(substring(md5(concat(lit("sig:"), col("id"))), 1, 12), 16, 10)
+          .cast("long").as("simhash"))
+  }
+
+  test("simhash block-pair candidate volume stays ~linear when the corpus doubles") {
+    // the round-3 single-block scheme (6 tables x 8-bit keys) passes
+    // ~blocks/2^8 = 2.3% of ALL pairs as candidates regardless of
+    // content — quadratic growth with a big constant. Block-pair keys
+    // (15 tables x 16-bit) pass ~15/2^16 = 0.023%: on uniform random
+    // fingerprints the candidate set must stay far below a tenth of a
+    // percent of all pairs, at n and at 2n.
+    def candidateCount(n: Int): (Long, Long) = {
+      val buckets = Dedup.simhashBlockPairBuckets(
+        syntheticSignatures(n), blocks = 6, maxBucketSize = 0)
+      val cands = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+      (cands, n.toLong * (n - 1) / 2)
+    }
+    val (c1, all1) = candidateCount(1000)
+    val (c2, all2) = candidateCount(2000)
+    assert(c1.toDouble / all1 < 0.001, s"candidates $c1 of $all1 pairs at n=1000")
+    assert(c2.toDouble / all2 < 0.001, s"candidates $c2 of $all2 pairs at n=2000")
+    // growth is bounded by ~4x (chance collisions quadruple); the old
+    // 8-bit scheme would put both fractions at ~2.3% and fail above
+    assert(c2 <= c1 * 6 + 60, s"candidate growth $c1 -> $c2 is superquadratic")
+  }
+
+  test("simhash hot-bucket census drops pathological buckets, census off keeps them") {
+    // 300 identical fingerprints = every block-pair bucket holds all
+    // 300 docs; with maxBucketSize=100 the census must drop them all
+    val sh = spark.range(300).toDF("id")
+      .select(col("id"), lit(0x0F0F0F0F0F0FL).as("simhash"))
+    val dropped = Dedup.simhashNearDupPairsFromSignatures(
+      sh, maxHamming = 3, blocks = 6, maxBucketSize = 100).count()
+    assert(dropped == 0L, "census failed to drop the pathological bucket")
+    val kept = Dedup.simhashNearDupPairsFromSignatures(
+      sh, maxHamming = 3, blocks = 6, maxBucketSize = 0).count()
+    assert(kept == 300L * 299 / 2, "census off must keep every pair")
   }
 
   test("text functions: tokens, lang id, quality, fingerprint") {
