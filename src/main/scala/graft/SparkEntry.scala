@@ -382,12 +382,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "e_cos_neardup_lsh" -> ((s, dir) => {
-      // bands=16 (r=3): recall ≈ 0.98 at cos 0.3 per 1-(1-p^r)^b — the
-      // r=6/bands=8 default targets cos ≥ 0.8 and would recall only
-      // ~36% at this demo's low threshold (round-2 verdict item 2)
-      graft.ann.Ann.cosineNearDupLsh(
-        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", threshold = 0.3, bands = 16)
+      // near-dup LSH in its actual scale regime: planes=192, bands=16
+      // -> r=12, i.e. 4096-bucket band keys (the round-3 single-long
+      // signature capped r at 3 bits = 8 buckets — a quadratic
+      // candidate cliff at corpus scale). High-threshold pairs don't
+      // exist in the synthetic corpus (max pairwise cos ~ 0.43), so
+      // the demo constructs them the way a real corpus acquires them:
+      // each vector's int8 quantize->dequantize twin (a re-encoded
+      // copy, cos ~ 0.9999) joins the corpus under id+1000000, and
+      // the scan must pair every vector with its twin at cos >= 0.98.
+      // All twin arithmetic is int->double IEEE ops in identical
+      // order, so DuckDB reproduces the union bit-exactly.
+      import graft.ann.Ann
+      val base = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val twins = Ann.quantizeInt8(base, "vec_id", "embedding")
+        .select((col("id") + 1000000L).as("vec_id"),
+          transform(col("qvec"),
+            x => x.cast("double") / lit(127.0) * col("qscale")).as("embedding"))
+      val union = base
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .unionByName(twins)
+      Ann.cosineNearDupLsh(union, "vec_id", "embedding", threshold = 0.98,
+        planes = 192, bands = 16, maxBucketSize = 0)
         .orderBy("id_a", "id_b")
     }),
     "e_quantize_int8" -> ((s, dir) => {
@@ -732,9 +749,25 @@ object SparkEntry {
       graft.ann.Ann.lshTopKSql("vec_id < 3", k = 5),
     "e_ann_ivf" ->
       graft.ann.Ann.ivfTopKHashCellsSql("vec_id < 3", k = 5),
-    "e_cos_neardup_lsh" ->
-      graft.ann.Ann.cosineNearDupLshSql(0.3, bands = 16,
-        whereClause = "WHERE vec_id % 10 = 0"),
+    "e_cos_neardup_lsh" -> {
+      // corpus + int8 quantize->dequantize twins, mirroring the Spark
+      // union (same floor-based arithmetic as quantizeInt8Sql)
+      val src =
+        """SELECT vec_id AS id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |FROM embeddings WHERE vec_id % 10 = 0
+          |UNION ALL
+          |SELECT vec_id + 1000000 AS id,
+          |  list_transform(embedding, x ->
+          |    CAST(CAST(CASE WHEN qscale > 0
+          |      THEN floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5)
+          |      ELSE 0.0 END AS INT) AS DOUBLE) / 127.0 * qscale) AS v
+          |FROM (SELECT vec_id, embedding,
+          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale
+          |  FROM embeddings WHERE vec_id % 10 = 0) s""".stripMargin
+      graft.ann.Ann.cosineNearDupLshSql(0.98, planes = 192, bands = 16,
+        sourceSql = Some(src))
+    },
     "e_quantize_int8" ->
       graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
     "p_train_test_split" -> {

@@ -125,16 +125,23 @@ object Ann {
     s"((CAST(('0x' || substr(md5(CAST($p AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 15)) AS BIGINT) " +
       s"% 100000) / 100000.0 - 0.5)"
 
-  /** `planes`-bit signature of a vector: bit p = sign of dot(v,
-    * plane_p). The plane weights are literal arrays (driver-side
-    * constants), so the per-row cost is `planes` fused multiply-add
-    * folds inside codegen — no hashing in the hot path.
+  /** `planes`-bit signature of a vector packed into ONE long: bit p =
+    * sign of dot(v, plane_p). The plane weights are literal arrays
+    * (driver-side constants), so the per-row cost is `planes` fused
+    * multiply-add folds inside codegen — no hashing in the hot path.
     *
-    * `dim` must match the actual vector length: `zip_with` against a
-    * literal of the wrong length would null-pad and silently produce
-    * all-zero signatures (collapsing every row into one bucket — a
-    * hidden O(n²)), so a mismatched non-null vector raises instead.
-    * Null vectors keep their null signature, as before.
+    * The single-long packing caps `planes` at 63 — fine for
+    * [[lshTopK]] (whose bit-flip probing needs the packed form) but
+    * NOT for banded near-dup search, where wide band keys are what
+    * keeps candidate volume sub-quadratic: use [[lshBandKeys]] there.
+    *
+    * `dim` must match the actual vector length (it defaults to 64, the
+    * testdata embedding width — callers with other widths MUST pass
+    * their own): `zip_with` against a literal of the wrong length
+    * would null-pad and silently produce all-zero signatures
+    * (collapsing every row into one bucket — a hidden O(n²)), so a
+    * mismatched non-null vector raises instead. Null vectors keep
+    * their null signature, as before.
     */
   def lshSignature(vec: Column, planes: Int, dim: Int = 64): Column = {
     val w = planeWeights(planes, dim)
@@ -159,9 +166,55 @@ object Ann {
       s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** Per-band LSH keys for `bands`·`r` hyperplanes, as an
+    * `array<bigint>` of length `bands`: band b's key packs the sign
+    * bits of planes [b·r, (b+1)·r) at local positions 0..r-1. Unlike
+    * [[lshSignature]] (one packed long, ≤ 63 planes total), the
+    * per-band rendering supports any plane count, so each band key
+    * can be 12-16 bits wide — 4096-65536 buckets per band. That width
+    * is the structural defence against the quadratic candidate cliff:
+    * chance collisions pass at rate bands/2^r of ALL pairs, so r=3
+    * (8 buckets) admits a constant ~2-12% of n² regardless of corpus
+    * content while r=12 admits ~0.4%. Same md5-derived literal plane
+    * weights as [[lshSignature]]; same `dim` contract (defaults to
+    * the 64-wide testdata embeddings — callers with other widths MUST
+    * pass theirs; mismatched non-null vectors raise, null vectors
+    * yield a null key array).
+    */
+  def lshBandKeys(vec: Column, bands: Int, r: Int, dim: Int = 64): Column = {
+    val planes = bands * r
+    val w = planeWeights(planes, dim)
+    val keys = (0 until bands).map { b =>
+      (0 until r).map { i =>
+        val proj = dot(vec, typedLit(w(b * r + i)))
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    when(vec.isNull, lit(null).cast("array<bigint>"))
+      .when(size(vec) === dim, array(keys: _*))
+      .otherwise(raise_error(concat(
+        lit(s"lshBandKeys: expected $dim-dim vector, got "),
+        size(vec).cast("string"))))
+  }
+
+  /** DuckDB rendering of one [[lshBandKeys]] band key (band index
+    * `band`, `r` planes per band) for list column `vecExpr` of
+    * dimension `dim`.
+    */
+  def lshBandKeySql(vecExpr: String, band: Int, r: Int, dim: Int): String =
+    (0 until r).map { i =>
+      val p = band * r + i
+      val proj = s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST($vecExpr[i] AS DOUBLE) * ${planeWeightSql(p.toString, "i")}), (acc, v) -> acc + v)"
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   /** LSH-bucketed ANN: candidates must share the query's bucket or a
     * 1-bit-flip neighbor bucket. Returns the same schema as
     * [[bruteForceTopK]]; recall < 1 by construction.
+    *
+    * `dim` must equal the embedding width (see [[lshSignature]] —
+    * mismatches raise rather than silently single-bucketing).
     */
   def lshTopK(
       queries: DataFrame, candidates: DataFrame,
@@ -459,66 +512,95 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Scale path for cosine near-dup: band an LSH signature into
-    * `bands` blocks of `planes/bands` bits; a pair becomes a candidate
-    * iff some block matches (OR-amplified LSH, same shape as
-    * MinHash banding); candidates are verified by *exact* cosine ≥
-    * threshold — so precision is exact and only recall is
-    * approximate. Candidate-match probability per pair is
-    * 1-(1-p^r)^bands with p = 1 - θ/π: r=6, bands=8 targets near-dup
-    * thresholds (recall ≈ 0.90 at cos 0.8, ≈ 0.98 at cos 0.9) while
-    * passing only ~2% of uncorrelated pairs. For lower thresholds
-    * shrink r / raise bands — e.g. r=3, bands=16 gives recall ≈ 0.98
-    * at cos 0.3 (at the cost of far more candidates; low-threshold
-    * regimes are inherently close to all-pairs).
+  /** Scale path for cosine near-dup: bucket each vector under `bands`
+    * independent [[lshBandKeys]] keys of `r = planes/bands` bits; a
+    * pair becomes a candidate iff some band key matches
+    * (OR-amplified LSH, same shape as MinHash banding); candidates are
+    * verified by *exact* cosine ≥ threshold — so precision is exact
+    * and only recall is approximate. Candidate-match probability per
+    * pair is 1-(1-p^r)^bands with p = 1 - θ/π: the r=12, bands=16
+    * near-dup configuration (planes=192) recalls ≈ 0.93 at cos 0.9
+    * and ≈ 1 above 0.99 while its 4096-bucket band keys pass only
+    * ~bands/2^12 ≈ 0.4% of chance pairs — the property that keeps the
+    * verify stage linear-ish at corpus scale. Low thresholds need
+    * small r (r=3, bands=16 recalls ≈ 0.98 at cos 0.3) but are
+    * inherently close to all-pairs: 8-bucket keys pass ≥ bands/2^3 of
+    * ALL pairs, so treat low-threshold banding as a demo regime, not
+    * a scale path.
+    *
+    * `dim` must equal the embedding width (mismatches raise, see
+    * [[lshBandKeys]]). When `maxBucketSize > 0` the signature lineage
+    * is evaluated twice (census + join) — persist upstream if reusing.
     *
     * Deterministic and SQL-expressible ([[cosineNearDupLshSql]]).
     */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 48, bands: Int = 8, dim: Int = 64,
+      planes: Int = 192, bands: Int = 16, dim: Int = 64,
+      maxBucketSize: Int = 1000,
+  ): DataFrame =
+    cosineLshCandidates(df, idCol, vecCol, planes, bands, dim, maxBucketSize)
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+
+  /** The deduped candidate pairs behind [[cosineNearDupLsh]] —
+    * `(id_a, id_b, va, vb, na, nb)`, hot buckets dropped via the same
+    * broadcast-anti-join census as [[graft.dedup.Dedup.minhashLshPairs]]
+    * when `maxBucketSize > 0`. Package-visible so specs can measure
+    * candidate volume directly.
+    */
+  private[graft] def cosineLshCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bands: Int, dim: Int, maxBucketSize: Int,
   ): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"),
-      lshSignature(col(vecCol), planes, dim).as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bkey"))
-    }
-    val buckets = sig
-      .select(col("id"), col("v"), col("vn"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("v"), col("vn"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
+      lshBandKeys(col(vecCol), bands, r, dim).as("keys"))
+    val buckets = sig.select(col("id"), col("v"), col("vn"),
+      posexplode(col("keys")).as(Seq("band", "bkey")))
+    val bounded =
+      if (maxBucketSize <= 0) buckets
+      else {
+        val hot = buckets.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize)
+          .select(col("band"), col("bkey"))
+        buckets.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
+    bounded.as("a")
+      .join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.v").as("va"), col("b.v").as("vb"),
         col("a.vn").as("na"), col("b.vn").as("nb"))
       .dropDuplicates("id_a", "id_b")
-    pairs
-      .select(col("id_a"), col("id_b"),
-        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
   }
 
-  /** DuckDB rendering of [[cosineNearDupLsh]] over
-    * `embeddings(vec_id, embedding)` restricted by `whereClause`.
+  /** DuckDB rendering of [[cosineNearDupLsh]] (census off — the
+    * oracle models the exact candidate construction). The source
+    * relation defaults to `embeddings(vec_id, embedding)` restricted
+    * by `whereClause`; pass `sourceSql` (any query producing
+    * `(id, v)`) to run over a derived corpus instead.
     */
   def cosineNearDupLshSql(
-      threshold: Double, planes: Int = 48, bands: Int = 8,
+      threshold: Double, planes: Int = 192, bands: Int = 16,
       dim: Int = 64, whereClause: String = "",
+      sourceSql: Option[String] = None,
   ): String = {
+    require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
-       |    ${lshSignatureSql("embedding", planes, dim)} AS sig
-       |  FROM embeddings $whereClause),
-       |buckets AS (SELECT id, v, bb.band AS band,
-       |    (sig >> (bb.band * $r)) % ${1L << r} AS bkey
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) bb),
+    val src = sourceSql.getOrElse(
+      s"SELECT vec_id AS id, embedding AS v FROM embeddings $whereClause")
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT id, v, $b AS band, ${lshBandKeySql("v", b, r, dim)} AS bkey FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($src),
+       |buckets AS (
+       |$bandSelects),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM buckets a JOIN buckets b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)

@@ -61,6 +61,33 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(q == o, s"queries-only: ${q.diff(o)}; oracle-only: ${o.diff(q)}")
   }
 
+  test("hot-bucket census plans a broadcast anti-join on all three banded paths") {
+    import org.apache.spark.sql.functions._
+    // cosine path: tiny synthetic frame, census on
+    val emb = spark.range(20).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(4)), i => i.cast("double")).as("embedding"))
+    val cosPlan = graft.ann.Ann.cosineLshCandidates(emb, "vec_id", "embedding",
+      planes = 16, bands = 4, dim = 4, maxBucketSize = 5)
+      .queryExecution.executedPlan.toString
+    assert(cosPlan.contains("BroadcastHashJoin") && cosPlan.contains("LeftAnti"),
+      "cosine LSH census lost its broadcast anti-join")
+    // simhash path
+    val sh = spark.range(20).toDF("id").select(col("id"), lit(1L).as("simhash"))
+    val shPlan = graft.dedup.Dedup.simhashBlockPairBuckets(sh, 6, 5)
+      .queryExecution.executedPlan.toString
+    assert(shPlan.contains("BroadcastHashJoin") && shPlan.contains("LeftAnti"),
+      "simhash census lost its broadcast anti-join")
+    // minhash path (the original census)
+    val docs = spark.range(20).toDF("doc_id")
+      .select(col("doc_id"), concat(lit("tok"), col("doc_id")).as("text"))
+    val mhPlan = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 5)
+      .queryExecution.executedPlan.toString
+    assert(mhPlan.contains("BroadcastHashJoin") && mhPlan.contains("LeftAnti"),
+      "minhash census lost its broadcast anti-join")
+  }
+
   test("sampling queries stay map-side before aggregation (no joins at all)") {
     for (q <- Seq("p_train_test_split", "p_stratified_sample")) {
       val p = plan(q)

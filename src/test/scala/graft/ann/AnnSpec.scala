@@ -102,20 +102,105 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage != null)
   }
 
-  test("cosineNearDupLsh demo config recalls >= 0.9 of exact pairs at threshold 0.3") {
-    // the registered e_cos_neardup_lsh parameters (planes=48, bands=16,
-    // r=3): expected recall 1-(1-p^3)^16 ~= 0.98 at cos 0.3
+  test("lshBandKeys agree with lshSignature bit slices below the 63-plane cap") {
+    // same weight family, same plane partition: for planes <= 63 band
+    // b's key must equal bits [b*r, (b+1)*r) of the packed signature
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val bands = 8; val r = 6
+    val bandFromSig = (0 until bands).map { b =>
+      shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))
+    }
+    val diff = emb.select(
+      Ann.lshSignature(col("embedding"), bands * r, 64).as("sig"),
+      Ann.lshBandKeys(col("embedding"), bands, r, 64).as("keys"))
+      .filter(array(bandFromSig: _*) =!= col("keys")).count()
+    assert(diff == 0)
+  }
+
+  test("lshBandKeys: wrong-dim vectors raise; null vectors yield null key arrays") {
+    import org.apache.spark.sql.types._
+    val rows = Seq(Row(1L, Seq(1.0f, 2.0f)), Row(2L, null))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true))))
+    val ok = d.select(Ann.lshBandKeys(col("embedding"), 2, 2, dim = 2).as("k"))
+      .collect()
+    assert(!ok(0).isNullAt(0) && ok(1).isNullAt(0))
+    val e = intercept[Exception] {
+      d.select(Ann.lshBandKeys(col("embedding"), 2, 2, dim = 64)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("cosineNearDupLsh low-threshold config (r=3) recalls >= 0.9 of exact pairs at cos 0.3") {
+    // the small-r regime: planes=48, bands=16, r=3 -> expected recall
+    // 1-(1-p^3)^16 ~= 0.98 at cos 0.3. A demo regime, not a scale
+    // path: 8-bucket band keys pass >= bands/8 of all chance pairs.
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
       .filter(col("vec_id") % 10 === 0)
     val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ann.cosineNearDupLsh(emb, "vec_id", "embedding", 0.3, bands = 16)
+    val approx = Ann.cosineNearDupLsh(emb, "vec_id", "embedding", 0.3,
+      planes = 48, bands = 16, maxBucketSize = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture produced no exact near-dup pairs")
     // precision is exact by construction (candidates verified by true cosine)
     assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall < 0.9 (${approx.size}/${exact.size})")
+  }
+
+  /** The e_cos_neardup_lsh demo corpus: embeddings plus their int8
+    * quantize->dequantize twins (cos ~ 0.9999) under id+1000000.
+    */
+  private def withQuantTwins(base: DataFrame): DataFrame = {
+    val twins = Ann.quantizeInt8(base, "vec_id", "embedding")
+      .select((col("id") + 1000000L).as("vec_id"),
+        transform(col("qvec"),
+          x => x.cast("double") / lit(127.0) * col("qscale")).as("embedding"))
+    base.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+      .unionByName(twins)
+  }
+
+  test("cosineNearDupLsh demo config (r=12, 4096-bucket bands) recalls >= 0.9 twin pairs") {
+    // expected recall at cos ~ 0.9999: p = 1 - acos(c)/pi ~ 0.9986,
+    // 1-(1-p^12)^16 ~ 1; every vector must pair with its twin
+    val union = withQuantTwins(
+      spark.read.parquet(s"$sf01/embeddings.parquet")
+        .filter(col("vec_id") % 10 === 0))
+    val exact = Ann.cosineNearDupPairs(union, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.cosineNearDupLsh(union, "vec_id", "embedding", 0.98,
+      planes = 192, bands = 16, maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50, s"expected one twin pair per vector, got ${exact.size}")
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${approx.size}/${exact.size})")
+  }
+
+  test("wide band keys keep candidate volume ~linear when the corpus doubles") {
+    // r=12 band keys admit ~bands/2^12 ~ 0.4% of chance pairs; the
+    // round-3 packed-long scheme capped r at 3 (8 buckets), admitting
+    // >= bands/8 of ALL pairs — both fractions independent of corpus
+    // content, so this pins the 2^-r constant and the growth rate.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def candidates(n: Int): Long =
+      Ann.cosineLshCandidates(emb.filter(col("vec_id") < n),
+        "vec_id", "embedding", planes = 192, bands = 16, dim = 64,
+        maxBucketSize = 0).count()
+    val c1 = candidates(1000)
+    val c2 = candidates(2000)
+    def allPairs(n: Long) = n * (n - 1) / 2
+    assert(c1.toDouble / allPairs(1000) < 0.02,
+      s"candidates $c1 of ${allPairs(1000)} pairs at n=1000")
+    assert(c2.toDouble / allPairs(2000) < 0.02,
+      s"candidates $c2 of ${allPairs(2000)} pairs at n=2000")
+    // chance collisions at most quadruple on doubling; r=3 would put
+    // both fractions above 12% and fail the bounds above
+    assert(c2 <= c1 * 6 + 100, s"candidate growth $c1 -> $c2 superquadratic")
   }
 
   test("int8 quantization: bounded range, reconstruction error within half-step, zero-safe") {
