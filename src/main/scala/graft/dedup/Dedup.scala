@@ -528,12 +528,14 @@ object Dedup {
     * throughout: a node's label is always an id inside its own
     * component, so the fixpoint labels every node with the component
     * minimum. Each round is three shuffles (neighbor join,
-    * groupBy-min, jump join); each round's labels are
-    * `localCheckpoint`ed — without truncation the logical plan nests
-    * every prior round's joins and Catalyst analysis time grows
-    * superlinearly with iterations (the classic iterative-DataFrame
-    * trap; on a cluster use `checkpoint` with a checkpoint dir for
-    * fault tolerance instead).
+    * groupBy-min, jump join); the round's starting label is carried
+    * through to the checkpointed output so convergence detection is a
+    * filter-count over blocks already in memory, not a fourth join.
+    * Each round's labels are `localCheckpoint`ed — without truncation
+    * the logical plan nests every prior round's joins and Catalyst
+    * analysis time grows superlinearly with iterations (the classic
+    * iterative-DataFrame trap; on a cluster use `checkpoint` with a
+    * checkpoint dir for fault tolerance instead).
     *
     * Below `driverThresholdEdges` the labeling is computed by
     * union-find on the driver instead (identical min-id results, one
@@ -600,13 +602,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
+      val nbrMin = edges.join(labels.select(col("id"), col("label")),
+        col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // materialized so the pointer-jump self-join reads it once, not
-      // re-evaluating the flood join on both sides
+      // re-evaluating the flood join on both sides. The round's
+      // STARTING label rides along as old_label, so convergence is a
+      // filter-count over the checkpointed round output — no extra
+      // join per round (the change join this replaces was a fourth
+      // shuffle at genuine graph scale).
       val flooded = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
             .as("label"))
         .persist()
@@ -616,11 +623,10 @@ object Dedup {
         .join(flooded.select(col("id").as("jid"), col("label").as("jlabel")),
           col("f.label") === col("jid"), "left")
         .select(col("f.id").as("id"),
-          coalesce(col("jlabel"), col("f.label")).as("label"))
+          coalesce(col("jlabel"), col("f.label")).as("label"),
+          col("f.old_label").as("old_label"))
         .localCheckpoint() // truncate lineage: constant-size plans per round
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val changed = next.filter(col("label") =!= col("old_label")).count()
       flooded.unpersist()
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next

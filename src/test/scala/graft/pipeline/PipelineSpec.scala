@@ -253,6 +253,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("distributed connected components: 130k edges, 512-node chains, log-bounded rounds") {
+    // the scale exercise the driver path can't stand in for: 256
+    // disjoint chains of 512 nodes (130,816 pairs), forced onto the
+    // distributed pointer-jumping path. Rounds are budgeted at
+    // ceil(log2(511)) + slack + the final no-change round — far below
+    // the 511 a plain one-hop flood would need; a maxIter of 16
+    // therefore also ASSERTS the O(log diameter) convergence rate.
+    val chain = 512L
+    val n = chain * 256
+    val pairs = spark.range(n)
+      .filter(col("id") % chain =!= (chain - 1))
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      maxIter = 16, driverThresholdEdges = 0L)
+    // every node labeled with its chain head
+    val wrong = out
+      .filter(col("cluster") =!= col("id") - (col("id") % chain)).count()
+    assert(wrong == 0L, s"$wrong nodes mislabeled")
+    assert(out.count() == n)
+  }
+
   test("contamination scan finds planted benchmark overlap, skips clean docs") {
     val benchmark = docs(
       100L -> "what is the capital of france",
