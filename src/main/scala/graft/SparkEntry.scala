@@ -736,7 +736,8 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, score FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e_cos_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+         |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} AS cos_sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -751,20 +752,21 @@ object SparkEntry {
       graft.ann.Ann.ivfTopKHashCellsSql("vec_id < 3", k = 5),
     "e_cos_neardup_lsh" -> {
       // corpus + int8 quantize->dequantize twins, mirroring the Spark
-      // union (same floor-based arithmetic as quantizeInt8Sql)
+      // union via the SAME shared quantize helpers as quantizeInt8Sql
+      // (a rounding-rule change desyncs nothing: both oracles read the
+      // one rendering in Ann)
+      import graft.ann.Ann.{dequantElemSql, qscaleSql, quantizeElemSql}
       val src =
-        """SELECT vec_id AS id,
-          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |FROM embeddings WHERE vec_id % 10 = 0
-          |UNION ALL
-          |SELECT vec_id + 1000000 AS id,
-          |  list_transform(embedding, x ->
-          |    CAST(CAST(CASE WHEN qscale > 0
-          |      THEN floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5)
-          |      ELSE 0.0 END AS INT) AS DOUBLE) / 127.0 * qscale) AS v
-          |FROM (SELECT vec_id, embedding,
-          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale
-          |  FROM embeddings WHERE vec_id % 10 = 0) s""".stripMargin
+        s"""SELECT vec_id AS id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |FROM embeddings WHERE vec_id % 10 = 0
+           |UNION ALL
+           |SELECT vec_id + 1000000 AS id,
+           |  list_transform(embedding, x ->
+           |    ${dequantElemSql(quantizeElemSql("x", "qscale"), "qscale")}) AS v
+           |FROM (SELECT vec_id, embedding,
+           |    ${qscaleSql("embedding")} AS qscale
+           |  FROM embeddings WHERE vec_id % 10 = 0) s""".stripMargin
       graft.ann.Ann.cosineNearDupLshSql(0.98, planes = 192, bands = 16,
         sourceSql = Some(src))
     },

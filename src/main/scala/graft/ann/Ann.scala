@@ -38,12 +38,15 @@ import org.apache.spark.sql.functions._
   *
   * Per-row constants are hoisted out of pair-scoring joins: vector
   * norms are computed once per row (`_norm` columns) rather than per
-  * candidate pair, and the LSH hyperplane weight matrix is computed
-  * once on the DRIVER and embedded as literal arrays — the (plane,
-  * dim) → weight map is known at plan-build time, so evaluating md5
-  * per row (as an expression) would only re-derive the same constants
-  * inside the scan. Values are bit-identical either way; the oracle
-  * SQL still spells out the md5 arithmetic symbolically.
+  * candidate pair, and the LSH hyperplane weight matrix is derived
+  * ONCE PER EXECUTOR inside the fused [[graft.functions.LshBandKeys]]
+  * expression — the (plane, dim) → weight map is a pure function of
+  * the configuration, so it never ships in the plan (a 192-plane
+  * matrix as per-plane literals previously meant 14 MiB task
+  * binaries) and evaluating md5 per ROW would only re-derive the
+  * same constants inside the scan. Values are bit-identical either
+  * way; the oracle SQL still spells out the md5 arithmetic
+  * symbolically.
   */
 object Ann {
 
@@ -71,12 +74,15 @@ object Ann {
     * dimension `dim` (list_reduce folds left-to-right like Spark's
     * `aggregate`).
     */
-  def cosineSql(a: String, b: String, dim: Int): String = {
-    def d(x: String, y: String) =
-      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
-        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
-    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
-  }
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** DuckDB rendering of [[dot]] for 1-based list columns of dimension
+    * `dim` (list_reduce folds left-to-right like Spark's `aggregate`).
+    */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
 
   /** Exact cosine top-k: for each query vector, the `k` most similar
     * candidates (ties broken by candidate id).
@@ -108,12 +114,13 @@ object Ann {
     * without changing any plan shape.
     */
   private[ann] def planeWeightValue(plane: Int, dim1: Int): Double =
-    (graft.functions.HashSeeds.md5TopLong(s"$plane:$dim1") % 100000L)
-      .toDouble / 100000.0 - 0.5
+    graft.functions.LshBandKeys.planeWeight(plane, dim1)
 
-  /** The full literal weight matrix: `planes` rows × `dim` (1-based)
-    * columns. Tiny (48×64 doubles = 24 KB) — ships in the plan, not
-    * per row.
+  /** The full weight matrix: `planes` rows × `dim` (1-based) columns.
+    * Spec/audit helper — the execution path ([[lshSignature]],
+    * [[lshBandKeys]]) derives the same matrix inside the fused
+    * [[graft.functions.LshBandKeys]] expression and never puts it in
+    * the plan.
     */
   private[ann] def planeWeights(planes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until planes).map(p => (1 to dim).map(i => planeWeightValue(p, i)))
@@ -126,9 +133,10 @@ object Ann {
       s"% 100000) / 100000.0 - 0.5)"
 
   /** `planes`-bit signature of a vector packed into ONE long: bit p =
-    * sign of dot(v, plane_p). The plane weights are literal arrays
-    * (driver-side constants), so the per-row cost is `planes` fused
-    * multiply-add folds inside codegen — no hashing in the hot path.
+    * sign of dot(v, plane_p). One band of the fused
+    * [[graft.functions.LshBandKeys]] expression — all projections in
+    * a single codegen loop, weight matrix derived per executor, no
+    * literals in the plan.
     *
     * The single-long packing caps `planes` at 63 — fine for
     * [[lshTopK]] (whose bit-flip probing needs the packed form) but
@@ -137,23 +145,16 @@ object Ann {
     *
     * `dim` must match the actual vector length (it defaults to 64, the
     * testdata embedding width — callers with other widths MUST pass
-    * their own): `zip_with` against a literal of the wrong length
-    * would null-pad and silently produce all-zero signatures
-    * (collapsing every row into one bucket — a hidden O(n²)), so a
-    * mismatched non-null vector raises instead. Null vectors keep
-    * their null signature, as before.
+    * their own): a mismatched non-null vector raises rather than
+    * silently producing all-zero signatures (collapsing every row
+    * into one bucket — a hidden O(n²)). Null vectors keep their null
+    * signature, as before.
     */
   def lshSignature(vec: Column, planes: Int, dim: Int = 64): Column = {
-    val w = planeWeights(planes, dim)
-    val bits = (0 until planes).map { p =>
-      val proj = dot(vec, typedLit(w(p)))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    when(vec.isNull, lit(null).cast("long"))
-      .when(size(vec) === dim, bits.reduce(_ + _))
-      .otherwise(raise_error(concat(
-        lit(s"lshSignature: expected $dim-dim vector, got "),
-        size(vec).cast("string"))))
+    require(planes > 0 && planes <= 63,
+      s"lshSignature packs into one long: 0 < planes <= 63, got $planes")
+    element_at(
+      graft.functions.LshBandKeys.lsh_band_keys(vec, 1, planes, dim), 1)
   }
 
   /** DuckDB rendering of [[lshSignature]] for list column `vecExpr`
@@ -180,22 +181,15 @@ object Ann {
     * the 64-wide testdata embeddings — callers with other widths MUST
     * pass theirs; mismatched non-null vectors raise, null vectors
     * yield a null key array).
+    *
+    * Backed by the fused [[graft.functions.LshBandKeys]] expression:
+    * all bands·r projections run in one codegen loop over a weight
+    * matrix derived per executor — nothing matrix-sized enters the
+    * plan, so wide configurations (192 planes) cost bytes of task
+    * binary, not megabytes.
     */
-  def lshBandKeys(vec: Column, bands: Int, r: Int, dim: Int = 64): Column = {
-    val planes = bands * r
-    val w = planeWeights(planes, dim)
-    val keys = (0 until bands).map { b =>
-      (0 until r).map { i =>
-        val proj = dot(vec, typedLit(w(b * r + i)))
-        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    when(vec.isNull, lit(null).cast("array<bigint>"))
-      .when(size(vec) === dim, array(keys: _*))
-      .otherwise(raise_error(concat(
-        lit(s"lshBandKeys: expected $dim-dim vector, got "),
-        size(vec).cast("string"))))
-  }
+  def lshBandKeys(vec: Column, bands: Int, r: Int, dim: Int = 64): Column =
+    graft.functions.LshBandKeys.lsh_band_keys(vec, bands, r, dim)
 
   /** DuckDB rendering of one [[lshBandKeys]] band key (band index
     * `band`, `r` planes per band) for list column `vecExpr` of
@@ -474,6 +468,34 @@ object Ann {
     array_max(zip_with(v, qvec, (x, q) =>
       abs(q.cast("double") / 127.0 * qscale - x.cast("double"))))
 
+  /** DuckDB rendering of [[quantizeInt8]]'s per-vector scale (max
+    * |x_i|) for list expression `v`. Shared by every oracle that
+    * models the quantizer, so a rounding/scale change can't desync
+    * one of them silently.
+    */
+  def qscaleSql(v: String): String =
+    s"list_max(list_transform($v, x -> abs(CAST(x AS DOUBLE))))"
+
+  /** DuckDB rendering of [[quantizeInt8]]'s per-element quantize step
+    * (`floor(x/scale·127 + 0.5)` as INT, zero-scale-safe) for scalar
+    * expression `x` and scale expression `scale`. The single source
+    * of truth for the quantize arithmetic on the oracle side — used
+    * by [[quantizeInt8Sql]] AND by derived-corpus oracles that build
+    * quantize→dequantize twins.
+    */
+  def quantizeElemSql(x: String, scale: String): String =
+    s"""CAST(CASE WHEN $scale > 0
+       |      THEN floor(CAST($x AS DOUBLE) / $scale * 127.0 + 0.5)
+       |      ELSE 0.0 END AS INT)""".stripMargin
+
+  /** DuckDB rendering of the dequantized value of quantized element
+    * `q` at scale `scale` (`q/127·scale` in doubles) — the inverse
+    * step, kept beside [[quantizeElemSql]] for the same
+    * single-source-of-truth reason.
+    */
+  def dequantElemSql(q: String, scale: String): String =
+    s"CAST($q AS DOUBLE) / 127.0 * $scale"
+
   /** DuckDB rendering of the quantize → dequantize-error pipeline over
     * `embeddings(vec_id, embedding)` restricted by `whereClause`. The
     * error fold ranges over `len(v)` (not a caller-supplied dim), so a
@@ -482,30 +504,36 @@ object Ann {
   def quantizeInt8Sql(whereClause: String): String =
     s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings $whereClause),
        |s AS (SELECT id, v,
-       |    list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS qscale
+       |    ${qscaleSql("v")} AS qscale
        |  FROM e),
        |q AS (SELECT id, v, qscale,
-       |    list_transform(v, x -> CAST(CASE WHEN qscale > 0
-       |      THEN floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5)
-       |      ELSE 0.0 END AS INT)) AS qvec
+       |    list_transform(v, x -> ${quantizeElemSql("x", "qscale")}) AS qvec
        |  FROM s)
        |SELECT id, qscale,
        |  list_max(list_transform(range(1, len(v) + 1), i ->
-       |    abs(CAST(qvec[i] AS DOUBLE) / 127.0 * qscale - CAST(v[i] AS DOUBLE)))) AS max_abs_err
+       |    abs(${dequantElemSql("qvec[i]", "qscale")} - CAST(v[i] AS DOUBLE)))) AS max_abs_err
        |FROM q ORDER BY id""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — O(n²); the baseline/verifier for
     * [[cosineNearDupLsh]], and usable directly on small or
     * pre-bucketed slices).
+    *
+    * Zero-norm vectors are excluded BEFORE scoring: cosine against a
+    * zero vector is 0/0, which Spark evaluates to NaN — and Spark
+    * orders NaN above every double (NaN >= threshold is TRUE) while
+    * SQL engines yield NULL, so an unguarded zero vector would emit
+    * engine-divergent phantom pairs. A zero embedding is never a
+    * meaningful near-duplicate of anything; dropping it is the only
+    * cross-engine-stable semantics.
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
   ): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
+      norm(col(vecCol)).as("na")).filter(col("na") > 0)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
+      norm(col(vecCol)).as("nb")).filter(col("nb") > 0)
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
@@ -531,6 +559,10 @@ object Ann {
     * `dim` must equal the embedding width (mismatches raise, see
     * [[lshBandKeys]]). When `maxBucketSize > 0` the signature lineage
     * is evaluated twice (census + join) — persist upstream if reusing.
+    * Zero-norm vectors are excluded before scoring (same
+    * cross-engine NaN-vs-NULL rationale as [[cosineNearDupPairs]] —
+    * and a zero vector's LSH keys are degenerate anyway: every
+    * projection is 0, so it lands in the all-zeros bucket).
     *
     * Deterministic and SQL-expressible ([[cosineNearDupLshSql]]).
     */
@@ -540,6 +572,7 @@ object Ann {
       maxBucketSize: Int = 1000,
   ): DataFrame =
     cosineLshCandidates(df, idCol, vecCol, planes, bands, dim, maxBucketSize)
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -549,6 +582,19 @@ object Ann {
     * broadcast-anti-join census as [[graft.dedup.Dedup.minhashLshPairs]]
     * when `maxBucketSize > 0`. Package-visible so specs can measure
     * candidate volume directly.
+    *
+    * The signature frame is persisted (MEMORY_AND_DISK): it is read
+    * by BOTH sides of the candidate self-join plus the census, and —
+    * less obviously — without the cache barrier Catalyst's
+    * infer-filters-from-Generate rewrite pushes
+    * `isnotnull(keys) AND size(keys) > 0` predicates BELOW the
+    * posexplode, duplicating the full `planes`-projection signature
+    * (and the caller's upstream lineage) several times per join side
+    * inside a Filter. One materialized pass is the plan a 1000-node
+    * cluster wants anyway: compute each signature once, read it
+    * everywhere. The cache entry lives until the session drops it
+    * (`spark.catalog.clearCache()` / `unpersist`); Spark's
+    * CacheManager dedupes repeat calls over the same input plan.
     */
   private[graft] def cosineLshCandidates(
       df: DataFrame, idCol: String, vecCol: String,
@@ -559,6 +605,7 @@ object Ann {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"),
       lshBandKeys(col(vecCol), bands, r, dim).as("keys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sig.select(col("id"), col("v"), col("vn"),
       posexplode(col("keys")).as(Seq("band", "bkey")))
     val bounded =
@@ -606,7 +653,8 @@ object Ann {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
        |SELECT id_a, id_b, ${cosineSql("ea.v", "eb.v", dim)} AS cos_sim
        |FROM pairs JOIN e ea ON id_a = ea.id JOIN e eb ON id_b = eb.id
-       |WHERE ${cosineSql("ea.v", "eb.v", dim)} >= $threshold
+       |WHERE ${dotSql("ea.v", "ea.v", dim)} > 0 AND ${dotSql("eb.v", "eb.v", dim)} > 0
+       |  AND ${cosineSql("ea.v", "eb.v", dim)} >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -353,15 +353,22 @@ object Dedup {
 
   /** SimHash near-duplicate pair search over a corpus: compute
     * [[simhash]] fingerprints, then delegate to
-    * [[simhashNearDupPairsFromSignatures]]. When `maxBucketSize > 0`
-    * the signature lineage is evaluated twice (hot-bucket census +
-    * pair join) — callers reusing signatures across calls should
-    * compute [[simhash]] once, persist it, and call the
-    * from-signatures variant directly.
+    * [[simhashNearDupPairsFromSignatures]].
+    *
+    * The default is EXACT (`maxBucketSize = 0`): by pigeonhole, every
+    * pair within `maxHamming` is found. Opt into the hot-bucket
+    * census (`maxBucketSize > 0`) at corpus scale, where
+    * boilerplate-heavy data can hand one reducer a quadratic bucket —
+    * the census trades those buckets' recall for bounded reducers,
+    * so results become approximate. With the census on, the
+    * signature lineage is evaluated twice (census + pair join) —
+    * callers reusing signatures across calls should compute
+    * [[simhash]] once, persist it, and call the from-signatures
+    * variant directly.
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blocks: Int = 6, maxBucketSize: Int = 1000,
+      maxHamming: Int = 3, blocks: Int = 6, maxBucketSize: Int = 0,
   ): DataFrame =
     simhashNearDupPairsFromSignatures(
       simhash(df, idCol, textCol), maxHamming, blocks, maxBucketSize)
@@ -376,12 +383,14 @@ object Dedup {
     * specialized to block pairs).
     *
     * By pigeonhole the candidate step is *exact* whenever
-    * `maxHamming ≤ blocks − 2`: each differing bit dirties at most
-    * one block, so ≤ maxHamming dirty blocks leave ≥ 2 clean blocks —
-    * and that clean pair is a table where both fingerprints agree.
-    * The default (3 ≤ 4) finds every qualifying pair. For larger
-    * Hamming radii raise `blocks` (e.g. maxHamming=4 → blocks=6 is
-    * rejected; use blocks=8 with 12-bit keys).
+    * `maxHamming ≤ blocks − 2` AND `maxBucketSize = 0` (the
+    * default): each differing bit dirties at most one block, so ≤
+    * maxHamming dirty blocks leave ≥ 2 clean blocks — and that clean
+    * pair is a table where both fingerprints agree. The default
+    * (3 ≤ 4) finds every qualifying pair. Setting `maxBucketSize > 0`
+    * forfeits the guarantee for pairs whose every clean bucket is
+    * hot. For larger Hamming radii raise `blocks` (e.g. maxHamming=4
+    * → blocks=6 is rejected; use blocks=8 with 12-bit keys).
     *
     * Why pairs instead of single blocks: single-block keys are only
     * w bits wide (2^8 = 256 buckets at the defaults), so candidate
@@ -395,12 +404,13 @@ object Dedup {
     * @param maxBucketSize skew guard (same broadcast-anti-join census
     *   as [[minhashLshPairs]]): (table, key) buckets larger than this
     *   are dropped entirely, so boilerplate-heavy corpora can't hand
-    *   one reducer a quadratic bucket. Pass 0 to disable — exact
-    *   candidates, used by the oracle-gated demos.
+    *   one reducer a quadratic bucket. 0 (the default) disables it —
+    *   exact candidates; opt in at corpus scale where bounded
+    *   reducers matter more than hot-bucket recall.
     */
   def simhashNearDupPairsFromSignatures(
       sh: DataFrame, maxHamming: Int = 3, blocks: Int = 6,
-      maxBucketSize: Int = 1000,
+      maxBucketSize: Int = 0,
   ): DataFrame = {
     require(SimhashBits % blocks == 0, "blocks must divide SimhashBits")
     require(maxHamming <= blocks - 2,

@@ -16,6 +16,7 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.001"
   private val sf01 = "/root/testdata/sf0.01"
+  private val sf1 = "/root/testdata/sf0.1"
 
   test("planeWeightValue reproduces the md5(plane:dim) arithmetic exactly") {
     // reference values computed independently (python hashlib)
@@ -186,7 +187,7 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     // round-3 packed-long scheme capped r at 3 (8 buckets), admitting
     // >= bands/8 of ALL pairs — both fractions independent of corpus
     // content, so this pins the 2^-r constant and the growth rate.
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb = spark.read.parquet(s"$sf1/embeddings.parquet")
     def candidates(n: Int): Long =
       Ann.cosineLshCandidates(emb.filter(col("vec_id") < n),
         "vec_id", "embedding", planes = 192, bands = 16, dim = 64,
