@@ -164,6 +164,12 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
     "e_vector_norm" -> ((s, dir) => {
+      // INTENTIONAL higher-order-function demo: this is the library's
+      // one registered exercise of aggregate()/zip_with() (API
+      // coverage, and the formulation the oracle SQL mirrors
+      // symbolically). Every hot-path dot product goes through the
+      // codegen'd VecDot expression instead — use Ann.norm, not this
+      // shape, in new code.
       t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0)
         .select(col("vec_id"),
           sqrt(aggregate(

@@ -163,26 +163,54 @@ object Multimodal {
         greatest(lit(1L), floor(h * scale).cast(LongType)))
   }
 
+  /** Per-partition probe that reads a frame count out of a video
+    * container header — the [[BinaryDecoder]] analogue for
+    * [[sampleFrames]]. Implementations must be serializable and
+    * construct any codec state lazily (one instance is reused across
+    * a partition). Must return >= 1.
+    */
+  trait FrameProbe extends Serializable {
+    def frameCount(id: Long, payload: Array[Byte]): Long
+  }
+
   /** Frame-sampling plumbing for video payloads: one output row per
     * sampled frame (every `stride`-th of `n_frames`), carrying a
     * deterministic frame fingerprint where a real pipeline would carry
-    * decoded frame bytes. The frame COUNT is stubbed arithmetically
-    * from the payload size (`1 + n_bytes % 240` — no video codec in
-    * this environment, same contract as [[StubDecoder]]); the
-    * Spark-side shape is the real thing: a map-only `sequence` +
-    * `explode` (no shuffle, no decoder state), output partitioned
-    * exactly like the input, row count bounded by
-    * `ceil(n_frames / stride)` per video. A production deployment
-    * replaces the two stub expressions with a [[BinaryDecoder]]-style
-    * probe (frame count from the container header) and a
-    * `mapPartitions` frame extractor.
+    * decoded frame bytes. The Spark-side shape is the real thing: a
+    * map-only `sequence` + `explode` (no shuffle, no decoder state),
+    * output partitioned exactly like the input, row count bounded by
+    * `ceil(n_frames / stride)` per video.
+    *
+    * The frame COUNT comes from `probe` when one is bound (a
+    * container-header parse via `mapPartitions`, one probe per
+    * partition — same boundary as [[decodeMeta]]'s decoder); the
+    * default is the stubbed arithmetic `1 + n_bytes % 240` (no video
+    * codec in this environment, same contract as [[StubDecoder]]),
+    * which stays a pure Column expression — fully codegen'd, and the
+    * shape the DuckDB oracle reproduces. A production deployment
+    * additionally swaps the md5 fingerprint for a `mapPartitions`
+    * frame extractor.
     */
   def sampleFrames(
       df: DataFrame, idCol: String, binCol: String, stride: Int,
+      probe: Option[FrameProbe] = None,
   ): DataFrame = {
     require(stride >= 1, s"stride $stride must be >= 1")
-    df.select(col(idCol).cast(LongType).as("id"),
-      (lit(1L) + length(col(binCol)).cast(LongType) % 240L).as("n_frames"))
+    val counted = probe match {
+      case None =>
+        df.select(col(idCol).cast(LongType).as("id"),
+          (lit(1L) + length(col(binCol)).cast(LongType) % 240L).as("n_frames"))
+      case Some(p) =>
+        val session = df.sparkSession
+        import session.implicits._
+        df.select(col(idCol).cast(LongType), col(binCol))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(it => it.map { case (id, payload) =>
+            (id, p.frameCount(id, payload))
+          })
+          .toDF("id", "n_frames")
+    }
+    counted
       .select(col("id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
           .as("frame_idx"))

@@ -27,26 +27,39 @@ import org.apache.spark.sql.functions._
   * aggregate — fully lazy, no driver-side action.
   *
   * The tf lineage feeds both sides of the df-join (plus the corpus
-  * count), so the plan re-reads the input per use — when the corpus
-  * scan is expensive, persist the input DataFrame (or materialize the
-  * tokenized projection) before calling; the operator does not cache
-  * on the caller's behalf.
+  * count), so by default the plan re-reads the input per use — when
+  * the corpus scan is expensive, pass `persistInput = true` (one
+  * MEMORY_AND_DISK materialization of the input, every downstream use
+  * reads the cache) or persist upstream yourself before calling.
   */
 object TfIdf {
 
   /** Top `k` terms per document by tf-idf (ties → lexicographic).
     * Output: (id, term, tfidf, rnk).
+    *
+    * @param persistInput cache the projected input (id, text) at
+    *   MEMORY_AND_DISK so the three lineage uses (tokenize, document
+    *   frequency via tf, corpus count) scan the source once instead
+    *   of three times. The cache entry lives until the session drops
+    *   it (`spark.catalog.clearCache()` / `unpersist`); off by
+    *   default so one-shot small scans don't pay materialization.
     */
   def topTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int,
+      persistInput: Boolean = false,
   ): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val src0 = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val src =
+      if (persistInput)
+        src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else src0
+    val toks = src.select(col("id"),
+      explode(TextFunctions.tokens(lower(col("txt")))).as("term"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     // corpus size as a broadcast single-row join — the plan-time
     // scalar the oracle writes as (SELECT count(*) FROM d), with no
     // eager action at plan-construction time
-    val corpusN = df.agg(count(lit(1)).as("corpus_n"))
+    val corpusN = src.agg(count(lit(1)).as("corpus_n"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(docFreq, Seq("term"))
       .crossJoin(broadcast(corpusN))

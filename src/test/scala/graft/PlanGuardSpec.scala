@@ -88,6 +88,32 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       "minhash census lost its broadcast anti-join")
   }
 
+  test("tfidf persistInput collapses the triple source scan to one cached pass") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    def count(p: String, needle: String): Int = needle.r.findAllIn(p).size
+    // default: the tf/df/corpus-count lineages each re-read the source
+    val cold = graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(count(cold, "FileScan parquet") >= 2,
+      s"expected multiple source scans, got:\n$cold")
+    // persistInput: every lineage use reads the cache. The plan string
+    // reprints the cached plan (with its inner FileScan) under each
+    // InMemoryRelation, so "no bare scans" = every FileScan occurrence
+    // sits inside a cached-relation printout.
+    val cached = graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3,
+      persistInput = true)
+    val warm = cached.queryExecution.executedPlan.toString
+    assert(warm.contains("InMemoryTableScan"),
+      s"persistInput did not route reads through the cache:\n$warm")
+    assert(count(warm, "FileScan parquet") == count(warm, "InMemoryRelation"),
+      s"persistInput still re-scans the source outside the cache:\n$warm")
+    // same results either way
+    assert(cached.collect().toSeq ==
+      graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3).collect().toSeq)
+  }
+
   test("sampling queries stay map-side before aggregation (no joins at all)") {
     for (q <- Seq("p_train_test_split", "p_stratified_sample")) {
       val p = plan(q)

@@ -372,6 +372,78 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(m.format == "jpeg" && m.width == 3 && m.height == 9)
   }
 
+  test("multimodal: probe degrades cleanly on truncated and exotic real-media payloads") {
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val probe = Multimodal.HeaderProbeDecoder
+
+    // 1. truncated PNG: valid signature, IHDR cut off mid-dimensions —
+    // must degrade to unknown + byte length, never read past the end
+    val truncatedPng = imageBytes(7, 5, "png").take(18)
+    val t = probe.decode(1L, truncatedPng)
+    assert(t.format == "unknown" && t.n_bytes == 18L && t.width == 0)
+
+    // 2. JPEG with an EXIF APP1 segment between SOI and the JFIF
+    // tail — cameras emit this; the walker must skip APP1 by its
+    // self-inclusive length and still find the SOF dimensions
+    val jpeg = imageBytes(3, 9, "jpg")
+    val app1 = seg(0xe1, "Exif  ".getBytes("US-ASCII") ++
+      Array.fill(40)(0x2a.toByte))
+    val exifJpeg = jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    val e = probe.decode(2L, exifJpeg)
+    assert(e.format == "jpeg" && e.width == 3 && e.height == 9)
+
+    // 3. progressive JPEG: SOF2 frame header (0xC2), plus a decoy
+    // second SOF0 later in the stream — the first frame header wins
+    // (per spec the first SOF defines the image)
+    val sof2 = seg(0xc2, Array(8.toByte) ++ be16(30) ++ be16(20) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val sof0Decoy = seg(0xc0, Array(8.toByte) ++ be16(99) ++ be16(77) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dqt = seg(0xdb, Array.fill(65)(1.toByte))
+    val progressive = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof2 ++ sof0Decoy
+    val p = probe.decode(3L, progressive)
+    assert(p.format == "jpeg" && p.width == 20 && p.height == 30)
+
+    // 4. truncated JPEG: a segment length pointing past the end must
+    // halt the walk (unknown), not throw
+    val truncatedJpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xdb, Array.fill(65)(1.toByte)).take(6)
+    val tj = probe.decode(4L, truncatedJpeg)
+    assert(tj.format == "unknown" && tj.n_bytes == truncatedJpeg.length.toLong)
+  }
+
+  test("frame sampling: bound FrameProbe reads the count from the container header") {
+    // payload models a container whose first 4 bytes carry the frame
+    // count big-endian; the probe parses it per partition
+    def payload(frames: Int, filler: Int): Array[Byte] =
+      Array(((frames >> 24) & 0xff).toByte, ((frames >> 16) & 0xff).toByte,
+        ((frames >> 8) & 0xff).toByte, (frames & 0xff).toByte) ++
+        Array.fill(filler)(0x55.toByte)
+    val rows = Seq(Row(1L, payload(9, 100)), Row(2L, payload(2, 7)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("vid", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = false))))
+    val out = Multimodal.sampleFrames(d, "vid", "content", stride = 4,
+      probe = Some(Be32FrameProbe))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    // 9 frames -> 0,4,8; 2 frames -> 0
+    assert(out.toSeq == Seq((1L, 0L), (1L, 4L), (1L, 8L), (2L, 0L)))
+    // stub default ignores the header: 104 bytes -> 1 + 104 % 240 = 105 frames
+    val stub = Multimodal.sampleFrames(d.filter(col("vid") === 1), "vid",
+      "content", stride = 60).collect()
+    assert(stub.forall(_.getLong(1) == 105L) && stub.length == 2)
+  }
+
   test("multimodal: payload plumbing round trip with stub decoder") {
     val d = docs(1L -> "abcd", 2L -> "efghijkl")
     val out = Multimodal.decodeMeta(
@@ -382,4 +454,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getAs[Long]("n_bytes") == 8L)
     assert(out(2L).getAs[String]("format") == "webp")
   }
+}
+
+/** Test probe: frame count = big-endian int in the first 4 bytes.
+  * Top-level so the closure serializes without dragging the spec
+  * class along.
+  */
+private object Be32FrameProbe extends Multimodal.FrameProbe {
+  override def frameCount(id: Long, payload: Array[Byte]): Long =
+    (((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
+      ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)).toLong
 }
