@@ -32,16 +32,23 @@ object Bench {
     // three timed passes, min per query: steady-state cost with
     // protection against one-off scheduler/GC noise on a shared box
     // (single-run totals swing +-25% here; min-of-3 keeps a real
-    // regression visible without letting noise mimic one)
-    def timedPass(): Map[String, Double] = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      // failed queries must be visible in the output, not blend in as
-      // a normal-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    // regression visible without letting noise mimic one). Each pass
+    // starts cache-cold: operators that persist internally (cosine
+    // near-dup LSH) would otherwise serve timed passes from the
+    // warmup's materialization and report cached-read times that
+    // aren't comparable with earlier rounds or a fresh session.
+    def timedPass(): Map[String, Double] = {
+      spark.catalog.clearCache()
+      names.map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        // failed queries must be visible in the output, not blend in
+        // as a normal-looking elapsed time
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
     val passes = Seq.fill(3)(timedPass())
     val results = names.map { n =>
       val ts = passes.map(_(n))

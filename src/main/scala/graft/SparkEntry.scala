@@ -321,12 +321,12 @@ object SparkEntry {
         .orderBy("id")
     }),
     "d_simhash_pairs" -> ((s, dir) => {
-      // maxBucketSize = 0: the oracle models the exact block-pair
-      // candidate construction; the census default (on) is the
-      // corpus-scale setting
+      // default maxBucketSize = 0 (exact pigeonhole candidates, the
+      // shape the oracle models); the hot-bucket census is the
+      // corpus-scale OPT-IN (maxBucketSize > 0)
       graft.dedup.Dedup.simhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", maxHamming = 3, maxBucketSize = 0)
+        "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
     "d_dedup_clusters" -> ((s, dir) => {
@@ -337,7 +337,7 @@ object SparkEntry {
       // plan-only tools should skip it
       val pairs = graft.dedup.Dedup.simhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", maxHamming = 3, maxBucketSize = 0)
+        "doc_id", "text", maxHamming = 3)
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
     }),
@@ -731,8 +731,10 @@ object SparkEntry {
          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
     },
     "e_ann_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 3 AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+         |  WHERE ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),
          |scored AS (SELECT query_id, neighbor_id,
          |  ${graft.ann.Ann.cosineSql("qv", "cv", 64)} AS score
          |  FROM q JOIN c ON query_id <> neighbor_id),

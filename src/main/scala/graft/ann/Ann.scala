@@ -38,15 +38,15 @@ import org.apache.spark.sql.functions._
   *
   * Per-row constants are hoisted out of pair-scoring joins: vector
   * norms are computed once per row (`_norm` columns) rather than per
-  * candidate pair, and the LSH hyperplane weight matrix is derived
-  * ONCE PER EXECUTOR inside the fused [[graft.functions.LshBandKeys]]
-  * expression — the (plane, dim) → weight map is a pure function of
-  * the configuration, so it never ships in the plan (a 192-plane
-  * matrix as per-plane literals previously meant 14 MiB task
-  * binaries) and evaluating md5 per ROW would only re-derive the
-  * same constants inside the scan. Values are bit-identical either
-  * way; the oracle SQL still spells out the md5 arithmetic
-  * symbolically.
+  * candidate pair, and the LSH hyperplane weight matrix lives inside
+  * the fused [[graft.functions.LshBandKeys]] expression — a pure
+  * function of the configuration, derived once and shipped as one
+  * compact codegen reference object per stage rather than as
+  * per-plane literal expression trees (which the optimizer duplicated
+  * into every operator using the keys: 14 MiB task binaries at 192
+  * planes). Evaluating md5 per ROW would only re-derive the same
+  * constants inside the scan. Values are bit-identical either way;
+  * the oracle SQL still spells out the md5 arithmetic symbolically.
   */
 object Ann {
 
@@ -86,15 +86,23 @@ object Ann {
 
   /** Exact cosine top-k: for each query vector, the `k` most similar
     * candidates (ties broken by candidate id).
+    *
+    * Zero-norm vectors are excluded on both sides before scoring —
+    * cosine against a zero vector is 0/0, which Spark evaluates to
+    * NaN and then RANKS FIRST (NaN sorts above every double), while
+    * SQL engines yield NULL and rank it last: an engine-divergent
+    * phantom top-1. Applied uniformly across every scoring path here
+    * ([[lshTopK]], [[ivfTopKHashCells]], [[ivfTopK]], the near-dup
+    * pair scans) and mirrored in each oracle rendering.
     */
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+      norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+      norm(col(vecCol)).as("cn")).filter(col("cn") > 0)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
@@ -135,8 +143,8 @@ object Ann {
   /** `planes`-bit signature of a vector packed into ONE long: bit p =
     * sign of dot(v, plane_p). One band of the fused
     * [[graft.functions.LshBandKeys]] expression — all projections in
-    * a single codegen loop, weight matrix derived per executor, no
-    * literals in the plan.
+    * a single codegen loop, weight matrix as one per-stage reference
+    * object, no literals in the expression tree.
     *
     * The single-long packing caps `planes` at 63 — fine for
     * [[lshTopK]] (whose bit-flip probing needs the packed form) but
@@ -183,10 +191,11 @@ object Ann {
     * yield a null key array).
     *
     * Backed by the fused [[graft.functions.LshBandKeys]] expression:
-    * all bands·r projections run in one codegen loop over a weight
-    * matrix derived per executor — nothing matrix-sized enters the
-    * plan, so wide configurations (192 planes) cost bytes of task
-    * binary, not megabytes.
+    * all bands·r projections run in one codegen loop; the weight
+    * matrix ships as one ~100 KB reference object per stage instead
+    * of per-plane literal trees duplicated into every operator, so
+    * wide configurations (192 planes) cost kilobytes of task binary,
+    * not megabytes.
     */
   def lshBandKeys(vec: Column, bands: Int, r: Int, dim: Int = 64): Column =
     graft.functions.LshBandKeys.lsh_band_keys(vec, bands, r, dim)
@@ -217,12 +226,14 @@ object Ann {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
+      .filter(col("cn") > 0) // zero-norm: see bruteForceTopK
     // query probes: own bucket + all 1-bit flips (norm computed before
     // the probe explode — once per query, not once per probe)
     val probes = (0 until planes).map(p => lit(1L << p)) :+ lit(0L)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"),
       lshSignature(col(vecCol), planes, dim).as("qsig"))
+      .filter(col("qn") > 0)
       .select(col("query_id"), col("qv"), col("qn"),
         explode(array(probes.map(m => col("qsig").bitwiseXOR(m)): _*)).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
@@ -244,10 +255,11 @@ object Ann {
   ): String = {
     val sig = lshSignatureSql("embedding", planes, dim)
     val masks = ((0 until planes).map(p => 1L << p) :+ 0L).mkString(", ")
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
     s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv, $sig AS bucket
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $nz),
        |q0 AS (SELECT vec_id AS query_id, embedding AS qv, $sig AS qsig
-       |  FROM embeddings WHERE $queryWhere),
+       |  FROM embeddings WHERE ($queryWhere) AND $nz),
        |q AS (SELECT query_id, qv, xor(qsig, m.mask) AS bucket
        |  FROM q0 CROSS JOIN (SELECT unnest([$masks]) AS mask) m),
        |scored AS (SELECT DISTINCT query_id, neighbor_id,
@@ -284,9 +296,12 @@ object Ann {
       nCells: Int = 16, nProbe: Int = 4,
   ): DataFrame = {
     // single-row DataFrame holding the centroid array (with
-    // precomputed norms), for broadcast
+    // precomputed norms), for broadcast. Zero-norm vectors are
+    // excluded here and from both scored sides (see bruteForceTopK):
+    // a zero centroid would make every assignment cosine NaN.
     val cents = candidates
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+      .filter(norm(col("centroid")) > 0)
       .withColumn("ck", md5(col("cell").cast("string")))
       .orderBy(col("ck"), col("cell")).limit(nCells)
       .agg(collect_list(struct(col("cell"), col("centroid"),
@@ -301,6 +316,7 @@ object Ann {
     val assigned = candidates
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
       .crossJoin(broadcast(cents))
       .withColumn("cell", array_max(cellScores(col("cv"), col("cn")))("cell"))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
@@ -313,6 +329,7 @@ object Ann {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
       .crossJoin(broadcast(cents))
       .withColumn("scores", array_sort(cellScores(col("qv"), col("qn"))))
       .filter(size(col("scores")) > 0)
@@ -339,18 +356,20 @@ object Ann {
   def ivfTopKHashCellsSql(
       queryWhere: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
-  ): String =
+  ): String = {
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
     s"""WITH cents AS (SELECT vec_id AS cell, embedding AS centroid
-       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |  FROM embeddings WHERE $nz
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
        |assign0 AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosineSql("e.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
-       |  FROM embeddings e CROSS JOIN cents c),
+       |  FROM (SELECT * FROM embeddings WHERE $nz) e CROSS JOIN cents c),
        |assigned AS (SELECT neighbor_id, cv, cell FROM assign0 WHERE rn = 1),
        |probe0 AS (SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${cosineSql("q.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
-       |  FROM (SELECT * FROM embeddings WHERE $queryWhere) q CROSS JOIN cents c),
+       |  FROM (SELECT * FROM embeddings WHERE ($queryWhere) AND $nz) q CROSS JOIN cents c),
        |probes AS (SELECT query_id, qv, cell FROM probe0 WHERE rn <= $nProbe),
        |scored AS (SELECT DISTINCT query_id, neighbor_id,
        |    ${cosineSql("qv", "cv", dim)} AS score
@@ -361,6 +380,7 @@ object Ann {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, score FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The bounded, deterministic training sample for [[ivfTopK]]'s
     * k-means quantizer: the `maxTrainRows` candidates with smallest
@@ -406,6 +426,7 @@ object Ann {
         .withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"),
         col("prediction").as("cell"))
+      .filter(col("cn") > 0) // zero-norm: see bruteForceTopK
 
     // rank each query's distance to every centroid, keep nProbe cells
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -415,7 +436,7 @@ object Ann {
       .toDF("cell", "centroid")
       .withColumn("cnorm", norm(col("centroid")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+      norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
     val probes = q.crossJoin(broadcast(centroidDf))
       .withColumn("cdist",
         -cosinePre(col("qv"), col("centroid"), col("qn"), col("cnorm")))
@@ -557,8 +578,11 @@ object Ann {
     * a scale path.
     *
     * `dim` must equal the embedding width (mismatches raise, see
-    * [[lshBandKeys]]). When `maxBucketSize > 0` the signature lineage
-    * is evaluated twice (census + join) — persist upstream if reusing.
+    * [[lshBandKeys]]). The signature frame is persisted internally by
+    * default (every lineage use — both self-join sides and the census
+    * — reads one materialized pass; see [[cosineLshCandidates]]); set
+    * `persistSignatures = false` when the caller has already
+    * persisted the input, to avoid caching the data twice.
     * Zero-norm vectors are excluded before scoring (same
     * cross-engine NaN-vs-NULL rationale as [[cosineNearDupPairs]] —
     * and a zero vector's LSH keys are degenerate anyway: every
@@ -569,9 +593,10 @@ object Ann {
   def cosineNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planes: Int = 192, bands: Int = 16, dim: Int = 64,
-      maxBucketSize: Int = 1000,
+      maxBucketSize: Int = 1000, persistSignatures: Boolean = true,
   ): DataFrame =
-    cosineLshCandidates(df, idCol, vecCol, planes, bands, dim, maxBucketSize)
+    cosineLshCandidates(df, idCol, vecCol, planes, bands, dim, maxBucketSize,
+      persistSignatures)
       .filter(col("na") > 0 && col("nb") > 0)
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
@@ -583,10 +608,10 @@ object Ann {
     * when `maxBucketSize > 0`. Package-visible so specs can measure
     * candidate volume directly.
     *
-    * The signature frame is persisted (MEMORY_AND_DISK): it is read
-    * by BOTH sides of the candidate self-join plus the census, and —
-    * less obviously — without the cache barrier Catalyst's
-    * infer-filters-from-Generate rewrite pushes
+    * The signature frame is persisted (MEMORY_AND_DISK) by default:
+    * it is read by BOTH sides of the candidate self-join plus the
+    * census, and — less obviously — without the cache barrier
+    * Catalyst's infer-filters-from-Generate rewrite pushes
     * `isnotnull(keys) AND size(keys) > 0` predicates BELOW the
     * posexplode, duplicating the full `planes`-projection signature
     * (and the caller's upstream lineage) several times per join side
@@ -595,17 +620,25 @@ object Ann {
     * everywhere. The cache entry lives until the session drops it
     * (`spark.catalog.clearCache()` / `unpersist`); Spark's
     * CacheManager dedupes repeat calls over the same input plan.
+    * `persistSignatures = false` skips the cache for callers who have
+    * persisted upstream themselves (they still get correct results —
+    * at the cost of the duplicated-lineage plan described above
+    * running against their cache).
     */
   private[graft] def cosineLshCandidates(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Int, bands: Int, dim: Int, maxBucketSize: Int,
+      persistSignatures: Boolean = true,
   ): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sig0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"),
       lshBandKeys(col(vecCol), bands, r, dim).as("keys"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig =
+      if (persistSignatures)
+        sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sig0
     val buckets = sig.select(col("id"), col("v"), col("vn"),
       posexplode(col("keys")).as(Seq("band", "bkey")))
     val bounded =

@@ -238,20 +238,28 @@ object Dedup {
     *   dropped entirely via a broadcast anti-join on the (small) hot
     *   bucket list — the hot key never concentrates on one reducer
     *   (pathological boilerplate at corpus scale would otherwise
-    *   create a quadratic blow-up). The signature lineage is computed
-    *   twice (hot-bucket census + pair join) rather than cached —
-    *   callers reusing the signatures across many calls should
-    *   persist [[minhashSignatures]] themselves and own its
-    *   lifecycle.
+    *   create a quadratic blow-up).
+    * @param persistSignatures cache the signature frame
+    *   (MEMORY_AND_DISK, default on): the shingle+minhash aggregation
+    *   — the most expensive map stage at corpus scale — feeds the
+    *   hot-bucket census AND both sides of the pair self-join; one
+    *   materialized pass serves all three instead of re-running the
+    *   aggregation per use. The cache entry lives until the session
+    *   drops it; pass false when the caller persists
+    *   [[minhashSignatures]] upstream and owns its lifecycle.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 1000,
+      maxBucketSize: Int = 1000, persistSignatures: Boolean = true,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes)
+    val sig0 = minhashSignatures(df, idCol, textCol, numHashes)
+    val sig =
+      if (persistSignatures)
+        sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sig0
 
     // band keys WITH the full signature carried along: the later
     // verification needs sa.mh*/sb.mh*, and carrying them through the
@@ -360,18 +368,23 @@ object Dedup {
     * census (`maxBucketSize > 0`) at corpus scale, where
     * boilerplate-heavy data can hand one reducer a quadratic bucket —
     * the census trades those buckets' recall for bounded reducers,
-    * so results become approximate. With the census on, the
-    * signature lineage is evaluated twice (census + pair join) —
-    * callers reusing signatures across calls should compute
-    * [[simhash]] once, persist it, and call the from-signatures
-    * variant directly.
+    * so results become approximate.
+    *
+    * The fingerprint frame is persisted internally by default (the
+    * tokenize+vote aggregation feeds the census and both self-join
+    * sides; one materialized pass serves all of them) — pass
+    * `persistSignatures = false` when reusing signatures across
+    * calls: compute [[simhash]] once, persist it yourself, and call
+    * the from-signatures variant directly.
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, blocks: Int = 6, maxBucketSize: Int = 0,
+      persistSignatures: Boolean = true,
   ): DataFrame =
     simhashNearDupPairsFromSignatures(
-      simhash(df, idCol, textCol), maxHamming, blocks, maxBucketSize)
+      simhash(df, idCol, textCol), maxHamming, blocks, maxBucketSize,
+      persistSignatures)
 
   /** Near-dup pairs from precomputed simhash signatures `(id,
     * simhash)`: split the [[SimhashBits]]-bit fingerprint into
@@ -410,13 +423,20 @@ object Dedup {
     */
   def simhashNearDupPairsFromSignatures(
       sh: DataFrame, maxHamming: Int = 3, blocks: Int = 6,
-      maxBucketSize: Int = 0,
+      maxBucketSize: Int = 0, persistSignatures: Boolean = false,
   ): DataFrame = {
     require(SimhashBits % blocks == 0, "blocks must divide SimhashBits")
     require(maxHamming <= blocks - 2,
       s"block-pair pigeonhole needs maxHamming <= blocks - 2 " +
         s"(got maxHamming=$maxHamming, blocks=$blocks); raise blocks")
-    val bounded = simhashBlockPairBuckets(sh, blocks, maxBucketSize)
+    // default OFF here (unlike the corpus-level entry point): callers
+    // of the from-signatures variant typically own the signature
+    // frame's lifecycle already
+    val shIn =
+      if (persistSignatures)
+        sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh
+    val bounded = simhashBlockPairBuckets(shIn, blocks, maxBucketSize)
     bounded.as("a")
       .join(bounded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&

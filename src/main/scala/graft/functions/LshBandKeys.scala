@@ -19,14 +19,18 @@ import org.apache.spark.sql.types._
   * are the same. What changes is the PLAN, not the values. The
   * Column form embedded `planes` separate 64-double literal arrays in
   * the expression tree — at the near-dup configuration (192 planes)
-  * that tree, replayed on both sides of the candidate self-join,
+  * that tree, duplicated by the optimizer into every operator
+  * referencing the keys on both sides of the candidate self-join,
   * produced 14 MiB task binaries and driver-side planning cost that
   * dwarfed the actual compute. Here the weight matrix never enters
-  * the plan at all: it is a pure deterministic function of
-  * (bands·r, dim) ([[LshBandKeys.planeWeight]], the md5-derived
-  * family the DuckDB oracle reproduces symbolically), derived lazily
-  * per executor and shipped to codegen as one reference object. The
-  * plan node is four ints and a child.
+  * the EXPRESSION TREE: the plan node is four ints and a child, and
+  * the matrix — a pure deterministic function of (bands·r, dim)
+  * ([[LshBandKeys.planeWeight]], the md5-derived family the DuckDB
+  * oracle reproduces symbolically) — is materialized once at codegen
+  * time (driver side, `ctx.addReferenceObj`) and rides the stage's
+  * references array as ONE compact object (~100 KB at 192×64, per
+  * stage, however many operators use the keys); the interpreted
+  * fallback derives it lazily per executor instead.
   *
   * Null semantics match the Column form: null vector → null key
   * array; a null ELEMENT nulls every projection, so every sign test
@@ -56,9 +60,10 @@ case class LshBandKeys(child: Expression, bands: Int, r: Int, dim: Int)
     child.dataType.asInstanceOf[ArrayType].elementType
 
   /** Flat plane-major weight matrix: weight of (plane p, 1-based dim
-    * d) at index p·dim + d − 1. Derived, not stored — recomputing
-    * (bands·r·dim) md5s once per executor beats shipping them in
-    * every task closure.
+    * d) at index p·dim + d − 1. Derived, not stored in the plan node —
+    * on the codegen path this is forced once on the driver and ships
+    * as a single reference object per stage; on the interpreted path
+    * it is recomputed lazily per executor (transient).
     */
   @transient private lazy val weights: Array[Double] = {
     val planes = bands * r

@@ -167,7 +167,9 @@ object Multimodal {
     * container header — the [[BinaryDecoder]] analogue for
     * [[sampleFrames]]. Implementations must be serializable and
     * construct any codec state lazily (one instance is reused across
-    * a partition). Must return >= 1.
+    * a partition). Returns < 1 (a corrupt/empty header) are clamped
+    * to 1 by [[sampleFrames]] — one frame row, never a crashed job —
+    * so probes can return 0 for "couldn't parse" without caring.
     */
   trait FrameProbe extends Serializable {
     def frameCount(id: Long, payload: Array[Byte]): Long
@@ -206,7 +208,10 @@ object Multimodal {
         df.select(col(idCol).cast(LongType), col(binCol))
           .as[(Long, Array[Byte])]
           .mapPartitions(it => it.map { case (id, payload) =>
-            (id, p.frameCount(id, payload))
+            // clamp: a probe returning <= 0 (unparseable header) must
+            // not feed sequence(0, -1) a negative bound and kill the
+            // job with a codegen-depth error
+            (id, math.max(1L, p.frameCount(id, payload)))
           })
           .toDF("id", "n_frames")
     }

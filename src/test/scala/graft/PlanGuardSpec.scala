@@ -93,11 +93,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") % 10 === 0)
     def count(p: String, needle: String): Int = needle.r.findAllIn(p).size
-    // default: the tf/df/corpus-count lineages each re-read the source
-    val cold = graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3)
-      .queryExecution.executedPlan.toString
+    // default: the tf/df/corpus-count lineages each re-read the source.
+    // Collect the expected values NOW — once persistInput registers the
+    // cache below, CacheManager would substitute the InMemoryRelation
+    // into ANY later identical plan and a "fresh" comparison run would
+    // silently read the cache too (cache-to-cache proves nothing).
+    val uncachedQ = graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3)
+    val cold = uncachedQ.queryExecution.executedPlan.toString
     assert(count(cold, "FileScan parquet") >= 2,
       s"expected multiple source scans, got:\n$cold")
+    val expected = uncachedQ.collect().toSeq
     // persistInput: every lineage use reads the cache. The plan string
     // reprints the cached plan (with its inner FileScan) under each
     // InMemoryRelation, so "no bare scans" = every FileScan occurrence
@@ -109,9 +114,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"persistInput did not route reads through the cache:\n$warm")
     assert(count(warm, "FileScan parquet") == count(warm, "InMemoryRelation"),
       s"persistInput still re-scans the source outside the cache:\n$warm")
-    // same results either way
-    assert(cached.collect().toSeq ==
-      graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3).collect().toSeq)
+    // same results either way (expected collected pre-registration)
+    assert(cached.collect().toSeq == expected)
   }
 
   test("sampling queries stay map-side before aggregation (no joins at all)") {

@@ -223,6 +223,45 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(q(2L).getSeq[Int](3) == Seq(0, 0, 0, 0) && q(2L).getDouble(4) == 0.0)
   }
 
+  test("zero-norm vectors are excluded from every cosine scoring path (NaN-vs-NULL guard)") {
+    // cosine against a zero vector is 0/0: Spark scores NaN and ranks
+    // it ABOVE any threshold/neighbor (NaN > every double) while SQL
+    // engines yield NULL — phantom results that differ per engine.
+    // Every scoring path must drop zero-norm rows on both sides.
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      Row(3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      Row(4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+    def ids(df: DataFrame, cols: (String, String)): Set[Long] =
+      df.collect().flatMap(r =>
+        Seq(r.getAs[Long](cols._1), r.getAs[Long](cols._2))).toSet
+
+    val bf = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+    assert(!ids(bf, ("query_id", "neighbor_id")).contains(3L))
+    assert(bf.collect().forall(r => !r.getDouble(3).isNaN))
+
+    val lsh = Ann.lshTopK(emb, emb, "vec_id", "embedding", k = 3,
+      planes = 4, dim = 4)
+    assert(!ids(lsh, ("query_id", "neighbor_id")).contains(3L))
+
+    val ivf = Ann.ivfTopKHashCells(emb, emb, "vec_id", "embedding", k = 3,
+      nCells = 2, nProbe = 2)
+    assert(!ids(ivf, ("query_id", "neighbor_id")).contains(3L))
+
+    val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.0)
+    assert(!ids(exact, ("id_a", "id_b")).contains(3L))
+    assert(exact.collect().forall(r => !r.getDouble(2).isNaN))
+
+    val banded = Ann.cosineNearDupLsh(emb, "vec_id", "embedding", 0.0,
+      planes = 8, bands = 2, dim = 4, maxBucketSize = 0)
+    assert(!ids(banded, ("id_a", "id_b")).contains(3L))
+  }
+
   test("quantizerSample is bounded and independent of input partitioning") {
     val rows = (0 until 500).map(i => Row(i.toLong, Seq.fill(8)(i.toFloat)))
     def emb(parts: Int): DataFrame = spark.createDataFrame(

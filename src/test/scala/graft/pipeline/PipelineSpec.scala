@@ -428,7 +428,10 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       Array(((frames >> 24) & 0xff).toByte, ((frames >> 16) & 0xff).toByte,
         ((frames >> 8) & 0xff).toByte, (frames & 0xff).toByte) ++
         Array.fill(filler)(0x55.toByte)
-    val rows = Seq(Row(1L, payload(9, 100)), Row(2L, payload(2, 7)))
+    // vid 3: header claims 0 frames (unparseable/corrupt container) —
+    // the clamp must yield one frame row, not a negative sequence bound
+    val rows = Seq(Row(1L, payload(9, 100)), Row(2L, payload(2, 7)),
+      Row(3L, payload(0, 5)))
     val d = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2),
       StructType(Seq(StructField("vid", LongType, nullable = false),
@@ -436,8 +439,9 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val out = Multimodal.sampleFrames(d, "vid", "content", stride = 4,
       probe = Some(Be32FrameProbe))
       .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
-    // 9 frames -> 0,4,8; 2 frames -> 0
-    assert(out.toSeq == Seq((1L, 0L), (1L, 4L), (1L, 8L), (2L, 0L)))
+    // 9 frames -> 0,4,8; 2 frames -> 0; clamped 0 -> 0
+    assert(out.toSeq ==
+      Seq((1L, 0L), (1L, 4L), (1L, 8L), (2L, 0L), (3L, 0L)))
     // stub default ignores the header: 104 bytes -> 1 + 104 % 240 = 105 frames
     val stub = Multimodal.sampleFrames(d.filter(col("vid") === 1), "vid",
       "content", stride = 60).collect()
