@@ -341,6 +341,21 @@ object SparkEntry {
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
     }),
+    "d_dedup_apply" -> ((s, dir) => {
+      // the full dedup pipeline applied: find near-dup pairs, cluster
+      // them, drop every non-canonical cluster member — the surviving
+      // corpus is the deliverable a training-data pipeline feeds
+      // downstream. Executes eagerly like d_dedup_clusters (the
+      // cluster step is iterative)
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3)
+      val clusters = graft.dedup.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      graft.dedup.Dedup.dedupApply(docs, "doc_id", clusters)
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "d_contamination" -> ((s, dir) => {
       // decontamination demo: every 100th doc plays the benchmark set;
       // 3-gram shingles because the synthetic corpus has little long-
@@ -719,6 +734,10 @@ object SparkEntry {
     "d_dedup_clusters" ->
       graft.dedup.Dedup.connectedComponentsSql(
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")),
+    "d_dedup_apply" ->
+      graft.dedup.Dedup.dedupApplySql(
+        graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
+        "WHERE doc_id % 5 = 0"),
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")

@@ -671,11 +671,10 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
-  /** DuckDB rendering of [[connectedComponents]] over a pair query
-    * `pairsSql` producing columns (id_a, id_b, ...): recursive
-    * reachability, then min reachable id per node.
+  /** The shared recursive-CTE prelude behind [[connectedComponentsSql]]
+    * and [[dedupApplySql]]: defines `cc(id, cluster)` over `pairsSql`.
     */
-  def connectedComponentsSql(pairsSql: String): String =
+  private def ccCtes(pairsSql: String): String =
     s"""WITH RECURSIVE p AS ($pairsSql),
        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -683,9 +682,52 @@ object Dedup {
        |reach(id, root) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT id, min(root) AS cluster FROM reach GROUP BY id
-       |ORDER BY id""".stripMargin
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB rendering of [[connectedComponents]] over a pair query
+    * `pairsSql` producing columns (id_a, id_b, ...): recursive
+    * reachability, then min reachable id per node.
+    */
+  def connectedComponentsSql(pairsSql: String): String =
+    s"""${ccCtes(pairsSql)}
+       |SELECT id, cluster FROM cc ORDER BY id""".stripMargin
+
+  /** The last step of the dedup pipeline: drop every document that is
+    * a NON-CANONICAL member of a near-dup cluster, keeping the
+    * canonical one (and every document that appears in no pair).
+    * `clusters` is the output of [[connectedComponents]] —
+    * `(id, cluster)` with `cluster` = min member id — so a document
+    * is canonical exactly when `id === cluster`, and the drop set is
+    * one projection of the label frame.
+    *
+    * 100 TB shape: a single anti-join of the corpus against the drop
+    * set on document id. Near-dup clusters are a small fraction of a
+    * real corpus, so the drop list is orders of magnitude smaller
+    * than the corpus and AQE turns this into a broadcast anti-join —
+    * the corpus itself is never shuffled. (If dups somehow approach
+    * corpus scale, the join degrades gracefully to a shuffle on id.)
+    */
+  def dedupApply(
+      df: DataFrame, idCol: String, clusters: DataFrame,
+  ): DataFrame = {
+    val dups = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(dups, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** DuckDB rendering of the [[dedupApply]] survivors over
+    * `documents(doc_id, text)` restricted by `whereClause`, with
+    * clusters from `pairsSql` (same recursive-CTE core as
+    * [[connectedComponentsSql]]). Output `(doc_id, n_chars)`.
+    */
+  def dedupApplySql(pairsSql: String, whereClause: String): String =
+    s"""${ccCtes(pairsSql)},
+       |dups AS (SELECT id FROM cc WHERE id <> cluster)
+       |SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+       |FROM documents $whereClause
+       |  AND doc_id NOT IN (SELECT id FROM dups)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB rendering of [[ngramJaccardPairs]] over
     * `documents(doc_id, text)` restricted by `whereClause`.

@@ -253,6 +253,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedupApply keeps the canonical doc per cluster and all singletons") {
+    val d = docs(1L -> "a", 2L -> "a dup", 3L -> "alone", 7L -> "b",
+      8L -> "b dup", 9L -> "b dup2")
+    // clusters as connectedComponents labels them: cluster = min id
+    val clusterRows = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L), (9L, 7L))
+      .map { case (i, c) => Row(i, c) }
+    val clusters = spark.createDataFrame(
+      spark.sparkContext.parallelize(clusterRows, 2),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("cluster", LongType, nullable = false))))
+    val kept = Dedup.dedupApply(d, "doc_id", clusters)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // canonical members 1 and 7 survive, singleton 3 survives,
+    // non-canonical 2/8/9 are dropped
+    assert(kept == Set(1L, 3L, 7L))
+    // end-to-end: pairs -> clusters -> apply over a real near-dup set
+    val corpus = docs(10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "the quick brown fox jumps over the lazy dog",
+      12L -> "completely different text about spark shuffles")
+    val pairs2 = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+      maxHamming = 3)
+    val cc = Dedup.connectedComponents(pairs2, "id_a", "id_b")
+    val survivors = Dedup.dedupApply(corpus, "doc_id", cc)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(10L, 12L))
+  }
+
   test("distributed connected components: 130k edges, 512-node chains, log-bounded rounds") {
     // the scale exercise the driver path can't stand in for: 256
     // disjoint chains of 512 nodes (130,816 pairs), forced onto the
