@@ -462,6 +462,14 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang").asc_nulls_first)
     }),
+    "p_pack_sequences" -> ((s, dir) => {
+      // context-window packing: 1024-token sequences over 8 shards —
+      // per-shard running totals, no global sort (see Packing scaladoc)
+      graft.ops.Packing.packSequences(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", maxTokens = 1024, shards = 8)
+        .orderBy("id")
+    }),
     "t_tfidf_top" -> ((s, dir) => {
       graft.text.TfIdf.topTerms(
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
@@ -812,6 +820,9 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n FROM documents
          |WHERE $b < $cut GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
     },
+    "p_pack_sequences" ->
+      graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
+        whereClause = "WHERE doc_id % 4 = 0"),
     "t_tfidf_top" ->
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
     "mm_resize_plan" ->

@@ -124,4 +124,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("Join"), s"$q plans a join; expected pure filter+agg")
     }
   }
+
+  test("sequence packing plans one shard-partitioned window, no join, no global sort") {
+    val p = plan("p_pack_sequences")
+    assert(!p.contains("Join"), s"packing plans a join:\n$p")
+    // the window must partition by shard — a missing partition spec
+    // would plan a single-partition global window (the sequential
+    // bottleneck the shard design exists to avoid)
+    assert("Window .*shard".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(shard"),
+      s"window is not shard-partitioned:\n$p")
+  }
 }
