@@ -378,6 +378,16 @@ object SparkEntry {
           fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "t_repetition" -> ((s, dir) => {
+      // within-document n-gram repetition (the Gopher-style
+      // boilerplate/keyword-stuffing signal); word- and bigram-level
+      import graft.text.TextFunctions.repetitionScore
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          repetitionScore(col("text"), 1).as("rep1"),
+          repetitionScore(col("text"), 2).as("rep2"))
+        .orderBy("doc_id")
+    }),
     "e_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ann.Ann.bruteForceTopK(
@@ -756,6 +766,16 @@ object SparkEntry {
          |${s(qualityScoreSql)} AS quality,
          |${s(fingerprintSql)} AS fp
          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+    },
+    "t_repetition" -> {
+      import graft.text.TextFunctions
+      val toks = TextFunctions.tokensSql.replace("TXT", "text")
+      s"""WITH d AS (SELECT doc_id, $toks AS toks
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id,
+         |  ${TextFunctions.repetitionScoreSql("toks", 1)} AS rep1,
+         |  ${TextFunctions.repetitionScoreSql("toks", 2)} AS rep2
+         |FROM d ORDER BY doc_id""".stripMargin
     },
     "e_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

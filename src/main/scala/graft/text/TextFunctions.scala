@@ -116,4 +116,51 @@ object TextFunctions {
 
   val fingerprintSql: String =
     "md5(regexp_replace(lower(trim(TXT)), '\\s+', ' ', 'g'))"
+
+  /** All word `n`-grams of a token array, duplicates KEPT (unlike
+    * [[graft.dedup.Dedup.wordShinglesOf]], whose distinct sets feed
+    * set-similarity) — the multiset the repetition signal needs. Same
+    * zip_with-fold construction and HOF-safety rationale: every
+    * shifted slice is a direct zip_with argument, evaluated once per
+    * row, never captured inside a lambda.
+    */
+  def allGramsOf(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n $n must be >= 1")
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, s => s.isNotNull)
+  }
+
+  /** Within-document repetition: fraction of word `n`-gram
+    * OCCURRENCES that are repeats of an earlier occurrence —
+    * `1 − distinct/total` over the n-gram multiset (the
+    * boilerplate/spam signal behind Gopher-style repetition filters;
+    * templated and keyword-stuffed pages score high, clean prose
+    * scores near 0). Documents with fewer than `n` tokens score 0.
+    * Pure per-row Column expression, map-only at any scale; exact
+    * double arithmetic in identical order on both engines
+    * ([[repetitionScoreSql]]).
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val grams = allGramsOf(tokens(text), n)
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") /
+          size(grams).cast("double"))
+  }
+
+  /** DuckDB rendering of [[repetitionScore]]; `toks` is a SQL
+    * expression for the token list (compute it once in a CTE — it is
+    * referenced `n + 2` times here).
+    */
+  def repetitionScoreSql(toks: String, n: Int): String = {
+    require(n >= 1, s"n $n must be >= 1")
+    val gram = (0 until n).map(k => s"$toks[i + $k]").mkString(" || ' ' || ")
+    val grams =
+      s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), i -> $gram)"
+    s"(CASE WHEN len($grams) = 0 THEN 0.0 ELSE " +
+      s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / CAST(len($grams) AS DOUBLE) END)"
+  }
 }

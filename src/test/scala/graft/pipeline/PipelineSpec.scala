@@ -192,6 +192,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(fp == 1)
   }
 
+  test("repetition score: multiset n-gram duplicate fraction, short-doc zero") {
+    val d = docs(
+      1L -> "a a a b",        // 1-grams: 4 total, 2 distinct -> 0.5
+                              // 2-grams: [a a, a a, a b] -> 1 - 2/3
+      2L -> "all words vary", // no repeats -> 0.0 at both orders
+      3L -> "solo",           // < 2 tokens: rep2 = 0 by convention
+      4L -> "")               // empty: both 0
+    val out = d.select(col("doc_id"),
+      TextFunctions.repetitionScore(col("text"), 1).as("r1"),
+      TextFunctions.repetitionScore(col("text"), 2).as("r2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.5)
+    assert(out(1L)._2 == 1.0 - 2.0 / 3.0)
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0)))
+  }
+
   test("ANN: brute force exact ranks; LSH achieves recall on clustered vectors") {
     // clustered vectors: 3 clusters of near-identical directions
     val rnd = new scala.util.Random(7)
