@@ -86,6 +86,29 @@ object Streams {
       .drop(col(s"e.$key"))
   }
 
+  /** Stream-static decontamination: drop stream rows whose normalized
+    * fingerprint ([[graft.text.TextFunctions.fingerprint]] of
+    * `textCol`) appears in the static `blocklist` frame (one
+    * fingerprint column named `fp`) — the streaming twin of the batch
+    * contamination scan, for ingest-time filtering of benchmark text
+    * arriving in a document/event stream.
+    *
+    * Scale: a stream-static LEFT ANTI join. The static side is read
+    * fresh per micro-batch and broadcast when small (benchmark
+    * fingerprint sets are a few MB — Spark plans the broadcast
+    * automatically under the AQE threshold); no streaming state at
+    * all, so nothing to watermark or evict. Swap the blocklist file
+    * in place and the next micro-batch picks it up — no restart.
+    */
+  def decontaminateStream(
+      stream: DataFrame, textCol: String, blocklist: DataFrame,
+  ): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprint(col(textCol))
+    stream.withColumn("__fp", fp)
+      .join(blocklist.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: events
     * within `gapMinutes` of each other belong to one session; a
     * session is emitted (and its state evicted) when the event-time

@@ -151,4 +151,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       assert(sessions.count(_._1 == 1L) == 2, s"got ${sessions.toSeq}")
     } finally query.stop()
   }
+
+  test("decontaminateStream drops blocklisted text by normalized fingerprint") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    // blocklist the fingerprint of "benchmark question" — normalization
+    // means case/whitespace variants of it must also be dropped
+    val blocklist = Seq("benchmark question").toDF("text")
+      .select(graft.text.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+    val query = Streams.decontaminateStream(input.toDF(), "props", blocklist)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 1, "doc", 1.0, "benchmark question"),
+        EventRow(2, ts(1), 1, "doc", 1.0, "  Benchmark   QUESTION "),
+        EventRow(3, ts(2), 1, "doc", 1.0, "ordinary web text"))
+      query.processAllAvailable()
+      val kept = spark.table("decontam").collect().map(_.getAs[Long]("event_id"))
+      assert(kept.toSet == Set(3L), s"got ${kept.toSeq}")
+    } finally query.stop()
+  }
 }
