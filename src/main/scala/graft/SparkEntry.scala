@@ -380,12 +380,20 @@ object SparkEntry {
     }),
     "t_repetition" -> ((s, dir) => {
       // within-document n-gram repetition (the Gopher-style
-      // boilerplate/keyword-stuffing signal); word- and bigram-level
-      import graft.text.TextFunctions.repetitionScore
+      // boilerplate/keyword-stuffing signal); word- and bigram-level.
+      // Tokens and gram multisets are PROJECTED as columns before
+      // scoring (the project-the-array-first rule: the score
+      // references its gram array three times, and HOF trees are
+      // outside subexpression elimination)
+      import graft.text.TextFunctions.{allGramsOf, repetitionScoreOf, tokens}
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          repetitionScore(col("text"), 1).as("rep1"),
-          repetitionScore(col("text"), 2).as("rep2"))
+          allGramsOf(col("toks"), 1).as("g1"),
+          allGramsOf(col("toks"), 2).as("g2"))
+        .select(col("doc_id"),
+          repetitionScoreOf(col("g1")).as("rep1"),
+          repetitionScoreOf(col("g2")).as("rep2"))
         .orderBy("doc_id")
     }),
     "e_ann_bruteforce" -> ((s, dir) => {

@@ -166,27 +166,15 @@ object Dedup {
     if (n == 1) array_distinct(TextFunctions.tokens(text))
     else wordShinglesOf(TextFunctions.tokens(text), n)
 
-  /** [[wordShingles]] over an already-tokenized array column.
-    *
-    * Construction: fold `zip_with(acc, slice(toks, k+1, len), concat)`
-    * for k = 1..n-1 — each shifted slice is evaluated ONCE per row as
-    * a zip_with argument; no expression is captured inside a lambda,
-    * so this is O(n · tokens) per document regardless of what `toks`
-    * expands to. (A windowing `transform` that slices `toks` inside
-    * its lambda re-evaluates the captured expression per element —
-    * Spark HOFs do no caching — which is O(tokens²) per document when
-    * `toks` is itself the tokenizer. Measured: 6 s vs 0.84 s for the
-    * contamination scan at sf0.1.) zip_with null-pads the shorter
-    * side, so windows that run past the end become null and are
-    * filtered; documents with fewer than n tokens yield empty arrays.
+  /** [[wordShingles]] over an already-tokenized array column: the
+    * distinct SET of the n-gram multiset built by
+    * [[graft.text.TextFunctions.allGramsOf]] (one shared fold — see
+    * its scaladoc for the zip_with/slice construction and the
+    * O(tokens²) HOF trap it avoids; measured 6 s vs 0.84 s for the
+    * contamination scan at sf0.1).
     */
-  def wordShinglesOf(toks: Column, n: Int): Column = {
-    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(filter(joined, s => s.isNotNull))
-  }
+  def wordShinglesOf(toks: Column, n: Int): Column =
+    array_distinct(TextFunctions.allGramsOf(toks, n))
 
   /** Modulus for the affine minhash rehash: the Mersenne prime
     * 2^31 − 1. Base hashes are 28-bit, multipliers < p, so
@@ -711,23 +699,30 @@ object Dedup {
   def dedupApply(
       df: DataFrame, idCol: String, clusters: DataFrame,
   ): DataFrame = {
+    require(!df.columns.contains("__drop_id"),
+      "dedupApply reserves the column name __drop_id; rename it on the input")
     val dups = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))
     df.join(dups, df(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** DuckDB rendering of the [[dedupApply]] survivors over
-    * `documents(doc_id, text)` restricted by `whereClause`, with
-    * clusters from `pairsSql` (same recursive-CTE core as
+    * `documents(doc_id, text)` restricted by `whereClause` (a full
+    * `WHERE ...` clause, or "" for the whole corpus), with clusters
+    * from `pairsSql` (same recursive-CTE core as
     * [[connectedComponentsSql]]). Output `(doc_id, n_chars)`.
     */
-  def dedupApplySql(pairsSql: String, whereClause: String): String =
+  def dedupApplySql(pairsSql: String, whereClause: String): String = {
+    val keep = "doc_id NOT IN (SELECT id FROM dups)"
+    val where =
+      if (whereClause.trim.isEmpty) s"WHERE $keep"
+      else s"$whereClause\n  AND $keep"
     s"""${ccCtes(pairsSql)},
        |dups AS (SELECT id FROM cc WHERE id <> cluster)
        |SELECT doc_id, CAST(length(text) AS INT) AS n_chars
-       |FROM documents $whereClause
-       |  AND doc_id NOT IN (SELECT id FROM dups)
+       |FROM documents $where
        |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB rendering of [[ngramJaccardPairs]] over
     * `documents(doc_id, text)` restricted by `whereClause`.

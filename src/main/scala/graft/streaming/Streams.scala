@@ -93,16 +93,23 @@ object Streams {
     * contamination scan, for ingest-time filtering of benchmark text
     * arriving in a document/event stream.
     *
-    * Scale: a stream-static LEFT ANTI join. The static side is read
-    * fresh per micro-batch and broadcast when small (benchmark
-    * fingerprint sets are a few MB — Spark plans the broadcast
-    * automatically under the AQE threshold); no streaming state at
-    * all, so nothing to watermark or evict. Swap the blocklist file
-    * in place and the next micro-batch picks it up — no restart.
+    * Scale: a stream-static LEFT ANTI join. The static side's SCAN
+    * re-executes per micro-batch and broadcasts when small (benchmark
+    * fingerprint sets are a few MB); no streaming state at all, so
+    * nothing to watermark or evict. Caveat on "re-executes": a
+    * file-backed frame caches its FILE LISTING (and per-file sizes)
+    * at DataFrame creation — rewriting or adding files behind an
+    * existing frame yields stale or failing reads. To update the
+    * blocklist without restarting the query, point the frame at a
+    * table format that versions its listing (Delta/Iceberg) or
+    * recreate the static DataFrame and restart; in-place file swaps
+    * are NOT picked up.
     */
   def decontaminateStream(
       stream: DataFrame, textCol: String, blocklist: DataFrame,
   ): DataFrame = {
+    require(!stream.columns.contains("__fp"),
+      "decontaminateStream reserves the column name __fp; rename it on the input")
     val fp = graft.text.TextFunctions.fingerprint(col(textCol))
     stream.withColumn("__fp", fp)
       .join(blocklist.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")

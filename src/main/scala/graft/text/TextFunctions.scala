@@ -117,12 +117,22 @@ object TextFunctions {
   val fingerprintSql: String =
     "md5(regexp_replace(lower(trim(TXT)), '\\s+', ' ', 'g'))"
 
-  /** All word `n`-grams of a token array, duplicates KEPT (unlike
-    * [[graft.dedup.Dedup.wordShinglesOf]], whose distinct sets feed
-    * set-similarity) — the multiset the repetition signal needs. Same
-    * zip_with-fold construction and HOF-safety rationale: every
-    * shifted slice is a direct zip_with argument, evaluated once per
-    * row, never captured inside a lambda.
+  /** All word `n`-grams of a token array, duplicates KEPT — the
+    * multiset the repetition signal needs;
+    * [[graft.dedup.Dedup.wordShinglesOf]] wraps this in
+    * `array_distinct` for the set-similarity operators (ONE shared
+    * fold, kept in sync by construction).
+    *
+    * Construction: fold `zip_with(acc, slice(toks, k+1, len), concat)`
+    * for k = 1..n-1 — each shifted slice is evaluated ONCE per row as
+    * a zip_with argument; no expression is captured inside a lambda,
+    * so this is O(n · tokens) per document regardless of what `toks`
+    * expands to. (A windowing `transform` that slices `toks` inside
+    * its lambda re-evaluates the captured expression per element —
+    * Spark HOFs do no caching — which is O(tokens²) per document when
+    * `toks` is itself the tokenizer.) zip_with null-pads the shorter
+    * side, so windows past the end become null and are filtered;
+    * documents with fewer than n tokens yield empty arrays.
     */
   def allGramsOf(toks: Column, n: Int): Column = {
     require(n >= 1, s"n $n must be >= 1")
@@ -142,14 +152,26 @@ object TextFunctions {
     * Pure per-row Column expression, map-only at any scale; exact
     * double arithmetic in identical order on both engines
     * ([[repetitionScoreSql]]).
+    *
+    * Convenience form — it references the gram build three times and
+    * lambda-bearing HOF trees are excluded from Spark's
+    * subexpression elimination, so the tokenizer+fold re-runs per
+    * reference. In queries (or when scoring several `n` over one
+    * document), PROJECT the token/gram arrays as columns first and
+    * use [[repetitionScoreOf]] — the same project-the-array-first
+    * rule as [[graft.dedup.Dedup.wordShinglesOf]].
     */
-  def repetitionScore(text: Column, n: Int): Column = {
-    val grams = allGramsOf(tokens(text), n)
+  def repetitionScore(text: Column, n: Int): Column =
+    repetitionScoreOf(allGramsOf(tokens(text), n))
+
+  /** [[repetitionScore]] over an already-projected gram multiset
+    * column (see [[allGramsOf]]).
+    */
+  def repetitionScoreOf(grams: Column): Column =
     when(size(grams) === 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(grams)).cast("double") /
           size(grams).cast("double"))
-  }
 
   /** DuckDB rendering of [[repetitionScore]]; `toks` is a SQL
     * expression for the token list (compute it once in a CTE — it is
