@@ -125,6 +125,22 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("LSH plane weights never appear as plan literals (task-binary bloat pin)") {
+    // the round-4 regression: 192 per-plane typedLit arrays, duplicated
+    // by the optimizer into every operator on both self-join sides ->
+    // 14 MiB task binaries. The fused expression keeps the matrix out
+    // of the expression tree entirely; if any weight value prints in
+    // the plan, literals are back.
+    val w00 = graft.functions.LshBandKeys.planeWeight(0, 1) // 0.01349...
+    for (q <- Seq("e_cos_neardup_lsh", "e_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains(w00.toString.take(7)),
+        s"$q embeds plane-weight literals in the plan again")
+      assert(p.contains("lshbandkeys"),
+        s"$q no longer uses the fused LshBandKeys expression")
+    }
+  }
+
   test("sequence packing plans one shard-partitioned window, no join, no global sort") {
     val p = plan("p_pack_sequences")
     assert(!p.contains("Join"), s"packing plans a join:\n$p")
