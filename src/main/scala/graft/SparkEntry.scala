@@ -446,6 +446,17 @@ object SparkEntry {
         planes = 192, bands = 16, maxBucketSize = 0)
         .orderBy("id_a", "id_b")
     }),
+    "e_knn_classify" -> ((s, dir) => {
+      // kNN label assignment (weak supervision): every 10th+1 vector
+      // classified by majority label of its 5 nearest labeled
+      // neighbors (every 10th vector), ties to smallest label
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.knnClassify(
+        emb.filter(col("vec_id") % 10 === 1),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
     "e_quantize_int8" -> ((s, dir) => {
       import graft.ann.Ann
       Ann.quantizeInt8(
@@ -833,6 +844,9 @@ object SparkEntry {
       graft.ann.Ann.cosineNearDupLshSql(0.98, planes = 192, bands = 16,
         sourceSql = Some(src))
     },
+    "e_knn_classify" ->
+      graft.ann.Ann.knnClassifySql(
+        "vec_id % 10 = 1", "vec_id % 10 = 0", k = 5),
     "e_quantize_int8" ->
       graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
     "p_train_test_split" -> {

@@ -456,6 +456,80 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** Majority-vote label assignment from a precomputed neighbor frame
+    * — the core of kNN classification / label propagation for weak
+    * supervision. `neighbors` has the [[bruteForceTopK]] shape
+    * `(query_id, neighbor_id, rank, score)` (any of the top-k paths
+    * produces it — brute force as the exact baseline, [[lshTopK]] /
+    * [[ivfTopKHashCells]] as the scale paths); `labeled` supplies
+    * `(idCol, labelCol)`. Ties break to the smallest label, so the
+    * vote is deterministic and oracle-checkable.
+    *
+    * 100 TB shape: one join of the neighbor list against the label
+    * table on neighbor id (broadcast when the labeled set is small —
+    * the weak-supervision norm), a (query, label) count with map-side
+    * combine, and a per-query window for the argmax. No all-pairs
+    * work beyond what the neighbor search already did.
+    */
+  def classifyFromNeighbors(
+      neighbors: DataFrame, labeled: DataFrame,
+      idCol: String, labelCol: String,
+  ): DataFrame = {
+    val votes = neighbors
+      .join(labeled.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("label")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** kNN classification with the exact brute-force neighbor search:
+    * each `queries` row gets the majority label of its `k` nearest
+    * `labeled` rows by cosine. The exact baseline — swap in an
+    * approximate top-k frame via [[classifyFromNeighbors]] at corpus
+    * scale.
+    */
+  def knnClassify(
+      queries: DataFrame, labeled: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+  ): DataFrame =
+    classifyFromNeighbors(
+      bruteForceTopK(queries, labeled, idCol, vecCol, k),
+      labeled, idCol, labelCol)
+
+  /** DuckDB rendering of [[knnClassify]] over `embeddings(vec_id,
+    * embedding, label)`: queries restricted by `queryWhere`, labeled
+    * corpus by `labeledWhere`.
+    */
+  def knnClassifySql(
+      queryWhere: String, labeledWhere: String, k: Int, dim: Int = 64,
+  ): String = {
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE ($queryWhere) AND $nz),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings
+       |  WHERE ($labeledWhere) AND $nz),
+       |scored AS (SELECT query_id, neighbor_id, label,
+       |    ${cosineSql("qv", "cv", dim)} AS score
+       |  FROM q JOIN c ON query_id <> neighbor_id),
+       |topk AS (SELECT query_id, neighbor_id, label FROM (
+       |    SELECT query_id, neighbor_id, label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM scored) r WHERE rank <= $k),
+       |votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM topk GROUP BY 1, 2)
+       |SELECT query_id, label AS pred_label, votes FROM (
+       |  SELECT query_id, label, votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, label) AS rnk
+       |  FROM votes) v WHERE rnk = 1 ORDER BY query_id""".stripMargin
+  }
+
   /** Scalar int8 quantization of an embedding column with a
     * per-vector scale (max |x_i|): `q_i = floor(x_i / scale · 127 +
     * 0.5)` — in [-127, 127] by construction since |x_i/scale| ≤ 1.

@@ -262,6 +262,31 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(!ids(banded, ("id_a", "id_b")).contains(3L))
   }
 
+  test("knnClassify: majority label wins, vote ties break to the smallest label") {
+    // labeled corpus: three tight clusters around three unit axes;
+    // labels 0/1 on x, 2 on y, 3 on z
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val labeledRows = Seq(
+      Row(10L, v(1, 0, 0.01), 0), Row(11L, v(1, 0, -0.01), 0),
+      Row(12L, v(1, 0.01, 0), 1), Row(13L, v(1, -0.01, 0), 1),
+      Row(20L, v(0, 1, 0), 2), Row(21L, v(0.01, 1, 0), 2),
+      Row(30L, v(0, 0, 1), 3))
+    val queryRows = Seq(
+      Row(1L, v(0.99, 0.01, 0), -1), // x-cluster: k=4 -> labels {0,0,1,1}, tie -> 0
+      Row(2L, v(0, 0.99, 0.01), -1)) // y-cluster: 2 wins
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Ann.knnClassify(df(queryRows), df(labeledRows),
+      "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L) == ((0, 2L)), s"tie must break to smallest label: $out")
+    assert(out(2L)._1 == 2)
+  }
+
   test("quantizerSample is bounded and independent of input partitioning") {
     val rows = (0 until 500).map(i => Row(i.toLong, Seq.fill(8)(i.toFloat)))
     def emb(parts: Int): DataFrame = spark.createDataFrame(
