@@ -378,6 +378,41 @@ object SparkEntry {
           fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "t_pii_redact" -> ((s, dir) => {
+      // PII scrub demo: the synthetic corpus has no PII, so inject a
+      // deterministic email/IP/phone suffix (identical construction
+      // in the oracle) and scrub it back out
+      val piiText = concat(
+        substring(col("text"), 1, 60),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.7 or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199"),
+        when(col("doc_id") % 20 === 0,
+          lit(" cc ops-team+alerts@mail.example.org")).otherwise(lit("")))
+      graft.text.Pii.scrub(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), piiText.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "t_boilerplate" -> ((s, dir) => {
+      // boilerplate-line removal demo: the corpus has no line
+      // structure, so build '#'-separated lines with an injected
+      // all-docs footer and a 1-in-3 promo line (identical
+      // construction in the oracle); both clear minDocs and vanish
+      val lined = concat_ws("#",
+        substring(col("text"), 1, 40),
+        lit("subscribe to our newsletter"),
+        substring(col("text"), 41, 40),
+        when(col("doc_id") % 3 === 0, lit("follow us on social"))
+          .otherwise(substring(col("text"), 81, 30)))
+      graft.text.Boilerplate.removeFrequentLines(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), lined.as("text")),
+        "doc_id", "text", sep = "#", minDocs = 50)
+        .orderBy("doc_id")
+    }),
     "t_repetition" -> ((s, dir) => {
       // within-document n-gram repetition (the Gopher-style
       // boilerplate/keyword-stuffing signal); word- and bigram-level.
@@ -490,6 +525,14 @@ object SparkEntry {
         defaultFraction = 0.5)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang").asc_nulls_first)
+    }),
+    "p_cap_source" -> ((s, dir) => {
+      // cap the per-source contribution at an expected 30 docs —
+      // deterministic, all-integer membership (see Sampling.capPerGroup)
+      graft.ops.Sampling.capPerGroup(
+        t(s, dir, "documents"), "source", "doc_id", cap = 30)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source").asc_nulls_first)
     }),
     "p_pack_sequences" -> ((s, dir) => {
       // context-window packing: 1024-token sequences over 8 shards —
@@ -786,6 +829,24 @@ object SparkEntry {
          |${s(fingerprintSql)} AS fp
          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
     },
+    "t_pii_redact" -> {
+      val txt = "(substr(text, 1, 60) || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com via 10.' || " +
+        "CAST(doc_id % 200 AS VARCHAR) || '.0.7 or 555-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' || " +
+        "CASE WHEN doc_id % 20 = 0 THEN ' cc ops-team+alerts@mail.example.org' ELSE '' END)"
+      s"""SELECT ${graft.text.Pii.scrubSelectSql("doc_id", txt)}
+         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+    },
+    "t_boilerplate" -> {
+      val lined = "concat_ws('#', substr(text, 1, 40), " +
+        "'subscribe to our newsletter', substr(text, 41, 40), " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'follow us on social' " +
+        "ELSE substr(text, 81, 30) END)"
+      graft.text.Boilerplate.removeFrequentLinesSql(
+        sepSql = "'#'", minDocs = 50,
+        whereClause = "WHERE doc_id % 2 = 0", textExpr = lined)
+    },
     "t_repetition" -> {
       import graft.text.TextFunctions
       val toks = TextFunctions.tokensSql.replace("TXT", "text")
@@ -861,6 +922,15 @@ object SparkEntry {
         Map("en" -> 0.25, "de" -> 1.0), defaultFraction = 0.5)
       s"""SELECT lang, count(*) AS n FROM documents
          |WHERE $b < $cut GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+    },
+    "p_cap_source" -> {
+      val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 30)
+      s"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group
+         |  FROM documents GROUP BY 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents JOIN n USING (source)
+         |WHERE $pred
+         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
     },
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,

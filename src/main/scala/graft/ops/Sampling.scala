@@ -70,6 +70,43 @@ object Sampling {
     df.filter(bucket(col(idCol), seed) < cutoff)
   }
 
+  /** Cap each group at an *expected* `cap` rows, keyed on `idCol`:
+    * keep a row iff `bucket(id) · n_group < cap · 1e6`, i.e. a
+    * deterministic `min(1, cap/n_group)` sampling rate per group.
+    * Groups already at or under the cap keep every row. The dominant
+    * use: bounding an over-represented source/domain in a training
+    * mix without hand-tuning per-source fractions (cf.
+    * [[stratifiedSample]], which wants explicit rates).
+    *
+    * All-integer arithmetic — no floating-point rate, so membership
+    * is engine-exact for the oracle and immune to rounding drift.
+    * (`bucket < 1e6` and group counts to ~9e12 stay inside Long.)
+    *
+    * 100 TB shape: one map-side-combined count per group (output =
+    * #groups rows, tiny) broadcast back onto the corpus — a map-only
+    * filter, no data shuffle. The input is scanned twice (count +
+    * filter); persist upstream lineage if it is expensive.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, idCol: String,
+      cap: Long, seed: Long = 42L,
+  ): DataFrame = {
+    require(cap > 0, s"cap $cap must be positive")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n_group"))
+    df.join(broadcast(counts), Seq(groupCol))
+      .filter(bucket(col(idCol), seed) * col("__n_group") < lit(cap * 1000000L))
+      .drop("__n_group")
+  }
+
+  /** DuckDB rendering of [[capPerGroup]] membership over table
+    * `table`: a WHERE-ready predicate given the group-count CTE is
+    * joined in as `n_group` (see the `p_cap_source` oracle for the
+    * full shape).
+    */
+  def capPredicateSql(idExpr: String, cap: Long, seed: Long = 42L): String =
+    s"${bucketSql(idExpr, seed)} * n_group < ${cap * 1000000L}"
+
   /** DuckDB rendering of [[stratifiedSample]]'s cutoff expression.
     * Stratum keys are SQL-escaped (doubled quotes), matching the
     * Spark side's Column equality for keys containing quotes.

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Specs for the corpus-curation operators added in round 5: PII
+  * scrubbing, cross-document boilerplate-line removal, and per-group
+  * cap sampling.
+  */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+  }
+
+  test("Pii.scrub redacts emails, IPv4s and phones, and counts each on the original") {
+    val out = Pii.scrub(docs(
+      1L -> "mail bob.smith+x@corp.example.org or call 555-123-4567 now",
+      2L -> "server at 192.168.0.17 and 10.0.0.1; none else",
+      3L -> "clean text with numbers 123 and a dot. nothing more",
+    ), "doc_id", "text").collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getString(1) == "mail <EMAIL> or call <PHONE> now")
+    assert((out(1L).getInt(2), out(1L).getInt(3), out(1L).getInt(4)) == ((1, 0, 1)))
+    assert(out(2L).getString(1) == "server at <IP> and <IP>; none else")
+    assert(out(2L).getInt(3) == 2)
+    assert(out(3L).getString(1) == "clean text with numbers 123 and a dot. nothing more")
+    assert((out(3L).getInt(2), out(3L).getInt(3), out(3L).getInt(4)) == ((0, 0, 0)))
+  }
+
+  test("Pii.redact leaves dotted-quad emails to the email pass, not the IP pass") {
+    // user@10.0.0.1 has no alpha tld, so the email pattern skips it and
+    // the IP pass redacts just the quad — local part survives
+    val out = Pii.scrub(docs(1L -> "ssh user@10.0.0.1 fast"), "doc_id", "text")
+      .collect()(0)
+    assert(out.getString(1) == "ssh user@<IP> fast")
+  }
+
+  test("Boilerplate.removeFrequentLines strips lines in >= minDocs docs, keeps the rest") {
+    val corpus = docs(
+      1L -> "alpha one#FOOTER#beta one",
+      2L -> "alpha two#FOOTER#beta two",
+      3L -> "alpha three#FOOTER#beta three",
+      4L -> "unique#FOOTER#also unique",
+    )
+    val out = Boilerplate.removeFrequentLines(corpus, "doc_id", "text",
+      sep = "#", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("alpha one#beta one", 1)))
+    assert(out(4L) == (("unique#also unique", 1)))
+  }
+
+  test("Boilerplate: within-doc repeats don't reach minDocs (distinct docs counted)") {
+    val corpus = docs(
+      1L -> "SAME#SAME#SAME#keep a",
+      2L -> "keep b#other",
+    )
+    val out = Boilerplate.removeFrequentLines(corpus, "doc_id", "text",
+      sep = "#", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // SAME occurs 3x but in one doc only — survives
+    assert(out(1L) == "SAME#SAME#SAME#keep a")
+    assert(out(2L) == "keep b#other")
+  }
+
+  test("Boilerplate: no frequent lines leaves every document unchanged") {
+    val corpus = docs(1L -> "a#b", 2L -> "c#d")
+    val out = Boilerplate.removeFrequentLines(corpus, "doc_id", "text",
+      sep = "#", minDocs = 2)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSet == Set(("a#b", 0), ("c#d", 0)))
+  }
+
+  test("Boilerplate: maxFreqLines guard fails fast on a degenerate corpus") {
+    val corpus = docs(
+      1L -> "x#y#z", 2L -> "x#y#z", 3L -> "x#y#z")
+    val ex = intercept[Exception] {
+      Boilerplate.removeFrequentLines(corpus, "doc_id", "text",
+        sep = "#", minDocs = 2, maxFreqLines = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxFreqLines") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxFreqLines")))
+  }
+
+  test("Sampling.capPerGroup keeps small groups whole and caps the big one") {
+    import graft.ops.Sampling
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType, nullable = false)))
+    val rows = (0L until 2000L).map(i => Row(i, "big")) ++
+      (2000L until 2020L).map(i => Row(i, "small"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schema)
+
+    val kept = Sampling.capPerGroup(df, "grp", "id", cap = 100)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 20L, "groups under the cap keep every row")
+    // expected 100 of 2000; md5 buckets are uniform — allow wide noise
+    assert(kept("big") > 50L && kept("big") < 200L, s"got ${kept("big")}")
+
+    // membership is a pure function of (seed, id): repartitioning
+    // cannot change the kept set
+    val ids1 = Sampling.capPerGroup(df, "grp", "id", cap = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.capPerGroup(df.repartition(17), "grp", "id", cap = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+}
