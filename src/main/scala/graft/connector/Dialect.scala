@@ -64,6 +64,24 @@ object PostgresDialect extends Dialect {
   }
 }
 
+/** JDBC-executable Postgres: [[PostgresDialect]] reproduces the
+  * reference's psycopg named-param text byte-for-byte for the
+  * exact-string parity tests; this variant emits the same statements
+  * with `?` placeholders so the [[Connector]] can execute them over
+  * pgjdbc (see PostgresSmokeSpec — guard-skipped without a live
+  * server, exactly as the reference skips
+  * `tests/test_postgres_connector.py:48`).
+  */
+object PostgresJdbcDialect extends Dialect {
+  override def getInsertQuery(
+      table: String, columns: Seq[String], uniqueKeySets: Seq[Seq[String]],
+  ): String = {
+    val cols = columns.mkString(", ")
+    val params = columns.map(_ => "?").mkString(", ")
+    s"INSERT INTO $table ($cols) VALUES ($params) ON CONFLICT DO NOTHING"
+  }
+}
+
 /** Embedded Apache Derby. Conflict-ignore is emulated: a row is
   * skipped when an existing row matches it on any unique constraint
   * whose columns are all being inserted (the same set of conflicts

@@ -228,6 +228,12 @@ class DerbyConnectorSpec extends AnyFunSuite with SparkSpec {
       "SELECT DISTINCT naam, merk FROM fiets")
     assert(PostgresDialect.getRetrieveQuery("fiets", "id", "fiets_id", Seq("naam", "merk")) ==
       "SELECT id as fiets_id, naam, merk FROM fiets")
+
+    // the JDBC-executable variant: same statement, ? placeholders
+    assert(PostgresJdbcDialect.getInsertQuery("fiets", Seq("naam", "merk")) ==
+      "INSERT INTO fiets (naam, merk) VALUES (?, ?) ON CONFLICT DO NOTHING")
+    assert(PostgresJdbcDialect.insertParamOrder(Seq("naam", "merk")) ==
+      Seq("naam", "merk"))
   }
 
   test("introspection maps pk/fk/unique/not-null (B8/B9)") {
