@@ -527,10 +527,11 @@ object SparkEntry {
         .orderBy(col("lang").asc_nulls_first)
     }),
     "p_cap_source" -> ((s, dir) => {
-      // cap the per-source contribution at an expected 30 docs —
-      // deterministic, all-integer membership (see Sampling.capPerGroup)
+      // cap the per-source contribution at an expected 10 docs (below
+      // every source's count even at sf0.01, so the gate exercises the
+      // membership arithmetic) — all-integer (see Sampling.capPerGroup)
       graft.ops.Sampling.capPerGroup(
-        t(s, dir, "documents"), "source", "doc_id", cap = 30)
+        t(s, dir, "documents"), "source", "doc_id", cap = 10)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_first)
     }),
@@ -924,7 +925,7 @@ object SparkEntry {
          |WHERE $b < $cut GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
     },
     "p_cap_source" -> {
-      val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 30)
+      val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 10)
       s"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group
          |  FROM documents GROUP BY 1)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_kept

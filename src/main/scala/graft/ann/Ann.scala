@@ -98,12 +98,17 @@ object Ann {
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true,
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn")).filter(col("cn") > 0)
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+    // excludeSelf drops same-id pairs — right when queries ⊆ candidates
+    // (the self-search demos); set false when the two frames are
+    // independent corpora whose id spaces may legitimately collide
+    val scored = q.join(c,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
     val w = Window.partitionBy(col("query_id"))
@@ -480,8 +485,10 @@ object Ann {
         col(labelCol).as("label")), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
+    // asc_nulls_last: Spark default-sorts NULL labels first, SQL
+    // engines last — a NULL-labeled tie must lose on both engines
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("votes").desc, col("label"))
+      .orderBy(col("votes").desc, col("label").asc_nulls_last)
     votes.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
@@ -492,13 +499,20 @@ object Ann {
     * `labeled` rows by cosine. The exact baseline — swap in an
     * approximate top-k frame via [[classifyFromNeighbors]] at corpus
     * scale.
+    *
+    * `excludeSelf` (default true) treats a labeled row sharing the
+    * query's id as the query itself and drops it — right when the
+    * query set is a subset of the labeled corpus. Pass false when the
+    * two frames are independent datasets whose id spaces collide by
+    * coincidence ([[knnClassifySql]] mirrors the same switch).
     */
   def knnClassify(
       queries: DataFrame, labeled: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int,
+      excludeSelf: Boolean = true,
   ): DataFrame =
     classifyFromNeighbors(
-      bruteForceTopK(queries, labeled, idCol, vecCol, k),
+      bruteForceTopK(queries, labeled, idCol, vecCol, k, excludeSelf),
       labeled, idCol, labelCol)
 
   /** DuckDB rendering of [[knnClassify]] over `embeddings(vec_id,
@@ -507,15 +521,17 @@ object Ann {
     */
   def knnClassifySql(
       queryWhere: String, labeledWhere: String, k: Int, dim: Int = 64,
+      excludeSelf: Boolean = true,
   ): String = {
     val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
+    val joinOn = if (excludeSelf) "query_id <> neighbor_id" else "TRUE"
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE ($queryWhere) AND $nz),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings
        |  WHERE ($labeledWhere) AND $nz),
        |scored AS (SELECT query_id, neighbor_id, label,
        |    ${cosineSql("qv", "cv", dim)} AS score
-       |  FROM q JOIN c ON query_id <> neighbor_id),
+       |  FROM q JOIN c ON $joinOn),
        |topk AS (SELECT query_id, neighbor_id, label FROM (
        |    SELECT query_id, neighbor_id, label,
        |      row_number() OVER (PARTITION BY query_id

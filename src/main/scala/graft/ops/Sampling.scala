@@ -92,11 +92,16 @@ object Sampling {
       cap: Long, seed: Long = 42L,
   ): DataFrame = {
     require(cap > 0, s"cap $cap must be positive")
+    Seq("__grp", "__n_group").foreach(c => require(!df.columns.contains(c),
+      s"capPerGroup reserves column name $c; rename it in the input"))
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n_group"))
-    df.join(broadcast(counts), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__grp")
+    // null-safe join: a NULL group is a group like any other — it gets
+    // capped, not erased (an equi-join would null-reject its rows)
+    df.join(broadcast(counts), col(groupCol) <=> col("__grp"))
       .filter(bucket(col(idCol), seed) * col("__n_group") < lit(cap * 1000000L))
-      .drop("__n_group")
+      .drop("__grp", "__n_group")
   }
 
   /** DuckDB rendering of [[capPerGroup]] membership over table

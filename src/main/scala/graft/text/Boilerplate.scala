@@ -41,6 +41,9 @@ object Boilerplate {
   ): DataFrame = {
     require(sep.length == 1, s"sep must be a single character, got '$sep'")
     require(minDocs >= 2, s"minDocs $minDocs: a 1-doc 'boilerplate' line is just text")
+    Seq("__freq_lines", "__lines", "__kept").foreach(c =>
+      require(!df.columns.contains(c),
+        s"removeFrequentLines reserves column name $c; rename it in the input"))
     val lines = split(col(textCol), Pattern.quote(sep))
 
     val freq = df

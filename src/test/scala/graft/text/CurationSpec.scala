@@ -115,4 +115,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("Sampling.capPerGroup treats a NULL group as a group, not a casualty") {
+    import graft.ops.Sampling
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType, nullable = true)))
+    val rows = (0L until 5L).map(i => Row(i, null)) ++
+      (5L until 10L).map(i => Row(i, "a"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    // both groups are under the cap: every row survives, NULLs included
+    val kept = Sampling.capPerGroup(df, "grp", "id", cap = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 10L).toSet)
+  }
+
+  test("reserved-column guards: capPerGroup and removeFrequentLines reject colliding inputs") {
+    import graft.ops.Sampling
+    val df = docs(1L -> "a#b").withColumn("__n_group", lit(1L))
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(df, "text", "doc_id", cap = 1)
+    }
+    val df2 = docs(1L -> "a#b").withColumn("__kept", lit(1))
+    intercept[IllegalArgumentException] {
+      Boilerplate.removeFrequentLines(df2, "doc_id", "text", "#", 2)
+    }
+  }
 }
