@@ -61,6 +61,24 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(q == o, s"queries-only: ${q.diff(o)}; oracle-only: ${o.diff(q)}")
   }
 
+  test("capPerGroup broadcasts the group counts — a map-only filter, no data shuffle") {
+    val p = plan("p_cap_source")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny per-group count table must broadcast onto the corpus")
+  }
+
+  test("boilerplate rewrite broadcasts the frequent-line array, no reassembly shuffle") {
+    // the crossJoin against the single-row frequent-line aggregate must
+    // plan as a broadcast (BroadcastNestedLoopJoin — one row, no key),
+    // and the rewrite side must NOT re-aggregate per doc: exactly the
+    // frequency agg's exchanges, no groupBy(doc_id) reassembly
+    val p = plan("t_boilerplate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "frequent-line set is not broadcast — the rewrite pass would shuffle")
+    assert(!p.contains("CartesianProduct"),
+      "single-row broadcast degraded to a cartesian product")
+  }
+
   test("hot-bucket census plans a broadcast anti-join on all three banded paths") {
     import org.apache.spark.sql.functions._
     // cosine path: tiny synthetic frame, census on
