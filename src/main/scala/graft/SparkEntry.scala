@@ -535,6 +535,39 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_first)
     }),
+    "p_curation_pipeline" -> ((s, dir) => {
+      // the operators composed end-to-end the way a real corpus run
+      // chains them: exact dedup -> quality floor -> per-source cap ->
+      // train/test split -> audit counts. Distinct seeds for cap (7)
+      // and split (42): reusing one seed would correlate the two
+      // membership decisions (cap keeps only low-bucket rows, which
+      // the split would then over-assign to test)
+      import graft.ops.Sampling
+      val docs = t(s, dir, "documents")
+      val keepers = graft.dedup.Dedup
+        .exactDuplicates(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = docs.join(keepers, Seq("doc_id"), "semi")
+      val quality = deduped.filter(
+        graft.text.TextFunctions.tokenCount(col("text")) >= 20)
+      val capped = Sampling.capPerGroup(quality, "source", "doc_id",
+        cap = 15, seed = 7L)
+      Sampling.withSplit(capped, "doc_id", testFraction = 0.2)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source").asc_nulls_first, col("split"))
+    }),
+    "t_length_stats" -> ((s, dir) => {
+      // per-language length profile; median of integers is exact on
+      // both engines (interpolated halves of ints are exact doubles)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(median(col("n_chars")).as("med_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
     "p_pack_sequences" -> ((s, dir) => {
       // context-window packing: 1024-token sequences over 8 shards —
       // per-shard running totals, no global sort (see Packing scaladoc)
@@ -933,6 +966,29 @@ object SparkEntry {
          |WHERE $pred
          |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
     },
+    "p_curation_pipeline" -> {
+      import graft.text.TextFunctions
+      val fp = TextFunctions.fingerprintSql.replace("TXT", "text")
+      val toks = TextFunctions.tokensSql.replace("TXT", "text")
+      val capB = graft.ops.Sampling.bucketSql("doc_id", 7L)
+      val splitB = graft.ops.Sampling.bucketSql("doc_id", 42L)
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY $fp),
+         |deduped AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+         |quality AS (SELECT * FROM deduped WHERE CAST(len($toks) AS INT) >= 20),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group
+         |  FROM quality GROUP BY 1),
+         |capped AS (SELECT quality.* FROM quality JOIN n USING (source)
+         |  WHERE $capB * n_group < ${15 * 1000000L}),
+         |sp AS (SELECT *, CASE WHEN $splitB < 200000 THEN 'test' ELSE 'train' END AS split
+         |  FROM capped)
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+         |FROM sp GROUP BY 1, 2 ORDER BY source NULLS FIRST, split""".stripMargin
+    },
+    "t_length_stats" ->
+      s"""SELECT lang, median(n_chars) AS med_chars,
+         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
         whereClause = "WHERE doc_id % 4 = 0"),
