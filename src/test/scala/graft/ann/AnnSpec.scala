@@ -287,6 +287,25 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L)._1 == 2)
   }
 
+  test("bruteForceTopK excludeSelf=false keeps same-id pairs from independent corpora") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // id 1 exists on both sides with identical vectors — distinct rows
+    // in unrelated corpora, not a self-match
+    val queries = df(Seq(Row(1L, Seq(1f, 0f))))
+    val cands = df(Seq(Row(1L, Seq(1f, 0f)), Row(2L, Seq(0f, 1f))))
+    val without = Ann.bruteForceTopK(queries, cands, "vec_id", "embedding", 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(without == Set(2L), "default drops the colliding id")
+    val withSelf = Ann.bruteForceTopK(queries, cands, "vec_id", "embedding", 1,
+      excludeSelf = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(withSelf == Set(1L), "excludeSelf=false must rank the colliding id")
+  }
+
   test("quantizerSample is bounded and independent of input partitioning") {
     val rows = (0 until 500).map(i => Row(i.toLong, Seq.fill(8)(i.toFloat)))
     def emb(parts: Int): DataFrame = spark.createDataFrame(
