@@ -287,6 +287,28 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L)._1 == 2)
   }
 
+  test("classifyFromNeighbors composes with the approximate LSH feed (the scale path)") {
+    // two well-separated clusters in 8-dim space; LSH top-k feeds the
+    // vote instead of brute force — the documented corpus-scale swap
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    def axis(a: Int, jitter: Float) =
+      (0 until 8).map(i => if (i == a) 1f else if (i == (a + 1) % 8) jitter else 0f)
+    val labeled = (0 until 6).map(j =>
+      Row(10L + j, axis(0, 0.01f * j), 0)) ++ (0 until 6).map(j =>
+      Row(20L + j, axis(4, 0.01f * j), 1))
+    val queries = Seq(Row(1L, axis(0, 0.03f), -1), Row(2L, axis(4, 0.03f), -1))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val neighbors = Ann.lshTopK(df(queries), df(labeled),
+      "vec_id", "embedding", k = 3, planes = 6, dim = 8)
+    val out = Ann.classifyFromNeighbors(neighbors, df(labeled), "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1), s"LSH-fed vote mislabeled: $out")
+  }
+
   test("bruteForceTopK excludeSelf=false keeps same-id pairs from independent corpora") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
