@@ -81,6 +81,19 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }
     val extras = s"""{"e_ann_ivf_kmeans":$kmeansIvf}"""
+    // tripwire: a single query dominating the suite is how the r4
+    // plan-size regression slipped past local runs — flag any query
+    // above 8x the per-query median (and above 2s absolute, so
+    // sub-second medians don't flag honest 1s queries) before the
+    // headline line, where it can't be missed
+    val oks = results.collect { case (_, v) if v >= 0 => v }.sorted
+    if (oks.nonEmpty) {
+      val median = oks(oks.size / 2)
+      results.collect {
+        case (n, v) if v > math.max(median * 8, 2.0) =>
+          println(f"BENCH-TRIPWIRE: $n%s took $v%.2fs (${v / median}%.1fx the per-query median $median%.2fs) - audit its plan before shipping")
+      }
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -622,6 +622,57 @@ object SparkEntry {
           col("ts").as("last_ev_ts"), col("value").as("last_ev_value"))
         .orderBy("o_orderkey")
     }),
+    "o_salted_join" -> ((s, dir) => {
+      // the Skew.saltedJoin result must be EXACTLY the plain join's
+      // (salting redistributes rows, never changes them) — so the
+      // oracle is the unsalted SQL join, making equivalence itself
+      // the gated property
+      val dims = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(t(s, dir, "lineitem"), dims,
+        "l_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+    "ev_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (1h timeout), all-integer ns
+      // arithmetic; ts stays a raw ns long until the final projection
+      graft.ops.Sessions.sessionSummary(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", gap = 3600L * 1000000000L)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          expr("timestamp_micros(start_ts div 1000)").as("session_start"),
+          expr("(end_ts - start_ts) div 1000000").as("duration_ms"))
+        .orderBy("user_id", "session_seq")
+    }),
+    "p_paragraph_dedup" -> ((s, dir) => {
+      // corpus-wide first-occurrence paragraph dedup: the synthetic
+      // corpus has no cross-document paragraphs, so build '#'-joined
+      // paragraphs with an injected 1-of-7 shared quote and a 1-in-4
+      // promo banner (identical construction in the oracle); every
+      // later occurrence must vanish, the first survives
+      val lined = concat_ws("#",
+        substring(col("text"), 1, 40),
+        concat(lit("shared quote "), (col("doc_id") % 7).cast("string")),
+        substring(col("text"), 41, 40),
+        when(col("doc_id") % 4 === 0, lit("limited time offer banner"))
+          .otherwise(substring(col("text"), 81, 30)))
+      graft.dedup.Paragraph.dedupFirstOccurrence(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lined.as("text")),
+        "doc_id", "text", sep = "#")
+        .orderBy("doc_id")
+    }),
+    "t_lang_rebalance" -> ((s, dir) => {
+      // temperature-based multilingual sampling weights (alpha = 0.5,
+      // the sqrt path — IEEE-correctly-rounded, so oracle-exact)
+      graft.ops.Sampling.temperatureWeights(
+        t(s, dir, "documents"), "lang", alpha = 0.5)
+        .orderBy(col("lang").asc_nulls_first)
+    }),
 
     // sink round-trips write to ONE deterministic scratch dir per
     // query (SaveMode.Overwrite) — repeated bench/verify passes reuse
@@ -1026,6 +1077,40 @@ object SparkEntry {
         |       r.ts AS last_ev_ts, r.value AS last_ev_value
         |FROM l ASOF LEFT JOIN r ON l.o_custkey = r.user_id AND l.o_orderdate >= r.ts
         |ORDER BY o_orderkey""".stripMargin,
+    "o_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 100 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  make_timestamp(min(ts) // 1000) AS session_start,
+        |  (max(ts) - min(ts)) // 1000000 AS duration_ms
+        |FROM x GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "p_paragraph_dedup" ->
+      graft.dedup.Paragraph.dedupFirstOccurrenceSql(
+        """SELECT doc_id, concat_ws('#',
+          |  substring(text, 1, 40),
+          |  'shared quote ' || CAST(doc_id % 7 AS VARCHAR),
+          |  substring(text, 41, 40),
+          |  CASE WHEN doc_id % 4 = 0 THEN 'limited time offer banner'
+          |       ELSE substring(text, 81, 30) END) AS text
+          |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+        sep = "#"),
+    "t_lang_rebalance" ->
+      graft.ops.Sampling.temperatureWeightsSql("documents", "lang", "lang"),
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->

@@ -112,6 +112,76 @@ object Sampling {
   def capPredicateSql(idExpr: String, cap: Long, seed: Long = 42L): String =
     s"${bucketSql(idExpr, seed)} * n_group < ${cap * 1000000L}"
 
+  /** Temperature-based sampling weights over the values of
+    * `groupCol` — the multilingual rebalancing rule (share^alpha,
+    * renormalized) used to up-weight low-resource languages in a
+    * training mix (mBERT/XLM-R exponential smoothing; alpha = 1 keeps
+    * the natural distribution, alpha → 0 approaches uniform). Output:
+    * one row per group with `n_docs`, the normalized sampling
+    * `weight`, and `upsample` (= weight / natural share — the
+    * relative over/under-sampling factor the weight implies).
+    *
+    * Determinism: counts are exact integers; shares are single IEEE
+    * divisions of exactly-representable integers; `alpha = 0.5` (the
+    * default) uses `sqrt`, which IEEE 754 requires to be correctly
+    * rounded — bit-identical on every engine, which is why the oracle
+    * ([[temperatureWeightsSql]]) is registered for 0.5 only. The
+    * normalizer sums fixed-scale DECIMAL casts (order-independent),
+    * and decimals re-enter double arithmetic via string parsing (see
+    * SparkEntry's decAgg scaladoc for why direct decimal→double casts
+    * are not cross-engine-safe). Other alphas go through `pow`, whose
+    * last-ulp rounding is libm-specific — fine for production use,
+    * not for cross-engine hashing.
+    *
+    * 100 TB shape: one map-side-combined count per group; everything
+    * after operates on the #groups-row frame (languages, sources —
+    * tens of rows), where the unpartitioned window is free. The
+    * weights then drive [[stratifiedSample]] / [[capPerGroup]] as
+    * plan literals — no shuffle ever touches the corpus itself.
+    */
+  def temperatureWeights(
+      df: DataFrame, groupCol: String, alpha: Double = 0.5,
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha not in (0,1]")
+    Seq("__total", "__share", "__raw").foreach(c =>
+      require(!df.columns.contains(c),
+        s"temperatureWeights reserves column name $c; rename it in the input"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val toD = (c: Column) => c.cast("string").cast("double")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__total", sum(col("n_docs")).over(all))
+      .withColumn("__share",
+        col("n_docs").cast("double") / col("__total").cast("double"))
+    val rawExpr =
+      if (alpha == 0.5) sqrt(col("__share")) else pow(col("__share"), alpha)
+    counts
+      .withColumn("__raw",
+        rawExpr.cast(org.apache.spark.sql.types.DecimalType(25, 15)))
+      .withColumn("weight", toD(col("__raw")) / toD(sum(col("__raw")).over(all)))
+      .withColumn("upsample", col("weight") / col("__share"))
+      .select(col(groupCol), col("n_docs"), col("weight"), col("upsample"))
+  }
+
+  /** DuckDB rendering of [[temperatureWeights]] at alpha = 0.5 over
+    * `table`, grouping by `groupExpr` (aliased back to `groupAlias`).
+    */
+  def temperatureWeightsSql(
+      table: String, groupExpr: String, groupAlias: String,
+      whereClause: String = "",
+  ): String =
+    s"""WITH c AS (SELECT $groupExpr AS grp, count(*) AS n_docs
+       |  FROM $table $whereClause GROUP BY 1),
+       |w AS (SELECT grp, n_docs,
+       |  CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS share,
+       |  CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)) AS DECIMAL(25,15)) AS raw
+       |  FROM c),
+       |x AS (SELECT grp, n_docs, share,
+       |  CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE) AS weight
+       |  FROM w)
+       |SELECT grp AS $groupAlias, n_docs, weight, weight / share AS upsample
+       |FROM x ORDER BY $groupAlias NULLS FIRST""".stripMargin
+
   /** DuckDB rendering of [[stratifiedSample]]'s cutoff expression.
     * Stratum keys are SQL-escaped (doubled quotes), matching the
     * Spark side's Column equality for keys containing quotes.

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch gap-based sessionization: consecutive events of the same key
+  * belong to one session while the gap between them stays within
+  * `gap`; a longer silence starts a new session. The batch twin of
+  * [[graft.streaming.Streams]]' session windows — identical semantics,
+  * but over a closed historical table where watermarks don't apply and
+  * the whole history of a key is visible at once.
+  *
+  * Timestamps are NUMERIC (epoch ns for the `events` table, read via
+  * `nanosAsLong`): session arithmetic stays in integers end to end, so
+  * results are engine-exact for the oracle and immune to timestamp
+  * rounding. `gap` is in the same unit as `tsCol`.
+  *
+  * 100 TB shape: one shuffle, partitioned by the session key — the
+  * classic window-function plan. Both window phases (the `lag` gap
+  * test and the running sum that numbers sessions) share the single
+  * `(key) PARTITION BY / (ts, order) ORDER BY` sort, so Spark plans
+  * them over one exchange. Per-reducer state is one key's event
+  * history; a pathologically hot key (one user with billions of
+  * events) is the known limit of any sessionization — cap upstream or
+  * pre-split by time range if a key can exceed executor memory.
+  * `orderCol` breaks timestamp ties deterministically (required for a
+  * stable numbering when two events of a key share a timestamp).
+  */
+object Sessions {
+
+  /** Event-level sessionization: input rows plus `session_seq` —
+    * the 1-based session number within each `keyCol` value.
+    */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, orderCol: String,
+      gap: Long,
+  ): DataFrame = {
+    require(gap > 0, s"gap $gap must be positive")
+    Seq("__prev_ts", "session_seq").foreach(c =>
+      require(!df.columns.contains(c),
+        s"sessionize reserves column name $c; rename it in the input"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsCol) - prev > lit(gap), 1L)
+      .otherwise(0L)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Session-level summary: `(keyCol, session_seq, n_events, start_ts,
+    * end_ts)` with one row per session, timestamps in `tsCol`'s unit.
+    */
+  def sessionSummary(
+      df: DataFrame, keyCol: String, tsCol: String, orderCol: String,
+      gap: Long,
+  ): DataFrame =
+    sessionize(df, keyCol, tsCol, orderCol, gap)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+}
