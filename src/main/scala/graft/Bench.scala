@@ -88,7 +88,9 @@ object Bench {
     // headline line, where it can't be missed
     val oks = results.collect { case (_, v) if v >= 0 => v }.sorted
     if (oks.nonEmpty) {
-      val median = oks(oks.size / 2)
+      // floor the ratio denominator: an all-sub-hundredth suite with
+      // one outlier would otherwise print "Infinityx the median 0.00s"
+      val median = math.max(oks(oks.size / 2), 0.01)
       results.collect {
         case (n, v) if v > math.max(median * 8, 2.0) =>
           println(f"BENCH-TRIPWIRE: $n%s took $v%.2fs (${v / median}%.1fx the per-query median $median%.2fs) - audit its plan before shipping")

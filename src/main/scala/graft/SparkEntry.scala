@@ -537,9 +537,15 @@ object SparkEntry {
     }),
     "p_curation_pipeline" -> ((s, dir) => {
       // the operators composed end-to-end the way a real corpus run
-      // chains them: exact dedup -> quality floor -> per-source cap ->
-      // train/test split -> audit counts. Distinct seeds for cap (7)
-      // and split (42): reusing one seed would correlate the two
+      // chains them (the C4/RefinedWeb ordering): exact doc dedup ->
+      // paragraph-level first-occurrence dedup -> quality floor on the
+      // CLEANED text -> per-source cap -> train/test split -> audit
+      // counts. The paragraph stage runs on the same '#'-lined
+      // construction as p_paragraph_dedup (the synthetic corpus has no
+      // natural cross-document paragraphs); token counts after it
+      // reflect shed banners/quotes, so the quality floor genuinely
+      // depends on the dedup outcome. Distinct seeds for cap (7) and
+      // split (42): reusing one seed would correlate the two
       // membership decisions (cap keeps only low-bucket rows, which
       // the split would then over-assign to test)
       import graft.ops.Sampling
@@ -548,8 +554,18 @@ object SparkEntry {
         .exactDuplicates(docs, "doc_id", "text")
         .select(col("keeper_id").as("doc_id"))
       val deduped = docs.join(keepers, Seq("doc_id"), "semi")
-      val quality = deduped.filter(
-        graft.text.TextFunctions.tokenCount(col("text")) >= 20)
+      val lined = deduped.select(col("doc_id"),
+        concat_ws("#",
+          substring(col("text"), 1, 40),
+          concat(lit("shared quote "), (col("doc_id") % 7).cast("string")),
+          substring(col("text"), 41, 40),
+          when(col("doc_id") % 4 === 0, lit("limited time offer banner"))
+            .otherwise(substring(col("text"), 81, 30))).as("text"))
+      val cleaned = graft.dedup.Paragraph
+        .dedupFirstOccurrence(lined, "doc_id", "text", sep = "#")
+        .join(deduped.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val quality = cleaned.filter(
+        graft.text.TextFunctions.tokenCount(col("text")) >= 12)
       val capped = Sampling.capPerGroup(quality, "source", "doc_id",
         cap = 15, seed = 7L)
       Sampling.withSplit(capped, "doc_id", testFraction = 0.2)
@@ -647,6 +663,19 @@ object SparkEntry {
           expr("timestamp_micros(start_ts div 1000)").as("session_start"),
           expr("(end_ts - start_ts) div 1000000").as("duration_ms"))
         .orderBy("user_id", "session_seq")
+    }),
+    "ev_sessionize_events" -> ((s, dir) => {
+      // event-level twin of ev_sessionize: session_seq attached to
+      // every event row — the form downstream feature pipelines join
+      // against (same single-shuffle window plan, no summary groupBy)
+      graft.ops.Sessions.sessionize(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", gap = 3600L * 1000000000L)
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ev_ts"),
+          col("session_seq"))
+        .orderBy("user_id", "event_id")
     }),
     "p_paragraph_dedup" -> ((s, dir) => {
       // corpus-wide first-occurrence paragraph dedup: the synthetic
@@ -1023,9 +1052,20 @@ object SparkEntry {
       val toks = TextFunctions.tokensSql.replace("TXT", "text")
       val capB = graft.ops.Sampling.bucketSql("doc_id", 7L)
       val splitB = graft.ops.Sampling.bucketSql("doc_id", 42L)
+      val paraSql = graft.dedup.Paragraph.dedupFirstOccurrenceSql(
+        """SELECT doc_id, concat_ws('#',
+          |  substring(text, 1, 40),
+          |  'shared quote ' || CAST(doc_id % 7 AS VARCHAR),
+          |  substring(text, 41, 40),
+          |  CASE WHEN doc_id % 4 = 0 THEN 'limited time offer banner'
+          |       ELSE substring(text, 81, 30) END) AS text
+          |FROM deduped""".stripMargin,
+        sep = "#")
       s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY $fp),
          |deduped AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
-         |quality AS (SELECT * FROM deduped WHERE CAST(len($toks) AS INT) >= 20),
+         |cleaned AS (SELECT q.doc_id, q.text, deduped.source
+         |  FROM ($paraSql) q JOIN deduped USING (doc_id)),
+         |quality AS (SELECT * FROM cleaned WHERE CAST(len($toks) AS INT) >= 12),
          |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group
          |  FROM quality GROUP BY 1),
          |capped AS (SELECT quality.* FROM quality JOIN n USING (source)
@@ -1099,6 +1139,17 @@ object SparkEntry {
         |  (max(ts) - min(ts)) // 1000000 AS duration_ms
         |FROM x GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_sessionize_events" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, make_timestamp(ts // 1000) AS ev_ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     "p_paragraph_dedup" ->
       graft.dedup.Paragraph.dedupFirstOccurrenceSql(
         """SELECT doc_id, concat_ws('#',

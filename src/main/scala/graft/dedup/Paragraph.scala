@@ -45,6 +45,14 @@ object Paragraph {
     * ids must be orderable and the result is deterministic for any
     * partitioning. Empty paragraphs dedup like any other (split
     * preserves them); the first empty span survives, the rest vanish.
+    *
+    * Contract: `idCol` values must be UNIQUE — the ordering contract
+    * already assumes ids identify rows. With duplicate ids the rebuild
+    * groupBy merges the duplicates' surviving paragraphs into one text
+    * and attaches it to every duplicate row (and a SQL rendering would
+    * collapse them to one row), so the "one row per input row" shape
+    * silently breaks. Callers with non-unique keys should
+    * `monotonically_increasing_id()` first.
     */
   def dedupFirstOccurrence(
       df: DataFrame, idCol: String, textCol: String, sep: String = "\n\n",
@@ -53,18 +61,7 @@ object Paragraph {
     Seq("__pid", "__pidx", "__para", "__pkey", "__first", "__kept").foreach(c =>
       require(!df.columns.contains(c),
         s"dedupFirstOccurrence reserves column name $c; rename it in the input"))
-    val paras = df
-      .select(col(idCol).as("__pid"),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))).as(Seq("__pidx", "__para")))
-      .withColumn("__pkey", md5(col("__para")))
-    // canonical (first) position per distinct paragraph: digest-keyed,
-    // map-side combinable, one output row per distinct paragraph
-    val first = paras
-      .groupBy(col("__pkey"))
-      .agg(min(struct(col("__pid"), col("__pidx"))).as("__first"))
-    val kept = paras
-      .join(first, Seq("__pkey"))
+    val kept = joinedParagraphs(df, idCol, textCol, sep)
       .filter(struct(col("__pid"), col("__pidx")) === col("__first"))
     val rebuilt = kept
       .groupBy(col("__pid"))
@@ -79,16 +76,50 @@ object Paragraph {
         coalesce(col("__kept"), lit("")).as(textCol))
   }
 
+  /** The exploded paragraphs joined to their canonical (first)
+    * position — [[dedupFirstOccurrence]]'s pre-filter join, exposed so
+    * ParagraphSpec can instrument its volume: the canonical side holds
+    * exactly ONE row per DISTINCT paragraph, so the join is 1:1 with
+    * the exploded input (output rows == `Σ paragraphs(doc)`) even when
+    * one paragraph occurs in every document — the skew case that would
+    * amplify quadratically in a frequency-keyed design.
+    */
+  private[graft] def joinedParagraphs(
+      df: DataFrame, idCol: String, textCol: String, sep: String,
+  ): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("__pid"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pidx", "__para")))
+      .withColumn("__pkey", md5(col("__para")))
+    // canonical (first) position per distinct paragraph: digest-keyed,
+    // map-side combinable, one output row per distinct paragraph
+    val first = paras
+      .groupBy(col("__pkey"))
+      .agg(min(struct(col("__pid"), col("__pidx"))).as("__first"))
+    paras.join(first, Seq("__pkey"))
+  }
+
   /** DuckDB rendering of [[dedupFirstOccurrence]] over a source query
     * `srcSql` producing `(doc_id, text)`. `positionWidth` bounds
     * paragraphs per document (first-occurrence positions are encoded
     * as `doc_id * positionWidth + index` for the argmin — same
-    * lexicographic order as the Spark struct-min for any corpus whose
-    * documents stay under `positionWidth` paragraphs).
+    * lexicographic order as the Spark struct-min ONLY while three
+    * contracts hold, which the generated SQL enforces with a runtime
+    * `error()` guard CTE:
+    *   - every document has fewer than `positionWidth` paragraphs
+    *     (an index ≥ width would bleed into the next id's range);
+    *   - `doc_id >= 0` (a negative id flips the encoded order);
+    *   - `max(doc_id) * positionWidth + positionWidth` fits in BIGINT
+    *     (overflow would wrap the argmin key).
+    * Outside those bounds the two engines would silently pick
+    * different canonical occurrences; the guard turns silence into a
+    * query error.
     */
   def dedupFirstOccurrenceSql(
       srcSql: String, sep: String, positionWidth: Long = 1000000L,
   ): String = {
+    require(positionWidth > 0, "positionWidth must be positive")
     val sepLit = sep.replace("'", "''")
     s"""WITH d AS ($srcSql),
        |s AS (SELECT doc_id, string_split(text, '$sepLit') AS ps FROM d),
@@ -99,9 +130,16 @@ object Paragraph {
        |  FROM p GROUP BY 1),
        |k AS (SELECT doc_id, idx, para FROM p JOIN f
        |  ON md5(p.para) = f.pkey
-       |  AND p.doc_id * $positionWidth + p.idx = f.first_pos)
+       |  AND p.doc_id * $positionWidth + p.idx = f.first_pos),
+       |g AS (SELECT CASE
+       |    WHEN max(idx) >= $positionWidth
+       |      THEN error('paragraph index exceeds positionWidth')
+       |    WHEN min(doc_id) < 0 THEN error('doc_id must be non-negative')
+       |    WHEN max(doc_id) > (9223372036854775807 - $positionWidth) / $positionWidth
+       |      THEN error('doc_id * positionWidth overflows BIGINT')
+       |    ELSE TRUE END AS ok FROM p)
        |SELECT d.doc_id, coalesce(string_agg(k.para, '$sepLit' ORDER BY k.idx), '') AS text
-       |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
-       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+       |FROM d LEFT JOIN k ON d.doc_id = k.doc_id, g
+       |WHERE g.ok GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 }

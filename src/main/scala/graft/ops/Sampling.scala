@@ -86,10 +86,20 @@ object Sampling {
     * #groups rows, tiny) broadcast back onto the corpus — a map-only
     * filter, no data shuffle. The input is scanned twice (count +
     * filter); persist upstream lineage if it is expensive.
+    *
+    * `broadcastCounts` controls the join strategy for the counts
+    * frame. The default (true) force-broadcasts — right for the
+    * common cardinalities (languages, sources: tens to thousands of
+    * groups). Set it to FALSE when the group key is high-cardinality
+    * (per-domain or per-URL-host caps over a web corpus reach tens of
+    * millions of groups): a forced broadcast hint of an unbounded
+    * frame is a driver OOM that AQE cannot override, whereas without
+    * the hint Catalyst/AQE pick sort-merge vs broadcast from measured
+    * sizes at runtime.
     */
   def capPerGroup(
       df: DataFrame, groupCol: String, idCol: String,
-      cap: Long, seed: Long = 42L,
+      cap: Long, seed: Long = 42L, broadcastCounts: Boolean = true,
   ): DataFrame = {
     require(cap > 0, s"cap $cap must be positive")
     Seq("__grp", "__n_group").foreach(c => require(!df.columns.contains(c),
@@ -97,9 +107,10 @@ object Sampling {
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n_group"))
       .withColumnRenamed(groupCol, "__grp")
+    val right = if (broadcastCounts) broadcast(counts) else counts
     // null-safe join: a NULL group is a group like any other — it gets
     // capped, not erased (an equi-join would null-reject its rows)
-    df.join(broadcast(counts), col(groupCol) <=> col("__grp"))
+    df.join(right, col(groupCol) <=> col("__grp"))
       .filter(bucket(col(idCol), seed) * col("__n_group") < lit(cap * 1000000L))
       .drop("__grp", "__n_group")
   }
@@ -125,13 +136,21 @@ object Sampling {
     * divisions of exactly-representable integers; `alpha = 0.5` (the
     * default) uses `sqrt`, which IEEE 754 requires to be correctly
     * rounded — bit-identical on every engine, which is why the oracle
-    * ([[temperatureWeightsSql]]) is registered for 0.5 only. The
-    * normalizer sums fixed-scale DECIMAL casts (order-independent),
-    * and decimals re-enter double arithmetic via string parsing (see
-    * SparkEntry's decAgg scaladoc for why direct decimal→double casts
-    * are not cross-engine-safe). Other alphas go through `pow`, whose
-    * last-ulp rounding is libm-specific — fine for production use,
-    * not for cross-engine hashing.
+    * ([[temperatureWeightsSql]]) is registered for 0.5 only. The raw
+    * weight is then quantized as `floor(raw * 1e15 + 0.5)` to BIGINT:
+    * `raw ∈ [0,1]` so `raw * 1e15 ≤ 1e15 < 2^53` — the multiply and
+    * add are single correctly-rounded IEEE ops on exactly-representable
+    * operands (`1e15` and `0.5` are dyadic-exact; ulp at 1e15 is
+    * 0.125), and floor is exact, so every engine computes the SAME
+    * integer. The normalizer is then an integer sum — exact and
+    * order-independent — and the final weight is one long→double cast
+    * (correctly rounded by IEEE, identical everywhere) and one
+    * division. No decimal casts, no string round-trips, no
+    * engine-specific rounding anywhere in the chain. (The integer sum
+    * bounds the group count at ~9.2e3 before BIGINT overflow —
+    * languages/sources are tens to hundreds.) Other alphas go through
+    * `pow`, whose last-ulp rounding is libm-specific — fine for
+    * production use, not for cross-engine hashing.
     *
     * 100 TB shape: one map-side-combined count per group; everything
     * after operates on the #groups-row frame (languages, sources —
@@ -148,7 +167,6 @@ object Sampling {
         s"temperatureWeights reserves column name $c; rename it in the input"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val toD = (c: Column) => c.cast("string").cast("double")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
       .withColumn("__total", sum(col("n_docs")).over(all))
       .withColumn("__share",
@@ -157,8 +175,10 @@ object Sampling {
       if (alpha == 0.5) sqrt(col("__share")) else pow(col("__share"), alpha)
     counts
       .withColumn("__raw",
-        rawExpr.cast(org.apache.spark.sql.types.DecimalType(25, 15)))
-      .withColumn("weight", toD(col("__raw")) / toD(sum(col("__raw")).over(all)))
+        floor(rawExpr * lit(1e15) + lit(0.5)).cast("long"))
+      .withColumn("weight",
+        col("__raw").cast("double") /
+          sum(col("__raw")).over(all).cast("double"))
       .withColumn("upsample", col("weight") / col("__share"))
       .select(col(groupCol), col("n_docs"), col("weight"), col("upsample"))
   }
@@ -173,13 +193,14 @@ object Sampling {
     s"""WITH c AS (SELECT $groupExpr AS grp, count(*) AS n_docs
        |  FROM $table $whereClause GROUP BY 1),
        |w AS (SELECT grp, n_docs,
-       |  CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS share,
-       |  CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)) AS DECIMAL(25,15)) AS raw
+       |  CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS share
        |  FROM c),
        |x AS (SELECT grp, n_docs, share,
-       |  CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE) AS weight
+       |  CAST(floor(sqrt(share) * 1e15 + 0.5) AS BIGINT) AS raw
        |  FROM w)
-       |SELECT grp AS $groupAlias, n_docs, weight, weight / share AS upsample
+       |SELECT grp AS $groupAlias, n_docs,
+       |  CAST(raw AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS BIGINT) AS DOUBLE) AS weight,
+       |  CAST(raw AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS BIGINT) AS DOUBLE) / share AS upsample
        |FROM x ORDER BY $groupAlias NULLS FIRST""".stripMargin
 
   /** DuckDB rendering of [[stratifiedSample]]'s cutoff expression.

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * of them); `maxFreqLines` guards the broadcast against a degenerate
   * corpus — `assert_true` inside the broadcast value fails fast
   * rather than OOMing the driver, and cannot be pruned away because
-  * it produces the value every row consumes.
+  * it produces the value every row consumes. Unlike
+  * [[graft.ops.Sampling.capPerGroup]] — whose group-count frame grows
+  * with key cardinality and therefore takes a `broadcastCounts`
+  * escape hatch — the broadcast here is a ONE-ROW frame whatever the
+  * corpus size, so the forced hint is always safe.
   */
 object Boilerplate {
 

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * df-join broadcasts when the vocabulary is bounded, else shuffles on
   * term; the final top-k is a per-document window after a shuffle on
   * doc id. The corpus count joins in as a broadcast single-row
-  * aggregate — fully lazy, no driver-side action.
+  * aggregate — fully lazy, no driver-side action; unlike
+  * [[graft.ops.Sampling.capPerGroup]]'s group counts (which grow with
+  * key cardinality and take a `broadcastCounts` escape hatch), this
+  * broadcast is a ONE-ROW frame whatever the corpus size, so the
+  * forced hint is always safe. The df-join itself carries no hint —
+  * Catalyst/AQE choose broadcast vs sort-merge from measured
+  * vocabulary size.
   *
   * The tf lineage feeds both sides of the df-join (plus the corpus
   * count), so by default the plan re-reads the input per use — when

@@ -67,6 +67,20 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       "the tiny per-group count table must broadcast onto the corpus")
   }
 
+  test("capPerGroup broadcastCounts=false carries no hint — strategy left to Catalyst/AQE") {
+    // the escape hatch for high-cardinality group keys (per-domain caps
+    // at web scale): the count frame must NOT be force-broadcast, so
+    // AQE can pick sort-merge when the measured size says so
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def analyzed(b: Boolean) = graft.ops.Sampling.capPerGroup(
+      docs, "source", "doc_id", 10, broadcastCounts = b)
+      .queryExecution.analyzed.toString
+    assert(analyzed(true).contains("ResolvedHint"),
+      "default path lost its broadcast hint")
+    assert(!analyzed(false).contains("ResolvedHint"),
+      "broadcastCounts=false still injects a broadcast hint")
+  }
+
   test("boilerplate rewrite broadcasts the frequent-line array, no reassembly shuffle") {
     // the crossJoin against the single-row frequent-line aggregate must
     // plan as a broadcast (BroadcastNestedLoopJoin — one row, no key),

@@ -68,4 +68,41 @@ class ParagraphSpec extends AnyFunSuite with SparkSpec {
       Paragraph.dedupFirstOccurrence(bad, "doc_id", "__para")
     }
   }
+
+  test("digest-keyed join is 1:1 under a ubiquitous paragraph — linear at n vs 2n") {
+    // the classic skew case: ONE paragraph planted in EVERY document.
+    // The canonical side is one row per DISTINCT paragraph, so the join
+    // must stay exactly 1:1 with the exploded input (2 paragraphs/doc →
+    // exactly 2n join rows); a frequency-keyed design would amplify the
+    // hot key to n² here. Measured at n and 2n to pin the growth rate,
+    // the way AnnSpec pins LSH candidate volume.
+    def joinRows(n: Int): Long = {
+      val rows = (0L until n.toLong).map(i => i -> s"EVERYWHERE|unique-$i")
+      Paragraph.joinedParagraphs(docs(rows: _*), "doc_id", "text", "|").count()
+    }
+    assert(joinRows(500) == 2L * 500,
+      "join amplified: canonical side no longer one row per distinct paragraph")
+    assert(joinRows(1000) == 2L * 1000,
+      "join volume not linear in corpus size under a ubiquitous paragraph")
+    // and the dedup result under the same skew stays correct: doc 0
+    // keeps the hot paragraph, every other doc sheds it
+    val out = run((0L until 50L).map(i => i -> s"EVERYWHERE|unique-$i"): _*)
+    assert(out(0L) == "EVERYWHERE|unique-0")
+    (1L until 50L).foreach(i => assert(out(i) == s"unique-$i"))
+  }
+
+  test("oracle position encoding is guarded: width contract enforced, not silent") {
+    intercept[IllegalArgumentException] {
+      Paragraph.dedupFirstOccurrenceSql("SELECT 1", "|", positionWidth = 0L)
+    }
+    // the generated SQL must carry the runtime error() guards for the
+    // three silent-divergence conditions (idx >= width, negative id,
+    // BIGINT overflow) — DuckDB executes them; this pins their presence
+    val sql = Paragraph.dedupFirstOccurrenceSql(
+      "SELECT doc_id, text FROM documents", "|", positionWidth = 7L)
+    assert(sql.contains("max(idx) >= 7"))
+    assert(sql.contains("min(doc_id) < 0"))
+    assert(sql.contains("(9223372036854775807 - 7) / 7"))
+    assert(sql.contains("error("))
+  }
 }

@@ -58,6 +58,49 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out("de") / 6000.0 - 0.8) < 0.03, s"de: ${out("de")}")
   }
 
+  test("temperatureWeights: weights normalize, rare groups upsample, alpha=1 is natural") {
+    // ids(): lang 'en' for every third row -> shares 1/3 en, 2/3 de
+    val w05 = Sampling.temperatureWeights(ids(9000), "lang", alpha = 0.5)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"), r.getAs[Double]("upsample"))).toMap
+    assert(w05("en")._1 == 3000 && w05("de")._1 == 6000)
+    assert(math.abs(w05.values.map(_._2).sum - 1.0) < 1e-12, "weights must sum to 1")
+    // sqrt flattens: en (share 1/3) gets weight sqrt(1/3)/(sqrt(1/3)+sqrt(2/3)) ~ 0.4142
+    assert(math.abs(w05("en")._2 - (math.sqrt(1.0 / 3) /
+      (math.sqrt(1.0 / 3) + math.sqrt(2.0 / 3)))) < 1e-9)
+    assert(w05("en")._3 > 1.0 && w05("de")._3 < 1.0,
+      "rare group must upsample, dominant must downsample")
+    // alpha = 1 keeps the natural distribution: weight == share
+    val w1 = Sampling.temperatureWeights(ids(9000), "lang", alpha = 1.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("weight"), r.getAs[Double]("upsample"))).toMap
+    assert(math.abs(w1("en")._1 - 1.0 / 3) < 1e-9)
+    assert(math.abs(w1("en")._2 - 1.0) < 1e-9 && math.abs(w1("de")._2 - 1.0) < 1e-9)
+  }
+
+  test("temperatureWeights is partition-independent (integer-quantized normalizer)") {
+    // the 1e15 quantization makes the normalizer an exact integer sum,
+    // so results are bit-identical however the input is partitioned
+    def run(parts: Int) = Sampling.temperatureWeights(ids(5000, parts), "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(run(3) == run(19))
+  }
+
+  test("temperatureWeights rejects alpha outside (0,1] and reserved columns") {
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(ids(10), "lang", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(ids(10), "lang", alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(
+        ids(10).withColumn("__share", lit(1)), "lang")
+    }
+  }
+
   test("fractions outside [0,1] are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.hashSample(ids(10), "id", 1.5)
