@@ -286,6 +286,35 @@ object SparkEntry {
           decAgg(sum(dec(col("value"), 18, 6)), 28, 6).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
+    "ev_sliding_agg" -> ((s, dir) => {
+      // sliding event-time windows (2h span, 1h slide) via Spark's
+      // native window() — each event explodes into exactly span/slide
+      // = 2 windows map-side, then the same one-shuffle hash agg as
+      // the tumbling ev_hourly_agg; the batch twin of a streaming
+      // sliding aggregation
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          decAgg(sum(dec(col("value"), 18, 6)), 28, 6).as("sum_value"))
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }),
+    "ev_trailing_rate" -> ((s, dir) => {
+      // per-event trailing-hour rate/peak features (RANGE frame on the
+      // raw ns longs — value-based, so equal timestamps see each other
+      // and no tie-break column is needed)
+      graft.ops.Sessions.trailingStats(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", trailing = 3600L * 1000000000L,
+        valueCol = Some("value"))
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ev_ts"),
+          col("n_trailing"), col("max_trailing"))
+        .orderBy("user_id", "event_id")
+    }),
     "j_props_extract" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_type"),
@@ -455,6 +484,19 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
+    "e_cos_dedup_clusters" -> ((s, dir) => {
+      // embedding-space dedup composed across modules: exact cosine
+      // near-dup pairs -> connected components -> cluster labels, the
+      // chain an embedding-dedup corpus pass runs (at scale the pairs
+      // come from cosineNearDupLsh — same shape; the exact finder here
+      // keeps the oracle value-exact). Executes eagerly like
+      // d_dedup_clusters (the component step is iterative)
+      val pairs = graft.ann.Ann.cosineNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+      graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id")
+    }),
     "e_cos_neardup_lsh" -> ((s, dir) => {
       // near-dup LSH in its actual scale regime: planes=192, bands=16
       // -> r=12, i.e. 4096-bucket band keys (the round-3 single-long
@@ -597,6 +639,13 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
         "doc_id", "text", k = 5)
         .orderBy("id", "rnk")
+    }),
+    "t_vocab_top" -> ((s, dir) => {
+      // corpus vocabulary census: top-50 tokens with corpus + document
+      // frequency — plans as TakeOrderedAndProject (distributed heap),
+      // never a global sort or single-partition window
+      graft.text.Vocab.topTokens(
+        t(s, dir, "documents"), "doc_id", "text", k = 50)
     }),
     "mm_frame_sample" -> ((s, dir) => {
       import graft.multimodal.Multimodal
@@ -904,6 +953,23 @@ object SparkEntry {
         |count(*) AS n_events,
         |CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_sliding_agg" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) - i * INTERVAL '1 hour' AS win_start,
+        |    event_type, value
+        |  FROM events, unnest([0, 1]) AS t(i))
+        |SELECT win_start, win_start + INTERVAL '2 hours' AS win_end, event_type,
+        |count(*) AS n_events,
+        |CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+    "ev_trailing_rate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts, value
+        |  FROM events WHERE user_id % 10 = 0)
+        |SELECT user_id, event_id, make_timestamp(ts // 1000) AS ev_ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |  max(value) OVER w AS max_trailing
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "j_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k
@@ -992,6 +1058,15 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "e_cos_dedup_clusters" ->
+      graft.dedup.Dedup.connectedComponentsSql(
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+           |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0) a
+           |JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+           |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0) b
+           |ON a.vec_id < b.vec_id
+           |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3""".stripMargin),
     // approximate ANN variants: the md5-keyed LSH planes and hash-cell
     // IVF quantizer are deterministic and reproduced verbatim in
     // DuckDB, so even the *approximate* results are value-exact
@@ -1085,6 +1160,8 @@ object SparkEntry {
         whereClause = "WHERE doc_id % 4 = 0"),
     "t_tfidf_top" ->
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
+    "t_vocab_top" ->
+      graft.text.Vocab.topTokensSql(50, ""),
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id AS id,
         |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,

@@ -60,4 +60,37 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"))
+
+  /** Trailing event-time window features: every row plus `n_trailing`
+    * (events of the same key in `(ts − trailing, ts]`) and, when
+    * `valueCol` is set, `max_trailing` (max of that column over the
+    * same frame) — the rate/recency features a training pipeline
+    * derives per event (requests-in-last-hour, peak-value-in-window).
+    *
+    * The frame is RANGE-based on the numeric `tsCol`, so rows with
+    * equal timestamps all see each other — the result is deterministic
+    * for any partitioning with no tie-break column needed. Only
+    * order-insensitive aggregates are exposed (count, max): a trailing
+    * SUM of doubles would depend on intra-frame evaluation order and
+    * break engine-exactness (sum integers upstream if you need it).
+    *
+    * 100 TB shape: identical to [[sessionize]] — one shuffle on the
+    * key, one sort per partition, both features share the single
+    * window frame. Per-reducer state is the trailing window of one
+    * key, bounded by `trailing`, not history length.
+    */
+  def trailingStats(
+      df: DataFrame, keyCol: String, tsCol: String, trailing: Long,
+      valueCol: Option[String] = None,
+  ): DataFrame = {
+    require(trailing > 0, s"trailing $trailing must be positive")
+    Seq("n_trailing", "max_trailing").foreach(c =>
+      require(!df.columns.contains(c),
+        s"trailingStats reserves column name $c; rename it in the input"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rangeBetween(-trailing, 0)
+    val base = df.withColumn("n_trailing", count(lit(1)).over(w))
+    valueCol.fold(base)(v =>
+      base.withColumn("max_trailing", max(col(v)).over(w)))
+  }
 }
