@@ -647,6 +647,16 @@ object SparkEntry {
       graft.text.Vocab.topTokens(
         t(s, dir, "documents"), "doc_id", "text", k = 50)
     }),
+    "t_oov_rate" -> ((s, dir) => {
+      // vocabulary-drift quality signal: per-doc out-of-vocabulary
+      // rate against the corpus' own top-200 (broadcast sorted array,
+      // map-only HOF count; rate = one IEEE division of exact ints)
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab.oovRate(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        graft.text.Vocab.topTokens(docs, "doc_id", "text", k = 200))
+        .orderBy("doc_id")
+    }),
     "mm_frame_sample" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.sampleFrames(
@@ -685,6 +695,21 @@ object SparkEntry {
         by = Seq("o_custkey"), payload = Seq("ts", "value"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("ts").as("last_ev_ts"), col("value").as("last_ev_value"))
+        .orderBy("o_orderkey")
+    }),
+    "o_asof_join_fwd" -> ((s, dir) => {
+      // forward twin of o_asof_join: FIRST event at-or-after the order
+      // date per customer (same one-shuffle union+window plan)
+      val left = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val right = events(s, dir)
+        .groupBy(col("user_id").as("o_custkey"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.operators.AsOf.asofJoinForward(
+        left, right, "o_orderdate", "ts",
+        by = Seq("o_custkey"), payload = Seq("ts", "value"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("ts").as("next_ev_ts"), col("value").as("next_ev_value"))
         .orderBy("o_orderkey")
     }),
     "o_salted_join" -> ((s, dir) => {
@@ -1162,6 +1187,10 @@ object SparkEntry {
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
     "t_vocab_top" ->
       graft.text.Vocab.topTokensSql(50, ""),
+    "t_oov_rate" ->
+      (graft.text.Vocab.oovRateSql(
+        graft.text.Vocab.topTokensSql(200, ""),
+        "WHERE doc_id % 10 = 0") + "\nORDER BY doc_id"),
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id AS id,
         |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,
@@ -1193,6 +1222,14 @@ object SparkEntry {
         |SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
         |       r.ts AS last_ev_ts, r.value AS last_ev_value
         |FROM l ASOF LEFT JOIN r ON l.o_custkey = r.user_id AND l.o_orderdate >= r.ts
+        |ORDER BY o_orderkey""".stripMargin,
+    "o_asof_join_fwd" ->
+      """WITH l AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+        |       r.ts AS next_ev_ts, r.value AS next_ev_value
+        |FROM l ASOF LEFT JOIN r ON l.o_custkey = r.user_id AND l.o_orderdate <= r.ts
         |ORDER BY o_orderkey""".stripMargin,
     "o_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,

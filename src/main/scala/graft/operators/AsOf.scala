@@ -4,10 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, the most recent right row
-  * with `rightOn <= leftOn` among matching `by` keys. Spark has no
-  * built-in as-of join; the idiomatic distributed shape used here is
-  * union + windowed last-value backfill:
+/** As-of joins (backward and forward) — for each left row, the most
+  * recent right row with `rightOn <= leftOn` (backward) or the
+  * earliest with `rightOn >= leftOn` (forward) among matching `by`
+  * keys. Spark has no built-in as-of join; the idiomatic distributed
+  * shape used here is union + windowed value carry (backward shown):
   *
   *   1. tag both inputs and union them on a common schema,
   *   2. one shuffle partitioned by `by`, sorted by (time, side) —
@@ -36,23 +37,58 @@ object AsOf {
       rightOn: String,
       by: Seq[String],
       payload: Seq[String],
+  ): DataFrame =
+    asofCore(left, right, leftOn, rightOn, by, payload, backward = true)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row
+    * with `rightOn >= leftOn` among matching `by` keys (ties
+    * inclusive): "the next event at or after this timestamp". The
+    * exact mirror of [[asofJoinBackward]] — same union + one-shuffle
+    * window plan, with the carry running backward (`first` over an
+    * unbounded-following frame) instead of forward.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      by: Seq[String],
+      payload: Seq[String],
+  ): DataFrame =
+    asofCore(left, right, leftOn, rightOn, by, payload, backward = false)
+
+  private def asofCore(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      by: Seq[String],
+      payload: Seq[String],
+      backward: Boolean,
   ): DataFrame = {
     val leftExtras = left.columns.toSeq
       .filterNot(c => by.contains(c) || c == leftOn)
+    // side ordering makes ties inclusive in BOTH directions: backward
+    // sorts right rows before left at equal t (the preceding-frame
+    // `last` sees them); forward sorts them after (the following-frame
+    // `first` sees them)
+    val (leftSide, rightSide) = if (backward) (1, 0) else (0, 1)
     val l = left.select(
       by.map(col) ++
-        Seq(col(leftOn).as("_t"), lit(1).as("_side")) ++
+        Seq(col(leftOn).as("_t"), lit(leftSide).as("_side")) ++
         leftExtras.map(col) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right.select(
       by.map(col) ++
-        Seq(col(rightOn).as("_t"), lit(0).as("_side")) ++
+        Seq(col(rightOn).as("_t"), lit(rightSide).as("_side")) ++
         leftExtras.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col): _*)
 
-    val w = Window.partitionBy(by.map(col): _*)
+    val base = Window.partitionBy(by.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     // payload travels as ONE struct so every output column comes from
     // the SAME matched right row — per-column ignoreNulls backfill
@@ -60,14 +96,17 @@ object AsOf {
     val packed = l.unionByName(r).select(
       (by.map(col) :+ col("_t") :+ col("_side")) ++
         leftExtras.map(col) :+
-        when(col("_side") === 0, struct(payload.map(col): _*)).as("_p"): _*)
+        when(col("_side") === lit(rightSide), struct(payload.map(col): _*)).as("_p"): _*)
 
+    val carry =
+      if (backward) last(col("_p"), ignoreNulls = true)
+      else first(col("_p"), ignoreNulls = true)
     val filled = packed.select(
       (by.map(col) :+ col("_t") :+ col("_side")) ++
         leftExtras.map(col) :+
-        last(col("_p"), ignoreNulls = true).over(w).as("_p"): _*)
+        carry.over(w).as("_p"): _*)
 
-    filled.filter(col("_side") === 1)
+    filled.filter(col("_side") === lit(leftSide))
       .select(by.map(col) ++ Seq(col("_t").as(leftOn)) ++
         leftExtras.map(col) ++ payload.map(c => col("_p").getField(c).as(c)): _*)
   }

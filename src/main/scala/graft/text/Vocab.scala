@@ -52,4 +52,60 @@ object Vocab {
        |SELECT term, n_total, n_docs FROM v
        |ORDER BY n_total DESC, term LIMIT $k""".stripMargin
   }
+
+  /** Out-of-vocabulary rate per document against a reference
+    * vocabulary (e.g. [[topTokens]] of a trusted corpus version) —
+    * a cheap drift/quality signal: gibberish, wrong-language and
+    * machine-mangled documents score high. Output:
+    * `(idCol, n_tokens, n_oov, oov_rate)`; an empty document rates
+    * `0.0` (nothing is out of vocabulary in nothing).
+    *
+    * Determinism: counts are exact integers; the rate is ONE IEEE
+    * division of exactly-representable ints — engine-exact.
+    *
+    * 100 TB shape: the vocabulary collapses to a single sorted-array
+    * row broadcast onto the corpus (bounded by construction — it IS a
+    * top-k), then a map-only HOF count; no shuffle touches the corpus.
+    * The token array is projected once before the lambda (Spark CSE
+    * skips lambda trees — a repeated `tokens(...)` would re-split per
+    * reference).
+    */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+      termCol: String = "term",
+  ): DataFrame = {
+    Seq("__vocab", "__toks").foreach(c => require(!df.columns.contains(c),
+      s"oovRate reserves column name $c; rename it in the input"))
+    val vocabArr = vocab.agg(
+      sort_array(collect_list(col(termCol))).as("__vocab"))
+    df.crossJoin(broadcast(vocabArr))
+      .withColumn("__toks", TextFunctions.tokens(lower(col(textCol))))
+      .select(col(idCol),
+        size(col("__toks")).cast("int").as("n_tokens"),
+        size(filter(col("__toks"),
+          t => !array_contains(col("__vocab"), t))).cast("int").as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB rendering of [[oovRate]] over `documents(doc_id, text)`
+    * restricted by `whereClause`, with the vocabulary from
+    * `vocabSql` (any query producing a `term` column).
+    */
+  def oovRateSql(vocabSql: String, whereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH v AS (SELECT list(term ORDER BY term) AS vocab FROM ($vocabSql)),
+       |d AS (SELECT doc_id, $toks AS toks
+       |  FROM documents $whereClause),
+       |c AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_filter(toks, t -> NOT list_contains(v.vocab, t))) AS INT) AS n_oov
+       |  FROM d, v)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CASE WHEN n_tokens > 0
+       |    THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS oov_rate
+       |FROM c""".stripMargin
+  }
 }

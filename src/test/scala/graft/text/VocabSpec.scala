@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class VocabSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+
+  test("topTokens counts corpus and document frequency, lowercased") {
+    val out = Vocab.topTokens(
+      docs(1L -> "The cat sat", 2L -> "the cat ran", 3L -> "a dog ran ran"),
+      "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("the") == (2L, 2L))
+    assert(out("cat") == (2L, 2L))
+    assert(out("ran") == (3L, 2L)) // 3 occurrences in 2 docs
+    assert(out("a") == (1L, 1L))
+  }
+
+  test("the k-cut is deterministic: frequency desc then term asc") {
+    // four tokens with frequency 1 — the cut at k=2 must take the
+    // lexicographically smallest terms, whatever the partitioning
+    val d = docs(1L -> "delta bravo", 2L -> "charlie alpha")
+    val terms = Vocab.topTokens(d, "doc_id", "text", k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(terms == Seq("alpha", "bravo"))
+    val reparted = Vocab.topTokens(d.repartition(7), "doc_id", "text", k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(reparted == terms)
+  }
+
+  test("oovRate counts tokens outside the vocabulary; empty docs rate 0") {
+    val vocab = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("cat"), Row("the")), 2),
+      StructType(Seq(StructField("term", StringType, nullable = false))))
+    val out = Vocab.oovRate(
+      docs(1L -> "the cat xyzzy", 2L -> "THE CAT", 3L -> "  "),
+      "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3, 1, 1.0 / 3))
+    assert(out(2L) == (2, 0, 0.0)) // lowercased before lookup
+    assert(out(3L) == (0, 0, 0.0)) // empty doc: rate 0, not NaN
+  }
+
+  test("guards: k must be positive, reserved columns rejected") {
+    intercept[IllegalArgumentException] {
+      Vocab.topTokens(docs(1L -> "a"), "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.oovRate(
+        docs(1L -> "a").withColumnRenamed("text", "__toks"),
+        "doc_id", "__toks",
+        docs(1L -> "a").select(org.apache.spark.sql.functions.col("text").as("term")))
+    }
+  }
+}
