@@ -1085,12 +1085,13 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "e_cos_dedup_clusters" ->
       graft.dedup.Dedup.connectedComponentsSql(
-        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
-           |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0) a
-           |JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
-           |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0) b
-           |ON a.vec_id < b.vec_id
+        // nested WITH keeps the filtered-embeddings scan defined ONCE
+        // (same shape as the e_cos_neardup oracle) — DuckDB supports a
+        // CTE inside a recursive-CTE definition
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+           |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
            |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3""".stripMargin),
     // approximate ANN variants: the md5-keyed LSH planes and hash-cell
     // IVF quantizer are deterministic and reproduced verbatim in

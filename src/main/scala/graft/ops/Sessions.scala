@@ -62,7 +62,9 @@ object Sessions {
         max(col(tsCol)).as("end_ts"))
 
   /** Trailing event-time window features: every row plus `n_trailing`
-    * (events of the same key in `(ts − trailing, ts]`) and, when
+    * (events of the same key in `[ts − trailing, ts]` — both ends
+    * INCLUSIVE, the RANGE-frame contract: an event exactly `trailing`
+    * old still counts) and, when
     * `valueCol` is set, `max_trailing` (max of that column over the
     * same frame) — the rate/recency features a training pipeline
     * derives per event (requests-in-last-hour, peak-value-in-window).

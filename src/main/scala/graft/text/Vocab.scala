@@ -58,7 +58,11 @@ object Vocab {
     * a cheap drift/quality signal: gibberish, wrong-language and
     * machine-mangled documents score high. Output:
     * `(idCol, n_tokens, n_oov, oov_rate)`; an empty document rates
-    * `0.0` (nothing is out of vocabulary in nothing).
+    * `0.0` (nothing is out of vocabulary in nothing), and an EMPTY
+    * vocabulary rates every token OOV (rate `1.0`) — the oracle's
+    * `list(...)` coalesces to `[]` to match, since SQL `list` of zero
+    * rows is NULL and `NOT list_contains(NULL, t)` would silently
+    * drop every token the other way.
     *
     * Determinism: counts are exact integers; the rate is ONE IEEE
     * division of exactly-representable ints — engine-exact.
@@ -96,7 +100,7 @@ object Vocab {
     */
   def oovRateSql(vocabSql: String, whereClause: String): String = {
     val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
-    s"""WITH v AS (SELECT list(term ORDER BY term) AS vocab FROM ($vocabSql)),
+    s"""WITH v AS (SELECT coalesce(list(term ORDER BY term), []) AS vocab FROM ($vocabSql)),
        |d AS (SELECT doc_id, $toks AS toks
        |  FROM documents $whereClause),
        |c AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

@@ -43,14 +43,33 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map((1L, 1L) -> (2L, 0L, 5L), (1L, 2L) -> (1L, 100L, 100L)))
   }
 
-  test("equal timestamps break ties on orderCol — numbering is partition-independent") {
-    val rows = (0L until 60L).map(i => (i % 3, i, (i / 3) * 100L))
+  test("equal timestamps land in one session — numbering is partition-independent") {
+    // GENUINE ties: each user gets PAIRS of events sharing a timestamp
+    // (i/6 repeats twice per user), including ties right at session
+    // boundaries — the gap between tied events is 0, so they can never
+    // split, and the numbering must come out identical however the
+    // input is partitioned
+    val rows = (0L until 60L).map(i => (i % 3, i, (i / 6) * 100L))
     val a = Sessions.sessionize(ev(rows: _*), "user_id", "ts", "event_id", gap = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("session_seq"))).toSet
     val b = Sessions.sessionize(ev(rows: _*).repartition(7),
       "user_id", "ts", "event_id", gap = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("session_seq"))).toSet
     assert(a == b)
+    // user 0: events at ts 0,0,100,100,... -> each tied pair is one
+    // session, sessions number 1,1,2,2,3,3,...
+    val user0 = a.filter(_._1 == 0L).toSeq.sortBy(_._2).map(_._3)
+    assert(user0 == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L, 6L, 6L, 7L, 7L, 8L, 8L, 9L, 9L, 10L, 10L))
+  }
+
+  test("trailing frame is inclusive at exactly `trailing` distance (both ends)") {
+    val out = Sessions.trailingStats(
+      ev((1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 101L)),
+      "user_id", "ts", trailing = 100L)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_trailing")).toMap
+    // ts=100: frame [0,100] INCLUDES the event exactly 100 old;
+    // ts=101: frame [1,101] excludes it
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
   test("trailingStats counts the value-based trailing frame, ties included") {

@@ -51,6 +51,15 @@ class VocabSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == (0, 0, 0.0)) // empty doc: rate 0, not NaN
   }
 
+  test("an empty vocabulary rates every token OOV (matches the coalesced oracle)") {
+    val emptyVocab = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1),
+      StructType(Seq(StructField("term", StringType, nullable = false))))
+    val out = Vocab.oovRate(docs(1L -> "a b c"), "doc_id", "text", emptyVocab)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3, 1.0))
+  }
+
   test("guards: k must be positive, reserved columns rejected") {
     intercept[IllegalArgumentException] {
       Vocab.topTokens(docs(1L -> "a"), "doc_id", "text", k = 0)
