@@ -199,6 +199,33 @@ object SparkEntry {
           decAgg(sum(dec(col("o_totalprice"), 18, 4)), 28, 4).as("sum_price"))
         .orderBy("y", "m")
     }),
+    "a_full_outer" -> ((s, dir) => {
+      // join-type parity: FULL OUTER with unmatched rows on BOTH sides
+      // (nations filtered to <10 lose odd-region matches; odd regions
+      // vanish so their nations surface null-right; regions whose
+      // nations were filtered away surface null-left)
+      val nat = t(s, dir, "nation").filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = t(s, dir, "region").filter(col("r_regionkey") % 2 === 0)
+        .select(col("r_regionkey"), col("r_name"))
+      nat.join(reg, col("n_regionkey") === col("r_regionkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"),
+          col("r_regionkey"), col("r_name"))
+        .orderBy(col("n_nationkey").asc_nulls_first,
+          col("r_regionkey").asc_nulls_first)
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS through the spark.sql front door (cube/
+      // rollup are gated via the DataFrame API elsewhere) — grouping()
+      // markers disambiguate aggregation nulls from data nulls
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
     "a_semi_anti_join" -> ((s, dir) => {
       val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = t(s, dir, "orders")
@@ -615,6 +642,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("source").asc_nulls_first, col("split"))
     }),
+    "t_length_quartiles" -> ((s, dir) => {
+      // exact (non-approx) quartiles of INTEGER lengths: interpolation
+      // fractions at quartiles are dyadic (0.25/0.5/0.75), so
+      // a + (b-a)*f is exact in doubles for any int operands < 2^51 —
+      // ANY interpolation formula gives the identical bits, making
+      // exact percentile safely oracle-gateable (percentile_approx is
+      // NOT: its sketch is layout-dependent)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.25D)").as("p25"),
+          expr("percentile(n_chars, 0.5D)").as("p50"),
+          expr("percentile(n_chars, 0.75D)").as("p75"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
     "t_length_stats" -> ((s, dir) => {
       // per-language length profile; median of integers is exact on
       // both engines (interpolated halves of ints are exact doubles)
@@ -930,6 +972,19 @@ object SparkEntry {
         |count(*) AS n,
         |CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "a_full_outer" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+        |FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 10) n
+        |FULL OUTER JOIN (SELECT r_regionkey, r_name FROM region WHERE r_regionkey % 2 = 0) r
+        |ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n_nationkey NULLS FIRST, r_regionkey NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a_semi_anti_join" ->
       """SELECT
         |(SELECT count(*) FROM customer c WHERE c_mktsegment = 'BUILDING'
@@ -1176,6 +1231,12 @@ object SparkEntry {
          |SELECT source, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
          |FROM sp GROUP BY 1, 2 ORDER BY source NULLS FIRST, split""".stripMargin
     },
+    "t_length_quartiles" ->
+      s"""SELECT lang, quantile_cont(n_chars, 0.25) AS p25,
+         |quantile_cont(n_chars, 0.5) AS p50,
+         |quantile_cont(n_chars, 0.75) AS p75,
+         |CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "t_length_stats" ->
       s"""SELECT lang, median(n_chars) AS med_chars,
          |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
