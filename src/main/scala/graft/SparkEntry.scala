@@ -342,6 +342,20 @@ object SparkEntry {
           col("n_trailing"), col("max_trailing"))
         .orderBy("user_id", "event_id")
     }),
+    "ev_resample" -> ((s, dir) => {
+      // hourly per-user grid with gap rows and forward-filled last
+      // value (feature-store densification); bucket arithmetic stays
+      // in ns longs, the carried double passes through untouched so
+      // both engines emit bit-identical values
+      graft.ops.Resample.resample(
+        t(s, dir, "events").filter(col("user_id") % 25 === 0)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value", step = 3600L * 1000000000L)
+        .select(col("user_id"),
+          expr("timestamp_micros((bucket * 3600000000000) div 1000)").as("bucket_ts"),
+          col("n_events"), col("last_val"))
+        .orderBy("user_id", "bucket_ts")
+    }),
     "j_props_extract" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_type"),
@@ -768,6 +782,33 @@ object SparkEntry {
           decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+    "o_range_join" -> ((s, dir) => {
+      // binned interval-point range join, NO equality key: attribute a
+      // sampled event population to session windows (±5 min padding)
+      // derived from a DIFFERENT user population — the "events within
+      // campaign windows" shape a raw non-equi join would plan as a
+      // nested-loop cartesian. All-integer ns arithmetic; binWidth =
+      // 1h ≈ the session-gap scale, so interval replicas stay O(1)
+      val ev = t(s, dir, "events")
+      val intervals = graft.ops.Sessions.sessionSummary(
+        ev.filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", gap = 3600L * 1000000000L)
+        .select(col("user_id").as("i_user"), col("session_seq"),
+          (col("start_ts") - lit(300L * 1000000000L)).as("lo"),
+          (col("end_ts") + lit(300L * 1000000000L)).as("hi"))
+      val pts = ev.filter(col("user_id") % 7 === 0)
+        .select(col("ts").as("p_ts"))
+      val hits = graft.operators.RangeJoin.rangeJoin(
+        pts, intervals, "p_ts", "lo", "hi",
+        binWidth = 3600L * 1000000000L)
+        .groupBy(col("i_user"), col("session_seq"))
+        .agg(count(lit(1)).as("n_hits"))
+      intervals.join(hits, Seq("i_user", "session_seq"), "left")
+        .select(col("i_user"), col("session_seq"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("i_user", "session_seq")
+    }),
     "ev_sessionize" -> ((s, dir) => {
       // gap-based sessionization (1h timeout), all-integer ns
       // arithmetic; ts stays a raw ns long until the final projection
@@ -1050,6 +1091,24 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "ev_resample" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts, value
+        |  FROM events WHERE user_id % 25 = 0),
+        |r AS (SELECT user_id, ts // 3600000000000 AS bucket, value,
+        |  row_number() OVER (PARTITION BY user_id, ts // 3600000000000
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id, ts // 3600000000000) AS n
+        |  FROM e),
+        |b AS (SELECT user_id, bucket, n, value AS in_bucket FROM r WHERE rn = 1),
+        |k AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM k),
+        |j AS (SELECT g.user_id, g.bucket, coalesce(b.n, 0) AS n_events, b.in_bucket
+        |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+        |SELECT user_id, make_timestamp((bucket * 3600000000000) // 1000) AS bucket_ts,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  last_value(in_bucket IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS last_val
+        |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
     "j_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k
@@ -1299,6 +1358,25 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 100 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "o_range_join" ->
+      """WITH se AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m),
+        |i AS (SELECT user_id AS i_user, session_seq,
+        |  min(ts) - 300000000000 AS lo, max(ts) + 300000000000 AS hi
+        |  FROM x GROUP BY 1, 2),
+        |p AS (SELECT epoch_ns(ts) AS p_ts FROM events WHERE user_id % 7 = 0)
+        |SELECT i_user, session_seq, count(p.p_ts) AS n_hits
+        |FROM i LEFT JOIN p ON p.p_ts >= i.lo AND p.p_ts <= i.hi
+        |GROUP BY i_user, session_seq
+        |ORDER BY i_user, session_seq""".stripMargin,
     "ev_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
         |  FROM events WHERE user_id % 10 = 0),
