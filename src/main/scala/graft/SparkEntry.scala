@@ -356,6 +356,40 @@ object SparkEntry {
           col("n_events"), col("last_val"))
         .orderBy("user_id", "bucket_ts")
     }),
+    "ev_funnel" -> ((s, dir) => {
+      // ordered-funnel summary: greedy earliest-first step times per
+      // user, strict (>) step ordering, chained whole-partition window
+      // minimums over ONE exchange — counts are non-increasing by
+      // construction
+      graft.ops.Funnel.funnelSummary(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("event_type")),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("step_idx")
+    }),
+    "ev_funnel_users" -> ((s, dir) => {
+      // per-user funnel completion times under a 7-day conversion
+      // window anchored at the greedy step-1 time
+      graft.ops.Funnel.funnelSteps(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("event_type")),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"),
+        maxSpan = 604800L * 1000000000L)
+        .select(col("user_id"),
+          expr("timestamp_micros(t_1 div 1000)").as("t1_ts"),
+          expr("timestamp_micros(t_2 div 1000)").as("t2_ts"),
+          expr("timestamp_micros(t_3 div 1000)").as("t3_ts"))
+        .orderBy("user_id")
+    }),
+    "ev_cohort" -> ((s, dir) => {
+      // weekly cohort-retention triangle; cohort/offset stay integer
+      // bucket indices until the final timestamp projection
+      graft.ops.Cohort.retention(
+        t(s, dir, "events").select(col("user_id"), col("ts")),
+        "user_id", "ts", bucket = 604800L * 1000000000L)
+        .select(expr("timestamp_micros((cohort * 604800000000000) div 1000)").as("cohort_start"),
+          col("offset").as("week_offset"), col("n_keys"))
+        .orderBy("cohort_start", "week_offset")
+    }),
     "j_props_extract" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_type"),
@@ -366,6 +400,42 @@ object SparkEntry {
     }),
 
     // ---- corpus pipeline: dedup / similarity / text / multimodal
+    "f_zorder_key" -> ((s, dir) => {
+      // Morton layout key over two quantized dimensions (native
+      // codegen Expression): sort-by-z before a write gives min/max
+      // row-group pruning on BOTH part and supplier predicates
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.ZInterleave.z_interleave(
+            col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "d_fuzzy_pairs" -> ((s, dir) => {
+      // fuzzy near-dup pairs by banded Levenshtein: the synthetic
+      // corpus has no planted typo variants, so build them — 17
+      // template groups (24 hex chars of a group md5, far apart
+      // cross-group) with per-doc suffix perturbations 0–3 edits
+      // apart (identical construction in the oracle)
+      val grp = md5((col("doc_id") % 17).cast("string"))
+      val planted = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"),
+          concat(lit("g"), substring(grp, 1, 24),
+            when(col("doc_id") % 3 === 0, lit(""))
+              .when(col("doc_id") % 3 === 1, lit(" x"))
+              .otherwise(lit(" yy"))).as("text"))
+      graft.dedup.Fuzzy.editDistancePairs(planted, "id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "t_quality_rules" -> ((s, dir) => {
+      // Gopher-style hard rule gates, one audit column per rule;
+      // all-integer threshold arithmetic so verdicts are engine-exact
+      graft.text.QualityFilters.withRules(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
+        "text")
+        .drop("text")
+        .orderBy("doc_id")
+    }),
     "d_exact_dedup" -> ((s, dir) => {
       graft.dedup.Dedup
         .exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
@@ -1109,12 +1179,74 @@ object SparkEntry {
         |  last_value(in_bucket IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS last_val
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+        |a AS (SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM b),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |  FROM c GROUP BY user_id)
+        |SELECT 1 AS step_idx, 'signup' AS step, count(t1) AS n_keys FROM u
+        |UNION ALL SELECT 2, 'click', count(t2) FROM u
+        |UNION ALL SELECT 3, 'purchase', count(t3) FROM u
+        |ORDER BY step_idx""".stripMargin,
+    "ev_funnel_users" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type
+        |  FROM events WHERE user_id % 10 = 0),
+        |a AS (SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |      AND ts - t1 <= 604800000000000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      AND ts - t1 <= 604800000000000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM b),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, make_timestamp(t1 // 1000) AS t1_ts,
+        |  make_timestamp(t2 // 1000) AS t2_ts,
+        |  make_timestamp(t3 // 1000) AS t3_ts
+        |FROM u ORDER BY user_id""".stripMargin,
+    "ev_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS b FROM events),
+        |a AS (SELECT user_id, b, min(b) OVER (PARTITION BY user_id) AS cohort FROM e)
+        |SELECT make_timestamp((cohort * 604800000000000) // 1000) AS cohort_start,
+        |  b - cohort AS week_offset, count(DISTINCT user_id) AS n_keys
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_start, week_offset""".stripMargin,
     "j_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // corpus pipeline oracles (shared SQL builders in graft.dedup/ann/text)
+    "f_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |${graft.functions.ZInterleave.zInterleaveSql("l_partkey % 1024", "l_suppkey % 1024", 10)} AS zkey
+         |FROM lineitem WHERE l_orderkey % 100 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "d_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |  'g' || substr(md5(CAST(doc_id % 17 AS VARCHAR)), 1, 24) ||
+        |  CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ' x' ELSE ' yy' END AS t
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.id < b.id
+        |WHERE abs(length(a.t) - length(b.t)) <= 3 AND levenshtein(a.t, b.t) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t_quality_rules" -> {
+      val rs = graft.text.QualityFilters.rulesSql()
+      val cols = rs.map { case (n, sql) => s"${sql.replace("TXT", "text")} AS $n" }
+        .mkString(",\n")
+      val passes = rs.map(_._2.replace("TXT", "text")).mkString("(", " AND ", ")")
+      s"""SELECT doc_id, $cols, $passes AS passes
+         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+    },
     "d_exact_dedup" ->
       s"""SELECT ${graft.text.TextFunctions.fingerprintSql.replace("TXT", "text")} AS fp,
          |count(*) AS n_dups, min(doc_id) AS keeper_id
