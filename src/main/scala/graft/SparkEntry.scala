@@ -400,6 +400,53 @@ object SparkEntry {
     }),
 
     // ---- corpus pipeline: dedup / similarity / text / multimodal
+    "s_profile" -> ((s, dir) => {
+      // one-pass column audit (single Expand-widened agg, unpivoted
+      // without touching the driver); gated columns are int/string
+      // only — double/timestamp STRING renderings differ cross-engine
+      graft.ops.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    }),
+    "t_length_histogram" -> ((s, dir) => {
+      // fixed-width histogram of document lengths: all-integer bucket
+      // arithmetic, one hash-shuffle
+      t(s, dir, "documents")
+        .groupBy(expr("n_chars div 200").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket")
+    }),
+    "t_url_domains" -> ((s, dir) => {
+      // per-domain provenance stats: the word-salad corpus carries no
+      // URLs, so plant 23 synthetic domains + a 1-in-3 mirror host
+      // (identical construction in the oracle); regex stays in the
+      // Java ∩ RE2 portable subset
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" https://s"),
+              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+              col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0, lit(" http://mirror.example.org/m"))
+                .otherwise(lit("")))).as("text"))
+      graft.text.Urls.domainStats(planted, "doc_id", "text").orderBy("domain")
+    }),
+    "d_incremental" -> ((s, dir) => {
+      // incremental ingest dedup: existing corpus (even ids) holds
+      // templates 'tpl <even 0..38>'; the incoming batch (odd ids)
+      // draws from 'tpl <0..54>' — admitted rows are novel templates
+      // at their first (min-id) batch occurrence
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          concat(lit("tpl "), (col("doc_id") % 40).cast("string")).as("text"))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          concat(lit("tpl "), (col("doc_id") % 55).cast("string")).as("text"))
+      graft.dedup.Incremental.dedupIncrement(existing, incoming, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "f_zorder_key" -> ((s, dir) => {
       // Morton layout key over two quantized dimensions (native
       // codegen Expression): sort-by-z before a write gives min/max
@@ -879,6 +926,25 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("i_user", "session_seq")
     }),
+    "o_interval_overlap" -> ((s, dir) => {
+      // interval×interval overlap join: concurrent sessions across two
+      // user populations (each pair meets once, in the bin of the
+      // overlap's start — no dedup shuffle)
+      val ev = t(s, dir, "events")
+      def sessions(modK: Int, prefix: String) = graft.ops.Sessions.sessionSummary(
+        ev.filter(col("user_id") % modK === 0)
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", gap = 3600L * 1000000000L)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("session_seq").as(s"${prefix}_seq"),
+          (col("start_ts") - lit(300L * 1000000000L)).as(s"${prefix}_lo"),
+          (col("end_ts") + lit(300L * 1000000000L)).as(s"${prefix}_hi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        sessions(10, "l"), sessions(7, "r"),
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 3600L * 1000000000L)
+        .select(col("l_user"), col("l_seq"), col("r_user"), col("r_seq"))
+        .orderBy("l_user", "l_seq", "r_user", "r_seq")
+    }),
     "ev_sessionize" -> ((s, dir) => {
       // gap-based sessionization (1h timeout), all-integer ns
       // arithmetic; ts stays a raw ns long until the final projection
@@ -1224,6 +1290,48 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // corpus pipeline oracles (shared SQL builders in graft.dedup/ann/text)
+    "s_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "t_length_histogram" ->
+      """SELECT n_chars // 200 AS bucket, count(*) AS n_docs,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "t_url_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text
+        |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+        |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+        |                 ELSE '' END END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?', 0)) AS url
+        |  FROM d)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+    "d_incremental" -> {
+      val fpInc = graft.text.TextFunctions.fingerprintSql
+        .replace("TXT", "('tpl ' || CAST(doc_id % 55 AS VARCHAR))")
+      val fpEx = graft.text.TextFunctions.fingerprintSql
+        .replace("TXT", "('tpl ' || CAST(doc_id % 40 AS VARCHAR))")
+      s"""WITH ex AS (SELECT $fpEx AS fp FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |inc AS (SELECT doc_id, 'tpl ' || CAST(doc_id % 55 AS VARCHAR) AS text,
+         |  $fpInc AS fp
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |novel AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM ex)),
+         |k AS (SELECT fp, min(doc_id) AS keep FROM novel GROUP BY fp)
+         |SELECT n.doc_id, n.text FROM novel n
+         |JOIN k ON n.fp = k.fp AND n.doc_id = k.keep
+         |ORDER BY n.doc_id""".stripMargin
+    },
     "f_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber,
          |${graft.functions.ZInterleave.zInterleaveSql("l_partkey % 1024", "l_suppkey % 1024", 10)} AS zkey
@@ -1509,6 +1617,36 @@ object SparkEntry {
         |FROM i LEFT JOIN p ON p.p_ts >= i.lo AND p.p_ts <= i.hi
         |GROUP BY i_user, session_seq
         |ORDER BY i_user, session_seq""".stripMargin,
+    "o_interval_overlap" ->
+      """WITH e10 AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |m10 AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e10 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x10 AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m10),
+        |l AS (SELECT user_id AS l_user, session_seq AS l_seq,
+        |  min(ts) - 300000000000 AS l_lo, max(ts) + 300000000000 AS l_hi
+        |  FROM x10 GROUP BY 1, 2),
+        |e7 AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 7 = 0),
+        |m7 AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e7 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x7 AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m7),
+        |r AS (SELECT user_id AS r_user, session_seq AS r_seq,
+        |  min(ts) - 300000000000 AS r_lo, max(ts) + 300000000000 AS r_hi
+        |  FROM x7 GROUP BY 1, 2)
+        |SELECT l_user, l_seq, r_user, r_seq
+        |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        |ORDER BY l_user, l_seq, r_user, r_seq""".stripMargin,
     "ev_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
         |  FROM events WHERE user_id % 10 = 0),

@@ -95,4 +95,70 @@ object RangeJoin {
     binnedPoints.join(binnedIntervals, joinCond)
       .drop("__bin")
   }
+
+  /** Interval–interval OVERLAP join: one output row per (left, right)
+    * pair with `[lLo,lHi] ∩ [rLo,rHi] ≠ ∅` (inclusive ends:
+    * `lLo <= rHi && rLo <= lHi`) and all `keys` equal.
+    *
+    * Same binning decomposition, but since BOTH sides replicate across
+    * bins an overlapping pair now meets in every shared bin — the
+    * standard fix assigns each pair to ONE canonical meeting bin, the
+    * bin of `max(lLo, rLo)` (the overlap's start, which both sides
+    * always cover), and filters the other meetings out. No post-dedup
+    * shuffle: the filter is a per-row comparison.
+    *
+    * Scale shape matches [[rangeJoin]]; candidate volume is
+    * Σ spans/binWidth over BOTH sides, so size `binWidth` near the
+    * median span of the DENSER side. `maxBinsPerInterval` guards both.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      binWidth: Long,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Long = 65536L,
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    val overlapCols = left.columns.toSet intersect right.columns.toSet
+    require(overlapCols.isEmpty,
+      s"left/right share column names $overlapCols; rename upstream")
+    Seq(left, right).foreach(df =>
+      require(!df.columns.contains("__bin"),
+        "intervalOverlapJoin reserves column name __bin; rename it in the input"))
+
+    def binned(df: DataFrame, lo: String, hi: String) = {
+      def binExpr(c: String) =
+        expr(s"($c div $binWidth) + (case when $c % $binWidth < 0 then -1 else 0 end)")
+      val nBins = binExpr(hi) - binExpr(lo) + lit(1L)
+      val hiG =
+        if (maxBinsPerInterval > 0)
+          when(nBins > lit(maxBinsPerInterval),
+            raise_error(concat(
+              lit(s"intervalOverlapJoin: interval spans more than $maxBinsPerInterval bins " +
+                "(widen binWidth or raise maxBinsPerInterval): lo="),
+              col(lo).cast("string"), lit(" hi="), col(hi).cast("string")))
+              .cast("long"))
+            .otherwise(binExpr(hi))
+        else binExpr(hi)
+      df.filter(col(hi) >= col(lo))
+        .withColumn("__bin", explode(sequence(binExpr(lo), hiG)))
+    }
+
+    val lB = binned(left, lLo, lHi)
+    val rB = binned(right, rLo, rHi)
+    // canonical meeting bin = floorDiv(max(lLo, rLo), binWidth) in
+    // ALL-INTEGER arithmetic (a double floor loses ulps at ns-epoch
+    // magnitudes); lLo/rLo are unambiguous names in the joined plan,
+    // so a SQL expr resolves them across the join
+    val meet = expr(
+      s"(greatest($lLo, $rLo) div $binWidth) + " +
+        s"(case when greatest($lLo, $rLo) % $binWidth < 0 then -1 else 0 end)")
+    val joinCond = keys.foldLeft(
+      lB("__bin") === rB("__bin") &&
+        lB(lLo) <= rB(rHi) && rB(rLo) <= lB(lHi) &&
+        lB("__bin") === meet) {
+      case (c, (lk, rk)) => c && lB(lk) === rB(rk)
+    }
+    lB.join(rB, joinCond).drop("__bin")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** URL extraction and per-domain statistics — the provenance signal a
+  * web-corpus pipeline needs for per-domain caps, blocklists and
+  * license audits ([[graft.ops.Sampling.capPerGroup]] consumes the
+  * domain column this produces).
+  *
+  * The URL regex stays in the Java ∩ RE2 portable subset (no
+  * lookarounds, no backrefs — the [[Pii]] discipline) so the same
+  * pattern runs verbatim on Spark and any RE2-based oracle engine:
+  * `https?://host[/path]` with host = `[A-Za-z0-9.-]+` and path = any
+  * non-whitespace run.
+  *
+  * 100 TB shape: extraction is a map-only codegen regex pass;
+  * `domainStats` adds the one hash-shuffle its groupBy needs. The
+  * explode multiplies rows by URLs-per-document (bounded small in web
+  * text); nothing else amplifies.
+  */
+object Urls {
+
+  private val urlPattern = "https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?"
+  private val domainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** One row per (document, URL occurrence): `(idCol, url, domain)`.
+    * Documents without URLs produce no rows; duplicate URLs in one
+    * document produce one row each (occurrence semantics — count
+    * them, they are the signal).
+    */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Seq("url", "domain").foreach(c =>
+      require(!df.columns.contains(c),
+        s"extractUrls reserves column name $c; rename it in the input"))
+    // Column-level regexp_extract_all with a lit pattern — routing the
+    // regex through expr()'s SQL string literal would re-interpret the
+    // \s escape and silently corrupt the pattern
+    df.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit(urlPattern), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), domainPattern, 1))
+  }
+
+  /** Per-domain corpus stats: `(domain, n_urls, n_docs)` — total URL
+    * occurrences and distinct documents linking the domain.
+    */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractUrls(df, idCol, textCol)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col(idCol)).as("n_docs"))
+}

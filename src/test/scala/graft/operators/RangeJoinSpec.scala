@@ -66,6 +66,47 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       "p", "lo", "hi", binWidth = 1L, maxBinsPerInterval = 0L).count() === 1L)
   }
 
+  test("interval overlap join equals naive cartesian filter, no duplicate pairs") {
+    val ls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 0L, 10L), Row(2L, 5L, 25L), Row(3L, 30L, 30L), Row(4L, -12L, -2L)), 2),
+      StructType(Seq(StructField("lid", LongType),
+        StructField("llo", LongType), StructField("lhi", LongType))))
+    val rs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, 8L, 12L), Row(11L, 26L, 40L), Row(12L, -5L, 1L), Row(13L, 50L, 60L)), 2),
+      StructType(Seq(StructField("rid", LongType),
+        StructField("rlo", LongType), StructField("rhi", LongType))))
+    val naive = ls.crossJoin(rs)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (binW <- Seq(1L, 4L, 7L, 100L)) {
+      val got = RangeJoin.intervalOverlapJoin(ls, rs, "llo", "lhi", "rlo", "rhi", binW)
+      val pairsGot = got.select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairsGot.toSet === naive, s"binWidth=$binW")
+      assert(pairsGot.length === naive.size, s"binWidth=$binW emitted duplicates")
+    }
+    // ground truth: (1,10) 8-10; (1,12) 0-1; (2,10) 8-12; (2,11) none (25<26);
+    // (3,11) 30; (4,12) -5..-2
+    assert(naive === Set((1L, 10L), (1L, 12L), (2L, 10L), (3L, 11L), (4L, 12L)))
+  }
+
+  test("overlap join respects equality keys") {
+    val ls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 0L, 10L, "a"), Row(2L, 0L, 10L, "b")), 2),
+      StructType(Seq(StructField("lid", LongType), StructField("llo", LongType),
+        StructField("lhi", LongType), StructField("lk", StringType))))
+    val rs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(10L, 5L, 6L, "a")), 1),
+      StructType(Seq(StructField("rid", LongType), StructField("rlo", LongType),
+        StructField("rhi", LongType), StructField("rk", StringType))))
+    val got = RangeJoin.intervalOverlapJoin(ls, rs, "llo", "lhi", "rlo", "rhi", 4L,
+      keys = Seq("lk" -> "rk"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("candidate volume is span/binWidth + 1 interval replicas, not quadratic") {
     // one interval of span 100 at binWidth 10 -> exactly 11 replicas join-side
     val is = intervals((1L, 0L, 100L))

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ProfileSpec extends AnyFunSuite with SparkSpec {
+
+  private val df = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, "a", null),
+      Row(2L, "b", java.lang.Double.valueOf(1.5)),
+      Row(2L, null, java.lang.Double.valueOf(-3.0)),
+      Row(10L, "a", null)), 2),
+    StructType(Seq(StructField("k", LongType), StructField("s", StringType),
+      StructField("v", DoubleType))))
+
+  test("per-column counts, nulls, distincts, min/max") {
+    val got = Profile.profile(df, Seq("k", "s", "v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(got === Seq(
+      ("k", 4L, 0L, 3L, "1", "10"),     // numeric order: max is 10, not "2"
+      ("s", 4L, 1L, 2L, "a", "b"),
+      ("v", 4L, 2L, 2L, "-3.0", "1.5")))
+  }
+
+  test("column order follows the request, not the schema") {
+    val got = Profile.profile(df, Seq("v", "k")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("v", "k"))
+  }
+
+  test("unknown columns are rejected") {
+    intercept[IllegalArgumentException] { Profile.profile(df, Seq("nope")) }
+  }
+}
