@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~90 registered queries x 4 whole-stage-codegen passes overflow the
+  // 240m JDK17 default; an evicted method falls back to the
+  // interpreter and inflates every query a little, uniformly
+  "-XX:ReservedCodeCacheSize=512m",
 )

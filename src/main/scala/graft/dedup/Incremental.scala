@@ -44,11 +44,15 @@ object Incremental {
     val tagged = incoming
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
     val novel = tagged.join(seen, Seq("__fp"), "left_anti")
-    // first occurrence within the batch: min id per fingerprint
+    // first occurrence within the batch: min id per fingerprint.
+    // keeper columns are RENAMED before the join — both sides share
+    // lineage, and same-name dataset-qualified columns on a self-join
+    // resolve to an ambiguous (trivially-true) predicate
     val keepers = novel.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__keep_id"))
+      .withColumnRenamed("__fp", "__keep_fp")
     novel.join(keepers,
-      novel("__fp") === keepers("__fp") && novel(idCol) === keepers("__keep_id"))
-      .select(incoming.columns.map(novel(_)): _*)
+      col("__fp") === col("__keep_fp") && col(idCol) === col("__keep_id"))
+      .select(incoming.columns.map(c => novel(c)): _*)
   }
 }

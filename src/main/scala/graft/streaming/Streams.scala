@@ -116,6 +116,72 @@ object Streams {
       .drop("__fp")
   }
 
+  final case class FunnelOut(
+      user_id: Long, step_idx: Int, step: String, ts: Timestamp)
+
+  /** Internal accumulator for [[funnelStream]] (public: Catalyst
+    * encoder codegen must be able to construct it). `times` holds the
+    * epoch-ms completion time of each step reached so far, in step
+    * order.
+    */
+  final case class FunnelStepsState(times: List[Long])
+
+  /** Streaming ordered funnel: emits `(user, step_idx, step, ts)` the
+    * moment a user advances to the next funnel step — same greedy
+    * earliest-first, STRICTLY-later semantics as the batch
+    * [[graft.ops.Funnel]], evaluated online. Events are processed in
+    * event-time order WITHIN each micro-batch; under in-order delivery
+    * (or single-batch replay) the advancement times equal the batch
+    * operator's. A cross-batch straggler older than an already-taken
+    * step cannot rewind it — the price of O(k) state; re-run the batch
+    * operator for exact retrospective funnels.
+    *
+    * Scale: state is k longs per user. The event-time timeout evicts
+    * users idle past `idleHorizonMinutes` (funnels are campaign-scoped;
+    * an evicted user who returns restarts from step 1), so state is
+    * O(active users), not O(all users ever seen).
+    */
+  def funnelStream(
+      events: Dataset[EventRow], steps: Seq[String],
+      watermark: String = "2 hours", idleHorizonMinutes: Int = 1440,
+  ): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
+    require(idleHorizonMinutes >= 1,
+      s"idleHorizonMinutes $idleHorizonMinutes must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelStepsState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelStepsState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var times = state.getOption.map(_.times).getOrElse(Nil)
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[FunnelOut]
+            sorted.foreach { e =>
+              val next = times.length
+              if (next < steps.length && e.event_type == steps(next) &&
+                  (times.isEmpty || e.ts.getTime > times.last)) {
+                times = times :+ e.ts.getTime
+                out ::= FunnelOut(userId, next + 1, steps(next), e.ts)
+              }
+            }
+            state.update(FunnelStepsState(times))
+            val wm = state.getCurrentWatermarkMs()
+            val lastSeen = sorted.lastOption.map(_.ts.getTime).getOrElse(wm)
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + idleHorizonMinutes * 60000L, wm + 1))
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: events
     * within `gapMinutes` of each other belong to one session; a
     * session is emitted (and its state evicted) when the event-time

@@ -152,6 +152,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("funnelStream advances steps across micro-batches, strictly ordered") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def tev(id: Long, user: Long, minutes: Long, typ: String) =
+      EventRow(id, ts(minutes), user, typ, 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    val query = Streams.funnelStream(input.toDS(),
+      steps = Seq("signup", "click", "purchase"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      // user 1 advances step 1 in batch 1, steps 2+3 in batch 2;
+      // user 2's click arrives BEFORE its signup (cross-batch
+      // straggler) -> only step 1 ever fires;
+      // user 3's click shares the signup timestamp -> strict ordering
+      // refuses step 2
+      input.addData(tev(1, 1, 0, "signup"), tev(10, 2, 5, "click"))
+      query.processAllAvailable()
+      input.addData(tev(2, 1, 10, "click"), tev(3, 1, 20, "purchase"),
+        tev(11, 2, 3, "signup"),
+        tev(20, 3, 0, "signup"), tev(21, 3, 0, "click"))
+      query.processAllAvailable()
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx"),
+          r.getAs[String]("step"))).toSet
+      assert(rows === Set(
+        (1L, 1, "signup"), (1L, 2, "click"), (1L, 3, "purchase"),
+        (2L, 1, "signup"), (3L, 1, "signup")), s"got $rows")
+    } finally query.stop()
+  }
+
+  test("funnelStream sorts within a micro-batch by event time") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def tev(id: Long, user: Long, minutes: Long, typ: String) =
+      EventRow(id, ts(minutes), user, typ, 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    val query = Streams.funnelStream(input.toDS(),
+      steps = Seq("signup", "click"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel2")
+      .outputMode("append").start()
+    try {
+      // click listed first but signup is EARLIER in event time — one
+      // batch, so the sort lets both steps fire
+      input.addData(tev(2, 1, 10, "click"), tev(1, 1, 0, "signup"))
+      query.processAllAvailable()
+      val rows = spark.table("funnel2").collect()
+        .map(r => (r.getAs[Int]("step_idx"), r.getAs[String]("step"))).toSet
+      assert(rows === Set((1, "signup"), (2, "click")), s"got $rows")
+    } finally query.stop()
+  }
+
   test("decontaminateStream drops blocklisted text by normalized fingerprint") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
