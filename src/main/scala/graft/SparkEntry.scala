@@ -400,6 +400,31 @@ object SparkEntry {
     }),
 
     // ---- corpus pipeline: dedup / similarity / text / multimodal
+    "c_checksum" -> ((s, dir) => {
+      // order-independent reconciliation checksum (map-only digest,
+      // one-row reduce): the cheap first gate before a full row-level
+      // compare; DECIMAL(38,0) sum ships as a digit string
+      graft.ops.Checksum.checksum(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+    "p_weighted_sample" -> ((s, dir) => {
+      // data-driven sampling: temperature-derived per-language
+      // acceptance rates (dominant language downsampled hardest)
+      // broadcast onto the corpus, then md5-bucket membership — the
+      // whole chain is engine-exact, so the oracle verifies the
+      // temperature → rate → membership composition end to end
+      import graft.ops.Sampling
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val rates = Sampling.temperatureWeights(docs, "lang")
+        .withColumn("rate", col("upsample") / max(col("upsample")).over(all))
+        .select(col("lang"), col("rate"))
+      Sampling.weightedSample(
+        docs.join(broadcast(rates), Seq("lang")), "doc_id", "rate", seed = 11L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    }),
     "s_profile" -> ((s, dir) => {
       // one-pass column audit (single Expand-widened agg, unpivoted
       // without touching the driver); gated columns are int/string
@@ -1290,6 +1315,21 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // corpus pipeline oracles (shared SQL builders in graft.dedup/ann/text)
+    "c_checksum" ->
+      graft.ops.Checksum.checksumSql("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    "p_weighted_sample" ->
+      s"""WITH ${graft.ops.Sampling.temperatureWeightsCoreSql("documents", "lang")},
+         |t AS (SELECT grp AS lang, share,
+         |  CAST(raw AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS BIGINT) AS DOUBLE) / share AS upsample
+         |  FROM x),
+         |r AS (SELECT lang, upsample / (SELECT max(upsample) FROM t) AS rate FROM t),
+         |s AS (SELECT d.doc_id, d.lang
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE ${graft.ops.Sampling.bucketSql("d.doc_id", 11L)} <
+         |        CAST(floor(rate * 1000000.0) AS BIGINT))
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "s_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -39,6 +39,22 @@ object Sampling {
   ): DataFrame =
     df.filter(bucket(col(idCol), seed) < thresh(fraction))
 
+  /** Per-row acceptance sampling at a DATA-DRIVEN rate: keep a row iff
+    * its bucket falls below `floor(rateCol · 1e6)` — [[hashSample]]
+    * with the fraction coming from a column instead of a literal, for
+    * rates computed upstream (a [[temperatureWeights]]-derived
+    * per-language acceptance joined onto the corpus, a per-domain
+    * quality prior). `rateCol` ∈ [0,1]; ≥ 1 keeps everything, ≤ 0
+    * drops everything. Map-only and growth-stable like every sampler
+    * here; membership is engine-exact whenever the rate column itself
+    * is (floor of an exact double is exact).
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, rateCol: String, seed: Long = 42L,
+  ): DataFrame =
+    df.filter(bucket(col(idCol), seed) <
+      floor(col(rateCol) * lit(1000000.0)).cast("long"))
+
   /** Attach a `split` column: "test" for a deterministic
     * `testFraction` of rows, "train" for the rest. Membership depends
     * only on (seed, id) — rows keep their split when the corpus grows,
@@ -183,6 +199,22 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("weight"), col("upsample"))
   }
 
+  /** The CTE chain of [[temperatureWeightsSql]] without the final
+    * SELECT — compose further queries (weighted sampling) on top of
+    * the `x` CTE, which carries `(grp, n_docs, share, raw)`.
+    */
+  def temperatureWeightsCoreSql(
+      table: String, groupExpr: String, whereClause: String = "",
+  ): String =
+    s"""c AS (SELECT $groupExpr AS grp, count(*) AS n_docs
+       |  FROM $table $whereClause GROUP BY 1),
+       |w AS (SELECT grp, n_docs,
+       |  CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS share
+       |  FROM c),
+       |x AS (SELECT grp, n_docs, share,
+       |  CAST(floor(sqrt(share) * 1e15 + 0.5) AS BIGINT) AS raw
+       |  FROM w)""".stripMargin
+
   /** DuckDB rendering of [[temperatureWeights]] at alpha = 0.5 over
     * `table`, grouping by `groupExpr` (aliased back to `groupAlias`).
     */
@@ -190,14 +222,7 @@ object Sampling {
       table: String, groupExpr: String, groupAlias: String,
       whereClause: String = "",
   ): String =
-    s"""WITH c AS (SELECT $groupExpr AS grp, count(*) AS n_docs
-       |  FROM $table $whereClause GROUP BY 1),
-       |w AS (SELECT grp, n_docs,
-       |  CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS share
-       |  FROM c),
-       |x AS (SELECT grp, n_docs, share,
-       |  CAST(floor(sqrt(share) * 1e15 + 0.5) AS BIGINT) AS raw
-       |  FROM w)
+    s"""WITH ${temperatureWeightsCoreSql(table, groupExpr, whereClause)}
        |SELECT grp AS $groupAlias, n_docs,
        |  CAST(raw AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS BIGINT) AS DOUBLE) AS weight,
        |  CAST(raw AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS BIGINT) AS DOUBLE) / share AS upsample
