@@ -400,6 +400,57 @@ object SparkEntry {
     }),
 
     // ---- corpus pipeline: dedup / similarity / text / multimodal
+    "w_percent_rank" -> ((s, dir) => {
+      // rank-family window breadth: percent_rank/cume_dist are exact
+      // rationals ((rank-1)/(n-1), rank/n) — integer divisions in
+      // doubles, bit-identical cross-engine
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy("lang", "doc_id")
+    }),
+    "f_array_ops" -> ((s, dir) => {
+      // higher-order array function breadth (transform / filter /
+      // aggregate / zip_with) over a constructed integer array —
+      // codegen'd HOFs, all-integer results
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("aggregate(transform(sequence(1L, 1 + doc_id % 7), x -> x * x), 0L, (a, x) -> a + x)").as("sq_sum"),
+          expr("size(filter(sequence(1L, 1 + doc_id % 7), x -> x % 2 = 0))").cast("long").as("n_even"),
+          expr("aggregate(zip_with(sequence(1L, 1 + doc_id % 7), reverse(sequence(1L, 1 + doc_id % 7)), (a, b) -> a * b), 0L, (a, x) -> a + x)").as("zip_sum"))
+        .orderBy("doc_id")
+    }),
+    "t_mad" -> ((s, dir) => {
+      // robust per-language stats: median + median-absolute-deviation
+      // of integer lengths. Exactness: medians interpolate halves of
+      // ints (dyadic), abs-deviations land on quarter steps (dyadic),
+      // so both engines' interpolation formulas agree bit-for-bit
+      val docs = t(s, dir, "documents").select(col("lang"), col("n_chars"))
+      val med = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      docs.join(broadcast(med), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(min(col("med")).as("med"),
+          expr("percentile(abs(cast(n_chars as double) - med), 0.5D)").as("mad"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+    "q_mode" -> ((s, dir) => {
+      // per-group mode with a DETERMINISTIC tie-break (max count, then
+      // lexicographically smallest value) — any_value/mode built-ins
+      // are tie-unstable, so the gateable form is rank-over-counts
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("n").desc, col("o_orderstatus").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("n").as("n_mode"))
+        .orderBy("o_orderpriority")
+    }),
     "c_checksum" -> ((s, dir) => {
       // order-independent reconciliation checksum (map-only digest,
       // one-row reduce): the cheap first gate before a full row-level
@@ -1315,6 +1366,35 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // corpus pipeline oracles (shared SQL builders in graft.dedup/ann/text)
+    "w_percent_rank" ->
+      """SELECT lang, doc_id, n_chars,
+        |percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM documents WHERE doc_id % 20 = 0
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
+        |ORDER BY lang, doc_id""".stripMargin,
+    "f_array_ops" ->
+      """SELECT doc_id,
+        |CAST(list_aggregate(list_transform(range(1, 2 + doc_id % 7), x -> x * x), 'sum') AS BIGINT) AS sq_sum,
+        |CAST(len(list_filter(range(1, 2 + doc_id % 7), x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |CAST(list_aggregate(list_transform(
+        |  list_zip(range(1, 2 + doc_id % 7), list_reverse(range(1, 2 + doc_id % 7))),
+        |  p -> p[1] * p[2]), 'sum') AS BIGINT) AS zip_sum
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "t_mad" ->
+      """WITH m AS (SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, min(m.med) AS med,
+        |  median(abs(CAST(n_chars AS DOUBLE) - m.med)) AS mad,
+        |  count(*) AS n_docs
+        |FROM documents d JOIN m ON d.lang = m.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY n DESC, o_orderstatus ASC) AS rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
     "c_checksum" ->
       graft.ops.Checksum.checksumSql("orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
