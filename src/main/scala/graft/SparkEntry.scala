@@ -906,6 +906,30 @@ object SparkEntry {
         graft.text.Vocab.topTokens(docs, "doc_id", "text", k = 200))
         .orderBy("doc_id")
     }),
+    "t_vocab_encode" -> ((s, dir) => {
+      // text -> token-id rows against the corpus' own top-100 vocab
+      // (1-based rank id, 0 = OOV); flattened (doc_id, pos, token_id)
+      // is the shape the packing/writer stages consume
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab.encode(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        graft.text.Vocab.topTokens(docs, "doc_id", "text", k = 100))
+        .orderBy("doc_id", "pos")
+    }),
+    "p_curriculum_bins" -> ((s, dir) => {
+      // curriculum binning: per-language ntile quartiles by length
+      // with doc_id tie-break (partitioned window — the global-sort
+      // form would be a single-reducer anti-pattern at scale)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("bin", ntile(4).over(w))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "bin")
+    }),
     "mm_frame_sample" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.sampleFrames(
@@ -1672,6 +1696,17 @@ object SparkEntry {
       (graft.text.Vocab.oovRateSql(
         graft.text.Vocab.topTokensSql(200, ""),
         "WHERE doc_id % 10 = 0") + "\nORDER BY doc_id"),
+    "t_vocab_encode" ->
+      (graft.text.Vocab.encodeSql(
+        graft.text.Vocab.topTokensSql(100, ""),
+        "WHERE doc_id % 50 = 0") + "\nORDER BY doc_id, pos"),
+    "p_curriculum_bins" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+        |  ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id AS id,
         |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,

@@ -53,6 +53,61 @@ object Vocab {
        |ORDER BY n_total DESC, term LIMIT $k""".stripMargin
   }
 
+  /** Token-id encoding against a ranked vocabulary: every token of
+    * every document becomes its 1-based RANK in the vocabulary
+    * (corpus count desc, term asc — [[topTokens]]' deterministic
+    * order), with 0 as the out-of-vocabulary id — the text→ids step
+    * that turns a curated corpus into tokenizer-ready training rows.
+    * Output is FLATTENED: `(idCol, pos, token_id)`, one row per token
+    * occurrence with its 0-based position (downstream packing/writer
+    * stages consume exactly this shape; empty documents produce no
+    * rows).
+    *
+    * 100 TB shape: like [[oovRate]], the vocabulary collapses to one
+    * ranked-array row broadcast onto the corpus; the lookup is a
+    * map-only `array_position` per token — O(k) per probe, fine for
+    * the bounded top-k vocabularies this produces (swap in a map
+    * literal for very large k). No shuffle touches the corpus; the
+    * explode multiplies rows by tokens-per-document, which is the
+    * output's intrinsic size.
+    */
+  def encode(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+      termCol: String = "term", countCol: String = "n_total",
+  ): DataFrame = {
+    Seq("__vs", "__vocab", "__toks", "pos", "token_id").foreach(c =>
+      require(!df.columns.contains(c),
+        s"encode reserves column name $c; rename it in the input"))
+    // rank order = (count desc, term asc): array_sort on (neg-count,
+    // term) structs gives exactly that without a window
+    val ranked = vocab.agg(array_sort(collect_list(struct(
+        (-col(countCol)).as("n"), col(termCol).as("t")))).as("__vs"))
+      .select(transform(col("__vs"), s => s("t")).as("__vocab"))
+    df.crossJoin(broadcast(ranked))
+      .withColumn("__toks", TextFunctions.tokens(lower(col(textCol))))
+      .select(col(idCol), col("__vocab"),
+        posexplode(col("__toks")).as(Seq("pos", "__tok")))
+      .select(col(idCol), col("pos"),
+        array_position(col("__vocab"), col("__tok")).as("token_id"))
+  }
+
+  /** DuckDB rendering of [[encode]] over `documents(doc_id, text)`
+    * restricted by `whereClause`, with the vocabulary from `vocabSql`
+    * (any query producing `term` and `n_total` columns).
+    */
+  def encodeSql(vocabSql: String, whereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH vr AS (SELECT term, row_number() OVER (ORDER BY n_total DESC, term) AS rid
+       |  FROM ($vocabSql)),
+       |v AS (SELECT coalesce(list(term ORDER BY rid), []) AS vocab FROM vr),
+       |d AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
+       |e AS (SELECT doc_id, unnest(list_transform(toks,
+       |  (t, i) -> {'pos': i - 1, 'id': list_position(v.vocab, t)})) AS u
+       |  FROM d, v)
+       |SELECT doc_id, CAST(u.pos AS INT) AS pos, CAST(u.id AS BIGINT) AS token_id
+       |FROM e""".stripMargin
+  }
+
   /** Out-of-vocabulary rate per document against a reference
     * vocabulary (e.g. [[topTokens]] of a trusted corpus version) —
     * a cheap drift/quality signal: gibberish, wrong-language and

@@ -60,6 +60,26 @@ class VocabSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == (3, 1.0))
   }
 
+  test("encode assigns rank ids (count desc, term asc), 0 for OOV, flattened") {
+    // counts: ran=3, cat=2, the=2 -> ranks: ran=1, cat=2, the=3 (cat < the)
+    val corpus = docs(1L -> "The cat sat", 2L -> "the cat ran", 3L -> "a dog ran ran")
+    val vocab = Vocab.topTokens(corpus, "doc_id", "text", k = 3)
+    val out = Vocab.encode(docs(10L -> "ran THE zebra", 11L -> ""), "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // zebra is OOV -> 0; empty doc 11 emits nothing
+    assert(out === Seq((10L, 0, 1L), (10L, 1, 3L), (10L, 2, 0L)))
+  }
+
+  test("encode ids are independent of vocab frame partitioning") {
+    val corpus = docs(1L -> "b b a a c", 2L -> "d e f")
+    val v1 = Vocab.topTokens(corpus, "doc_id", "text", k = 4)
+    val enc1 = Vocab.encode(corpus, "doc_id", "text", v1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val enc2 = Vocab.encode(corpus, "doc_id", "text", v1.repartition(5))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(enc1 === enc2)
+  }
+
   test("guards: k must be positive, reserved columns rejected") {
     intercept[IllegalArgumentException] {
       Vocab.topTokens(docs(1L -> "a"), "doc_id", "text", k = 0)
