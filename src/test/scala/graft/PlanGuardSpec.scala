@@ -36,6 +36,32 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q5_local_supplier").contains("BroadcastHashJoin"))
   }
 
+  test("range/overlap/fuzzy joins stay equi-joins on their bin keys") {
+    // the binning decomposition exists exactly to avoid the
+    // nested-loop plan a raw non-equi join would get; if the bin
+    // equality ever falls out of the condition these degenerate
+    for (q <- Seq("o_range_join", "o_interval_overlap", "d_fuzzy_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join — the bin equi-key is gone")
+    }
+  }
+
+  test("funnel plans one exchange for all chained step windows") {
+    // k whole-partition window minimums over the same key must share
+    // a single shuffle of the events — one hashpartitioning exchange
+    // on user_id in the whole plan
+    val p = plan("ev_funnel")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected 1 user_id exchange for chained funnel windows, got $exchanges")
+  }
+
+  test("weighted sampling broadcasts the rate table, not the corpus") {
+    assert(plan("p_weighted_sample").contains("BroadcastHashJoin"))
+  }
+
   test("contamination scan broadcasts the probe gram side") {
     assert(plan("d_contamination").contains("BroadcastHashJoin"))
   }
