@@ -451,6 +451,32 @@ object SparkEntry {
           col("n").as("n_mode"))
         .orderBy("o_orderpriority")
     }),
+    "q_topk_agg" -> ((s, dir) => {
+      // bounded-heap top-k typed UDAF: state never exceeds k pairs,
+      // partial aggregation truncates map-side — no full-group sort,
+      // unlike the window row_number formulation the oracle uses
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopK.top_k(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("r0", "r")))
+        .select(col("o_orderpriority"), (col("r0") + 1).cast("int").as("rnk"),
+          col("r.value").as("o_totalprice"), col("r.id").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+    "ev_merge_intervals" -> ((s, dir) => {
+      // interval-union sweep: every event opens a 30-min coverage
+      // window; overlapping/touching windows flatten to disjoint
+      // spans per user (one shuffle, shared window sort)
+      val iv = t(s, dir, "events").filter(col("user_id") % 25 === 0)
+        .select(col("user_id"), col("ts").as("lo"),
+          (col("ts") + lit(1800L * 1000000000L)).as("hi"))
+      graft.operators.Intervals.mergeIntervals(iv, "user_id", "lo", "hi")
+        .select(col("user_id"), col("merge_seq"),
+          expr("timestamp_micros(lo div 1000)").as("span_start"),
+          expr("(hi - lo) div 1000000").as("span_ms"), col("n_merged"))
+        .orderBy("user_id", "merge_seq")
+    }),
     "c_checksum" -> ((s, dir) => {
       // order-independent reconciliation checksum (map-only digest,
       // one-row reduce): the cheap first gate before a full row-level
@@ -1419,6 +1445,32 @@ object SparkEntry {
         |  ORDER BY n DESC, o_orderstatus ASC) AS rn FROM c)
         |SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_mode
         |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_topk_agg" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_totalprice, o_orderkey
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "ev_merge_intervals" ->
+      """WITH i AS (SELECT user_id, epoch_ns(ts) AS lo,
+        |  epoch_ns(ts) + 1800000000000 AS hi
+        |  FROM events WHERE user_id % 25 = 0),
+        |o AS (SELECT user_id, lo, hi,
+        |  CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
+        |       THEN 1 ELSE 0 END AS flag
+        |  FROM i WINDOW w AS (PARTITION BY user_id ORDER BY lo, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id, lo, hi,
+        |  CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS merge_seq
+        |  FROM o)
+        |SELECT user_id, merge_seq,
+        |  make_timestamp(min(lo) // 1000) AS span_start,
+        |  (max(hi) - min(lo)) // 1000000 AS span_ms,
+        |  count(*) AS n_merged
+        |FROM m GROUP BY user_id, merge_seq
+        |ORDER BY user_id, merge_seq""".stripMargin,
     "c_checksum" ->
       graft.ops.Checksum.checksumSql("orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
