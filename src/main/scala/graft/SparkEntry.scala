@@ -464,6 +464,20 @@ object SparkEntry {
           col("r.value").as("o_totalprice"), col("r.id").as("o_orderkey"))
         .orderBy("o_orderpriority", "rnk")
     }),
+    "ev_first_per_window" -> ((s, dir) => {
+      // bounded-lookback dedup / rate limit: first event per user per
+      // 6h tumbling window — one hash shuffle with map-side min_by
+      // combine, NO window sort (the batch twin of streaming
+      // dropDuplicatesWithinWatermark)
+      graft.ops.Sessions.firstPerWindow(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", window = 21600L * 1000000000L)
+        .select(col("user_id"),
+          expr("timestamp_micros((bucket * 21600000000000) div 1000)").as("win_start"),
+          col("event_id"), expr("timestamp_micros(ts div 1000)").as("ev_ts"))
+        .orderBy("user_id", "win_start")
+    }),
     "ev_merge_intervals" -> ((s, dir) => {
       // interval-union sweep: every event opens a 30-min coverage
       // window; overlapping/touching windows flatten to disjoint
@@ -1452,6 +1466,16 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_totalprice, o_orderkey
         |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "ev_first_per_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |r AS (SELECT user_id, event_id, ts, ts // 21600000000000 AS bucket,
+        |  row_number() OVER (PARTITION BY user_id, ts // 21600000000000
+        |    ORDER BY ts, event_id) AS rn FROM e)
+        |SELECT user_id,
+        |  make_timestamp((bucket * 21600000000000) // 1000) AS win_start,
+        |  event_id, make_timestamp(ts // 1000) AS ev_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id, win_start""".stripMargin,
     "ev_merge_intervals" ->
       """WITH i AS (SELECT user_id, epoch_ns(ts) AS lo,
         |  epoch_ns(ts) + 1800000000000 AS hi

@@ -81,6 +81,36 @@ object Sessions {
     * window frame. Per-reducer state is the trailing window of one
     * key, bounded by `trailing`, not history length.
     */
+  /** First event per key per tumbling `window` — the batch twin of
+    * streaming `dropDuplicatesWithinWatermark`: bounded-lookback dedup
+    * / rate limiting ("at most one alert per user per 6 h", "first
+    * click per session window"). Returns the winning input rows with
+    * their window index (`bucket` = floored `tsCol / window`); the
+    * winner is the minimum `(tsCol, orderCol)` of the window, so the
+    * result is deterministic under ties and partitioning.
+    *
+    * 100 TB shape: ONE hash shuffle on (key, bucket) with map-side
+    * combine via `min_by` — no window sort at all (compare
+    * [[sessionize]], which must sort). State per reducer is one row
+    * per (key, bucket).
+    */
+  def firstPerWindow(
+      df: DataFrame, keyCol: String, tsCol: String, orderCol: String,
+      window: Long,
+  ): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    Seq("__bucket", "__w", "bucket").foreach(c =>
+      require(!df.columns.contains(c),
+        s"firstPerWindow reserves column name $c; rename it in the input"))
+    val b = expr(
+      s"($tsCol div $window) + (case when $tsCol % $window < 0 then -1 else 0 end)")
+    df.withColumn("__bucket", b)
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(min_by(struct(df.columns.map(col): _*),
+        struct(col(tsCol), col(orderCol))).as("__w"))
+      .select(col("__bucket").as("bucket"), col("__w.*"))
+  }
+
   def trailingStats(
       df: DataFrame, keyCol: String, tsCol: String, trailing: Long,
       valueCol: Option[String] = None,

@@ -35,6 +35,37 @@ object Sources {
       .parquet(path)
   }
 
+  /** Z-ordered parquet write: range-partition AND sort the data by
+    * the Morton interleave of two quantized integer dimensions before
+    * writing ([[graft.functions.ZInterleave]]), so every output
+    * file's — and every row group's — min/max envelope is tight in
+    * BOTH dimensions. Readers then prune files/row groups on
+    * predicates over EITHER column; a lexicographic sort serves only
+    * its leading key. This is the Delta/Iceberg `ZORDER BY` layout
+    * with plain parquet files.
+    *
+    * `colA`/`colB` must be integral and pre-quantized to `bits` bits
+    * (the interleave masks, so quantize upstream — `% 2^bits` or a
+    * width bucket). `numFiles` bounds output file count: the range
+    * partitioner samples the z distribution, so files carry disjoint
+    * z ranges.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, bits: Int = 10,
+      numFiles: Int = 0): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered reserves column name __z; rename it in the input")
+    import org.apache.spark.sql.functions.col
+    val z = df.withColumn("__z",
+      graft.functions.ZInterleave.z_interleave(col(colA), col(colB), bits))
+    val ranged =
+      if (numFiles > 0) z.repartitionByRange(numFiles, col("__z"))
+      else z.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

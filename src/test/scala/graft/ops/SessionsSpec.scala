@@ -111,4 +111,20 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
         "user_id", "ts", "session_seq", gap = 10L)
     }
   }
+
+  test("firstPerWindow keeps the (ts, order)-minimum per key per bucket") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("u1", 5L, 2L, "a"), Row("u1", 3L, 9L, "b"),   // bucket 0 -> ts=3 wins
+        Row("u1", 3L, 1L, "c"),                           // tie ts=3 -> order 1 wins
+        Row("u1", 15L, 4L, "d"),                          // bucket 1
+        Row("u2", -5L, 5L, "e")), 3),                     // bucket -1 (floors)
+      StructType(Seq(StructField("u", StringType), StructField("ts", LongType),
+        StructField("o", LongType), StructField("v", StringType))))
+    val got = Sessions.firstPerWindow(df, "u", "ts", "o", window = 10L)
+      .orderBy("u", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (0L, "u1", 3L, 1L, "c"), (1L, "u1", 15L, 4L, "d"), (-1L, "u2", -5L, 5L, "e")))
+  }
 }
