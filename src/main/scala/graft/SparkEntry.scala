@@ -563,6 +563,19 @@ object SparkEntry {
       graft.dedup.Incremental.dedupIncrement(existing, incoming, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "d_version_diff" -> ((s, dir) => {
+      // corpus-refresh release notes: fingerprint-set full outer
+      // between two synthetic template versions (same construction as
+      // d_incremental) — no text moves, only 16-byte digests
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(concat(lit("tpl "), (col("doc_id") % 40).cast("string")).as("text"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(concat(lit("tpl "), (col("doc_id") % 55).cast("string")).as("text"))
+      graft.dedup.Incremental.versionDiff(v1, v2, "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
     "f_zorder_key" -> ((s, dir) => {
       // Morton layout key over two quantized dimensions (native
       // codegen Expression): sort-by-z before a write gives min/max
@@ -1551,6 +1564,18 @@ object SparkEntry {
          |SELECT n.doc_id, n.text FROM novel n
          |JOIN k ON n.fp = k.fp AND n.doc_id = k.keep
          |ORDER BY n.doc_id""".stripMargin
+    },
+    "d_version_diff" -> {
+      val fp1 = graft.text.TextFunctions.fingerprintSql
+        .replace("TXT", "('tpl ' || CAST(doc_id % 40 AS VARCHAR))")
+      val fp2 = graft.text.TextFunctions.fingerprintSql
+        .replace("TXT", "('tpl ' || CAST(doc_id % 55 AS VARCHAR))")
+      s"""WITH v1 AS (SELECT DISTINCT $fp1 AS fp FROM documents WHERE doc_id % 2 = 0),
+         |v2 AS (SELECT DISTINCT $fp2 AS fp FROM documents WHERE doc_id % 2 = 1),
+         |j AS (SELECT CASE WHEN v1.fp IS NOT NULL AND v2.fp IS NOT NULL THEN 'kept'
+         |             WHEN v2.fp IS NOT NULL THEN 'added' ELSE 'removed' END AS status
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.fp = v2.fp)
+         |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin
     },
     "f_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber,

@@ -28,6 +28,26 @@ import graft.text.TextFunctions
   */
 object Incremental {
 
+  /** Corpus version diff by normalized fingerprint: one row per
+    * DISTINCT fingerprint across both versions with
+    * `status ∈ {added, removed, kept}` — the release-note view of a
+    * corpus refresh ("this crawl added 2M documents, dropped 40k,
+    * kept 98%"), computed without moving any text: both versions
+    * reduce to 16-byte fingerprint sets, full-outer joined on that
+    * key. Aggregate the statuses for the summary; join `added` back
+    * to the new version for the actual novel documents.
+    */
+  def versionDiff(v1: DataFrame, v2: DataFrame, textCol: String): DataFrame = {
+    def fps(df: DataFrame) = df
+      .select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+    fps(v1).select(col("fp"), lit(1).as("__v1"))
+      .join(fps(v2).select(col("fp"), lit(1).as("__v2")), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(col("__v1").isNotNull && col("__v2").isNotNull, lit("kept"))
+          .when(col("__v2").isNotNull, lit("added"))
+          .otherwise(lit("removed")).as("status"))
+  }
+
   /** Surviving incoming rows (all original columns), one per novel
     * fingerprint: not in `existing`, minimum `idCol` within the batch.
     */

@@ -44,6 +44,15 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(ids(stepA.union(stepB)) === ids(oneShot))
   }
 
+  test("versionDiff labels fingerprints added/removed/kept") {
+    val v1 = frame((1L, "a"), (2L, "b"), (3L, "b"))      // fps: a, b
+    val v2 = frame((10L, "b"), (11L, "c"), (12L, "C"))   // fps: b, c (norm: C==c)
+    val got = Incremental.versionDiff(v1, v2, "text")
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("removed" -> 1L, "kept" -> 1L, "added" -> 1L))
+  }
+
   test("all original incoming columns survive") {
     val existing = frame((1L, "alpha"))
     val incoming = frame((10L, "beta"))
