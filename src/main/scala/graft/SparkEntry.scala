@@ -71,6 +71,20 @@ object SparkEntry {
     p.toString
   }
 
+  /** Shared oracle core for the planted fuzzy near-dup pairs
+    * (`d_fuzzy_pairs` gates the pairs; `d_fuzzy_clusters` feeds the
+    * same pair set through the recursive-CTE component labeling).
+    */
+  private val fuzzyPairsOracle: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |  'g' || substr(md5(CAST(doc_id % 17 AS VARCHAR)), 1, 24) ||
+      |  CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ' x' ELSE ' yy' END AS t
+      |  FROM documents WHERE doc_id % 5 = 0)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM d a JOIN d b ON a.id < b.id
+      |WHERE abs(length(a.t) - length(b.t)) <= 3 AND levenshtein(a.t, b.t) <= 3""".stripMargin
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -601,6 +615,22 @@ object SparkEntry {
               .otherwise(lit(" yy"))).as("text"))
       graft.dedup.Fuzzy.editDistancePairs(planted, "id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")
+    }),
+    "d_fuzzy_clusters" -> ((s, dir) => {
+      // fuzzy pairs -> connected components: typo variants collapse
+      // into clusters labeled by their min id (cross-module chain,
+      // same planted construction as d_fuzzy_pairs)
+      val grp = md5((col("doc_id") % 17).cast("string"))
+      val planted = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"),
+          concat(lit("g"), substring(grp, 1, 24),
+            when(col("doc_id") % 3 === 0, lit(""))
+              .when(col("doc_id") % 3 === 1, lit(" x"))
+              .otherwise(lit(" yy"))).as("text"))
+      val pairs = graft.dedup.Fuzzy.editDistancePairs(
+        planted, "id", "text", maxDist = 3)
+      graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id")
     }),
     "t_quality_rules" -> ((s, dir) => {
       // Gopher-style hard rule gates, one audit column per rule;
@@ -1583,15 +1613,9 @@ object SparkEntry {
          |FROM lineitem WHERE l_orderkey % 100 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "d_fuzzy_pairs" ->
-      """WITH d AS (SELECT doc_id AS id,
-        |  'g' || substr(md5(CAST(doc_id % 17 AS VARCHAR)), 1, 24) ||
-        |  CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ' x' ELSE ' yy' END AS t
-        |  FROM documents WHERE doc_id % 5 = 0)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
-        |FROM d a JOIN d b ON a.id < b.id
-        |WHERE abs(length(a.t) - length(b.t)) <= 3 AND levenshtein(a.t, b.t) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      (fuzzyPairsOracle + "\nORDER BY id_a, id_b"),
+    "d_fuzzy_clusters" ->
+      graft.dedup.Dedup.connectedComponentsSql(fuzzyPairsOracle),
     "t_quality_rules" -> {
       val rs = graft.text.QualityFilters.rulesSql()
       val cols = rs.map { case (n, sql) => s"${sql.replace("TXT", "text")} AS $n" }
