@@ -1109,6 +1109,40 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("i_user", "session_seq")
     }),
+    "ev_attribution" -> ((s, dir) => {
+      // view→purchase attribution, the batch twin of the streaming
+      // intervalJoin: each purchase matches the views of the SAME user
+      // in the prior 6 h (keyed rangeJoin — equality key + binned
+      // range), then the LATEST qualifying view wins (max_by with
+      // event-id tie-break)
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_lo"), (col("ts") + lit(21600L * 1000000000L)).as("v_hi"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      graft.operators.RangeJoin.rangeJoin(
+        purchases, views, "p_ts", "v_lo", "v_hi",
+        binWidth = 21600L * 1000000000L, keys = Seq("p_user" -> "v_user"))
+        .groupBy(col("p_user"), col("purchase_id"))
+        .agg(max_by(col("view_id"), struct(col("v_lo"), col("view_id"))).as("view_id"),
+          count(lit(1)).as("n_candidates"))
+        .orderBy("p_user", "purchase_id")
+    }),
+    "a_union_by_name" -> ((s, dir) => {
+      // schema-evolution union: two corpus drops with different column
+      // sets align by NAME with null padding (unionByName +
+      // allowMissingColumns — positional union would silently mismatch)
+      val v1 = t(s, dir, "orders").filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val v2 = t(s, dir, "orders").filter(col("o_orderkey") % 200 === 100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     "o_interval_overlap" -> ((s, dir) => {
       // interval×interval overlap join: concurrent sessions across two
       // user populations (each pair meets once, in the bin of the
@@ -1897,6 +1931,27 @@ object SparkEntry {
         |FROM i LEFT JOIN p ON p.p_ts >= i.lo AND p.p_ts <= i.hi
         |GROUP BY i_user, session_seq
         |ORDER BY i_user, session_seq""".stripMargin,
+    "ev_attribution" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id, epoch_ns(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0),
+        |j AS (SELECT p_user, purchase_id, view_id,
+        |  row_number() OVER (PARTITION BY p_user, purchase_id
+        |    ORDER BY v_ts DESC, view_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY p_user, purchase_id) AS n_candidates
+        |  FROM p JOIN v ON p.p_user = v.user_id
+        |    AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + 21600000000000)
+        |SELECT p_user, purchase_id, view_id, CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM j WHERE rn = 1
+        |ORDER BY p_user, purchase_id""".stripMargin,
+    "a_union_by_name" ->
+      """SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 200 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS VARCHAR), o_totalprice
+        |FROM orders WHERE o_orderkey % 200 = 100
+        |ORDER BY o_orderkey""".stripMargin,
     "o_interval_overlap" ->
       """WITH e10 AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
         |  FROM events WHERE user_id % 10 = 0),
