@@ -40,7 +40,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     // the binning decomposition exists exactly to avoid the
     // nested-loop plan a raw non-equi join would get; if the bin
     // equality ever falls out of the condition these degenerate
-    for (q <- Seq("o_range_join", "o_interval_overlap", "d_fuzzy_pairs")) {
+    for (q <- Seq("o_range_join", "o_interval_overlap", "d_fuzzy_pairs",
+      "ev_attribution")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
