@@ -894,6 +894,27 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_first)
     }),
+    "p_cap_domain" -> ((s, dir) => {
+      // provenance-driven curation chain: extract planted domains
+      // (t_url_domains construction), then cap each domain's
+      // contribution — Urls → capPerGroup composed under one gate
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" https://s"),
+              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+              col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0, lit(" http://mirror.example.org/m"))
+                .otherwise(lit("")))).as("text"))
+      val domains = graft.text.Urls.extractUrls(planted, "doc_id", "text")
+        .filter(col("domain") =!= "mirror.example.org")
+        .select(col("doc_id"), col("domain"))
+      graft.ops.Sampling.capPerGroup(domains, "domain", "doc_id",
+        cap = 8, seed = 3L)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy("domain")
+    }),
     "p_curation_pipeline" -> ((s, dir) => {
       // the operators composed end-to-end the way a real corpus run
       // chains them (the C4/RefinedWeb ordering): exact doc dedup ->
@@ -1803,6 +1824,27 @@ object SparkEntry {
          |FROM documents JOIN n USING (source)
          |WHERE $pred
          |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "p_cap_domain" -> {
+      val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 8, seed = 3L)
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text
+        |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+        |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+        |                 ELSE '' END END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?', 0)) AS url
+        |  FROM d),
+        |dom AS (SELECT doc_id,
+        |  regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u
+        |  WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) <> 'mirror.example.org'),
+        |n AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_group FROM dom GROUP BY 1)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id
+        |FROM dom JOIN n USING (domain)
+        |WHERE """.stripMargin + pred +
+        "\nGROUP BY domain ORDER BY domain"
     },
     "p_curation_pipeline" -> {
       import graft.text.TextFunctions

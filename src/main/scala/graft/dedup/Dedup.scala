@@ -130,6 +130,40 @@ object Dedup {
       .filter(col("n_shared_grams") >= minSharedGrams)
   }
 
+  /** Bloom-filter pre-screen for [[contaminationScan]]: when the
+    * benchmark probe set is too large to broadcast as raw grams (a
+    * joined contamination sweep over EVERY eval suite at once), build
+    * one Bloom filter over the probes' n-grams and keep only the
+    * corpus documents with at least one might-contain gram. The
+    * filter is a fixed-size bit array (`expectedGrams` at `fpp` —
+    * ~1.2 GB for 10⁹ grams at 1%, vs tens of GB of raw gram strings),
+    * and the scan is map-only: no join, no shuffle of the corpus.
+    *
+    * Semantics: a SUPERSET of truly contaminated documents — Bloom
+    * filters have NO false negatives, so nothing contaminated
+    * escapes; false positives (≤ `fpp` per gram probe) are resolved
+    * by running the exact [[contaminationScan]] on the (small)
+    * surviving subset. Returns the corpus rows that need the exact
+    * pass.
+    */
+  def contaminationPrescreen(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, expectedGrams: Long = 1000000L, fpp: Double = 0.01,
+  ): DataFrame = {
+    require(expectedGrams > 0, s"expectedGrams $expectedGrams must be positive")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp not in (0,1)")
+    val probeGrams = probes
+      .select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(explode(wordShinglesOf(col("toks"), n)).as("gram"))
+    val bloom = probeGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val hasHit = udf((grams: Seq[String]) =>
+      grams != null && grams.exists(bc.value.mightContainString))
+    corpus.filter(hasHit(
+      wordShinglesOf(TextFunctions.tokens(col(textCol)), n)))
+  }
+
   /** DuckDB rendering of [[contaminationScan]] over
     * `documents(doc_id, text)`: corpus = `corpusWhere`, probes =
     * `probeWhere`. The word-shingle construction mirrors

@@ -336,6 +336,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.find(_._1 == 1L).get._3 == 4L)
   }
 
+  test("bloom prescreen: superset of contaminated docs, exact pass agrees") {
+    val benchmark = docs(
+      100L -> "what is the capital of france",
+      101L -> "solve for x in the equation")
+    val corpus = docs(
+      (1L -> "trivia night: what is the capital of france everyone") +:
+      (2L -> "the capital of france is a lovely city") +:
+      (10L to 60L).map(i => i -> s"clean document number $i about cooking topic $i"): _*)
+    val survivors = Dedup.contaminationPrescreen(
+      corpus, benchmark, "doc_id", "text", n = 3,
+      expectedGrams = 1000L, fpp = 0.01)
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    // NO false negatives: both contaminated docs survive the screen
+    assert(Set(1L, 2L).subsetOf(ids), s"prescreen dropped contaminated docs: $ids")
+    // the screen actually screens (clean docs mostly eliminated)
+    assert(ids.size < 20, s"prescreen kept too much: $ids")
+    // exact pass on survivors == exact pass on the full corpus
+    val onSurvivors = Dedup.contaminationScan(survivors, benchmark,
+      "doc_id", "text", n = 3, minSharedGrams = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val onFull = Dedup.contaminationScan(corpus, benchmark,
+      "doc_id", "text", n = 3, minSharedGrams = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(onSurvivors === onFull)
+  }
+
   test("tfidf: highest-scoring term per doc is its distinctive frequent term") {
     val d = docs(
       1L -> "apple apple banana",
