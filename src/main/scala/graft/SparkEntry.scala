@@ -1055,6 +1055,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "mm_patch_plan" -> ((s, dir) => {
+      // vision-token budget: patch grid + class token over the resize
+      // plan (ceil-divided 16px tiles) — the packing input for image
+      // sequences, planned before any pixel decode
+      import graft.multimodal.Multimodal
+      val meta = Multimodal.decodeMeta(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text"),
+        "doc_id", "content")
+      Multimodal.patchPlan(
+        Multimodal.resizePlan(meta, maxW = 128, maxH = 96), patch = 16)
+        .select(col("id"), col("out_w"), col("out_h"),
+          col("n_x"), col("n_y"), col("n_patches"), col("n_tokens"))
+        .orderBy("id")
+    }),
+
     "t_rolling_fp" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
@@ -1920,6 +1936,23 @@ object SparkEntry {
         |  greatest(1, CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)) AS out_w,
         |  greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h
         |FROM r ORDER BY id""".stripMargin,
+    "mm_patch_plan" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |    CAST(1 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |r AS (SELECT id, width, height,
+        |    least(128.0 / CAST(width AS DOUBLE), 96.0 / CAST(height AS DOUBLE), 1.0) AS scale
+        |  FROM m),
+        |z AS (SELECT id,
+        |  greatest(1, CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)) AS out_w,
+        |  greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h
+        |  FROM r),
+        |p AS (SELECT id, out_w, out_h,
+        |  (out_w + 15) // 16 AS n_x, (out_h + 15) // 16 AS n_y FROM z)
+        |SELECT id, out_w, out_h, n_x, n_y,
+        |  n_x * n_y AS n_patches, n_x * n_y + 1 AS n_tokens
+        |FROM p ORDER BY id""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id,
         |    1 + octet_length(encode(text)) % 240 AS n_frames

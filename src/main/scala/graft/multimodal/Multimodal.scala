@@ -163,6 +163,27 @@ object Multimodal {
         greatest(lit(1L), floor(h * scale).cast(LongType)))
   }
 
+  /** ViT-style patch-grid plan over [[resizePlan]] output: how many
+    * `patch × patch` tiles each resized image yields (`n_x · n_y`,
+    * ceil-divided so edge pixels always land in a partial patch) plus
+    * the token count with a class token — the budget a vision
+    * tokenizer needs BEFORE any pixel work, e.g. to pack image
+    * sequences into context windows with
+    * [[graft.ops.Packing.packSequences]]. Map-only integer
+    * arithmetic; engine-exact.
+    */
+  def patchPlan(resized: DataFrame, patch: Int = 16): DataFrame = {
+    require(patch >= 1, s"patch $patch must be >= 1")
+    Seq("n_x", "n_y", "n_patches", "n_tokens").foreach(c =>
+      require(!resized.columns.contains(c),
+        s"patchPlan reserves column name $c; rename it in the input"))
+    val nx = expr(s"(out_w + ${patch - 1}) div $patch")
+    val ny = expr(s"(out_h + ${patch - 1}) div $patch")
+    resized.withColumn("n_x", nx).withColumn("n_y", ny)
+      .withColumn("n_patches", col("n_x") * col("n_y"))
+      .withColumn("n_tokens", col("n_patches") + lit(1L))
+  }
+
   /** Per-partition probe that reads a frame count out of a video
     * container header — the [[BinaryDecoder]] analogue for
     * [[sampleFrames]]. Implementations must be serializable and
