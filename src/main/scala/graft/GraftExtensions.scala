@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       exprs => RollingHash(exprs.head)))
+    // opt-in logical rewrite: naive non-equi point-in-interval joins
+    // become the binned equi-join decomposition when
+    // spark.graft.rangeJoin.binWidth is set (see RangeJoinRewrite)
+    e.injectOptimizerRule(graft.plans.RangeJoinRewrite)
   }
 }
 
@@ -47,6 +51,25 @@ object ExtensionsDemo {
       s"rolling_hash('') = ${rows.head.getLong(1)}")
     val expected = "abc".foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
     assert(rows.head.getLong(0) == expected, "extension-registered function mismatch")
+
+    // the injected optimizer rule: a naive non-equi range join must
+    // plan as a binned equi-join once the bin width is set
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "16")
+    val pts = (0L until 100L).map(i => (i, i * 3L % 200L)).toDF("pid", "p")
+    val ivs = (0L until 10L).map(i => (i, i * 20L, i * 20L + 15L)).toDF("iid", "lo", "hi")
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range-join rewrite did not fire:\n$plan")
+    val viaRule = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    val naive = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRule == naive, "rewritten join changed the result")
+    println(s"range-join rewrite ok (${viaRule.size} pairs)")
     println("extensions ok")
     spark.stop()
   }
