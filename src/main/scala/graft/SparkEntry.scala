@@ -71,6 +71,36 @@ object SparkEntry {
     p.toString
   }
 
+  /** Planted fuzzy near-dup corpus shared by `d_fuzzy_pairs` and
+    * `d_fuzzy_clusters` — ONE Spark-side construction (and one oracle
+    * core below) so the gate pair cannot silently desynchronize: 17
+    * template groups (24 hex chars of a group md5, far apart
+    * cross-group) with per-doc suffix perturbations 0–3 edits apart.
+    */
+  private def plantedFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val grp = md5((col("doc_id") % 17).cast("string"))
+    t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"),
+        concat(lit("g"), substring(grp, 1, 24),
+          when(col("doc_id") % 3 === 0, lit(""))
+            .when(col("doc_id") % 3 === 1, lit(" x"))
+            .otherwise(lit(" yy"))).as("text"))
+  }
+
+  /** Planted per-document URLs shared by `t_url_domains` and
+    * `p_cap_domain`: 23 synthetic domains + a 1-in-3 mirror host, no
+    * URL on every 4th doc (identical construction in both oracles).
+    */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" https://s"),
+            (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+            col("doc_id").cast("string"),
+            when(col("doc_id") % 3 === 0, lit(" http://mirror.example.org/m"))
+              .otherwise(lit("")))).as("text"))
+
   /** Shared oracle core for the planted fuzzy near-dup pairs
     * (`d_fuzzy_pairs` gates the pairs; `d_fuzzy_clusters` feeds the
     * same pair set through the recursive-CTE component labeling).
@@ -548,19 +578,11 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     "t_url_domains" -> ((s, dir) => {
-      // per-domain provenance stats: the word-salad corpus carries no
-      // URLs, so plant 23 synthetic domains + a 1-in-3 mirror host
-      // (identical construction in the oracle); regex stays in the
-      // Java ∩ RE2 portable subset
-      val planted = t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(col("doc_id") % 4 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" https://s"),
-              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
-              col("doc_id").cast("string"),
-              when(col("doc_id") % 3 === 0, lit(" http://mirror.example.org/m"))
-                .otherwise(lit("")))).as("text"))
-      graft.text.Urls.domainStats(planted, "doc_id", "text").orderBy("domain")
+      // per-domain provenance stats over the planted-URL corpus (the
+      // word salad carries no URLs — see plantedUrls); regex stays in
+      // the Java ∩ RE2 portable subset
+      graft.text.Urls.domainStats(plantedUrls(s, dir), "doc_id", "text")
+        .orderBy("domain")
     }),
     "d_incremental" -> ((s, dir) => {
       // incremental ingest dedup: existing corpus (even ids) holds
@@ -601,34 +623,18 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "d_fuzzy_pairs" -> ((s, dir) => {
-      // fuzzy near-dup pairs by banded Levenshtein: the synthetic
-      // corpus has no planted typo variants, so build them — 17
-      // template groups (24 hex chars of a group md5, far apart
-      // cross-group) with per-doc suffix perturbations 0–3 edits
-      // apart (identical construction in the oracle)
-      val grp = md5((col("doc_id") % 17).cast("string"))
-      val planted = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id"),
-          concat(lit("g"), substring(grp, 1, 24),
-            when(col("doc_id") % 3 === 0, lit(""))
-              .when(col("doc_id") % 3 === 1, lit(" x"))
-              .otherwise(lit(" yy"))).as("text"))
-      graft.dedup.Fuzzy.editDistancePairs(planted, "id", "text", maxDist = 3)
+      // fuzzy near-dup pairs by banded Levenshtein over the planted
+      // typo-variant corpus (shared construction, see plantedFuzzy)
+      graft.dedup.Fuzzy.editDistancePairs(
+        plantedFuzzy(s, dir), "id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
     "d_fuzzy_clusters" -> ((s, dir) => {
       // fuzzy pairs -> connected components: typo variants collapse
       // into clusters labeled by their min id (cross-module chain,
-      // same planted construction as d_fuzzy_pairs)
-      val grp = md5((col("doc_id") % 17).cast("string"))
-      val planted = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id"),
-          concat(lit("g"), substring(grp, 1, 24),
-            when(col("doc_id") % 3 === 0, lit(""))
-              .when(col("doc_id") % 3 === 1, lit(" x"))
-              .otherwise(lit(" yy"))).as("text"))
+      // same plantedFuzzy construction as d_fuzzy_pairs)
       val pairs = graft.dedup.Fuzzy.editDistancePairs(
-        planted, "id", "text", maxDist = 3)
+        plantedFuzzy(s, dir), "id", "text", maxDist = 3)
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
     }),
@@ -896,17 +902,10 @@ object SparkEntry {
     }),
     "p_cap_domain" -> ((s, dir) => {
       // provenance-driven curation chain: extract planted domains
-      // (t_url_domains construction), then cap each domain's
+      // (shared plantedUrls construction), then cap each domain's
       // contribution — Urls → capPerGroup composed under one gate
-      val planted = t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(col("doc_id") % 4 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" https://s"),
-              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
-              col("doc_id").cast("string"),
-              when(col("doc_id") % 3 === 0, lit(" http://mirror.example.org/m"))
-                .otherwise(lit("")))).as("text"))
-      val domains = graft.text.Urls.extractUrls(planted, "doc_id", "text")
+      val domains = graft.text.Urls
+        .extractUrls(plantedUrls(s, dir), "doc_id", "text")
         .filter(col("domain") =!= "mirror.example.org")
         .select(col("doc_id"), col("domain"))
       graft.ops.Sampling.capPerGroup(domains, "domain", "doc_id",

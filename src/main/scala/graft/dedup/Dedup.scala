@@ -147,8 +147,7 @@ object Dedup {
     * pass.
     */
   def contaminationPrescreen(
-      corpus: DataFrame, probes: DataFrame,
-      idCol: String, textCol: String,
+      corpus: DataFrame, probes: DataFrame, textCol: String,
       n: Int = 5, expectedGrams: Long = 1000000L, fpp: Double = 0.01,
   ): DataFrame = {
     require(expectedGrams > 0, s"expectedGrams $expectedGrams must be positive")

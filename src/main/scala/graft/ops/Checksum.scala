@@ -15,13 +15,17 @@ import org.apache.spark.sql.types.DecimalType
   * Use it as the cheap first gate; fall back to the row-level compare
   * only when checksums disagree.
   *
-  * Per-row digest: md5 of the `|`-joined column strings (nulls as a
-  * `U+0001` sentinel so `(NULL,'x')` ≠ `('x',NULL)` — concat_ws alone
-  * would silently collapse them), top 15 hex chars as a 60-bit
-  * integer. The sum accumulates in DECIMAL(38,0) — exact at any row
-  * count up to 10^20, immune to addition order — and ships as a
-  * STRING (decimal physical layouts differ across engines; digit
-  * strings do not).
+  * Per-row digest: each column renders as a fixed-width token —
+  * `'0'` for NULL, `'1' || md5(value-string)` otherwise — and the row
+  * digest is the top 15 hex chars (60 bits) of the md5 of the
+  * concatenated tokens. Tokens are fixed width, so the encoding is
+  * INJECTIVE up to md5 collisions: no separator for values to smuggle
+  * (`("a|b","c")` vs `("a","b|c")`), no sentinel a real value can
+  * collide with (`(NULL,"x")` vs `("","x")`) — different rows
+  * digest differently. The sum accumulates in DECIMAL(38,0) — exact
+  * at any row count up to 10^20, immune to addition order — and
+  * ships as a STRING (decimal physical layouts differ across
+  * engines; digit strings do not).
   *
   * Columns must render identically on both systems: integers and
   * strings do; doubles and timestamps have engine-specific string
@@ -36,8 +40,9 @@ object Checksum {
     require(cols.nonEmpty, "checksum needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"checksum: columns not in frame: $missing")
-    val rowStr = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val rowStr = concat(cols.map(c =>
+      when(col(c).isNull, lit("0"))
+        .otherwise(concat(lit("1"), md5(col(c).cast("string"))))): _*)
     val digest = conv(substring(md5(rowStr), 1, 15), 16, 10)
       .cast(DecimalType(38, 0))
     df.agg(count(lit(1)).as("n_rows"),
@@ -48,8 +53,9 @@ object Checksum {
   def checksumSql(table: String, cols: Seq[String], whereClause: String = ""): String = {
     require(cols.nonEmpty, "checksum needs at least one column")
     val rowStr = cols
-      .map(c => s"coalesce(CAST($c AS VARCHAR), chr(1))")
-      .mkString("concat_ws('|', ", ", ", ")")
+      .map(c =>
+        s"(CASE WHEN $c IS NULL THEN '0' ELSE '1' || md5(CAST($c AS VARCHAR)) END)")
+      .mkString(" || ")
     s"""SELECT count(*) AS n_rows,
        |CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5($rowStr), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
        |FROM $table $whereClause""".stripMargin

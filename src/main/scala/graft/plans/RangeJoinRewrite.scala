@@ -36,7 +36,18 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private val confKey = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    spark.conf.getOption(confKey).map(_.toLong) match {
+    spark.conf.getOption(confKey).map { raw =>
+      // a clear error naming the key — a bare NumberFormatException
+      // from inside the optimizer would fail every query in the
+      // session with no hint where the bad value lives
+      try raw.toLong
+      catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$confKey must be a positive long in the range column's " +
+              s"unit, got '$raw'", e)
+      }
+    } match {
       case Some(bw) if bw > 0 =>
         plan.transform {
           case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -91,14 +102,36 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if split == split2
     } yield (p1, lo, hi, split)
     candidates.headOption.map { case (p, lo, hi, pointOnLeft) =>
-      val (pointPlan, intervalPlan) = if (pointOnLeft) (left, right) else (right, left)
+      val (pointPlan, intervalPlan0) = if (pointOnLeft) (left, right) else (right, left)
+      // the guards the manual operator has, mirrored here:
+      // (1) hi >= lo — an inverted interval would make sequence()
+      //     count DOWN (step −1) and replicate instead of dropping;
+      // (2) the explode's upper bound raises past maxBins — one
+      //     degenerate interval (a Long.MaxValue sentinel timestamp)
+      //     must fail fast, not materialize toward the array limit
+      val intervalPlan = Filter(GreaterThanOrEqual(hi, lo), intervalPlan0)
+      val maxBins = spark.conf
+        .getOption("spark.graft.rangeJoin.maxBinsPerInterval")
+        .map(_.toLong).getOrElse(65536L)
+      val loBin = binOf(lo, bw)
+      val hiBin = binOf(hi, bw)
+      val nBins = Add(Subtract(hiBin, loBin), Literal(1L, LongType))
+      val hiGuarded =
+        if (maxBins > 0)
+          CaseWhen(Seq((GreaterThan(nBins, Literal(maxBins, LongType)),
+            Cast(new RaiseError(Literal.create(
+              s"RangeJoinRewrite: interval spans more than $maxBins bins " +
+                "(widen spark.graft.rangeJoin.binWidth or raise " +
+                "spark.graft.rangeJoin.maxBinsPerInterval)")),
+              LongType))), hiBin)
+        else hiBin
       // interval side: explode(sequence(bin(lo), bin(hi))) as __g_bin
       val binAttr = AttributeReference("__g_bin", LongType, nullable = false)()
       // Sequence is TimeZoneAwareExpression: it is UNRESOLVED until a
       // timezone is attached, and analysis (which normally attaches
       // it) already ran — set it explicitly or the optimizer rejects
       // the plan as newly-unresolved
-      val seq = new Sequence(binOf(lo, bw), binOf(hi, bw), None,
+      val seq = new Sequence(loBin, hiGuarded, None,
         Some(spark.sessionState.conf.sessionLocalTimeZone))
       val gen = Generate(
         Explode(seq),

@@ -47,16 +47,37 @@ class ChecksumSpec extends AnyFunSuite with SparkSpec {
     assert(a._2 !== b._2)
   }
 
-  test("digest algorithm pinned: matches a hand-computed md5 prefix sum") {
-    def digest(s: String): BigInt = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      BigInt(hex.take(15), 16)
+  test("encoding is injective: no cross-column aliasing") {
+    // ("1|a", "b") must differ from ("1", "a|b") — a separator-joined
+    // digest would alias them
+    def two(x: String, y: String) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(x, y)), 1),
+        StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+      Checksum.checksum(df, Seq("a", "b")).collect().head.getString(1)
+    }
+    assert(two("1|a", "b") !== two("1", "a|b"))
+    // and a literal U+0001 value must differ from NULL
+    assert(two("\u0001", "x") !== {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(null, "x")), 1),
+        StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+      Checksum.checksum(df, Seq("a", "b")).collect().head.getString(1)
+    })
+  }
+
+  test("digest algorithm pinned: matches a hand-computed md5 token sum") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def rowDigest(vals: Seq[Option[String]]): BigInt = {
+      val tokens = vals.map { case None => "0"; case Some(v) => "1" + md5hex(v) }
+      BigInt(md5hex(tokens.mkString).take(15), 16)
     }
     val rows = Seq[(java.lang.Long, String)](
       (java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b"))
-    val expected = digest("1|a") + digest("2|b")
+    val expected =
+      rowDigest(Seq(Some("1"), Some("a"))) + rowDigest(Seq(Some("2"), Some("b")))
     assert(sum(frame(1, rows: _*)) === ((2L, expected.toString)))
   }
 }

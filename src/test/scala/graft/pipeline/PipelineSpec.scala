@@ -345,7 +345,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       (2L -> "the capital of france is a lovely city") +:
       (10L to 60L).map(i => i -> s"clean document number $i about cooking topic $i"): _*)
     val survivors = Dedup.contaminationPrescreen(
-      corpus, benchmark, "doc_id", "text", n = 3,
+      corpus, benchmark, "text", n = 3,
       expectedGrams = 1000L, fpp = 0.01)
     val ids = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
     // NO false negatives: both contaminated docs survive the screen

@@ -40,7 +40,11 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkSpec {
 
   private def intervals(s: SparkSession): DataFrame =
     s.createDataFrame(
-      s.sparkContext.parallelize((0L until 30L).map(i => Row(i, i * 17L, i * 17L + 25L)), 2),
+      // includes one INVERTED interval (hi < lo): empty by definition —
+      // the rewrite must filter it, not explode a descending sequence
+      s.sparkContext.parallelize(
+        (0L until 30L).map(i => Row(i, i * 17L, i * 17L + 25L)) :+
+          Row(99L, 400L, 100L), 2),
       StructType(Seq(StructField("iid", LongType),
         StructField("lo", LongType), StructField("hi", LongType))))
 
