@@ -83,6 +83,27 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("degenerate interval spans raise instead of materializing") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "1")
+      s.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1000")
+      try {
+        val wide = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(Row(1L, 0L, 100000000L)), 1),
+          StructType(Seq(StructField("iid", LongType),
+            StructField("lo", LongType), StructField("hi", LongType))))
+        val err = intercept[Exception] {
+          points(s).join(wide,
+            col("p") >= col("lo") && col("p") <= col("hi")).count()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+        assert(msgs(err).exists(m => m != null && m.contains("RangeJoinRewrite")),
+          s"expected the guard's message, got: ${msgs(err)}")
+      } finally s.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+    }
+  }
+
   test("without the config the rule is inert") {
     withExtendedSession { s =>
       val joined = points(s).join(intervals(s),
