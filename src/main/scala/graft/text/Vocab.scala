@@ -63,33 +63,72 @@ object Vocab {
     * stages consume exactly this shape; empty documents produce no
     * rows).
     *
-    * 100 TB shape: like [[oovRate]], the vocabulary collapses to one
-    * ranked-array row broadcast onto the corpus; the lookup is a
-    * map-only `array_position` per token — O(k) per probe, fine for
-    * the bounded top-k vocabularies this produces (swap in a map
-    * literal for very large k). No shuffle touches the corpus; the
-    * explode multiplies rows by tokens-per-document, which is the
-    * output's intrinsic size.
+    * 100 TB shape: the vocabulary is a DIMENSION TABLE — each token
+    * occurrence resolves its rank through a broadcast HASH join
+    * (`BroadcastHashJoin`, whole-stage codegen, O(1) probe), not a
+    * per-token scan of a broadcast collection. This matters more than
+    * it looks: a broadcast `array_position` is the obvious O(k) scan,
+    * and the tempting "broadcast a term->rank map and `element_at`"
+    * fix is a TRAP — Catalyst's `MapData` is array-backed with no
+    * hash index, so `element_at`/`GetMapValue` is ALSO an O(k) linear
+    * scan (and interpreted, upstream of codegen). At tokenizer-scale
+    * vocabularies (32k–256k terms × ~1k tokens/doc) the scan is
+    * 10⁷–10⁸ key compares per document; the hash probe is ~10× faster
+    * at k=32k locally and grows its lead linearly in k (SCALE.md).
+    * No shuffle touches the corpus — the explode multiplies rows by
+    * tokens-per-document (the output's intrinsic size) and the join
+    * side ships one bounded vocab copy per executor.
+    *
+    * Duplicate terms in `vocab` keep their best (lowest) rank and
+    * cannot multiply output rows — the join side is min-aggregated
+    * per term, preserving `array_position` first-match semantics.
     */
   def encode(
       df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
       termCol: String = "term", countCol: String = "n_total",
   ): DataFrame = {
-    Seq("__vs", "__vocab", "__toks", "pos", "token_id").foreach(c =>
-      require(!df.columns.contains(c),
+    Seq("__vs", "__vocab", "__term", "__rank", "__toks", "pos", "token_id")
+      .foreach(c => require(!df.columns.contains(c),
         s"encode reserves column name $c; rename it in the input"))
-    // rank order = (count desc, term asc): array_sort on (neg-count,
-    // term) structs gives exactly that without a window
-    val ranked = vocab.agg(array_sort(collect_list(struct(
-        (-col(countCol)).as("n"), col(termCol).as("t")))).as("__vs"))
-      .select(transform(col("__vs"), s => s("t")).as("__vocab"))
-    df.crossJoin(broadcast(ranked))
-      .withColumn("__toks", TextFunctions.tokens(lower(col(textCol))))
-      .select(col(idCol), col("__vocab"),
-        posexplode(col("__toks")).as(Seq("pos", "__tok")))
+    val rankedTerms = rankedVocabArray(vocab, termCol, countCol)
+      .select(posexplode(col("__vocab")).as(Seq("__rank", "__term")))
+      .groupBy(col("__term"))
+      .agg(min(col("__rank") + lit(1L)).as("__rank"))
+    df.select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "__tok")))
+      .join(broadcast(rankedTerms), col("__tok") === col("__term"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("__rank"), lit(0L)).as("token_id"))
+  }
+
+  /** The linear-scan formulation [[encode]] replaced (per-token
+    * `array_position`, O(k) per probe). Kept package-private as the
+    * reference implementation VocabSpec pins the map lookup against.
+    */
+  private[graft] def encodeViaScan(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+      termCol: String = "term", countCol: String = "n_total",
+  ): DataFrame = {
+    val ranked = rankedVocabArray(vocab, termCol, countCol)
+    df.select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "__tok")))
+      .crossJoin(broadcast(ranked))
       .select(col(idCol), col("pos"),
         array_position(col("__vocab"), col("__tok")).as("token_id"))
   }
+
+  /** One row, one array: vocabulary terms ranked (count desc, term
+    * asc) — `array_sort` on (neg-count, term) structs gives exactly
+    * that order without a window.
+    */
+  private def rankedVocabArray(
+      vocab: DataFrame, termCol: String, countCol: String,
+  ): DataFrame =
+    vocab.agg(array_sort(collect_list(struct(
+        (-col(countCol)).as("n"), col(termCol).as("t")))).as("__vs"))
+      .select(transform(col("__vs"), s => s("t")).as("__vocab"))
 
   /** DuckDB rendering of [[encode]] over `documents(doc_id, text)`
     * restricted by `whereClause`, with the vocabulary from `vocabSql`
@@ -122,27 +161,35 @@ object Vocab {
     * Determinism: counts are exact integers; the rate is ONE IEEE
     * division of exactly-representable ints — engine-exact.
     *
-    * 100 TB shape: the vocabulary collapses to a single sorted-array
-    * row broadcast onto the corpus (bounded by construction — it IS a
-    * top-k), then a map-only HOF count; no shuffle touches the corpus.
-    * The token array is projected once before the lambda (Spark CSE
-    * skips lambda trees — a repeated `tokens(...)` would re-split per
-    * reference).
+    * 100 TB shape: like [[encode]], the vocabulary is a dimension
+    * table — each token occurrence tests membership through a
+    * broadcast HASH join (codegen'd O(1) probe), then counts
+    * re-aggregate per document. The earlier formulation broadcast the
+    * vocab as one array row and ran an `array_contains` HOF filter —
+    * map-only, but O(k) per token AND interpreted (Spark higher-order
+    * lambdas are CodegenFallback), which at tokenizer-scale k is
+    * 10⁷–10⁸ compares per document; a broadcast `map_contains_key`
+    * is the same linear scan in disguise (Catalyst `MapData` has no
+    * hash index — SCALE.md). The re-aggregation shuffle carries one
+    * pre-combined row per document per map partition (map-side
+    * partial agg), never token rows and never text — O(docs), not
+    * O(corpus). `explode_outer` keeps empty documents (rate 0.0).
     */
   def oovRate(
       df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
       termCol: String = "term",
   ): DataFrame = {
-    Seq("__vocab", "__toks").foreach(c => require(!df.columns.contains(c),
-      s"oovRate reserves column name $c; rename it in the input"))
-    val vocabArr = vocab.agg(
-      sort_array(collect_list(col(termCol))).as("__vocab"))
-    df.crossJoin(broadcast(vocabArr))
-      .withColumn("__toks", TextFunctions.tokens(lower(col(textCol))))
-      .select(col(idCol),
-        size(col("__toks")).cast("int").as("n_tokens"),
-        size(filter(col("__toks"),
-          t => !array_contains(col("__vocab"), t))).cast("int").as("n_oov"))
+    Seq("__vocab", "__term", "__toks").foreach(c =>
+      require(!df.columns.contains(c),
+        s"oovRate reserves column name $c; rename it in the input"))
+    val terms = vocab.select(col(termCol).as("__term")).distinct()
+    df.select(col(idCol),
+        explode_outer(TextFunctions.tokens(lower(col(textCol))))
+          .as("__tok"))
+      .join(broadcast(terms), col("__tok") === col("__term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__tok")).cast("int").as("n_tokens"),
+        (count(col("__tok")) - count(col("__term"))).cast("int").as("n_oov"))
       .withColumn("oov_rate",
         when(col("n_tokens") > 0,
           col("n_oov").cast("double") / col("n_tokens").cast("double"))

@@ -80,6 +80,37 @@ class VocabSpec extends AnyFunSuite with SparkSpec {
     assert(enc1 === enc2)
   }
 
+  test("encode map lookup agrees with the linear-scan formulation on a 10k-term vocab") {
+    import org.apache.spark.sql.functions._
+    // 10k distinct terms with distinct counts -> every rank exercised
+    val vocab = spark.range(10000).select(
+      concat(lit("t"), format_string("%05d", col("id"))).as("term"),
+      (lit(20000L) - col("id")).as("n_total"))
+    // probes hit low ranks, high ranks, and OOV
+    val corpus = docs(
+      1L -> "t00000 t09999 t05000 zzz-oov",
+      2L -> "T00042 t00042 nope",
+      3L -> "")
+    val viaMap = Vocab.encode(corpus, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaScan = Vocab.encodeViaScan(corpus, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaMap === viaScan)
+    // and the ids are the ranks the count order implies
+    assert(viaMap.contains((1L, 0, 1L)))     // t00000 = highest count
+    assert(viaMap.contains((1L, 1, 10000L))) // t09999 = lowest count
+    assert(viaMap.contains((1L, 3, 0L)))     // OOV
+  }
+
+  test("oovRate tolerates duplicate terms in the vocab frame") {
+    val vocab = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("cat"), Row("cat"), Row("the")), 2),
+      StructType(Seq(StructField("term", StringType, nullable = false))))
+    val out = Vocab.oovRate(docs(1L -> "the cat xyzzy"), "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == (3, 1))
+  }
+
   test("guards: k must be positive, reserved columns rejected") {
     intercept[IllegalArgumentException] {
       Vocab.topTokens(docs(1L -> "a"), "doc_id", "text", k = 0)
