@@ -69,11 +69,17 @@ object RangeJoin {
 
     // the guard is folded into the explode's own upper bound — a
     // side-channel guard column would be pruned away by Catalyst as
-    // unused, and the error must fire BEFORE the replicas materialize
-    val nBins = hiBin - loBin + lit(1L)
+    // unused, and the error must fire BEFORE the replicas materialize.
+    // Span compared WITHOUT the +1 of nBins = hiBin-loBin+1, in TRY
+    // mode (a plain subtraction on a Long.MaxValue sentinel bound
+    // throws a generic ARITHMETIC_OVERFLOW under ansi or wraps
+    // negative under legacy): a null or negative span — impossible
+    // for hi >= lo — raises the guard's actionable message instead of
+    // bypassing it and failing later inside sequence()
+    val span = try_subtract(hiBin, loBin)
     val hiBinGuarded =
       if (maxBinsPerInterval > 0)
-        when(nBins > lit(maxBinsPerInterval),
+        when(span.isNull || span >= lit(maxBinsPerInterval) || span < lit(0L),
           raise_error(concat(
             lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins " +
               "(widen binWidth or raise maxBinsPerInterval): lo="),
@@ -129,10 +135,12 @@ object RangeJoin {
     def binned(df: DataFrame, lo: String, hi: String) = {
       def binExpr(c: String) =
         expr(s"($c div $binWidth) + (case when $c % $binWidth < 0 then -1 else 0 end)")
-      val nBins = binExpr(hi) - binExpr(lo) + lit(1L)
+      // overflow-safe span check — see rangeJoin's guard for why the
+      // +1 is dropped and a null/negative (overflowed) span also raises
+      val span = try_subtract(binExpr(hi), binExpr(lo))
       val hiG =
         if (maxBinsPerInterval > 0)
-          when(nBins > lit(maxBinsPerInterval),
+          when(span.isNull || span >= lit(maxBinsPerInterval) || span < lit(0L),
             raise_error(concat(
               lit(s"intervalOverlapJoin: interval spans more than $maxBinsPerInterval bins " +
                 "(widen binWidth or raise maxBinsPerInterval): lo="),

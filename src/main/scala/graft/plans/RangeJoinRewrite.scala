@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, IntegerType, ShortType, ByteType}
@@ -25,11 +25,19 @@ import org.apache.spark.sql.types.{LongType, IntegerType, ShortType, ByteType}
   * OPT-IN via `spark.graft.rangeJoin.binWidth` (a positive long in
   * the range column's unit; unset = rule inert): bin width is a
   * data-dependent choice — near the median interval span — that only
-  * the user can make. The rule matches STRICTLY: inner join, both
-  * bounds present on one interval side, integral types, and NO
-  * equality conjunct (if one exists Spark already hash-joins on it).
-  * Everything else passes through untouched. Registered by
-  * [[graft.GraftExtensions]] as `injectOptimizerRule`.
+  * the user can make. The rule matches STRICTLY: both bounds present
+  * on one interval side, integral types, NO equality conjunct (if one
+  * exists Spark already hash-joins on it), and a join type the
+  * decomposition preserves — Inner in either orientation, plus
+  * LeftOuter/RightOuter when the POINT side is the preserved side
+  * (the exploded interval side is the nullable side, so an unmatched
+  * point still emits exactly once; an outer-preserved INTERVAL side
+  * would emit one null row per bin replica, so those pass through).
+  * Everything else passes through untouched — but a join that LOOKS
+  * range-shaped and still isn't rewritten logs a warning naming the
+  * reason, because the fallback nested-loop plan is a 100× surprise
+  * at scale. Registered by [[graft.GraftExtensions]] as
+  * `injectOptimizerRule`.
   */
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -50,8 +58,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     } match {
       case Some(bw) if bw > 0 =>
         plan.transform {
-          case j @ Join(left, right, Inner, Some(cond), hint) =>
-            rewrite(j, left, right, cond, bw, hint).getOrElse(j)
+          case j @ Join(left, right, joinType, Some(cond), hint) =>
+            rewrite(j, left, right, joinType, cond, bw, hint).getOrElse(j)
         }
       case _ => plan
     }
@@ -72,8 +80,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(
-      j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression,
-      bw: Long, hint: JoinHint): Option[LogicalPlan] = {
+      j: Join, left: LogicalPlan, right: LogicalPlan, joinType: JoinType,
+      cond: Expression, bw: Long, hint: JoinHint): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // any equality across the two sides -> Spark hash-joins already
     val hasEqui = conjuncts.exists {
@@ -83,7 +91,9 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (hasEqui) return None
 
-    // find p >= lo and p <= hi with a consistent (point, interval) split
+    // find p >= lo and p <= hi with a consistent (point, interval)
+    // split — typed later, so a range-shaped join that fails the
+    // integral check can still be diagnosed
     val lowerBounds = conjuncts.collect {
       case GreaterThanOrEqual(p, lo) => (p, lo)
       case LessThanOrEqual(lo, p) => (p, lo)
@@ -92,16 +102,43 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case LessThanOrEqual(p, hi) => (p, hi)
       case GreaterThanOrEqual(hi, p) => (p, hi)
     }
-    val candidates = for {
+    val shaped = for {
       (p1, lo) <- lowerBounds
       (p2, hi) <- upperBounds
       if p1.semanticEquals(p2)
-      if integral(p1) && integral(lo) && integral(hi)
       split <- referencesSplit(p1, lo, left, right)
       split2 <- referencesSplit(p1, hi, left, right)
       if split == split2
     } yield (p1, lo, hi, split)
-    candidates.headOption.map { case (p, lo, hi, pointOnLeft) =>
+    if (shaped.isEmpty) return None // not range-shaped: silent
+    val typed = shaped.filter { case (p, lo, hi, _) =>
+      integral(p) && integral(lo) && integral(hi)
+    }
+    // the decomposition explodes the INTERVAL side, so that side must
+    // be the nullable one in an outer join — the point side preserved
+    val usable = joinType match {
+      case Inner => typed.headOption
+      case LeftOuter => typed.find(_._4)    // points on the left
+      case RightOuter => typed.find(!_._4)  // points on the right
+      case _ => None
+    }
+    if (usable.isEmpty) {
+      val reason =
+        if (typed.isEmpty)
+          "the point/bound columns are not all integral types (bin the " +
+            "values to long — e.g. epoch units — upstream)"
+        else
+          s"join type $joinType is not supported (Inner, or LeftOuter/" +
+            "RightOuter with the point side preserved — an outer-" +
+            "preserved interval side would emit one null row per bin " +
+            "replica)"
+      logWarning(
+        s"RangeJoinRewrite: a $joinType join looks range-shaped (point " +
+          s"BETWEEN lo AND hi) but was NOT rewritten because $reason; " +
+          "the nested-loop/cartesian plan remains and will not scale.")
+      return None
+    }
+    usable.map { case (p, lo, hi, pointOnLeft) =>
       val (pointPlan, intervalPlan0) = if (pointOnLeft) (left, right) else (right, left)
       // the guards the manual operator has, mirrored here:
       // (1) hi >= lo — an inverted interval would make sequence()
@@ -110,19 +147,38 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       //     degenerate interval (a Long.MaxValue sentinel timestamp)
       //     must fail fast, not materialize toward the array limit
       val intervalPlan = Filter(GreaterThanOrEqual(hi, lo), intervalPlan0)
-      val maxBins = spark.conf
-        .getOption("spark.graft.rangeJoin.maxBinsPerInterval")
-        .map(_.toLong).getOrElse(65536L)
+      val maxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+      val maxBins = spark.conf.getOption(maxBinsKey).map { raw =>
+        try raw.toLong
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$maxBinsKey must be a long (0 disables the guard), " +
+                s"got '$raw'", e)
+        }
+      }.getOrElse(65536L)
       val loBin = binOf(lo, bw)
       val hiBin = binOf(hi, bw)
-      val nBins = Add(Subtract(hiBin, loBin), Literal(1L, LongType))
+      // span check without the +1 of nBins = hiBin-loBin+1: a
+      // Long.MaxValue sentinel bound with a small binWidth can
+      // overflow even hiBin-loBin, so the subtraction runs in TRY
+      // mode (null on overflow under BOTH ansi settings; a plain
+      // Subtract would itself throw a generic ARITHMETIC_OVERFLOW
+      // under ansi, or wrap negative under legacy) and a null or
+      // negative span — impossible for hi >= lo — ALSO raises the
+      // guard's actionable message instead of bypassing it
+      val span = Subtract(hiBin, loBin,
+        NumericEvalContext(EvalMode.TRY))
+      val spanBad = Or(Or(
+        GreaterThanOrEqual(span, Literal(maxBins, LongType)),
+        LessThan(span, Literal(0L, LongType))), IsNull(span))
       val hiGuarded =
         if (maxBins > 0)
-          CaseWhen(Seq((GreaterThan(nBins, Literal(maxBins, LongType)),
+          CaseWhen(Seq((spanBad,
             Cast(new RaiseError(Literal.create(
               s"RangeJoinRewrite: interval spans more than $maxBins bins " +
                 "(widen spark.graft.rangeJoin.binWidth or raise " +
-                "spark.graft.rangeJoin.maxBinsPerInterval)")),
+                s"$maxBinsKey)")),
               LongType))), hiBin)
         else hiBin
       // interval side: explode(sequence(bin(lo), bin(hi))) as __g_bin
@@ -138,9 +194,13 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(binAttr), child = intervalPlan)
       val newCond = And(EqualTo(binOf(p, bw), binAttr), cond)
+      // joinType is Inner, or an outer join preserving the point side:
+      // each matching pair meets in exactly one bin (the point's), and
+      // an unmatched preserved point emits exactly one null row — the
+      // interval side's bin replicas are all on the nullable side
       val joined =
-        if (pointOnLeft) Join(pointPlan, gen, Inner, Some(newCond), hint)
-        else Join(gen, pointPlan, Inner, Some(newCond), hint)
+        if (pointOnLeft) Join(pointPlan, gen, joinType, Some(newCond), hint)
+        else Join(gen, pointPlan, joinType, Some(newCond), hint)
       // preserve the original output (drop the bin column)
       Project(j.output, joined)
     }

@@ -115,6 +115,156 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Collect WARN+ messages logged to `loggerName` while `f` runs.
+    * The shared test session sets the ROOT level to ERROR, so the
+    * logger is temporarily raised to WARN for the capture.
+    */
+  private def captureWarnings[T](loggerName: String)(f: => T): (T, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{Configurator, Property}
+    val msgs = scala.collection.mutable.ArrayBuffer[String]()
+    val appender = new AbstractAppender(
+      s"graft-test-capture-${System.identityHashCode(msgs)}",
+      null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit =
+        msgs.synchronized { msgs += event.getMessage.getFormattedMessage }
+    }
+    appender.start()
+    Configurator.setLevel(loggerName, Level.WARN)
+    val logger = LogManager.getLogger(loggerName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    logger.addAppender(appender)
+    try (f, msgs.synchronized(msgs.toSeq))
+    finally {
+      logger.removeAppender(appender); appender.stop()
+      Configurator.setLevel(loggerName, null: Level) // back to inherited
+    }
+  }
+
+  private def leftExpected(s: SparkSession): Set[(Long, Option[Long])] = {
+    val matched = expected(s)
+    val matchedPids = matched.map(_._1)
+    matched.map { case (p, i) => (p, Some(i): Option[Long]) } ++
+      points(s).collect().map(_.getLong(0)).filterNot(matchedPids)
+        .map(p => (p, None: Option[Long]))
+  }
+
+  test("LEFT OUTER range join (points preserved) is rewritten and keeps unmatched points") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      val joined = points(s).join(intervals(s),
+        col("p") >= col("lo") && col("p") <= col("hi"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not rewrite the left outer non-equi join:\n$plan")
+      assert(plan.contains("Generate"), "expected the interval bin explode")
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(got.toSet === leftExpected(s))
+      assert(got.length === got.toSet.size,
+        "rewrite changed left-outer multiplicities")
+    }
+  }
+
+  test("RIGHT OUTER with points on the right is rewritten equivalently") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      val joined = intervals(s).join(points(s),
+        col("p") >= col("lo") && col("p") <= col("hi"), "right")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(got.toSet === leftExpected(s))
+    }
+  }
+
+  test("outer-preserved INTERVAL side passes through with a warning") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      val joined = intervals(s).join(points(s),
+        col("p") >= col("lo") && col("p") <= col("hi"), "left")
+      val (plan, warnings) = captureWarnings("graft.plans.RangeJoinRewrite") {
+        joined.queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct"),
+        s"an interval-preserved outer join must NOT be rewritten:\n$plan")
+      assert(warnings.exists(_.contains("NOT rewritten")),
+        s"expected a skip warning, got: $warnings")
+      // and the naive plan is still correct: every interval preserved
+      val got = joined.select("iid", "pid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      val matched = expected(s).map { case (p, i) => (i, Some(p): Option[Long]) }
+      val matchedIids = matched.map(_._1)
+      val exp = matched ++ intervals(s).collect().map(_.getLong(0))
+        .filterNot(matchedIids).map(i => (i, None: Option[Long]))
+      assert(got.toSet === exp)
+    }
+  }
+
+  test("non-integral range-shaped joins pass through with a warning") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      val pt = points(s).withColumn("p", col("p").cast("double"))
+      val iv = intervals(s)
+        .withColumn("lo", col("lo").cast("double"))
+        .withColumn("hi", col("hi").cast("double"))
+      val joined = pt.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      val (plan, warnings) = captureWarnings("graft.plans.RangeJoinRewrite") {
+        joined.queryExecution.executedPlan.toString
+      }
+      assert(!plan.contains("Generate"), s"must not rewrite doubles:\n$plan")
+      assert(warnings.exists(_.contains("integral")),
+        s"expected the integral-types warning, got: $warnings")
+    }
+  }
+
+  test("a malformed maxBinsPerInterval names the key instead of a bare parse error") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      s.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "lots")
+      try {
+        val err = intercept[Exception] {
+          points(s).join(intervals(s),
+            col("p") >= col("lo") && col("p") <= col("hi")).count()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+        assert(msgs(err).exists(m => m != null &&
+          m.contains("spark.graft.rangeJoin.maxBinsPerInterval") &&
+          m.contains("lots")), s"got: ${msgs(err)}")
+      } finally s.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+    }
+  }
+
+  test("a Long.MaxValue sentinel bound raises the guard, not a generic Sequence error") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "1")
+      s.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1000")
+      try {
+        // hiBin - loBin + 1 would wrap negative here; the span check
+        // without the +1 (plus the negative-span clause) must still fire
+        val sentinel = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(Row(1L, Long.MinValue + 10L, Long.MaxValue - 10L)), 1),
+          StructType(Seq(StructField("iid", LongType),
+            StructField("lo", LongType), StructField("hi", LongType))))
+        val err = intercept[Exception] {
+          points(s).join(sentinel,
+            col("p") >= col("lo") && col("p") <= col("hi")).count()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+        assert(msgs(err).exists(m => m != null && m.contains("RangeJoinRewrite")),
+          s"expected the guard's message, got: ${msgs(err)}")
+      } finally s.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+    }
+  }
+
   test("joins with an equality conjunct are left untouched") {
     withExtendedSession { s =>
       s.conf.set("spark.graft.rangeJoin.binWidth", "32")
