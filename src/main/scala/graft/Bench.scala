@@ -96,7 +96,15 @@ object Bench {
           println(f"BENCH-TRIPWIRE: $n%s took $v%.2fs (${v / median}%.1fx the per-query median $median%.2fs) - audit its plan before shipping")
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is also written to a file: captured stdout tails
+    // get truncated (BENCH_r07.json lost 39 of 102 per-query timings),
+    // and round-over-round deltas need the full per-query map
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, line + "\n")
     spark.stop()
   }
 }

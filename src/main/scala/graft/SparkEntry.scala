@@ -542,6 +542,14 @@ object SparkEntry {
       graft.ops.Checksum.checksum(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
+    "c_checksum_canon" -> ((s, dir) => {
+      // the canonicalized variant closes the doubles/timestamps edge
+      // the plain checksum fences off: quantized IEEE floor for
+      // o_totalprice, epoch micros for o_orderdate — engine-exact on
+      // both systems without caller-side formatting
+      graft.ops.Checksum.checksumCanonical(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"))
+    }),
     "p_weighted_sample" -> ((s, dir) => {
       // data-driven sampling: temperature-derived per-language
       // acceptance rates (dominant language downsampled hardest)
@@ -1611,6 +1619,14 @@ object SparkEntry {
     "c_checksum" ->
       graft.ops.Checksum.checksumSql("orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    "c_checksum_canon" -> {
+      // o_orderdate is parquet timestamp[ms] without UTC adjustment ->
+      // Spark reads TimestampNTZ; the oracle mirrors that dispatch
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampNTZType}
+      graft.ops.Checksum.checksumCanonicalSql("orders", Seq(
+        "o_orderkey" -> LongType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderstatus" -> StringType))
+    },
     "p_weighted_sample" ->
       s"""WITH ${graft.ops.Sampling.temperatureWeightsCoreSql("documents", "lang")},
          |t AS (SELECT grp AS lang, share,
@@ -1645,9 +1661,9 @@ object SparkEntry {
         |                 ELSE '' END END AS text
         |  FROM documents),
         |u AS (SELECT doc_id,
-        |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?', 0)) AS url
+        |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
         |  FROM d)
-        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain,
         |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
     "d_incremental" -> {
@@ -1850,11 +1866,11 @@ object SparkEntry {
         |                 ELSE '' END END AS text
         |  FROM documents),
         |u AS (SELECT doc_id,
-        |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?', 0)) AS url
+        |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
         |  FROM d),
         |dom AS (SELECT doc_id,
-        |  regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u
-        |  WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) <> 'mirror.example.org'),
+        |  regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain FROM u
+        |  WHERE regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> 'mirror.example.org'),
         |n AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_group FROM dom GROUP BY 1)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id
         |FROM dom JOIN n USING (domain)

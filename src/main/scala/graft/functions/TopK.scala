@@ -26,9 +26,15 @@ final case class TopKRow(value: Double, id: Long)
   *
   * The buffer is an ascending-sorted list (eviction candidate first)
   * capped at k; reduce and merge are O(k) per call.
+  *
+  * Nulls: a row whose value OR id is null is SKIPPED, matching the
+  * builtin aggregates (`min`/`max_by` drop null inputs). The input
+  * type is Option-ized for exactly this — a bare `(Double, Long)`
+  * input encoder throws on the first null at deserialization, which
+  * surfaces as an opaque runtime error on any nullable column.
   */
 final case class TopK(k: Int)
-    extends Aggregator[(Double, Long), TopKBuffer, Seq[TopKRow]] {
+    extends Aggregator[(Option[Double], Option[Long]), TopKBuffer, Seq[TopKRow]] {
 
   require(k > 0, s"k $k must be positive")
 
@@ -39,8 +45,13 @@ final case class TopK(k: Int)
 
   override def zero: TopKBuffer = TopKBuffer(Nil)
 
-  override def reduce(b: TopKBuffer, in: (Double, Long)): TopKBuffer = {
-    val row = TopKRow(in._1, in._2)
+  override def reduce(b: TopKBuffer, in: (Option[Double], Option[Long])): TopKBuffer =
+    in match {
+      case (Some(v), Some(i)) => reduceRow(b, TopKRow(v, i))
+      case _ => b // null value or id: skip, like min/max_by
+    }
+
+  private def reduceRow(b: TopKBuffer, row: TopKRow): TopKBuffer = {
     if (b.items.size < k) TopKBuffer(insert(b.items, row))
     else if (worse(b.items.head, row)) TopKBuffer(insert(b.items.tail, row))
     else b
@@ -52,7 +63,7 @@ final case class TopK(k: Int)
   }
 
   override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
-    b.items.foldLeft(a)((acc, r) => reduce(acc, (r.value, r.id)))
+    b.items.foldLeft(a)(reduceRow)
 
   /** Best first: value desc, id asc. */
   override def finish(b: TopKBuffer): Seq[TopKRow] = b.items.reverse

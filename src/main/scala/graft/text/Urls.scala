@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * The URL regex stays in the Java ∩ RE2 portable subset (no
   * lookarounds, no backrefs — the [[Pii]] discipline) so the same
   * pattern runs verbatim on Spark and any RE2-based oracle engine:
-  * `https?://host[/path]` with host = `[A-Za-z0-9.-]+` and path = any
-  * non-whitespace run.
+  * `https?://host[/path]` with host = dot-separated
+  * `[A-Za-z0-9-]+` labels and path = any non-whitespace run. The
+  * label form (not a flat `[A-Za-z0-9.-]+`) means a host cannot END
+  * in a dot, so sentence punctuation right after a bare domain —
+  * "see https://example.com. Next" — does not leak into the host and
+  * split the domain's stats between `example.com` and `example.com.`.
   *
   * 100 TB shape: extraction is a map-only codegen regex pass;
   * `domainStats` adds the one hash-shuffle its groupBy needs. The
@@ -21,8 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  private val urlPattern = "https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?"
-  private val domainPattern = "https?://([A-Za-z0-9.-]+)"
+  private val host = "[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*"
+  private val urlPattern = s"https?://$host(?:/[^\\s]*)?"
+  private val domainPattern = s"https?://($host)"
 
   /** One row per (document, URL occurrence): `(idCol, url, domain)`.
     * Documents without URLs produce no rows; duplicate URLs in one

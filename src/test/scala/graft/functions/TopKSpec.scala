@@ -50,8 +50,25 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
 
   test("map-side state stays bounded at k") {
     val agg = TopK(3)
-    val b = (1L to 100L).foldLeft(agg.zero)((acc, i) => agg.reduce(acc, (i.toDouble, i)))
+    val b = (1L to 100L).foldLeft(agg.zero)(
+      (acc, i) => agg.reduce(acc, (Some(i.toDouble), Some(i))))
     assert(b.items.size === 3)
     assert(agg.finish(b).map(_.value) === Seq(100.0, 99.0, 98.0))
+  }
+
+  test("null value or id rows are skipped, like the builtin aggregates") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", 5.0, 1L), Row("a", null, 2L), Row("a", 3.0, null),
+        Row("a", 7.0, 3L), Row("b", null, null)), 2),
+      StructType(Seq(StructField("g", StringType),
+        StructField("v", DoubleType), StructField("id", LongType))))
+    val got = df.groupBy("g").agg(top_k(col("v"), col("id"), 3).as("top"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Row](1).map(x => (x.getDouble(0), x.getLong(1))).toList)
+      .toMap
+    assert(got("a") === List((7.0, 3L), (5.0, 1L)))
+    assert(got("b") === Nil) // all inputs null: empty top-k, no crash
   }
 }

@@ -66,6 +66,72 @@ class ChecksumSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("canonical: doubles quantize engine-exactly, specials get fixed tokens") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(java.lang.Double.valueOf(3.14159), java.lang.Long.valueOf(1L)),
+        Row(java.lang.Double.valueOf(-2.5000004), java.lang.Long.valueOf(2L)),
+        Row(java.lang.Double.valueOf(Double.NaN), java.lang.Long.valueOf(3L)),
+        Row(java.lang.Double.valueOf(Double.PositiveInfinity), java.lang.Long.valueOf(4L)),
+        Row(java.lang.Double.valueOf(Double.NegativeInfinity), java.lang.Long.valueOf(5L)),
+        Row(java.lang.Double.valueOf(1.0e300), java.lang.Long.valueOf(6L)),
+        Row(null, java.lang.Long.valueOf(7L))), 2),
+      StructType(Seq(StructField("v", DoubleType), StructField("id", LongType))))
+    val got = df.select(col("id"),
+        Checksum.canonical(col("v"), DoubleType).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // 3.14159 is the value glibc/Java FORMATTERS disagree on; the IEEE
+    // product rounds to exactly 3141590.0 on every engine (pinned vs
+    // DuckDB: floor(least(greatest(3.14159*1e6, -9e18), 9e18)) = 3141590)
+    assert(got(1L) === Some("3141590"))
+    assert(got(2L) === Some("-2500001"))     // floor is toward -inf, not toward zero
+    assert(got(3L) === Some("nan"))
+    assert(got(4L) === Some("inf"))
+    assert(got(5L) === Some("-inf"))
+    assert(got(6L) === Some("9000000000000000000")) // clamp saturates
+    assert(got(7L) === None)                 // null stays null (outer token handles it)
+  }
+
+  test("canonical timestamps/dates render as epoch micros/days") {
+    import org.apache.spark.sql.functions.{col, to_date, to_timestamp, lit}
+    val df = spark.range(1).select(
+      to_timestamp(lit("2024-03-01 12:34:56.789")).as("ts"),
+      to_date(lit("2024-03-01")).as("d"))
+    val r = df.select(
+      Checksum.canonical(col("ts"), TimestampType).as("ts"),
+      Checksum.canonical(col("d"), DateType).as("d")).collect().head
+    // pinned against DuckDB: epoch_us(TIMESTAMP '2024-03-01 12:34:56.789')
+    // = 1709296496789000, DATE '2024-03-01' - DATE '1970-01-01' = 19783
+    assert(r.getString(0) === "1709296496789000")
+    assert(r.getString(1) === "19783")
+    // NTZ (what parquet ms-timestamps read as) renders the same micros
+    val ntz = spark.range(1)
+      .select(col("id").cast("string").as("s"))
+      .selectExpr("cast('2024-03-01 12:34:56.789' as timestamp_ntz) as ts")
+    val rn = ntz.select(
+      Checksum.canonical(col("ts"), TimestampNTZType).as("c")).collect().head
+    assert(rn.getString(0) === "1709296496789000")
+  }
+
+  test("checksumCanonical is order/partitioning independent and change-sensitive") {
+    def f(parts: Int, rows: Seq[(Double, Long)]) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (v, i) =>
+          Row(java.lang.Double.valueOf(v), java.lang.Long.valueOf(i)) }, parts),
+        StructType(Seq(StructField("v", DoubleType), StructField("id", LongType))))
+      val r = Checksum.checksumCanonical(df, Seq("v", "id")).collect().head
+      (r.getLong(0), r.getString(1))
+    }
+    val rows = (1L to 300L).map(i => (i * 0.37, i))
+    assert(f(3, rows) === f(11, rows.reverse))
+    // a sub-quantum perturbation is invisible; a super-quantum one is not
+    val bumpedTiny = rows.updated(0, (rows(0)._1 + 1e-9, 1L))
+    val bumpedReal = rows.updated(0, (rows(0)._1 + 1e-3, 1L))
+    assert(f(3, rows)._2 === f(3, bumpedTiny)._2)
+    assert(f(3, rows)._2 !== f(3, bumpedReal)._2)
+  }
+
   test("digest algorithm pinned: matches a hand-computed md5 token sum") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -27,6 +27,23 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       (3L, "https://c.net/path?q=1#frag", "c.net")))
   }
 
+  test("sentence punctuation after a bare domain stays out of the host") {
+    val df = frame(
+      (1L, "see https://example.com. Next sentence."),
+      (2L, "mid https://example.com, and more"),
+      (3L, "paren (https://example.com/x)."))
+    val got = Urls.extractUrls(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got === Seq(
+      (1L, "https://example.com", "example.com"),
+      (2L, "https://example.com", "example.com"),
+      // a path swallows trailing punctuation by design (any non-ws run)
+      (3L, "https://example.com/x).", "example.com")))
+    // one domain, not example.com vs example.com.
+    val doms = Urls.domainStats(df, "id", "text").collect()
+    assert(doms.length === 1 && doms(0).getString(0) === "example.com")
+  }
+
   test("domain stats: occurrences vs distinct docs") {
     val df = frame(
       (1L, "https://d.com/1 https://d.com/2"),
