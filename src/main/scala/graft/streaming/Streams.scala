@@ -119,26 +119,42 @@ object Streams {
   final case class FunnelOut(
       user_id: Long, step_idx: Int, step: String, ts: Timestamp)
 
-  /** Internal accumulator for [[funnelStream]] (public: Catalyst
-    * encoder codegen must be able to construct it). `times` holds the
-    * epoch-ms completion time of each step reached so far, in step
-    * order.
+  /** One buffered step-typed event awaiting watermark finalization
+    * (public: Catalyst encoder codegen must construct it).
     */
-  final case class FunnelStepsState(times: List[Long])
+  final case class FunnelBufEvent(tsMs: Long, eventId: Long, step: String)
 
-  /** Streaming ordered funnel: emits `(user, step_idx, step, ts)` the
-    * moment a user advances to the next funnel step — same greedy
-    * earliest-first, STRICTLY-later semantics as the batch
-    * [[graft.ops.Funnel]], evaluated online. Events are processed in
-    * event-time order WITHIN each micro-batch; under in-order delivery
-    * (or single-batch replay) the advancement times equal the batch
-    * operator's. A cross-batch straggler older than an already-taken
-    * step cannot rewind it — the price of O(k) state; re-run the batch
-    * operator for exact retrospective funnels.
+  /** Internal accumulator for [[funnelStream]]. `times` holds the
+    * epoch-ms completion time of each COMMITTED step in step order;
+    * `buf` the step-typed events newer than the watermark (not yet
+    * final — an earlier straggler may still arrive); `lastSeenMs` the
+    * newest event time seen, driving idle eviction.
+    */
+  final case class FunnelStepsState(
+      times: List[Long], buf: List[FunnelBufEvent], lastSeenMs: Long)
+
+  /** Streaming ordered funnel: emits `(user, step_idx, step, ts)` when
+    * the watermark FINALIZES a user's advance to the next step — same
+    * greedy earliest-first, STRICTLY-later semantics as the batch
+    * [[graft.ops.Funnel]]. Step-typed events buffer until the
+    * watermark passes them (only then can no earlier straggler
+    * arrive), so ANY reordering within the watermark — including
+    * step 2 delivered a micro-batch before step 1 — converges to the
+    * batch operator's result. Events later than the watermark are
+    * dropped by the watermark itself, exactly the events the batch
+    * operator would see but this one cannot wait for.
     *
-    * Scale: state is k longs per user. The event-time timeout evicts
-    * users idle past `idleHorizonMinutes` (funnels are campaign-scoped;
-    * an evicted user who returns restarts from step 1), so state is
+    * Emission therefore trails the event by at most the watermark
+    * delay; a per-key ripening timer (event-time timeout at the
+    * earliest buffered event) emits on watermark advance alone, with
+    * no need for further data on that key.
+    *
+    * Scale: state is k longs plus the step-typed events inside the
+    * watermark horizon per user — O(active users · in-horizon step
+    * events), the price of out-of-order exactness (non-step event
+    * types are never buffered). The idle timeout evicts users idle
+    * past `idleHorizonMinutes` (funnels are campaign-scoped; an
+    * evicted user who returns restarts from step 1), so state is
     * O(active users), not O(all users ever seen).
     */
   def funnelStream(
@@ -151,33 +167,66 @@ object Streams {
     require(idleHorizonMinutes >= 1,
       s"idleHorizonMinutes $idleHorizonMinutes must be >= 1")
     import events.sparkSession.implicits._
+    val idleMs = idleHorizonMinutes * 60000L
+    val stepSet = steps.toSet
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelStepsState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelStepsState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var times = state.getOption.map(_.times).getOrElse(Nil)
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // greedy earliest-first advance over FINAL events only
+          def advance(times0: List[Long], ripe: Seq[FunnelBufEvent])
+              : (List[Long], List[FunnelOut]) = {
+            var times = times0
             var out = List.empty[FunnelOut]
-            sorted.foreach { e =>
+            ripe.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
               val next = times.length
-              if (next < steps.length && e.event_type == steps(next) &&
-                  (times.isEmpty || e.ts.getTime > times.last)) {
-                times = times :+ e.ts.getTime
-                out ::= FunnelOut(userId, next + 1, steps(next), e.ts)
+              if (next < steps.length && e.step == steps(next) &&
+                  (times.isEmpty || e.tsMs > times.last)) {
+                times = times :+ e.tsMs
+                out ::= FunnelOut(userId, next + 1, steps(next),
+                  new Timestamp(e.tsMs))
               }
             }
-            state.update(FunnelStepsState(times))
-            val wm = state.getCurrentWatermarkMs()
-            val lastSeen = sorted.lastOption.map(_.ts.getTime).getOrElse(wm)
-            state.setTimeoutTimestamp(
-              math.max(lastSeen + idleHorizonMinutes * 60000L, wm + 1))
-            out.reverseIterator
+            (times, out.reverse)
+          }
+          // next invocation: when the earliest buffered event ripens
+          // (wm > its ts) or the idle horizon passes, whichever first;
+          // always strictly beyond the current watermark
+          def armTimeout(pending: List[FunnelBufEvent], lastSeen: Long,
+              wm: Long): Unit = {
+            val idleAt = lastSeen + idleMs
+            val fireAt = pending.map(_.tsMs + 1).minOption
+              .fold(idleAt)(math.min(_, idleAt))
+            state.setTimeoutTimestamp(math.max(fireAt, wm + 1))
+          }
+          val st = state.getOption.getOrElse(FunnelStepsState(Nil, Nil, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val (ripe, pending) = st.buf.partition(_.tsMs <= wm)
+            val (times2, out) = advance(st.times, ripe)
+            if (wm >= st.lastSeenMs + idleMs) {
+              // idle horizon passed: everything buffered is older than
+              // lastSeen < wm, so pending is empty — evict
+              state.remove()
+            } else {
+              state.update(FunnelStepsState(times2, pending, st.lastSeenMs))
+              armTimeout(pending, st.lastSeenMs, wm)
+            }
+            out.iterator
+          } else {
+            val rowList = rows.toList
+            val incoming = rowList.collect {
+              case e if stepSet(e.event_type) =>
+                FunnelBufEvent(e.ts.getTime, e.event_id, e.event_type)
+            }
+            val lastSeen = (st.lastSeenMs +: rowList.map(_.ts.getTime)).max
+            val (ripe, pending) = (st.buf ++ incoming).partition(_.tsMs <= wm)
+            val (times2, out) = advance(st.times, ripe)
+            state.update(FunnelStepsState(times2, pending, lastSeen))
+            armTimeout(pending, lastSeen, wm)
+            out.iterator
           }
       }
   }

@@ -163,9 +163,10 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .writeStream.format("memory").queryName("funnel")
       .outputMode("append").start()
     try {
-      // user 1 advances step 1 in batch 1, steps 2+3 in batch 2;
-      // user 2's click arrives BEFORE its signup (cross-batch
-      // straggler) -> only step 1 ever fires;
+      // user 1 advances all three steps across two batches;
+      // user 2's click arrives a batch BEFORE its signup (cross-batch
+      // straggler) — buffering until the watermark converges it to
+      // the batch result: signup@3 then click@5 both fire;
       // user 3's click shares the signup timestamp -> strict ordering
       // refuses step 2
       input.addData(tev(1, 1, 0, "signup"), tev(10, 2, 5, "click"))
@@ -174,16 +175,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         tev(11, 2, 3, "signup"),
         tev(20, 3, 0, "signup"), tev(21, 3, 0, "click"))
       query.processAllAvailable()
+      // advance the watermark past every event (flush user 9), so all
+      // buffered steps finalize in the trailing no-data batch
+      input.addData(tev(90, 9, 200, "other"))
+      query.processAllAvailable()
       val rows = spark.table("funnel").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx"),
           r.getAs[String]("step"))).toSet
       assert(rows === Set(
         (1L, 1, "signup"), (1L, 2, "click"), (1L, 3, "purchase"),
-        (2L, 1, "signup"), (3L, 1, "signup")), s"got $rows")
+        (2L, 1, "signup"), (2L, 2, "click"), (3L, 1, "signup")), s"got $rows")
     } finally query.stop()
   }
 
-  test("funnelStream sorts within a micro-batch by event time") {
+  test("funnelStream: step 2 delivered a micro-batch before step 1 still converts") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def tev(id: Long, user: Long, minutes: Long, typ: String) =
+      EventRow(id, ts(minutes), user, typ, 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    val query = Streams.funnelStream(input.toDS(),
+      steps = Seq("signup", "click"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel3")
+      .outputMode("append").start()
+    try {
+      input.addData(tev(2, 1, 10, "click")) // step 2 first...
+      query.processAllAvailable()
+      input.addData(tev(1, 1, 3, "signup")) // ...step 1 a batch later
+      query.processAllAvailable()
+      input.addData(tev(90, 9, 200, "other")) // watermark flush
+      query.processAllAvailable()
+      val rows = spark.table("funnel3").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx"),
+          r.getAs[String]("step"))).toSet
+      assert(rows === Set((1L, 1, "signup"), (1L, 2, "click")), s"got $rows")
+    } finally query.stop()
+  }
+
+  test("funnelStream finalizes out-of-order events within one micro-batch in event-time order") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
     def tev(id: Long, user: Long, minutes: Long, typ: String) =
@@ -194,9 +223,10 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .writeStream.format("memory").queryName("funnel2")
       .outputMode("append").start()
     try {
-      // click listed first but signup is EARLIER in event time — one
-      // batch, so the sort lets both steps fire
+      // click listed first but signup is EARLIER in event time
       input.addData(tev(2, 1, 10, "click"), tev(1, 1, 0, "signup"))
+      query.processAllAvailable()
+      input.addData(tev(90, 9, 200, "other")) // watermark flush
       query.processAllAvailable()
       val rows = spark.table("funnel2").collect()
         .map(r => (r.getAs[Int]("step_idx"), r.getAs[String]("step"))).toSet
