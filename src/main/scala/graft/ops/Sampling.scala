@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform bucket in [0, 1e6): top 60 bits of md5(seed:id), mod 1e6. */
-  def bucket(id: Column, seed: Long): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 15), 16, 10)
+  def bucket(id: Column, seed: Long): Column = bucket(id, lit(seed))
+
+  /** Column-seed form (the SQL front door's `graft_bucket(id, seed)`
+    * routes here); renders `seed:id` identically to the literal form.
+    */
+  def bucket(id: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"),
+      id.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 1000000L
 
   /** DuckDB rendering of [[bucket]] for SQL expression `idExpr`. */

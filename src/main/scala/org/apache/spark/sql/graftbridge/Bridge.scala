@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER conversion to a catalyst expression tree (possibly with
+    * unresolved function nodes for the analyzer to resolve).
+    * [[expression]] returns a lazy `ColumnNodeExpression` wrapper that
+    * only the Dataset API's own conversion pass unwraps — returned
+    * from a `SparkSessionExtensions.injectFunction` builder it reaches
+    * codegen unresolved and fails; this form converts immediately.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
