@@ -908,6 +908,16 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_first)
     }),
+    "p_sample_exact_k" -> ((s, dir) => {
+      // hard per-group budget: exactly min(k, n) docs per language,
+      // deterministic in (seed, k); bounded-heap aggregate + semi
+      // join, never a per-group sort (the oracle's window form must
+      // agree with the TopK formulation)
+      graft.ops.Sampling.sampleExactK(
+        t(s, dir, "documents"), "lang", "doc_id", k = 7, seed = 11L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang").asc_nulls_first, col("doc_id"))
+    }),
     "p_cap_domain" -> ((s, dir) => {
       // provenance-driven curation chain: extract planted domains
       // (shared plantedUrls construction), then cap each domain's
@@ -1856,6 +1866,10 @@ object SparkEntry {
          |WHERE $pred
          |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
     },
+    "p_sample_exact_k" ->
+      s"""SELECT lang, doc_id FROM (
+         |${graft.ops.Sampling.sampleExactKSql("documents", "lang", "doc_id", k = 7, seed = 11L)}
+         |) ORDER BY lang NULLS FIRST, doc_id""".stripMargin,
     "p_cap_domain" -> {
       val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 8, seed = 3L)
       """WITH d AS (SELECT doc_id,

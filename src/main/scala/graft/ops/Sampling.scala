@@ -145,6 +145,62 @@ object Sampling {
   def capPredicateSql(idExpr: String, cap: Long, seed: Long = 42L): String =
     s"${bucketSql(idExpr, seed)} * n_group < ${cap * 1000000L}"
 
+  /** EXACTLY `min(k, group size)` rows per group, deterministically:
+    * the rows whose `(bucket(id), id)` sorts smallest within their
+    * group. [[capPerGroup]] bounds groups at an EXPECTED cap (rate
+    * membership — right when a few percent of slack is fine and a
+    * second pass is not); this pins a hard per-group budget — "exactly
+    * 10k docs per language for the eval slice" — at the cost of a
+    * group-keyed aggregate. Membership is stable in `(seed, k)`: the
+    * selection for k=5 is a PREFIX of the selection for k=10 (same
+    * order, longer cut), so growing a budget only ADDS rows.
+    *
+    * 100 TB shape: the selection runs as the bounded-heap [[TopK]]
+    * aggregate — O(k) state per group, map-side truncation, shuffle
+    * volume O(groups·k) ids, NO per-group sort (the window
+    * `row_number` formulation sorts every group in full; the oracle
+    * uses it — the two must agree). Selected ids then LEFT SEMI join
+    * back to the corpus; at typical budgets (groups·k ≪ corpus) AQE
+    * broadcasts the id set, so the corpus never shuffles.
+    *
+    * `idCol` must be integral, non-null, and unique within its group
+    * (the dedup/curation id contract); a null id is never selected.
+    */
+  def sampleExactK(
+      df: DataFrame, groupCol: String, idCol: String,
+      k: Int, seed: Long = 42L,
+  ): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    Seq("__grp", "__top", "__sel").foreach(c =>
+      require(!df.columns.contains(c),
+        s"sampleExactK reserves column name $c; rename it in the input"))
+    // value = -bucket: TopK keeps the LARGEST (value, id-asc ties),
+    // so negation selects the smallest (bucket, id) — the same order
+    // the oracle's ORDER BY bucket, id produces. Buckets are < 1e6,
+    // exactly representable as Double.
+    val selected = df
+      .groupBy(col(groupCol).as("__grp"))
+      .agg(graft.functions.TopK.top_k(
+        (-bucket(col(idCol), seed)).cast("double"),
+        col(idCol).cast("long"), k).as("__top"))
+      .select(col("__grp"), explode(col("__top")).as("__sel"))
+      .select(col("__grp"), col("__sel")("id").as(idCol))
+    df.join(selected,
+      df(groupCol) <=> col("__grp") && df(idCol) === selected(idCol),
+      "left_semi")
+  }
+
+  /** DuckDB rendering of [[sampleExactK]] membership over `table`
+    * via the window formulation (`QUALIFY row_number() <= k`).
+    */
+  def sampleExactKSql(
+      table: String, groupCol: String, idCol: String,
+      k: Int, seed: Long = 42L, whereClause: String = "",
+  ): String =
+    s"""SELECT * FROM $table $whereClause
+       |QUALIFY row_number() OVER (PARTITION BY $groupCol
+       |  ORDER BY ${bucketSql(idCol, seed)}, $idCol) <= $k""".stripMargin
+
   /** Temperature-based sampling weights over the values of
     * `groupCol` — the multilingual rebalancing rule (share^alpha,
     * renormalized) used to up-weight low-resource languages in a

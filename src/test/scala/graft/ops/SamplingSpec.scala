@@ -106,4 +106,45 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       Sampling.hashSample(ids(10), "id", 1.5)
     }
   }
+
+  test("sampleExactK keeps exactly min(k, n) per group, partition-independent") {
+    val k = 5
+    val got = Sampling.sampleExactK(ids(300, 4), "lang", "id", k, seed = 7L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val again = Sampling.sampleExactK(ids(300, 13), "lang", "id", k, seed = 7L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got === again, "selection depends on partitioning")
+    assert(got.count(_._1 == "en") === k)
+    assert(got.count(_._1 == "de") === k)
+    // a group smaller than k keeps all rows
+    val tiny = Sampling.sampleExactK(ids(6, 2), "lang", "id", 100)
+    assert(tiny.count() === 6)
+  }
+
+  test("sampleExactK agrees with the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ids(400, 5)
+    val k = 7; val seed = 11L
+    val viaTopK = Sampling.sampleExactK(df, "lang", "id", k, seed)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.bucket(col("id"), seed), col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(viaTopK === viaWindow)
+  }
+
+  test("sampleExactK selection for k is a prefix of the selection for 2k") {
+    val df = ids(400, 3)
+    val small = Sampling.sampleExactK(df, "lang", "id", 4, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.sampleExactK(df, "lang", "id", 8, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "growing the budget removed rows")
+    // and a different seed picks a different set
+    val other = Sampling.sampleExactK(df, "lang", "id", 4, seed = 6L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small !== other)
+  }
 }
