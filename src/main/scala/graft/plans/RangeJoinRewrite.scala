@@ -7,11 +7,12 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, IntegerType, ShortType, ByteType}
 
-/** Catalyst optimizer rule: rewrite a naive point-in-interval
-  * NON-EQUI inner join — `points JOIN intervals ON p >= lo AND
-  * p <= hi` with no equality predicate — into the binned equi-join
-  * decomposition of [[graft.operators.RangeJoin]], directly on the
-  * logical plan. Without this, Spark plans such joins as
+/** Catalyst optimizer rule: rewrite naive NON-EQUI range joins with
+  * no equality predicate — point-in-interval (`points JOIN intervals
+  * ON p >= lo AND p <= hi`) and interval-overlap (`ON lLo <= rHi AND
+  * rLo <= lHi`, the latter only when each side's plan constraints
+  * PROVE `lo <= hi`) — into the binned equi-join decompositions of
+  * [[graft.operators.RangeJoin]], directly on the logical plan. Without this, Spark plans such joins as
   * BroadcastNestedLoopJoin (only viable when one side broadcasts) or
   * a full cartesian; with it, users keep writing the natural
   * `df.join(iv, $"p" >= $"lo" && $"p" <= $"hi")` and the optimizer
@@ -79,6 +80,51 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Literal(-1L, LongType))), Literal(0L, LongType)))
   }
 
+  /** The explode's upper bin, with the span guard folded in — see the
+    * comments at the point-in-interval call site for why the span is
+    * compared without a +1 and computed in TRY mode.
+    */
+  private def guardedHiBin(
+      lo: Expression, hi: Expression, bw: Long, site: String): Expression = {
+    val maxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+    val maxBins = spark.conf.getOption(maxBinsKey).map { raw =>
+      try raw.toLong
+      catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$maxBinsKey must be a long (0 disables the guard), " +
+              s"got '$raw'", e)
+      }
+    }.getOrElse(65536L)
+    val hiBin = binOf(hi, bw)
+    if (maxBins <= 0) return hiBin
+    val span = Subtract(binOf(hi, bw), binOf(lo, bw),
+      NumericEvalContext(EvalMode.TRY))
+    val spanBad = Or(Or(
+      GreaterThanOrEqual(span, Literal(maxBins, LongType)),
+      LessThan(span, Literal(0L, LongType))), IsNull(span))
+    CaseWhen(Seq((spanBad,
+      Cast(new RaiseError(Literal.create(
+        s"$site: interval spans more than $maxBins bins " +
+          "(widen spark.graft.rangeJoin.binWidth or raise " +
+          s"$maxBinsKey)")),
+        LongType))), hiBin)
+  }
+
+  /** `Filter(hi >= lo)` + `Generate(explode(sequence(bin(lo),
+    * bin(hi))))` over `child` — one binned interval side.
+    */
+  private def binExplode(
+      child: LogicalPlan, lo: Expression, hi: Expression, bw: Long,
+      binAttr: AttributeReference, site: String): Generate = {
+    val seq = new Sequence(binOf(lo, bw), guardedHiBin(lo, hi, bw, site),
+      None, Some(spark.sessionState.conf.sessionLocalTimeZone))
+    Generate(Explode(seq),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(binAttr),
+      child = Filter(GreaterThanOrEqual(hi, lo), child))
+  }
+
   private def rewrite(
       j: Join, left: LogicalPlan, right: LogicalPlan, joinType: JoinType,
       cond: Expression, bw: Long, hint: JoinHint): Option[LogicalPlan] = {
@@ -110,7 +156,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       split2 <- referencesSplit(p1, hi, left, right)
       if split == split2
     } yield (p1, lo, hi, split)
-    if (shaped.isEmpty) return None // not range-shaped: silent
+    if (shaped.isEmpty) // not point-in-interval: try the overlap shape
+      return rewriteOverlap(j, left, right, joinType, conjuncts, cond, bw, hint)
     val typed = shaped.filter { case (p, lo, hi, _) =>
       integral(p) && integral(lo) && integral(hi)
     }
@@ -142,57 +189,25 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val (pointPlan, intervalPlan0) = if (pointOnLeft) (left, right) else (right, left)
       // the guards the manual operator has, mirrored here:
       // (1) hi >= lo — an inverted interval would make sequence()
-      //     count DOWN (step −1) and replicate instead of dropping;
+      //     count DOWN (step −1) and replicate instead of dropping
+      //     (and for the POINT shape `p >= lo && p <= hi` with
+      //     hi < lo is unsatisfiable, so the filter drops nothing
+      //     the naive join would keep — exact equivalence holds);
       // (2) the explode's upper bound raises past maxBins — one
       //     degenerate interval (a Long.MaxValue sentinel timestamp)
-      //     must fail fast, not materialize toward the array limit
-      val intervalPlan = Filter(GreaterThanOrEqual(hi, lo), intervalPlan0)
-      val maxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
-      val maxBins = spark.conf.getOption(maxBinsKey).map { raw =>
-        try raw.toLong
-        catch {
-          case e: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"$maxBinsKey must be a long (0 disables the guard), " +
-                s"got '$raw'", e)
-        }
-      }.getOrElse(65536L)
-      val loBin = binOf(lo, bw)
-      val hiBin = binOf(hi, bw)
-      // span check without the +1 of nBins = hiBin-loBin+1: a
-      // Long.MaxValue sentinel bound with a small binWidth can
-      // overflow even hiBin-loBin, so the subtraction runs in TRY
-      // mode (null on overflow under BOTH ansi settings; a plain
-      // Subtract would itself throw a generic ARITHMETIC_OVERFLOW
-      // under ansi, or wrap negative under legacy) and a null or
-      // negative span — impossible for hi >= lo — ALSO raises the
-      // guard's actionable message instead of bypassing it
-      val span = Subtract(hiBin, loBin,
-        NumericEvalContext(EvalMode.TRY))
-      val spanBad = Or(Or(
-        GreaterThanOrEqual(span, Literal(maxBins, LongType)),
-        LessThan(span, Literal(0L, LongType))), IsNull(span))
-      val hiGuarded =
-        if (maxBins > 0)
-          CaseWhen(Seq((spanBad,
-            Cast(new RaiseError(Literal.create(
-              s"RangeJoinRewrite: interval spans more than $maxBins bins " +
-                "(widen spark.graft.rangeJoin.binWidth or raise " +
-                s"$maxBinsKey)")),
-              LongType))), hiBin)
-        else hiBin
-      // interval side: explode(sequence(bin(lo), bin(hi))) as __g_bin
+      //     must fail fast, not materialize toward the array limit.
+      //     The span check runs WITHOUT the +1 of nBins and in TRY
+      //     mode (null on overflow under BOTH ansi settings; a plain
+      //     Subtract would throw a generic ARITHMETIC_OVERFLOW under
+      //     ansi, or wrap negative under legacy), and a null/negative
+      //     span — impossible for hi >= lo — ALSO raises the guard's
+      //     actionable message instead of bypassing it.
+      // Sequence inside binExplode is TimeZoneAwareExpression: it is
+      // UNRESOLVED until a timezone is attached, and analysis (which
+      // normally attaches it) already ran — binExplode sets it
+      // explicitly or the optimizer rejects the plan as unresolved.
       val binAttr = AttributeReference("__g_bin", LongType, nullable = false)()
-      // Sequence is TimeZoneAwareExpression: it is UNRESOLVED until a
-      // timezone is attached, and analysis (which normally attaches
-      // it) already ran — set it explicitly or the optimizer rejects
-      // the plan as newly-unresolved
-      val seq = new Sequence(loBin, hiGuarded, None,
-        Some(spark.sessionState.conf.sessionLocalTimeZone))
-      val gen = Generate(
-        Explode(seq),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(binAttr), child = intervalPlan)
+      val gen = binExplode(intervalPlan0, lo, hi, bw, binAttr, "RangeJoinRewrite")
       val newCond = And(EqualTo(binOf(p, bw), binAttr), cond)
       // joinType is Inner, or an outer join preserving the point side:
       // each matching pair meets in exactly one bin (the point's), and
@@ -203,6 +218,85 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         else Join(gen, pointPlan, joinType, Some(newCond), hint)
       // preserve the original output (drop the bin column)
       Project(j.output, joined)
+    }
+  }
+
+  /** Interval-OVERLAP shape: `lLo <= rHi && rLo <= lHi` with each
+    * interval's bounds on one side. Both sides bin-explode and each
+    * overlapping pair is kept in ONE canonical meeting bin — the bin
+    * of `greatest(lLo, rLo)` (the overlap's start, which both
+    * intervals cover) — mirroring
+    * [[graft.operators.RangeJoin.intervalOverlapJoin]] on the logical
+    * plan.
+    *
+    * SAFETY: unlike the point shape (where an inverted interval makes
+    * the predicate unsatisfiable, so the `hi >= lo` filter is free),
+    * an inverted "interval" CAN satisfy the overlap predicate — e.g.
+    * lLo=10 > lHi=0 against rLo=0, rHi=100 — and the decomposition
+    * would silently drop it. The rewrite therefore fires ONLY when
+    * each side's plan CONSTRAINTS prove `hi >= lo` (an upstream
+    * `.filter($"lo" <= $"hi")` — constraint propagation carries it
+    * here); otherwise it warns with that exact remedy. Inner only:
+    * both sides replicate, so neither can be outer-preserved.
+    */
+  private def rewriteOverlap(
+      j: Join, left: LogicalPlan, right: LogicalPlan, joinType: JoinType,
+      conjuncts: Seq[Expression], cond: Expression, bw: Long,
+      hint: JoinHint): Option[LogicalPlan] = {
+    // normalize every cross-side inequality to (x, y) meaning x <= y
+    val ineqs = conjuncts.collect {
+      case LessThanOrEqual(x, y) => (x, y)
+      case GreaterThanOrEqual(x, y) => (y, x)
+    }
+    val shaped = (for {
+      ((x1, y1), i1) <- ineqs.zipWithIndex
+      ((x2, y2), i2) <- ineqs.zipWithIndex
+      if i1 != i2
+      s1 <- referencesSplit(x1, y1, left, right)
+      s2 <- referencesSplit(x2, y2, left, right)
+      if s1 != s2 // opposite orientations: lLo <= rHi AND rLo <= lHi
+    } yield if (s1) (x1, y2, x2, y1) else (x2, y1, x1, y2)).distinct
+    if (shaped.isEmpty) return None // not overlap-shaped: silent
+    val typed = shaped.filter { case (lLo, lHi, rLo, rHi) =>
+      Seq(lLo, lHi, rLo, rHi).forall(integral)
+    }
+    def proven(plan: LogicalPlan, lo: Expression, hi: Expression): Boolean =
+      plan.constraints.exists(c =>
+        c.semanticEquals(GreaterThanOrEqual(hi, lo)) ||
+          c.semanticEquals(LessThanOrEqual(lo, hi)))
+    val usable = typed.find { case (lLo, lHi, rLo, rHi) =>
+      joinType == Inner && proven(left, lLo, lHi) && proven(right, rLo, rHi)
+    }
+    if (usable.isEmpty) {
+      val reason =
+        if (typed.isEmpty)
+          "the bound columns are not all integral types (bin the values " +
+            "to long — e.g. epoch units — upstream)"
+        else if (joinType != Inner)
+          s"join type $joinType is not supported (both sides replicate " +
+            "across bins, so only Inner preserves multiplicities)"
+        else
+          "the plans do not PROVE lo <= hi on both sides — an inverted " +
+            "row can satisfy the overlap predicate yet be dropped by the " +
+            "decomposition; add .filter($\"lo\" <= $\"hi\") on each " +
+            "input (constraint propagation carries it to the join), or " +
+            "call graft.operators.RangeJoin.intervalOverlapJoin, which " +
+            "documents that contract"
+      logWarning(
+        s"RangeJoinRewrite: a $joinType join looks interval-overlap-" +
+          s"shaped (lLo <= rHi && rLo <= lHi) but was NOT rewritten " +
+          s"because $reason; the nested-loop/cartesian plan remains " +
+          "and will not scale.")
+      return None
+    }
+    usable.map { case (lLo, lHi, rLo, rHi) =>
+      val lBin = AttributeReference("__g_lbin", LongType, nullable = false)()
+      val rBin = AttributeReference("__g_rbin", LongType, nullable = false)()
+      val genL = binExplode(left, lLo, lHi, bw, lBin, "RangeJoinRewrite")
+      val genR = binExplode(right, rLo, rHi, bw, rBin, "RangeJoinRewrite")
+      val meet = binOf(Greatest(Seq(Cast(lLo, LongType), Cast(rLo, LongType))), bw)
+      val newCond = And(And(EqualTo(lBin, rBin), EqualTo(lBin, meet)), cond)
+      Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
     }
   }
 

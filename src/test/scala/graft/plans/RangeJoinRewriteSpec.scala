@@ -265,6 +265,67 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def rightIntervals(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      // includes one WIDE interval [0, 1000]: it satisfies the overlap
+      // predicate even against the INVERTED left interval (400, 100) —
+      // the row a blind decomposition would drop
+      s.sparkContext.parallelize(
+        (0L until 40L).map(i => Row(i, i * 11L, i * 11L + 30L)) :+
+          Row(98L, 0L, 1000L), 3),
+      StructType(Seq(StructField("jid", LongType),
+        StructField("lo2", LongType), StructField("hi2", LongType))))
+
+  test("interval-overlap joins rewrite when both sides prove lo <= hi") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      val l = intervals(s).filter(col("lo") <= col("hi"))
+      val r = rightIntervals(s).filter(col("lo2") <= col("hi2"))
+      val joined = l.join(r,
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"overlap rewrite did not fire:\n$plan")
+      assert(plan.contains("Generate"), "expected both-side bin explodes")
+      val got = joined.select("iid", "jid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val exp = l.crossJoin(r)
+        .filter(col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+        .select("iid", "jid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got.toSet === exp)
+      assert(got.length === got.toSet.size,
+        "canonical meeting bin failed: duplicate pairs")
+    }
+  }
+
+  test("interval-overlap joins WITHOUT proven bounds pass through with a warning") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.rangeJoin.binWidth", "32")
+      // no .filter(lo <= hi): an inverted row could satisfy the
+      // predicate, so the rewrite must refuse — and the naive plan
+      // must keep the inverted left interval's matches
+      val joined = intervals(s).join(rightIntervals(s),
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      val (plan, warnings) = captureWarnings("graft.plans.RangeJoinRewrite") {
+        joined.queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct"),
+        s"must NOT rewrite without the constraint:\n$plan")
+      assert(warnings.exists(w => w.contains("overlap") && w.contains("PROVE")),
+        s"expected the unproven-bounds warning, got: $warnings")
+      // the naive result still contains pairs for the INVERTED
+      // interval (iid=99, lo=400 > hi=100) — the rows a blind
+      // decomposition would have dropped
+      val got = joined.select("iid", "jid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.exists(_._1 == 99L),
+        "test premise broken: inverted interval matched nothing")
+    }
+  }
+
   test("joins with an equality conjunct are left untouched") {
     withExtendedSession { s =>
       s.conf.set("spark.graft.rangeJoin.binWidth", "32")
