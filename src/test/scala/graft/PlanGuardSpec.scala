@@ -210,4 +210,29 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       p.contains("hashpartitioning(shard"),
       s"window is not shard-partitioned:\n$p")
   }
+
+  test("vocab encode/oov resolve tokens through broadcast HASH joins, not scans") {
+    // the r7 formulation probed a broadcast array/map per token — an
+    // O(k)-per-probe linear scan (Catalyst MapData has no hash index);
+    // the dimension-table form must plan BroadcastHashJoin and never
+    // fall back to the nested-loop cross join it replaced
+    for (q <- Seq("t_vocab_encode", "t_oov_rate")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost the broadcast hash join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q degenerated to a per-token scan join:\n$p")
+    }
+  }
+
+  test("exact-k sampling plans the bounded-heap aggregate, never a window sort") {
+    val p = plan("p_sample_exact_k")
+    assert(!p.contains("Window"),
+      s"sampleExactK fell back to the row_number window (full per-group sort):\n$p")
+    assert(p.toLowerCase.contains("topk"),
+      s"sampleExactK no longer aggregates through TopK:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopK must run as a (partial) object hash aggregate:\n$p")
+  }
 }
