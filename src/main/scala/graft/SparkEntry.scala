@@ -1019,12 +1019,23 @@ object SparkEntry {
     }),
     "t_oov_rate" -> ((s, dir) => {
       // vocabulary-drift quality signal: per-doc out-of-vocabulary
-      // rate against the corpus' own top-200 (broadcast sorted array,
-      // map-only HOF count; rate = one IEEE division of exact ints)
+      // rate against the corpus' own top-200 (broadcast hash join on
+      // the term, per-doc re-agg; rate = one IEEE division of ints)
       val docs = t(s, dir, "documents")
       graft.text.Vocab.oovRate(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         graft.text.Vocab.topTokens(docs, "doc_id", "text", k = 200))
+        .orderBy("doc_id")
+    }),
+    "t_bigram_novelty" -> ((s, dir) => {
+      // n-gram-LM-lite: per-doc fraction of bigram OCCURRENCES unseen
+      // in a reference slice of the corpus — the reference gram set is
+      // corpus-sized (no forced broadcast; AQE picks the join), text
+      // never shuffles, only grams and ids move
+      val docs = t(s, dir, "documents")
+      graft.text.Ngrams.noveltyRate(
+        docs.filter(col("doc_id") % 10 === 3), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
         .orderBy("doc_id")
     }),
     "t_vocab_encode" -> ((s, dir) => {
@@ -1942,6 +1953,10 @@ object SparkEntry {
       (graft.text.Vocab.oovRateSql(
         graft.text.Vocab.topTokensSql(200, ""),
         "WHERE doc_id % 10 = 0") + "\nORDER BY doc_id"),
+    "t_bigram_novelty" ->
+      (graft.text.Ngrams.noveltyRateSql(n = 2,
+        whereClause = "WHERE doc_id % 10 = 3",
+        refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
     "t_vocab_encode" ->
       (graft.text.Vocab.encodeSql(
         graft.text.Vocab.topTokensSql(100, ""),

@@ -173,15 +173,22 @@ object TextFunctions {
         size(array_distinct(grams)).cast("double") /
           size(grams).cast("double"))
 
+  /** DuckDB rendering of [[allGramsOf]] (duplicates kept); `toks` is
+    * a SQL expression for the token list — compute it once in a CTE,
+    * it is referenced `n + 1` times here.
+    */
+  def allGramsSql(toks: String, n: Int): String = {
+    require(n >= 1, s"n $n must be >= 1")
+    val gram = (0 until n).map(k => s"$toks[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), i -> $gram)"
+  }
+
   /** DuckDB rendering of [[repetitionScore]]; `toks` is a SQL
     * expression for the token list (compute it once in a CTE — it is
     * referenced `n + 2` times here).
     */
   def repetitionScoreSql(toks: String, n: Int): String = {
-    require(n >= 1, s"n $n must be >= 1")
-    val gram = (0 until n).map(k => s"$toks[i + $k]").mkString(" || ' ' || ")
-    val grams =
-      s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), i -> $gram)"
+    val grams = allGramsSql(toks, n)
     s"(CASE WHEN len($grams) = 0 THEN 0.0 ELSE " +
       s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / CAST(len($grams) AS DOUBLE) END)"
   }
