@@ -1295,6 +1295,16 @@ object SparkEntry {
       Sources.writeJson(nation, s"$out/n")
       Sources.readJson(s, s"$out/n", nation.schema).orderBy("n_nationkey")
     }),
+    "s_shard_manifest" -> ((s, dir) => {
+      // deterministic sharded training-set write + verifiable manifest:
+      // the gate covers the manifest math (md5-bucket shard assignment,
+      // per-shard count + order-independent content checksum); the
+      // write/read-back round trip is pinned in SourcesSpec
+      graft.sources.Sources.shardManifest(
+        t(s, dir, "documents"), "doc_id",
+        Seq("doc_id", "source", "lang"), nShards = 8)
+        .orderBy("shard")
+    }),
     // partitioned parquet sink + partition-pruned scan: the filter on
     // the partition column prunes directories before any IO (the
     // .explain shows PartitionFilters, not a full scan + filter)
@@ -2144,6 +2154,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_shard_manifest" ->
+      (graft.sources.Sources.shardManifestSql("documents", "doc_id",
+        Seq("doc_id", "source", "lang"), nShards = 8) + "\nORDER BY shard"),
     "s_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,

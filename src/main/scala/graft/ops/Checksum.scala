@@ -123,18 +123,29 @@ object Checksum {
     checksumRendered(df, cols,
       c => canonical(col(c), df.schema(c).dataType, quantum))
 
-  private def checksumRendered(
-      df: DataFrame, cols: Seq[String], render: String => Column): DataFrame = {
+  /** The 60-bit per-row digest column (see the object scaladoc for
+    * the injective token encoding) — shared with the per-shard
+    * manifest in [[graft.sources.Sources]].
+    */
+  private[graft] def rowDigest(
+      cols: Seq[String], render: String => Column): Column = {
     require(cols.nonEmpty, "checksum needs at least one column")
-    val missing = cols.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"checksum: columns not in frame: $missing")
     val rowStr = concat(cols.map(c =>
       when(col(c).isNull, lit("0"))
         .otherwise(concat(lit("1"), md5(render(c))))): _*)
-    val digest = conv(substring(md5(rowStr), 1, 15), 16, 10)
-      .cast(DecimalType(38, 0))
+    conv(substring(md5(rowStr), 1, 15), 16, 10).cast(DecimalType(38, 0))
+  }
+
+  /** The order-independent digest SUM as a digit string. */
+  private[graft] def digestSum(digest: Column): Column =
+    sum(digest).cast(DecimalType(38, 0)).cast("string")
+
+  private def checksumRendered(
+      df: DataFrame, cols: Seq[String], render: String => Column): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"checksum: columns not in frame: $missing")
     df.agg(count(lit(1)).as("n_rows"),
-      sum(digest).cast(DecimalType(38, 0)).cast("string").as("checksum"))
+      digestSum(rowDigest(cols, render)).as("checksum"))
   }
 
   /** DuckDB rendering of the identical digest-sum over `table`. */
@@ -151,14 +162,20 @@ object Checksum {
     checksumRenderedSql(table,
       cols.map { case (c, dt) => c -> canonicalSql(c, dt, quantum) }, whereClause)
 
-  private def checksumRenderedSql(
-      table: String, rendered: Seq[(String, String)], whereClause: String): String = {
+  /** DuckDB twin of [[digestSum]]∘[[rowDigest]] over rendered
+    * `(column, rendering)` pairs — the full SUM expression string.
+    */
+  private[graft] def digestSumSql(rendered: Seq[(String, String)]): String = {
     require(rendered.nonEmpty, "checksum needs at least one column")
     val rowStr = rendered
       .map { case (c, r) => s"(CASE WHEN $c IS NULL THEN '0' ELSE '1' || md5($r) END)" }
       .mkString(" || ")
-    s"""SELECT count(*) AS n_rows,
-       |CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5($rowStr), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
-       |FROM $table $whereClause""".stripMargin
+    s"CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5($rowStr), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)"
   }
+
+  private def checksumRenderedSql(
+      table: String, rendered: Seq[(String, String)], whereClause: String): String =
+    s"""SELECT count(*) AS n_rows,
+       |${digestSumSql(rendered)} AS checksum
+       |FROM $table $whereClause""".stripMargin
 }

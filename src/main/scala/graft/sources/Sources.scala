@@ -71,4 +71,75 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** The manifest [[writeSharded]] computes: one row per shard with
+    * its row count and order-independent content checksum.
+    */
+  def shardManifest(
+      df: DataFrame, idCol: String, checksumCols: Seq[String],
+      nShards: Int, seed: Long = 42L): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    require(!df.columns.contains("shard"),
+      "shardManifest reserves column name shard; rename it in the input")
+    import org.apache.spark.sql.functions._
+    import graft.ops.Checksum
+    val sharded = df.withColumn("shard",
+      (graft.ops.Sampling.bucket(col(idCol), seed) % nShards).cast("int"))
+    // the per-shard form of Checksum.checksum: same injective row
+    // tokens, grouped instead of global
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        Checksum.digestSum(
+          Checksum.rowDigest(checksumCols, c => col(c).cast("string")))
+          .as("checksum"))
+  }
+
+  /** DuckDB rendering of [[shardManifest]] over `table`. */
+  def shardManifestSql(
+      table: String, idExpr: String, checksumCols: Seq[String],
+      nShards: Int, seed: Long = 42L, whereClause: String = ""): String = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val shard = s"(${graft.ops.Sampling.bucketSql(idExpr, seed)} % $nShards)"
+    val sum = graft.ops.Checksum.digestSumSql(
+      checksumCols.map(c => c -> s"CAST($c AS VARCHAR)"))
+    s"""SELECT CAST($shard AS INT) AS shard, count(*) AS n_rows,
+       |$sum AS checksum
+       |FROM $table $whereClause GROUP BY 1""".stripMargin
+  }
+
+  /** Deterministic sharded training-set write: rows land in
+    * `nShards` md5-bucket shards (stable in `(idCol, seed)` — the
+    * same row lands in the same shard on every run and every
+    * cluster), written as `path/shard=K/...` parquet, one file per
+    * shard by default. Returns the MANIFEST — `(shard, n_rows,
+    * checksum)` with an order-independent content checksum per shard
+    * ([[graft.ops.Checksum]]'s digest-sum) — computed from the DATA,
+    * so a downstream loader (or tomorrow's re-run) can verify each
+    * shard it reads against 16 bytes instead of re-reading the
+    * corpus. Verify on the written files with [[shardManifest]] over
+    * `readParquet(path)`.
+    *
+    * 100 TB shape: shard assignment is a map-only expression; the
+    * write shuffles once on the shard key (`repartition(shard)` —
+    * one file per shard, sized by the shard budget, no small-files
+    * explosion); the manifest is one grouped digest-sum over the
+    * same pass's columns. Non-integral or composite ids: pass any
+    * expression column through a projection first.
+    */
+  def writeSharded(
+      df: DataFrame, path: String, idCol: String,
+      checksumCols: Seq[String], nShards: Int, seed: Long = 42L,
+  ): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    require(!df.columns.contains("shard"),
+      "writeSharded reserves column name shard; rename it in the input")
+    import org.apache.spark.sql.functions._
+    val sharded = df.withColumn("shard",
+      (graft.ops.Sampling.bucket(col(idCol), seed) % nShards).cast("int"))
+    sharded.repartition(nShards, col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+    shardManifest(df, idCol, checksumCols, nShards, seed)
+  }
 }
