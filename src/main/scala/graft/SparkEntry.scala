@@ -716,6 +716,25 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
         .orderBy("doc_id")
     }),
+    "p_leakproof_split" -> ((s, dir) => {
+      // LEAK-PROOF train/test split: split on the dedup CLUSTER label
+      // (near-dup family), not the document id, so two near-duplicate
+      // documents can never straddle the split — the classic
+      // eval-contamination bug. Singletons split on their own id.
+      // Executes eagerly like d_dedup_clusters (iterative CC step)
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3)
+      val clusters = graft.dedup.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      val keyed = docs.select(col("doc_id"))
+        .join(clusters, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("split_key"))
+      graft.ops.Sampling.withSplit(keyed, "split_key", testFraction = 0.25)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
     "d_contamination" -> ((s, dir) => {
       // decontamination demo: every 100th doc plays the benchmark set;
       // 3-gram shingles because the synthetic corpus has little long-
@@ -1763,6 +1782,18 @@ object SparkEntry {
       graft.dedup.Dedup.dedupApplySql(
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
         "WHERE doc_id % 5 = 0"),
+    "p_leakproof_split" -> {
+      val ctes = graft.dedup.Dedup.ccCtes(
+        graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"))
+      val member = graft.ops.Sampling.bucketSql("split_key", 42L)
+      s"""$ctes,
+         |d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |k AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS split_key
+         |  FROM d LEFT JOIN cc ON d.doc_id = cc.id)
+         |SELECT doc_id,
+         |  CASE WHEN $member < 250000 THEN 'test' ELSE 'train' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")

@@ -695,7 +695,7 @@ object Dedup {
   /** The shared recursive-CTE prelude behind [[connectedComponentsSql]]
     * and [[dedupApplySql]]: defines `cc(id, cluster)` over `pairsSql`.
     */
-  private def ccCtes(pairsSql: String): String =
+  private[graft] def ccCtes(pairsSql: String): String =
     s"""WITH RECURSIVE p AS ($pairsSql),
        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM p

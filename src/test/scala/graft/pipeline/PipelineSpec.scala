@@ -519,6 +519,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(stub.forall(_.getLong(1) == 105L) && stub.length == 2)
   }
 
+  test("cluster-keyed split never straddles a near-dup family; an id split would") {
+    import graft.ops.Sampling
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L), Row(10L, 11L), Row(20L, 21L)), 2),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val ids = spark.range(1, 41).select(col("id").as("doc_id"))
+    val keyed = ids.join(clusters, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("split_key"))
+    val byDoc = Sampling.withSplit(keyed, "split_key", 0.5, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val families = Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L))
+    for (f <- families)
+      assert(f.map(byDoc).distinct.size === 1,
+        s"family $f straddles the split: ${f.map(byDoc)}")
+    // premise check: the naive id-keyed split DOES separate at least
+    // one of those families (otherwise this test proves nothing)
+    val naive = Sampling.withSplit(
+      ids.withColumn("split_key", col("doc_id")), "split_key", 0.5, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(families.exists(f => f.map(naive).distinct.size > 1),
+      "test premise broken: id split kept every family together")
+  }
+
   test("multimodal: payload plumbing round trip with stub decoder") {
     val d = docs(1L -> "abcd", 2L -> "efghijkl")
     val out = Multimodal.decodeMeta(
