@@ -927,6 +927,16 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_first)
     }),
+    "p_mixture_plan" -> ((s, dir) => {
+      // recipe planning: per-language token inventory -> target
+      // tokens, keep-rate (ppm) and epoch factor for a 100k-token
+      // budget; one map-combined agg, weights as plan literals
+      graft.ops.Mixture.plan(
+        t(s, dir, "documents"), "lang", "text",
+        Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "zh" -> 0.1),
+        tokenBudget = 100000L, defaultWeight = 0.05)
+        .orderBy(col("lang").asc_nulls_first)
+    }),
     "p_sample_exact_k" -> ((s, dir) => {
       // hard per-group budget: exactly min(k, n) docs per language,
       // deterministic in (seed, k); bounded-heap aggregate + semi
@@ -1918,6 +1928,11 @@ object SparkEntry {
          |WHERE $pred
          |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
     },
+    "p_mixture_plan" ->
+      (graft.ops.Mixture.planSql("documents", "lang",
+        Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "zh" -> 0.1),
+        tokenBudget = 100000L, defaultWeight = 0.05)
+        + "\nORDER BY lang NULLS FIRST"),
     "p_sample_exact_k" ->
       s"""SELECT lang, doc_id FROM (
          |${graft.ops.Sampling.sampleExactKSql("documents", "lang", "doc_id", k = 7, seed = 11L)}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-mix planning: given target mixture WEIGHTS over a group
+  * column (language, source, domain — the Pile/Dolma-style recipe)
+  * and a total token budget, compute each group's available tokens,
+  * token target, sampling rate, and epoch (repetition) factor. This
+  * is the step between "curated corpus" and "sampler configuration":
+  * its `rate_ppm` feeds [[Sampling.hashSample]]-style membership
+  * directly, and `epochs_ppm > 1e6` tells the writer how many times
+  * to repeat an UNDER-represented group to hit its target.
+  *
+  * Determinism: token counts are exact integer sums; each derived
+  * column is a short chain of correctly-rounded IEEE ops on
+  * exactly-cast operands, floored to an integer ppm — the SAME
+  * integer on every engine ([[planSql]] mirrors the exact operation
+  * order). Counts above 2^53 would lose the long→double cast
+  * exactness — at that corpus size, plan per shard.
+  *
+  * 100 TB shape: one map-side-combined aggregate over the corpus
+  * (output = #groups rows); the weight table rides as plan literals.
+  * Nothing else moves.
+  */
+object Mixture {
+
+  /** One row per group: `(groupCol, n_docs, n_tokens, target_tokens,
+    * rate_ppm, epochs_ppm)` where `target_tokens =
+    * floor(weight · tokenBudget)`, `rate_ppm` = parts-per-million of
+    * the group to KEEP (capped at 1e6), and `epochs_ppm` = the
+    * uncapped target/available ratio (2.5e6 = repeat the group 2.5×).
+    * Groups absent from `weights` get `defaultWeight`; groups with
+    * zero available tokens plan zero rate and zero epochs.
+    */
+  def plan(
+      df: DataFrame, groupCol: String, textCol: String,
+      weights: Map[String, Double], tokenBudget: Long,
+      defaultWeight: Double = 0.0,
+  ): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget $tokenBudget must be positive")
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && !w.isNaN && !w.isInfinity, s"bad weight $w"))
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (g, w)) => when(col(groupCol) === lit(g), lit(w)).otherwise(acc)
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
+      .withColumn("target_tokens",
+        floor(weight * lit(tokenBudget.toDouble)))
+      .withColumn("rate_ppm",
+        when(col("n_tokens") > 0,
+          floor(least(
+            col("target_tokens").cast("double") / col("n_tokens").cast("double"),
+            lit(1.0)) * lit(1e6)))
+          .otherwise(lit(0L)))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0,
+          floor(col("target_tokens").cast("double") /
+            col("n_tokens").cast("double") * lit(1e6)))
+          .otherwise(lit(0L)))
+  }
+
+  /** DuckDB rendering of [[plan]] over `documents(lang, source,
+    * text)`-shaped tables; `groupExpr` must be a column name.
+    */
+  def planSql(
+      table: String, groupExpr: String, weights: Map[String, Double],
+      tokenBudget: Long, defaultWeight: Double = 0.0,
+      whereClause: String = "",
+  ): String = {
+    val toksLen = s"CAST(len(${graft.text.TextFunctions.tokensSql
+      .replace("TXT", "text")}) AS BIGINT)"
+    // CASE arms in the SAME fold order as the Column form: the last
+    // map entry wins ties, so render arms reversed (the fold nests
+    // later entries outermost)
+    val arms = weights.toSeq.reverse
+      .map { case (g, w) => s"WHEN $groupExpr = '$g' THEN CAST($w AS DOUBLE)" }
+      .mkString(" ")
+    val weight = s"(CASE $arms ELSE CAST($defaultWeight AS DOUBLE) END)"
+    s"""WITH a AS (SELECT $groupExpr, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum($toksLen) AS BIGINT) AS n_tokens
+       |  FROM $table $whereClause GROUP BY 1),
+       |t AS (SELECT *, CAST(floor($weight * CAST($tokenBudget AS DOUBLE)) AS BIGINT) AS target_tokens FROM a)
+       |SELECT $groupExpr, n_docs, n_tokens, target_tokens,
+       |  CASE WHEN n_tokens > 0 THEN CAST(floor(least(
+       |    CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0) * 1e6) AS BIGINT)
+       |    ELSE 0 END AS rate_ppm,
+       |  CASE WHEN n_tokens > 0 THEN CAST(floor(
+       |    CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
+       |    ELSE 0 END AS epochs_ppm
+       |FROM t""".stripMargin
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MixtureSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 3),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("lang", StringType, nullable = true),
+        StructField("text", StringType, nullable = false))))
+
+  test("plan computes inventory, targets, capped rates and epoch factors") {
+    // en: 6 tokens available; de: 2; xx (unweighted): 2
+    val d = docs(
+      (1L, "en", "a b c"), (2L, "en", "d e f"),
+      (3L, "de", "g h"), (4L, "xx", "i j"))
+    val out = Mixture.plan(d, "lang", "text",
+      Map("en" -> 0.5, "de" -> 0.5), tokenBudget = 8L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // en: target floor(0.5*8)=4 of 6 -> rate 666666 ppm, epochs 666666
+    assert(out("en") === ((2L, 6L, 4L, 666666L, 666666L)))
+    // de: target 4 of 2 -> rate capped at 1e6, epochs 2e6 (repeat 2x)
+    assert(out("de") === ((1L, 2L, 4L, 1000000L, 2000000L)))
+    // xx: defaultWeight 0 -> target 0, rate 0, epochs 0
+    assert(out("xx") === ((1L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("zero-token groups plan zero rate instead of dividing by zero") {
+    val d = docs((1L, "en", "  "), (2L, "de", "a"))
+    val out = Mixture.plan(d, "lang", "text",
+      Map("en" -> 1.0, "de" -> 0.0), tokenBudget = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("en") === ((0L, 0L, 0L)))
+    assert(out("de") === ((1L, 0L, 0L)))
+  }
+
+  test("guards: budget must be positive, weights finite and non-negative") {
+    val d = docs((1L, "en", "a"))
+    intercept[IllegalArgumentException] {
+      Mixture.plan(d, "lang", "text", Map("en" -> 0.5), tokenBudget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.plan(d, "lang", "text", Map("en" -> -0.5), tokenBudget = 1L)
+    }
+  }
+}
