@@ -937,6 +937,18 @@ object SparkEntry {
         tokenBudget = 100000L, defaultWeight = 0.05)
         .orderBy(col("lang").asc_nulls_first)
     }),
+    "p_mixture_apply" -> ((s, dir) => {
+      // plan -> apply: repeat/downsample every document to its
+      // group's epoch factor (full copies + md5-fractional extras),
+      // emitting an epoch index — the materialized training mix
+      val docs = t(s, dir, "documents")
+      val pl = graft.ops.Mixture.plan(docs, "lang", "text",
+        Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "zh" -> 0.1),
+        tokenBudget = 100000L, defaultWeight = 0.05)
+      graft.ops.Mixture.applyPlan(docs, "lang", "doc_id", pl)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
     "p_sample_exact_k" -> ((s, dir) => {
       // hard per-group budget: exactly min(k, n) docs per language,
       // deterministic in (seed, k); bounded-heap aggregate + semi
@@ -1933,6 +1945,12 @@ object SparkEntry {
         Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "zh" -> 0.1),
         tokenBudget = 100000L, defaultWeight = 0.05)
         + "\nORDER BY lang NULLS FIRST"),
+    "p_mixture_apply" ->
+      (graft.ops.Mixture.applyPlanSql("documents", "lang", "doc_id",
+        graft.ops.Mixture.planSql("documents", "lang",
+          Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "zh" -> 0.1),
+          tokenBudget = 100000L, defaultWeight = 0.05))
+        + "\nORDER BY doc_id, epoch"),
     "p_sample_exact_k" ->
       s"""SELECT lang, doc_id FROM (
          |${graft.ops.Sampling.sampleExactKSql("documents", "lang", "doc_id", k = 7, seed = 11L)}

@@ -63,6 +63,50 @@ object Mixture {
           .otherwise(lit(0L)))
   }
 
+  /** Materialize a [[plan]]: repeat each row of its group's epoch
+    * factor — `epochs_ppm div 1e6` full copies, plus one more iff the
+    * row's md5 bucket falls under the fractional part (deterministic
+    * in `(idCol, seed)`, the [[Sampling.bucket]] rule) — emitting an
+    * `epoch` index column (0-based) so downstream packing/writing
+    * sees distinct rows. Groups planned at `epochs_ppm < 1e6`
+    * downsample (most rows emit zero copies); groups above 1e6
+    * upsample (every row emits ≥1). Groups absent from the plan are
+    * dropped — the plan DEFINES the mix.
+    *
+    * `maxEpochs` fails fast (raise_error, before the explode
+    * materializes) on a degenerate plan — a near-empty group with a
+    * large target would otherwise replicate each row thousands of
+    * times.
+    *
+    * 100 TB shape: the plan broadcasts (#groups rows), the explode
+    * multiplies rows by the epoch factor — the output's intrinsic
+    * size; no shuffle touches the corpus.
+    */
+  def applyPlan(
+      df: DataFrame, groupCol: String, idCol: String, plan: DataFrame,
+      seed: Long = 42L, maxEpochs: Long = 1000L,
+  ): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs $maxEpochs must be positive")
+    Seq("__grp", "__ppm", "__total", "epoch").foreach(c =>
+      require(!df.columns.contains(c),
+        s"applyPlan reserves column name $c; rename it in the input"))
+    val p = plan.select(col(groupCol).as("__grp"),
+      col("epochs_ppm").cast("long").as("__ppm"))
+    val total = expr("__ppm div 1000000") +
+      when(Sampling.bucket(col(idCol), seed) < col("__ppm") % 1000000L, 1L)
+        .otherwise(0L)
+    val guarded = when(total > lit(maxEpochs),
+      raise_error(concat(lit(s"applyPlan: epoch factor exceeds $maxEpochs for group "),
+        col(groupCol).cast("string"),
+        lit(" (raise maxEpochs or fix the plan)"))).cast("long"))
+      .otherwise(total)
+    df.join(broadcast(p), col(groupCol) <=> col("__grp"))
+      .withColumn("__total", guarded)
+      .filter(col("__total") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__total") - 1)))
+      .drop("__grp", "__ppm", "__total")
+  }
+
   /** DuckDB rendering of [[plan]] over `documents(lang, source,
     * text)`-shaped tables; `groupExpr` must be a column name.
     */
@@ -92,5 +136,21 @@ object Mixture {
        |    CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
        |    ELSE 0 END AS epochs_ppm
        |FROM t""".stripMargin
+  }
+
+  /** DuckDB rendering of [[applyPlan]]∘[[plan]] over `table`,
+    * emitting `(idExpr, groupExpr, epoch)`.
+    */
+  def applyPlanSql(
+      table: String, groupExpr: String, idExpr: String,
+      planSqlStr: String, seed: Long = 42L): String = {
+    val bucket = Sampling.bucketSql(s"t.$idExpr", seed)
+    s"""WITH p AS ($planSqlStr),
+       |d AS (SELECT t.$idExpr, t.$groupExpr,
+       |  (p.epochs_ppm // 1000000) +
+       |    (CASE WHEN $bucket < p.epochs_ppm % 1000000 THEN 1 ELSE 0 END) AS total
+       |  FROM $table t JOIN p ON t.$groupExpr IS NOT DISTINCT FROM p.$groupExpr)
+       |SELECT $idExpr, $groupExpr, unnest(range(0, total)) AS epoch
+       |FROM d WHERE total > 0""".stripMargin
   }
 }

@@ -44,6 +44,49 @@ class MixtureSpec extends AnyFunSuite with SparkSpec {
     assert(out("de") === ((1L, 0L, 0L)))
   }
 
+  test("applyPlan repeats rows to their epoch factor with md5-fractional extras") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      (1L, "up", "x"), (2L, "up", "x"), (3L, "up", "x"), (4L, "up", "x"),
+      (10L, "down", "x"), (11L, "down", "x"), (12L, "down", "x"),
+      (20L, "gone", "x"))
+    val plan = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("up", 2500000L), Row("down", 400000L)), 1),
+      StructType(Seq(StructField("lang", StringType),
+        StructField("epochs_ppm", LongType))))
+    val out = Mixture.applyPlan(d, "lang", "doc_id", plan)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("epoch")))
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // every 'up' row appears 2 or 3 times; extras match the bucket rule
+    val buckets = d.select(col("doc_id"),
+      Sampling.bucket(col("doc_id"), 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(counts(id) === 2 + (if (buckets(id) < 500000L) 1 else 0))
+    for (id <- Seq(10L, 11L, 12L))
+      assert(counts.getOrElse(id, 0) === (if (buckets(id) < 400000L) 1 else 0))
+    assert(!counts.contains(20L)) // not in the plan -> dropped
+    // epoch indices are dense from 0
+    val epochs1 = out.filter(_._1 == 1L).map(_._2).sorted
+    assert(epochs1 === (0L until counts(1L).toLong))
+  }
+
+  test("applyPlan fails fast past maxEpochs instead of exploding") {
+    val d = docs((1L, "big", "x"))
+    val plan = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("big", 5000000L)), 1),
+      StructType(Seq(StructField("lang", StringType),
+        StructField("epochs_ppm", LongType))))
+    val err = intercept[Exception] {
+      Mixture.applyPlan(d, "lang", "doc_id", plan, maxEpochs = 3L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("maxEpochs")),
+      s"got: ${msgs(err)}")
+  }
+
   test("guards: budget must be positive, weights finite and non-negative") {
     val d = docs((1L, "en", "a"))
     intercept[IllegalArgumentException] {
