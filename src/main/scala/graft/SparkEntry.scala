@@ -1159,6 +1159,27 @@ object SparkEntry {
           col("ts").as("last_ev_ts"), col("value").as("last_ev_value"))
         .orderBy("o_orderkey")
     }),
+    "o_asof_join_tol" -> ((s, dir) => {
+      // tolerance-bounded as-of (pandas merge_asof semantics): latest
+      // preceding view within 1 hour of each purchase; a nearest view
+      // farther than that nulls out. Epoch-MICROS longs on both sides
+      // (the events convention: DuckDB truncates ns parquet to us)
+      val ev = t(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumnRenamed("ts", "vts")
+      graft.operators.AsOf.asofJoinBackward(
+        left, right, "ts", "vts",
+        by = Seq("user_id"), payload = Seq("vts", "view_id"),
+        tolerance = Some(3600L * 1000000L))
+        .select(col("purchase_id"), col("user_id"), col("ts"),
+          col("vts").as("view_ts"), col("view_id"))
+        .orderBy("purchase_id")
+    }),
     "o_asof_join_fwd" -> ((s, dir) => {
       // forward twin of o_asof_join: FIRST event at-or-after the order
       // date per customer (same one-shuffle union+window plan)
@@ -2091,6 +2112,17 @@ object SparkEntry {
         |       r.ts AS last_ev_ts, r.value AS last_ev_value
         |FROM l ASOF LEFT JOIN r ON l.o_custkey = r.user_id AND l.o_orderdate >= r.ts
         |ORDER BY o_orderkey""".stripMargin,
+    "o_asof_join_tol" ->
+      """WITH l AS (SELECT event_id AS purchase_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |a AS (SELECT l.purchase_id, l.user_id, l.ts, r.vts, r.view_id
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.vts)
+        |SELECT purchase_id, user_id, ts,
+        |  CASE WHEN ts - vts <= 3600000000 THEN vts END AS view_ts,
+        |  CASE WHEN ts - vts <= 3600000000 THEN view_id END AS view_id
+        |FROM a ORDER BY purchase_id""".stripMargin,
     "o_asof_join_fwd" ->
       """WITH l AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0),
         |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS value

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * Right rows must be unique per (by, rightOn); pre-aggregate
   * (e.g. `max_by`) if they are not, or the carried payload is
   * nondeterministic.
+  *
+  * `tolerance` (pandas `merge_asof`-style) bounds the match gap: a
+  * carried right row farther than `tolerance` time units from the
+  * left row yields NULL payload instead — the nearest candidate is
+  * already the closest possible, so "nearest within tolerance" and
+  * "nearest, then tolerance-filtered" coincide. Requires an INTEGRAL
+  * time column (epoch units); convert timestamps upstream.
   */
 object AsOf {
 
@@ -37,8 +44,10 @@ object AsOf {
       rightOn: String,
       by: Seq[String],
       payload: Seq[String],
+      tolerance: Option[Long] = None,
   ): DataFrame =
-    asofCore(left, right, leftOn, rightOn, by, payload, backward = true)
+    asofCore(left, right, leftOn, rightOn, by, payload, backward = true,
+      tolerance)
 
   /** Forward as-of join — for each left row, the EARLIEST right row
     * with `rightOn >= leftOn` among matching `by` keys (ties
@@ -54,8 +63,10 @@ object AsOf {
       rightOn: String,
       by: Seq[String],
       payload: Seq[String],
+      tolerance: Option[Long] = None,
   ): DataFrame =
-    asofCore(left, right, leftOn, rightOn, by, payload, backward = false)
+    asofCore(left, right, leftOn, rightOn, by, payload, backward = false,
+      tolerance)
 
   private def asofCore(
       left: DataFrame,
@@ -65,7 +76,20 @@ object AsOf {
       by: Seq[String],
       payload: Seq[String],
       backward: Boolean,
+      tolerance: Option[Long] = None,
   ): DataFrame = {
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"tolerance $tol must be >= 0")
+      val ok = left.schema(leftOn).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+      require(ok, "tolerance requires an integral (epoch-unit) time " +
+        s"column; $leftOn is ${left.schema(leftOn).dataType.sql} — " +
+        "convert upstream")
+    }
     val leftExtras = left.columns.toSeq
       .filterNot(c => by.contains(c) || c == leftOn)
     // side ordering makes ties inclusive in BOTH directions: backward
@@ -93,10 +117,13 @@ object AsOf {
     // payload travels as ONE struct so every output column comes from
     // the SAME matched right row — per-column ignoreNulls backfill
     // would resurrect stale values when the matched row holds a NULL
+    val packedFields =
+      if (tolerance.isDefined) payload.map(col) :+ col("_t").as("__rt")
+      else payload.map(col)
     val packed = l.unionByName(r).select(
       (by.map(col) :+ col("_t") :+ col("_side")) ++
         leftExtras.map(col) :+
-        when(col("_side") === lit(rightSide), struct(payload.map(col): _*)).as("_p"): _*)
+        when(col("_side") === lit(rightSide), struct(packedFields: _*)).as("_p"): _*)
 
     val carry =
       if (backward) last(col("_p"), ignoreNulls = true)
@@ -106,8 +133,20 @@ object AsOf {
         leftExtras.map(col) :+
         carry.over(w).as("_p"): _*)
 
+    // a match farther than the tolerance nulls out: the carried row is
+    // the NEAREST candidate, so nothing closer exists (null _p stays
+    // null — `when` without otherwise)
+    val guarded = tolerance match {
+      case None => col("_p")
+      case Some(tol) =>
+        val gap =
+          if (backward) col("_t") - col("_p").getField("__rt")
+          else col("_p").getField("__rt") - col("_t")
+        when(gap <= lit(tol), col("_p"))
+    }
     filled.filter(col("_side") === lit(leftSide))
       .select(by.map(col) ++ Seq(col("_t").as(leftOn)) ++
-        leftExtras.map(col) ++ payload.map(c => col("_p").getField(c).as(c)): _*)
+        leftExtras.map(col) ++
+        payload.map(c => guarded.getField(c).as(c)): _*)
   }
 }

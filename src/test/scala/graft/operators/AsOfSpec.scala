@@ -97,4 +97,54 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[Timestamp]("qt") == ts(20))
     assert(out.isNullAt(out.fieldIndex("px")))
   }
+
+  test("tolerance nulls matches farther than the gap, both directions") {
+    val left = frame(
+      Seq(StructField("k", StringType), StructField("t", LongType),
+        StructField("n", IntegerType)),
+      Seq(Row("A", 100L, 1), Row("A", 200L, 2), Row("A", 310L, 3)))
+    val right = frame(
+      Seq(StructField("k", StringType), StructField("rt", LongType),
+        StructField("v", DoubleType)),
+      Seq(Row("A", 95L, 1.0), Row("A", 300L, 3.0)))
+    val back = AsOf.asofJoinBackward(left, right, "t", "rt",
+      by = Seq("k"), payload = Seq("v"), tolerance = Some(10L))
+      .collect().map(r => r.getAs[Int]("n") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    // n=1: rt 95, gap 5 <= 10 -> kept; n=2: nearest rt 95, gap 105 -> null
+    // n=3: rt 300, gap 10 -> kept (inclusive)
+    assert(back === Map(1 -> Some(1.0), 2 -> None, 3 -> Some(3.0)))
+    val fwd = AsOf.asofJoinForward(left, right, "t", "rt",
+      by = Seq("k"), payload = Seq("v"), tolerance = Some(100L))
+      .collect().map(r => r.getAs[Int]("n") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    // n=1: next rt 300, gap 200 -> null; n=2: rt 300, gap 100 -> kept
+    // n=3: no right row at/after 310 -> null
+    assert(fwd === Map(1 -> None, 2 -> Some(3.0), 3 -> None))
+  }
+
+  test("tolerance rejects non-integral time columns and negative gaps") {
+    val left = frame(
+      Seq(StructField("k", StringType), StructField("t", TimestampType)),
+      Seq(Row("A", ts(1))))
+    val right = frame(
+      Seq(StructField("k", StringType), StructField("rt", TimestampType),
+        StructField("v", DoubleType)),
+      Seq(Row("A", ts(0), 1.0)))
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(left, right, "t", "rt",
+        by = Seq("k"), payload = Seq("v"), tolerance = Some(10L))
+    }
+    val longLeft = frame(
+      Seq(StructField("k", StringType), StructField("t", LongType)),
+      Seq(Row("A", 1L)))
+    val longRight = frame(
+      Seq(StructField("k", StringType), StructField("rt", LongType),
+        StructField("v", DoubleType)),
+      Seq(Row("A", 0L, 1.0)))
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(longLeft, longRight, "t", "rt",
+        by = Seq("k"), payload = Seq("v"), tolerance = Some(-1L))
+    }
+  }
 }
