@@ -234,6 +234,30 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("md5 samplers are streaming-safe: stream membership equals batch membership") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    // stateless map-only membership -> usable in a streaming query
+    // as-is, and the SAME rows pass in streaming and batch execution
+    val query = graft.ops.Sampling.withSplit(input.toDF(), "event_id", 0.3)
+      .writeStream.format("memory").queryName("sampled")
+      .outputMode("append").start()
+    try {
+      val rows = (1L to 400L).map(i => ev(i, i % 7, i))
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sampled").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+      val batch = graft.ops.Sampling.withSplit(
+        spark.createDataset(rows).toDF(), "event_id", 0.3)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+      assert(streamed === batch)
+      assert(streamed.values.count(_ == "test") > 0 &&
+        streamed.values.count(_ == "train") > 0)
+    } finally query.stop()
+  }
+
   test("decontaminateStream drops blocklisted text by normalized fingerprint") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
