@@ -1079,6 +1079,39 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
         .orderBy("doc_id")
     }),
+    "t_token_drift" -> ((s, dir) => {
+      // corpus drift: top-40 terms by chi-square contribution between
+      // two slices — vocabulary-sized censuses (one shuffle each,
+      // map-side combine), full-outer join on the term, broadcast
+      // grand totals, TakeOrderedAndProject top-k; per-term doubles
+      // are a fixed IEEE op sequence on exact ints (engine-exact)
+      val docs = t(s, dir, "documents")
+      graft.text.Drift.tokenChi2(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "text", k = 40)
+    }),
+    "t_token_rarity" -> ((s, dir) => {
+      // curriculum difficulty: mean vocabulary rank per document
+      // (OOV = k+1) against the corpus' own top-300 — broadcast hash
+      // probe per token, per-doc re-agg; all-integer arithmetic plus
+      // one IEEE division, engine-exact
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab.tokenRarity(
+        docs.filter(col("doc_id") % 10 === 5), "doc_id", "text",
+        graft.text.Vocab.topTokens(docs, "doc_id", "text", k = 300))
+        .orderBy("doc_id")
+    }),
+    "t_chunk_windows" -> ((s, dir) => {
+      // RAG-shape chunking: overlapping 32-token windows advancing by
+      // 24 — strictly map-only (tokenize, sequence, explode, slice);
+      // output rows are bounded by the chunk size regardless of
+      // document length skew
+      graft.text.Chunking.slidingWindows(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
     "t_vocab_encode" -> ((s, dir) => {
       // text -> token-id rows against the corpus' own top-100 vocab
       // (1-based rank id, 0 = OOV); flattened (doc_id, pos, token_id)
@@ -2052,6 +2085,16 @@ object SparkEntry {
       (graft.text.Ngrams.noveltyRateSql(n = 2,
         whereClause = "WHERE doc_id % 10 = 3",
         refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
+    "t_token_drift" ->
+      graft.text.Drift.tokenChi2Sql(k = 40,
+        whereA = "WHERE doc_id % 2 = 0", whereB = "WHERE doc_id % 2 = 1"),
+    "t_token_rarity" ->
+      (graft.text.Vocab.tokenRaritySql(
+        graft.text.Vocab.topTokensSql(300, ""),
+        "WHERE doc_id % 10 = 5") + "\nORDER BY doc_id"),
+    "t_chunk_windows" ->
+      (graft.text.Chunking.slidingWindowsSql(chunkTokens = 32, stride = 24,
+        whereClause = "WHERE doc_id % 7 = 0") + "\nORDER BY doc_id, chunk_id"),
     "t_vocab_encode" ->
       (graft.text.Vocab.encodeSql(
         graft.text.Vocab.topTokensSql(100, ""),

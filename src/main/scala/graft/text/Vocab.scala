@@ -196,6 +196,88 @@ object Vocab {
           .otherwise(lit(0.0)))
   }
 
+  /** Rank-based difficulty scoring against a ranked vocabulary — the
+    * curriculum signal: a document's tokens are scored by their
+    * vocabulary RANK (1 = most frequent; out-of-vocabulary tokens get
+    * rank k+1, one past the rarest ranked term), and the document by
+    * the mean. Common-word prose scores low, rare-word/technical text
+    * scores high, gibberish scores highest — the ordering curriculum
+    * schedules and difficulty-stratified samplers consume. Output:
+    * `(idCol, n_tokens, n_oov, sum_rank, mean_rank)`; an empty
+    * document scores `(0, 0, 0, 0.0)`.
+    *
+    * Determinism: ranks are exact integers ([[topTokens]]' count-desc
+    * term-asc order), `sum_rank` is an exact BIGINT sum, and
+    * `mean_rank` is ONE IEEE division of exactly-representable ints —
+    * engine-exact, like [[oovRate]]. Duplicate vocabulary terms keep
+    * their best (lowest) rank, and k is the greatest ASSIGNED rank.
+    *
+    * 100 TB shape: identical to [[oovRate]] — the vocabulary is a
+    * broadcast dimension (hash-join probe per token, k+1 rides along
+    * as a broadcast 1-row frame), the re-aggregation ships one
+    * pre-combined row per document per map partition, and text never
+    * shuffles.
+    */
+  def tokenRarity(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+      termCol: String = "term", countCol: String = "n_total",
+  ): DataFrame = {
+    Seq("__vs", "__vocab", "__term", "__rank", "__k", "__tok",
+        "n_tokens", "n_oov", "sum_rank", "mean_rank")
+      .foreach(c => require(!df.columns.contains(c),
+        s"tokenRarity reserves column name $c; rename it in the input"))
+    val rankedTerms = rankedVocabArray(vocab, termCol, countCol)
+      .select(posexplode(col("__vocab")).as(Seq("__rank", "__term")))
+      .groupBy(col("__term"))
+      .agg(min(col("__rank") + lit(1L)).as("__rank"))
+    val kdf = rankedTerms
+      .agg(coalesce(max(col("__rank")), lit(0L)).as("__k"))
+    df.select(col(idCol),
+        explode_outer(TextFunctions.tokens(lower(col(textCol))))
+          .as("__tok"))
+      .join(broadcast(rankedTerms), col("__tok") === col("__term"), "left")
+      .crossJoin(broadcast(kdf))
+      .groupBy(col(idCol))
+      .agg(count(col("__tok")).cast("int").as("n_tokens"),
+        (count(col("__tok")) - count(col("__rank"))).cast("int")
+          .as("n_oov"),
+        coalesce(sum(when(col("__tok").isNotNull,
+            coalesce(col("__rank"), col("__k") + lit(1L)))),
+          lit(0L)).as("sum_rank"))
+      .withColumn("mean_rank",
+        when(col("n_tokens") > 0,
+          col("sum_rank").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB rendering of [[tokenRarity]] over `documents(doc_id,
+    * text)` restricted by `whereClause`, with the vocabulary from
+    * `vocabSql` (any query producing `term` and `n_total` columns).
+    */
+  def tokenRaritySql(vocabSql: String, whereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH vr0 AS (SELECT term, row_number() OVER (ORDER BY n_total DESC, term) AS rid
+       |  FROM ($vocabSql)),
+       |vr AS (SELECT term, min(rid) AS rid FROM vr0 GROUP BY term),
+       |kk AS (SELECT coalesce(max(rid), 0) AS k FROM vr),
+       |d AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       |j AS (SELECT e.doc_id, e.tok, vr.rid FROM e LEFT JOIN vr ON e.tok = vr.term),
+       |c AS (SELECT doc_id, CAST(count(tok) AS INT) AS n_tokens,
+       |  CAST(count(tok) - count(rid) AS INT) AS n_oov,
+       |  CAST(sum(coalesce(rid, k + 1)) AS BIGINT) AS sum_rank
+       |  FROM j, kk GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_tokens, 0) AS n_tokens,
+       |  coalesce(c.n_oov, 0) AS n_oov,
+       |  coalesce(c.sum_rank, 0) AS sum_rank,
+       |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+       |    THEN CAST(c.sum_rank AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS mean_rank
+       |FROM (SELECT doc_id FROM documents $whereClause) d
+       |LEFT JOIN c USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB rendering of [[oovRate]] over `documents(doc_id, text)`
     * restricted by `whereClause`, with the vocabulary from
     * `vocabSql` (any query producing a `term` column).

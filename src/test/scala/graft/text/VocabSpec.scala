@@ -111,6 +111,34 @@ class VocabSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == (3, 1))
   }
 
+  test("tokenRarity ranks tokens (OOV = k+1), empty docs score zero") {
+    import spark.implicits._
+    // vocab: "the"(rank 1, n=5), "cat"(rank 2, n=3), "ant"(rank 3, n=3
+    // — count tie broken term-asc: ant < cat? no: ant(3) and cat(3)
+    // tie -> ant rank 2, cat rank 3)
+    val vocab = Seq(("the", 5L), ("cat", 3L), ("ant", 3L))
+      .toDF("term", "n_total")
+    val out = Vocab.tokenRarity(
+      docs(1L -> "the cat zebra", 2L -> "", 3L -> "zebra zebra"),
+      "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    // ranks: the=1, ant=2, cat=3; k=3 so OOV=4
+    assert(out(1L) == ((3, 1, 1L + 3L + 4L, 8.0 / 3.0)))
+    assert(out(2L) == ((0, 0, 0L, 0.0)))
+    assert(out(3L) == ((2, 2, 8L, 4.0)))
+  }
+
+  test("tokenRarity keeps the best rank for duplicate vocab terms") {
+    import spark.implicits._
+    val vocab = Seq(("a", 9L), ("b", 5L), ("a", 5L)).toDF("term", "n_total")
+    val out = Vocab.tokenRarity(docs(1L -> "a b z"), "doc_id", "text", vocab)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).head
+    // ranks: a=1 (best of 1 and 2), b=3; k = greatest ASSIGNED rank = 3,
+    // so OOV z = 4
+    assert(out == ((3, 1, 1L + 3L + 4L)))
+  }
+
   test("guards: k must be positive, reserved columns rejected") {
     intercept[IllegalArgumentException] {
       Vocab.topTokens(docs(1L -> "a"), "doc_id", "text", k = 0)
