@@ -180,6 +180,59 @@ object SparkEntry {
         .agg(decAgg(sum(dec(dec(col("l_extendedprice"), 18, 4) * dec(col("l_discount"), 6, 4), 18, 8)), 28, 8)
           .as("revenue"))
     }),
+    "q4_priority_exists" -> ((s, dir) => {
+      // TPC-H Q4 shape (EXISTS decorrelation): orders in a quarter
+      // with at least one returned line — planned as a LEFT SEMI join
+      // (never a per-row subquery), aggregated per priority
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returns per customer over a
+      // quarter — lineitem streams once through two joins (orders
+      // filtered+broadcast-eligible, customer dimension), exact
+      // decimal revenue, top-20 as TakeOrderedAndProject
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q14_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo share of one month's revenue — part is
+      // the broadcast dimension; both sums are exact decimals, the
+      // percentage is the only double op (one multiply, one divide —
+      // identical op order in the oracle)
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .agg(
+          decAgg(sum(when(col("p_type").startsWith("PROMO"), revenueExpr)
+            .otherwise(dec(lit(0), 18, 8))), 28, 8).as("promo_revenue"),
+          decAgg(sum(revenueExpr), 28, 8).as("total_revenue"))
+        .withColumn("promo_pct",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    }),
     "q_rollup_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -666,6 +719,16 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 3, threshold = 0.5,
         maxGramDocs = 0L) // exact Jaccard for the oracle; default guard is on
+        .orderBy("id_a", "id_b")
+    }),
+    "d_containment_pairs" -> ((s, dir) => {
+      // asymmetric near-dup: short-doc-quoted-in-long-doc pairs that
+      // symmetric Jaccard scores near zero; same shared-gram join
+      // shape as d_ngram_jaccard (exact mode for the oracle)
+      graft.dedup.Dedup.ngramContainmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 3, threshold = 0.8,
+        maxGramDocs = 0L)
         .orderBy("id_a", "id_b")
     }),
     "d_minhash_lsh" -> ((s, dir) => {
@@ -1492,6 +1555,38 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+        |CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""WITH j AS (SELECT l_extendedprice, l_discount, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'),
+        |a AS (SELECT
+        |  CAST(CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $revenueSql ELSE CAST(0 AS DECIMAL(18,8)) END) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS total_revenue
+        |  FROM j)
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM a""".stripMargin,
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -1842,6 +1937,8 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "d_ngram_jaccard" ->
       graft.dedup.Dedup.ngramJaccardSql(3, 0.5, "WHERE doc_id % 50 = 0"),
+    "d_containment_pairs" ->
+      graft.dedup.Dedup.ngramContainmentSql(3, 0.8, "WHERE doc_id % 25 = 0"),
     "d_minhash_lsh" ->
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
     "d_simhash" ->

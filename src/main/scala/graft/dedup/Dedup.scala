@@ -97,6 +97,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** All-pairs n-gram CONTAINMENT ≥ threshold — the asymmetric
+    * Jaccard variant that catches what symmetric similarity cannot: a
+    * short document quoted wholesale inside a much longer one (news
+    * snippet in an aggregator page, README embedded in a bundle).
+    * Jaccard divides by the UNION and so vanishes when sizes differ
+    * (a 100-gram doc fully inside a 10,000-gram doc scores ≈0.01);
+    * containment divides by each side's OWN size, so the quoted side
+    * still scores 1.0. Output: `(id_a, id_b, n_common, cont_a_in_b,
+    * cont_b_in_a)` for `id_a < id_b` where EITHER direction meets the
+    * threshold — the caller drops the contained (usually smaller)
+    * side. Each containment is ONE IEEE division of exact ints —
+    * engine-exact.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — the shared-gram
+    * equi-join IS the candidate filter (docs sharing no gram never
+    * meet), with the same `maxGramDocs` stop-gram guard; since sizes
+    * stay exact while the guard only thins the JOIN, containments are
+    * conservative underestimates, never inflated.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxGramDocs: Long = 1000L,
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold must be in (0, 1]")
+    val grams = df
+      .select(col(idCol).as("id"),
+        explode(charNgrams(col(textCol), n)).as("gram"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val joinGrams =
+      if (maxGramDocs <= 0) grams
+      else {
+        val hot = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramDocs)
+          .select(col("gram"))
+        grams.join(broadcast(hot), Seq("gram"), "left_anti")
+      }
+    val inter = joinGrams.as("a")
+      .join(joinGrams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") / col("sa.sz").cast("double"))
+          .as("cont_a_in_b"),
+        (col("n_common").cast("double") / col("sb.sz").cast("double"))
+          .as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= threshold ||
+        col("cont_b_in_a") >= threshold)
+  }
+
   /** Benchmark decontamination scan: corpus documents sharing at least
     * `minSharedGrams` distinct word `n`-grams with any probe
     * (benchmark/eval) document — the standard n-gram-overlap
@@ -774,5 +829,28 @@ object Dedup {
        |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
        |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB rendering of [[ngramContainmentPairs]] over
+    * `documents(doc_id, text)` restricted by `whereClause` (stop-gram
+    * guard disabled, matching `maxGramDocs = 0`).
+    */
+  def ngramContainmentSql(
+      n: Int, threshold: Double, whereClause: String): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents $whereClause),
+       |grams AS (SELECT DISTINCT id, gram FROM (
+       |  SELECT doc_id AS id, unnest(list_transform(
+       |    range(1, greatest(length(text) - ${n - 1}, 1) + 1),
+       |    i -> substr(text, CAST(i AS INT), $n))) AS gram
+       |  FROM docs) g WHERE length(gram) = $n),
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a_in_b,
+       |  CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b_in_a
+       |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= $threshold
+       |OR CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 }

@@ -48,6 +48,39 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("containment catches a short doc quoted in a long one that jaccard misses") {
+    val quoted = "The quick brown fox jumps over the lazy dog"
+    val long = (1 to 30)
+      .map(i => s"Unrelated filler sentence number $i with distinct content.")
+      .mkString(" ") + " " + quoted + " " + (31 to 40)
+      .map(i => s"More filler tail $i content entirely").mkString(" ")
+    val d = docs(1L -> quoted, 2L -> long)
+    val cont = Dedup.ngramContainmentPairs(
+      d, "doc_id", "text", n = 3, threshold = 0.9, maxGramDocs = 0L)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("cont_a_in_b") == 1.0,
+      s"quoted side must be fully contained: $r")
+    assert(r.getAs[Double]("cont_b_in_a") < 0.3)
+    // the symmetric form scores the same pair far below any usable bar
+    val jac = Dedup.ngramJaccardPairs(
+      d, "doc_id", "text", 3, 0.0001, maxGramDocs = 0L).collect()
+    assert(jac.head.getAs[Double]("jaccard") < 0.2)
+  }
+
+  test("containment threshold applies to either direction; disjoint docs absent") {
+    val d = docs(
+      1L -> "abcdefghij",
+      2L -> "abcdefghijklmnopqrst",
+      3L -> "zzzzyyyyxxwwvvuuttss")
+    val out = Dedup.ngramContainmentPairs(
+        d, "doc_id", "text", 3, 0.9, maxGramDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L))) // 1 fully in 2; 3 shares nothing
+  }
+
   test("minhash LSH finds identical and near-identical docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = (1 to 38).map(i => s"word$i").mkString(" ") + " other tokens"

@@ -258,6 +258,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("chunking is streaming-safe: stream windows equal batch windows") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    // stateless map-only (tokenize -> sequence -> explode -> slice):
+    // valid in a streaming query with no watermark or state, and the
+    // SAME windows come out of streaming and batch execution
+    val query = graft.text.Chunking.slidingWindows(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunked")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        1L -> (1 to 11).map(i => s"w$i").mkString(" "),
+        2L -> "short text",
+        3L -> "")
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+      val streamed = spark.table("chunked").collect().map(key).sorted
+      val batch = graft.text.Chunking.slidingWindows(
+        rows.toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+        .collect().map(key).sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("decontaminateStream drops blocklisted text by normalized fingerprint") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
