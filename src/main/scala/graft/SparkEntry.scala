@@ -1453,6 +1453,13 @@ object SparkEntry {
       Sources.writeJson(nation, s"$out/n")
       Sources.readJson(s, s"$out/n", nation.schema).orderBy("n_nationkey")
     }),
+    "s_heavy_hitters" -> ((s, dir) => {
+      // join-key skew diagnosis: top-25 part keys by lineitem row
+      // count with exact share — one map-combined hash agg, total
+      // re-derived from the group-sized census, TakeOrderedAndProject
+      graft.ops.Profile.heavyHitters(
+        t(s, dir, "lineitem"), Seq("l_partkey"), k = 25)
+    }),
     "s_shard_manifest" -> ((s, dir) => {
       // deterministic sharded training-set write + verifiable manifest:
       // the gate covers the manifest math (md5-bucket shard assignment,
@@ -2390,6 +2397,12 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_heavy_hitters" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total FROM c)
+        |SELECT l_partkey, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t ORDER BY n_rows DESC, l_partkey LIMIT 25""".stripMargin,
     "s_shard_manifest" ->
       (graft.sources.Sources.shardManifestSql("documents", "doc_id",
         Seq("doc_id", "source", "lang"), nShards = 8) + "\nORDER BY shard"),

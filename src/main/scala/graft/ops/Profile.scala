@@ -43,4 +43,42 @@ object Profile {
       col(s"__max_$c").as("max_str")))
     row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Heavy-hitter census over a join/group key — the skew diagnosis
+    * run BEFORE committing a big join or aggregation to a key: the
+    * top `k` key values by row count with each key's exact share of
+    * the table. A key holding a double-digit share is the one that
+    * will stall a 1000-executor shuffle on one reducer — the output
+    * feeds directly into [[Skew]]'s salting decision or an AQE
+    * skew-join review. Output: `(keyCols…, n_rows, share)` ordered by
+    * count desc with the key as a total tie-break.
+    *
+    * Determinism: counts are exact; `share` is ONE IEEE division of
+    * exactly-representable ints — engine-exact.
+    *
+    * 100 TB shape: one hash aggregate on the key (map-side combine —
+    * the hot key itself pre-combines per partition, so the census
+    * never suffers the skew it measures), the grand total re-derived
+    * from the GROUP-sized census (never a second scan of the table),
+    * and the top-k plans as TakeOrderedAndProject — a per-partition
+    * heap, no global sort.
+    */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    require(keyCols.nonEmpty, "heavyHitters needs at least one key column")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"heavyHitters: columns not in frame: $missing")
+    Seq("n_rows", "share", "__total").foreach(c =>
+      require(!keyCols.contains(c),
+        s"heavyHitters reserves column name $c; rename it in the input"))
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__total"))
+    counts.crossJoin(broadcast(tot))
+      .select(keyCols.map(col) :+ col("n_rows") :+
+        (col("n_rows").cast("double") / col("__total").cast("double"))
+          .as("share"): _*)
+      .orderBy(col("n_rows").desc +: keyCols.map(col): _*)
+      .limit(k)
+  }
 }

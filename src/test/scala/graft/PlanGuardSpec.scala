@@ -226,6 +226,32 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q4 EXISTS decorrelates to a semi join, never a per-row subquery") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q4 semi join degenerated to all-pairs:\n$p")
+  }
+
+  test("top-k queries plan distributed heaps, never a global sort") {
+    // drift/heavy-hitters/q10 all end in a bounded top-k; the
+    // TakeOrderedAndProject form merges per-partition heaps on the
+    // driver instead of a single-reducer global sort
+    for (q <- Seq("t_token_drift", "s_heavy_hitters", "q10_returned_items")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost the TakeOrderedAndProject top-k:\n$p")
+    }
+  }
+
+  test("containment pairs join on shared grams, never all-pairs") {
+    val p = plan("d_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment plans an all-pairs join — the gram equi-key is gone:\n$p")
+  }
+
   test("exact-k sampling plans the bounded-heap aggregate, never a window sort") {
     val p = plan("p_sample_exact_k")
     assert(!p.contains("Window"),

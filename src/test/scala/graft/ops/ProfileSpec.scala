@@ -32,6 +32,24 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq("v", "k"))
   }
 
+  test("heavyHitters ranks keys by count with exact shares, ties by key") {
+    val out = Profile.heavyHitters(df, Seq("k"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 2L, 0.5), (1L, 1L, 0.25)))
+  }
+
+  test("heavyHitters supports composite keys and rejects bad input") {
+    val out = Profile.heavyHitters(df, Seq("k", "s"), k = 10).collect()
+    assert(out.length === 4) // (2,b),(2,null),(1,a),(10,a) all count 1
+    assert(out.map(_.getLong(2)).forall(_ == 1L))
+    intercept[IllegalArgumentException] {
+      Profile.heavyHitters(df, Seq("nope"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.heavyHitters(df, Seq("k"), 0)
+    }
+  }
+
   test("unknown columns are rejected") {
     intercept[IllegalArgumentException] { Profile.profile(df, Seq("nope")) }
   }
