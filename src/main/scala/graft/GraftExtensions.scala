@@ -29,6 +29,9 @@ import graft.functions.{RollingHash, ZInterleave}
   *     bucket in [0, 1e6) every sampler/splitter derives from
   *   - `quality_rules(text)` — struct of the 7 Gopher-style boolean
   *     gates (default config); `quality_pass(text)` — their AND
+  *   - `chunk_windows(text, chunkTokens, stride)` — array of RAG
+  *     chunk structs (literal sizes), for `LATERAL explode(...)`
+  *   - `lang_id(text)` — heuristic marker-word language id
   *
   * Column-composed functions go through the Bridge: the builder wraps
   * the argument expressions in Columns, reuses the library's exact
@@ -76,6 +79,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.text.TextFunctions.fingerprint(cols.head))
     inject(e, "graft_bucket", "graft.ops.Sampling", 2)(cols =>
       graft.ops.Sampling.bucket(cols.head, cols(1)))
+    e.injectFunction((
+      FunctionIdentifier("chunk_windows"),
+      new ExpressionInfo("graft.text.Chunking", "chunk_windows"),
+      exprs => {
+        val args = arity("chunk_windows", 3)(exprs)
+        val (chunk, stride) = (args(1), args(2)) match {
+          case (IntegerLiteral(c), IntegerLiteral(s)) => (c, s)
+          case other => throw new IllegalArgumentException(
+            s"chunk_windows chunkTokens/stride must be integer literals, got $other")
+        }
+        Bridge.eagerExpression(graft.text.Chunking.windowsOf(
+          Bridge.column(args.head), chunk, stride))
+      }))
+    inject(e, "lang_id", "graft.text.TextFunctions", 1)(cols =>
+      graft.text.TextFunctions.langId(cols.head))
     inject(e, "quality_rules", "graft.text.QualityFilters", 1)(cols =>
       struct(graft.text.QualityFilters.rules(cols.head)
         .map { case (n, c) => c.as(n) }: _*))
@@ -141,6 +159,19 @@ object ExtensionsDemo {
       s"quality_rules struct shape: ${r.schema}")
     assert(q.getBoolean(1), "quality_pass rejected ordinary prose")
     assert(!q.getBoolean(2), "quality_pass accepted junk")
+
+    // chunk_windows: explodes to the same windows the DataFrame
+    // operator produces; lang_id agrees with the Column form
+    val ch = spark.sql(
+      """SELECT w.chunk_id, w.start_tok, w.n_tokens, w.chunk_text
+        |FROM (SELECT explode(chunk_windows('a b c d e f g', 4, 3)) AS w)"""
+        .stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(ch.toSeq == Seq((0, 0, 4, "a b c d"), (1, 3, 4, "d e f g"),
+      (2, 6, 1, "g")), s"chunk_windows mismatch: ${ch.toSeq}")
+    val li = spark.sql(
+      "SELECT lang_id('the of and to a in is it') AS l").collect().head.getString(0)
+    assert(li == "en", s"lang_id('the of ...') = $li, want en")
 
     // the injected optimizer rule: a naive non-equi range join must
     // plan as a binned equi-join once the bin width is set

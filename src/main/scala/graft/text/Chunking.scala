@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sliding-window document chunking — the corpus→context-window step
@@ -60,6 +60,44 @@ object Chunking {
       .select(col(idCol), col("chunk_id"), col("start_tok"),
         size(col("__c")).as("n_tokens"),
         concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
+  /** Scalar (one-column) form of [[slidingWindows]] for the SQL front
+    * door: an `array<struct<chunk_id,start_tok,n_tokens,chunk_text>>`
+    * per row, so pure-SQL users can `LATERAL explode(chunk_windows
+    * (text, 32, 24))`. Agrees exactly with [[slidingWindows]]
+    * (ChunkingSpec pins it).
+    *
+    * Implementation note: higher-order lambdas re-evaluate captured
+    * expressions per element (SCALE.md), so the token array and each
+    * window's slice are LET-BOUND through single-element
+    * `transform(array(…), x => …)` wrappers — lambda-variable
+    * references are cheap; a captured `tokens(text)` inside the
+    * per-window lambda would re-tokenize the document once per
+    * window. HOF lambdas are still interpreted (CodegenFallback):
+    * for corpus-scale chunking prefer [[slidingWindows]], whose
+    * post-explode projection stays in whole-stage codegen.
+    */
+  def windowsOf(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens >= 1, s"chunkTokens $chunkTokens must be >= 1")
+    require(stride >= 1, s"stride $stride must be >= 1")
+    element_at(
+      transform(array(TextFunctions.tokens(text)), tk =>
+        transform(
+          // sequence floors at 0 for empty docs; the filter drops the
+          // degenerate start-0 entry when there are no tokens at all
+          filter(
+            sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(stride)),
+            st => st < size(tk)),
+          st => element_at(
+            transform(array(slice(tk, st + 1, lit(chunkTokens))), c =>
+              struct(
+                (st / lit(stride)).cast("int").as("chunk_id"),
+                st.cast("int").as("start_tok"),
+                size(c).as("n_tokens"),
+                concat_ws(" ", c).as("chunk_text"))),
+            1))),
+      1)
   }
 
   /** DuckDB rendering of [[slidingWindows]] over `documents(doc_id,

@@ -87,6 +87,41 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunk_windows in SQL matches Chunking.windowsOf; sizes must be literals") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val d = Seq("a b c d e f g", "", "one two").toDF("t")
+      val viaSql = d.selectExpr("explode(chunk_windows(t, 4, 3)) AS w")
+        .selectExpr("w.chunk_id", "w.start_tok", "w.n_tokens", "w.chunk_text")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sorted.toSeq
+      val viaCol = d.select(org.apache.spark.sql.functions.explode(
+          graft.text.Chunking.windowsOf(col("t"), 4, 3)).as("w"))
+        .select(col("w.chunk_id"), col("w.start_tok"),
+          col("w.n_tokens"), col("w.chunk_text"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sorted.toSeq
+      assert(viaSql === viaCol && viaSql.nonEmpty)
+      val err = intercept[Exception] {
+        s.sql("SELECT chunk_windows('x', 4, 1 + 2)").collect()
+      }
+      assert(err.getMessage.contains("integer literal"),
+        s"non-literal stride must be rejected with a named error: ${err.getMessage}")
+    }
+  }
+
+  test("lang_id in SQL matches TextFunctions.langId") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val d = Seq("the of and to a in", "el la de que y en los").toDF("t")
+      val viaSql = d.selectExpr("lang_id(t) AS l").collect().map(_.getString(0)).toSeq
+      val viaCol = d.select(graft.text.TextFunctions.langId(col("t")))
+        .collect().map(_.getString(0)).toSeq
+      assert(viaSql === viaCol)
+      assert(viaSql.head === "en")
+    }
+  }
+
   test("arity errors name the function") {
     withExtendedSession { s =>
       val err = intercept[Exception] { s.sql("SELECT fingerprint('a', 'b')").collect() }

@@ -58,6 +58,26 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
       s"expected a map-only plan, got:\n$plan")
   }
 
+  test("windowsOf (SQL front-door form) agrees with slidingWindows") {
+    val d = docs(
+      (1L, (1 to 23).map(i => s"tk$i").mkString(" ")),
+      (2L, "one two"),
+      (3L, ""),
+      (4L, "   "))
+    for ((chunk, stride) <- Seq((4, 3), (8, 8), (2, 5))) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+      val viaOp = Chunking.slidingWindows(d, "doc_id", "text", chunk, stride)
+        .collect().map(key).sorted.toSeq
+      val viaScalar = d.select(col("doc_id"),
+          explode(Chunking.windowsOf(col("text"), chunk, stride)).as("w"))
+        .select(col("doc_id"), col("w.chunk_id"), col("w.start_tok"),
+          col("w.n_tokens"), col("w.chunk_text"))
+        .collect().map(key).sorted.toSeq
+      assert(viaScalar === viaOp, s"chunk=$chunk stride=$stride")
+    }
+  }
+
   test("chunk ids are dense and starts are stride multiples") {
     val text = (1 to 137).map(i => s"t$i").mkString(" ")
     val rows = Chunking.slidingWindows(
