@@ -1276,6 +1276,26 @@ object SparkEntry {
           col("vts").as("view_ts"), col("view_id"))
         .orderBy("purchase_id")
     }),
+    "o_asof_join_near" -> ((s, dir) => {
+      // nearest as-of (pandas merge_asof direction='nearest'): the
+      // view with the smallest |gap| to each purchase, either
+      // direction, exact ties to the preceding one; both carries
+      // share ONE exchange (AsOfSpec pins it)
+      val ev = t(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumnRenamed("ts", "vts")
+      graft.operators.AsOf.asofJoinNearest(
+        left, right, "ts", "vts",
+        by = Seq("user_id"), payload = Seq("vts", "view_id"))
+        .select(col("purchase_id"), col("user_id"), col("ts"),
+          col("vts").as("view_ts"), col("view_id"))
+        .orderBy("purchase_id")
+    }),
     "o_asof_join_fwd" -> ((s, dir) => {
       // forward twin of o_asof_join: FIRST event at-or-after the order
       // date per customer (same one-shuffle union+window plan)
@@ -2270,6 +2290,24 @@ object SparkEntry {
         |  CASE WHEN ts - vts <= 3600000000 THEN vts END AS view_ts,
         |  CASE WHEN ts - vts <= 3600000000 THEN view_id END AS view_id
         |FROM a ORDER BY purchase_id""".stripMargin,
+    "o_asof_join_near" ->
+      """WITH l AS (SELECT event_id AS purchase_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT l.purchase_id, l.user_id, l.ts, r.vts AS bts, r.view_id AS bid
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.vts),
+        |f AS (SELECT l.purchase_id, r.vts AS fts, r.view_id AS fid
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.vts)
+        |SELECT b.purchase_id, b.user_id, b.ts,
+        |  CASE WHEN bts IS NULL THEN fts
+        |       WHEN fts IS NULL THEN bts
+        |       WHEN b.ts - bts <= fts - b.ts THEN bts ELSE fts END AS view_ts,
+        |  CASE WHEN bts IS NULL THEN fid
+        |       WHEN fts IS NULL THEN bid
+        |       WHEN b.ts - bts <= fts - b.ts THEN bid ELSE fid END AS view_id
+        |FROM b JOIN f USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
     "o_asof_join_fwd" ->
       """WITH l AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0),
         |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS value

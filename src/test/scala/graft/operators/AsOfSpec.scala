@@ -123,6 +123,71 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(fwd === Map(1 -> None, 2 -> Some(3.0), 3 -> None))
   }
 
+  test("nearest as-of picks the smaller gap either direction, ties backward") {
+    val lSchema = Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("n", IntegerType))
+    val rSchema = Seq(StructField("k", StringType),
+      StructField("rt", LongType), StructField("v", StringType))
+    val left = frame(lSchema, Seq(
+      Row("A", 10L, 1), // quotes at 7 (gap 3) and 12 (gap 2) -> fwd "q12"
+      Row("A", 6L, 2),  // gaps 1 back / 6 fwd -> "q7"
+      Row("A", 9L, 3),  // gaps 2 back / 3 fwd -> "q7"
+      Row("B", 5L, 4),  // only a later quote at 8 -> "q8"
+      Row("C", 5L, 5))) // no quotes at all -> null
+    val right = frame(rSchema, Seq(
+      Row("A", 7L, "q7"), Row("A", 12L, "q12"), Row("B", 8L, "q8")))
+    val out = AsOf.asofJoinNearest(
+      left, right, "t", "rt", by = Seq("k"), payload = Seq("v"))
+      .collect()
+      .map(r => r.getAs[Int]("n") -> Option(r.getAs[String]("v"))).toMap
+    assert(out === Map(1 -> Some("q12"), 2 -> Some("q7"), 3 -> Some("q7"),
+      4 -> Some("q8"), 5 -> None))
+
+    // exact tie: left at 9 with quotes at 7 and 11 -> backward wins
+    val tieL = frame(lSchema, Seq(Row("A", 9L, 1)))
+    val tieR = frame(rSchema, Seq(Row("A", 7L, "back"), Row("A", 11L, "fwd")))
+    val tie = AsOf.asofJoinNearest(
+      tieL, tieR, "t", "rt", by = Seq("k"), payload = Seq("v"))
+      .collect().head.getAs[String]("v")
+    assert(tie === "back")
+
+    // equal-timestamp right row is a gap-0 backward match
+    val eqR = frame(rSchema, Seq(Row("A", 9L, "same"), Row("A", 10L, "later")))
+    val eq = AsOf.asofJoinNearest(
+      tieL, eqR, "t", "rt", by = Seq("k"), payload = Seq("v"))
+      .collect().head.getAs[String]("v")
+    assert(eq === "same")
+  }
+
+  test("nearest tolerance bounds |gap|; both window carries share one exchange") {
+    val lSchema = Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("n", IntegerType))
+    val rSchema = Seq(StructField("k", StringType),
+      StructField("rt", LongType), StructField("v", StringType))
+    val left = frame(lSchema, Seq(Row("A", 10L, 1), Row("A", 100L, 2)))
+    val right = frame(rSchema, Seq(Row("A", 13L, "near"), Row("A", 90L, "far")))
+    val joined = AsOf.asofJoinNearest(
+      left, right, "t", "rt", by = Seq("k"), payload = Seq("v"),
+      tolerance = Some(5L))
+    // inspect the plan BEFORE execution: a collected AQE plan prints
+    // final + initial trees and would double-count the one exchange
+    val planStr = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(k#".r.findAllIn(planStr).size
+    assert(exchanges === 1,
+      s"nearest as-of must shuffle once, got:\n$planStr")
+    assert("\\bWindow\\b".r.findAllIn(planStr).size === 1,
+      s"both carries must share ONE Window node:\n$planStr")
+    val out = joined.collect()
+      .map(r => r.getAs[Int]("n") -> Option(r.getAs[String]("v"))).toMap
+    assert(out === Map(1 -> Some("near"), 2 -> None)) // |100-90|=10 > 5
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinNearest(
+        frame(Seq(StructField("k", StringType),
+          StructField("t", TimestampType)), Seq(Row("A", ts(1)))),
+        right, "t", "rt", by = Seq("k"), payload = Seq("v"))
+    }
+  }
+
   test("tolerance rejects non-integral time columns and negative gaps") {
     val left = frame(
       Seq(StructField("k", StringType), StructField("t", TimestampType)),
