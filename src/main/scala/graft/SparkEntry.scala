@@ -737,6 +737,20 @@ object SparkEntry {
         "doc_id", "text", numHashes = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
+    "d_minhash_incr" -> ((s, dir) => {
+      // incremental LSH: a new drop's signatures banded against the
+      // persisted corpus signature table — only the new batch is
+      // shingled; the corpus ships numHashes+1 longs per doc. Ids are
+      // disjoint by construction (odd %10=7 vs even %2=0)
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.minhashLshPairsAgainst(
+        graft.dedup.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 16),
+        graft.dedup.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16),
+        numHashes = 16, bands = 4)
+        .orderBy("new_id", "corpus_id")
+    }),
     "d_simhash" -> ((s, dir) => {
       graft.dedup.Dedup.simhash(
         t(s, dir, "documents").filter(col("doc_id") % 25 === 0),
@@ -1968,6 +1982,9 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainmentSql(3, 0.8, "WHERE doc_id % 25 = 0"),
     "d_minhash_lsh" ->
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
+    "d_minhash_incr" ->
+      graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
+        whereNew = "WHERE doc_id % 10 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
     "d_simhash" ->
       (graft.dedup.Dedup.simhashSql("WHERE doc_id % 25 = 0") + "\nORDER BY id"),
     "d_simhash_pairs" ->

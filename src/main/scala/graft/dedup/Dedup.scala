@@ -374,6 +374,71 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Incremental LSH candidate pairs: a NEW batch banded against a
+    * PERSISTED corpus signature table — the shape that makes MinHash
+    * dedup viable as a continuous ingest process. At 100 TB the
+    * shingle+minhash aggregation over the existing corpus is the
+    * dominant cost and its result never changes; compute it once
+    * ([[minhashSignatures]]), write it as a parquet table
+    * (numHashes+1 longs per document — ~0.1% of the text), and each
+    * new drop only shingles ITSELF, then bands against the stored
+    * signatures. Complements [[graft.dedup.Incremental.dedupIncrement]]
+    * (the exact-duplicate version of the same contract).
+    *
+    * Output: `(new_id, corpus_id, n_common_minhash, est_jaccard)` —
+    * cross-side candidates only; within-batch pairs come from the
+    * regular [[minhashLshPairs]] over the (small) batch. Ids must be
+    * disjoint across the two frames (same id space, new ids unseen) —
+    * a document present on both sides pairs with itself at estimate
+    * 1.0, which the caller would misread as a fresh duplicate.
+    *
+    * The hot-bucket guard censuses the COMBINED bucket population: a
+    * bucket pathological on either side (or only jointly) explodes
+    * the cross join the same way, and the census input is band keys
+    * only — signatures stay out of the shuffle until the one join
+    * that needs them.
+    */
+  def minhashLshPairsAgainst(
+      newSigs: DataFrame, corpusSigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bucketize(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*))
+            .as("bkey"))
+      }
+      sig.select(col("id") +: explode(array(bandCols: _*)).as("bb") +:
+          (0 until numHashes).map(j => col(s"mh$j")): _*)
+        .select(col("id") +: col("bb.band").as("band") +:
+          col("bb.bkey").as("bkey") +:
+          (0 until numHashes).map(j => col(s"mh$j")): _*)
+    }
+    val nb = bucketize(newSigs)
+    val cb = bucketize(corpusSigs)
+    val hot = nb.select(col("band"), col("bkey"))
+      .unionByName(cb.select(col("band"), col("bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val nbb = nb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val cbb = cb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    nbb.as("sa")
+      .join(cbb.as("sb"),
+        col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey"))
+      .select(col("sa.id").as("new_id"), col("sb.id").as("corpus_id"),
+        agree.as("n_common_minhash"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** Number of simhash bits (small enough that 2^b stays in a signed
@@ -615,6 +680,48 @@ object Dedup {
        |  CAST(($agree) AS DOUBLE) / $numHashes.0 AS est_jaccard
        |FROM pairs JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB rendering of [[minhashLshPairsAgainst]] over
+    * `documents(doc_id, text)`: new batch = rows matching `whereNew`,
+    * corpus = rows matching `whereCorpus` (full `WHERE ...` clauses).
+    * No hot-bucket drop (matches gates whose buckets stay under the
+    * cap, like [[minhashLshSql]]).
+    */
+  def minhashLshIncrementalSql(
+      numHashes: Int, bands: Int,
+      whereNew: String, whereCorpus: String): String = {
+    val r = numHashes / bands
+    val toks = TextFunctions.tokensSql.replace("TXT", "text")
+    val mins = (0 until numHashes)
+      .map(j => s"min((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j")
+      .mkString(", ")
+    def bandSelects(sig: String) = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($key) AS bkey FROM $sig"
+    }.mkString("\nUNION ALL\n")
+    val agree = (0 until numHashes)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH newd AS (SELECT doc_id, text FROM documents $whereNew),
+       |corpd AS (SELECT doc_id, text FROM documents $whereCorpus),
+       |ntoks AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id AS id, unnest(list_distinct($toks)) AS tok FROM newd)),
+       |ctoks AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id AS id, unnest(list_distinct($toks)) AS tok FROM corpd)),
+       |nsig AS (SELECT id, $mins FROM ntoks GROUP BY id),
+       |csig AS (SELECT id, $mins FROM ctoks GROUP BY id),
+       |nbands AS (
+       |${bandSelects("nsig")}),
+       |cbands AS (
+       |${bandSelects("csig")}),
+       |pairs AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+       |  FROM nbands a JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey)
+       |SELECT new_id, corpus_id, ($agree) AS n_common_minhash,
+       |  CAST(($agree) AS DOUBLE) / $numHashes.0 AS est_jaccard
+       |FROM pairs JOIN nsig sa ON new_id = sa.id JOIN csig sb ON corpus_id = sb.id
+       |ORDER BY new_id, corpus_id""".stripMargin
   }
 
   /** Connected components over an undirected near-dup pair list:

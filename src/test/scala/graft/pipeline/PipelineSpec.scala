@@ -93,6 +93,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists(p => p._2 == 4L && p._3 > 0.5), "disjoint doc matched")
   }
 
+  test("incremental minhash banding equals the cross-side slice of a full run") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 38).map(i => s"word$i").mkString(" ") + " other tokens"
+    val far = (100 to 140).map(i => s"term$i").mkString(" ")
+    val corpus = docs(1L -> base, 2L -> near, 3L -> far)
+    val batch = docs(101L -> base, 102L -> ("fresh " + far))
+    val incr = Dedup.minhashLshPairsAgainst(
+        Dedup.minhashSignatures(batch, "doc_id", "text", 16),
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 16),
+        numHashes = 16, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth: the full self-join run over corpus+batch, keeping
+    // only (batch, corpus) pairs — the incremental form must find
+    // exactly these without re-shingling the corpus side
+    val full = Dedup.minhashLshPairs(
+        corpus.unionByName(batch), "doc_id", "text", 16, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => a <= 3L && b >= 101L }
+      .map { case (a, b, n) => (b, a, n) }.toSet
+    assert(incr === full)
+    assert(incr.exists { case (n, c, _) => n == 101L && c == 1L },
+      s"identical cross-side pair missing: $incr")
+  }
+
   test("ngram jaccard hot-gram guard drops ubiquitous grams, keeps real dups") {
     // "zzz..." block shared by ALL docs is the hot gram source; docs 1/2
     // are otherwise identical, doc 3 disjoint
