@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * the grand totals ride along as broadcast one-row frames; and the
   * top-k plans as TakeOrderedAndProject (per-partition heap, no
   * global sort). Text never shuffles — only (term, count) rows move.
+  * The censuses are persisted by default (each feeds its total AND
+  * the join — without materialization the corpus is tokenized twice
+  * per side); pass `persistCensus = false` when the caller owns the
+  * lifecycle.
   */
 object Drift {
 
@@ -42,11 +46,20 @@ object Drift {
     */
   def tokenChi2(
       a: DataFrame, b: DataFrame, textColA: String, textColB: String,
-      k: Int,
+      k: Int, persistCensus: Boolean = true,
   ): DataFrame = {
     require(k > 0, s"k $k must be positive")
-    val ca = census(a, textColA, "n_a")
-    val cb = census(b, textColB, "n_b")
+    // each census feeds BOTH its grand total and the full-outer join;
+    // without materialization Catalyst recomputes the lineage and the
+    // corpus is tokenized twice per side (the tfidf persistInput /
+    // minhash persistSignatures pattern — cache the vocabulary-sized
+    // frame, touch the corpus exactly once per side)
+    def maybePersist(df: DataFrame) =
+      if (persistCensus)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val ca = maybePersist(census(a, textColA, "n_a"))
+    val cb = maybePersist(census(b, textColB, "n_b"))
     val tot = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("__na"))
       .crossJoin(cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("__nb")))
     val dA = col("n_a").cast("double")
