@@ -737,6 +737,15 @@ object SparkEntry {
         "doc_id", "text", numHashes = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
+    "d_winnow_fp" -> ((s, dir) => {
+      // winnowing (MOSS) fingerprints: rightmost-min-of-window gram
+      // sampling with span positions — one doc-keyed shuffle for both
+      // window passes, then a fingerprint-sized dedupe
+      graft.dedup.Winnow.fingerprints(
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 1),
+        "doc_id", "text", k = 8, window = 8)
+        .orderBy("doc_id", "pos")
+    }),
     "d_minhash_incr" -> ((s, dir) => {
       // incremental LSH: a new drop's signatures banded against the
       // persisted corpus signature table — only the new batch is
@@ -1982,6 +1991,9 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainmentSql(3, 0.8, "WHERE doc_id % 25 = 0"),
     "d_minhash_lsh" ->
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
+    "d_winnow_fp" ->
+      (graft.dedup.Winnow.fingerprintsSql(k = 8, window = 8,
+        whereClause = "WHERE doc_id % 50 = 1") + "\nORDER BY doc_id, pos"),
     "d_minhash_incr" ->
       graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
         whereNew = "WHERE doc_id % 10 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
