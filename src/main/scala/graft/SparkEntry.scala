@@ -746,6 +746,16 @@ object SparkEntry {
         "doc_id", "text", k = 8, window = 8)
         .orderBy("doc_id", "pos")
     }),
+    "d_winnow_pairs" -> ((s, dir) => {
+      // partial-overlap candidates: pairs sharing >= 3 winnowing
+      // fingerprints — the shared-fp equi-join is the candidate
+      // filter, over a frame winnowed to ~2/(w+1) of the gram volume
+      graft.dedup.Winnow.sharedFingerprintPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 1),
+        "doc_id", "text", k = 8, window = 8, minShared = 3,
+        maxFpDocs = 0L) // exact for the oracle; default guard is on
+        .orderBy("id_a", "id_b")
+    }),
     "d_minhash_incr" -> ((s, dir) => {
       // incremental LSH: a new drop's signatures banded against the
       // persisted corpus signature table — only the new batch is
@@ -1991,6 +2001,9 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainmentSql(3, 0.8, "WHERE doc_id % 25 = 0"),
     "d_minhash_lsh" ->
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
+    "d_winnow_pairs" ->
+      graft.dedup.Winnow.sharedFingerprintPairsSql(k = 8, window = 8,
+        minShared = 3, whereClause = "WHERE doc_id % 10 = 1"),
     "d_winnow_fp" ->
       (graft.dedup.Winnow.fingerprintsSql(k = 8, window = 8,
         whereClause = "WHERE doc_id % 50 = 1") + "\nORDER BY doc_id, pos"),

@@ -69,6 +69,60 @@ object Winnow {
       .distinct()
   }
 
+  /** Document pairs sharing at least `minShared` winnowing
+    * fingerprints — the partial-overlap/plagiarism candidate pass:
+    * because of the winnowing guarantee, any pair sharing a run of
+    * `k + window − 1` chars meets at minimum 1 here, and longer
+    * overlaps scale the count ~linearly with overlap length. Output:
+    * `(id_a, id_b, n_shared_fp)` with `id_a < id_b`.
+    *
+    * Scale shape: the shared-fp equi-join IS the candidate filter
+    * (pairs sharing no fingerprint never meet), on a frame already
+    * winnowed to ~2/(window+1) of the gram volume — the same join
+    * pattern as [[Dedup.ngramJaccardPairs]] at a fraction of the
+    * input size. `maxFpDocs` drops ubiquitous fingerprints
+    * (boilerplate spans) via a broadcast anti-join before the
+    * self-join, bounding the quadratic blow-up; counts only
+    * UNDER-count when it fires, like the Jaccard stop-gram guard.
+    */
+  def sharedFingerprintPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 8, minShared: Int = 2,
+      maxFpDocs: Long = 1000L,
+  ): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    val fp = fingerprints(df, idCol, textCol, k, window)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val bounded =
+      if (maxFpDocs <= 0) fp
+      else {
+        val hot = fp.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxFpDocs)
+          .select(col("fp"))
+        fp.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("int").as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
+  /** DuckDB rendering of [[sharedFingerprintPairs]] over
+    * `documents(doc_id, text)` restricted by `whereClause`
+    * (stop-fingerprint guard disabled, matching `maxFpDocs = 0`).
+    */
+  def sharedFingerprintPairsSql(
+      k: Int, window: Int, minShared: Int, whereClause: String): String =
+    s"""WITH w0 AS (${fingerprintsSql(k, window, whereClause)}),
+       |f AS (SELECT DISTINCT doc_id AS id, fp FROM w0)
+       |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS INT) AS n_shared_fp
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB rendering of [[fingerprints]] over `documents(doc_id,
     * text)` restricted by `whereClause` (a full `WHERE ...` clause
     * or "").

@@ -50,6 +50,39 @@ class WinnowSpec extends AnyFunSuite with SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("shared-fingerprint pairs find the overlapping pair, not the disjoint one") {
+    val k = 5; val w = 4
+    val shared = "the same exact paragraph appears in both of these documents verbatim"
+    val d = docs(3,
+      1L -> ("intro text " + shared + " closing words"),
+      2L -> ("different opening " + shared + " other tail"),
+      3L -> "entirely unrelated content with nothing in common qqq")
+    val out = Winnow.sharedFingerprintPairs(
+        d, "doc_id", "text", k, w, minShared = 2, maxFpDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("the hot-fingerprint guard drops ubiquitous spans") {
+    val k = 5; val w = 4
+    val boiler = "COMMON FOOTER BOILERPLATE SHARED BY EVERY SINGLE DOCUMENT"
+    val d = docs(2,
+      1L -> ("alpha one " + boiler),
+      2L -> ("beta two " + boiler),
+      3L -> ("gamma three " + boiler))
+    val exact = Winnow.sharedFingerprintPairs(
+      d, "doc_id", "text", k, w, minShared = 1, maxFpDocs = 0L).count()
+    val guarded = Winnow.sharedFingerprintPairs(
+      d, "doc_id", "text", k, w, minShared = 1, maxFpDocs = 2L).count()
+    assert(exact === 3L) // all pairs share the boilerplate
+    // fps selected in ALL 3 docs exceed the cap and drop; a junction
+    // fp picked in only 2 docs (selection context differs near the
+    // distinct prefixes) may legitimately survive — the guard bounds
+    // the blow-up, it does not promise zero boilerplate pairs
+    assert(guarded < exact,
+      s"guard dropped nothing: exact=$exact guarded=$guarded")
+  }
+
   test("selection is independent of input partitioning and is a gram subsample") {
     val text = (1 to 60).map(i => s"sentence piece number $i with content.").mkString(" ")
     val one = fps(docs(1, 5L -> text), 8, 8).sorted.toSeq
