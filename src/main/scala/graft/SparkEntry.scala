@@ -215,6 +215,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: orders whose total quantity clears a
+      // threshold — the grouped-HAVING subquery becomes a semi-joined
+      // aggregate frame (order-keyed agg once, no correlated re-scan),
+      // then the dimension joins; top-50 as TakeOrderedAndProject
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("total_qty"))
+        .filter(col("total_qty") > 75.0)
+      bigOrders
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    }),
     "q14_promo_revenue" -> ((s, dir) => {
       // TPC-H Q14 shape: promo share of one month's revenue — part is
       // the broadcast dimension; both sums are exact decimals, the
@@ -1635,6 +1652,15 @@ object SparkEntry {
         |AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) > 75.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "q14_promo_revenue" ->
       s"""WITH j AS (SELECT l_extendedprice, l_discount, p_type
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
