@@ -232,6 +232,149 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(50)
     }),
+    "q11_important_parts" -> ((s, dir) => {
+      // TPC-H Q11 shape: per-key value HAVING a fraction of the GLOBAL
+      // total — the scalar subquery becomes a single-row aggregate
+      // broadcast into every partition (BroadcastNestedLoopJoin on a
+      // 1-row side, not a driver collect). Both the per-part values and
+      // the grand total are exact decimal sums, so the threshold
+      // comparison is bit-identical across engines; the total is
+      // computed from the base table (order-independent decimal SUM),
+      // never by re-summing the per-part doubles. The threshold is
+      // 1.5× the MEAN per-part value — scale-invariant, unlike a fixed
+      // fraction of the total (which empties as the part count grows).
+      val li = t(s, dir, "lineitem")
+      val perPart = li
+        .groupBy(col("l_partkey"))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("part_value"))
+      val total = li
+        .agg(decAgg(sum(revenueExpr), 30, 8).as("total_value"),
+          countDistinct(col("l_partkey")).as("np"))
+      perPart
+        .crossJoin(broadcast(total))
+        .filter(col("part_value") > lit(1.5) * (col("total_value") / col("np")))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+    "q12_priority_counts" -> ((s, dir) => {
+      // TPC-H Q12 shape: conditional counts (sum-of-CASE) after a
+      // fact-to-fact join — orders projects only its join key and the
+      // CASE input, and both branch counts come from ONE aggregate
+      // pass over the joined rows (no second scan, no pivot)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+    "q13_order_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: two-level aggregation over an OUTER join —
+      // customers with zero (qualifying) orders must survive, so the
+      // order-side predicate is applied BEFORE the left join (≡ an
+      // ON-clause filter), and count(o_custkey) counts matches only.
+      // Level 2 groups the per-customer counts into a distribution.
+      val qualifying = t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(qualifying, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: the revenue "view" is computed ONCE and feeds
+      // both the per-supplier rows and the MAX scalar — the
+      // `WHERE total_revenue = (SELECT MAX ...)` becomes a 1-row
+      // broadcast + equality filter, never a re-aggregation. The
+      // equality compares the same exact-decimal-rendered doubles on
+      // both engines, so ties (all maxima) survive identically.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "q17_small_quantity" -> ((s, dir) => {
+      // TPC-H Q17 shape: the correlated per-part AVG subquery is
+      // decorrelated into ONE grouped aggregate joined back on the
+      // part key — the brand-filtered lineitem slice is computed once
+      // and feeds both the average and the probe side. The average is
+      // an exact decimal SUM divided by the group count (one double
+      // divide, identical op order in the oracle), never a float SUM.
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgQ = li
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg((decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2) /
+          count(lit(1))).as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((decAgg(sum(dec(col("l_extendedprice"), 18, 2)), 28, 2) /
+          lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q19_disjunctive_filter" -> ((s, dir) => {
+      // TPC-H Q19 shape: an OR-of-ANDs predicate across both join
+      // sides — the join key is the only equi condition; Catalyst
+      // extracts the common l_partkey = p_partkey conjunct so the OR
+      // block evaluates as a post-join filter instead of forcing a
+      // nested-loop join, and per-side IsNotNull/range conjuncts are
+      // inferred and pushed to the scans
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      val brand = (b: String, szLo: Int, szHi: Int, qLo: Double, qHi: Double) =>
+        col("p_brand") === b && col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      joined
+        .filter(brand("Brand#12", 1, 5, 1.0, 11.0) ||
+          brand("Brand#23", 1, 10, 10.0, 20.0) ||
+          brand("Brand#34", 1, 15, 20.0, 30.0))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q22_idle_customers" -> ((s, dir) => {
+      // TPC-H Q22 shape: an anti join against the fact table gated by
+      // a GLOBAL scalar threshold — the positive-balance average is a
+      // 1-row exact-decimal aggregate broadcast to every customer
+      // partition, and "no urgent order" is a LEFT ANTI join (never a
+      // correlated NOT EXISTS re-scan). Grouped totals are exact
+      // decimal sums rendered as doubles only at the output edge.
+      val avgBal = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0.0)
+        .agg((decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2) /
+          count(lit(1))).as("avg_bal"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      t(s, dir, "customer")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
     "q14_promo_revenue" -> ((s, dir) => {
       // TPC-H Q14 shape: promo share of one month's revenue — part is
       // the broadcast dimension; both sums are exact decimals, the
@@ -1661,6 +1804,79 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH pp AS (SELECT l_partkey,
+        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS part_value
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT
+        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT l_partkey) AS np
+        |  FROM lineitem)
+        |SELECT l_partkey, part_value FROM pp, tot
+        |WHERE part_value > 1.5 * (total_value / np)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q12_priority_counts" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM pc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT MAX(total_revenue) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |CROSS JOIN mx
+        |WHERE total_revenue = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN (
+        |    SELECT p_partkey FROM part WHERE p_brand = 'Brand#23') p
+        |  ON l_partkey = p_partkey),
+        |av AS (SELECT l_partkey AS a_partkey,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM li JOIN av ON l_partkey = a_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q19_disjunctive_filter" ->
+      s"""SELECT
+        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1.0 AND 11.0)
+        |OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
+        |OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH av AS (SELECT
+        |  CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer, av
+        |WHERE c_acctbal > av.avg_bal
+        |AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q14_promo_revenue" ->
       s"""WITH j AS (SELECT l_extendedprice, l_discount, p_type
         |  FROM lineitem JOIN part ON l_partkey = p_partkey

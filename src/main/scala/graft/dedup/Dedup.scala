@@ -685,12 +685,17 @@ object Dedup {
   /** DuckDB rendering of [[minhashLshPairsAgainst]] over
     * `documents(doc_id, text)`: new batch = rows matching `whereNew`,
     * corpus = rows matching `whereCorpus` (full `WHERE ...` clauses).
-    * No hot-bucket drop (matches gates whose buckets stay under the
-    * cap, like [[minhashLshSql]]).
+    * Unlike [[minhashLshSql]] (whose gate slice keeps every bucket
+    * under the cap), this oracle DOES model the hot-bucket drop —
+    * the 50% corpus slice crosses the cap at sf0.1, so the guard
+    * itself sits under the gate exactly where it fires: the census
+    * counts the COMBINED (new ∪ corpus) bucket population and both
+    * sides anti-join it, mirroring [[minhashLshPairsAgainst]].
     */
   def minhashLshIncrementalSql(
       numHashes: Int, bands: Int,
-      whereNew: String, whereCorpus: String): String = {
+      whereNew: String, whereCorpus: String,
+      maxBucketSize: Int = 1000): String = {
     val r = numHashes / bands
     val toks = TextFunctions.tokensSql.replace("TXT", "text")
     val mins = (0 until numHashes)
@@ -716,8 +721,17 @@ object Dedup {
        |${bandSelects("nsig")}),
        |cbands AS (
        |${bandSelects("csig")}),
+       |hot AS (SELECT band, bkey FROM (
+       |  SELECT band, bkey, COUNT(*) AS n FROM (
+       |    SELECT band, bkey FROM nbands
+       |    UNION ALL SELECT band, bkey FROM cbands)
+       |  GROUP BY band, bkey) WHERE n > $maxBucketSize),
+       |nb2 AS (SELECT * FROM nbands WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot WHERE hot.band = nbands.band AND hot.bkey = nbands.bkey)),
+       |cb2 AS (SELECT * FROM cbands WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot WHERE hot.band = cbands.band AND hot.bkey = cbands.bkey)),
        |pairs AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
-       |  FROM nbands a JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey)
+       |  FROM nb2 a JOIN cb2 b ON a.band = b.band AND a.bkey = b.bkey)
        |SELECT new_id, corpus_id, ($agree) AS n_common_minhash,
        |  CAST(($agree) AS DOUBLE) / $numHashes.0 AS est_jaccard
        |FROM pairs JOIN nsig sa ON new_id = sa.id JOIN csig sb ON corpus_id = sb.id
