@@ -252,6 +252,54 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"containment plans an all-pairs join — the gram equi-key is gone:\n$p")
   }
 
+  test("global-scalar thresholds plan 1-row broadcasts, never re-aggregation or cartesians") {
+    // q11/q15/q22: the scalar (total, max, avg) rides a single-row
+    // BroadcastNestedLoopJoin / broadcast exchange into the probe side;
+    // CartesianProduct would mean the broadcast was lost
+    for (q <- Seq("q11_important_parts", "q15_top_supplier",
+      "q22_idle_customers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"),
+        s"$q lost the 1-row scalar broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q scalar broadcast degraded to a cartesian:\n$p")
+    }
+  }
+
+  test("q22 NOT EXISTS plans a broadcast LEFT ANTI join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS did not plan as an anti join:\n$p")
+  }
+
+  test("q19 OR-of-ANDs pushes per-side disjuncts to BOTH scans") {
+    // Catalyst must extract the common equi-key AND infer per-side
+    // OR-filters (brand/size on part, quantity ranges on lineitem) —
+    // the pushdown that keeps the scan from reading every row
+    val p = plan("q19_disjunctive_filter")
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(p).size >= 2,
+      s"per-side OR disjuncts are no longer pushed to both scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 lost its equi-key and plans all-pairs:\n$p")
+  }
+
+  test("q13 zero-order customers survive through a LEFT OUTER join") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"),
+      s"q13 lost the outer join — zero-order customers drop out:\n$p")
+  }
+
+  test("q18 grouped-HAVING top-n plans a distributed heap, not a global sort") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q18 limit lost the TakeOrderedAndProject heap:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q18 joins degenerated to all-pairs:\n$p")
+  }
+
   test("exact-k sampling plans the bounded-heap aggregate, never a window sort") {
     val p = plan("p_sample_exact_k")
     assert(!p.contains("Window"),
