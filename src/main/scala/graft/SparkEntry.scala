@@ -239,18 +239,26 @@ object SparkEntry {
       // 1-row side, not a driver collect). Both the per-part values and
       // the grand total are exact decimal sums, so the threshold
       // comparison is bit-identical across engines; the total is
-      // computed from the base table (order-independent decimal SUM),
-      // never by re-summing the per-part doubles. The threshold is
-      // 1.5× the MEAN per-part value — scale-invariant, unlike a fixed
-      // fraction of the total (which empties as the part count grows).
-      val li = t(s, dir, "lineitem")
-      val perPart = li
+      // derived from the per-part DECIMAL census — decimal addition is
+      // exact and order-independent, so re-summing the per-part sums
+      // equals the base-table total bit-for-bit (re-summing DOUBLES
+      // would not). The census persists (the Drift precedent): both
+      // its consumers — the grand total and the per-part probe — read
+      // the cache, so lineitem is scanned ONCE, and the total is a
+      // 1-row aggregate over part-count rows, not a second corpus
+      // pass. The threshold is 1.5× the MEAN per-part value —
+      // scale-invariant, unlike a fixed fraction of the total (which
+      // empties as the part count grows).
+      val perPartDec = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(decAgg(sum(revenueExpr), 28, 8).as("part_value"))
-      val total = li
-        .agg(decAgg(sum(revenueExpr), 30, 8).as("total_value"),
-          countDistinct(col("l_partkey")).as("np"))
-      perPart
+        .agg(dec(sum(revenueExpr), 28, 8).as("pv_dec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = perPartDec
+        .agg(decAgg(sum(col("pv_dec")), 30, 8).as("total_value"),
+          count(lit(1)).as("np"))
+      perPartDec
+        .select(col("l_partkey"),
+          col("pv_dec").cast(StringType).cast(DoubleType).as("part_value"))
         .crossJoin(broadcast(total))
         .filter(col("part_value") > lit(1.5) * (col("total_value") / col("np")))
         .select(col("l_partkey"), col("part_value"))
@@ -1150,6 +1158,29 @@ object SparkEntry {
             .as("max_abs_err"))
         .orderBy("id")
     }),
+    "e_pq_encode" -> ((s, dir) => {
+      // product quantization: 64-dim float32 → 8 codes of 4 bits
+      // (16-centroid codebooks per 8-dim subspace) — deterministic
+      // seed-drawn codebooks so the full encode sits under the hash
+      // gate; codes flattened to INT columns for the compare
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val cb = Ann.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 64)
+      Ann.pqEncode(emb, "vec_id", "embedding", cb, 8, 64)
+        .select(col("id") +: (0 until 8).map(sb =>
+          element_at(col("codes"), sb + 1).as(s"code_$sb")): _*)
+        .orderBy("id")
+    }),
+    "e_pq_topk" -> ((s, dir) => {
+      // PQ asymmetric-distance top-5 self-search: every double (the
+      // per-query distance table, the ADC fold) is a fixed IEEE op
+      // sequence, so ranks hash-match the oracle exactly
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      Ann.pqTopK(emb.filter(col("vec_id") % 300 === 0), emb,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
     "mm_decode_meta" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.decodeMeta(
@@ -1806,14 +1837,15 @@ object SparkEntry {
         |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "q11_important_parts" ->
       s"""WITH pp AS (SELECT l_partkey,
-        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS part_value
+        |  CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS pv_dec
         |  FROM lineitem GROUP BY l_partkey),
         |tot AS (SELECT
-        |  CAST(CAST(CAST(SUM($revenueSql) AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE) AS total_value,
-        |  COUNT(DISTINCT l_partkey) AS np
-        |  FROM lineitem)
-        |SELECT l_partkey, part_value FROM pp, tot
-        |WHERE part_value > 1.5 * (total_value / np)
+        |  CAST(CAST(CAST(SUM(pv_dec) AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS np
+        |  FROM pp)
+        |SELECT l_partkey, CAST(CAST(pv_dec AS VARCHAR) AS DOUBLE) AS part_value
+        |FROM pp, tot
+        |WHERE CAST(CAST(pv_dec AS VARCHAR) AS DOUBLE) > 1.5 * (total_value / np)
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "q12_priority_counts" ->
       """SELECT l_linestatus,
@@ -2380,6 +2412,11 @@ object SparkEntry {
         "vec_id % 10 = 1", "vec_id % 10 = 0", k = 5),
     "e_quantize_int8" ->
       graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
+    "e_pq_encode" ->
+      graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
+    "e_pq_topk" ->
+      graft.ann.Ann.pqTopKSql(5, 8, 16, 64, 42L,
+        "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
     "p_train_test_split" -> {
       val b = graft.ops.Sampling.bucketSql("doc_id", 42L)
       s"""SELECT CASE WHEN $b < 200000 THEN 'test' ELSE 'train' END AS split,

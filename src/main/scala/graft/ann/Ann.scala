@@ -625,6 +625,233 @@ object Ann {
        |    abs(${dequantElemSql("qvec[i]", "qscale")} - CAST(v[i] AS DOUBLE)))) AS max_abs_err
        |FROM q ORDER BY id""".stripMargin
 
+  // ---- Product quantization ------------------------------------------
+
+  /** Deterministic PQ codebooks: the `dim`-dim space splits into `m`
+    * subspaces of `dim/m` dims; subspace `s`'s `k` centroids are the
+    * `s`-th subvectors of a [[quantizerSample]]-style draw (md5-keyed
+    * shuffle, first `k` — an unbiased deterministic sample, fetched
+    * with a distributed TakeOrdered heap, never a global sort). No
+    * iterative refinement: seed-drawn codebooks keep every step
+    * md5-deterministic and oracle-expressible; a production deployment
+    * would k-means-refine each subspace exactly as [[ivfTopK]] does
+    * its coarse quantizer — engine-specific floats, recall-spec'd
+    * rather than oracle-gated.
+    *
+    * Output: `(sub, code, centroid: array<double>[dim/m])`, `m·k`
+    * rows — tiny at any corpus size; always broadcast downstream.
+    */
+  def pqCodebooks(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int, seed: Long = 42L,
+  ): DataFrame = {
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    val d = dim / m
+    val shuffleKey =
+      md5(concat(lit(s"$seed:"), col("sid").cast("string")))
+    val sample = candidates
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .orderBy(shuffleKey, col("sid"))
+      .limit(k)
+    // code assignment re-ranks only the k sampled rows (bounded window)
+    val seeds = sample.withColumn("code",
+      row_number().over(Window.orderBy(shuffleKey, col("sid"))) - 1)
+    seeds
+      .select(col("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("sv"))
+      .select(col("sub"), col("code"),
+        transform(slice(col("sv"), col("sub") * d + 1, lit(d)),
+          x => x.cast("double")).as("centroid"))
+  }
+
+  /** Squared-L2 distance between two equal-length double arrays as a
+    * fixed-order left fold — `0 + (a1-b1)² + (a2-b2)² + …` — so the
+    * value is bit-identical to the oracle's
+    * `list_reduce(list_transform(...))` rendering and argmins/rank
+    * comparisons agree across engines.
+    */
+  private[ann] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB rendering of [[l2sq]] for 1-based list expressions of
+    * dimension `d`.
+    */
+  def l2sqSql(a: String, b: String, d: Int): String =
+    s"list_reduce(list_transform(range(1, ${d + 1}), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** PQ encode: each vector → `m` small codes (nearest centroid per
+    * subspace, L2, ties to the lowest code via a struct-min). 100 TB
+    * shape: subspace explode is map-only (`m` rows per vector), the
+    * codebook join is a broadcast of `m·k` rows, and the argmin is a
+    * map-side-combinable struct-min aggregate — one shuffle of
+    * `(id, sub, best)` triples, output `m` ints per vector (a 64:1
+    * memory cut at dim=64 float32 → 8 byte codes).
+    *
+    * Output: `(id, codes: array<int>[m])`, codes in subspace order.
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int,
+  ): DataFrame = {
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    val d = dim / m
+    val sub = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("id"), col("sub"),
+        transform(slice(col("v"), col("sub") * d + 1, lit(d)),
+          x => x.cast("double")).as("subvec"))
+    sub.join(broadcast(codebooks), Seq("sub"))
+      .select(col("id"), col("sub"),
+        struct(l2sq(col("subvec"), col("centroid")).as("dist"),
+          col("code")).as("cand"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("best")))),
+        e => e.getField("best").getField("code")).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query precomputes its
+    * `m×k` subspace distance table against the codebooks (a tiny
+    * broadcast-side cross join), then every candidate's approximate
+    * distance is a fixed-order fold of `m` table lookups over its
+    * byte codes — no vector arithmetic per pair, which is the entire
+    * point of PQ at corpus scale: the scored join touches only
+    * `(id, codes)` and a per-query `m·k` double array.
+    *
+    * Every double (table entries, the ADC fold) is a fixed IEEE op
+    * sequence, so ranks agree with the oracle exactly. Ties break to
+    * the lowest neighbor id.
+    *
+    * Output: `(query_id, neighbor_id, rank, adc)`.
+    */
+  def pqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      m: Int = 8, k: Int = 16, dim: Int = 64, seed: Long = 42L,
+      excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val d = dim / m
+    val codebooks = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
+    val codes = pqEncode(candidates, idCol, vecCol, codebooks, m, dim)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    // per-query flat distance table, entry s·k+c = l2sq(qsub_s, cent_{s,c}),
+    // assembled in (sub, code) order so lookups index it directly
+    val qsub = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .select(col("query_id"), col("sub"),
+        transform(slice(col("qv"), col("sub") * d + 1, lit(d)),
+          x => x.cast("double")).as("qsubvec"))
+    val dtable = qsub.join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("qsubvec"), col("centroid")).as("qdist"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("qdist")))),
+        e => e.getField("qdist")).as("dtable"))
+    // stride from the table's own length, not the configured k: a
+    // corpus smaller than k seeds yields a narrower codebook, and a
+    // fixed stride would silently read the wrong subspace's entries
+    val scored = codes.crossJoin(broadcast(dtable))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .withColumn("keff", (size(col("dtable")) / m).cast("int"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("dtable"),
+            s * col("keff") + element_at(col("codes"), s + 1) + 1)).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
+  /** DuckDB rendering of the [[pqCodebooks]] + [[pqEncode]] CTE chain
+    * over `embeddings(vec_id, embedding)` restricted by `whereClause`
+    * (codebooks draw from the same restricted slice). Ends with CTEs
+    * `cb(sub, code, centroid)` and `codes(id, codes)` for reuse by
+    * both the encode and top-k oracles.
+    */
+  private def pqCtesSql(
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String = {
+    val d = dim / m
+    s"""e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+       |sample AS (SELECT vec_id AS sid, embedding AS sv FROM e
+       |  ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |seeds AS (SELECT sid, sv,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5('$seed:' || CAST(sid AS VARCHAR)), sid) AS INT) - 1
+       |    AS code FROM sample),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |cb AS (SELECT sub, code,
+       |    list_transform(list_slice(sv, sub * $d + 1, sub * $d + $d),
+       |      x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM seeds, subs),
+       |vs AS (SELECT vec_id AS id, sub,
+       |    list_transform(list_slice(embedding, sub * $d + 1, sub * $d + $d),
+       |      x -> CAST(x AS DOUBLE)) AS subvec
+       |  FROM e, subs),
+       |dists AS (SELECT id, vs.sub, code,
+       |    ${l2sqSql("subvec", "centroid", d)} AS dist
+       |  FROM vs JOIN cb ON vs.sub = cb.sub),
+       |best AS (SELECT id, sub, code,
+       |    ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist, code) AS rn
+       |  FROM dists),
+       |codes AS (SELECT id, list(code ORDER BY sub) AS codes
+       |  FROM best WHERE rn = 1 GROUP BY id)""".stripMargin
+  }
+
+  /** DuckDB rendering of [[pqEncode]] flattened to one INT column per
+    * subspace code (`code_0..code_{m-1}`) — flat ints hash across
+    * engines without list-encoding concerns.
+    */
+  def pqEncodeSql(
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String = {
+    val cols = (0 until m)
+      .map(s => s"codes[${s + 1}] AS code_$s").mkString(", ")
+    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)}
+       |SELECT id, $cols FROM codes ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB rendering of [[pqTopK]] with queries = rows of the same
+    * restricted slice matching `queryWhere` (self-search, self
+    * excluded).
+    */
+  def pqTopKSql(
+      n: Int, m: Int, k: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String = {
+    val d = dim / m
+    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)},
+       |q AS (SELECT vec_id AS query_id, sub,
+       |    list_transform(list_slice(embedding, sub * $d + 1, sub * $d + $d),
+       |      x -> CAST(x AS DOUBLE)) AS qsubvec
+       |  FROM e, subs $queryWhere),
+       |dt AS (SELECT query_id, q.sub, code,
+       |    ${l2sqSql("qsubvec", "centroid", d)} AS qdist
+       |  FROM q JOIN cb ON q.sub = cb.sub),
+       |dtable AS (SELECT query_id, list(qdist ORDER BY sub, code) AS dtable
+       |  FROM dt GROUP BY query_id),
+       |scored AS (SELECT query_id, id AS neighbor_id,
+       |    list_reduce(list_transform(range(0, $m), s ->
+       |      dtable[s * (len(dtable) // $m) + codes[s + 1] + 1]),
+       |      (acc, x) -> acc + x) AS adc
+       |  FROM codes, dtable WHERE id <> query_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adc FROM ranked
+       |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — O(n²); the baseline/verifier for
     * [[cosineNearDupLsh]], and usable directly on small or

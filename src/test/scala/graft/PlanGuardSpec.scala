@@ -252,6 +252,19 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"containment plans an all-pairs join — the gram equi-key is gone:\n$p")
   }
 
+  test("PQ encode broadcasts the codebook and keeps the argmin a hash aggregate") {
+    // the m·k codebook must ride a BroadcastHashJoin onto the exploded
+    // subvectors — a shuffle join here would shuffle the corpus m times;
+    // e_pq_topk is excluded from the all-pairs guard (its per-query
+    // distance-table crossJoin against the tiny broadcast IS the ADC
+    // design, like e_ann_ivf's centroid join)
+    val p = plan("e_pq_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"PQ codebook join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ encode degenerated to a cartesian:\n$p")
+  }
+
   test("global-scalar thresholds plan 1-row broadcasts, never re-aggregation or cartesians") {
     // q11/q15/q22: the scalar (total, max, avg) rides a single-row
     // BroadcastNestedLoopJoin / broadcast exchange into the probe side;
@@ -265,6 +278,20 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("CartesianProduct"),
         s"$q scalar broadcast degraded to a cartesian:\n$p")
     }
+  }
+
+  test("q11 reads the per-part census from cache — lineitem is scanned once") {
+    // both consumers (the grand total and the per-part probe) must hit
+    // the persisted census; a second bare lineitem FileScan means the
+    // cache fell out and the corpus is read twice
+    val p = plan("q11_important_parts")
+    assert(p.contains("InMemoryTableScan"),
+      s"q11 census is no longer persisted:\n$p")
+    val bareScans = "FileScan parquet".r.findAllIn(p).size
+    val cachedRelations = "InMemoryRelation".r.findAllIn(p).size
+    assert(bareScans == cachedRelations,
+      s"q11 re-scans lineitem outside the cache ($bareScans scans, " +
+        s"$cachedRelations cached):\n$p")
   }
 
   test("q22 NOT EXISTS plans a broadcast LEFT ANTI join") {
