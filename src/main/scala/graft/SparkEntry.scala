@@ -1158,6 +1158,18 @@ object SparkEntry {
             .as("max_abs_err"))
         .orderBy("id")
     }),
+    "s_kmv_distinct" -> ((s, dir) =>
+      // KMV cardinality sketch: distinct → TakeOrdered heap of the
+      // 256 smallest md5 hashes → one division. Deterministic where
+      // HyperLogLog is engine-private, so the ESTIMATE hash-matches
+      graft.ops.Sketches.kmvDistinct(
+        t(s, dir, "lineitem"), "l_partkey", 256)),
+    "s_kmv_groups" -> ((s, dir) =>
+      // per-group sketches through the bounded-heap TopK aggregate —
+      // O(k) state per group, never a per-group sort
+      graft.ops.Sketches.kmvDistinctPerGroup(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey", 64)
+        .orderBy("o_orderpriority")),
     "e_pq_encode" -> ((s, dir) => {
       // product quantization: 64-dim float32 → 8 codes of 4 bits
       // (16-centroid codebooks per 8-dim subspace) — deterministic
@@ -2412,6 +2424,10 @@ object SparkEntry {
         "vec_id % 10 = 1", "vec_id % 10 = 0", k = 5),
     "e_quantize_int8" ->
       graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
+    "s_kmv_distinct" ->
+      graft.ops.Sketches.kmvDistinctSql("lineitem", "l_partkey", 256),
+    "s_kmv_groups" ->
+      graft.ops.Sketches.kmvGroupsSql("orders", "o_orderpriority", "o_custkey", 64),
     "e_pq_encode" ->
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
     "e_pq_topk" ->

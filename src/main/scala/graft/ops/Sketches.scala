@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketches — cardinality
+  * estimation for corpus-scale profiling where `COUNT(DISTINCT)` is
+  * the expensive thing being avoided. The sketch is the k smallest
+  * md5-derived hashes of the distinct values; the estimator is
+  * `(k-1) / h_k` with `h_k` the k-th smallest hash normalized to
+  * (0,1). Bottom-k sketches merge exactly: the sketch of a union is
+  * the k smallest of the union of sketches, so per-partition /
+  * per-day sketches roll up without touching the raw data again —
+  * the property that makes the structure useful at 100 TB
+  * (see Bar-Yossef et al., "Counting distinct elements in a data
+  * stream", RANDOM 2002).
+  *
+  * Unlike HyperLogLog (`approx_count_distinct`), whose register
+  * layout and rounding are engine-private, every step here — md5,
+  * 60-bit hex parse, long→double rounding, ONE division — is a fixed
+  * deterministic op sequence both engines compute identically, so
+  * sketches AND estimates sit under the DuckDB hash gate
+  * (`s_kmv_distinct`, `s_kmv_groups`).
+  *
+  * 100 TB shapes: the global sketch is distinct → TakeOrdered (a
+  * per-partition heap of k rows, no global sort); the per-group form
+  * routes the negated hashes through the bounded-heap [[
+  * graft.functions.TopK]] aggregate — O(k) state per group,
+  * map-side-truncated, O(groups·k) shuffle, never a per-group sort.
+  */
+object Sketches {
+
+  /** 2^60 — the normalizer for the 15-hex-digit (60-bit) hash. */
+  private val HashSpan = 1152921504606846976.0
+
+  /** 60-bit integer hash of a value's string rendering (the md5
+    * pattern every gated sampler here uses). Stringification must be
+    * engine-identical — integer and string keys are; gate doubles or
+    * timestamps through an explicit canonical rendering first.
+    */
+  def kmvHash(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct values → `(hi: long, hn: double)` hash frame. Distinct
+    * BEFORE hashing: duplicates must not occupy sketch slots, and the
+    * distinct is on the (often pre-aggregated) value column only.
+    */
+  def kmvHashes(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).as("v")).distinct()
+      .select(kmvHash(col("v")).as("hi"))
+      .select(col("hi"), (col("hi").cast("double") / HashSpan).as("hn"))
+
+  /** The sketch: k smallest hashes, ascending — plans as TakeOrdered
+    * (distributed heap), never a global sort.
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k $k must be > 1 (the estimator divides by k-1)")
+    kmvHashes(df, valueCol).orderBy(col("hi")).limit(k)
+  }
+
+  /** Exact union merge: the k smallest of the two sketches' union —
+    * no raw data touched. Associative and commutative; equals the
+    * sketch built from the unioned inputs (SketchesSpec pins it).
+    */
+  def kmvMergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("hi")).limit(k)
+
+  /** Estimate from a sketch: `(n_kept, kth_hash, n_distinct_est)`.
+    * Under-full sketch (fewer than k distinct values) = the sketch IS
+    * the value set, so the exact count is emitted instead of the
+    * estimator.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_kept"), max(col("hn")).as("kth_hash"))
+      .select(col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(k - 1.0) / col("kth_hash")).as("n_distinct_est"))
+
+  /** Global distinct-count estimate in one call. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    kmvEstimate(kmvSketch(df, valueCol, k), k)
+
+  /** Per-group estimates through the bounded-heap TopK aggregate:
+    * value = NEGATED normalized hash (TopK keeps the k largest, so
+    * the k largest negations are the k smallest hashes; best-first
+    * output puts the k-th smallest LAST), id = the 60-bit hash (the
+    * deterministic tie-break; ties are exact-duplicate hashes, which
+    * the distinct already removed). Output:
+    * `(groupCol, n_kept, n_distinct_est)`.
+    */
+  def kmvDistinctPerGroup(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k $k must be > 1 (the estimator divides by k-1)")
+    val pairs = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .distinct()
+      .select(col("g"), kmvHash(col("v")).as("hi"))
+      .select(col("g"), col("hi"),
+        (col("hi").cast("double") / HashSpan).as("hn"))
+    pairs.groupBy(col("g"))
+      .agg(graft.functions.TopK.top_k(-col("hn"), col("hi"), k).as("arr"))
+      .select(col("g").as(groupCol), size(col("arr")).as("n_kept"),
+        (-element_at(col("arr"), size(col("arr"))).getField("value"))
+          .as("kth_hash"))
+      .select(col(groupCol), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(k - 1.0) / col("kth_hash")).as("n_distinct_est"))
+  }
+
+  /** DuckDB rendering of [[kmvHash]] + normalization for value
+    * expression `v`.
+    */
+  def kmvHashSql(v: String): (String, String) = {
+    val hi = s"CAST(('0x' || substr(md5(CAST($v AS VARCHAR)), 1, 15)) AS BIGINT)"
+    (hi, s"CAST($hi AS DOUBLE) / $HashSpan")
+  }
+
+  /** DuckDB rendering of [[kmvDistinct]] over `table.valueCol`. */
+  def kmvDistinctSql(table: String, valueCol: String, k: Int): String = {
+    val (hi, _) = kmvHashSql("v")
+    s"""WITH d AS (SELECT DISTINCT $valueCol AS v FROM $table),
+       |h AS (SELECT $hi AS hi FROM d),
+       |sk AS (SELECT hi, CAST(hi AS DOUBLE) / $HashSpan AS hn FROM h
+       |  ORDER BY hi LIMIT $k)
+       |SELECT COUNT(*) AS n_kept, MAX(hn) AS kth_hash,
+       |  CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+       |       ELSE ${k - 1}.0 / MAX(hn) END AS n_distinct_est
+       |FROM sk""".stripMargin
+  }
+
+  /** DuckDB rendering of [[kmvDistinctPerGroup]] over
+    * `table.(groupCol, valueCol)`.
+    */
+  def kmvGroupsSql(
+      table: String, groupCol: String, valueCol: String, k: Int): String = {
+    val (hi, _) = kmvHashSql("v")
+    s"""WITH d AS (SELECT DISTINCT $groupCol AS g, $valueCol AS v FROM $table),
+       |h AS (SELECT g, $hi AS hi FROM d),
+       |r AS (SELECT g, hi, CAST(hi AS DOUBLE) / $HashSpan AS hn,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY hi) AS rn
+       |  FROM h)
+       |SELECT g AS $groupCol, CAST(COUNT(*) AS INT) AS n_kept,
+       |  CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+       |       ELSE ${k - 1}.0 / MAX(hn) END AS n_distinct_est
+       |FROM r WHERE rn <= $k GROUP BY g ORDER BY g""".stripMargin
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** KMV sketches: estimator accuracy, the exact union-merge property,
+  * under-full exactness, and global/per-group path agreement.
+  */
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("estimate within 15% of a 10k-distinct planted corpus at k=256") {
+    // 3 duplicate rows per value: the distinct must keep duplicates
+    // from occupying sketch slots
+    val df = spark.range(30000).select((col("id") % 10000).as("v"))
+    val out = Sketches.kmvDistinct(df, "v", 256).collect().head
+    assert(out.getLong(0) === 256L)
+    val est = out.getDouble(2)
+    assert(math.abs(est - 10000) / 10000.0 <= 0.15,
+      s"estimate $est off by more than 15%")
+  }
+
+  test("sketch of a union equals the merge of the sketches, exactly") {
+    val a = spark.range(4000).select(col("id").as("v"))
+    val b = spark.range(2000, 7000).select(col("id").as("v"))
+    val k = 128
+    val direct = Sketches.kmvSketch(a.unionByName(b), "v", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val merged = Sketches.kmvMergeSketches(
+      Sketches.kmvSketch(a, "v", k), Sketches.kmvSketch(b, "v", k), k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(direct === merged)
+  }
+
+  test("under-full sketch reports the exact count, both paths") {
+    val df = Seq(("x", 1L), ("x", 2L), ("x", 2L), ("y", 5L))
+      .toDF("g", "v")
+    val global = Sketches.kmvDistinct(df, "v", 256).collect().head
+    assert(global.getLong(0) === 3L)
+    assert(global.getDouble(2) === 3.0)
+    val grouped = Sketches.kmvDistinctPerGroup(df, "g", "v", 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(grouped === Map("x" -> 2.0, "y" -> 1.0))
+  }
+
+  test("per-group TopK path agrees with the global path on a single group") {
+    val df = spark.range(5000)
+      .select(lit("only").as("g"), (col("id") % 1777).as("v"))
+    val k = 64
+    val global = Sketches.kmvDistinct(df, "v", k).collect().head.getDouble(2)
+    val grouped = Sketches.kmvDistinctPerGroup(df, "g", "v", k)
+      .collect().head.getDouble(2)
+    assert(global === grouped)
+  }
+}
