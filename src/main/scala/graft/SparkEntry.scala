@@ -1170,6 +1170,20 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinctPerGroup(
         t(s, dir, "orders"), "o_orderpriority", "o_custkey", 64)
         .orderBy("o_orderpriority")),
+    "s_cms_counts" -> ((s, dir) => {
+      // count-min frequency sketch probed with the corpus's own keys,
+      // true counts alongside — the overcount column exhibits the
+      // no-undercount guarantee in the gated data itself
+      import graft.ops.Sketches
+      val li = t(s, dir, "lineitem")
+      val cells = Sketches.cmsCells(li, "l_suppkey", 4, 512)
+      val truth = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_true"))
+      Sketches.cmsEstimate(cells, li, "l_suppkey", 4, 512)
+        .join(truth, Seq("l_suppkey"))
+        .select(col("l_suppkey"), col("n_true"), col("n_est"),
+          (col("n_est") - col("n_true")).as("overcount"))
+        .orderBy("l_suppkey")
+    }),
     "e_pq_encode" -> ((s, dir) => {
       // product quantization: 64-dim float32 → 8 codes of 4 bits
       // (16-centroid codebooks per 8-dim subspace) — deterministic
@@ -2426,6 +2440,8 @@ object SparkEntry {
       graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
     "s_kmv_distinct" ->
       graft.ops.Sketches.kmvDistinctSql("lineitem", "l_partkey", 256),
+    "s_cms_counts" ->
+      graft.ops.Sketches.cmsCountsSql("lineitem", "l_suppkey", 4, 512),
     "s_kmv_groups" ->
       graft.ops.Sketches.kmvGroupsSql("orders", "o_orderpriority", "o_custkey", 64),
     "e_pq_encode" ->

@@ -106,6 +106,83 @@ object Sketches {
           .otherwise(lit(k - 1.0) / col("kth_hash")).as("n_distinct_est"))
   }
 
+  // ---- Count-min sketch ----------------------------------------------
+
+  /** Row-r bucket of value `v` in a width-`width` count-min sketch:
+    * the same 60-bit md5 hash family, salted by the row index. All
+    * integer arithmetic — engine-exact.
+    */
+  def cmsBucket(r: Column, v: Column, width: Int): Column =
+    kmvHash(concat(r.cast("string"), lit(":"), v.cast("string"))) % width
+
+  /** Count-min sketch cells of a column: `depth` salted hash rows ×
+    * `width` buckets, each cell an exact count — `(r, bucket, n)`,
+    * absent cells ≡ 0 (Cormode & Muthukrishnan, J. Algorithms 2005).
+    * Map-only explode (depth rows per input) + ONE map-side-combined
+    * aggregate; the sketch is `depth·width` rows no matter the corpus
+    * size, so it always broadcasts downstream and merges element-wise
+    * ([[cmsMerge]] — exact, integer addition).
+    */
+  def cmsCells(
+      df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"depth $depth / width $width must be > 0")
+    df.select(col(valueCol).as("v"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("v"))
+      .select(col("r"), cmsBucket(col("r"), col("v"), width).as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Element-wise sum of two cell frames — the exact merge that lets
+    * per-shard sketches roll up without re-reading raw data.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Point-frequency estimates for `probes` against a cell frame:
+    * `min` over the depth rows' buckets, missing cells count 0 (so
+    * never-seen probes estimate 0, and every estimate ≥ the true
+    * count — CMS never undercounts). The sketch side broadcasts
+    * (`depth·width` rows); the probe explode is map-only.
+    * Output: `(valueCol, n_est)`.
+    */
+  def cmsEstimate(
+      cells: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame =
+    probes.select(col(valueCol).as("v")).distinct()
+      .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("v"), width))
+      .join(broadcast(cells), Seq("r", "bucket"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
+      .withColumnRenamed("v", valueCol)
+
+  /** DuckDB rendering of [[cmsCells]] + [[cmsEstimate]] probed with
+    * the table's own distinct values, alongside the true counts —
+    * the `overcount = n_est - n_true ≥ 0` column makes the
+    * no-undercount property visible in the gated data itself.
+    */
+  def cmsCountsSql(
+      table: String, valueCol: String, depth: Int, width: Int): String = {
+    def bucket(r: String, v: String) =
+      s"CAST(('0x' || substr(md5(CAST($r AS VARCHAR) || ':' || " +
+        s"CAST($v AS VARCHAR)), 1, 15)) AS BIGINT) % $width"
+    s"""WITH t AS (SELECT $valueCol AS v0, COUNT(*) AS n_true
+       |  FROM $table GROUP BY $valueCol),
+       |rr AS (SELECT unnest(range(0, $depth)) AS r),
+       |cells AS (SELECT r, ${bucket("r", valueCol)} AS bucket, COUNT(*) AS n
+       |  FROM $table, rr GROUP BY r, bucket),
+       |probe AS (SELECT t.v0, rr.r, ${bucket("rr.r", "t.v0")} AS bucket
+       |  FROM t, rr),
+       |est AS (SELECT v0, MIN(COALESCE(n, 0)) AS n_est
+       |  FROM probe LEFT JOIN cells c
+       |    ON c.r = probe.r AND c.bucket = probe.bucket
+       |  GROUP BY v0)
+       |SELECT t.v0 AS $valueCol, n_true, n_est, n_est - n_true AS overcount
+       |FROM t JOIN est USING (v0) ORDER BY $valueCol""".stripMargin
+  }
+
   /** DuckDB rendering of [[kmvHash]] + normalization for value
     * expression `v`.
     */

@@ -46,6 +46,37 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(grouped === Map("x" -> 2.0, "y" -> 1.0))
   }
 
+  test("CMS never undercounts, and unseen probes estimate 0") {
+    val df = spark.range(3000).select((col("id") % 100).as("v"))
+    val cells = Sketches.cmsCells(df, "v", 4, 64)
+    val truth = df.groupBy(col("v")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmsEstimate(cells, df, "v", 4, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.keySet === est.keySet)
+    assert(truth.forall { case (v, n) => est(v) >= n },
+      "CMS undercounted a key")
+    // probes the sketch never saw: every row's buckets may still
+    // collide, but with w=64 and 100 keys at least the MIN row is 0
+    // for a far-away probe often enough to spot a broken coalesce —
+    // assert the exact semantics instead: estimate from EMPTY cells
+    val empty = Sketches.cmsCells(df.filter(lit(false)), "v", 4, 64)
+    val zero = Sketches.cmsEstimate(empty, df.limit(5), "v", 4, 64)
+      .collect().map(_.getLong(1))
+    assert(zero.forall(_ === 0L), "missing cells did not count as 0")
+  }
+
+  test("CMS cells of a union equal the merged cells, exactly") {
+    val a = spark.range(2000).select((col("id") % 50).as("v"))
+    val b = spark.range(1000).select((col("id") % 80).as("v"))
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = cellMap(Sketches.cmsCells(a.unionByName(b), "v", 4, 64))
+    val merged = cellMap(Sketches.cmsMerge(
+      Sketches.cmsCells(a, "v", 4, 64), Sketches.cmsCells(b, "v", 4, 64)))
+    assert(direct === merged)
+  }
+
   test("per-group TopK path agrees with the global path on a single group") {
     val df = spark.range(5000)
       .select(lit("only").as("g"), (col("id") % 1777).as("v"))
