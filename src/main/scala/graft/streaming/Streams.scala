@@ -53,6 +53,29 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming count-min cells over a value column: the same salted
+    * explode + count as the batch [[graft.ops.Sketches.cmsCells]],
+    * maintained incrementally. The sketch is the rare streaming
+    * aggregation that needs NO watermark to stay bounded: its state
+    * key space is `depth·width` cells BY CONSTRUCTION regardless of
+    * the stream's key cardinality, so it runs forever in
+    * update/complete mode — frequency monitoring at ingest without a
+    * census shuffle. Batch-equivalent: after any prefix of the
+    * stream, the cells equal `cmsCells` of the rows so far
+    * (StreamsSpec pins it), so an ingest-time sketch can be
+    * [[graft.ops.Sketches.cmsMerge]]d with batch shards exactly.
+    */
+  def cmsCellsStream(
+      events: DataFrame, valueCol: String, depth: Int, width: Int,
+  ): DataFrame =
+    events.select(
+      explode(sequence(lit(0), lit(depth - 1))).as("r"),
+      col(valueCol).as("v"))
+      .select(col("r"),
+        graft.ops.Sketches.cmsBucket(col("r"), col("v"), width).as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Watermarked stream-stream interval join (event attribution):
     * each `effects` row joins the `causes` rows with the same `key`
     * whose timestamp precedes the effect's by at most

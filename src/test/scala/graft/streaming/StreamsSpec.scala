@@ -39,6 +39,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch after every micro-batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    // complete mode with no watermark is SAFE here: the state key
+    // space is depth·width cells by construction
+    val query = Streams.cmsCellsStream(input.toDF(), "user_id", 4, 32)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    def streamCells() = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def batchCells(rows: Seq[EventRow]) =
+      graft.ops.Sketches.cmsCells(rows.toDF(), "user_id", 4, 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    try {
+      val batch1 = (1 to 20).map(i => ev(i, i % 7, i))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      assert(streamCells() === batchCells(batch1))
+      val batch2 = (21 to 35).map(i => ev(i, i % 11, i))
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      assert(streamCells() === batchCells(batch1 ++ batch2))
+    } finally query.stop()
+  }
+
   test("gap sessionization emits sessions after watermark passes (flatMapGroupsWithState)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
