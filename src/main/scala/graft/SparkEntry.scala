@@ -232,6 +232,31 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(50)
     }),
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape: the correlated "supplier with the MIN cost for
+      // this part" subquery becomes a per-key struct-min aggregate
+      // over the joined (part, supplier) pairs — one map-side-
+      // combinable shuffle on the part key, never a per-part re-scan;
+      // ties break to the lowest suppkey inside the same struct
+      // comparison (acctbal is non-null in this schema — struct-min
+      // null ordering is engine-divergent, so a nullable cost column
+      // would need a null-filter first)
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"), col("p_name"))
+      val pairs = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"),
+          col("s_suppkey"), col("s_acctbal"))
+        .distinct()
+      pairs.groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("b"))
+        .select(col("p_partkey"), col("p_name"),
+          col("b.s_suppkey").as("s_suppkey"),
+          col("b.s_acctbal").as("s_acctbal"))
+        .orderBy(col("p_partkey"))
+    }),
     "q11_important_parts" -> ((s, dir) => {
       // TPC-H Q11 shape: per-key value HAVING a fraction of the GLOBAL
       // total — the scalar subquery becomes a single-row aggregate
@@ -1861,6 +1886,18 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH pr AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_brand = 'Brand#13'),
+        |pairs AS (SELECT DISTINCT p_partkey, p_name, s_suppkey, s_acctbal
+        |  FROM lineitem JOIN pr ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |r AS (SELECT p_partkey, p_name, s_suppkey, s_acctbal,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rn
+        |  FROM pairs)
+        |SELECT p_partkey, p_name, s_suppkey, s_acctbal FROM r
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
     "q11_important_parts" ->
       s"""WITH pp AS (SELECT l_partkey,
         |  CAST(SUM($revenueSql) AS DECIMAL(28,8)) AS pv_dec

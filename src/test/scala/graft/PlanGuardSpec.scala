@@ -265,6 +265,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"PQ encode degenerated to a cartesian:\n$p")
   }
 
+  test("CMS probe join broadcasts the depth·width cell table") {
+    val p = plan("s_cms_counts")
+    assert(p.contains("BroadcastHashJoin"),
+      s"CMS cells no longer broadcast to the probe side:\n$p")
+  }
+
   test("global-scalar thresholds plan 1-row broadcasts, never re-aggregation or cartesians") {
     // q11/q15/q22: the scalar (total, max, avg) rides a single-row
     // BroadcastNestedLoopJoin / broadcast exchange into the probe side;
@@ -310,6 +316,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"q19 lost its equi-key and plans all-pairs:\n$p")
+  }
+
+  test("q2 per-part argmin aggregates once with map-side combine — no correlated re-scan") {
+    // struct-min plans as a SortAggregate (struct buffers aren't
+    // hash-aggregable); what matters at scale is the PARTIAL phase —
+    // each mapper ships one candidate per part, not every pair
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("partial_min(struct"),
+      s"q2 argmin lost its map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q2 joins degenerated to all-pairs:\n$p")
   }
 
   test("q13 zero-order customers survive through a LEFT OUTER join") {
