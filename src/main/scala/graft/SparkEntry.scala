@@ -346,16 +346,20 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, dir) => {
       // TPC-H Q17 shape: the correlated per-part AVG subquery is
       // decorrelated into ONE grouped aggregate joined back on the
-      // part key — the brand-filtered lineitem slice is computed once
-      // and feeds both the average and the probe side. The average is
-      // an exact decimal SUM divided by the group count (one double
-      // divide, identical op order in the oracle), never a float SUM.
+      // part key. The brand-filtered slice PERSISTS (the q11/Drift
+      // precedent): without it, "feeds both the average and the
+      // probe" is only true of the logical plan — physically Spark
+      // would scan-and-join lineitem twice, the dominant cost at
+      // corpus scale. The average is an exact decimal SUM divided by
+      // the group count (one double divide, identical op order in
+      // the oracle), never a float SUM.
       val parts = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#23")
         .select(col("p_partkey"))
       val li = t(s, dir, "lineitem")
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val avgQ = li
         .groupBy(col("l_partkey").as("a_partkey"))
         .agg((decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2) /
@@ -390,16 +394,21 @@ object SparkEntry {
       // a GLOBAL scalar threshold — the positive-balance average is a
       // 1-row exact-decimal aggregate broadcast to every customer
       // partition, and "no urgent order" is a LEFT ANTI join (never a
-      // correlated NOT EXISTS re-scan). Grouped totals are exact
-      // decimal sums rendered as doubles only at the output edge.
-      val avgBal = t(s, dir, "customer")
+      // correlated NOT EXISTS re-scan). The projected customer slice
+      // persists so the scalar and the probe share ONE scan (the
+      // q11/q17 discipline). Grouped totals are exact decimal sums
+      // rendered as doubles only at the output edge.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val avgBal = cust
         .filter(col("c_acctbal") > 0.0)
         .agg((decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2) /
           count(lit(1))).as("avg_bal"))
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey"))
-      t(s, dir, "customer")
+      cust
         .crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only these queries (local iteration;
-    // the driver always calls with exactly two args = full dump)
+    // the driver always calls with exactly two args = full dump).
+    // Unknown names fail loudly — a typo that silently filtered
+    // everything out would leave stale parquet for the oracle compare
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -687,8 +687,8 @@ object Ann {
     * shape: subspace explode is map-only (`m` rows per vector), the
     * codebook join is a broadcast of `m·k` rows, and the argmin is a
     * map-side-combinable struct-min aggregate — one shuffle of
-    * `(id, sub, best)` triples, output `m` ints per vector (a 64:1
-    * memory cut at dim=64 float32 → 8 byte codes).
+    * `(id, sub, best)` triples, output `m` ints per vector (a 32:1
+    * memory cut at dim=64 float32 → 8 one-byte codes).
     *
     * Output: `(id, codes: array<int>[m])`, codes in subspace order.
     */

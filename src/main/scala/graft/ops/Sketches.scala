@@ -44,9 +44,15 @@ object Sketches {
   /** Distinct values → `(hi: long, hn: double)` hash frame. Distinct
     * BEFORE hashing: duplicates must not occupy sketch slots, and the
     * distinct is on the (often pre-aggregated) value column only.
+    * NULL values are dropped first — `COUNT(DISTINCT)` semantics, and
+    * the null-safety anchor for every consumer: a null hash would
+    * occupy a Spark sketch slot under ASC NULLS FIRST while the
+    * DuckDB oracle's ORDER BY (NULLS LAST) would never keep it — the
+    * same engine-divergent null ordering the cosine paths guard
+    * against.
     */
   def kmvHashes(df: DataFrame, valueCol: String): DataFrame =
-    df.select(col(valueCol).as("v")).distinct()
+    df.select(col(valueCol).as("v")).filter(col("v").isNotNull).distinct()
       .select(kmvHash(col("v")).as("hi"))
       .select(col("hi"), (col("hi").cast("double") / HashSpan).as("hn"))
 
@@ -85,13 +91,18 @@ object Sketches {
     * the k largest negations are the k smallest hashes; best-first
     * output puts the k-th smallest LAST), id = the 60-bit hash (the
     * deterministic tie-break; ties are exact-duplicate hashes, which
-    * the distinct already removed). Output:
-    * `(groupCol, n_kept, n_distinct_est)`.
+    * the distinct already removed). NULL values are dropped like
+    * [[kmvHashes]] does (COUNT-DISTINCT semantics); a group whose
+    * values are ALL null therefore emits no row — it also guarantees
+    * every emitted group has a non-empty array, so the
+    * `element_at(arr, size(arr))` last-element read cannot hit the
+    * invalid index 0. Output: `(groupCol, n_kept, n_distinct_est)`.
     */
   def kmvDistinctPerGroup(
       df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
     require(k > 1, s"k $k must be > 1 (the estimator divides by k-1)")
     val pairs = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
       .distinct()
       .select(col("g"), kmvHash(col("v")).as("hi"))
       .select(col("g"), col("hi"),
@@ -194,7 +205,8 @@ object Sketches {
   /** DuckDB rendering of [[kmvDistinct]] over `table.valueCol`. */
   def kmvDistinctSql(table: String, valueCol: String, k: Int): String = {
     val (hi, _) = kmvHashSql("v")
-    s"""WITH d AS (SELECT DISTINCT $valueCol AS v FROM $table),
+    s"""WITH d AS (SELECT DISTINCT $valueCol AS v FROM $table
+       |  WHERE $valueCol IS NOT NULL),
        |h AS (SELECT $hi AS hi FROM d),
        |sk AS (SELECT hi, CAST(hi AS DOUBLE) / $HashSpan AS hn FROM h
        |  ORDER BY hi LIMIT $k)
@@ -210,7 +222,8 @@ object Sketches {
   def kmvGroupsSql(
       table: String, groupCol: String, valueCol: String, k: Int): String = {
     val (hi, _) = kmvHashSql("v")
-    s"""WITH d AS (SELECT DISTINCT $groupCol AS g, $valueCol AS v FROM $table),
+    s"""WITH d AS (SELECT DISTINCT $groupCol AS g, $valueCol AS v FROM $table
+       |  WHERE $valueCol IS NOT NULL),
        |h AS (SELECT g, $hi AS hi FROM d),
        |r AS (SELECT g, hi, CAST(hi AS DOUBLE) / $HashSpan AS hn,
        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY hi) AS rn

@@ -68,13 +68,11 @@ object Streams {
   def cmsCellsStream(
       events: DataFrame, valueCol: String, depth: Int, width: Int,
   ): DataFrame =
-    events.select(
-      explode(sequence(lit(0), lit(depth - 1))).as("r"),
-      col(valueCol).as("v"))
-      .select(col("r"),
-        graft.ops.Sketches.cmsBucket(col("r"), col("v"), width).as("bucket"))
-      .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+    // delegate to the batch operator: its plan (select/explode/groupBy)
+    // is streaming-safe as-is, and one body means a bucket/salt change
+    // can never leave stream cells silently un-mergeable with batch
+    // shards
+    graft.ops.Sketches.cmsCells(events, valueCol, depth, width)
 
   /** Watermarked stream-stream interval join (event attribution):
     * each `effects` row joins the `causes` rows with the same `key`

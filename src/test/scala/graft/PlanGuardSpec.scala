@@ -272,17 +272,36 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("global-scalar thresholds plan 1-row broadcasts, never re-aggregation or cartesians") {
-    // q11/q15/q22: the scalar (total, max, avg) rides a single-row
-    // BroadcastNestedLoopJoin / broadcast exchange into the probe side;
-    // CartesianProduct would mean the broadcast was lost
-    for (q <- Seq("q11_important_parts", "q15_top_supplier",
-      "q22_idle_customers")) {
+    // q11/q22: the scalar (total, avg) rides a single-row
+    // BroadcastNestedLoopJoin into the probe side. q15's equality
+    // filter is even better: Catalyst extracts `total_revenue =
+    // max_rev` as a hash key, so the scalar joins as a broadcast HASH
+    // join (the BNLJ fallback also acceptable). A bare
+    // "BroadcastExchange somewhere in the plan" would be vacuous —
+    // the dimension joins broadcast regardless — so each query
+    // asserts its scalar join NODE specifically.
+    for (q <- Seq("q11_important_parts", "q22_idle_customers")) {
       val p = plan(q)
-      assert(p.contains("BroadcastNestedLoopJoin") ||
-        p.contains("BroadcastExchange"),
-        s"$q lost the 1-row scalar broadcast:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost the 1-row scalar broadcast nested-loop:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"$q scalar broadcast degraded to a cartesian:\n$p")
+    }
+    val p15 = plan("q15_top_supplier")
+    assert("BroadcastHashJoin .*Cross".r.findFirstIn(p15).isDefined ||
+      p15.contains("BroadcastNestedLoopJoin"),
+      s"q15 scalar equality no longer joins via broadcast:\n$p15")
+    assert(!p15.contains("CartesianProduct"),
+      s"q15 scalar broadcast degraded to a cartesian:\n$p15")
+  }
+
+  test("q17/q22 persist their shared slice — one scan feeds both consumers") {
+    // the q11 discipline: without the persist, "computed once" is
+    // only true of the logical plan and the corpus scans twice
+    for (q <- Seq("q17_small_quantity", "q22_idle_customers")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q shared slice is no longer persisted:\n$p")
     }
   }
 
