@@ -46,6 +46,24 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(grouped === Map("x" -> 2.0, "y" -> 1.0))
   }
 
+  test("KMV drops NULL values on both paths — COUNT-DISTINCT semantics, no crash") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "a"), (None, "a"),
+      (None, "b"), (None, "b")) // group b: ALL null values
+      .toDF("v", "g")
+    val global = Sketches.kmvDistinct(df, "v", 256).collect().head
+    // null must not occupy a sketch slot (Spark sorts NULLS FIRST,
+    // the DuckDB oracle NULLS LAST — dropping it is the only
+    // engine-stable semantics) and the exact count ignores it
+    assert(global.getLong(0) === 2L)
+    assert(global.getDouble(2) === 2.0)
+    // an all-null group emits NO row (and, critically, does not crash
+    // the last-element read on an empty TopK array)
+    val grouped = Sketches.kmvDistinctPerGroup(df, "g", "v", 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(grouped === Map("a" -> 2.0))
+  }
+
   test("CMS never undercounts, and unseen probes estimate 0") {
     val df = spark.range(3000).select((col("id") % 100).as("v"))
     val cells = Sketches.cmsCells(df, "v", 4, 64)
