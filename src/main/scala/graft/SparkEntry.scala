@@ -1384,6 +1384,40 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang").asc_nulls_first)
     }),
+    "t_length_outliers" -> ((s, dir) => {
+      // per-language z-score outlier flagging — the corpus-cleaning
+      // pass that drops truncated/concatenated docs. Threshold 1.5σ:
+      // the synthetic lengths are tightly distributed (max |z| ≈ 2),
+      // so a conventional 3σ would gate zero rows and prove nothing;
+      // production corpora with real tails would use 3σ via the same
+      // shape.
+      // Mean and variance derive from EXACT integer sums (order-
+      // independent), then one fixed IEEE op sequence per row: mu is
+      // computed ONCE and reused so both engines divide identically;
+      // the filter compares (x-mu)² to 2.25·sigma² (no sqrt at the
+      // decision point — z's sqrt is display-only, and sqrt is
+      // correctly rounded IEEE everywhere). Group stats broadcast
+      // back onto the corpus; null-lang rows drop on both engines
+      // (non-null-safe equi key). The docs slice persists so the
+      // stats and probe consumers share one scan.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+          sum(col("n_chars") * col("n_chars")).as("s2"))
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma2",
+          col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+        .select(col("lang"), col("mu"), col("sigma2"))
+      docs.join(broadcast(stats), Seq("lang"))
+        .filter((col("n_chars").cast("double") - col("mu")) *
+          (col("n_chars").cast("double") - col("mu")) > lit(2.25) * col("sigma2"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ((col("n_chars").cast("double") - col("mu")) / sqrt(col("sigma2")))
+            .as("z"))
+        .orderBy(col("doc_id"))
+    }),
     "p_pack_sequences" -> ((s, dir) => {
       // context-window packing: 1024-token sequences over 8 shards —
       // per-shard running totals, no global sort (see Packing scaladoc)
@@ -2588,6 +2622,21 @@ object SparkEntry {
          |quantile_cont(n_chars, 0.75) AS p75,
          |CAST(count(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "t_length_outliers" ->
+      """WITH st AS (SELECT lang, COUNT(*) AS n,
+        |    SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2
+        |  FROM documents GROUP BY lang),
+        |st2 AS (SELECT lang,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n -
+        |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS sigma2
+        |  FROM st)
+        |SELECT doc_id, lang, n_chars,
+        |  (CAST(n_chars AS DOUBLE) - mu) / sqrt(sigma2) AS z
+        |FROM documents JOIN st2 USING (lang)
+        |WHERE (CAST(n_chars AS DOUBLE) - mu) *
+        |  (CAST(n_chars AS DOUBLE) - mu) > 2.25 * sigma2
+        |ORDER BY doc_id""".stripMargin,
     "t_length_stats" ->
       s"""SELECT lang, median(n_chars) AS med_chars,
          |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
