@@ -1373,6 +1373,27 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang").asc_nulls_first)
     }),
+    "t_winsorize" -> ((s, dir) => {
+      // winsorization: clamp per-language lengths into the
+      // [p12.5, p87.5] band — robust-stats cleaning on the same
+      // dyadic-fraction exactness argument as t_length_quartiles
+      // (1/8 and 7/8 interpolate exactly in doubles for int inputs).
+      // Band stats broadcast back onto the persisted corpus slice;
+      // the clipped flag makes the affected tail auditable.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.125D)").as("lo"),
+          expr("percentile(n_chars, 0.875D)").as("hi"))
+      docs.join(broadcast(bands), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          least(greatest(col("n_chars").cast("double"), col("lo")), col("hi"))
+            .as("clamped"),
+          (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+            .as("clipped"))
+        .orderBy(col("doc_id"))
+    }),
     "t_length_stats" -> ((s, dir) => {
       // per-language length profile; median of integers is exact on
       // both engines (interpolated halves of ints are exact doubles)
@@ -2622,6 +2643,16 @@ object SparkEntry {
          |quantile_cont(n_chars, 0.75) AS p75,
          |CAST(count(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "t_winsorize" ->
+      """WITH b AS (SELECT lang,
+        |    quantile_cont(n_chars, 0.125) AS lo,
+        |    quantile_cont(n_chars, 0.875) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars,
+        |  LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi) AS clamped,
+        |  (n_chars < lo OR n_chars > hi) AS clipped
+        |FROM documents JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     "t_length_outliers" ->
       """WITH st AS (SELECT lang, COUNT(*) AS n,
         |    SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2
