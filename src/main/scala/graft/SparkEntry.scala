@@ -435,6 +435,186 @@ object SparkEntry {
         .withColumn("promo_pct",
           lit(100.0) * col("promo_revenue") / col("total_revenue"))
     }),
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: bilateral trade volume between two nations per
+      // ship year. The nation-pair predicate is resolved BEFORE the
+      // fact joins: supplier⨝nation collapses to a tiny broadcast map
+      // (suppliers of the two nations only), and customer is filtered
+      // through the same broadcast nation slice — so lineitem rows from
+      // the other 23 supplier nations never reach the shuffle. The
+      // direction disjunction ((N1,N2)|(N2,N1)) is a post-join filter
+      // over two small dictionary columns, not a join condition.
+      val twoNations = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2")))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(twoNations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = t(s, dir, "customer")
+        .join(twoNations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(IntegerType).as("l_year"))
+        .agg(decAgg(sum(revenueExpr), 28, 8).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one supplier nation's share of a region's
+      // import volume per order year. Every dimension prunes before
+      // the fact joins: part filtered to one type (broadcast),
+      // supplier carries its nation name (broadcast), customer keeps
+      // only the AMERICA region via a broadcast nation⨝region slice.
+      // Share = exact-decimal numerator / exact-decimal denominator,
+      // both rendered to double first so the single IEEE division is
+      // bit-identical across engines.
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val regionCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "AMERICA")
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+        .agg(
+          decAgg(sum(when(col("supp_nation") === "NATION_3", revenueExpr)
+            .otherwise(dec(lit(0), 18, 8))), 28, 8).as("num"),
+          decAgg(sum(revenueExpr), 28, 8).as("den"))
+        .select(col("o_year"), (col("num") / col("den")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (adapted: no partsupp table in this schema, so
+      // supply cost is p_retailprice × quantity instead of
+      // ps_supplycost × quantity — same 5-way join topology with an
+      // expression-derived profit measure). Part is name-filtered and
+      // broadcast WITH its retailprice so the profit expression needs
+      // no extra join; supplier⨝nation is the second broadcast; only
+      // lineitem⨝orders shuffles. Profit stays exact decimal until the
+      // output edge.
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").startsWith("blue"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      val amount = dec(revenueExpr -
+        dec(dec(col("p_retailprice"), 18, 4) * dec(col("l_quantity"), 12, 2), 24, 6),
+        28, 8)
+      t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+        .agg(decAgg(sum(amount), 30, 8).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q16_supplier_count" -> ((s, dir) => {
+      // TPC-H Q16 shape (adapted: supplier participation comes from
+      // lineitem instead of the absent partsupp, and the excluded-
+      // supplier subquery keys on negative balance instead of a
+      // comment pattern). The NOT IN subquery is a broadcast LEFT ANTI
+      // join (s_suppkey is non-null, so anti ≡ NOT IN); part prunes on
+      // brand+size before broadcasting; count(DISTINCT) shuffles once
+      // on the (brand,type,size) group key with partial distinct
+      // map-side.
+      val sizes = Seq(1, 9, 19, 25, 33, 38, 42, 47)
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_size").isin(sizes: _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val badSupp = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    "q20_part_promotion" -> ((s, dir) => {
+      // TPC-H Q20 shape (adapted: availability comes from shipped
+      // quantity instead of the absent partsupp.ps_availqty): the
+      // nested semi chain — suppliers IN (those whose per-part shipped
+      // quantity over a year clears a threshold) AND in region ASIA.
+      // The inner aggregate groups on (suppkey, partkey) after a
+      // broadcast part-name prune; its distinct suppkeys then semi-
+      // join the region-pruned supplier dimension. Supplier-side dims
+      // are all broadcast; the only shuffle is the inner groupBy.
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").startsWith("blue")).select(col("p_partkey")))
+      val qualified = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2).as("sum_qty"))
+        .filter(col("sum_qty") > 60.0)
+        .select(col("l_suppkey"))
+      val asiaNations = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA").select(col("n_nationkey")))
+      t(s, dir, "supplier")
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape (adapted: "late" = returnflag R instead of the
+      // absent receipt/commit dates — same exists+not-exists multi-join
+      // topology): for each returned line of a finalized order, there
+      // EXISTS another supplier's line in the same order (multi-
+      // supplier order) and NOT EXISTS another supplier's RETURNED
+      // line (this supplier is the only one at fault). Both
+      // quantifiers plan as LEFT SEMI / LEFT ANTI joins on the order
+      // key with the supplier-inequality as a join residual — never a
+      // per-row subquery. Supplier names arrive via broadcast at the
+      // end, after the fact-side row count has collapsed.
+      val l1 = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+      l1
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "q_rollup_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -2048,6 +2228,93 @@ object SparkEntry {
         |SELECT promo_revenue, total_revenue,
         |  100.0 * promo_revenue / total_revenue AS promo_pct
         |FROM a""".stripMargin,
+    "q7_nation_volume" ->
+      s"""WITH j AS (
+        |SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year, $revenueSql AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(CAST(SUM(volume) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM j GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH an AS (
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year, $revenueSql AS volume,
+        |  n2.n_name AS supp_nation
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,8)) END) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(SUM(volume) AS DECIMAL(28,8)) AS VARCHAR) AS DOUBLE) AS mkt_share
+        |FROM an GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH pf AS (
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST($revenueSql - CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,6)) AS DECIMAL(28,8)) AS amount
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'blue%')
+        |SELECT nation, o_year,
+        |  CAST(CAST(CAST(SUM(amount) AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE) AS sum_profit
+        |FROM pf GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size IN (1, 9, 19, 25, 33, 38, 42, 47)
+        |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_part_promotion" ->
+      """WITH qty AS (
+        |SELECT l_suppkey,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE 'blue%'
+        |AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_suppkey, l_partkey
+        |HAVING CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) > 60.0)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |AND s_suppkey IN (SELECT l_suppkey FROM qty)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH l1 AS (
+        |SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1
+        |JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |  AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,

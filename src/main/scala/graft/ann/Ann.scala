@@ -864,14 +864,36 @@ object Ann {
     * engine-divergent phantom pairs. A zero embedding is never a
     * meaningful near-duplicate of anything; dropping it is the only
     * cross-engine-stable semantics.
+    *
+    * `maxRows` guards the quadratic blow-up: the plan RAISES (inside
+    * the executors, before any pair is scored) if the scorable input
+    * exceeds the bound, instead of silently launching an n²-compare
+    * cartesian that would never finish at corpus scale. The guard is
+    * part of the plan — a 1-row count aggregate broadcast onto the
+    * left side — so it needs no driver-side count() action and costs
+    * one extra linear pass, noise next to the O(n²) it bounds. Raise
+    * the bound explicitly (or pass `Long.MaxValue`) only for inputs
+    * you have already bucketed; the scale path is [[cosineNearDupLsh]].
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Long = 100000L,
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+    val a0 = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na")).filter(col("na") > 0)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb")).filter(col("nb") > 0)
+    // guard column evaluates lazily per-row: the raise_error branch
+    // only fires when the broadcast count exceeds the bound
+    val cnt = df.select(col(idCol), norm(col(vecCol)).as("__na"))
+      .filter(col("__na") > 0).agg(count(lit(1)).as("__n"))
+    val a = a0.crossJoin(broadcast(cnt))
+      .filter(when(col("__n") <= maxRows, lit(true))
+        .otherwise(raise_error(concat(
+          lit("cosineNearDupPairs: "), col("__n").cast("string"),
+          lit(s" scorable rows exceed maxRows=$maxRows — all-pairs cosine is O(n²); " +
+            "use cosineNearDupLsh for corpus-scale near-dup or raise maxRows explicitly")))))
+      .drop("__n")
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))

@@ -373,4 +373,46 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ObjectHashAggregate"),
       s"TopK must run as a (partial) object hash aggregate:\n$p")
   }
+
+  test("q7/q8/q9/q16/q20 join topologies broadcast their dims, no all-pairs") {
+    for (q <- Seq("q7_nation_volume", "q8_market_share", "q9_product_profit",
+      "q16_supplier_count", "q20_part_promotion")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q dimension joins lost their broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n$p")
+    }
+  }
+
+  test("q21 exists/not-exists plan as semi+anti joins with the supplier inequality as residual") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"),
+      s"q21 EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"q21 NOT EXISTS did not plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q21 quantifier joins degenerated to all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q21 limit lost the TakeOrderedAndProject heap:\n$p")
+  }
+
+  test("no gated query plans a non-broadcast CartesianProduct") {
+    // the one global scale invariant: a CartesianProduct node (the
+    // physical fallback when neither side can broadcast and there is
+    // no equi-key) is unbounded compare volume — nothing in the
+    // registry is allowed to plan one, at any size estimate. 1-row
+    // scalar broadcasts (BroadcastNestedLoopJoin) are fine and
+    // asserted per-query above; this guard is only about the
+    // shuffle-shuffle cartesian. cosineNearDupPairs' all-pairs demo
+    // path is row-count-guarded (raise_error above maxRows) AND must
+    // still never plan the non-broadcast form at gate scale.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      if (plan(q).contains("CartesianProduct")) Some(q) else None
+    }
+    assert(offenders.isEmpty,
+      s"gated queries planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
 }

@@ -391,4 +391,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val kmRecall = exact.intersect(kmeans).size.toDouble / exact.size
     assert(kmRecall >= 0.8, s"k-means IVF recall $kmRecall too low")
   }
+
+  test("cosineNearDupPairs raises above maxRows and is unchanged below it") {
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0) // 50 rows
+    // over the bound: the plan itself raises inside the executors —
+    // the quadratic compare never launches unguarded
+    val e = intercept[Exception] {
+      Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3, maxRows = 10)
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("maxRows") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxRows"))),
+      s"guard raised the wrong error: ${e.getMessage}")
+    // under the bound: identical pairs to an effectively-unbounded run
+    val bounded = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3,
+      maxRows = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == unbounded && bounded.nonEmpty)
+  }
 }
