@@ -724,6 +724,44 @@ object SparkEntry {
         Map("l_returnflag" -> "flag", "l_linestatus" -> "status"))
         .orderBy("flag", "status")
     }),
+    "a2_postprocess" -> ((s, dir) => {
+      // A2 direct gate: preprocess renames + dedups, then postprocess
+      // inverts the rename — but only for columns still present. One
+      // renamed column is dropped in between, so the gate exercises
+      // BOTH the inverse rename (name → c_name) and the skip-absent
+      // path (segment's inverse must not resurrect anything).
+      val renames = Map("c_name" -> "name", "c_mktsegment" -> "segment")
+      val pre = FrameOps.preprocess(
+        t(s, dir, "customer").select(col("c_name"), col("c_mktsegment"), col("c_nationkey")),
+        renames)
+      FrameOps.postprocess(pre.drop("segment"), renames)
+        .orderBy("c_name", "c_nationkey")
+    }),
+    "a5_match_types" -> ((s, dir) => {
+      // A5 direct gate: a "db-fetched" frame arrives with drifted
+      // dtypes (both stringified, the lowest-common-denominator JDBC
+      // fetch); matchTypes casts back to the in-flight frame's schema.
+      // double→string→double round-trips exactly (Java shortest-repr
+      // toString, correctly-rounded parse), so values are untouched
+      // and the driver's schema compare is the assertion: output
+      // parquet types must equal the oracle's native BIGINT/DOUBLE —
+      // an uncast column fails schema_match.
+      val target = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal")).schema
+      val drifted = t(s, dir, "customer")
+        .select(col("c_custkey").cast(StringType).as("c_custkey"),
+          col("c_acctbal").cast(StringType).as("c_acctbal"))
+      FrameOps.matchTypes(drifted, target).orderBy("c_custkey")
+    }),
+    "a8_drop_replaced" -> ((s, dir) => {
+      // A8 direct gate: after id retrieval the natural columns are
+      // dropped; the absent-column entry must be tolerated silently
+      // (reference regression tests/test_bugs.py:192-220)
+      val merged = t(s, dir, "customer")
+        .select(col("c_name"), col("c_mktsegment"), col("c_custkey").as("customer_id"))
+      FrameOps.dropReplaced(merged, Seq("c_name", "c_mktsegment", "absent_column"))
+        .orderBy("customer_id")
+    }),
     "a3_has_nulls" -> ((s, dir) => {
       val withNulls = t(s, dir, "orders")
         .select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("pr"))
@@ -2381,6 +2419,14 @@ object SparkEntry {
     "a1_preprocess" ->
       """SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
         |FROM lineitem ORDER BY flag, status""".stripMargin,
+    "a2_postprocess" ->
+      """SELECT c_name, c_nationkey
+        |FROM (SELECT DISTINCT c_name, c_mktsegment, c_nationkey FROM customer)
+        |ORDER BY c_name, c_nationkey""".stripMargin,
+    "a5_match_types" ->
+      """SELECT c_custkey, c_acctbal FROM customer ORDER BY c_custkey""",
+    "a8_drop_replaced" ->
+      """SELECT c_custkey AS customer_id FROM customer ORDER BY customer_id""",
     "a3_has_nulls" ->
       """SELECT count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT') IS NULL) AS n_null_rows,
         |count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT') IS NULL) > 0 AS has_nulls

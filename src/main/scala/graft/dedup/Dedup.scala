@@ -1,7 +1,10 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.text.TextFunctions
 
@@ -210,12 +213,36 @@ object Dedup {
     val probeGrams = probes
       .select(TextFunctions.tokens(col(textCol)).as("toks"))
       .select(explode(wordShinglesOf(col("toks"), n)).as("gram"))
-    val bloom = probeGrams.stat.bloomFilter("gram", expectedGrams, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val hasHit = udf((grams: Seq[String]) =>
-      grams != null && grams.exists(bc.value.mightContainString))
-    corpus.filter(hasHit(
-      wordShinglesOf(TextFunctions.tokens(col(textCol)), n)))
+    // built-in BloomFilterAggregate/BloomFilterMightContain (the
+    // expression pair behind Spark's own runtime row-group filters —
+    // internal registry, so constructed via the catalyst Bridge), not
+    // a driver-built sketch + closure UDF: the aggregation runs
+    // distributed, the resulting bit-array binary embeds as a
+    // foldable literal (might_contain requires a constant or scalar
+    // subquery), and the probe below stays inside whole-stage codegen
+    // — no per-row serialization boundary. The binary rides the
+    // stage's TorrentBroadcast task binary exactly like the old
+    // closure-captured broadcast did, so shipping cost is unchanged;
+    // grams hash through xxhash64 on BOTH sides (same
+    // no-false-negative guarantee as hashing the raw strings). NOTE:
+    // BloomFilterAggregate clamps its size to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    // (defaults 4M items / 67M bits) — raise those confs for
+    // billion-gram sweeps or the realized fpp degrades silently.
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedGrams, fpp)
+    val bloomBits = probeGrams
+      .agg(Bridge.column(aggregate.BloomFilterAggregate(
+        Bridge.eagerExpression(xxhash64(col("gram"))),
+        Bridge.eagerExpression(lit(expectedGrams)),
+        Bridge.eagerExpression(lit(numBits)), 0, 0)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    corpus.filter(exists(
+      wordShinglesOf(TextFunctions.tokens(col(textCol)), n),
+      g => Bridge.column(BloomFilterMightContain(
+        Bridge.eagerExpression(lit(bloomBits)),
+        Bridge.eagerExpression(xxhash64(g))))))
   }
 
   /** DuckDB rendering of [[contaminationScan]] over

@@ -419,6 +419,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", n = 3, minSharedGrams = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(onSurvivors === onFull)
+    // the probe is the built-in codegen'd might_contain expression,
+    // not a closure UDF with a per-row serialization boundary
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"prescreen no longer probes via the built-in bloom expression:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"prescreen reintroduced a closure UDF:\n$plan")
   }
 
   test("tfidf: highest-scoring term per doc is its distinctive frequent term") {
