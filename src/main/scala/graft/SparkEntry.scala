@@ -1642,9 +1642,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // n_chars squares as LONG: int*int wraps silently in Spark on
+      // per-row overflow (n_chars > 46340) while DuckDB's INTEGER
+      // multiply errors — cast first so both engines compute the same
+      // exact 64-bit sum at any document length
       val stats = docs.groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
-          sum(col("n_chars") * col("n_chars")).as("s2"))
+          sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("s2"))
         .withColumn("mu", col("s1").cast("double") / col("n"))
         .withColumn("sigma2",
           col("s2").cast("double") / col("n") - col("mu") * col("mu"))
@@ -2968,7 +2972,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "t_length_outliers" ->
       """WITH st AS (SELECT lang, COUNT(*) AS n,
-        |    SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2
+        |    SUM(n_chars) AS s1,
+        |    SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS s2
         |  FROM documents GROUP BY lang),
         |st2 AS (SELECT lang,
         |    CAST(s1 AS DOUBLE) / n AS mu,

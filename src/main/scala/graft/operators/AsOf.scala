@@ -170,6 +170,12 @@ object AsOf {
   ): DataFrame = {
     tolerance.foreach { tol =>
       require(tol >= 0, s"tolerance $tol must be >= 0")
+      // the tolerance path packs the matched right timestamp into the
+      // payload struct under this name; a real payload column named
+      // __rt would produce a duplicate struct field and ambiguous
+      // getField reads (same reserved-name contract as Winnow/Chunking)
+      require(!payload.contains("__rt"),
+        "payload column name '__rt' is reserved by the tolerance path — rename it upstream")
       val ok = left.schema(leftOn).dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |

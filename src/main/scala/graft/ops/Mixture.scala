@@ -119,9 +119,14 @@ object Mixture {
       .replace("TXT", "text")}) AS BIGINT)"
     // CASE arms in the SAME fold order as the Column form: the last
     // map entry wins ties, so render arms reversed (the fold nests
-    // later entries outermost)
+    // later entries outermost). Group keys are rendered as
+    // single-quoted SQL literals, so embedded quotes must double
+    // (SQL-standard escaping) — the Spark side compares values
+    // natively and needs none; without this a key like "pt'br" would
+    // emit malformed oracle SQL and silently diverge the two engines.
     val arms = weights.toSeq.reverse
-      .map { case (g, w) => s"WHEN $groupExpr = '$g' THEN CAST($w AS DOUBLE)" }
+      .map { case (g, w) =>
+        s"WHEN $groupExpr = '${g.replace("'", "''")}' THEN CAST($w AS DOUBLE)" }
       .mkString(" ")
     val weight = s"(CASE $arms ELSE CAST($defaultWeight AS DOUBLE) END)"
     s"""WITH a AS (SELECT $groupExpr, CAST(count(*) AS BIGINT) AS n_docs,

@@ -133,11 +133,20 @@ object Sketches {
     * aggregate; the sketch is `depth·width` rows no matter the corpus
     * size, so it always broadcasts downstream and merges element-wise
     * ([[cmsMerge]] — exact, integer addition).
+    *
+    * NULL values are EXCLUDED from the sketch, matching [[kmvHashes]]
+    * (COUNT-DISTINCT-style null semantics): a NULL hashes to a NULL
+    * bucket, and null keys never equi-join back in [[cmsEstimate]]'s
+    * probe — an unfiltered NULL would be counted here yet estimate 0
+    * there, silently breaking the no-undercount guarantee for every
+    * caller who probes with NULL. Track NULLs with an explicit
+    * `count(col.isNull)` alongside the sketch if they matter.
     */
   def cmsCells(
       df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, s"depth $depth / width $width must be > 0")
     df.select(col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("v"))
       .select(col("r"), cmsBucket(col("r"), col("v"), width).as("bucket"))
       .groupBy(col("r"), col("bucket"))
@@ -156,12 +165,15 @@ object Sketches {
     * never-seen probes estimate 0, and every estimate ≥ the true
     * count — CMS never undercounts). The sketch side broadcasts
     * (`depth·width` rows); the probe explode is map-only.
-    * Output: `(valueCol, n_est)`.
+    * Output: `(valueCol, n_est)`. NULL probes are excluded (no output
+    * row), mirroring [[cmsCells]]'s null exclusion — the sketch holds
+    * no NULL counts, so any NULL estimate would be a lie.
     */
   def cmsEstimate(
       cells: DataFrame, probes: DataFrame, valueCol: String,
       depth: Int, width: Int): DataFrame =
     probes.select(col(valueCol).as("v")).distinct()
+      .filter(col("v").isNotNull)
       .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("bucket", cmsBucket(col("r"), col("v"), width))
       .join(broadcast(cells), Seq("r", "bucket"), "left")
@@ -180,10 +192,10 @@ object Sketches {
       s"CAST(('0x' || substr(md5(CAST($r AS VARCHAR) || ':' || " +
         s"CAST($v AS VARCHAR)), 1, 15)) AS BIGINT) % $width"
     s"""WITH t AS (SELECT $valueCol AS v0, COUNT(*) AS n_true
-       |  FROM $table GROUP BY $valueCol),
+       |  FROM $table WHERE $valueCol IS NOT NULL GROUP BY $valueCol),
        |rr AS (SELECT unnest(range(0, $depth)) AS r),
        |cells AS (SELECT r, ${bucket("r", valueCol)} AS bucket, COUNT(*) AS n
-       |  FROM $table, rr GROUP BY r, bucket),
+       |  FROM $table, rr WHERE $valueCol IS NOT NULL GROUP BY r, bucket),
        |probe AS (SELECT t.v0, rr.r, ${bucket("rr.r", "t.v0")} AS bucket
        |  FROM t, rr),
        |est AS (SELECT v0, MIN(COALESCE(n, 0)) AS n_est

@@ -33,6 +33,22 @@ import org.apache.spark.sql.functions._
   * the join — without materialization the corpus is tokenized twice
   * per side); pass `persistCensus = false` when the caller owns the
   * lifecycle.
+  *
+  * Cache lifecycle contract (this applies to every persist-by-default
+  * operator in the library — tfidf `persistInput`, minhash
+  * `persistSignatures`, the q11/q17/q22 registry slices): the cache
+  * entries live until the SESSION drops them, because the returned
+  * DataFrame is lazy — unpersisting inside this function would evict
+  * the cache before the caller ever executes the plan. Spark's
+  * CacheManager dedupes identical input plans, so repeated calls over
+  * the SAME slices reuse one entry; calls over VARYING slices in a
+  * long-lived session accumulate MEMORY_AND_DISK entries until
+  * executor storage evicts them under pressure (LRU — correctness is
+  * unaffected, but eviction wastes the materialization). Long-lived
+  * sessions should either unpersist after their terminal action
+  * (`spark.catalog.clearCache()` between pipeline stages, as
+  * Bench does per pass) or pass `persistCensus = false` and persist
+  * the inputs themselves.
   */
 object Drift {
 

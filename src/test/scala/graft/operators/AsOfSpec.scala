@@ -211,5 +211,18 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
       AsOf.asofJoinBackward(longLeft, longRight, "t", "rt",
         by = Seq("k"), payload = Seq("v"), tolerance = Some(-1L))
     }
+    // the tolerance path packs the matched right time under __rt
+    // inside the payload struct — a real payload column of that name
+    // would collide (duplicate struct field); reserved, like
+    // Winnow/Chunking's reserved columns
+    val rtRight = frame(
+      Seq(StructField("k", StringType), StructField("rt", LongType),
+        StructField("__rt", DoubleType)),
+      Seq(Row("A", 0L, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(longLeft, rtRight, "t", "rt",
+        by = Seq("k"), payload = Seq("__rt"), tolerance = Some(10L))
+    }
+    assert(e.getMessage.contains("__rt"))
   }
 }

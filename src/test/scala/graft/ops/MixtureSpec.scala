@@ -96,4 +96,14 @@ class MixtureSpec extends AnyFunSuite with SparkSpec {
       Mixture.plan(d, "lang", "text", Map("en" -> -0.5), tokenBudget = 1L)
     }
   }
+
+  test("planSql doubles single quotes in group-key literals") {
+    // the Spark side compares values natively; the oracle renders them
+    // as SQL literals — a key like pt'br must escape or the generated
+    // SQL is malformed and the engines silently diverge
+    val sql = Mixture.planSql("documents", "lang",
+      Map("pt'br" -> 0.5, "en" -> 0.5), tokenBudget = 1000L)
+    assert(sql.contains("WHEN lang = 'pt''br' THEN"), sql)
+    assert(sql.contains("WHEN lang = 'en' THEN"), sql)
+  }
 }

@@ -84,6 +84,30 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(zero.forall(_ === 0L), "missing cells did not count as 0")
   }
 
+  test("CMS excludes NULLs on both sides — no null cells, no null estimates") {
+    // the latent undercount: a NULL counted into the sketch can never
+    // equi-join back from a probe (null keys don't match), so an
+    // unfiltered NULL would estimate 0 with a positive true count —
+    // the one case that violates the no-undercount guarantee. Both
+    // sides filter NULLs (kmvHashes' COUNT-DISTINCT semantics).
+    val withNulls = spark.range(100)
+      .select(when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 7)
+        .as("v"))
+    val cells = Sketches.cmsCells(withNulls, "v", 4, 64)
+    assert(cells.filter(col("bucket").isNull).isEmpty,
+      "NULL values leaked into the sketch cells")
+    val est = Sketches.cmsEstimate(cells, withNulls, "v", 4, 64)
+    assert(est.filter(col("v").isNull).isEmpty,
+      "NULL probe produced an estimate row")
+    // non-null keys still never undercount
+    val truth = withNulls.filter(col("v").isNotNull)
+      .groupBy(col("v")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = est.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.keySet === got.keySet)
+    assert(truth.forall { case (v, n) => got(v) >= n })
+  }
+
   test("CMS cells of a union equal the merged cells, exactly") {
     val a = spark.range(2000).select((col("id") % 50).as("v"))
     val b = spark.range(1000).select((col("id") % 80).as("v"))
