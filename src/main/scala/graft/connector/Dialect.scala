@@ -82,6 +82,25 @@ object PostgresJdbcDialect extends Dialect {
   }
 }
 
+/** JDBC-executable SQLite: [[SqliteDialect]] reproduces the
+  * reference's named-param text byte-for-byte
+  * (`sqlite_connector.py:10-25`) for the exact-string parity tests;
+  * this variant emits the same `INSERT OR IGNORE` statement with `?`
+  * placeholders so the [[Connector]] can execute it over sqlite-jdbc
+  * (see SqliteSmokeSpec — guard-skipped in this environment, which
+  * ships no sqlite-jdbc jar, and armed the moment one appears on the
+  * classpath).
+  */
+object SqliteJdbcDialect extends Dialect {
+  override def getInsertQuery(
+      table: String, columns: Seq[String], uniqueKeySets: Seq[Seq[String]],
+  ): String = {
+    val cols = columns.mkString(", ")
+    val params = columns.map(_ => "?").mkString(", ")
+    s"INSERT OR IGNORE INTO $table ($cols) VALUES ($params)"
+  }
+}
+
 /** Embedded Apache Derby. Conflict-ignore is emulated: a row is
   * skipped when an existing row matches it on any unique constraint
   * whose columns are all being inserted (the same set of conflicts
