@@ -1459,6 +1459,15 @@ object SparkEntry {
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "e_pq_recall" -> ((s, dir) => {
+      // PQ quality gate: recall@10 of the ADC top-10 vs the exact L2
+      // top-10, one integer per query — a codebook/stride/fold
+      // regression shows up as a dropped count, not a silent drift
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      Ann.pqRecall(emb.filter(col("vec_id") % 300 === 0), emb,
+        "vec_id", "embedding", 10)
+    }),
     "mm_decode_meta" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.decodeMeta(
@@ -2866,6 +2875,9 @@ object SparkEntry {
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
     "e_pq_topk" ->
       graft.ann.Ann.pqTopKSql(5, 8, 16, 64, 42L,
+        "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
+    "e_pq_recall" ->
+      graft.ann.Ann.pqRecallSql(10, 8, 16, 64, 42L,
         "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
     "p_train_test_split" -> {
       val b = graft.ops.Sampling.bucketSql("doc_id", 42L)

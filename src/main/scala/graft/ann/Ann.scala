@@ -852,6 +852,69 @@ object Ann {
        |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Recall@n of [[pqTopK]] against the EXACT squared-L2 top-n — the
+    * quality gate that makes ADC regressions (codebook seeding, table
+    * stride, fold order) visible as an integer drop instead of a
+    * silent ranking drift. Output: `(query_id, n_hits)` with
+    * `n_hits = |PQ top-n ∩ exact top-n|`, one row per query even at
+    * zero hits. All-integer output → engine-exact.
+    *
+    * The exact side is an all-pairs compare per query — a VERIFIER in
+    * the [[bruteForceTopK]] sense: run it on bounded query sets (eval
+    * probes), never corpus × corpus. Same metric as PQ scores (L2²,
+    * not cosine), so the recall number reflects quantization loss
+    * alone, not a metric mismatch. Ties in the exact ranking break to
+    * the lowest neighbor id — the identical fixed-order IEEE fold on
+    * both engines ([[l2sq]]) makes tie-breaks engine-stable.
+    */
+  def pqRecall(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      m: Int = 8, k: Int = 16, dim: Int = 64, seed: Long = 42L,
+  ): DataFrame = {
+    val pq = pqTopK(queries, candidates, idCol, vecCol, n, m, k, dim, seed)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val exactTop = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2sq(col("qv"), col("cv")).as("d2"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    pq.join(exactTop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB rendering of [[pqRecall]] (self-search over the
+    * `whereClause` slice, queries = `queryWhere` rows of it).
+    */
+  def pqRecallSql(
+      n: Int, m: Int, k: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String =
+    s"""WITH pq AS (${pqTopKSql(n, m, k, dim, seed, whereClause, queryWhere)}),
+       |xq AS (SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings $whereClause AND (${queryWhere.stripPrefix("WHERE ")})),
+       |xc AS (SELECT vec_id AS neighbor_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings $whereClause),
+       |xr AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${l2sqSql("qv", "cv", dim)}, neighbor_id) AS rnk
+       |  FROM xq JOIN xc ON query_id <> neighbor_id),
+       |xt AS (SELECT query_id, neighbor_id FROM xr WHERE rnk <= $n)
+       |SELECT pq.query_id,
+       |  CAST(SUM(CASE WHEN xt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |FROM pq LEFT JOIN xt
+       |  ON pq.query_id = xt.query_id AND pq.neighbor_id = xt.neighbor_id
+       |GROUP BY pq.query_id ORDER BY pq.query_id""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — O(n²); the baseline/verifier for
     * [[cosineNearDupLsh]], and usable directly on small or
