@@ -73,7 +73,13 @@ object Bench {
         graft.ann.Ann.ivfTopK(emb.filter(col("vec_id") < 3), emb,
           "vec_id", "embedding", k = 5).count()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { case e: Throwable =>
+        // the -1 sentinel must come with a cause on stderr — a silent
+        // -1 is undiagnosable from the JSON line alone
+        System.err.println(s"[bench] e_ann_ivf_kmeans failed: $e")
+        e.printStackTrace()
+        -1.0
+      }
     }
     timeKmeansIvf() // warmup
     val kmeansIvf = {
