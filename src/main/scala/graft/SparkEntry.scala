@@ -1511,6 +1511,16 @@ object SparkEntry {
         tokenBudget = 100000L, defaultWeight = 0.05)
         .orderBy(col("lang").asc_nulls_first)
     }),
+    "p_mixture_temperature" -> ((s, dir) => {
+      // temperature-scaled mixture (mT5/UniMax): weights derive from
+      // the corpus' own token distribution, n^(1/T) normalized over a
+      // group-sorted fold. T=2 is the sqrt instance — correctly
+      // rounded per IEEE on both engines, hence hash-gateable
+      graft.ops.Mixture.planTemperature(
+        t(s, dir, "documents"), "lang", "text",
+        temperature = 2.0, tokenBudget = 100000L)
+        .orderBy(col("lang"))
+    }),
     "p_mixture_apply" -> ((s, dir) => {
       // plan -> apply: repeat/downsample every document to its
       // group's epoch factor (full copies + md5-fractional extras),
@@ -2906,6 +2916,10 @@ object SparkEntry {
         Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "zh" -> 0.1),
         tokenBudget = 100000L, defaultWeight = 0.05)
         + "\nORDER BY lang NULLS FIRST"),
+    "p_mixture_temperature" ->
+      (graft.ops.Mixture.planTemperatureSql("documents", "lang",
+        temperature = 2.0, tokenBudget = 100000L)
+        + "\nORDER BY lang"),
     "p_mixture_apply" ->
       (graft.ops.Mixture.applyPlanSql("documents", "lang", "doc_id",
         graft.ops.Mixture.planSql("documents", "lang",

@@ -63,6 +63,74 @@ object Mixture {
           .otherwise(lit(0L)))
   }
 
+  /** Temperature-scaled mixture plan from the corpus' OWN token
+    * distribution (the mT5/UniMax multilingual recipe): group g gets
+    * weight `n_g^(1/T) / Σ_h n_h^(1/T)` — T=1 reproduces natural
+    * proportions, T→∞ approaches uniform, the standard knob for
+    * up-weighting low-resource groups without hand-written weight
+    * maps. Output shape = [[plan]] plus the derived `weight` column.
+    *
+    * Sibling of [[Sampling.temperatureWeights]], not a duplicate: that
+    * one turns DOC-count shares into per-row ACCEPTANCE rates (share^α
+    * → [[Sampling.weightedSample]], down-sampling only); this one
+    * turns TOKEN counts into a full mixture plan whose `epochs_ppm`
+    * can exceed 1e6 — i.e. it feeds [[applyPlan]] and can REPEAT
+    * under-represented groups, which an acceptance rate cannot.
+    *
+    * Determinism: token counts are exact integer sums; the
+    * normalization Σ folds a GROUP-SORTED collected list (group
+    * count is small by the mixture contract), so addition order is
+    * fixed on both engines. The T=2 path computes `sqrt(n)` —
+    * correctly rounded per IEEE 754 on every platform, hence
+    * engine-exact and oracle-gateable. Arbitrary T goes through
+    * `pow(n, 1/T)`, which Java and C libm may round 1 ulp apart — a
+    * floor() at a boundary could then differ cross-engine, so only
+    * the sqrt instance is hash-gated ([[planTemperatureSql]] mirrors
+    * both). NULL group keys are excluded (they name no mixture
+    * component; [[plan]] likewise reaches them only via
+    * `defaultWeight`).
+    *
+    * 100 TB shape: identical to [[plan]] — one map-side-combined
+    * aggregate, #groups rows out, a 1-row broadcast for the
+    * normalizer. Nothing else moves.
+    */
+  def planTemperature(
+      df: DataFrame, groupCol: String, textCol: String,
+      temperature: Double, tokenBudget: Long,
+  ): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget $tokenBudget must be positive")
+    require(temperature > 0 && !temperature.isNaN && !temperature.isInfinity,
+      s"temperature $temperature must be a positive finite number")
+    def powered(c: org.apache.spark.sql.Column) =
+      if (temperature == 2.0) sqrt(c)
+      else pow(c, lit(1.0 / temperature))
+    val census = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
+      .withColumn("pw", powered(col("n_tokens").cast("double")))
+    val total = census.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"), col("pw")))),
+        lit(0.0), (acc, x) => acc + x.getField("pw")).as("__tot"))
+    census.crossJoin(broadcast(total))
+      .withColumn("weight", col("pw") / col("__tot"))
+      .withColumn("target_tokens", floor(col("weight") * lit(tokenBudget.toDouble)))
+      .withColumn("rate_ppm",
+        when(col("n_tokens") > 0,
+          floor(least(
+            col("target_tokens").cast("double") / col("n_tokens").cast("double"),
+            lit(1.0)) * lit(1e6)))
+          .otherwise(lit(0L)))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0,
+          floor(col("target_tokens").cast("double") /
+            col("n_tokens").cast("double") * lit(1e6)))
+          .otherwise(lit(0L)))
+      .drop("pw", "__tot")
+  }
+
   /** Materialize a [[plan]]: repeat each row of its group's epoch
     * factor — `epochs_ppm div 1e6` full copies, plus one more iff the
     * row's md5 bucket falls under the fractional part (deterministic
@@ -141,6 +209,46 @@ object Mixture {
        |    CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
        |    ELSE 0 END AS epochs_ppm
        |FROM t""".stripMargin
+  }
+
+  /** DuckDB rendering of [[planTemperature]] over `documents`-shaped
+    * tables; mirrors the Spark side operation for operation (sqrt for
+    * T=2, pow otherwise — see [[planTemperature]] for why only the
+    * sqrt instance is hash-gateable; the normalizer folds the SAME
+    * group-sorted list).
+    */
+  def planTemperatureSql(
+      table: String, groupExpr: String, temperature: Double,
+      tokenBudget: Long, whereClause: String = "",
+  ): String = {
+    require(temperature > 0 && !temperature.isNaN && !temperature.isInfinity,
+      s"temperature $temperature must be a positive finite number")
+    val toksLen = s"CAST(len(${graft.text.TextFunctions.tokensSql
+      .replace("TXT", "text")}) AS BIGINT)"
+    val pw =
+      if (temperature == 2.0) "sqrt(CAST(n_tokens AS DOUBLE))"
+      else s"pow(CAST(n_tokens AS DOUBLE), ${1.0 / temperature})"
+    val where =
+      if (whereClause.isEmpty) s"WHERE $groupExpr IS NOT NULL"
+      else s"$whereClause AND $groupExpr IS NOT NULL"
+    s"""WITH a AS (SELECT $groupExpr, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum($toksLen) AS BIGINT) AS n_tokens
+       |  FROM $table $where GROUP BY 1),
+       |p AS (SELECT *, $pw AS pw FROM a),
+       |tot AS (SELECT list_reduce(list_prepend(0.0, list(pw ORDER BY $groupExpr)),
+       |  (acc, x) -> acc + x) AS t FROM p),
+       |w AS (SELECT p.*, pw / t AS weight FROM p, tot)
+       |SELECT $groupExpr, n_docs, n_tokens, weight,
+       |  CAST(floor(weight * CAST($tokenBudget AS DOUBLE)) AS BIGINT) AS target_tokens,
+       |  CASE WHEN n_tokens > 0 THEN CAST(floor(least(
+       |    CAST(CAST(floor(weight * CAST($tokenBudget AS DOUBLE)) AS BIGINT) AS DOUBLE)
+       |      / CAST(n_tokens AS DOUBLE), 1.0) * 1e6) AS BIGINT)
+       |    ELSE 0 END AS rate_ppm,
+       |  CASE WHEN n_tokens > 0 THEN CAST(floor(
+       |    CAST(CAST(floor(weight * CAST($tokenBudget AS DOUBLE)) AS BIGINT) AS DOUBLE)
+       |      / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
+       |    ELSE 0 END AS epochs_ppm
+       |FROM w""".stripMargin
   }
 
   /** DuckDB rendering of [[applyPlan]]∘[[plan]] over `table`,

@@ -97,6 +97,28 @@ class MixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("planTemperature: T=1 is natural proportions, higher T flattens, nulls drop") {
+    // en: 8 tokens, de: 2, null-lang excluded entirely
+    val d = docs(
+      (1L, "en", "a b c d"), (2L, "en", "e f g h"),
+      (3L, "de", "i j"), (4L, null, "k l m"))
+    def weights(t: Double) =
+      Mixture.planTemperature(d, "lang", "text", t, tokenBudget = 100L)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val w1 = weights(1.0)
+    assert(w1.keySet === Set("en", "de"), "null lang leaked into the plan")
+    assert(w1("en") === 0.8 && w1("de") === 0.2) // 8/10, 2/10 — exact doubles
+    // T=2 (sqrt instance): sqrt(8)/(sqrt(2)+sqrt(8)) = 2/3 exactly
+    // (sqrt(8) = 2·sqrt(2) is exact in IEEE: scaling by 4 is a pure
+    // exponent shift, so the ratio collapses to 2/(1+2))
+    val w2 = weights(2.0)
+    assert(w2("en") === 2.0 / 3.0 && w2("de") === 1.0 / 3.0)
+    // the flattening direction: dominant group shrinks, minor grows
+    assert(w2("en") < w1("en") && w2("de") > w1("de"))
+    // weights always sum to 1 up to the fold's rounding
+    assert(math.abs(w2.values.sum - 1.0) < 1e-12)
+  }
+
   test("planSql doubles single quotes in group-key literals") {
     // the Spark side compares values natively; the oracle renders them
     // as SQL literals — a key like pt'br must escape or the generated
