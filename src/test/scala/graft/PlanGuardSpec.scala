@@ -399,6 +399,19 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"q21 limit lost the TakeOrderedAndProject heap:\n$p")
   }
 
+  test("temperature mixture plans one census aggregate, normalizer broadcast") {
+    // the corpus is touched ONCE (map-side-combined census); the
+    // 1-row normalizer rides a broadcast, and no join ever moves
+    // document text
+    val p = plan("p_mixture_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"normalizer total is no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"temperature normalizer degraded to a cartesian:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"temperature plan re-scans the corpus:\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
