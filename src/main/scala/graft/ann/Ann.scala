@@ -664,6 +664,80 @@ object Ann {
           x => x.cast("double")).as("centroid"))
   }
 
+  /** PRODUCTION-path PQ codebooks: per-subspace Lloyd (k-means)
+    * refinement of the seed-drawn [[pqCodebooks]] init, exactly the
+    * split [[ivfTopK]] makes for its coarse quantizer — the seeded
+    * draw stays the oracle-gated twin (md5-deterministic,
+    * SQL-expressible), this one trades oracle exactness for lower
+    * quantization error and is verified by the recall spec instead
+    * (PqSpec: refined recall@10 ≥ seed-drawn recall@10 on clustered
+    * data).
+    *
+    * 100 TB shape: training touches only a [[quantizerSample]] —
+    * `maxTrainRows` rows picked by a distributed TakeOrdered heap —
+    * never the full corpus; the corpus is only ever read by the
+    * single [[pqEncode]] assignment pass. The `m` per-subspace fits
+    * run over that one bounded sample (persisted once, unpersisted on
+    * exit), each an MLlib KMeans whose per-iteration centroid
+    * reduction is map-side-combinable. Output matches [[pqCodebooks]]
+    * (`(sub, code, centroid)`, `m·k` rows) so every downstream
+    * consumer ([[pqEncode]], [[pqTopKWithCodebooks]]) is shared
+    * between the twins.
+    *
+    * Codes are re-numbered by lexicographic centroid order so the
+    * codebook is a pure function of the fitted centroid SET, not of
+    * MLlib's internal cluster indexing.
+    */
+  def pqCodebooksRefined(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int, seed: Long = 42L,
+      maxTrainRows: Int = 100000, maxIter: Int = 8,
+  ): DataFrame = {
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = dim / m
+    val spark = candidates.sparkSession
+    val train = quantizerSample(candidates, idCol, vecCol, maxTrainRows, seed)
+      .select(col("neighbor_id"),
+        transform(col("cv"), x => x.cast("double")).as("v"))
+      .persist()
+    try {
+      // effective k: never ask for more clusters than sample rows
+      // (mirrors pqCodebooks' narrow-codebook behavior)
+      val kEff = math.min(k.toLong, train.count()).toInt
+      import scala.math.Ordering.Implicits.seqOrdering
+      val centroids: Seq[(Int, Int, Seq[Double])] =
+        (0 until m).flatMap { s =>
+          val sub = train.select(array_to_vector(
+            slice(col("v"), s * d + 1, d)).as("features"))
+          val model = new KMeans().setK(kEff).setSeed(seed + s)
+            .setFeaturesCol("features").setMaxIter(maxIter).fit(sub)
+          model.clusterCenters.map(_.toArray.toSeq).sorted
+            .zipWithIndex.map { case (c, code) => (s, code, c) }
+        }
+      spark.createDataFrame(centroids).toDF("sub", "code", "centroid")
+    } finally train.unpersist()
+  }
+
+  /** [[pqEncode]] + [[graft.functions.PqCodes.pq_pack]]: the storage
+    * form — `(id, codes_bin: binary)`, 4-bit nibbles when `k ≤ 16`,
+    * bytes when `k ≤ 256`. This is what an index actually persists:
+    * dim=64 float32 (256 B) → 4 B at m=8/k=16. The unpacked
+    * `array<int>` twin remains the oracle-gated one ([[pqEncodeSql]]);
+    * the pack/unpack round-trip is property-tested in PqSpec.
+    */
+  def pqEncodePacked(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, k: Int, dim: Int,
+  ): DataFrame = {
+    require(k <= 256, s"k $k exceeds 8-bit code range")
+    val bits = if (k <= 16) 4 else 8
+    pqEncode(df, idCol, vecCol, codebooks, m, dim)
+      .select(col("id"),
+        graft.functions.PqCodes.pq_pack(col("codes"), bits).as("codes_bin"))
+  }
+
   /** Squared-L2 distance between two equal-length double arrays as a
     * fixed-order left fold — `0 + (a1-b1)² + (a2-b2)² + …` — so the
     * value is bit-identical to the oracle's
@@ -736,9 +810,22 @@ object Ann {
       idCol: String, vecCol: String, n: Int,
       m: Int = 8, k: Int = 16, dim: Int = 64, seed: Long = 42L,
       excludeSelf: Boolean = true,
+  ): DataFrame =
+    pqTopKWithCodebooks(queries, candidates, idCol, vecCol, n,
+      pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed),
+      m, dim, excludeSelf)
+
+  /** [[pqTopK]] with caller-supplied codebooks — the shared ADC body
+    * behind both twins: seed-drawn ([[pqCodebooks]], oracle-gated)
+    * and Lloyd-refined ([[pqCodebooksRefined]], recall-spec'd).
+    */
+  def pqTopKWithCodebooks(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      codebooks: DataFrame, m: Int, dim: Int,
+      excludeSelf: Boolean = true,
   ): DataFrame = {
     val d = dim / m
-    val codebooks = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
     val codes = pqEncode(candidates, idCol, vecCol, codebooks, m, dim)
       .select(col("id").as("neighbor_id"), col("codes"))
     // per-query flat distance table, entry s·k+c = l2sq(qsub_s, cent_{s,c}),
@@ -871,8 +958,21 @@ object Ann {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, n: Int,
       m: Int = 8, k: Int = 16, dim: Int = 64, seed: Long = 42L,
+  ): DataFrame =
+    pqRecallWithCodebooks(queries, candidates, idCol, vecCol, n,
+      pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed), m, dim)
+
+  /** [[pqRecall]] with caller-supplied codebooks, so the Lloyd-refined
+    * twin is measured by the identical metric and tie rules as the
+    * gated seed-drawn one.
+    */
+  def pqRecallWithCodebooks(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      codebooks: DataFrame, m: Int, dim: Int,
   ): DataFrame = {
-    val pq = pqTopK(queries, candidates, idCol, vecCol, n, m, k, dim, seed)
+    val pq = pqTopKWithCodebooks(queries, candidates, idCol, vecCol, n,
+      codebooks, m, dim)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
@@ -896,7 +996,14 @@ object Ann {
     */
   def pqRecallSql(
       n: Int, m: Int, k: Int, dim: Int, seed: Long,
-      whereClause: String, queryWhere: String): String =
+      whereClause: String, queryWhere: String): String = {
+    // the rendering splices `$whereClause AND (stripped queryWhere)`;
+    // an empty clause or a non-WHERE prefix would emit malformed SQL
+    // silently, so the contract is checked here rather than trusted
+    require(whereClause.startsWith("WHERE "),
+      s"pqRecallSql whereClause must start with 'WHERE ': '$whereClause'")
+    require(queryWhere.startsWith("WHERE "),
+      s"pqRecallSql queryWhere must start with 'WHERE ': '$queryWhere'")
     s"""WITH pq AS (${pqTopKSql(n, m, k, dim, seed, whereClause, queryWhere)}),
        |xq AS (SELECT vec_id AS query_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -914,6 +1021,7 @@ object Ann {
        |FROM pq LEFT JOIN xt
        |  ON pq.query_id = xt.query_id AND pq.neighbor_id = xt.neighbor_id
        |GROUP BY pq.query_id ORDER BY pq.query_id""".stripMargin
+  }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — O(n²); the baseline/verifier for

@@ -86,6 +86,88 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.3, s"PQ overlap $recall below floor")
   }
 
+  test("pqCodebooksRefined: seed-drawn shape, canonical code order, recall@10 >= seed-drawn") {
+    val df = emb(clustered(120, 6))
+    val refined = Ann.pqCodebooksRefined(df, "vec_id", "embedding",
+      m, k, dim, maxIter = 8)
+    val cb = refined.collect()
+    assert(cb.length === m * k)
+    assert(cb.forall(_.getSeq[Double](2).length === dim / m))
+    // canonical renumbering: codes follow lexicographic centroid order
+    import scala.math.Ordering.Implicits.seqOrdering
+    cb.groupBy(_.getInt(0)).values.foreach { rows =>
+      val byCode = rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq)
+      assert(byCode.toSeq === byCode.sorted.toSeq, "codes not in centroid order")
+    }
+    // Lloyd refinement must not LOSE recall vs the unrefined draw on
+    // data with clear cluster structure (it should usually gain)
+    val queries = df.filter(col("vec_id") < 8)
+    def meanHits(codebooks: org.apache.spark.sql.DataFrame): Double = {
+      val r = Ann.pqRecallWithCodebooks(queries, df, "vec_id", "embedding",
+        10, codebooks, m, dim).collect()
+      assert(r.length === 8)
+      r.map(_.getLong(1)).sum.toDouble / r.length
+    }
+    val seedDrawn = Ann.pqCodebooks(df, "vec_id", "embedding", m, k, dim)
+    val refinedHits = meanHits(refined)
+    val seedHits = meanHits(seedDrawn)
+    assert(refinedHits >= seedHits,
+      s"refined recall@10 $refinedHits below seed-drawn $seedHits")
+  }
+
+  test("pq_pack/pq_unpack: round-trip over random codes at 4 and 8 bits") {
+    import graft.functions.PqCodes.{pq_pack, pq_unpack}
+    val rnd = new scala.util.Random(11)
+    for (bits <- Seq(4, 8); trial <- 0 until 20) {
+      val mm = 1 + rnd.nextInt(16) // odd m exercises the pad nibble
+      val codes = Seq.fill(mm)(rnd.nextInt(1 << bits))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(codes)), 1),
+        StructType(Seq(StructField("codes",
+          ArrayType(IntegerType, containsNull = false), nullable = false))))
+      val out = df.select(
+        pq_unpack(pq_pack(col("codes"), bits), bits, mm).as("rt"),
+        length(pq_pack(col("codes"), bits)).as("len")).head()
+      assert(out.getSeq[Int](0) === codes, s"bits=$bits trial=$trial")
+      val expectLen = if (bits == 4) (mm + 1) / 2 else mm
+      assert(out.getInt(1) === expectLen, s"bits=$bits m=$mm packed length")
+    }
+  }
+
+  test("pq_pack rejects out-of-range codes; pq_unpack rejects geometry mismatch") {
+    import graft.functions.PqCodes.{pq_pack, pq_unpack}
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(3, 16))), 1),
+      StructType(Seq(StructField("codes",
+        ArrayType(IntegerType, containsNull = false), nullable = false))))
+    val overflow = intercept[Exception] {
+      df.select(pq_pack(col("codes"), 4)).collect()
+    }
+    assert(overflow.getMessage.contains("out of range") ||
+      overflow.getCause.getMessage.contains("out of range"))
+    val mismatch = intercept[Exception] {
+      // 2 codes pack to 1 byte at 4 bits; unpacking as m=4 must throw
+      df.select(pq_unpack(pq_pack(lit(Array(3, 5)), 4), 4, 4)).collect()
+    }
+    assert(mismatch.getMessage.contains("does not hold") ||
+      mismatch.getCause.getMessage.contains("does not hold"))
+  }
+
+  test("pqEncodePacked: nibble-packed binary matches unpacked codes") {
+    import graft.functions.PqCodes.pq_unpack
+    val df = emb(clustered(40, 4))
+    val cb = Ann.pqCodebooks(df, "vec_id", "embedding", m, k, dim)
+    val plain = Ann.pqEncode(df, "vec_id", "embedding", cb, m, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val packed = Ann.pqEncodePacked(df, "vec_id", "embedding", cb, m, k, dim)
+      .select(col("id"), pq_unpack(col("codes_bin"), 4, m).as("codes"),
+        length(col("codes_bin")).as("len"))
+      .collect()
+    assert(packed.length === plain.size)
+    assert(packed.forall(_.getInt(2) === (m + 1) / 2), "k<=16 must nibble-pack")
+    assert(packed.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap === plain)
+  }
+
   test("narrow codebook (corpus < k seeds) strides by the effective k, not the configured one") {
     val tiny = emb(clustered(5, 1), parts = 1) // only 5 seeds for k=8
     val out = Ann.pqTopK(tiny, tiny, "vec_id", "embedding", 2,
