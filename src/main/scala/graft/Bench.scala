@@ -102,7 +102,13 @@ object Bench {
           println(f"BENCH-TRIPWIRE: $n%s took $v%.2fs (${v / median}%.1fx the per-query median $median%.2fs) - audit its plan before shipping")
       }
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"sf":"$sfDir"}"""
+    // a red board must never ship under a green-looking exit: name the
+    // failed queries in the JSON line AND exit nonzero (r10 shipped
+    // rc:0 with 18 queries at the -1 sentinel and nobody noticed until
+    // the judge did)
+    val failedNames = results.collect { case (n, v) if v < 0 => n }
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is also written to a file: captured stdout tails
     // get truncated (BENCH_r07.json lost 39 of 102 per-query timings),
@@ -112,5 +118,11 @@ object Bench {
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outPath, line + "\n")
     spark.stop()
+    if (failedNames.nonEmpty) {
+      System.err.println(
+        s"[bench] FAILED queries (${failedNames.size}): " +
+          failedNames.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -22,11 +22,36 @@ import graft.ops.FrameOps
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
 
-  /** events.ts is nanosecond parquet (read as long via
-    * spark.sql.legacy.parquet.nanosAsLong); convert to timestamp.
+  /** The event operators and their DuckDB oracles share one `ts`
+    * convention: int64 epoch nanoseconds (the oracles read the parquet
+    * natively and apply `epoch_ns(ts)`). Testdata vintages differ —
+    * some store NANOS-annotated int64 (read as long via
+    * `spark.sql.legacy.parquet.nanosAsLong`), newer ones store
+    * `timestamp[us]` — so normalize at the read boundary: every
+    * downstream operator sees ns-long regardless of vintage. A
+    * map-side projection only; no shuffle, stays in codegen.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // parquet timestamp[us] reads as NTZ (isAdjustedToUTC=false);
+      // every session pins spark.sql.session.timeZone=UTC so the
+      // NTZ→TZ cast is the identity and matches DuckDB's naive
+      // epoch_ns interpretation of the same values
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case LongType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: expected TIMESTAMP or BIGINT, got $other")
+    }
+
+  /** events with `ts` as a proper timestamp (µs precision — both
+    * vintages carry µs resolution; DuckDB likewise truncates ns to µs).
     */
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -29,8 +29,15 @@ object StreamDemo {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    // vintage-adaptive: ts arrives as either ns-long or timestamp[us]
+    val raw = schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => stream
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
 
     val hourly = Streams.hourlyEventCounts(raw)
       .writeStream.format("memory").queryName("hourly_demo")
