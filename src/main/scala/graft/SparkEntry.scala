@@ -1369,6 +1369,27 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    "e_ann_lsh_recall" -> ((s, dir) => {
+      // LSH quality gate: recall@10 vs the exact cosine top-10, one
+      // integer per query — a probe/band-width regression drops the
+      // count instead of silently degrading the ranking
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 20 === 0)
+      Ann.annRecall(
+        Ann.lshTopK(q, emb, "vec_id", "embedding", k = 10),
+        q, emb, "vec_id", "embedding", n = 10)
+    }),
+    "e_ann_ivf_recall" -> ((s, dir) => {
+      // IVF quality gate: recall@10 of the probed-cell search vs the
+      // exact cosine top-10
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 20 === 0)
+      Ann.annRecall(
+        Ann.ivfTopKHashCells(q, emb, "vec_id", "embedding", k = 10),
+        q, emb, "vec_id", "embedding", n = 10)
+    }),
     "e_cos_neardup" -> ((s, dir) => {
       graft.ann.Ann.cosineNearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
@@ -1413,6 +1434,35 @@ object SparkEntry {
       Ann.cosineNearDupLsh(union, "vec_id", "embedding", threshold = 0.98,
         planes = 192, bands = 16, maxBucketSize = 0)
         .orderBy("id_a", "id_b")
+    }),
+    "e_semantic_contam" -> ((s, dir) => {
+      // embedding-space decontamination: corpus rows semantically
+      // equal to an eval-set member (cos >= 0.98) via the banded-LSH
+      // cross-frame scan — the semantic twin of d_contamination's
+      // shingle overlap. The synthetic corpus has no natural
+      // eval-leaks (max pairwise cos ~0.43), so leakage is planted
+      // the way a real corpus acquires it: int8 re-encoded copies of
+      // half the eval set (cos ~0.9999 to their source) hide in the
+      // corpus under id+2000000, and the scan must flag exactly
+      // those. Same IEEE-op-identical twin arithmetic as
+      // e_cos_neardup_lsh, so DuckDB reproduces it bit-exactly.
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val leaked = Ann.quantizeInt8(
+        emb.filter(col("vec_id") % 40 === 3), "vec_id", "embedding")
+        .select((col("id") + 2000000L).as("id"),
+          transform(col("qvec"),
+            x => x.cast("double") / lit(127.0) * col("qscale")).as("v"))
+      val corpus = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .unionByName(leaked)
+      Ann.semanticContamination(corpus, evalSet, "id", "v",
+        threshold = 0.98, planes = 192, bands = 16)
+        .orderBy("id")
     }),
     "e_knn_classify" -> ((s, dir) => {
       // kNN label assignment (weak supervision): every 10th+1 vector
@@ -2875,6 +2925,14 @@ object SparkEntry {
       graft.ann.Ann.lshTopKSql("vec_id < 3", k = 5),
     "e_ann_ivf" ->
       graft.ann.Ann.ivfTopKHashCellsSql("vec_id < 3", k = 5),
+    "e_ann_lsh_recall" ->
+      graft.ann.Ann.annRecallSql(
+        graft.ann.Ann.lshTopKSql("vec_id % 20 = 0", k = 10),
+        "vec_id % 20 = 0", n = 10),
+    "e_ann_ivf_recall" ->
+      graft.ann.Ann.annRecallSql(
+        graft.ann.Ann.ivfTopKHashCellsSql("vec_id % 20 = 0", k = 10),
+        "vec_id % 20 = 0", n = 10),
     "e_cos_neardup_lsh" -> {
       // corpus + int8 quantize->dequantize twins, mirroring the Spark
       // union via the SAME shared quantize helpers as quantizeInt8Sql
@@ -2894,6 +2952,26 @@ object SparkEntry {
            |  FROM embeddings WHERE vec_id % 10 = 0) s""".stripMargin
       graft.ann.Ann.cosineNearDupLshSql(0.98, planes = 192, bands = 16,
         sourceSql = Some(src))
+    },
+    "e_semantic_contam" -> {
+      import graft.ann.Ann.{dequantElemSql, qscaleSql, quantizeElemSql}
+      val corpus =
+        s"""SELECT vec_id AS id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |FROM embeddings WHERE vec_id % 10 = 0
+           |UNION ALL
+           |SELECT vec_id + 2000000 AS id,
+           |  list_transform(embedding, x ->
+           |    ${dequantElemSql(quantizeElemSql("x", "qscale"), "qscale")}) AS v
+           |FROM (SELECT vec_id, embedding,
+           |    ${qscaleSql("embedding")} AS qscale
+           |  FROM embeddings WHERE vec_id % 40 = 3) s""".stripMargin
+      val ev =
+        """SELECT vec_id AS id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |FROM embeddings WHERE vec_id % 20 = 3""".stripMargin
+      graft.ann.Ann.semanticContaminationSql(corpus, ev, 0.98,
+        planes = 192, bands = 16)
     },
     "e_knn_classify" ->
       graft.ann.Ann.knnClassifySql(

@@ -1200,4 +1200,137 @@ object Ann {
        |  AND ${cosineSql("ea.v", "eb.v", dim)} >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Recall@n of any approximate ANN result against the EXACT cosine
+    * top-n ([[bruteForceTopK]]) — the quality gate for the probe/band
+    * knobs: a band-width or probe-count regression shows up as a
+    * dropped per-query integer instead of a silent ranking drift.
+    * `approx` is any frame with `(query_id, neighbor_id)` (extra
+    * columns ignored). Output `(query_id, n_hits)`, all-integer →
+    * engine-exact. The exact side is an all-pairs VERIFIER — run on
+    * bounded query sets, never corpus × corpus.
+    */
+  def annRecall(
+      approx: DataFrame, queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+  ): DataFrame = {
+    val exact = bruteForceTopK(queries, candidates, idCol, vecCol, n)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB rendering of [[annRecall]]: `approxSql` produces the
+    * approximate `(query_id, neighbor_id, ...)` rows (e.g.
+    * [[lshTopKSql]] / [[ivfTopKHashCellsSql]]); the exact side is the
+    * cosine top-n over `embeddings` with queries restricted by
+    * `queryWhere`.
+    */
+  def annRecallSql(
+      approxSql: String, queryWhere: String, n: Int, dim: Int = 64,
+  ): String = {
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
+    s"""WITH ap AS ($approxSql),
+       |xq AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE ($queryWhere) AND $nz),
+       |xc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+       |  FROM embeddings WHERE $nz),
+       |xr AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosineSql("qv", "cv", dim)} DESC, neighbor_id) AS rnk
+       |  FROM xq JOIN xc ON query_id <> neighbor_id),
+       |xt AS (SELECT query_id, neighbor_id FROM xr WHERE rnk <= $n)
+       |SELECT ap.query_id,
+       |  CAST(SUM(CASE WHEN xt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |FROM ap LEFT JOIN xt
+       |  ON ap.query_id = xt.query_id AND ap.neighbor_id = xt.neighbor_id
+       |GROUP BY ap.query_id ORDER BY ap.query_id""".stripMargin
+  }
+
+  /** Embedding-space decontamination: corpus rows whose cosine to ANY
+    * eval-set embedding reaches `threshold` — the semantic twin of the
+    * shingle-overlap scan in [[graft.dedup.Dedup.contamination]],
+    * catching paraphrased/re-encoded eval leakage that exact n-gram
+    * overlap misses. Returns `(id, n_eval_hits, max_cos)` per
+    * contaminated corpus row.
+    *
+    * Same banded-LSH candidate construction as [[cosineNearDupLsh]]
+    * but cross-frame: both sides compute `bands` keys of `r =
+    * planes/bands` sign bits; candidates share a (band, key) cell —
+    * an equi-join, never all-pairs. 100 TB shape: the corpus never
+    * self-joins; the eval side is tiny (benchmark suites are
+    * thousands of rows, the corpus billions) so its exploded band
+    * keys broadcast and the whole scan is map-side against the
+    * corpus — no corpus shuffle at all. `maxBucketSize > 0` drops
+    * corpus-hot cells via the same broadcast census as the dedup
+    * paths; leave it 0 when (as in decontamination) false negatives
+    * are the expensive mistake.
+    */
+  def semanticContamination(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 192, bands: Int = 16, dim: Int = 64,
+      maxBucketSize: Int = 0,
+  ): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    def sides(df: DataFrame, idA: String, vA: String, nA: String) =
+      df.select(col(idCol).as(idA), col(vecCol).as(vA),
+        norm(col(vecCol)).as(nA),
+        posexplode(lshBandKeys(col(vecCol), bands, r, dim))
+          .as(Seq("band", "bkey")))
+        .filter(col(nA) > 0)
+    val c0 = sides(corpus, "id", "cv", "cn")
+    val c =
+      if (maxBucketSize <= 0) c0
+      else {
+        val hot = c0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+          .select(col("band"), col("bkey"))
+        c0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
+    val e = broadcast(sides(evalSet, "eval_id", "ev", "en"))
+    c.join(e, Seq("band", "bkey"))
+      .select(col("id"), col("eval_id"),
+        cosinePre(col("cv"), col("ev"), col("cn"), col("en")).as("cos"))
+      .dropDuplicates("id", "eval_id")
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_eval_hits"),
+        max(col("cos")).as("max_cos"))
+  }
+
+  /** DuckDB rendering of [[semanticContamination]] (census off).
+    * `corpusSql` / `evalSql` each produce `(id, v)`.
+    */
+  def semanticContaminationSql(
+      corpusSql: String, evalSql: String, threshold: Double,
+      planes: Int = 192, bands: Int = 16, dim: Int = 64,
+  ): String = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    def bandedSql(rel: String) = (0 until bands).map { b =>
+      s"SELECT id, v, $b AS band, ${lshBandKeySql("v", b, r, dim)} AS bkey " +
+        s"FROM $rel WHERE ${dotSql("v", "v", dim)} > 0"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH corpus AS ($corpusSql),
+       |ev AS ($evalSql),
+       |cb AS (
+       |${bandedSql("corpus")}),
+       |eb AS (
+       |${bandedSql("ev")}),
+       |cand AS (SELECT DISTINCT cb.id AS id, eb.id AS eval_id
+       |  FROM cb JOIN eb ON cb.band = eb.band AND cb.bkey = eb.bkey),
+       |hits AS (SELECT cand.id, cand.eval_id,
+       |    ${cosineSql("c.v", "e.v", dim)} AS cos
+       |  FROM cand JOIN corpus c ON cand.id = c.id
+       |    JOIN ev e ON cand.eval_id = e.id
+       |  WHERE ${cosineSql("c.v", "e.v", dim)} >= $threshold)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |  max(cos) AS max_cos
+       |FROM hits GROUP BY id ORDER BY id""".stripMargin
+  }
 }

@@ -23,8 +23,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     // broadcast centroid array is a BroadcastNestedLoopJoin by design.
     // At test scale a dropped equi-key plans BroadcastNestedLoopJoin
     // (small side broadcastable), NOT CartesianProduct — guard both.
-    for (q <- Seq("e_ann_lsh", "e_cos_neardup_lsh", "d_minhash_lsh",
-      "d_simhash_pairs", "d_ngram_jaccard", "d_contamination")) {
+    for (q <- Seq("e_ann_lsh", "e_cos_neardup_lsh", "e_semantic_contam",
+      "d_minhash_lsh", "d_simhash_pairs", "d_ngram_jaccard",
+      "d_contamination")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
