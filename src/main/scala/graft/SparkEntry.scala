@@ -299,20 +299,21 @@ object SparkEntry {
       // pass. The threshold is 1.5× the MEAN per-part value —
       // scale-invariant, unlike a fixed fraction of the total (which
       // empties as the part count grows).
-      val perPartDec = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(dec(sum(revenueExpr), 28, 8).as("pv_dec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val total = perPartDec
-        .agg(decAgg(sum(col("pv_dec")), 30, 8).as("total_value"),
-          count(lit(1)).as("np"))
-      perPartDec
-        .select(col("l_partkey"),
-          col("pv_dec").cast(StringType).cast(DoubleType).as("part_value"))
-        .crossJoin(broadcast(total))
-        .filter(col("part_value") > lit(1.5) * (col("total_value") / col("np")))
-        .select(col("l_partkey"), col("part_value"))
-        .orderBy(col("part_value").desc, col("l_partkey"))
+      graft.ops.Caching.withPersisted(
+        t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(dec(sum(revenueExpr), 28, 8).as("pv_dec"))) { perPartDec =>
+        val total = perPartDec
+          .agg(decAgg(sum(col("pv_dec")), 30, 8).as("total_value"),
+            count(lit(1)).as("np"))
+        perPartDec
+          .select(col("l_partkey"),
+            col("pv_dec").cast(StringType).cast(DoubleType).as("part_value"))
+          .crossJoin(broadcast(total))
+          .filter(col("part_value") > lit(1.5) * (col("total_value") / col("np")))
+          .select(col("l_partkey"), col("part_value"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+      }
     }),
     "q12_priority_counts" -> ((s, dir) => {
       // TPC-H Q12 shape: conditional counts (sum-of-CASE) after a
@@ -381,19 +382,21 @@ object SparkEntry {
       val parts = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#23")
         .select(col("p_partkey"))
-      val li = t(s, dir, "lineitem")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val avgQ = li
-        .groupBy(col("l_partkey").as("a_partkey"))
-        .agg((decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2) /
-          count(lit(1))).as("avg_qty"))
-      li.join(avgQ, col("l_partkey") === col("a_partkey"))
-        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-        .agg((decAgg(sum(dec(col("l_extendedprice"), 18, 2)), 28, 2) /
-          lit(7.0)).as("avg_yearly"),
-          count(lit(1)).as("n_lines"))
+      graft.ops.Caching.withPersisted(
+        t(s, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))) { li =>
+        val avgQ = li
+          .groupBy(col("l_partkey").as("a_partkey"))
+          .agg((decAgg(sum(dec(col("l_quantity"), 12, 2)), 18, 2) /
+            count(lit(1))).as("avg_qty"))
+        li.join(avgQ, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg((decAgg(sum(dec(col("l_extendedprice"), 18, 2)), 28, 2) /
+            lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      }
     }),
     "q19_disjunctive_filter" -> ((s, dir) => {
       // TPC-H Q19 shape: an OR-of-ANDs predicate across both join
@@ -423,24 +426,26 @@ object SparkEntry {
       // persists so the scalar and the probe share ONE scan (the
       // q11/q17 discipline). Grouped totals are exact decimal sums
       // rendered as doubles only at the output edge.
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val avgBal = cust
-        .filter(col("c_acctbal") > 0.0)
-        .agg((decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2) /
-          count(lit(1))).as("avg_bal"))
-      val urgent = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey"))
-      cust
-        .crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("avg_bal"))
-        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"),
-          decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2).as("totacctbal"))
-        .orderBy(col("c_nationkey"))
+      graft.ops.Caching.withPersisted(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal"))) { cust =>
+        val avgBal = cust
+          .filter(col("c_acctbal") > 0.0)
+          .agg((decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2) /
+            count(lit(1))).as("avg_bal"))
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        cust
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            decAgg(sum(dec(col("c_acctbal"), 12, 2)), 18, 2).as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      }
     }),
     "q14_promo_revenue" -> ((s, dir) => {
       // TPC-H Q14 shape: promo share of one month's revenue — part is
@@ -1692,19 +1697,20 @@ object SparkEntry {
       // (1/8 and 7/8 interpolate exactly in doubles for int inputs).
       // Band stats broadcast back onto the persisted corpus slice;
       // the clipped flag makes the affected tail auditable.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = docs.groupBy(col("lang"))
-        .agg(expr("percentile(n_chars, 0.125D)").as("lo"),
-          expr("percentile(n_chars, 0.875D)").as("hi"))
-      docs.join(broadcast(bands), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          least(greatest(col("n_chars").cast("double"), col("lo")), col("hi"))
-            .as("clamped"),
-          (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
-            .as("clipped"))
-        .orderBy(col("doc_id"))
+      graft.ops.Caching.withPersisted(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))) { docs =>
+        val bands = docs.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.125D)").as("lo"),
+            expr("percentile(n_chars, 0.875D)").as("hi"))
+        docs.join(broadcast(bands), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            least(greatest(col("n_chars").cast("double"), col("lo")), col("hi"))
+              .as("clamped"),
+            (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+              .as("clipped"))
+          .orderBy(col("doc_id"))
+      }
     }),
     "t_length_stats" -> ((s, dir) => {
       // per-language length profile; median of integers is exact on
@@ -1733,27 +1739,28 @@ object SparkEntry {
       // back onto the corpus; null-lang rows drop on both engines
       // (non-null-safe equi key). The docs slice persists so the
       // stats and probe consumers share one scan.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // n_chars squares as LONG: int*int wraps silently in Spark on
-      // per-row overflow (n_chars > 46340) while DuckDB's INTEGER
-      // multiply errors — cast first so both engines compute the same
-      // exact 64-bit sum at any document length
-      val stats = docs.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
-          sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("s2"))
-        .withColumn("mu", col("s1").cast("double") / col("n"))
-        .withColumn("sigma2",
-          col("s2").cast("double") / col("n") - col("mu") * col("mu"))
-        .select(col("lang"), col("mu"), col("sigma2"))
-      docs.join(broadcast(stats), Seq("lang"))
-        .filter((col("n_chars").cast("double") - col("mu")) *
-          (col("n_chars").cast("double") - col("mu")) > lit(2.25) * col("sigma2"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          ((col("n_chars").cast("double") - col("mu")) / sqrt(col("sigma2")))
-            .as("z"))
-        .orderBy(col("doc_id"))
+      graft.ops.Caching.withPersisted(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))) { docs =>
+        // n_chars squares as LONG: int*int wraps silently in Spark on
+        // per-row overflow (n_chars > 46340) while DuckDB's INTEGER
+        // multiply errors — cast first so both engines compute the same
+        // exact 64-bit sum at any document length
+        val stats = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+            sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("s2"))
+          .withColumn("mu", col("s1").cast("double") / col("n"))
+          .withColumn("sigma2",
+            col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+          .select(col("lang"), col("mu"), col("sigma2"))
+        docs.join(broadcast(stats), Seq("lang"))
+          .filter((col("n_chars").cast("double") - col("mu")) *
+            (col("n_chars").cast("double") - col("mu")) > lit(2.25) * col("sigma2"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            ((col("n_chars").cast("double") - col("mu")) / sqrt(col("sigma2")))
+              .as("z"))
+          .orderBy(col("doc_id"))
+      }
     }),
     "p_pack_sequences" -> ((s, dir) => {
       // context-window packing: 1024-token sequences over 8 shards —

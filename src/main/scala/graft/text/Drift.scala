@@ -31,24 +31,19 @@ import org.apache.spark.sql.functions._
   * global sort). Text never shuffles — only (term, count) rows move.
   * The censuses are persisted by default (each feeds its total AND
   * the join — without materialization the corpus is tokenized twice
-  * per side); pass `persistCensus = false` when the caller owns the
-  * lifecycle.
-  *
-  * Cache lifecycle contract (this applies to every persist-by-default
-  * operator in the library — tfidf `persistInput`, minhash
-  * `persistSignatures`, the q11/q17/q22 registry slices): the cache
-  * entries live until the SESSION drops them, because the returned
-  * DataFrame is lazy — unpersisting inside this function would evict
-  * the cache before the caller ever executes the plan. Spark's
-  * CacheManager dedupes identical input plans, so repeated calls over
-  * the SAME slices reuse one entry; calls over VARYING slices in a
-  * long-lived session accumulate MEMORY_AND_DISK entries until
-  * executor storage evicts them under pressure (LRU — correctness is
-  * unaffected, but eviction wastes the materialization). Long-lived
-  * sessions should either unpersist after their terminal action
-  * (`spark.catalog.clearCache()` between pipeline stages, as
-  * Bench does per pass) or pass `persistCensus = false` and persist
-  * the inputs themselves.
+  * per side). Because the result is terminal and k-sized, the
+  * persist is LOANED via [[graft.ops.Caching.withPersisted]]: the
+  * top-k materializes eagerly inside the call and the census cache
+  * entries are released before return, so the session's CacheManager
+  * stays empty afterwards (see Caching's scaladoc for the
+  * localCheckpoint trade-off). Pass `persistCensus = false` for the
+  * fully-lazy plan when the caller persisted the inputs themselves.
+  * Operators whose results are corpus-sized (minhash
+  * `persistSignatures`, tfidf `persistInput`) keep the session-scoped
+  * persist instead — loaning them would materialize frames that are
+  * not small, and their cache entries are the plan a multi-query
+  * session wants to reuse; release those with `unpersist`/
+  * `clearCache` between pipeline stages, as Bench does per pass.
   */
 object Drift {
 
@@ -67,15 +62,21 @@ object Drift {
     require(k > 0, s"k $k must be positive")
     // each census feeds BOTH its grand total and the full-outer join;
     // without materialization Catalyst recomputes the lineage and the
-    // corpus is tokenized twice per side (the tfidf persistInput /
-    // minhash persistSignatures pattern — cache the vocabulary-sized
-    // frame, touch the corpus exactly once per side)
-    def maybePersist(df: DataFrame) =
-      if (persistCensus)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    val ca = maybePersist(census(a, textColA, "n_a"))
-    val cb = maybePersist(census(b, textColB, "n_b"))
+    // corpus is tokenized twice per side. The persist is LOANED
+    // (Caching.withPersisted): the k-row result materializes eagerly
+    // and the census cache entries are released before return, so a
+    // long-lived session never accumulates dead vocabulary frames.
+    // persistCensus = false keeps the fully-lazy plan for callers who
+    // persisted upstream themselves.
+    if (persistCensus)
+      graft.ops.Caching.withPersisted(
+        census(a, textColA, "n_a"), census(b, textColB, "n_b")) {
+        (ca, cb) => chi2TopK(ca, cb, k)
+      }
+    else chi2TopK(census(a, textColA, "n_a"), census(b, textColB, "n_b"), k)
+  }
+
+  private def chi2TopK(ca: DataFrame, cb: DataFrame, k: Int): DataFrame = {
     val tot = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("__na"))
       .crossJoin(cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("__nb")))
     val dA = col("n_a").cast("double")

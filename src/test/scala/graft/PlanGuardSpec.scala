@@ -13,8 +13,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    // loan-scoped queries (Caching.withPersisted) checkpoint eagerly,
+    // so the returned frame is a bare ExistingRDD scan — the plan
+    // under guard is the loan body's, captured at loan time
+    if (p.contains("Scan ExistingRDD")) graft.ops.Caching.lastLoanPlan else p
+  }
 
   test("banded/bucketed similarity paths never degenerate to an all-pairs join") {
     // e_ann_bruteforce / e_cos_neardup are EXCLUDED: all-pairs is their
