@@ -1529,6 +1529,27 @@ object SparkEntry {
           element_at(col("codes"), sb + 1).as(s"code_$sb")): _*)
         .orderBy("id")
     }),
+    "e_pq_pack_roundtrip" -> ((s, dir) => {
+      // packed-PQ storage gate: 4-bit pack → unpack must reproduce
+      // the encode exactly, AND the blob's byte layout (even code in
+      // the low nibble, odd in the high, byte j = code_2j | code_2j+1
+      // << 4) is pinned via its hex rendering — the oracle computes
+      // the same hex from the codes arithmetically, so a nibble-order
+      // or stride regression in the codegen'd expressions breaks the
+      // hash, not just a self-consistent roundtrip
+      import graft.ann.Ann
+      import graft.functions.PqCodes.{pq_pack, pq_unpack}
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val cb = Ann.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 64)
+      val enc = Ann.pqEncode(emb, "vec_id", "embedding", cb, 8, 64)
+        .withColumn("packed", pq_pack(col("codes"), 4))
+        .withColumn("codes2", pq_unpack(col("packed"), 4, 8))
+      enc.select(col("id") +:
+        lower(hex(col("packed"))).as("packed_hex") +:
+        (0 until 8).map(sb =>
+          element_at(col("codes2"), sb + 1).as(s"code_$sb")): _*)
+        .orderBy("id")
+    }),
     "e_pq_topk" -> ((s, dir) => {
       // PQ asymmetric-distance top-5 self-search: every double (the
       // per-query distance table, the ADC fold) is a fixed IEEE op
@@ -2993,6 +3014,19 @@ object SparkEntry {
       graft.ops.Sketches.kmvGroupsSql("orders", "o_orderpriority", "o_custkey", 64),
     "e_pq_encode" ->
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
+    "e_pq_pack_roundtrip" -> {
+      // byte j of the 4-bit packing is code_{2j} | code_{2j+1} << 4 —
+      // rendered as printf hex so the layout itself is under the hash
+      val hexExpr = (0 until 4).map(j =>
+        s"code_${2 * j} + code_${2 * j + 1} * 16").mkString(
+        "printf('%02x%02x%02x%02x', ", ", ", ")")
+      s"""WITH enc AS (${graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L,
+           "WHERE vec_id % 3 = 0")})
+         |SELECT id, $hexExpr AS packed_hex,
+         |  code_0, code_1, code_2, code_3,
+         |  code_4, code_5, code_6, code_7
+         |FROM enc ORDER BY id""".stripMargin
+    },
     "e_pq_topk" ->
       graft.ann.Ann.pqTopKSql(5, 8, 16, 64, 42L,
         "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
