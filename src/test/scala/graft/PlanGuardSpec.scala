@@ -74,6 +74,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(plan("d_contamination").contains("BroadcastHashJoin"))
   }
 
+  test("semantic decontamination broadcasts the eval band keys") {
+    // the corpus must never shuffle for the scan: the eval side's
+    // exploded band keys ride a broadcast hash join onto the corpus
+    // buckets (map-side at 100 TB); a shuffle join here would move
+    // the whole corpus on (band, bkey)
+    val p = plan("e_semantic_contam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"e_semantic_contam lost the broadcast eval side:\n$p")
+  }
+
   test("partition-pruned sink scan carries partition filters") {
     // the column must appear INSIDE the PartitionFilters bracket: every
     // parquet scan prints an (often empty) PartitionFilters key, and an
