@@ -137,6 +137,45 @@ object Streams {
       .drop("__fp")
   }
 
+  /** Streaming embedding-space decontamination — the semantic twin of
+    * [[decontaminateStream]] the way [[graft.ann.Ann.semanticContamination]]
+    * twins the batch fingerprint scan: corpus rows arriving on the
+    * stream are flagged when their cosine to ANY eval-set embedding
+    * reaches `threshold`. Stateless stream-static inner join: the
+    * stream side computes its banded LSH keys map-only, the static
+    * eval side's exploded band keys broadcast (eval suites are tiny),
+    * candidates meet on the (band, key) equi-join and the exact
+    * cosine filters them — no state store, no watermark required.
+    *
+    * Emits `(id, eval_id, cos)` AT-LEAST-ONCE: a pair colliding in
+    * several bands is emitted once per colliding band (global
+    * per-pair dedup would need a state store keyed by an unbounded
+    * pair space — the wrong trade for a flagging scan). Downstream
+    * either treats the flag as idempotent (quarantine by id) or
+    * exact-dedups per micro-batch in `foreachBatch`.
+    */
+  def semanticContamStream(
+      stream: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 192, bands: Int = 16, dim: Int = 64,
+  ): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    import graft.ann.Ann
+    def sides(df: DataFrame, idA: String, vA: String, nA: String) =
+      df.select(col(idCol).as(idA), col(vecCol).as(vA),
+        Ann.norm(col(vecCol)).as(nA),
+        posexplode(Ann.lshBandKeys(col(vecCol), bands, r, dim))
+          .as(Seq("band", "bkey")))
+        .filter(col(nA) > 0)
+    val e = broadcast(sides(evalSet, "eval_id", "ev", "en"))
+    sides(stream, "id", "cv", "cn")
+      .join(e, Seq("band", "bkey"))
+      .select(col("id"), col("eval_id"),
+        (Ann.dot(col("cv"), col("ev")) / (col("cn") * col("en"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   final case class FunnelOut(
       user_id: Long, step_idx: Int, step: String, ts: Timestamp)
 
