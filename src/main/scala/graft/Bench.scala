@@ -54,13 +54,6 @@ object Bench {
       val ts = passes.map(_(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // a failed query (-1 sentinel) must invalidate the headline total,
-    // not silently deflate it by 1s — totals stay comparable across runs
-    val total =
-      if (results.exists(_._2 < 0)) -1.0
-      else results.map(_._2).sum
     // bench-only extras: operators with no DuckDB oracle (engine-
     // specific floats) whose cost should stay visible as they evolve.
     // Timed min-of-2 after their own warmup; excluded from the total
@@ -102,13 +95,7 @@ object Bench {
           println(f"BENCH-TRIPWIRE: $n%s took $v%.2fs (${v / median}%.1fx the per-query median $median%.2fs) - audit its plan before shipping")
       }
     }
-    // a red board must never ship under a green-looking exit: name the
-    // failed queries in the JSON line AND exit nonzero (r10 shipped
-    // rc:0 with 18 queries at the -1 sentinel and nobody noticed until
-    // the judge did)
-    val failedNames = results.collect { case (n, v) if v < 0 => n }
-    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"failed":$failedJson,"sf":"$sfDir"}"""
+    val (line, failedNames) = renderLine(results, extras, sfDir)
     println(line)
     // the stdout line is also written to a file: captured stdout tails
     // get truncated (BENCH_r07.json lost 39 of 102 per-query timings),
@@ -124,5 +111,28 @@ object Bench {
           failedNames.mkString(", "))
       sys.exit(1)
     }
+  }
+
+  /** The emitted JSON line and the failed-query names. A failed query
+    * (the -1 sentinel) must invalidate the headline total — never
+    * silently deflate it — AND be NAMED in the line itself: r10
+    * shipped rc:0 with 18 queries at the sentinel, and the
+    * green-looking artifact hid a red board until the judge diffed
+    * the per-query map. main() exits nonzero whenever the returned
+    * name list is non-empty. Pure so the contract is spec-able
+    * without a SparkSession.
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)], extras: String, sfDir: String,
+  ): (String, Seq[String]) = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total =
+      if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
+    val failedNames = results.collect { case (n, v) if v < 0 => n }
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extras,"failed":$failedJson,"sf":"$sfDir"}""",
+      failedNames)
   }
 }
