@@ -1465,9 +1465,15 @@ object SparkEntry {
         .select(col("vec_id").as("id"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .unionByName(leaked)
-      Ann.semanticContamination(corpus, evalSet, "id", "v",
-        threshold = 0.98, planes = 192, bands = 16)
-        .orderBy("id")
+      // loan-persist the corpus: the materialization barrier stops
+      // Catalyst pushing the norm filter below the posexplode, which
+      // would re-inline the (large) twin dequant expression into the
+      // filter and codegen it twice; the flagged result is k-sized
+      graft.ops.Caching.withPersisted(corpus) { c =>
+        Ann.semanticContamination(c, evalSet, "id", "v",
+          threshold = 0.98, planes = 192, bands = 16)
+          .orderBy("id")
+      }
     }),
     "e_knn_classify" -> ((s, dir) => {
       // kNN label assignment (weak supervision): every 10th+1 vector

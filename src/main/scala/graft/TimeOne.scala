@@ -15,9 +15,15 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = args(0); val dir = args(1)
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, dir).count()
-    println(s"TIMING $name rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+    // optional third arg: repetitions in ONE session — rep 1 is the
+    // cold cost (codegen, footers), later reps the steady state
+    val reps = if (args.length > 2) args(2).toInt else 1
+    for (i <- 1 to reps) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(s"TIMING $name rep=$i rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+    }
     spark.stop()
   }
 }

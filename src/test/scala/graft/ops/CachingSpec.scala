@@ -46,7 +46,7 @@ class CachingSpec extends AnyFunSuite with SparkSpec {
     // must build AND execute without leaving a cache entry behind
     for (q <- Seq("q11_important_parts", "q17_small_quantity",
       "q22_idle_customers", "t_winsorize", "t_length_outliers",
-      "t_token_drift")) {
+      "t_token_drift", "e_semantic_contam")) {
       spark.catalog.clearCache()
       val n = SparkEntry.queries(q)(spark, sf).count()
       assert(n >= 0)
