@@ -957,6 +957,43 @@ object SparkEntry {
           percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
         .orderBy("lang", "doc_id")
     }),
+    "w_lead_lag_ntile" -> ((s, dir) => {
+      // offset/bucket window breadth: lead-delta, lag with default,
+      // ntile quartiles — deterministic because doc_id totally orders
+      // each partition (SQL-standard semantics on both engines)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0 && col("lang").isNotNull)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (lead(col("n_chars"), 1).over(w) - col("n_chars")).as("next_delta"),
+          lag(col("n_chars"), 1, -1L).over(w).as("prev_chars"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("lang", "doc_id")
+    }),
+    "f_map_ops" -> ((s, dir) => {
+      // map-function breadth (map_from_entries / map_keys / map_values
+      // / element_at / map_filter / aggregate-over-values): per-source
+      // language histogram as a map column, probed down to primitive
+      // outputs (map PHYSICAL rendering differs between engines — the
+      // decimal lesson — so the gated schema is scalar-only). Sorted
+      // entries make the map construction deterministic; null langs
+      // are excluded (Spark map keys cannot be null).
+      val c = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      c.groupBy(col("source"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("lang"), col("n")))))
+          .as("m"))
+        .select(col("source"),
+          size(col("m")).as("n_langs"),
+          element_at(col("m"), "en").as("en_docs"),
+          array_join(map_keys(col("m")), ",").as("langs"),
+          aggregate(map_values(col("m")), lit(0L), _ + _).as("n_docs"),
+          size(expr("map_filter(m, (k, v) -> v >= 10)")).as("n_major"))
+        .orderBy("source")
+    }),
     "f_array_ops" -> ((s, dir) => {
       // higher-order array function breadth (transform / filter /
       // aggregate / zip_with) over a constructed integer array —
@@ -2684,6 +2721,27 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 20 = 0
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
         |ORDER BY lang, doc_id""".stripMargin,
+    "w_lead_lag_ntile" ->
+      """SELECT lang, doc_id, n_chars,
+        |lead(n_chars) OVER w - n_chars AS next_delta,
+        |lag(n_chars, 1, -1) OVER w AS prev_chars,
+        |CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM documents WHERE doc_id % 20 = 0 AND lang IS NOT NULL
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+        |ORDER BY lang, doc_id""".stripMargin,
+    "f_map_ops" ->
+      // the oracle models the SEMANTICS of each map probe in plain
+      // SQL (sizes, lookups, joined keys) rather than constructing an
+      // engine-map — the gated schema is scalar-only by design
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2)
+        |SELECT source,
+        |CAST(count(*) AS INT) AS n_langs,
+        |SUM(CASE WHEN lang = 'en' THEN n END) AS en_docs,
+        |string_agg(lang, ',' ORDER BY lang) AS langs,
+        |CAST(SUM(n) AS BIGINT) AS n_docs,
+        |CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS INT) AS n_major
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "f_array_ops" ->
       """SELECT doc_id,
         |CAST(list_aggregate(list_transform(range(1, 2 + doc_id % 7), x -> x * x), 'sum') AS BIGINT) AS sq_sum,
