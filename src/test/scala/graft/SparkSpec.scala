@@ -10,8 +10,10 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries ns timestamps; read them as raw longs
-      // exactly like the Verify/Bench/TimeOne sessions do
+      // old events.parquet vintages carry NANOS-annotated timestamps;
+      // this reads those as raw longs exactly like the Verify/Bench/
+      // TimeOne sessions do (a no-op on timestamp[us] vintages — the
+      // read boundary in SparkEntry normalizes either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

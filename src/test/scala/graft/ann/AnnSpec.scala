@@ -413,4 +413,31 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bounded == unbounded && bounded.nonEmpty)
   }
+
+  test("semanticContamination census drops corpus-hot cells, keeps the rest") {
+    import spark.implicits._
+    // corpus: 30 IDENTICAL vectors (every band cell they occupy holds
+    // all 30 — hot under any maxBucketSize < 30) plus one distinct
+    // vector; eval: copies of both. With the census off both flag;
+    // with maxBucketSize=5 the identical block's cells are censored
+    // so only the distinct vector survives the scan.
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextDouble() - 0.5)
+    }
+    val hot = (0 until 30).map(i => (i.toLong, vec(7)))
+    val lone = Seq((100L, vec(11)))
+    val corpus = (hot ++ lone).toDF("id", "v")
+    val evalSet = Seq((900L, vec(7)), (901L, vec(11))).toDF("id", "v")
+    def flagged(maxBucket: Int) = Ann.semanticContamination(
+      corpus, evalSet, "id", "v", threshold = 0.999,
+      maxBucketSize = maxBucket)
+      .select("id").as[Long].collect().toSet
+    val open = flagged(0)
+    assert(open == (0L until 30L).toSet + 100L,
+      s"census-off scan missed planted duplicates: $open")
+    val censored = flagged(5)
+    assert(censored == Set(100L),
+      s"maxBucketSize=5 should censor the 30-way hot block: $censored")
+  }
 }
