@@ -2199,6 +2199,16 @@ object SparkEntry {
       Sources.writeJson(nation, s"$out/n")
       Sources.readJson(s, s"$out/n", nation.schema).orderBy("n_nationkey")
     }),
+    "s_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink/scan roundtrip (Spark-native columnar alternative);
+      // the oracle reads the parquet source, so the hash-match proves
+      // the ORC write+read preserved every value
+      import graft.sources.Sources
+      val nation = t(s, dir, "nation")
+      val out = s"${scratchRoot()}/orc_roundtrip"
+      Sources.writeOrc(nation, s"$out/n")
+      Sources.readOrc(s, s"$out/n").orderBy("n_nationkey")
+    }),
     "s_heavy_hitters" -> ((s, dir) => {
       // join-key skew diagnosis: top-25 part keys by lineitem row
       // count with exact share — one map-combined hash agg, total
@@ -3465,6 +3475,8 @@ object SparkEntry {
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_heavy_hitters" ->
       """WITH c AS (SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1),

@@ -72,6 +72,17 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink/scan — the columnar alternative when the lakehouse
+    * standardizes on ORC (Hive estates): same predicate-pushdown and
+    * column-pruning behavior as the parquet path (`.explain` shows
+    * PushedFilters/ReadSchema on the OrcScan).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The manifest [[writeSharded]] computes: one row per shard with
     * its row count and order-independent content checksum.
     */
