@@ -1216,10 +1216,18 @@ object Ann {
   ): DataFrame = {
     val exact = bruteForceTopK(queries, candidates, idCol, vecCol, n)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    approx.select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+    // report over the FULL (nonzero-norm) query set: a query whose
+    // probe buckets came up empty has recall ZERO — dropping its row
+    // would overstate the index (21-of-25 rows once hid 4 dead
+    // queries behind a healthy-looking average)
+    queries.select(col(idCol).as("query_id"), norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0).select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .orderBy(col("query_id"))
   }
 
@@ -1242,12 +1250,15 @@ object Ann {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY ${cosineSql("qv", "cv", dim)} DESC, neighbor_id) AS rnk
        |  FROM xq JOIN xc ON query_id <> neighbor_id),
-       |xt AS (SELECT query_id, neighbor_id FROM xr WHERE rnk <= $n)
-       |SELECT ap.query_id,
-       |  CAST(SUM(CASE WHEN xt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-       |FROM ap LEFT JOIN xt
-       |  ON ap.query_id = xt.query_id AND ap.neighbor_id = xt.neighbor_id
-       |GROUP BY ap.query_id ORDER BY ap.query_id""".stripMargin
+       |xt AS (SELECT query_id, neighbor_id FROM xr WHERE rnk <= $n),
+       |agg AS (SELECT ap.query_id,
+       |    CAST(SUM(CASE WHEN xt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM ap LEFT JOIN xt
+       |    ON ap.query_id = xt.query_id AND ap.neighbor_id = xt.neighbor_id
+       |  GROUP BY ap.query_id)
+       |SELECT xq.query_id, coalesce(agg.n_hits, 0) AS n_hits
+       |FROM xq LEFT JOIN agg ON xq.query_id = agg.query_id
+       |ORDER BY xq.query_id""".stripMargin
   }
 
   /** Embedding-space decontamination: corpus rows whose cosine to ANY
