@@ -1414,12 +1414,14 @@ object SparkEntry {
     "e_ann_lsh_recall" -> ((s, dir) => {
       // LSH quality gate: recall@10 vs the exact cosine top-10, one
       // integer per query — a probe/band-width regression drops the
-      // count instead of silently degrading the ranking
+      // count instead of silently degrading the ranking. Gated at
+      // multiProbe=2 (the production dial for corpora without dense
+      // near-neighbors); e_ann_lsh pins the level-1 default path
       import graft.ann.Ann
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 20 === 0)
       Ann.annRecall(
-        Ann.lshTopK(q, emb, "vec_id", "embedding", k = 10),
+        Ann.lshTopK(q, emb, "vec_id", "embedding", k = 10, multiProbe = 2),
         q, emb, "vec_id", "embedding", n = 10)
     }),
     "e_ann_ivf_recall" -> ((s, dir) => {
@@ -3029,7 +3031,7 @@ object SparkEntry {
       graft.ann.Ann.ivfTopKHashCellsSql("vec_id < 3", k = 5),
     "e_ann_lsh_recall" ->
       graft.ann.Ann.annRecallSql(
-        graft.ann.Ann.lshTopKSql("vec_id % 20 = 0", k = 10),
+        graft.ann.Ann.lshTopKSql("vec_id % 20 = 0", k = 10, multiProbe = 2),
         "vec_id % 20 = 0", n = 10),
     "e_ann_ivf_recall" ->
       graft.ann.Ann.annRecallSql(

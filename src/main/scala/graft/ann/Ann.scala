@@ -217,9 +217,29 @@ object Ann {
       s"(CASE WHEN $proj > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** Probe masks for [[lshTopK]]: the query's own bucket, every
+    * 1-bit flip, and (at `multiProbe = 2`) every 2-bit flip — the
+    * standard multi-probe LSH recall/cost dial. Probe count is
+    * 1 + p at level 1 and 1 + p + p(p−1)/2 at level 2 (79 for the
+    * default 12 planes): each probe multiplies the candidate volume
+    * by its bucket's occupancy, so level 2 trades ~6× candidates for
+    * the ~6× recall gain of reaching hamming-2 buckets.
+    */
+  private def probeMasks(planes: Int, multiProbe: Int): Seq[Long] = {
+    require(multiProbe == 1 || multiProbe == 2,
+      s"multiProbe $multiProbe must be 1 (own + 1-bit) or 2 (+ 2-bit)")
+    val one = Seq(0L) ++ (0 until planes).map(p => 1L << p)
+    if (multiProbe == 1) one
+    else one ++ (for {
+      a <- 0 until planes; b <- a + 1 until planes
+    } yield (1L << a) | (1L << b))
+  }
+
   /** LSH-bucketed ANN: candidates must share the query's bucket or a
-    * 1-bit-flip neighbor bucket. Returns the same schema as
-    * [[bruteForceTopK]]; recall < 1 by construction.
+    * bucket within `multiProbe` bit flips of it. Returns the same
+    * schema as [[bruteForceTopK]]; recall < 1 by construction
+    * (candidates at `multiProbe = 2` are a strict superset of level
+    * 1, so recall is monotone in the dial — AnnSpec pins this).
     *
     * `dim` must equal the embedding width (see [[lshSignature]] —
     * mismatches raise rather than silently single-bucketing).
@@ -227,14 +247,15 @@ object Ann {
   def lshTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 12, dim: Int = 64,
+      multiProbe: Int = 1,
   ): DataFrame = {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
       .filter(col("cn") > 0) // zero-norm: see bruteForceTopK
-    // query probes: own bucket + all 1-bit flips (norm computed before
-    // the probe explode — once per query, not once per probe)
-    val probes = (0 until planes).map(p => lit(1L << p)) :+ lit(0L)
+    // query probes (norm computed before the probe explode — once per
+    // query, not once per probe)
+    val probes = probeMasks(planes, multiProbe).map(lit)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"),
       lshSignature(col(vecCol), planes, dim).as("qsig"))
@@ -257,9 +278,10 @@ object Ann {
     */
   def lshTopKSql(
       queryWhere: String, k: Int, planes: Int = 12, dim: Int = 64,
+      multiProbe: Int = 1,
   ): String = {
     val sig = lshSignatureSql("embedding", planes, dim)
-    val masks = ((0 until planes).map(p => 1L << p) :+ 0L).mkString(", ")
+    val masks = probeMasks(planes, multiProbe).mkString(", ")
     val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
     s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv, $sig AS bucket
        |  FROM embeddings WHERE $nz),

@@ -414,6 +414,25 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(bounded == unbounded && bounded.nonEmpty)
   }
 
+  test("multi-probe LSH recall is monotone in the probe dial") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 20 === 0)
+    def recall(mp: Int) = Ann.annRecall(
+      Ann.lshTopK(q, emb, "vec_id", "embedding", k = 10, multiProbe = mp),
+      q, emb, "vec_id", "embedding", n = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r1.keySet == r2.keySet)
+    // level-2 probes reach a strict superset of buckets, so per-query
+    // recall can only grow
+    for ((qid, h1) <- r1)
+      assert(r2(qid) >= h1, s"query $qid: mp2 ${r2(qid)} < mp1 $h1")
+    assert(r2.values.sum > r1.values.sum,
+      "2-bit probes found nothing extra on the whole query set — dial inert")
+  }
+
   test("semanticContamination census drops corpus-hot cells, keeps the rest") {
     import spark.implicits._
     // corpus: 30 IDENTICAL vectors (every band cell they occupy holds
