@@ -1514,6 +1514,23 @@ object SparkEntry {
           .orderBy("id")
       }
     }),
+    "e_semdedup_apply" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup APPLIED: exact cosine pairs →
+      // connected components → drop every non-canonical cluster
+      // member — the surviving embedding corpus (at scale the pairs
+      // come from cosineNearDupLsh / the banded scan; the exact
+      // finder keeps the oracle value-exact). Zero-norm vectors are
+      // never pair-flagged, so they survive by construction.
+      // Executes eagerly like d_dedup_apply (iterative CC step)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val pairs = graft.ann.Ann.cosineNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.3)
+      val clusters = graft.dedup.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      graft.dedup.Dedup.dedupApply(emb, "vec_id", clusters)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
     "e_knn_classify" -> ((s, dir) => {
       // kNN label assignment (weak supervision): every 10th+1 vector
       // classified by majority label of its 5 nearest labeled
@@ -3022,6 +3039,19 @@ object SparkEntry {
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
            |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3""".stripMargin),
+    "e_semdedup_apply" -> {
+      val pairs =
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+           |  AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE ${graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)} >= 0.3""".stripMargin
+      s"""${graft.dedup.Dedup.ccCtes(pairs)},
+         |dups AS (SELECT id FROM cc WHERE id <> cluster)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT id FROM dups)
+         |ORDER BY vec_id""".stripMargin
+    },
     // approximate ANN variants: the md5-keyed LSH planes and hash-cell
     // IVF quantizer are deterministic and reproduced verbatim in
     // DuckDB, so even the *approximate* results are value-exact
