@@ -1859,6 +1859,44 @@ object SparkEntry {
         "doc_id", "text", k = 5)
         .orderBy("id", "rnk")
     }),
+    "t_bpe_pairs" -> ((s, dir) => {
+      // round-1 BPE statistic (freq-weighted adjacent char pairs over
+      // the word census) — the SQL-expressible core of the trainer,
+      // hash-gated; the iterative rounds are the same plan over
+      // merged symbols (BpeSpec pins the worked-example merges)
+      import graft.text.Bpe
+      val census = Bpe.wordCensus(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text")
+      Bpe.pairCounts(census,
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(20)
+    }),
+    "t_bpe_merges" -> ((s, dir) => {
+      // the trained merge table itself (rank, lhs, rhs, n) — not
+      // SQL-expressible (k-round iterative argmax), so this entry has
+      // NO oracleSql: the driver records the weaker rows-only check,
+      // and BpeSpec carries the exactness claim on a hand-computed
+      // corpus. Deterministic: total-order tie-break per round.
+      import graft.text.Bpe
+      val census = Bpe.wordCensus(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text")
+      val (merges, _) = Bpe.train(census, numMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+        .toDF("rank", "lhs", "rhs", "n")
+    }),
+    "t_bpe_encode" -> ((s, dir) => {
+      // corpus encoded with the trained vocab: per-doc subword and
+      // OOV counts (the packing-budget numbers). Rows-only for the
+      // same reason as t_bpe_merges; the vocab join is broadcast.
+      import graft.text.Bpe
+      val docs = t(s, dir, "documents")
+      val census = Bpe.wordCensus(docs.filter(col("doc_id") % 10 === 0), "text")
+      val (_, seg) = Bpe.train(census, numMerges = 8)
+      Bpe.encodeStats(docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", seg)
+        .orderBy("id")
+    }),
     "t_vocab_top" -> ((s, dir) => {
       // corpus vocabulary census: top-50 tokens with corpus + document
       // frequency — plans as TakeOrderedAndProject (distributed heap),
@@ -2969,6 +3007,11 @@ object SparkEntry {
          |  CASE WHEN $member < 250000 THEN 'test' ELSE 'train' END AS split
          |FROM k ORDER BY doc_id""".stripMargin
     },
+    "t_bpe_pairs" ->
+      graft.text.Bpe.pairCountsSql(20, "WHERE doc_id % 10 = 0"),
+    // t_bpe_merges / t_bpe_encode intentionally have NO oracle: the
+    // k-round iterative argmax is not SQL-expressible; the driver
+    // records rows-only and BpeSpec pins exactness (see entries)
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training over a corpus — the
+  * subword-tokenizer half of the text family (the reference has no
+  * text pipeline; this extends SURVEY §2.5's scalar-library /
+  * text-analysis categories the way `Vocab` does for word-level).
+  *
+  * The algorithm trains on the WORD CENSUS, not the raw corpus — the
+  * standard formulation (Sennrich et al. 2016; production trainers do
+  * the same): the corpus collapses to `(word, freq)` once (one
+  * shuffle, map-side combined), and every merge round then runs over
+  * the vocabulary-sized frame only. At 100 TB the census is the only
+  * corpus-sized step; the k merge rounds touch data proportional to
+  * |vocab|, with `localCheckpoint` truncating lineage per round
+  * exactly like [[graft.dedup.Dedup.connectedComponents]].
+  *
+  * Determinism: the merge choice each round is (max summed freq,
+  * then lexicographic (lhs, rhs)) — a total order, so training is
+  * reproducible across partitionings and engines. The per-round
+  * argmax is a 1-row TakeOrdered collect — k driver rows total, the
+  * same bounded-driver-loop budget as connected components'
+  * convergence counts.
+  *
+  * Merging applies LEFT-TO-RIGHT within each word via an `aggregate`
+  * fold: on a run like `aaa` with merge (a,a) the leftmost pair
+  * merges first → `[aa, a]` — the standard BPE greedy-scan rule.
+  */
+object Bpe {
+
+  /** `(word, freq)` census — tokenization is the library rule
+    * (lowercased, whitespace-split; [[TextFunctions.tokens]]).
+    */
+  def wordCensus(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(sum(lit(1L)).as("freq"))
+
+  /** Freq-weighted adjacent-pair counts over symbol arrays `symCol`
+    * — the statistic each merge round maximizes. Exposed for the
+    * round-1 (character-pair) instance, which is SQL-expressible and
+    * hash-gated (`t_bpe_pairs`); later rounds run the same plan over
+    * the merged symbols.
+    */
+  def pairCounts(census: DataFrame, symCol: Column): DataFrame =
+    census.select(col("freq"), symCol.as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** DuckDB rendering of the round-1 character-pair statistic over
+    * `documents(text)` restricted by `whereClause`: top-`k` pairs by
+    * weighted count, ties to (lhs, rhs).
+    */
+  def pairCountsSql(k: Int, whereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH w AS (SELECT word, CAST(sum(1) AS BIGINT) AS freq FROM (
+       |    SELECT unnest($toks) AS word FROM documents $whereClause)
+       |  GROUP BY word),
+       |p AS (SELECT substr(word, CAST(i AS INT), 1) AS lhs,
+       |    substr(word, CAST(i AS INT) + 1, 1) AS rhs, freq
+       |  FROM w, unnest(range(1, length(word))) AS t(i)
+       |  WHERE length(word) >= 2)
+       |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n
+       |FROM p GROUP BY lhs, rhs
+       |ORDER BY n DESC, lhs, rhs LIMIT $k""".stripMargin
+  }
+
+  /** One merge applied left-to-right: adjacent `(a, b)` becomes the
+    * concatenated symbol. A fold with lookback — `acc` ends with `a`
+    * and the next symbol is `b` → replace the tail with `a ++ b`;
+    * a just-merged tail never re-merges (it no longer equals `a`
+    * unless genuinely so), giving the standard greedy scan.
+    */
+  def mergeStep(syms: Column, a: String, b: String): Column = {
+    val qa = lit(a)
+    val qb = lit(b)
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === qa && x === qb,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(qa, qb))))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Train `numMerges` BPE merges on a word census. Returns the merge
+    * table in rank order and the final per-word segmentation. Rounds
+    * stop early when the best pair's weighted count falls below
+    * `minPairFreq` (or no pair remains).
+    */
+  def train(
+      census: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
+  ): (Seq[(String, String, Long)], DataFrame) = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    var seg = census.select(col("word"), col("freq"),
+      expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var round = 0
+    while (!done && round < numMerges) {
+      // bounded driver argmax: ONE row per round (k rows total), the
+      // sanctioned driver-loop pattern (see scaladoc)
+      val top = pairCounts(seg, col("syms"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minPairFreq) done = true
+      else {
+        val (a, b, n) = (top(0).getAs[String]("lhs"),
+          top(0).getAs[String]("rhs"), top(0).getAs[Long]("n"))
+        merges += ((a, b, n))
+        val next = seg.withColumn("syms", mergeStep(col("syms"), a, b))
+          .localCheckpoint() // constant-size plan per round
+        seg.unpersist()
+        seg = next
+      }
+      round += 1
+    }
+    (merges.toSeq, seg)
+  }
+
+  /** Encode a corpus with a trained segmentation: tokens resolve
+    * through a broadcast-joined `(word, syms)` vocabulary (the fast
+    * path production encoders use for known words); OOV words fall
+    * back to character symbols. Output: one row per document with
+    * its subword count and OOV-token count — the budget numbers a
+    * packing/curation pass consumes.
+    */
+  def encodeStats(
+      df: DataFrame, idCol: String, textCol: String, segmentation: DataFrame,
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    toks.join(broadcast(segmentation.select(col("word"), col("syms"))),
+        Seq("word"), "left")
+      .select(col("id"),
+        coalesce(size(col("syms")), length(col("word"))).as("n_sub"),
+        col("syms").isNull.cast("int").as("oov"))
+      .groupBy(col("id"))
+      .agg(sum(col("n_sub")).cast("long").as("n_subwords"),
+        sum(col("oov")).cast("long").as("n_oov"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** BPE trainer pinned against the hand-computable classic corpus
+  * (hug/pug/hugs — Sennrich-style worked example) plus the greedy
+  * left-to-right merge rule, OOV fallback, and partitioning
+  * independence.
+  */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  import Bpe._
+
+  private def corpus() = {
+    import spark.implicits._
+    // "hug" ×10, "pug" ×5, "hugs" ×5 as documents
+    (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("merge sequence matches the worked example") {
+    val census = wordCensus(corpus(), "text")
+    val (merges, seg) = train(census, numMerges = 3)
+    // pairs round 1: (u,g)=20, (h,u)=15, (p,u)=5, (g,s)=5 -> merge ug
+    // round 2: (h,ug)=15, (p,ug)=5, (ug,s)=5 -> merge hug
+    // round 3: (p,ug)=5, (hug,s)=5 -> tie on n, lexicographic: hug<p
+    assert(merges.map(m => (m._1, m._2)) ==
+      Seq(("u", "g"), ("h", "ug"), ("hug", "s")))
+    assert(merges.map(_._3) == Seq(20L, 15L, 5L))
+    val segs = seg.collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+    assert(segs("hug") == Seq("hug"))
+    assert(segs("hugs") == Seq("hugs"))
+    assert(segs("pug") == Seq("p", "ug"))
+  }
+
+  test("greedy scan merges the leftmost pair first on runs") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+    val out = df.select(mergeStep(col("syms"), "a", "a").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+
+  test("training stops early below minPairFreq and on exhausted pairs") {
+    val census = wordCensus(corpus(), "text")
+    val (merges, _) = train(census, numMerges = 100, minPairFreq = 6L)
+    // only (u,g)=20 and (h,ug)=15 clear a floor of 6
+    assert(merges.map(m => (m._1, m._2)) == Seq(("u", "g"), ("h", "ug")))
+  }
+
+  test("encodeStats resolves known words via the vocab and char-splits OOV") {
+    import spark.implicits._
+    val census = wordCensus(corpus(), "text")
+    val (_, seg) = train(census, numMerges = 3)
+    val docs = Seq((1L, "hug pug"), (2L, "zebra hugs")).toDF("doc_id", "text")
+    val stats = encodeStats(docs, "doc_id", "text", seg)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: hug->1 subword, pug->2 -> 3 subwords, 0 OOV
+    // doc 2: zebra OOV -> 5 chars, hugs->1 -> 6 subwords, 1 OOV
+    assert(stats.toSeq == Seq((1L, 3L, 0L), (2L, 6L, 1L)))
+  }
+
+  test("training is independent of census partitioning") {
+    val census = wordCensus(corpus(), "text")
+    val (m1, _) = train(census, 3)
+    val (m2, _) = train(census.repartition(7), 3)
+    assert(m1 == m2)
+  }
+
+  test("round-1 pair statistic matches the SQL-gated rendering's semantics") {
+    val census = wordCensus(corpus(), "text")
+    val syms = expr(
+      "transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    val pairs = pairCounts(census, syms)
+      .orderBy(col("n").desc, col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq(("u", "g", 20L), ("h", "u", 15L),
+      ("g", "s", 5L), ("p", "u", 5L)))
+  }
+}
