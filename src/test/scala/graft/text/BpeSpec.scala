@@ -66,6 +66,27 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(stats.toSeq == Seq((1L, 3L, 0L), (2L, 6L, 1L)))
   }
 
+  test("mergeStep preserves the character stream on varied inputs") {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "ab", "c")
+    val rows = (1 to 60).map { i =>
+      (i, (0 until (1 + r.nextInt(8))).map(_ =>
+        alphabet(r.nextInt(alphabet.size))))
+    }
+    val df = rows.toDF("id", "syms")
+    for ((a, b) <- Seq(("a", "b"), ("ab", "c"), ("b", "b"), ("c", "a"))) {
+      val out = df.select(col("id"),
+        concat_ws("", col("syms")).as("before"),
+        concat_ws("", mergeStep(col("syms"), a, b)).as("after"))
+        .collect()
+      for (row <- out)
+        assert(row.getString(1) == row.getString(2),
+          s"merge ($a,$b) altered id=${row.getInt(0)}: " +
+            s"${row.getString(1)} -> ${row.getString(2)}")
+    }
+  }
+
   test("training is independent of census partitioning") {
     val census = wordCensus(corpus(), "text")
     val (m1, _) = train(census, 3)
