@@ -124,6 +124,45 @@ object Bpe {
     (merges.toSeq, seg)
   }
 
+  /** Re-apply a SAVED merge list to a `(word)` frame — the reload
+    * path: train once, persist the merge table, segment anywhere
+    * without retraining. A typed `mapPartitions` loop (the sanctioned
+    * imperative arm): production merge counts are 10⁴–10⁵, far past
+    * expression-tree depth, and the data here is the vocabulary, not
+    * the corpus. Merges apply in rank order with the same greedy
+    * left-to-right scan as [[mergeStep]] — BpeSpec pins equality
+    * with the trainer's own segmentation.
+    */
+  def segmentWords(
+      words: DataFrame, merges: Seq[(String, String)],
+  ): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    words.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          var syms: Array[String] = w.map(_.toString).toArray
+          var m = 0
+          while (m < ms.length) {
+            val (a, b) = ms(m)
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (out.nonEmpty && out.last == a && syms(i) == b)
+                out(out.length - 1) = a + b
+              else out += syms(i)
+              i += 1
+            }
+            syms = out.toArray
+            m += 1
+          }
+          (w, syms)
+        }
+      }
+      .toDF("word", "syms")
+  }
+
   /** Encode a corpus with a trained segmentation: tokens resolve
     * through a broadcast-joined `(word, syms)` vocabulary (the fast
     * path production encoders use for known words); OOV words fall

@@ -94,6 +94,21 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(m1 == m2)
   }
 
+  test("segmentWords (the saved-vocab reload path) equals the trainer's segmentation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val census = wordCensus(docs, "text")
+    val (merges, seg) = train(census, numMerges = 8)
+    val expected = seg.collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](2).toList).toMap
+    val replayed = segmentWords(census.select(col("word")),
+      merges.map(m => (m._1, m._2)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(replayed.keySet == expected.keySet)
+    for ((w, s) <- expected)
+      assert(replayed(w) == s, s"word '$w': replay ${replayed(w)} != train $s")
+  }
+
   test("round-1 pair statistic matches the SQL-gated rendering's semantics") {
     val census = wordCensus(corpus(), "text")
     val syms = expr(
