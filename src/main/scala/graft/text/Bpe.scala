@@ -142,7 +142,11 @@ object Bpe {
     words.select(col("word").cast("string")).as[String]
       .mapPartitions { it =>
         it.map { w =>
-          var syms: Array[String] = w.map(_.toString).toArray
+          // split by CODE POINTS, not UTF-16 units: the trainer's
+          // substr(word, i, 1) is code-point based, and a surrogate
+          // pair (emoji) split into lone halves would never re-merge
+          var syms: Array[String] = w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp)))
           var m = 0
           while (m < ms.length) {
             val (a, b) = ms(m)

@@ -109,6 +109,21 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       assert(replayed(w) == s, s"word '$w': replay ${replayed(w)} != train $s")
   }
 
+  test("segmentWords splits supplementary-plane chars like the trainer") {
+    import spark.implicits._
+    // U+1F600 is a surrogate pair in UTF-16; a code-unit split would
+    // produce two lone halves that diverge from substr's code points
+    val word = "a😀b"
+    val census = Seq((word, 1L)).toDF("word", "freq")
+    val (merges, seg) = train(census, numMerges = 1, minPairFreq = 1L)
+    val trained = seg.collect()(0).getSeq[String](2).toList
+    val replayed = segmentWords(census.select(col("word")),
+      merges.map(m => (m._1, m._2)))
+      .collect()(0).getSeq[String](1).toList
+    assert(replayed == trained,
+      s"unicode split diverged: replay $replayed != train $trained")
+  }
+
   test("round-1 pair statistic matches the SQL-gated rendering's semantics") {
     val census = wordCensus(corpus(), "text")
     val syms = expr(
