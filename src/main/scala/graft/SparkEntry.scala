@@ -1872,11 +1872,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(20)
     }),
     "t_bpe_merges" -> ((s, dir) => {
-      // the trained merge table itself (rank, lhs, rhs, n) — not
-      // SQL-expressible (k-round iterative argmax), so this entry has
-      // NO oracleSql: the driver records the weaker rows-only check,
-      // and BpeSpec carries the exactness claim on a hand-computed
-      // corpus. Deterministic: total-order tie-break per round.
+      // the trained merge table itself (rank, lhs, rhs, n) — hash-
+      // gated against the full k-round trainer rendered in SQL
+      // (Bpe.mergesSql: space-joined symbol strings make one merge
+      // round a boundary-safe replace() to fixed point). BpeSpec
+      // additionally pins the worked example; deterministic via the
+      // total-order (n desc, lhs, rhs) tie-break per round.
       import graft.text.Bpe
       val census = Bpe.wordCensus(
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text")
@@ -1888,14 +1889,28 @@ object SparkEntry {
     }),
     "t_bpe_encode" -> ((s, dir) => {
       // corpus encoded with the trained vocab: per-doc subword and
-      // OOV counts (the packing-budget numbers). Rows-only for the
-      // same reason as t_bpe_merges; the vocab join is broadcast.
+      // OOV counts (the packing-budget numbers). Hash-gated against
+      // Bpe.encodeStatsSql; the vocab join is broadcast.
       import graft.text.Bpe
       val docs = t(s, dir, "documents")
       val census = Bpe.wordCensus(docs.filter(col("doc_id") % 10 === 0), "text")
       val (_, seg) = Bpe.train(census, numMerges = 8)
       Bpe.encodeStats(docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", seg)
         .orderBy("id")
+    }),
+    "t_bpe_segment" -> ((s, dir) => {
+      // the saved-merges RELOAD path: train once, keep only the merge
+      // list, re-segment the census words via Bpe.segmentWords (the
+      // mapPartitions re-apply loop) — gated equal to the trainer's
+      // own segmentation rendered in SQL (Bpe.segmentSql), proving
+      // save → reload → segment round-trips exactly
+      import graft.text.Bpe
+      val census = Bpe.wordCensus(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text")
+      val (merges, _) = Bpe.train(census, numMerges = 8)
+      Bpe.segmentWords(census.select("word"), merges.map(m => (m._1, m._2)))
+        .select(col("word"), array_join(col("syms"), " ").as("symstr"))
+        .orderBy("word")
     }),
     "t_vocab_top" -> ((s, dir) => {
       // corpus vocabulary census: top-50 tokens with corpus + document
@@ -2804,7 +2819,7 @@ object SparkEntry {
         |  WHERE lang IS NOT NULL GROUP BY 1, 2)
         |SELECT source,
         |CAST(count(*) AS INT) AS n_langs,
-        |SUM(CASE WHEN lang = 'en' THEN n END) AS en_docs,
+        |CAST(SUM(CASE WHEN lang = 'en' THEN n END) AS BIGINT) AS en_docs,
         |string_agg(lang, ',' ORDER BY lang) AS langs,
         |CAST(SUM(n) AS BIGINT) AS n_docs,
         |CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS INT) AS n_major
@@ -3009,9 +3024,12 @@ object SparkEntry {
     },
     "t_bpe_pairs" ->
       graft.text.Bpe.pairCountsSql(20, "WHERE doc_id % 10 = 0"),
-    // t_bpe_merges / t_bpe_encode intentionally have NO oracle: the
-    // k-round iterative argmax is not SQL-expressible; the driver
-    // records rows-only and BpeSpec pins exactness (see entries)
+    "t_bpe_merges" ->
+      graft.text.Bpe.mergesSql(8, "WHERE doc_id % 10 = 0"),
+    "t_bpe_encode" ->
+      graft.text.Bpe.encodeStatsSql(8, "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 0"),
+    "t_bpe_segment" ->
+      graft.text.Bpe.segmentSql(8, "WHERE doc_id % 10 = 0"),
     "t_text_stats" -> {
       import graft.text.TextFunctions._
       def s(sql: String) = sql.replace("TXT", "text")

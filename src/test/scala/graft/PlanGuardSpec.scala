@@ -100,11 +100,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("every registered query has an oracle, and vice versa") {
-    // rows-only entries are the DOCUMENTED exception (driver contract:
-    // omit oracleSql for non-SQL-expressible ops): each needs a spec
-    // carrying its exactness claim and a listing here, so an oracle
-    // can never be dropped silently
-    val rowsOnly = Set("t_bpe_merges", "t_bpe_encode") // BpeSpec
+    // the allowlist is EMPTY as of round 12: the BPE trainer rows got
+    // real DuckDB oracles (Bpe.mergesSql's replace()-to-fixed-point
+    // rendering), so every board row is hash-checked by the driver
+    val rowsOnly = Set.empty[String]
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q.diff(o) == rowsOnly,
