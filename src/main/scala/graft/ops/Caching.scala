@@ -50,14 +50,20 @@ object Caching {
     } finally loaned.foreach(_.unpersist(false))
   }
 
-  /** Executed plan of the most recent loan body on this thread. After
+  /** Executed plan of the most recent loan body on this thread,
+    * CONSUMED on read: the slot clears so a plan-shape guard can
+    * never validate a stale plan from an earlier loan on the same
+    * thread — a second read before the next loan returns "". After
     * the eager localCheckpoint the returned frame plans as `Scan
     * ExistingRDD`, so plan-shape guards (PlanGuardSpec) read the
     * loaned body's physical plan here instead. Capturing costs one
     * plan render per loan — noise next to the materialization the
     * loan already performs.
     */
-  private[graft] def lastLoanPlan: String =
-    Option(lastPlan.get).getOrElse("")
+  private[graft] def lastLoanPlan: String = {
+    val p = Option(lastPlan.get).getOrElse("")
+    lastPlan.remove()
+    p
+  }
   private val lastPlan = new ThreadLocal[String]
 }

@@ -201,13 +201,32 @@ object Bpe {
         merges += ((a, b, n))
         val next = seg.withColumn("syms", mergeStep(col("syms"), a, b))
           .localCheckpoint() // constant-size plan per round
-        seg.unpersist()
+        // free the PREVIOUS round's checkpoint blocks now: after
+        // localCheckpoint the frame plans as a LogicalRDD with no
+        // CacheManager entry, so Dataset.unpersist would be a no-op —
+        // the persisted thing is the underlying RDD. `next` is eager
+        // (materialized), so the old blocks are already dead; at
+        // production merge counts (10⁴–10⁵ rounds) leaving them to
+        // the GC-driven ContextCleaner would accumulate executor
+        // storage for the whole train
+        checkpointRdd(seg).foreach(_.unpersist(false))
         seg = next
       }
       round += 1
     }
     (merges.toSeq, seg)
   }
+
+  /** The checkpointed RDD behind a `localCheckpoint`ed frame — the
+    * handle `unpersist` must target (the Dataset itself has no
+    * CacheManager entry). None for frames that are not a plain
+    * LogicalRDD scan.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 
   /** Re-apply a SAVED merge list to a `(word)` frame — the reload
     * path: train once, persist the merge table, segment anywhere

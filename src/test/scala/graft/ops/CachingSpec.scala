@@ -41,6 +41,15 @@ class CachingSpec extends AnyFunSuite with SparkSpec {
     assert(cacheEmpty, "loaned frame still cached after a failing body")
   }
 
+  test("lastLoanPlan is consume-and-clear: a second read never sees a stale plan") {
+    import spark.implicits._
+    val f = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Caching.withPersisted(f)(df => df.groupBy("v").count()).count()
+    assert(Caching.lastLoanPlan.nonEmpty, "first read returns the loan body's plan")
+    assert(Caching.lastLoanPlan.isEmpty,
+      "second read must return empty — a stale plan could validate the wrong query")
+  }
+
   test("loaned gated queries leave the CacheManager empty") {
     // the queries whose shared-scan persists are loan-scoped; each
     // must build AND execute without leaving a cache entry behind

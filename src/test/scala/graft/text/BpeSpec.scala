@@ -87,6 +87,21 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("train frees intermediate checkpoint blocks (only the final seg stays persisted)") {
+    // each round localCheckpoints a new segmentation; the previous
+    // round's RDD must be unpersisted eagerly (Dataset.unpersist is a
+    // no-op on a LogicalRDD — the handle is the underlying RDD). At
+    // 10⁴–10⁵ production merges a leak here accumulates executor
+    // storage for the whole train
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (_, seg) = train(wordCensus(corpus(), "text"), numMerges = 3)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1,
+      s"train leaked ${leaked.size} persistent RDDs (expected at most the final seg)")
+    assert(seg.count() == 3) // the surviving checkpoint still serves reads
+  }
+
   test("training is independent of census partitioning") {
     val census = wordCensus(corpus(), "text")
     val (m1, _) = train(census, 3)
