@@ -67,15 +67,30 @@ object FrameOps {
 
   /** A5 (`dataframe_operations.py:79-103`): cast db-fetched columns to
     * the in-flight frame's dtypes so joins/compares are well-typed.
-    * With `spark.read.jdbc` types usually already align; ANSI mode
-    * makes impossible casts fail loudly at execution (the reference's
-    * MatchDatatypesError surfaces as a Spark exception).
+    * With `spark.read.jdbc` types usually already align.
+    *
+    * Failure parity (`dataframe_operations.py:101-103`, the
+    * reference's MatchDatatypesError on polars' InvalidOperation):
+    * every cast carries an explicit corruption guard — a non-null
+    * value whose `try_cast` comes back null raises with a
+    * MatchDatatypesError-labeled message. This makes the failure
+    * loud in BOTH ANSI modes: with ANSI off a bare `cast` would
+    * silently null the value (data corruption at the id-merge
+    * boundary); with ANSI on the guard fires first with the richer
+    * column + value message. Map-side, codegen'd — no extra job.
     */
   def matchTypes(dbDf: DataFrame, target: StructType): DataFrame = {
     val targetByName = target.fields.map(f => f.name -> f.dataType).toMap
     dbDf.select(dbDf.columns.map { c =>
       targetByName.get(c) match {
-        case Some(dt) if dt != dbDf.schema(c).dataType => quoted(c).cast(dt).as(c)
+        case Some(dt) if dt != dbDf.schema(c).dataType =>
+          val orig = quoted(c)
+          when(orig.isNotNull && orig.try_cast(dt).isNull,
+            raise_error(concat(
+              lit(s"MatchDatatypesError: column `$c` value '"),
+              orig.cast("string"),
+              lit(s"' does not cast to ${dt.sql}"))))
+            .otherwise(orig.cast(dt)).as(c)
         case _ => quoted(c)
       }
     }: _*)

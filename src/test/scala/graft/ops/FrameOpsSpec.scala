@@ -70,6 +70,27 @@ class FrameOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.schema("a").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("matchTypes raises MatchDatatypesError-labeled on an impossible cast " +
+    "(dataframe_operations.py:101-103), even with ANSI off") {
+    val target = df("a" -> Seq(1))
+    val dbLike = df("a" -> Seq("not-a-number"))
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      // ANSI off is the dangerous mode: a bare cast would silently
+      // null the value; the guard must still fail loudly
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val e = intercept[Exception](
+        FrameOps.matchTypes(dbLike, target.schema).collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("MatchDatatypesError")),
+        s"expected MatchDatatypesError-labeled failure, got: $e")
+      // nulls pass through untouched — only non-null corruption raises
+      val okNull = df("a" -> Seq[String](null))
+      assert(FrameOps.matchTypes(okNull, target.schema).collect()(0).isNullAt(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("mergeIds joins ids null-safely (dataframe_operations.py:106-161)") {
     val data = df("naam" -> Seq("een", "twee", null))
     val dbRows = df("id" -> Seq(1, 2, 3), "naam" -> Seq("een", "twee", null))
