@@ -1412,11 +1412,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "e_ann_lsh_recall" -> ((s, dir) => {
-      // LSH quality gate: recall@10 vs the exact cosine top-10, one
-      // integer per query — a probe/band-width regression drops the
-      // count instead of silently degrading the ranking. Gated at
-      // multiProbe=2 (the production dial for corpora without dense
-      // near-neighbors); e_ann_lsh pins the level-1 default path
+      // LSH REGRESSION gate: recall@10 vs the exact cosine top-10 —
+      // a probe/band-width regression drops the count. The absolute
+      // value is low by construction (the corpus has no natural near
+      // neighbors, so exact ranks 2-10 are far vectors a bucketed
+      // index rightly misses); for the interpretable absolute number
+      // see e_ann_lsh_planted. Gated at multiProbe=2; e_ann_lsh pins
+      // the level-1 default path
       import graft.ann.Ann
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 20 === 0)
@@ -1433,6 +1435,29 @@ object SparkEntry {
       Ann.annRecall(
         Ann.ivfTopKHashCells(q, emb, "vec_id", "embedding", k = 10),
         q, emb, "vec_id", "embedding", n = 10)
+    }),
+    "e_ann_lsh_planted" -> ((s, dir) => {
+      // planted-cohort recovery: every vec_id % 20 == 0 vector gets a
+      // perturbed twin (cosine ≈ 0.997) as a query; `found` says
+      // whether LSH at the production multiProbe=2 dial surfaces the
+      // source — the interpretable absolute number the raw recall@10
+      // gates (run on a corpus with NO natural near neighbors) can't
+      // give. See Ann.plantQueries.
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      Ann.plantedRecovery(emb, "vec_id", "embedding",
+        col("vec_id") % 20 === 0, idOffset = 1000000L, delta = 0.01)(
+        (q, c) => Ann.lshTopK(q, c, "vec_id", "embedding", k = 10, multiProbe = 2))
+    }),
+    "e_ann_ivf_planted" -> ((s, dir) => {
+      // planted-cohort recovery through the deterministic IVF index:
+      // the probe set (top-4 of 16 cells) must include the source's
+      // assigned cell for a hit
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      Ann.plantedRecovery(emb, "vec_id", "embedding",
+        col("vec_id") % 20 === 0, idOffset = 1000000L, delta = 0.01)(
+        (q, c) => Ann.ivfTopKHashCells(q, c, "vec_id", "embedding", k = 10))
     }),
     "e_cos_neardup" -> ((s, dir) => {
       graft.ann.Ann.cosineNearDupPairs(
@@ -3128,6 +3153,13 @@ object SparkEntry {
       graft.ann.Ann.annRecallSql(
         graft.ann.Ann.ivfTopKHashCellsSql("vec_id % 20 = 0", k = 10),
         "vec_id % 20 = 0", n = 10),
+    "e_ann_lsh_planted" ->
+      graft.ann.Ann.plantedRecoveryLshSql(
+        "vec_id % 20 = 0", idOffset = 1000000L, delta = 0.01, k = 10,
+        multiProbe = 2),
+    "e_ann_ivf_planted" ->
+      graft.ann.Ann.plantedRecoveryIvfSql(
+        "vec_id % 20 = 0", idOffset = 1000000L, delta = 0.01, k = 10),
     "e_cos_neardup_lsh" -> {
       // corpus + int8 quantize->dequantize twins, mirroring the Spark
       // union via the SAME shared quantize helpers as quantizeInt8Sql

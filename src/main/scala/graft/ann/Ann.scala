@@ -1283,6 +1283,130 @@ object Ann {
        |ORDER BY xq.query_id""".stripMargin
   }
 
+  /** Planted near-neighbor cohort: each selected corpus vector
+    * spawns a query at `id + idOffset` whose embedding is the source
+    * shifted by `delta` in every dimension — a genuine near neighbor
+    * at a KNOWN, controlled distance (unit-norm corpus + delta=0.01
+    * → cosine ≈ 0.997 to the source, an ~0.08 rad angle). This is
+    * what makes an absolute recall number interpretable: the natural
+    * corpus has no true near neighbors, so "recall vs exact top-10"
+    * there mostly measures how many far-away rank-2..10 vectors a
+    * bucketed index happens to share a cell with — honest but
+    * unreadable without a disclaimer. Against a planted cohort the
+    * question is the one an index user asks: "a near-duplicate
+    * exists; does the index surface it?"
+    *
+    * The shift is plain double arithmetic rendered identically in
+    * the DuckDB twins, so recovery gates stay value-exact.
+    */
+  def plantQueries(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      idOffset: Long, delta: Double, dim: Int = 64,
+  ): DataFrame =
+    corpus.select((col(idCol) + idOffset).as(idCol),
+      expr(s"transform(sequence(1, $dim), i -> " +
+        s"CAST(element_at(`$vecCol`, i) AS DOUBLE) + CAST($delta AS DOUBLE))")
+        .as(vecCol))
+
+  /** Recovery scoreboard for a planted cohort: per planted query, did
+    * `topK` surface the source vector, and at what rank. `topK` is
+    * any (queries, corpus) → (query_id, neighbor_id, rank, …) search
+    * ([[lshTopK]], [[ivfTopKHashCells]], …). Output: `(query_id,
+    * found, rnk)` — found ∈ {0,1}, rnk null on a miss.
+    */
+  def plantedRecovery(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryWhere: Column, idOffset: Long, delta: Double, dim: Int = 64,
+  )(topK: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val planted = plantQueries(corpus.filter(queryWhere), idCol, vecCol, idOffset, delta, dim)
+    val hit = topK(planted, corpus)
+      .filter(col("neighbor_id") === col("query_id") - idOffset)
+      .select(col("query_id"), lit(1).as("found"), col("rank").as("rnk"))
+    planted.select(col(idCol).as("query_id"))
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("found"), lit(0)).as("found"), col("rnk"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB twin of [[plantedRecovery]] over the LSH index
+    * ([[lshTopK]] semantics, including probe masks and the
+    * zero-norm exclusion).
+    */
+  def plantedRecoveryLshSql(
+      queryWhere: String, idOffset: Long, delta: Double, k: Int,
+      planes: Int = 12, dim: Int = 64, multiProbe: Int = 1,
+  ): String = {
+    val sigC = lshSignatureSql("embedding", planes, dim)
+    val sigQ = lshSignatureSql("qv", planes, dim)
+    val masks = probeMasks(planes, multiProbe).mkString(", ")
+    s"""WITH pq AS (SELECT vec_id + $idOffset AS query_id,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE) + CAST($delta AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE ($queryWhere)),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, $sigC AS bucket
+       |  FROM embeddings WHERE ${dotSql("embedding", "embedding", dim)} > 0),
+       |q0 AS (SELECT query_id, qv, $sigQ AS qsig
+       |  FROM pq WHERE ${dotSql("qv", "qv", dim)} > 0),
+       |q AS (SELECT query_id, qv, xor(qsig, m.mask) AS bucket
+       |  FROM q0 CROSS JOIN (SELECT unnest([$masks]) AS mask) m),
+       |scored AS (SELECT DISTINCT query_id, neighbor_id,
+       |    ${cosineSql("qv", "cv", dim)} AS score
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored),
+       |hit AS (SELECT query_id, rank AS rnk FROM ranked
+       |  WHERE rank <= $k AND neighbor_id = query_id - $idOffset)
+       |SELECT pq.query_id,
+       |  CAST(CASE WHEN hit.query_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS found,
+       |  hit.rnk AS rnk
+       |FROM pq LEFT JOIN hit USING (query_id) ORDER BY pq.query_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[plantedRecovery]] over the deterministic IVF
+    * index ([[ivfTopKHashCells]] semantics: md5-seeded centroids,
+    * argmax assignment with ties to the smallest cell id, top-nProbe
+    * probes).
+    */
+  def plantedRecoveryIvfSql(
+      queryWhere: String, idOffset: Long, delta: Double, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+  ): String = {
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
+    s"""WITH pq AS (SELECT vec_id + $idOffset AS query_id,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE) + CAST($delta AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE ($queryWhere)),
+       |cents AS (SELECT vec_id AS cell, embedding AS centroid
+       |  FROM embeddings WHERE $nz
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |assign0 AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM (SELECT * FROM embeddings WHERE $nz) e CROSS JOIN cents c),
+       |assigned AS (SELECT neighbor_id, cv, cell FROM assign0 WHERE rn = 1),
+       |probe0 AS (SELECT q.query_id, q.qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosineSql("q.qv", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM (SELECT * FROM pq WHERE ${dotSql("qv", "qv", dim)} > 0) q
+       |    CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qv, cell FROM probe0 WHERE rn <= $nProbe),
+       |scored AS (SELECT DISTINCT query_id, neighbor_id,
+       |    ${cosineSql("qv", "cv", dim)} AS score
+       |  FROM probes JOIN assigned USING (cell) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored),
+       |hit AS (SELECT query_id, rank AS rnk FROM ranked
+       |  WHERE rank <= $k AND neighbor_id = query_id - $idOffset)
+       |SELECT pq.query_id,
+       |  CAST(CASE WHEN hit.query_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS found,
+       |  hit.rnk AS rnk
+       |FROM pq LEFT JOIN hit USING (query_id) ORDER BY pq.query_id""".stripMargin
+  }
+
   /** Embedding-space decontamination: corpus rows whose cosine to ANY
     * eval-set embedding reaches `threshold` — the semantic twin of the
     * shingle-overlap scan in [[graft.dedup.Dedup.contamination]],

@@ -433,6 +433,31 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       "2-bit probes found nothing extra on the whole query set — dial inert")
   }
 
+  test("planted cohort: brute force recovers every source at rank 1; LSH is a subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val where = col("vec_id") % 20 === 0
+    def recover(topK: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      Ann.plantedRecovery(emb, "vec_id", "embedding", where,
+        idOffset = 1000000L, delta = 0.01)(topK)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2))).toList
+    // exact search: the planted twin (cosine ≈ 0.997) must beat every
+    // natural pair, i.e. found=1 at rank 1 for ALL queries — this pins
+    // that the cohort really is planted closer than the corpus floor
+    val brute = recover((q, c) =>
+      Ann.bruteForceTopK(q, c, "vec_id", "embedding", k = 10))
+    assert(brute.nonEmpty)
+    assert(brute.forall { case (_, f, r) => f == 1 && r == 1 },
+      s"brute force missed a planted source or ranked it below 1: $brute")
+    // the approximate index can only recover a subset of what exact
+    // search sees (and at the gated dial it recovers all of them —
+    // e_ann_lsh_planted pins the exact counts per sf)
+    val lsh = recover((q, c) =>
+      Ann.lshTopK(q, c, "vec_id", "embedding", k = 10, multiProbe = 2))
+    assert(lsh.map(_._1) == brute.map(_._1))
+    assert(lsh.map(_._2).sum <= brute.map(_._2).sum)
+  }
+
   test("semanticContamination census drops corpus-hot cells, keeps the rest") {
     import spark.implicits._
     // corpus: 30 IDENTICAL vectors (every band cell they occupy holds
