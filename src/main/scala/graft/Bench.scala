@@ -54,10 +54,16 @@ object Bench {
       val ts = passes.map(_(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    // bench-only extras: operators with no DuckDB oracle (engine-
-    // specific floats) whose cost should stay visible as they evolve.
-    // Timed min-of-2 after their own warmup; excluded from the total
-    // so the headline stays comparable with earlier rounds.
+    // bench-only extras: operators with no DuckDB oracle whose cost
+    // should stay visible as they evolve. Timed min-of-2 after their
+    // own warmup; excluded from the total so the headline stays
+    // comparable with earlier rounds. The list is down to ONE entry,
+    // and it is PERMANENTLY ungateable: MLlib k-means reduces floats
+    // in partition order, so its centroids are engine- and
+    // run-specific by construction — no DuckDB rendering can match
+    // them. Its deterministic counterpart IS hash-gated as
+    // e_ann_ivf_lloyd (md5 init + id-ordered sequential-fold means);
+    // this extra remains only to track the MLlib path's cost.
     def timeKmeansIvf(): Double = {
       import org.apache.spark.sql.functions.col
       val t0 = System.nanoTime()

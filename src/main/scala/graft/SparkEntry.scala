@@ -1449,6 +1449,16 @@ object SparkEntry {
         col("vec_id") % 20 === 0, idOffset = 1000000L, delta = 0.01)(
         (q, c) => Ann.lshTopK(q, c, "vec_id", "embedding", k = 10, multiProbe = 2))
     }),
+    "e_ann_ivf_lloyd" -> ((s, dir) => {
+      // the Lloyd-refined IVF quantizer, made exactly gateable:
+      // md5-seeded init + bounded md5 sample + id-ordered sequential
+      // fold for centroid means (partitioning-independent doubles),
+      // gated on per-cell corpus assignment counts. The MLlib k-means
+      // twin (ivfTopK) stays bench-only: its float reductions are
+      // engine-specific by construction.
+      graft.ann.Ann.lloydAssignCounts(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
     "e_ann_ivf_planted" -> ((s, dir) => {
       // planted-cohort recovery through the deterministic IVF index:
       // the probe set (top-4 of 16 cells) must include the source's
@@ -3160,6 +3170,8 @@ object SparkEntry {
     "e_ann_ivf_planted" ->
       graft.ann.Ann.plantedRecoveryIvfSql(
         "vec_id % 20 = 0", idOffset = 1000000L, delta = 0.01, k = 10),
+    "e_ann_ivf_lloyd" ->
+      graft.ann.Ann.lloydAssignCountsSql(),
     "e_cos_neardup_lsh" -> {
       // corpus + int8 quantize->dequantize twins, mirroring the Spark
       // union via the SAME shared quantize helpers as quantizeInt8Sql

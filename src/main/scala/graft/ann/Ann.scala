@@ -1407,6 +1407,109 @@ object Ann {
        |FROM pq LEFT JOIN hit USING (query_id) ORDER BY pq.query_id""".stripMargin
   }
 
+  /** DETERMINISTIC Lloyd-refined IVF quantizer, hash-gateable end to
+    * end — the exact-value counterpart of [[ivfTopK]]'s MLlib k-means
+    * (whose float reductions are engine- and partitioning-specific,
+    * hence bench-only). Every step here has one bit-exact answer:
+    *
+    *   - init: the `nCells` sample vectors with smallest md5(id)
+    *     (identical to [[ivfTopKHashCells]]'s pick);
+    *   - training sample: smallest md5(seed:id), bounded by
+    *     `maxTrainRows` ([[quantizerSample]] semantics) — k-means fit
+    *     input stays bounded at any corpus scale;
+    *   - assignment: argmax cosine, ties to the smallest cell id;
+    *   - update: each centroid dimension is the SEQUENTIAL fold of
+    *     its members' values in id order, divided by the member
+    *     count. Summation order is pinned by sorting members, so the
+    *     double result is independent of partitioning and identical
+    *     in DuckDB's left-to-right `list_reduce`. Cells left empty
+    *     keep their previous centroid (MLlib's rule).
+    *
+    * Returns the per-cell corpus assignment counts after `iters`
+    * rounds — the derived integers the gate hashes. Cluster-size
+    * note: the id-sorted member fold collects each cell's SAMPLE
+    * members onto one row; that is safe exactly because the training
+    * sample is bounded — the corpus-sized final pass is count-only.
+    */
+  def lloydAssignCounts(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): DataFrame = {
+    val s0 = corpus.select(col(idCol).cast("long").as("id"),
+      expr(s"transform(`$vecCol`, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(dot(col("v"), col("v")) > 0) // zero-norm: see bruteForceTopK
+    val smp = s0
+      .orderBy(md5(concat(lit(s"$seed:"), col("id").cast("string"))), col("id"))
+      .limit(maxTrainRows)
+    var cents = smp.withColumn("ck", md5(col("id").cast("string")))
+      .orderBy(col("ck"), col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("v").as("centroid"))
+      .localCheckpoint()
+
+    def assign(rows: DataFrame): DataFrame = {
+      val cl = broadcast(cents.agg(collect_list(struct(col("cell"),
+        col("centroid"), norm(col("centroid")).as("cnorm"))).as("cents")))
+      rows.crossJoin(cl)
+        .withColumn("cell", array_max(transform(col("cents"), ct =>
+          struct((dot(col("v"), ct("centroid")) / (norm(col("v")) * ct("cnorm"))).as("cos"),
+            (-ct("cell")).as("negcell"), ct("cell").as("cell"))))("cell"))
+        .select(col("id"), col("v"), col("cell"))
+    }
+
+    for (_ <- 1 to iters) {
+      val means = assign(smp).groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"),
+          count(lit(1)).cast("double").as("cnt"))
+        .select(col("cell"), expr(s"transform(sequence(1, $dim), d -> " +
+          "aggregate(ms, CAST(0.0 AS DOUBLE), " +
+          "(acc, m) -> acc + element_at(m.v, d)) / cnt)").as("mean"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mean"), col("centroid")).as("centroid"))
+        .localCheckpoint() // iterative: constant-size plan per round
+    }
+
+    assign(s0).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cell"), col("n"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin of [[lloydAssignCounts]], rounds unrolled as CTEs. */
+  def lloydAssignCountsSql(
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): String = {
+    def assignCtes(tag: String, rowsFrom: String, centsFrom: String) =
+      s"""a${tag}r AS (SELECT s.id, s.v, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${cosineSql("s.v", "c.centroid", dim)} DESC, c.cell) AS rn
+         |  FROM $rowsFrom s CROSS JOIN $centsFrom c),
+         |a$tag AS (SELECT id, v, cell FROM a${tag}r WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCtes(r.toString, "smp", s"c${r - 1}")},
+         |m$r AS (SELECT cell, list(struct_pack(id := id, v := v) ORDER BY id) AS ms,
+         |    CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM a$r GROUP BY cell),
+         |c$r AS (SELECT c.cell, coalesce(
+         |    list_transform(range(1, ${dim + 1}), d ->
+         |      list_reduce(list_transform(m$r.ms, m -> m.v[d]), (x, y) -> x + y) / m$r.cnt),
+         |    c.centroid) AS centroid
+         |  FROM c${r - 1} c LEFT JOIN m$r USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE ${dotSql("embedding", "embedding", dim)} > 0),
+       |smp AS (SELECT id, v FROM s0
+       |  ORDER BY md5('$seed:' || CAST(id AS VARCHAR)), id LIMIT $maxTrainRows),
+       |c0 AS (SELECT id AS cell, v AS centroid FROM smp
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCells),
+       |$rounds,
+       |${assignCtes("f", "s0", s"c$iters")}
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af
+       |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** Embedding-space decontamination: corpus rows whose cosine to ANY
     * eval-set embedding reaches `threshold` — the semantic twin of the
     * shingle-overlap scan in [[graft.dedup.Dedup.contamination]],

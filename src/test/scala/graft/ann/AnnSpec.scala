@@ -433,6 +433,21 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       "2-bit probes found nothing extra on the whole query set — dial inert")
   }
 
+  test("lloydAssignCounts is partitioning-independent and covers the corpus") {
+    // the whole point of the id-ordered sequential fold: centroid
+    // means (doubles) must not depend on how the sample is split, or
+    // the assignment counts drift between runs and engines
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Ann.lloydAssignCounts(df, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val a = counts(emb)
+    val b = counts(emb.repartition(13))
+    assert(a == b, s"partitioning changed the quantizer: $a vs $b")
+    assert(a.map(_._2).sum == emb.count(), "every corpus row assigns to a cell")
+    assert(a.size > 1, "refinement collapsed to a single cell")
+  }
+
   test("planted cohort: brute force recovers every source at rank 1; LSH is a subset") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val where = col("vec_id") % 20 === 0
