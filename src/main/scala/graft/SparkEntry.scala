@@ -1888,6 +1888,22 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "p_budget_select" -> ((s, dir) => {
+      // quality-ranked selection under a global token budget: exact
+      // global prefix sum WITHOUT a single-partition window — range
+      // partition, per-partition totals (one driver row per
+      // partition), broadcast offsets, map-only scan (Selection
+      // scaladoc). Score = the gated quality heuristic; budget hits
+      // mid-corpus so both branches of `selected` are exercised.
+      import graft.text.TextFunctions
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      graft.ops.Selection.selectToBudget(
+        docs, "doc_id", "q", "nt", budget = 20000L)
+        .orderBy("id")
+    }),
     "t_tfidf_top" -> ((s, dir) => {
       graft.text.TfIdf.topTerms(
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
@@ -3375,6 +3391,11 @@ object SparkEntry {
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
         whereClause = "WHERE doc_id % 4 = 0"),
+    "p_budget_select" ->
+      graft.ops.Selection.selectToBudgetSql(
+        graft.text.TextFunctions.qualityScoreSql.replace("TXT", "text"),
+        s"len(${graft.text.TextFunctions.tokensSql.replace("TXT", "text")})",
+        budget = 20000L, whereClause = "WHERE doc_id % 3 = 0"),
     "t_tfidf_top" ->
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
     "t_vocab_top" ->

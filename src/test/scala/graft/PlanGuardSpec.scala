@@ -14,13 +14,22 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val p = SparkEntry.queries(name)(spark, sf)
-      .queryExecution.executedPlan.toString
+    val p = rawPlan(name)
     // loan-scoped queries (Caching.withPersisted) checkpoint eagerly,
     // so the returned frame is a bare ExistingRDD scan — the plan
-    // under guard is the loan body's, captured at loan time
-    if (p.contains("Scan ExistingRDD")) graft.ops.Caching.lastLoanPlan else p
+    // under guard is the loan body's, captured at loan time (and
+    // consumed here: the slot self-clears on read)
+    val loan = graft.ops.Caching.lastLoanPlan
+    if (loan.nonEmpty && p.contains("Scan ExistingRDD")) loan else p
   }
+
+  /** The returned frame's own physical plan, never the loan swap —
+    * for queries that contain ExistingRDD scans mid-plan by design
+    * (iterative localCheckpoints, e.g. the Lloyd quantizer).
+    */
+  private def rawPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
 
   test("banded/bucketed similarity paths never degenerate to an all-pairs join") {
     // e_ann_bruteforce / e_cos_neardup are EXCLUDED: all-pairs is their
@@ -31,12 +40,23 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     // (small side broadcastable), NOT CartesianProduct — guard both.
     for (q <- Seq("e_ann_lsh", "e_cos_neardup_lsh", "e_semantic_contam",
       "d_minhash_lsh", "d_simhash_pairs", "d_ngram_jaccard",
-      "d_contamination")) {
+      "d_contamination", "e_ann_lsh_planted")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q plans an all-pairs join — the band/bucket equi-key is gone")
     }
+  }
+
+  test("Lloyd quantizer: assignment is a map-only broadcast pass, means collect only the bounded sample") {
+    val p = rawPlan("e_ann_ivf_lloyd")
+    // the corpus-sized pass (final assignment) must score against the
+    // broadcast single-row centroid array — BroadcastNestedLoopJoin by
+    // design, like e_ann_ivf — and never a shuffled pairwise join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid array no longer broadcasts — assignment would shuffle the corpus")
+    assert(!p.contains("CartesianProduct"),
+      "quantizer plans a cartesian product")
   }
 
   test("q5 dimension joins broadcast") {
