@@ -42,6 +42,42 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming tokenizer budget stats — the twin of the batch
+    * [[graft.text.Bpe.encodeStats]] for documents arriving on a
+    * stream: per document, the subword count under a TRAINED
+    * segmentation and the OOV token count (the numbers an ingest-time
+    * packing/curation monitor consumes).
+    *
+    * Shape: explode tokens map-side, stream-static broadcast join
+    * against the `(word, syms)` vocabulary (train once offline, the
+    * vocab is bounded), then a watermarked per-document aggregation —
+    * the doc id alone would be unbounded state over the stream's
+    * lifetime, so the group key includes the event-time window and
+    * state evicts with the watermark (documents arrive whole, so a
+    * doc never straddles windows). Same static-side caveat as
+    * [[decontaminateStream]]: a file-backed vocabulary caches its
+    * file listing — retrain means recreate the frame and restart.
+    */
+  def encodeStatsStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      segmentation: DataFrame, watermark: String = "1 hour",
+  ): DataFrame = {
+    val toks = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col(idCol).as("id"),
+        explode(graft.text.TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    toks.join(broadcast(segmentation.select(col("word"), col("syms"))),
+        Seq("word"), "left")
+      .select(col("ts"), col("id"),
+        coalesce(size(col("syms")), length(col("word"))).as("n_sub"),
+        col("syms").isNull.cast("int").as("oov"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("id"))
+      .agg(sum(col("n_sub")).cast("long").as("n_subwords"),
+        sum(col("oov")).cast("long").as("n_oov"))
+      .select(col("w.start").as("hour"), col("id"),
+        col("n_subwords"), col("n_oov"))
+  }
+
   /** Streaming exact-dedup on an id column: duplicates arriving within
     * the watermark horizon are dropped; state for ids older than the
     * watermark is evicted (bounded memory). The streaming twin of the

@@ -39,6 +39,37 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("encodeStatsStream equals batch encodeStats per document (stream-static vocab join)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // train a segmentation on a tiny offline corpus (the static side)
+    val corpus = Seq.tabulate(20)(i => (i.toLong, "hug pug hugs hug"))
+      .toDF("doc_id", "text")
+    val (_, seg) = graft.text.Bpe.train(
+      graft.text.Bpe.wordCensus(corpus, "text"), numMerges = 3)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streams.encodeStatsStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", seg)
+      .writeStream.format("memory").queryName("enc_stream")
+      .outputMode("complete").start()
+    try {
+      val docs = Seq((1L, ts(0), "hug pug zebra"), (2L, ts(5), "hugs hugs"),
+        (3L, ts(70), "pug unknownword hug"))
+      input.addData(docs.take(2): _*)
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("enc_stream").collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("n_subwords"), r.getAs[Long]("n_oov"))).toMap
+      val want = graft.text.Bpe.encodeStats(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text", seg)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("n_subwords"), r.getAs[Long]("n_oov"))).toMap
+      assert(got == want, s"stream $got != batch $want")
+      assert(want.values.map(_._2).sum > 0, "no OOV exercised — weak fixture")
+    } finally query.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch after every micro-batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
