@@ -74,53 +74,66 @@ object Bpe {
   /** DuckDB rendering of the FULL `numMerges`-round trainer as chained
     * CTEs — the oracle for `t_bpe_merges` / `t_bpe_encode` /
     * `t_bpe_segment`. The trick that makes the iterative argmax
-    * SQL-expressible: each word's symbols are a SPACE-JOINED string
-    * with sentinel spaces (`' a b c '` — symbols never contain
-    * spaces, tokens are whitespace-split), so applying merge `(a, b)`
-    * is `replace(symstr, ' a b ', ' ab ')` iterated to a fixed point
-    * (a recursive CTE per round). The sentinel spaces make the match
-    * boundary-exact (a symbol SUFFIX can never false-match), and the
-    * fixed point equals the trainer's greedy left-to-right fold: each
-    * non-overlapping replace pass merges the leftmost remaining
-    * occurrence of every run first, exactly the fold's order, and a
-    * merged symbol `ab` can never cascade within the round since it
-    * differs from both `a` and `b`. Rounds where no pair reaches
-    * `minPairFreq` no-op via a never-matching `chr(1)` pattern —
-    * equivalent to the trainer's early stop, because a no-op round
-    * preserves state so every later round is also empty.
+    * SQL-expressible: each word's symbols are rendered as a string of
+    * SELF-DELIMITED spans `\t<sym>\n` (tab + symbol + newline —
+    * tokens are `\s+`-split so symbols can never contain either
+    * delimiter), and applying merge `(a, b)` is ONE
+    * `replace(symstr, '\ta\n\tb\n', '\tab\n')`.
     *
-    * Returns the `WITH RECURSIVE` prefix defining `w` (census),
-    * `s0..s$numMerges` (per-round segmentations) and `m1..m$numMerges`
-    * (per-round argmax winners); callers append their final SELECT.
+    * Why a single non-overlapping replace IS the trainer's greedy
+    * left-to-right fold: every span carries BOTH its delimiters, so
+    * adjacent matches share no characters — after merging a pair the
+    * scan resumes at the very next span, exactly like the fold
+    * (which, after a merge, can never re-merge the new token in the
+    * same round: `a+b` differs from both `a` and `b`). On a run like
+    * `a a a a a a` with merge `(a, a)` both produce `aa aa aa` — the
+    * earlier space-separated formulation got `aa a aa a` there
+    * because each match consumed the FOLLOWING symbol's leading
+    * separator (caught by randomized cross-validation; the
+    * self-delimited spans are the fix). The delimiters also make
+    * matches boundary-exact: a pattern consists of complete spans,
+    * so a symbol SUFFIX can never false-match.
+    *
+    * Rounds where no pair reaches `minPairFreq` no-op via a
+    * never-matching `chr(1)` pattern — equivalent to the trainer's
+    * early stop, because a no-op round preserves state so every
+    * later round is also empty.
+    *
+    * Returns the `WITH` prefix defining `w` (census), `s0..s$numMerges`
+    * (per-round segmentations, `symstr` in span encoding, `syms` as a
+    * list), and `m1..m$numMerges` (per-round argmax winners); callers
+    * append their final SELECT.
     */
   def trainCtesSql(numMerges: Int, whereClause: String, minPairFreq: Long = 2L): String = {
     val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    // span list: split on delimiter runs, drop the empty edges
+    def symsOf(symstr: String) =
+      s"list_filter(string_split_regex($symstr, '[' || chr(9) || chr(10) || ']+'), x -> x <> '')"
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""w AS MATERIALIZED (SELECT word, CAST(sum(1) AS BIGINT) AS freq FROM (
          |    SELECT unnest($toks) AS word FROM documents $whereClause)
          |  GROUP BY word)""".stripMargin,
       """s0 AS MATERIALIZED (SELECT word, freq,
-        |    ' ' || string_agg(substr(word, CAST(i AS INT), 1), ' ' ORDER BY i) || ' ' AS symstr
+        |    string_agg(chr(9) || substr(word, CAST(i AS INT), 1) || chr(10), '' ORDER BY i) AS symstr
         |  FROM w, unnest(range(1, length(word) + 1)) AS t(i)
         |  GROUP BY word, freq)""".stripMargin)
     for (r <- 1 to numMerges) {
-      val pat = s"coalesce((SELECT ' ' || lhs || ' ' || rhs || ' ' FROM m$r), chr(1))"
-      val rep = s"coalesce((SELECT ' ' || lhs || rhs || ' ' FROM m$r), chr(1))"
+      val pat = s"coalesce((SELECT chr(9) || lhs || chr(10) || chr(9) || rhs || chr(10) FROM m$r), chr(1))"
+      val rep = s"coalesce((SELECT chr(9) || lhs || rhs || chr(10) FROM m$r), chr(1))"
       parts += s"""p$r AS (SELECT list_extract(l, CAST(i AS INT)) AS lhs,
                   |    list_extract(l, CAST(i AS INT) + 1) AS rhs, freq
-                  |  FROM (SELECT freq, str_split(trim(symstr), ' ') AS l FROM s${r - 1}) q,
+                  |  FROM (SELECT freq, ${symsOf("symstr")} AS l FROM s${r - 1}) q,
                   |       unnest(range(1, len(l))) AS t(i))""".stripMargin
       parts += s"""m$r AS MATERIALIZED (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n
                   |  FROM p$r GROUP BY lhs, rhs HAVING sum(freq) >= $minPairFreq
                   |  ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin
-      parts += s"""f$r AS (SELECT word, freq, symstr FROM s${r - 1}
-                  |  UNION ALL
-                  |  SELECT word, freq, replace(symstr, $pat, $rep) FROM f$r
-                  |  WHERE symstr <> replace(symstr, $pat, $rep))""".stripMargin
-      parts += s"""s$r AS MATERIALIZED (SELECT word, freq, symstr FROM f$r
-                  |  WHERE symstr = replace(symstr, $pat, $rep))""".stripMargin
+      parts += s"""s$r AS MATERIALIZED (SELECT word, freq,
+                  |    replace(symstr, $pat, $rep) AS symstr
+                  |  FROM s${r - 1})""".stripMargin
     }
-    "WITH RECURSIVE " + parts.mkString(",\n")
+    parts += s"""sfin AS (SELECT word, freq, ${symsOf("symstr")} AS syms
+                |  FROM s$numMerges)""".stripMargin
+    "WITH " + parts.mkString(",\n")
   }
 
   /** Oracle for the trained merge table: `(rank, lhs, rhs, n)`. */
@@ -133,13 +146,15 @@ object Bpe {
 
   /** Oracle for the final `(word, symstr)` segmentation — also the
     * oracle for the saved-merges reload path ([[segmentWords]]).
+    * Output `symstr` is space-joined for readability (symbols never
+    * contain spaces).
     */
   def segmentSql(numMerges: Int, whereClause: String): String =
     trainCtesSql(numMerges, whereClause) +
-      s"\nSELECT word, trim(symstr) AS symstr FROM s$numMerges ORDER BY word"
+      "\nSELECT word, array_to_string(syms, ' ') AS symstr FROM sfin ORDER BY word"
 
   /** Oracle for [[encodeStats]]: per-doc subword + OOV counts using
-    * the `s$numMerges` segmentation as the vocabulary.
+    * the final segmentation as the vocabulary.
     */
   def encodeStatsSql(numMerges: Int, censusWhere: String, docsWhere: String): String = {
     val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
@@ -148,9 +163,9 @@ object Bpe {
          |tok AS (SELECT doc_id AS id, unnest($toks) AS word
          |  FROM documents $docsWhere),
          |j AS (SELECT id,
-         |    coalesce(len(str_split(trim(s.symstr), ' ')), length(tok.word)) AS n_sub,
+         |    coalesce(len(s.syms), length(tok.word)) AS n_sub,
          |    CASE WHEN s.word IS NULL THEN 1 ELSE 0 END AS oov
-         |  FROM tok LEFT JOIN s$numMerges s ON tok.word = s.word)
+         |  FROM tok LEFT JOIN sfin s ON tok.word = s.word)
          |SELECT id, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
          |  CAST(sum(oov) AS BIGINT) AS n_oov
          |FROM j GROUP BY id ORDER BY id""".stripMargin

@@ -121,7 +121,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
 
   test("every registered query has an oracle, and vice versa") {
     // the allowlist is EMPTY as of round 12: the BPE trainer rows got
-    // real DuckDB oracles (Bpe.mergesSql's replace()-to-fixed-point
+    // real DuckDB oracles (Bpe.mergesSql's span-encoded replace()
     // rendering), so every board row is hash-checked by the driver
     val rowsOnly = Set.empty[String]
     val q = SparkEntry.queries.keySet
