@@ -994,6 +994,24 @@ object SparkEntry {
           size(expr("map_filter(m, (k, v) -> v >= 10)")).as("n_major"))
         .orderBy("source")
     }),
+    "f_json_ops" -> ((s, dir) => {
+      // JSON scalar-function breadth over the events payload column:
+      // get_json_object path extraction (returns NULL on malformed
+      // input — the DuckDB twin mirrors with a json_valid guard since
+      // its json_extract THROWS), cast to long, per-type aggregation.
+      // Map-side extraction + one hash agg; at scale the JSON parse
+      // is the per-row cost and stays inside whole-stage codegen.
+      t(s, dir, "events").filter(col("event_id") % 5 === 0)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy("event_type")
+    }),
     "f_array_ops" -> ((s, dir) => {
       // higher-order array function breadth (transform / filter /
       // aggregate / zip_with) over a constructed integer array —
@@ -2875,6 +2893,17 @@ object SparkEntry {
         |CAST(SUM(n) AS BIGINT) AS n_docs,
         |CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS INT) AS n_major
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "f_json_ops" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |  FROM events WHERE event_id % 5 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f_array_ops" ->
       """SELECT doc_id,
         |CAST(list_aggregate(list_transform(range(1, 2 + doc_id % 7), x -> x * x), 'sum') AS BIGINT) AS sq_sum,
