@@ -1023,6 +1023,49 @@ object SparkEntry {
           expr("aggregate(zip_with(sequence(1L, 1 + doc_id % 7), reverse(sequence(1L, 1 + doc_id % 7)), (a, b) -> a * b), 0L, (a, x) -> a + x)").as("zip_sum"))
         .orderBy("doc_id")
     }),
+    "f_string_ops" -> ((s, dir) => {
+      // scalar string-function breadth (split_part / translate / lpad
+      // / reverse / instr / levenshtein / repeat) — all map-only
+      // codegen'd built-ins, portable to DuckDB's identical-semantics
+      // twins (1-based instr with 0-on-absent, same levenshtein)
+      t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          expr("split_part(p_name, ' ', 2)").as("name_tail"),
+          expr("translate(p_brand, '#', '-')").as("brand_t"),
+          expr("lpad(cast(p_size as string), 4, '0')").as("size_pad"),
+          expr("reverse(p_type)").as("type_rev"),
+          expr("instr(p_name, 'red')").cast("long").as("red_at"),
+          expr("levenshtein(p_brand, 'Brand#11')").cast("long").as("brand_dist"),
+          expr("repeat(substr(p_brand, 1, 2), 2)").as("brand_rep"))
+        .orderBy("p_partkey")
+    }),
+    "w_value_windows" -> ((s, dir) => {
+      // value-window breadth: first_value / nth_value / last_value
+      // under EXPLICIT ROWS frames (the default RANGE frame is
+      // tie-sensitive; the (o_orderdate, o_orderkey) order is total
+      // so every frame is deterministic)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_orderkey") % 400 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .withColumn("first_price", first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_price", last(col("o_totalprice")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .drop("o_orderdate")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    "a_cross_join" -> ((s, dir) => {
+      // cross-join breadth: every region × every distinct order
+      // status (a broadcast nested-loop at any scale — the dimension
+      // sides are tiny by construction)
+      t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "orders").select(col("o_orderstatus")).distinct())
+        .orderBy("r_name", "o_orderstatus")
+    }),
     "t_mad" -> ((s, dir) => {
       // robust per-language stats: median + median-absolute-deviation
       // of integer lengths. Exactness: medians interpolate halves of
@@ -1260,6 +1303,28 @@ object SparkEntry {
         "doc_id", "text", k = 8, window = 8, minShared = 3,
         maxFpDocs = 0L) // exact for the oracle; default guard is on
         .orderBy("id_a", "id_b")
+    }),
+    "d_substr_runs" -> ((s, dir) => {
+      // ExactSubstr-lite: maximal verbatim shared spans >= 30 chars
+      // with exact offsets — anchor k-grams meet on a digest
+      // equi-join (16-byte keys shuffle, text never does), runs fall
+      // out of a per-diagonal gaps-and-islands pass; the span-masking
+      // rewriter's input shape (Lee et al. 2022)
+      graft.dedup.Substr.sharedRuns(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", k = 20, minLen = 30)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
+    "d_substr_apply" -> ((s, dir) => {
+      // ExactSubstr apply: duplicated spans are CUT from the later
+      // copy (min-id occurrence survives) — runs merge to disjoint
+      // per-doc spans (interval sweep), then one fold rebuilds each
+      // text; the oracle rebuilds via per-char explode + anti-match,
+      // a genuinely different formulation of the same contract
+      graft.dedup.Substr.removeSharedSpans(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", k = 20, minLen = 30)
+        .orderBy("doc_id")
     }),
     "d_minhash_incr" -> ((s, dir) => {
       // incremental LSH: a new drop's signatures banded against the
@@ -2007,6 +2072,32 @@ object SparkEntry {
       graft.text.Ngrams.noveltyRate(
         docs.filter(col("doc_id") % 10 === 3), "doc_id", "text",
         docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+        .orderBy("doc_id")
+    }),
+    "t_bm25_topk" -> ((s, dir) => {
+      // sparse retrieval: BM25 top-10 per query (odds-ratio idf —
+      // log-free, so engine-exact; per-(doc,term) scores quantize to
+      // micro ints before the per-doc sum). Corpus explodes map-side
+      // against the broadcast literal term set; only (doc, term) tf
+      // rows shuffle; the final window runs over candidate sets only
+      graft.text.Bm25.topK(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", "text",
+        Seq(1 -> "hash join", 2 -> "window agg stream", 3 -> "fast vector scan"),
+        k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+    "t_lm_surprise" -> ((s, dir) => {
+      // perplexity-filtering analogue (CCNet/KenLM stage): per-doc
+      // mean inverse smoothed bigram probability against a reference
+      // slice — log-free so it's engine-exact (floor-quantized
+      // per-occurrence micro-units, BIGINT sums, one final IEEE
+      // division); censuses are corpus-sized equi-joins (no forced
+      // broadcast), V is a 1-row broadcast, text never shuffles
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.surpriseScore(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text")
         .orderBy("doc_id")
     }),
     "t_token_drift" -> ((s, dir) => {
@@ -2912,6 +3003,33 @@ object SparkEntry {
         |  list_zip(range(1, 2 + doc_id % 7), list_reverse(range(1, 2 + doc_id % 7))),
         |  p -> p[1] * p[2]), 'sum') AS BIGINT) AS zip_sum
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "f_string_ops" ->
+      """SELECT p_partkey,
+        |split_part(p_name, ' ', 2) AS name_tail,
+        |translate(p_brand, '#', '-') AS brand_t,
+        |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |reverse(p_type) AS type_rev,
+        |CAST(instr(p_name, 'red') AS BIGINT) AS red_at,
+        |CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
+        |repeat(substr(p_brand, 1, 2), 2) AS brand_rep
+        |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
+    "w_value_windows" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |first_value(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price,
+        |last_value(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders WHERE o_orderkey % 400 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "a_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
     "t_mad" ->
       """WITH m AS (SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
         |  FROM documents GROUP BY lang)
@@ -3073,6 +3191,13 @@ object SparkEntry {
     "d_winnow_fp" ->
       (graft.dedup.Winnow.fingerprintsSql(k = 8, window = 8,
         whereClause = "WHERE doc_id % 50 = 1") + "\nORDER BY doc_id, pos"),
+    "d_substr_runs" ->
+      (graft.dedup.Substr.sharedRunsSql(k = 20, minLen = 30,
+        whereClause = "WHERE doc_id % 3 = 2")
+        + "\nORDER BY id_a, id_b, start_a, start_b"),
+    "d_substr_apply" ->
+      (graft.dedup.Substr.removeSharedSpansSql(k = 20, minLen = 30,
+        whereClause = "WHERE doc_id % 3 = 2") + "\nORDER BY doc_id"),
     "d_minhash_incr" ->
       graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
         whereNew = "WHERE doc_id % 10 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
@@ -3436,6 +3561,15 @@ object SparkEntry {
     "t_bigram_novelty" ->
       (graft.text.Ngrams.noveltyRateSql(n = 2,
         whereClause = "WHERE doc_id % 10 = 3",
+        refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
+    "t_bm25_topk" ->
+      (graft.text.Bm25.topKSql(
+        Seq(1 -> "hash join", 2 -> "window agg stream", 3 -> "fast vector scan"),
+        k = 10, whereClause = "WHERE doc_id % 2 = 1")
+        + "\nORDER BY query_id, rnk"),
+    "t_lm_surprise" ->
+      (graft.text.Lm.surpriseScoreSql(
+        whereClause = "WHERE doc_id % 10 = 7",
         refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
     "t_token_drift" ->
       graft.text.Drift.tokenChi2Sql(k = 40,

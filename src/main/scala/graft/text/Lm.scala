@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language-model scoring against a REFERENCE
+  * corpus — the perplexity-filtering stage of LLM data pipelines
+  * (CCNet trains a KenLM on trusted text and drops documents whose
+  * perplexity is an outlier; this is the same signal computed from
+  * add-one-smoothed bigram counts). The reference project has no
+  * counterpart; this extends SURVEY §2.5's text-analysis category
+  * beside [[Ngrams.noveltyRate]] (which only tests set membership —
+  * this weighs HOW unexpected each transition is).
+  *
+  * Log-free formulation, deliberately: `ln` is not IEEE-correctly-
+  * rounded, so log-probabilities are not engine-exact. Instead each
+  * bigram occurrence `(w1, w2)` scores its inverse smoothed
+  * conditional probability
+  *
+  *   surprise = 1 / P(w2 | w1) = (c(w1) + V) / (c(w1 w2) + 1)
+  *
+  * (add-one smoothing over the reference vocabulary of size V) — a
+  * strictly monotone transform of per-token perplexity, so ranking
+  * and thresholding behave identically. `+`, `/`, `*` and `floor`
+  * ARE correctly rounded, so quantizing each occurrence to integer
+  * micro-units (`floor(surprise * 1e6)`) and summing as BIGINT is
+  * bit-exact across engines ([[surpriseScoreSql]]); the final mean
+  * is one IEEE division of exactly-representable integers.
+  *
+  * Scale shape: the unigram and bigram censuses are CORPUS-SIZED
+  * (billions of rows at 100 TB) so both lookups are plain equi-joins
+  * with NO forced broadcast — AQE picks the strategy; the vocabulary
+  * size V is a 1-row aggregate that broadcasts. Text never shuffles:
+  * documents explode to `(id, gram)` map-side and only grams and ids
+  * move. Quantization headroom: the BIGINT sum overflows only past
+  * ~9e18 total micro-units per document (c(w1) ~ 1e12 at full
+  * web-crawl scale × 1e6 quantum × doc length — at that point pass a
+  * smaller quantum).
+  */
+object Lm {
+
+  /** Per-document surprise statistics for `df` against the bigram
+    * model trained on `reference`: `(idCol, n_bigrams,
+    * surprise_micro, mean_surprise)` where `surprise_micro` is the
+    * BIGINT sum of `floor(1e6 · (c(w1)+V)/(c(w1 w2)+1))` over the
+    * document's bigram OCCURRENCES (duplicates kept — they are the
+    * signal) and `mean_surprise = surprise_micro / n_bigrams / 1e6`.
+    * Documents with fewer than 2 tokens have zero bigrams and mean
+    * `0.0`. Tokenization is the library rule: lowercased,
+    * whitespace-split. Tokens unseen in the reference have
+    * `c(w1) = 0` and score `V / (0 + 1)` — the uniform-model
+    * maximum, as smoothing dictates.
+    */
+  def surpriseScore(
+      df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+  ): DataFrame = {
+    Seq("__gram", "__w1", "__c1", "__c12", "__v").foreach(c =>
+      require(!df.columns.contains(c),
+        s"surpriseScore reserves column name $c; rename it in the input"))
+    val refToks = reference
+      .select(TextFunctions.tokens(lower(col(refTextCol))).as("__toks"))
+    val uni = refToks
+      .select(explode(col("__toks")).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val bi = refToks
+      .select(explode(TextFunctions.allGramsOf(col("__toks"), 2)).as("__gram"))
+      .groupBy("__gram").agg(count(lit(1)).as("__c12"))
+    // vocabulary size: 1-row aggregate, broadcast via the cross join
+    val vocabSize = uni.agg(count(lit(1)).as("__v"))
+
+    val grams = df.select(col(idCol),
+        explode_outer(TextFunctions.allGramsOf(
+          TextFunctions.tokens(lower(col(textCol))), 2)).as("__gram"))
+      .withColumn("__w1", substring_index(col("__gram"), " ", 1))
+    val scored = grams
+      .join(uni, Seq("__w1"), "left")
+      .join(bi, Seq("__gram"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("__micro",
+        when(col("__gram").isNull, lit(null))
+          .otherwise(floor(
+            (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double") /
+              (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") *
+              lit(1e6))))
+    scored.groupBy(col(idCol))
+      .agg(count(col("__gram")).cast("int").as("n_bigrams"),
+        coalesce(sum(col("__micro")), lit(0L)).as("surprise_micro"))
+      .withColumn("mean_surprise",
+        when(col("n_bigrams") > 0,
+          col("surprise_micro").cast("double") /
+            col("n_bigrams").cast("double") / lit(1e6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB rendering of [[surpriseScore]] over `documents(doc_id,
+    * text)`: score the documents matching `whereClause` against the
+    * model trained on documents matching `refWhereClause` (full
+    * `WHERE ...` clauses or "").
+    */
+  def surpriseScoreSql(whereClause: String, refWhereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    val grams = TextFunctions.allGramsSql("toks", 2)
+    s"""WITH rt AS (SELECT $toks AS toks FROM documents $refWhereClause),
+       |uni AS (SELECT w1, count(*) AS c1
+       |  FROM (SELECT unnest(toks) AS w1 FROM rt) GROUP BY w1),
+       |bi AS (SELECT gram, count(*) AS c12
+       |  FROM (SELECT unnest($grams) AS gram FROM rt) GROUP BY gram),
+       |v AS (SELECT count(*) AS v FROM uni),
+       |dt AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
+       |dg AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1
+       |  FROM (SELECT doc_id, unnest($grams) AS gram FROM dt)),
+       |sc AS (SELECT dg.doc_id, dg.gram,
+       |    CAST(floor(CAST(coalesce(uni.c1, 0) + v.v AS DOUBLE)
+       |      / CAST(coalesce(bi.c12, 0) + 1 AS DOUBLE) * 1e6) AS BIGINT)
+       |      AS micro
+       |  FROM dg
+       |  LEFT JOIN uni ON dg.w1 = uni.w1
+       |  LEFT JOIN bi ON dg.gram = bi.gram
+       |  CROSS JOIN v),
+       |c AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       |    sum(micro) AS n_micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_bigrams, 0) AS n_bigrams,
+       |  CAST(coalesce(c.n_micro, 0) AS BIGINT) AS surprise_micro,
+       |  CASE WHEN coalesce(c.n_bigrams, 0) > 0
+       |    THEN CAST(c.n_micro AS DOUBLE) / CAST(c.n_bigrams AS DOUBLE) / 1e6
+       |    ELSE 0.0 END AS mean_surprise
+       |FROM (SELECT doc_id FROM documents $whereClause) d
+       |LEFT JOIN c USING (doc_id)""".stripMargin
+  }
+}

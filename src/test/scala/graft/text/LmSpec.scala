@@ -1,0 +1,87 @@
+package graft.text
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class LmSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+
+  /** Independent sequential reference: add-one-smoothed inverse
+    * bigram probability, floor-quantized to micro-units.
+    */
+  private def expected(
+      corpus: Seq[(Long, String)], ref: Seq[String],
+  ): Map[Long, (Int, Long, Double)] = {
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val refToks = ref.map(toks)
+    val uni = refToks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = refToks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val v = uni.size.toLong
+    corpus.map { case (id, text) =>
+      val t = toks(text)
+      val grams = t.zip(t.drop(1))
+      val micros = grams.map { g =>
+        val c1 = uni.getOrElse(g._1, 0L)
+        val c12 = bi.getOrElse(g, 0L)
+        math.floor((c1 + v).toDouble / (c12 + 1).toDouble * 1e6).toLong
+      }
+      val sum = micros.sum
+      val mean = if (grams.nonEmpty) sum.toDouble / grams.size.toDouble / 1e6 else 0.0
+      id -> ((grams.size, sum, mean))
+    }.toMap
+  }
+
+  private def run(corpus: DataFrame, ref: DataFrame): Map[Long, (Int, Long, Double)] =
+    Lm.surpriseScore(corpus, "doc_id", "text", ref, "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("hand-computed surprise on a worked example") {
+    // ref: uni the:2 cat:1 sat:1 on:1 mat:1 -> V=5; all bigrams count 1
+    val ref = docs(100L -> "the cat sat on the mat")
+    val out = run(docs(
+      1L -> "THE cat sat up",   // (2+5)/2=3.5, (1+5)/2=3.0, (1+5)/1=6.0
+      2L -> "zz qq",            // unseen w1: (0+5)/1=5.0
+      3L -> "tiny",             // < 2 tokens
+      4L -> ""), ref)
+    assert(out(1L) === ((3, 12500000L, 12500000.0 / 3.0 / 1e6)))
+    assert(out(2L) === ((1, 5000000L, 5.0)))
+    assert(out(3L) === ((0, 0L, 0.0)))
+    assert(out(4L) === ((0, 0L, 0.0)))
+  }
+
+  test("matches the sequential reference on a random corpus; partition-independent") {
+    val rnd = new Random(42)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "gg")
+    def sentence(): String =
+      Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")
+    val refRows = (100L until 110L).map(i => i -> sentence())
+    val corpusRows = (1L until 30L).map(i => i -> sentence())
+    val want = expected(corpusRows, refRows.map(_._2))
+    val got = run(docs(corpusRows: _*), docs(refRows: _*))
+    assert(got === want)
+    val gotRepart = run(docs(corpusRows: _*).repartition(7),
+      docs(refRows: _*).repartition(5))
+    assert(gotRepart === want)
+  }
+
+  test("reserved columns are rejected") {
+    val d = docs(1L -> "a b").withColumnRenamed("text", "__gram")
+    intercept[IllegalArgumentException] {
+      Lm.surpriseScore(d, "doc_id", "__gram", docs(2L -> "a"), "text")
+    }
+  }
+}
