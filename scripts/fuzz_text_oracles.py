@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Fuzz the SHIPPED t_lm_surprise / t_bm25_topk oracle SQL against
+independent Python references (Python floats are IEEE doubles, so
+the references replicate the documented op order exactly).
+
+Adversarial corpora: quote/delimiter characters in tokens, repeated
+tokens (tf extremes), docs shorter than the n-gram order, empty-ish
+docs, and corpora where the baked-in BM25 query terms are ubiquitous
+or absent.
+
+Usage: python3 scripts/fuzz_text_oracles.py <verifyOutDir> [trials]
+"""
+import json
+import math
+import random
+import re
+import sys
+
+import duckdb
+
+BM25_QUERIES = [(1, "hash join"), (2, "window agg stream"),
+                (3, "fast vector scan")]
+K1, B, TOPK = 1.2, 0.75, 10
+
+
+def toks(s):
+    return [w for w in re.split(r"\s+", s.strip().lower()) if w]
+
+
+def ref_lm(corpus, reference):
+    uni, bi = {}, {}
+    for t in map(toks, reference):
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for g in zip(t, t[1:]):
+            bi[g] = bi.get(g, 0) + 1
+    v = len(uni)
+    out = {}
+    for did, text in corpus:
+        t = toks(text)
+        grams = list(zip(t, t[1:]))
+        s = 0
+        for g in grams:
+            c1 = uni.get(g[0], 0)
+            c12 = bi.get(g, 0)
+            s += math.floor((c1 + v) / (c12 + 1) * 1e6)
+        mean = s / len(grams) / 1e6 if grams else 0.0
+        out[did] = (len(grams), s, mean)
+    return out
+
+
+def ref_bm25(corpus, queries, k):
+    doc_toks = [(did, toks(t)) for did, t in corpus]
+    n = len(corpus)
+    total = sum(len(t) for _, t in doc_toks)
+    out = {}
+    for qid, qtext in queries:
+        terms = list(dict.fromkeys(toks(qtext)))
+        cand = []
+        for did, t in doc_toks:
+            matched = [w for w in terms if w in t]
+            if not matched:
+                continue
+            s = 0
+            for w in matched:
+                tf = t.count(w)
+                df = sum(1 for _, u in doc_toks if w in u)
+                idf = ((n - df) + 0.5) / (df + 0.5)
+                norm = K1 * ((1 - B) + B * (len(t) / (total / n)))
+                tfpart = (tf * (K1 + 1)) / (tf + norm)
+                s += math.floor(idf * tfpart * 1e6)
+            cand.append((did, len(matched), s))
+        cand.sort(key=lambda c: (-c[2], c[0]))
+        for rnk, (did, nt, s) in enumerate(cand[:k], start=1):
+            out[(qid, did)] = (nt, s, rnk)
+    return out
+
+
+def main():
+    out_dir = sys.argv[1]
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    lm_sql = oracles["t_lm_surprise"]
+    bm_sql = oracles["t_bm25_topk"]
+
+    random.seed(99)
+    query_words = [w for _, q in BM25_QUERIES for w in q.split()]
+    fails = 0
+    for trial in range(trials):
+        vocab = random.choice([
+            ["a", "b", "aa"], ["x'y", "z.", "<t>", "q"],
+            query_words + ["pad", "x"], ["hash", "hash", "join", "w"]])
+        def sentence():
+            return " ".join(random.choices(vocab, k=random.randint(0, 14)))
+        docs = [(i, sentence()) for i in range(random.randint(3, 40))]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                    ",".join("(%d, '%s')" % (i, d.replace("'", "''"))
+                             for i, d in docs) + ") t(doc_id, text)")
+        # lm gate: score %10=7 against reference %2=0
+        want_lm = ref_lm([d for d in docs if d[0] % 10 == 7],
+                         [t for i, t in docs if i % 2 == 0])
+        got_lm = {r[0]: (r[1], r[2], r[3]) for r in con.sql(lm_sql).fetchall()}
+        # bm25 gate: corpus %2=1
+        want_bm = ref_bm25([d for d in docs if d[0] % 2 == 1],
+                           BM25_QUERIES, TOPK)
+        got_bm = {(r[0], r[1]): (r[2], r[3], r[4])
+                  for r in con.sql(bm_sql).fetchall()}
+        if got_lm != want_lm or got_bm != want_bm:
+            fails += 1
+            print(f"MISMATCH trial {trial}: docs={docs}")
+            if got_lm != want_lm:
+                print(f"  lm got  {got_lm}\n  lm want {want_lm}")
+            if got_bm != want_bm:
+                print(f"  bm got  {got_bm}\n  bm want {want_bm}")
+    print(f"trials={trials} fails={fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,7 +152,7 @@ object Substr {
   def removeSharedSpansSql(k: Int, minLen: Int, whereClause: String): String = {
     val runs = sharedRunsSql(k, minLen, whereClause)
     s"""WITH runs0 AS ($runs),
-       |sp AS (SELECT id_b AS doc_id, start_b AS lo,
+       |sp AS (SELECT DISTINCT id_b AS doc_id, start_b AS lo,
        |    start_b + run_len - 1 AS hi FROM runs0),
        |spl AS (SELECT doc_id, lo, hi,
        |    CASE WHEN max_prev IS NULL OR lo > max_prev THEN 1 ELSE 0 END AS newf
