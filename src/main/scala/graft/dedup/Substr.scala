@@ -109,11 +109,22 @@ object Substr {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minLen: Int = 40,
       maxGramDocs: Int = 0, joinOnDigest: Boolean = true,
+      persistInput: Boolean = false,
   ): DataFrame = {
     Seq("__spans", "__lo", "__hi").foreach(c =>
       require(!df.columns.contains(c),
         s"removeSharedSpans reserves column name $c; rename it in the input"))
-    val runs = sharedRuns(df, idCol, textCol, k, minLen, maxGramDocs,
+    // the input feeds three lineages (both anchor sides of the run
+    // join, plus the rebuild join) — pass persistInput = true when
+    // the corpus scan is expensive (one MEMORY_AND_DISK
+    // materialization of the (id, text) projection; session-lifetime
+    // entry, same contract as [[graft.text.TfIdf.topTerms]])
+    val base0 = df.select(col(idCol), col(textCol))
+    val base =
+      if (persistInput)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    val runs = sharedRuns(base, idCol, textCol, k, minLen, maxGramDocs,
       joinOnDigest)
     val spans = runs.select(col("id_b").as(idCol),
       col("start_b").as("__lo"),
@@ -123,23 +134,24 @@ object Substr {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__lo").as("lo"),
         col("__hi").as("hi")))).as("__spans"))
-    val base = df.select(col(idCol), col(textCol))
     val tc = textCol
-    val cleaned = base.join(merged, Seq(idCol))
-      .withColumn("text_clean", expr(
-        s"""aggregate(__spans,
-           |  struct(cast(1 as int) as p, '' as acc),
-           |  (st, iv) -> struct(cast(iv.hi + 1 as int) as p,
-           |    concat(st.acc, substring(`$tc`, st.p, iv.lo - st.p)) as acc),
-           |  st -> concat(st.acc,
-           |    substring(`$tc`, st.p, length(`$tc`) - st.p + 1)))""".stripMargin))
-      .select(col(idCol), size(col("__spans")).as("n_spans"),
+    // one LEFT join covers touched and untouched documents alike: the
+    // span-list side is duplicate-doc-sized (tiny), AQE broadcasts it,
+    // and the corpus is read once here instead of join + anti-join
+    base.join(merged, Seq(idCol), "left")
+      .withColumn("text_clean",
+        when(col("__spans").isNull, col(tc)).otherwise(expr(
+          s"""aggregate(__spans,
+             |  struct(cast(1 as int) as p, '' as acc),
+             |  (st, iv) -> struct(cast(iv.hi + 1 as int) as p,
+             |    concat(st.acc, substring(`$tc`, st.p, iv.lo - st.p)) as acc),
+             |  st -> concat(st.acc,
+             |    substring(`$tc`, st.p, length(`$tc`) - st.p + 1)))""".stripMargin)))
+      .select(col(idCol),
+        when(col("__spans").isNull, lit(0))
+          .otherwise(size(col("__spans"))).as("n_spans"),
         (length(col(tc)) - length(col("text_clean"))).as("chars_removed"),
         col("text_clean"))
-    val untouched = base.join(merged, Seq(idCol), "left_anti")
-      .select(col(idCol), lit(0).as("n_spans"), lit(0).as("chars_removed"),
-        col(tc).as("text_clean"))
-    cleaned.unionByName(untouched)
   }
 
   /** DuckDB rendering of [[removeSharedSpans]] (digest-join form)

@@ -54,12 +54,23 @@ object Lm {
   def surpriseScore(
       df: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
+      persistReference: Boolean = false,
   ): DataFrame = {
     Seq("__gram", "__w1", "__c1", "__c12", "__v").foreach(c =>
       require(!df.columns.contains(c),
         s"surpriseScore reserves column name $c; rename it in the input"))
-    val refToks = reference
+    // the reference feeds three lineages (unigram census, bigram
+    // census, V) — by default each re-scans the source; when the
+    // reference scan is expensive pass persistReference = true (one
+    // MEMORY_AND_DISK materialization of the token arrays; the entry
+    // lives until the session drops it, same contract as
+    // [[TfIdf.topTerms]]'s persistInput) or persist upstream yourself
+    val refToks0 = reference
       .select(TextFunctions.tokens(lower(col(refTextCol))).as("__toks"))
+    val refToks =
+      if (persistReference)
+        refToks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else refToks0
     val uni = refToks
       .select(explode(col("__toks")).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__c1"))

@@ -456,6 +456,48 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"temperature plan re-scans the corpus:\n$p")
   }
 
+  test("substr runs/apply meet on the anchor digest equi-join, never all-pairs") {
+    // the ExactSubstr paths must join anchors on the 16-byte digest
+    // key; losing the key would plan an all-pairs compare over every
+    // anchor pair (quadratic in corpus bytes)
+    for (q <- Seq("d_substr_runs", "d_substr_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its anchor equi-key:\n$p")
+    }
+  }
+
+  test("LM surprise: census joins keep their gram equi-keys, V rides a broadcast") {
+    // the unigram/bigram censuses are corpus-sized — they must join on
+    // the gram key (never forced broadcast; no hint in the analyzed
+    // plan), while the 1-row vocabulary scalar broadcasts
+    val p = plan("t_lm_surprise")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"V scalar no longer broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t_lm_surprise degraded to a cartesian:\n$p")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val analyzed = graft.text.Lm.surpriseScore(
+      docs, "doc_id", "text", docs, "text")
+      .queryExecution.analyzed.toString
+    // exactly one hint: the V cross join — the census joins carry none
+    assert("ResolvedHint".r.findAllIn(analyzed).size === 1,
+      s"census joins gained/lost a broadcast hint:\n$analyzed")
+  }
+
+  test("BM25: query terms and corpus stats broadcast; tf census is the only corpus shuffle") {
+    val p = plan("t_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term table no longer broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t_bm25_topk degraded to a cartesian:\n$p")
+    // the corpus parquet is scanned for tokens (tf lineage) and for
+    // doc stats — but never more than those lineages
+    assert("FileScan parquet".r.findAllIn(p).size <= 3,
+      s"BM25 plan re-scans the corpus:\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
