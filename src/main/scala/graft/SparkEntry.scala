@@ -1987,6 +1987,17 @@ object SparkEntry {
         docs, "doc_id", "q", "nt", budget = 20000L)
         .orderBy("id")
     }),
+    "p_shuffle_rank" -> ((s, dir) => {
+      // reproducible global training-order shuffle: md5(id||seed)
+      // order with EXACT global rank via the distributed prefix scan
+      // (range partition -> 1-row-per-partition counts -> broadcast
+      // offsets -> map-only rank) — never the single-partition
+      // row_number window the oracle is allowed to use
+      graft.ops.Shuffling.shuffleRank(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 1),
+        "doc_id", seed = 17L)
+        .orderBy("id")
+    }),
     "t_tfidf_top" -> ((s, dir) => {
       graft.text.TfIdf.topTerms(
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
@@ -3550,6 +3561,9 @@ object SparkEntry {
         graft.text.TextFunctions.qualityScoreSql.replace("TXT", "text"),
         s"len(${graft.text.TextFunctions.tokensSql.replace("TXT", "text")})",
         budget = 20000L, whereClause = "WHERE doc_id % 3 = 0"),
+    "p_shuffle_rank" ->
+      (graft.ops.Shuffling.shuffleRankSql(seed = 17L,
+        whereClause = "WHERE doc_id % 4 = 1") + "\nORDER BY id"),
     "t_tfidf_top" ->
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
     "t_vocab_top" ->

@@ -78,6 +78,39 @@ object Streams {
         col("n_subwords"), col("n_oov"))
   }
 
+  /** Streaming LM-surprise scoring — the twin of the batch
+    * [[graft.text.Lm.surpriseScoreAgainst]] for documents arriving
+    * on a stream: per document, the bigram count and quantized
+    * surprise sum against a TRAINED census (an ingest-time quality
+    * monitor — the perplexity-filter signal before documents reach
+    * the corpus).
+    *
+    * Shape: the per-gram explode + census joins + quantization are
+    * the BATCH operator's own body ([[graft.text.Lm.scoredGrams]] —
+    * one code path, so stream ≡ batch can never drift), followed by
+    * a watermarked per-(window, doc) aggregation like
+    * [[encodeStatsStream]] (documents arrive whole, so a doc never
+    * straddles windows; state evicts with the watermark). The
+    * censuses join stream-static WITHOUT a forced broadcast — they
+    * are corpus-sized, unlike `encodeStatsStream`'s bounded vocab;
+    * persist them (or reload from parquet) so micro-batches don't
+    * re-aggregate the reference.
+    */
+  def surpriseStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, vocabSize: DataFrame,
+      watermark: String = "1 hour",
+  ): DataFrame =
+    graft.text.Lm.scoredGrams(
+        docs.withWatermark("ts", watermark)
+          .select(col("ts"), col(idCol).as("id"), col(textCol)),
+        textCol, uni, bi, vocabSize)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("id"))
+      .agg(count(col("__gram")).cast("int").as("n_bigrams"),
+        coalesce(sum(col("__micro")), lit(0L)).as("surprise_micro"))
+      .select(col("w.start").as("hour"), col("id"),
+        col("n_bigrams"), col("surprise_micro"))
+
   /** Streaming exact-dedup on an id column: duplicates arriving within
     * the watermark horizon are dropped; state for ids older than the
     * watermark is evicted (bounded memory). The streaming twin of the

@@ -51,20 +51,21 @@ object Lm {
     * `c(w1) = 0` and score `V / (0 + 1)` — the uniform-model
     * maximum, as smoothing dictates.
     */
-  def surpriseScore(
-      df: DataFrame, idCol: String, textCol: String,
+  /** The trained model: unigram census `(__w1, __c1)`, bigram census
+    * `(__gram, __c12)`, and the 1-row vocabulary size `(__v)` —
+    * train once, persist the censuses, score many batches/streams
+    * ([[surpriseScoreAgainst]], [[graft.streaming.Streams]]'
+    * `surpriseStream`). The reference feeds three lineages — by
+    * default each re-scans the source; when the reference scan is
+    * expensive pass `persistReference = true` (one MEMORY_AND_DISK
+    * materialization of the token arrays; the entry lives until the
+    * session drops it, same contract as [[TfIdf.topTerms]]'s
+    * persistInput) or persist upstream yourself.
+    */
+  def referenceCensus(
       reference: DataFrame, refTextCol: String,
       persistReference: Boolean = false,
-  ): DataFrame = {
-    Seq("__gram", "__w1", "__c1", "__c12", "__v").foreach(c =>
-      require(!df.columns.contains(c),
-        s"surpriseScore reserves column name $c; rename it in the input"))
-    // the reference feeds three lineages (unigram census, bigram
-    // census, V) — by default each re-scans the source; when the
-    // reference scan is expensive pass persistReference = true (one
-    // MEMORY_AND_DISK materialization of the token arrays; the entry
-    // lives until the session drops it, same contract as
-    // [[TfIdf.topTerms]]'s persistInput) or persist upstream yourself
+  ): (DataFrame, DataFrame, DataFrame) = {
     val refToks0 = reference
       .select(TextFunctions.tokens(lower(col(refTextCol))).as("__toks"))
     val refToks =
@@ -78,13 +79,24 @@ object Lm {
       .select(explode(TextFunctions.allGramsOf(col("__toks"), 2)).as("__gram"))
       .groupBy("__gram").agg(count(lit(1)).as("__c12"))
     // vocabulary size: 1-row aggregate, broadcast via the cross join
-    val vocabSize = uni.agg(count(lit(1)).as("__v"))
+    (uni, bi, uni.agg(count(lit(1)).as("__v")))
+  }
 
-    val grams = df.select(col(idCol),
+  /** Per-row bigram explode + per-occurrence quantized surprise —
+    * the shared core of the batch and streaming scorers (one body,
+    * so stream ≡ batch can never drift). Input rows keep their
+    * other columns; output adds `__gram` (null when the document
+    * has < 2 tokens) and `__micro`.
+    */
+  private[graft] def scoredGrams(
+      df: DataFrame, textCol: String,
+      uni: DataFrame, bi: DataFrame, vocabSize: DataFrame,
+  ): DataFrame =
+    df.withColumn("__gram",
         explode_outer(TextFunctions.allGramsOf(
-          TextFunctions.tokens(lower(col(textCol))), 2)).as("__gram"))
+          TextFunctions.tokens(lower(col(textCol))), 2)))
+      .drop(textCol) // project text away BEFORE the join shuffles
       .withColumn("__w1", substring_index(col("__gram"), " ", 1))
-    val scored = grams
       .join(uni, Seq("__w1"), "left")
       .join(bi, Seq("__gram"), "left")
       .crossJoin(broadcast(vocabSize))
@@ -94,6 +106,30 @@ object Lm {
             (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double") /
               (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") *
               lit(1e6))))
+
+  def surpriseScore(
+      df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      persistReference: Boolean = false,
+  ): DataFrame = {
+    val (uni, bi, vocabSize) =
+      referenceCensus(reference, refTextCol, persistReference)
+    surpriseScoreAgainst(df, idCol, textCol, uni, bi, vocabSize)
+  }
+
+  /** [[surpriseScore]] against an already-trained model (the frames
+    * [[referenceCensus]] returns, typically persisted or reloaded
+    * from parquet).
+    */
+  def surpriseScoreAgainst(
+      df: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, vocabSize: DataFrame,
+  ): DataFrame = {
+    Seq("__gram", "__w1", "__c1", "__c12", "__v").foreach(c =>
+      require(!df.columns.contains(c),
+        s"surpriseScore reserves column name $c; rename it in the input"))
+    val scored = scoredGrams(df.select(col(idCol), col(textCol)), textCol,
+      uni, bi, vocabSize)
     scored.groupBy(col(idCol))
       .agg(count(col("__gram")).cast("int").as("n_bigrams"),
         coalesce(sum(col("__micro")), lit(0L)).as("surprise_micro"))

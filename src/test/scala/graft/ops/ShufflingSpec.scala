@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ShufflingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ids(n: Int, parts: Int = 3): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until n).map(Row(_)), parts),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+
+  private def run(df: DataFrame, seed: Long, partitions: Int = 0): Seq[(Long, String, Long)] =
+    Shuffling.shuffleRank(df, "doc_id", seed, partitions)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("rank is a dense 0-based permutation ordered by (key, id)") {
+    val out = run(ids(137), seed = 7)
+    assert(out.map(_._3).sorted === (0L until 137L))
+    val byRank = out.sortBy(_._3)
+    assert(byRank === byRank.sortBy(t => (t._2, t._1)))
+    // matches an independent sequential reference on the md5 key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"$id:7".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (0L until 137L).map(i => i -> key(i)).sortBy(t => (t._2, t._1))
+      .zipWithIndex.map { case ((id, k), r) => (id, k, r.toLong) }
+    assert(byRank === want)
+  }
+
+  test("order is deterministic in (id, seed) and partitioning-independent") {
+    val a = run(ids(80, parts = 2), seed = 42, partitions = 5)
+    val b = run(ids(80, parts = 7), seed = 42, partitions = 3)
+    assert(a.sortBy(_._1) === b.sortBy(_._1))
+    val c = run(ids(80), seed = 43)
+    assert(a.sortBy(_._3).map(_._1) !== c.sortBy(_._3).map(_._1),
+      "different seeds must produce different orders")
+  }
+
+  test("empty input yields empty output") {
+    assert(run(ids(0), seed = 1).isEmpty)
+  }
+}

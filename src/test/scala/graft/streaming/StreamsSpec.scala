@@ -70,6 +70,37 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("surpriseStream equals batch surpriseScore per document (stream-static census join)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // train the bigram censuses on a tiny offline reference (static side)
+    val reference = Seq((100L, "the cat sat on the mat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val (uni, bi, v) = graft.text.Lm.referenceCensus(reference, "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streams.surpriseStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", uni, bi, v)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try {
+      val docs = Seq((1L, ts(0), "the cat sat up"), (2L, ts(5), "zz qq"),
+        (3L, ts(70), "tiny"), (4L, ts(75), "the cat ran on the mat"))
+      input.addData(docs.take(2): _*)
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("lm_stream").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Int]("n_bigrams"), r.getAs[Long]("surprise_micro")))).toMap
+      val want = graft.text.Lm.surpriseScoreAgainst(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text", uni, bi, v)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_bigrams"), r.getAs[Long]("surprise_micro")))).toMap
+      assert(got == want, s"stream $got != batch $want")
+      assert(want(2L)._2 > 0, "unseen-token path not exercised — weak fixture")
+      assert(want(3L) === ((0, 0L)), "sub-bigram doc must report zero")
+    } finally query.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch after every micro-batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
