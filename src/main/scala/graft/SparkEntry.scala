@@ -1670,6 +1670,20 @@ object SparkEntry {
             .as("max_abs_err"))
         .orderBy("id")
     }),
+    "e_mrl_truncate" -> ((s, dir) => {
+      // Matryoshka truncation: first-16-dims prefix renormalized to
+      // unit length (4x index density, rescore at full precision
+      // later) — map-only; doubles hash RAW because the norm fold is
+      // a fixed IEEE sequence and sqrt/divide are correctly rounded
+      graft.ann.Ann.mrlTruncate(
+        t(s, dir, "embeddings").filter(col("vec_id") % 20 === 3),
+        "vec_id", "embedding", dims = 16)
+        .select(col("id"), col("tnorm"),
+          posexplode(col("tvec")).as(Seq("p", "q")))
+        .select(col("id"), col("tnorm"),
+          (col("p") + 1).cast("long").as("i"), col("q"))
+        .orderBy("id", "i")
+    }),
     "s_kmv_distinct" -> ((s, dir) =>
       // KMV cardinality sketch: distinct → TakeOrdered heap of the
       // 256 smallest md5 hashes → one division. Deterministic where
@@ -3398,6 +3412,9 @@ object SparkEntry {
         "vec_id % 10 = 1", "vec_id % 10 = 0", k = 5),
     "e_quantize_int8" ->
       graft.ann.Ann.quantizeInt8Sql("WHERE vec_id % 25 = 0"),
+    "e_mrl_truncate" ->
+      (graft.ann.Ann.mrlTruncateSql(dims = 16,
+        whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
     "s_kmv_distinct" ->
       graft.ops.Sketches.kmvDistinctSql("lineitem", "l_partkey", 256),
     "s_cms_counts" ->

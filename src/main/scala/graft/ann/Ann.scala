@@ -647,6 +647,57 @@ object Ann {
        |    abs(${dequantElemSql("qvec[i]", "qscale")} - CAST(v[i] AS DOUBLE)))) AS max_abs_err
        |FROM q ORDER BY id""".stripMargin
 
+  /** Matryoshka-style truncation: keep the first `dims` components
+    * and re-normalize to unit length — the MRL storage/latency lever
+    * (embeddings trained with matryoshka losses keep most of their
+    * retrieval quality in a prefix, so an index can store d/4 dims at
+    * 4× density and rescore survivors at full precision). Map-only at
+    * any scale.
+    *
+    * Engine-exactness: the squared-norm fold is a FIXED left-to-right
+    * IEEE sequence (Spark's `aggregate` with a 0.0 seed ≡ DuckDB's
+    * seedless `list_reduce` — adding 0.0 to the first square is exact
+    * since squares are never -0.0), `sqrt` is IEEE-correctly-rounded,
+    * and each output component is one division — so the doubles are
+    * bit-identical across engines and the gate can hash them raw.
+    * Zero vectors renormalize to zeros (same NULL-free convention as
+    * [[quantizeInt8]]).
+    *
+    * Output: (id, tnorm, tvec) — the PRE-normalization norm of the
+    * truncated prefix (the energy retained, an audit column) and the
+    * renormalized `dims`-component vector as doubles.
+    */
+  def mrlTruncate(df: DataFrame, idCol: String, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims $dims must be >= 1")
+    df.select(col(idCol).as("id"),
+        transform(slice(col(vecCol), 1, dims), x => x.cast("double")).as("__h"))
+      .withColumn("tnorm",
+        sqrt(aggregate(col("__h"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("id"), col("tnorm"),
+        when(col("tnorm") > 0,
+          transform(col("__h"), x => x / col("tnorm")))
+          .otherwise(transform(col("__h"), _ => lit(0.0))).as("tvec"))
+  }
+
+  /** DuckDB rendering of [[mrlTruncate]] over `embeddings(vec_id,
+    * embedding)` restricted by `whereClause`, EXPLODED to one row per
+    * component `(id, tnorm, i, q)` — the gate-friendly scalar shape
+    * (1-based `i`, raw double component).
+    */
+  def mrlTruncateSql(dims: Int, whereClause: String): String =
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding[1:$dims], x -> CAST(x AS DOUBLE)) AS hv
+       |  FROM embeddings $whereClause),
+       |n AS (SELECT id, hv,
+       |    sqrt(list_reduce(list_transform(hv, x -> x * x),
+       |      (a, b) -> a + b)) AS tnorm
+       |  FROM e),
+       |x AS (SELECT id, tnorm, hv,
+       |    unnest(range(1, len(hv) + 1)) AS i FROM n)
+       |SELECT id, tnorm, i,
+       |  CASE WHEN tnorm > 0 THEN hv[i] / tnorm ELSE 0.0 END AS q
+       |FROM x""".stripMargin
+
   // ---- Product quantization ------------------------------------------
 
   /** Deterministic PQ codebooks: the `dim`-dim space splits into `m`

@@ -499,4 +499,37 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(censored == Set(100L),
       s"maxBucketSize=5 should censor the 30-way hot block: $censored")
   }
+
+  test("mrlTruncate: prefix slice, exact sequential norm, unit output, zero-safe") {
+    val rows = Seq(
+      Row(1L, Seq(3.0f, 4.0f, 100.0f, -7.0f)), // norm over first 2 = 5
+      Row(2L, Seq(0.0f, 0.0f, 9.0f, 9.0f)),    // zero prefix -> zeros
+      Row(3L, Seq(-1.5f, 2.5f, 0.5f, 1.0f)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+    val out = graft.ann.Ann.mrlTruncate(d, "vec_id", "embedding", dims = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Double](2)))).toMap
+    // exact left-to-right fold on doubles, like the operator documents
+    def ref(v: Seq[Float]): (Double, Seq[Double]) = {
+      val h = v.take(2).map(_.toDouble)
+      val n = math.sqrt(h.foldLeft(0.0)((a, x) => a + x * x))
+      (n, if (n > 0) h.map(_ / n) else h.map(_ => 0.0))
+    }
+    for ((id, v) <- Seq(1L -> rows(0), 2L -> rows(1), 3L -> rows(2))) {
+      val (wn, wv) = ref(v.getSeq[Float](1))
+      assert(out(id)._1 === wn)
+      assert(out(id)._2 === wv)
+    }
+    assert(out(1L)._1 === 5.0)
+    assert(out(2L)._2 === Seq(0.0, 0.0))
+    // renormalized output is unit length (up to fold rounding)
+    val n1 = out(1L)._2.foldLeft(0.0)((a, x) => a + x * x)
+    assert(math.abs(n1 - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ann.Ann.mrlTruncate(d, "vec_id", "embedding", dims = 0)
+    }
+  }
 }
