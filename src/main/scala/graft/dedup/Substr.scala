@@ -51,12 +51,13 @@ object Substr {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minLen: Int = 40,
       maxGramDocs: Int = 0, joinOnDigest: Boolean = true,
+      persistAnchors: Boolean = true,
   ): DataFrame = {
     require(k >= 2, s"k $k must be >= 2")
     require(minLen >= k, s"minLen $minLen must be >= k $k")
     require(maxGramDocs >= 0, s"maxGramDocs $maxGramDocs must be >= 0")
     val gram = col("__text").substr(col("__pos"), lit(k))
-    val anchors0 = df
+    val anchors1 = df
       .select(col(idCol).as("__id"), col(textCol).as("__text"))
       .select(col("__id"), col("__text"),
         explode(when(length(col("__text")) >= k,
@@ -64,6 +65,17 @@ object Substr {
           .otherwise(array().cast("array<int>"))).as("__pos"))
       .select(col("__id"), col("__pos"),
         (if (joinOnDigest) md5(gram.cast("binary")) else gram).as("__key"))
+    // the anchor frame feeds BOTH self-join sides (and the hot-gram
+    // census when on): persist it once so the k-gram explode + digest
+    // runs once and both sides read the same blocks — the same
+    // signature-persist contract as the minhash/simhash/cosine
+    // builders (session-lifetime entry; MEMORY_AND_DISK spills, so at
+    // corpus scale this trades the second anchor shuffle for disk
+    // blocks — measured 5× on the gate. Opt out to recompute.)
+    val anchors0 =
+      if (persistAnchors)
+        anchors1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else anchors1
     val anchors =
       if (maxGramDocs == 0) anchors0
       else {
@@ -109,7 +121,7 @@ object Substr {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minLen: Int = 40,
       maxGramDocs: Int = 0, joinOnDigest: Boolean = true,
-      persistInput: Boolean = false,
+      persistInput: Boolean = false, persistAnchors: Boolean = true,
   ): DataFrame = {
     Seq("__spans", "__lo", "__hi").foreach(c =>
       require(!df.columns.contains(c),
@@ -125,7 +137,7 @@ object Substr {
         base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else base0
     val runs = sharedRuns(base, idCol, textCol, k, minLen, maxGramDocs,
-      joinOnDigest)
+      joinOnDigest, persistAnchors)
     val spans = runs.select(col("id_b").as(idCol),
       col("start_b").as("__lo"),
       (col("start_b") + col("run_len") - 1).as("__hi"))
