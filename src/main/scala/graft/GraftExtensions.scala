@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, In
 import org.apache.spark.sql.functions.struct
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{RollingHash, ZInterleave}
+import graft.functions.{NormalizeText, RollingHash, ZInterleave}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions AND the SQL front door for the Column-level
@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       exprs => RollingHash(arity("rolling_hash", 1)(exprs).head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "nfc_normalize"),
+      exprs => NormalizeText(arity("nfc_normalize", 1)(exprs).head, "NFC")))
     e.injectFunction((
       FunctionIdentifier("z_interleave"),
       new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),

@@ -2001,6 +2001,22 @@ object SparkEntry {
         docs, "doc_id", "q", "nt", budget = 20000L)
         .orderBy("id")
     }),
+    "t_normalize_nfc" -> ((s, dir) => {
+      // Unicode canonicalization before fingerprinting (custom
+      // codegen Expression — Spark has no normalization builtin):
+      // decomposed combining sequences are appended so the gate
+      // exercises real composition, not the ASCII identity path.
+      // DuckDB's utf8proc twin cannot drift: normalization of
+      // assigned characters is stabilized by the Unicode standard
+      t(s, dir, "part").filter(col("p_partkey") % 25 === 0)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(" cafe\u0301 u\u0308ber")).as("raw"))
+        .select(col("p_partkey"),
+          graft.functions.NormalizeText.normalize_text(col("raw")).as("norm"),
+          length(col("raw")).cast("long").as("n_raw"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+        .orderBy("p_partkey")
+    }),
     "p_shuffle_rank" -> ((s, dir) => {
       // reproducible global training-order shuffle: md5(id||seed)
       // order with EXACT global rank via the distributed prefix scan
@@ -3578,6 +3594,14 @@ object SparkEntry {
         graft.text.TextFunctions.qualityScoreSql.replace("TXT", "text"),
         s"len(${graft.text.TextFunctions.tokensSql.replace("TXT", "text")})",
         budget = 20000L, whereClause = "WHERE doc_id % 3 = 0"),
+    "t_normalize_nfc" ->
+      s"""WITH r AS (SELECT p_partkey,
+         |    p_name || ' cafe\u0301 u\u0308ber' AS raw
+         |  FROM part WHERE p_partkey % 25 = 0)
+         |SELECT p_partkey, nfc_normalize(raw) AS norm,
+         |  CAST(length(raw) AS BIGINT) AS n_raw,
+         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm
+         |FROM r ORDER BY p_partkey""".stripMargin,
     "p_shuffle_rank" ->
       (graft.ops.Shuffling.shuffleRankSql(seed = 17L,
         whereClause = "WHERE doc_id % 4 = 1") + "\nORDER BY id"),
