@@ -27,22 +27,24 @@ def toks(s):
     return [w for w in re.split(r"\s+", s.strip().lower()) if w]
 
 
-def ref_lm(corpus, reference):
-    uni, bi = {}, {}
+def ref_lm(corpus, reference, order=2):
+    def ngrams(t, n):
+        return [tuple(t[i:i + n]) for i in range(len(t) - n + 1)]
+    pc, gc, vocab = {}, {}, set()
     for t in map(toks, reference):
-        for w in t:
-            uni[w] = uni.get(w, 0) + 1
-        for g in zip(t, t[1:]):
-            bi[g] = bi.get(g, 0) + 1
-    v = len(uni)
+        vocab.update(t)
+        for g in ngrams(t, order - 1):
+            pc[g] = pc.get(g, 0) + 1
+        for g in ngrams(t, order):
+            gc[g] = gc.get(g, 0) + 1
+    v = len(vocab)
     out = {}
     for did, text in corpus:
-        t = toks(text)
-        grams = list(zip(t, t[1:]))
+        grams = ngrams(toks(text), order)
         s = 0
         for g in grams:
-            c1 = uni.get(g[0], 0)
-            c12 = bi.get(g, 0)
+            c1 = pc.get(g[:order - 1], 0)
+            c12 = gc.get(g, 0)
             s += math.floor((c1 + v) / (c12 + 1) * 1e6)
         mean = s / len(grams) / 1e6 if grams else 0.0
         out[did] = (len(grams), s, mean)
@@ -81,6 +83,7 @@ def main():
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 80
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     lm_sql = oracles["t_lm_surprise"]
+    lm3_sql = oracles["t_lm_surprise3"]
     bm_sql = oracles["t_bm25_topk"]
 
     random.seed(99)
@@ -101,16 +104,21 @@ def main():
         want_lm = ref_lm([d for d in docs if d[0] % 10 == 7],
                          [t for i, t in docs if i % 2 == 0])
         got_lm = {r[0]: (r[1], r[2], r[3]) for r in con.sql(lm_sql).fetchall()}
+        want_lm3 = ref_lm([d for d in docs if d[0] % 10 == 1],
+                          [t for i, t in docs if i % 2 == 1], order=3)
+        got_lm3 = {r[0]: (r[1], r[2], r[3]) for r in con.sql(lm3_sql).fetchall()}
         # bm25 gate: corpus %2=1
         want_bm = ref_bm25([d for d in docs if d[0] % 2 == 1],
                            BM25_QUERIES, TOPK)
         got_bm = {(r[0], r[1]): (r[2], r[3], r[4])
                   for r in con.sql(bm_sql).fetchall()}
-        if got_lm != want_lm or got_bm != want_bm:
+        if got_lm != want_lm or got_lm3 != want_lm3 or got_bm != want_bm:
             fails += 1
             print(f"MISMATCH trial {trial}: docs={docs}")
             if got_lm != want_lm:
                 print(f"  lm got  {got_lm}\n  lm want {want_lm}")
+            if got_lm3 != want_lm3:
+                print(f"  lm3 got  {got_lm3}\n  lm3 want {want_lm3}")
             if got_bm != want_bm:
                 print(f"  bm got  {got_bm}\n  bm want {want_bm}")
     print(f"trials={trials} fails={fails}")

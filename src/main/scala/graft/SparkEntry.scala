@@ -2141,6 +2141,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text")
         .orderBy("doc_id")
     }),
+    "t_lm_surprise3" -> ((s, dir) => {
+      // trigram-order LM surprise: conditioning prefix is the
+      // (order-1)-gram census — same join topology as the bigram
+      // gate, one more reference lineage for the token-vocabulary V
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.surpriseScore(
+        docs.filter(col("doc_id") % 10 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 1), "text", order = 3)
+        .orderBy("doc_id")
+    }),
     "t_token_drift" -> ((s, dir) => {
       // corpus drift: top-40 terms by chi-square contribution between
       // two slices — vocabulary-sized censuses (one shuffle each,
@@ -3626,6 +3636,11 @@ object SparkEntry {
       (graft.text.Lm.surpriseScoreSql(
         whereClause = "WHERE doc_id % 10 = 7",
         refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
+    "t_lm_surprise3" ->
+      (graft.text.Lm.surpriseScoreSql(
+        whereClause = "WHERE doc_id % 10 = 1",
+        refWhereClause = "WHERE doc_id % 2 = 1", order = 3)
+        + "\nORDER BY doc_id"),
     "t_token_drift" ->
       graft.text.Drift.tokenChi2Sql(k = 40,
         whereA = "WHERE doc_id % 2 = 0", whereB = "WHERE doc_id % 2 = 1"),

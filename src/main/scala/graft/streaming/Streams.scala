@@ -98,18 +98,18 @@ object Streams {
     */
   def surpriseStream(
       docs: DataFrame, idCol: String, textCol: String,
-      uni: DataFrame, bi: DataFrame, vocabSize: DataFrame,
-      watermark: String = "1 hour",
+      prefix: DataFrame, grams: DataFrame, vocabSize: DataFrame,
+      watermark: String = "1 hour", order: Int = 2,
   ): DataFrame =
     graft.text.Lm.scoredGrams(
         docs.withWatermark("ts", watermark)
           .select(col("ts"), col(idCol).as("id"), col(textCol)),
-        textCol, uni, bi, vocabSize)
+        textCol, prefix, grams, vocabSize, order)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("id"))
-      .agg(count(col("__gram")).cast("int").as("n_bigrams"),
+      .agg(count(col("__gram")).cast("int").as("n_grams"),
         coalesce(sum(col("__micro")), lit(0L)).as("surprise_micro"))
       .select(col("w.start").as("hour"), col("id"),
-        col("n_bigrams"), col("surprise_micro"))
+        col("n_grams"), col("surprise_micro"))
 
   /** Streaming exact-dedup on an id column: duplicates arriving within
     * the watermark horizon are dropped; state for ids older than the

@@ -3,56 +3,48 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Count-based bigram language-model scoring against a REFERENCE
+/** Count-based n-gram language-model scoring against a REFERENCE
   * corpus — the perplexity-filtering stage of LLM data pipelines
   * (CCNet trains a KenLM on trusted text and drops documents whose
   * perplexity is an outlier; this is the same signal computed from
-  * add-one-smoothed bigram counts). The reference project has no
-  * counterpart; this extends SURVEY §2.5's text-analysis category
-  * beside [[Ngrams.noveltyRate]] (which only tests set membership —
-  * this weighs HOW unexpected each transition is).
+  * add-one-smoothed n-gram counts, default bigram, trigram and up
+  * via `order`). The reference project has no counterpart; this
+  * extends SURVEY §2.5's text-analysis category beside
+  * [[Ngrams.noveltyRate]] (which only tests set membership — this
+  * weighs HOW unexpected each transition is).
   *
   * Log-free formulation, deliberately: `ln` is not IEEE-correctly-
   * rounded, so log-probabilities are not engine-exact. Instead each
-  * bigram occurrence `(w1, w2)` scores its inverse smoothed
+  * n-gram occurrence `(w_1..w_n)` scores its inverse smoothed
   * conditional probability
   *
-  *   surprise = 1 / P(w2 | w1) = (c(w1) + V) / (c(w1 w2) + 1)
+  *   surprise = 1 / P(w_n | w_1..w_{n-1})
+  *            = (c(prefix) + V) / (c(gram) + 1)
   *
-  * (add-one smoothing over the reference vocabulary of size V) — a
-  * strictly monotone transform of per-token perplexity, so ranking
-  * and thresholding behave identically. `+`, `/`, `*` and `floor`
-  * ARE correctly rounded, so quantizing each occurrence to integer
-  * micro-units (`floor(surprise * 1e6)`) and summing as BIGINT is
-  * bit-exact across engines ([[surpriseScoreSql]]); the final mean
-  * is one IEEE division of exactly-representable integers.
+  * (add-one smoothing over the reference token vocabulary of size V)
+  * — a strictly monotone transform of per-token perplexity, so
+  * ranking and thresholding behave identically. `+`, `/`, `*` and
+  * `floor` ARE correctly rounded, so quantizing each occurrence to
+  * integer micro-units (`floor(surprise * 1e6)`) and summing as
+  * BIGINT is bit-exact across engines ([[surpriseScoreSql]]); the
+  * final mean is one IEEE division of exactly-representable
+  * integers.
   *
-  * Scale shape: the unigram and bigram censuses are CORPUS-SIZED
+  * Scale shape: the prefix and gram censuses are CORPUS-SIZED
   * (billions of rows at 100 TB) so both lookups are plain equi-joins
   * with NO forced broadcast — AQE picks the strategy; the vocabulary
   * size V is a 1-row aggregate that broadcasts. Text never shuffles:
-  * documents explode to `(id, gram)` map-side and only grams and ids
-  * move. Quantization headroom: the BIGINT sum overflows only past
-  * ~9e18 total micro-units per document (c(w1) ~ 1e12 at full
-  * web-crawl scale × 1e6 quantum × doc length — at that point pass a
-  * smaller quantum).
+  * documents explode to `(id, gram)` map-side (text projected away
+  * first) and only grams and ids move. Quantization headroom: the
+  * BIGINT sum overflows only past ~9e18 total micro-units per
+  * document (c(prefix) ~ 1e12 at full web-crawl scale × 1e6 quantum
+  * × doc length — at that point pass a smaller quantum).
   */
 object Lm {
 
-  /** Per-document surprise statistics for `df` against the bigram
-    * model trained on `reference`: `(idCol, n_bigrams,
-    * surprise_micro, mean_surprise)` where `surprise_micro` is the
-    * BIGINT sum of `floor(1e6 · (c(w1)+V)/(c(w1 w2)+1))` over the
-    * document's bigram OCCURRENCES (duplicates kept — they are the
-    * signal) and `mean_surprise = surprise_micro / n_bigrams / 1e6`.
-    * Documents with fewer than 2 tokens have zero bigrams and mean
-    * `0.0`. Tokenization is the library rule: lowercased,
-    * whitespace-split. Tokens unseen in the reference have
-    * `c(w1) = 0` and score `V / (0 + 1)` — the uniform-model
-    * maximum, as smoothing dictates.
-    */
-  /** The trained model: unigram census `(__w1, __c1)`, bigram census
-    * `(__gram, __c12)`, and the 1-row vocabulary size `(__v)` —
+  /** The trained model: prefix census `(__w1, __c1)` over
+    * `(order-1)`-grams, gram census `(__gram, __c12)` over
+    * `order`-grams, and the 1-row token-vocabulary size `(__v)` —
     * train once, persist the censuses, score many batches/streams
     * ([[surpriseScoreAgainst]], [[graft.streaming.Streams]]'
     * `surpriseStream`). The reference feeds three lineages — by
@@ -64,41 +56,51 @@ object Lm {
     */
   def referenceCensus(
       reference: DataFrame, refTextCol: String,
-      persistReference: Boolean = false,
+      persistReference: Boolean = false, order: Int = 2,
   ): (DataFrame, DataFrame, DataFrame) = {
+    require(order >= 2, s"order $order must be >= 2")
     val refToks0 = reference
       .select(TextFunctions.tokens(lower(col(refTextCol))).as("__toks"))
     val refToks =
       if (persistReference)
         refToks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else refToks0
-    val uni = refToks
-      .select(explode(col("__toks")).as("__w1"))
+    val prefix = refToks
+      .select(explode(TextFunctions.allGramsOf(col("__toks"), order - 1))
+        .as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__c1"))
-    val bi = refToks
-      .select(explode(TextFunctions.allGramsOf(col("__toks"), 2)).as("__gram"))
+    val grams = refToks
+      .select(explode(TextFunctions.allGramsOf(col("__toks"), order))
+        .as("__gram"))
       .groupBy("__gram").agg(count(lit(1)).as("__c12"))
-    // vocabulary size: 1-row aggregate, broadcast via the cross join
-    (uni, bi, uni.agg(count(lit(1)).as("__v")))
+    // token-vocabulary size: 1-row aggregate, broadcast via the cross
+    // join. At order 2 the prefix census IS the token census, so its
+    // row count serves; higher orders count distinct tokens directly.
+    val vocabSize =
+      if (order == 2) prefix.agg(count(lit(1)).as("__v"))
+      else refToks.select(explode(col("__toks")).as("__w"))
+        .agg(count_distinct(col("__w")).as("__v"))
+    (prefix, grams, vocabSize)
   }
 
-  /** Per-row bigram explode + per-occurrence quantized surprise —
+  /** Per-row n-gram explode + per-occurrence quantized surprise —
     * the shared core of the batch and streaming scorers (one body,
     * so stream ≡ batch can never drift). Input rows keep their
     * other columns; output adds `__gram` (null when the document
-    * has < 2 tokens) and `__micro`.
+    * has < order tokens) and `__micro`.
     */
   private[graft] def scoredGrams(
       df: DataFrame, textCol: String,
-      uni: DataFrame, bi: DataFrame, vocabSize: DataFrame,
+      prefix: DataFrame, grams: DataFrame, vocabSize: DataFrame,
+      order: Int = 2,
   ): DataFrame =
     df.withColumn("__gram",
         explode_outer(TextFunctions.allGramsOf(
-          TextFunctions.tokens(lower(col(textCol))), 2)))
+          TextFunctions.tokens(lower(col(textCol))), order)))
       .drop(textCol) // project text away BEFORE the join shuffles
-      .withColumn("__w1", substring_index(col("__gram"), " ", 1))
-      .join(uni, Seq("__w1"), "left")
-      .join(bi, Seq("__gram"), "left")
+      .withColumn("__w1", substring_index(col("__gram"), " ", order - 1))
+      .join(prefix, Seq("__w1"), "left")
+      .join(grams, Seq("__gram"), "left")
       .crossJoin(broadcast(vocabSize))
       .withColumn("__micro",
         when(col("__gram").isNull, lit(null))
@@ -107,36 +109,48 @@ object Lm {
               (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") *
               lit(1e6))))
 
+  /** Per-document surprise statistics for `df` against the model
+    * trained on `reference`: `(idCol, n_grams, surprise_micro,
+    * mean_surprise)` where `surprise_micro` is the BIGINT sum of the
+    * quantized per-occurrence surprises (duplicates kept — they are
+    * the signal) and `mean_surprise = surprise_micro / n_grams /
+    * 1e6`. Documents with fewer than `order` tokens have zero grams
+    * and mean `0.0`. Tokenization is the library rule: lowercased,
+    * whitespace-split. Prefixes unseen in the reference have
+    * `c(prefix) = 0` and score `V / (0 + 1)` — the uniform-model
+    * maximum, as smoothing dictates.
+    */
   def surpriseScore(
       df: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
-      persistReference: Boolean = false,
+      persistReference: Boolean = false, order: Int = 2,
   ): DataFrame = {
-    val (uni, bi, vocabSize) =
-      referenceCensus(reference, refTextCol, persistReference)
-    surpriseScoreAgainst(df, idCol, textCol, uni, bi, vocabSize)
+    val (prefix, grams, vocabSize) =
+      referenceCensus(reference, refTextCol, persistReference, order)
+    surpriseScoreAgainst(df, idCol, textCol, prefix, grams, vocabSize, order)
   }
 
   /** [[surpriseScore]] against an already-trained model (the frames
     * [[referenceCensus]] returns, typically persisted or reloaded
-    * from parquet).
+    * from parquet). `order` must match the census order.
     */
   def surpriseScoreAgainst(
       df: DataFrame, idCol: String, textCol: String,
-      uni: DataFrame, bi: DataFrame, vocabSize: DataFrame,
+      prefix: DataFrame, grams: DataFrame, vocabSize: DataFrame,
+      order: Int = 2,
   ): DataFrame = {
     Seq("__gram", "__w1", "__c1", "__c12", "__v").foreach(c =>
       require(!df.columns.contains(c),
         s"surpriseScore reserves column name $c; rename it in the input"))
     val scored = scoredGrams(df.select(col(idCol), col(textCol)), textCol,
-      uni, bi, vocabSize)
+      prefix, grams, vocabSize, order)
     scored.groupBy(col(idCol))
-      .agg(count(col("__gram")).cast("int").as("n_bigrams"),
+      .agg(count(col("__gram")).cast("int").as("n_grams"),
         coalesce(sum(col("__micro")), lit(0L)).as("surprise_micro"))
       .withColumn("mean_surprise",
-        when(col("n_bigrams") > 0,
+        when(col("n_grams") > 0,
           col("surprise_micro").cast("double") /
-            col("n_bigrams").cast("double") / lit(1e6))
+            col("n_grams").cast("double") / lit(1e6))
           .otherwise(lit(0.0)))
   }
 
@@ -145,34 +159,41 @@ object Lm {
     * model trained on documents matching `refWhereClause` (full
     * `WHERE ...` clauses or "").
     */
-  def surpriseScoreSql(whereClause: String, refWhereClause: String): String = {
+  def surpriseScoreSql(
+      whereClause: String, refWhereClause: String, order: Int = 2,
+  ): String = {
+    require(order >= 2, s"order $order must be >= 2")
     val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
-    val grams = TextFunctions.allGramsSql("toks", 2)
+    val pGrams = TextFunctions.allGramsSql("toks", order - 1)
+    val grams = TextFunctions.allGramsSql("toks", order)
+    val prefixOf =
+      s"array_to_string((string_split(gram, ' '))[1:${order - 1}], ' ')"
     s"""WITH rt AS (SELECT $toks AS toks FROM documents $refWhereClause),
-       |uni AS (SELECT w1, count(*) AS c1
-       |  FROM (SELECT unnest(toks) AS w1 FROM rt) GROUP BY w1),
-       |bi AS (SELECT gram, count(*) AS c12
+       |pc AS (SELECT w1, count(*) AS c1
+       |  FROM (SELECT unnest($pGrams) AS w1 FROM rt) GROUP BY w1),
+       |gc AS (SELECT gram, count(*) AS c12
        |  FROM (SELECT unnest($grams) AS gram FROM rt) GROUP BY gram),
-       |v AS (SELECT count(*) AS v FROM uni),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM rt)),
        |dt AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
-       |dg AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1
+       |dg AS (SELECT doc_id, gram, $prefixOf AS w1
        |  FROM (SELECT doc_id, unnest($grams) AS gram FROM dt)),
        |sc AS (SELECT dg.doc_id, dg.gram,
-       |    CAST(floor(CAST(coalesce(uni.c1, 0) + v.v AS DOUBLE)
-       |      / CAST(coalesce(bi.c12, 0) + 1 AS DOUBLE) * 1e6) AS BIGINT)
+       |    CAST(floor(CAST(coalesce(pc.c1, 0) + v.v AS DOUBLE)
+       |      / CAST(coalesce(gc.c12, 0) + 1 AS DOUBLE) * 1e6) AS BIGINT)
        |      AS micro
        |  FROM dg
-       |  LEFT JOIN uni ON dg.w1 = uni.w1
-       |  LEFT JOIN bi ON dg.gram = bi.gram
+       |  LEFT JOIN pc ON dg.w1 = pc.w1
+       |  LEFT JOIN gc ON dg.gram = gc.gram
        |  CROSS JOIN v),
-       |c AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       |c AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
        |    sum(micro) AS n_micro
        |  FROM sc GROUP BY doc_id)
        |SELECT d.doc_id,
-       |  coalesce(c.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(c.n_grams, 0) AS n_grams,
        |  CAST(coalesce(c.n_micro, 0) AS BIGINT) AS surprise_micro,
-       |  CASE WHEN coalesce(c.n_bigrams, 0) > 0
-       |    THEN CAST(c.n_micro AS DOUBLE) / CAST(c.n_bigrams AS DOUBLE) / 1e6
+       |  CASE WHEN coalesce(c.n_grams, 0) > 0
+       |    THEN CAST(c.n_micro AS DOUBLE) / CAST(c.n_grams AS DOUBLE) / 1e6
        |    ELSE 0.0 END AS mean_surprise
        |FROM (SELECT doc_id FROM documents $whereClause) d
        |LEFT JOIN c USING (doc_id)""".stripMargin

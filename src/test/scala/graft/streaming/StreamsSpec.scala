@@ -90,11 +90,11 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       query.processAllAvailable()
       val got = spark.table("lm_stream").collect()
         .map(r => r.getAs[Long]("id") ->
-          ((r.getAs[Int]("n_bigrams"), r.getAs[Long]("surprise_micro")))).toMap
+          ((r.getAs[Int]("n_grams"), r.getAs[Long]("surprise_micro")))).toMap
       val want = graft.text.Lm.surpriseScoreAgainst(
         docs.toDF("doc_id", "ts", "text"), "doc_id", "text", uni, bi, v)
         .collect().map(r => r.getAs[Long]("doc_id") ->
-          ((r.getAs[Int]("n_bigrams"), r.getAs[Long]("surprise_micro")))).toMap
+          ((r.getAs[Int]("n_grams"), r.getAs[Long]("surprise_micro")))).toMap
       assert(got == want, s"stream $got != batch $want")
       assert(want(2L)._2 > 0, "unseen-token path not exercised — weak fixture")
       assert(want(3L) === ((0, 0L)), "sub-bigram doc must report zero")

@@ -17,24 +17,26 @@ class LmSpec extends AnyFunSuite with SparkSpec {
         StructField("text", StringType, nullable = false))))
 
   /** Independent sequential reference: add-one-smoothed inverse
-    * bigram probability, floor-quantized to micro-units.
+    * n-gram probability, floor-quantized to micro-units.
     */
   private def expected(
-      corpus: Seq[(Long, String)], ref: Seq[String],
+      corpus: Seq[(Long, String)], ref: Seq[String], order: Int = 2,
   ): Map[Long, (Int, Long, Double)] = {
     def toks(s: String): Seq[String] =
       s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def nGrams(t: Seq[String], n: Int): Seq[String] =
+      t.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
     val refToks = ref.map(toks)
-    val uni = refToks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val bi = refToks.flatMap(t => t.zip(t.drop(1)))
+    val pc = refToks.flatMap(nGrams(_, order - 1))
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val v = uni.size.toLong
+    val gc = refToks.flatMap(nGrams(_, order))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val v = refToks.flatten.distinct.size.toLong
     corpus.map { case (id, text) =>
-      val t = toks(text)
-      val grams = t.zip(t.drop(1))
+      val grams = nGrams(toks(text), order)
       val micros = grams.map { g =>
-        val c1 = uni.getOrElse(g._1, 0L)
-        val c12 = bi.getOrElse(g, 0L)
+        val c1 = pc.getOrElse(g.split(" ").take(order - 1).mkString(" "), 0L)
+        val c12 = gc.getOrElse(g, 0L)
         math.floor((c1 + v).toDouble / (c12 + 1).toDouble * 1e6).toLong
       }
       val sum = micros.sum
@@ -43,8 +45,10 @@ class LmSpec extends AnyFunSuite with SparkSpec {
     }.toMap
   }
 
-  private def run(corpus: DataFrame, ref: DataFrame): Map[Long, (Int, Long, Double)] =
-    Lm.surpriseScore(corpus, "doc_id", "text", ref, "text")
+  private def run(
+      corpus: DataFrame, ref: DataFrame, order: Int = 2,
+  ): Map[Long, (Int, Long, Double)] =
+    Lm.surpriseScore(corpus, "doc_id", "text", ref, "text", order = order)
       .collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
       .toMap
@@ -76,6 +80,24 @@ class LmSpec extends AnyFunSuite with SparkSpec {
     val gotRepart = run(docs(corpusRows: _*).repartition(7),
       docs(refRows: _*).repartition(5))
     assert(gotRepart === want)
+  }
+
+  test("trigram order matches the sequential reference; sub-order docs report zero") {
+    val rnd = new Random(5)
+    val words = Vector("a", "b", "c", "dd")
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val refRows = (100L until 108L).map(i => i -> sentence(2 + rnd.nextInt(9)))
+    val corpusRows = (1L until 20L).map(i => i -> sentence(rnd.nextInt(8))) :+
+      (50L -> "a b") // 2 tokens < order 3 -> zero grams
+    val want = expected(corpusRows, refRows.map(_._2), order = 3)
+    val got = run(docs(corpusRows: _*), docs(refRows: _*), order = 3)
+    assert(got === want)
+    assert(got(50L) === ((0, 0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Lm.surpriseScore(docs(1L -> "a"), "doc_id", "text",
+        docs(2L -> "a"), "text", order = 1)
+    }
   }
 
   test("reserved columns are rejected") {
