@@ -80,7 +80,8 @@ def main():
     random.seed(4321)
     fails = 0
     for trial in range(trials):
-        alpha = random.choice(["ab", "abc", "ab'c.", "xy"])
+        alpha = random.choice(["ab", "abc", "ab'c.", "xy",
+                               "\u00e9\u00fc\u03b1", "\u65e5\u672c\u8a9eb"])  # multi-byte: substr/length must count code points
         def rand(n):
             return "".join(random.choice(alpha) for _ in range(n))
         shared = [rand(random.randint(MIN_LEN - 5, MIN_LEN + 30))

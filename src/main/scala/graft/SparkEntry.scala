@@ -1262,6 +1262,26 @@ object SparkEntry {
         .exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fp")
     }),
+    "d_normalized_dedup" -> ((s, dir) => {
+      // canonicalize-before-fingerprint composition: each document
+      // spawns a precomposed-accent and a combining-mark variant;
+      // after NFC both variants fingerprint identically, so every
+      // group reports exactly 2 duplicates with the precomposed id
+      // as keeper — without normalization these byte sequences would
+      // never pair (NormalizeTextSpec pins that contrast)
+      import graft.functions.NormalizeText
+      val base = t(s, dir, "documents").filter(col("doc_id") % 20 === 4)
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") * 10).as("id"),
+          concat(col("text"), lit(" caf\u00e9 \u00fcber")).as("t"))
+        .unionByName(base.select((col("doc_id") * 10 + 1).as("id"),
+          concat(col("text"), lit(" cafe\u0301 u\u0308ber")).as("t")))
+      graft.dedup.Dedup.exactDuplicates(
+        variants.select(col("id"),
+          NormalizeText.normalize_text(col("t")).as("t_norm")),
+        "id", "t_norm")
+        .orderBy("fp")
+    }),
     "d_ngram_jaccard" -> ((s, dir) => {
       graft.dedup.Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0),
@@ -3230,6 +3250,15 @@ object SparkEntry {
       s"""SELECT ${graft.text.TextFunctions.fingerprintSql.replace("TXT", "text")} AS fp,
          |count(*) AS n_dups, min(doc_id) AS keeper_id
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d_normalized_dedup" ->
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 4),
+         |u AS (SELECT doc_id * 10 AS id, text || ' caf\u00e9 \u00fcber' AS t FROM b
+         |  UNION ALL
+         |  SELECT doc_id * 10 + 1, text || ' cafe\u0301 u\u0308ber' FROM b)
+         |SELECT ${graft.text.TextFunctions.fingerprintSql
+               .replace("TXT", "nfc_normalize(t)")} AS fp,
+         |count(*) AS n_dups, min(id) AS keeper_id
+         |FROM u GROUP BY 1 ORDER BY fp""".stripMargin,
     "d_ngram_jaccard" ->
       graft.dedup.Dedup.ngramJaccardSql(3, 0.5, "WHERE doc_id % 50 = 0"),
     "d_containment_pairs" ->

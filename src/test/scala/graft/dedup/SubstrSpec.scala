@@ -94,6 +94,23 @@ class SubstrSpec extends AnyFunSuite with SparkSpec {
       expected(rows, k, minLen))
   }
 
+  test("BMP unicode text: offsets and lengths count code points, not bytes") {
+    // multi-byte chars (2-3 UTF-8 bytes each) — a byte-indexed substr
+    // would report shifted offsets and shorter runs
+    val span = "caf\u00e9 \u00fcber d\u65e5\u672c\u8a9e caf\u00e9 wie"
+    val rows = Seq(
+      1L -> ("\u03b1\u03b2 " + span + " xx"),
+      2L -> ("yyyyy " + span),
+      3L -> "plain ascii filler text")
+    val k = 8; val minLen = 12
+    val got = run(docs(rows: _*), k, minLen)
+    assert(got === expected(rows, k, minLen))
+    assert(got.exists { case (a, b, _, _, len) =>
+      a == 1L && b == 2L && len >= span.length })
+    assert(runClean(docs(rows: _*), k, minLen) ===
+      expectedClean(rows, k, minLen))
+  }
+
   test("hot-gram guard drops runs through ubiquitous anchors") {
     val boiler = "SHARED-BOILERPLATE-FOOTER-TEXT"
     val rows = (1L to 6L).map(i => i -> s"doc$i unique-$i $boiler")
