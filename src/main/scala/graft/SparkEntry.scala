@@ -2021,6 +2021,18 @@ object SparkEntry {
         docs, "doc_id", "q", "nt", budget = 20000L)
         .orderBy("id")
     }),
+    "p_contrastive_select" -> ((s, dir) => {
+      // DSIR-style targeted selection surrogate: difference of the
+      // target- and source-model quantized surprise sums — BIGINT
+      // arithmetic on exact sums, engine-exact ranking; two census
+      // scorings joined on the doc id (both sides doc-keyed)
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.contrastiveScore(
+        docs.filter(col("doc_id") % 10 === 2), "doc_id", "text",
+        docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 0), "text")
+        .orderBy("doc_id")
+    }),
     "t_normalize_nfc" -> ((s, dir) => {
       // Unicode canonicalization before fingerprinting (custom
       // codegen Expression — Spark has no normalization builtin):
@@ -3633,6 +3645,11 @@ object SparkEntry {
         graft.text.TextFunctions.qualityScoreSql.replace("TXT", "text"),
         s"len(${graft.text.TextFunctions.tokensSql.replace("TXT", "text")})",
         budget = 20000L, whereClause = "WHERE doc_id % 3 = 0"),
+    "p_contrastive_select" ->
+      (graft.text.Lm.contrastiveScoreSql(
+        whereClause = "WHERE doc_id % 10 = 2",
+        targetWhere = "WHERE lang = 'en' AND doc_id % 3 = 0",
+        sourceWhere = "WHERE doc_id % 3 = 0") + "\nORDER BY doc_id"),
     "t_normalize_nfc" ->
       s"""WITH r AS (SELECT p_partkey,
          |    p_name || ' cafe\u0301 u\u0308ber' AS raw

@@ -154,6 +154,55 @@ object Lm {
           .otherwise(lit(0.0)))
   }
 
+  /** Contrastive (target-vs-source) selection score — the
+    * targeted-data-selection step (DSIR-style: keep documents that
+    * look like the TARGET distribution and unlike the generic
+    * SOURCE; Xie et al. 2023 weight by a log-probability ratio —
+    * this is the library's log-free surrogate, the DIFFERENCE of the
+    * two models' quantized surprise sums, positive when the target
+    * model finds the document less surprising than the source model
+    * does). All-integer once past the per-occurrence quantization:
+    * `contrast_micro = src_micro − tgt_micro` is BIGINT arithmetic
+    * on exact sums, so the ranking is engine-exact with no further
+    * quantization. Output: `(idCol, n_grams, src_micro, tgt_micro,
+    * contrast_micro)`; rank by `(contrast_micro desc, id)` and keep
+    * a prefix (or feed [[graft.ops.Selection.selectToBudget]] with
+    * the contrast as the score) to materialize the selection.
+    *
+    * Scale shape: two independent surprise scorings (each the
+    * census-join topology documented on [[surpriseScore]]) joined on
+    * the document id — both sides doc-keyed, one id shuffle.
+    */
+  def contrastiveScore(
+      df: DataFrame, idCol: String, textCol: String,
+      targetRef: DataFrame, sourceRef: DataFrame, refTextCol: String,
+      persistReference: Boolean = false, order: Int = 2,
+  ): DataFrame = {
+    val tgt = surpriseScore(df, idCol, textCol, targetRef, refTextCol,
+        persistReference, order)
+      .select(col(idCol), col("n_grams"), col("surprise_micro").as("tgt_micro"))
+    val src = surpriseScore(df, idCol, textCol, sourceRef, refTextCol,
+        persistReference, order)
+      .select(col(idCol), col("surprise_micro").as("src_micro"))
+    tgt.join(src, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("src_micro"), col("tgt_micro"),
+        (col("src_micro") - col("tgt_micro")).as("contrast_micro"))
+  }
+
+  /** DuckDB rendering of [[contrastiveScore]] over `documents`. */
+  def contrastiveScoreSql(
+      whereClause: String, targetWhere: String, sourceWhere: String,
+      order: Int = 2,
+  ): String =
+    s"""SELECT a.doc_id, a.n_grams,
+       |  b.surprise_micro AS src_micro,
+       |  a.surprise_micro AS tgt_micro,
+       |  CAST(b.surprise_micro - a.surprise_micro AS BIGINT)
+       |    AS contrast_micro
+       |FROM (${surpriseScoreSql(whereClause, targetWhere, order)}) a
+       |JOIN (${surpriseScoreSql(whereClause, sourceWhere, order)}) b
+       |  USING (doc_id)""".stripMargin
+
   /** DuckDB rendering of [[surpriseScore]] over `documents(doc_id,
     * text)`: score the documents matching `whereClause` against the
     * model trained on documents matching `refWhereClause` (full

@@ -100,6 +100,28 @@ class LmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("contrastive score separates target-like from source-like documents") {
+    val target = docs(100L -> "alpha beta gamma alpha beta",
+      101L -> "beta gamma alpha beta gamma")
+    val source = docs(200L -> "xx yy zz xx yy zz",
+      201L -> "yy zz xx yy")
+    val corpus = Seq(1L -> "alpha beta gamma", 2L -> "xx yy zz", 3L -> "q")
+    val out = Lm.contrastiveScore(docs(corpus: _*), "doc_id", "text",
+        target, source, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // contrast = src_micro - tgt_micro, exactly
+    for ((_, (_, srcM, tgtM, c)) <- out) assert(c === srcM - tgtM)
+    // target-like doc scores positive, source-like negative
+    assert(out(1L)._4 > 0, s"target-like doc not positive: ${out(1L)}")
+    assert(out(2L)._4 < 0, s"source-like doc not negative: ${out(2L)}")
+    assert(out(3L) === ((0, 0L, 0L, 0L))) // sub-order doc: all zeros
+    // and each side equals its independent single-model run
+    val tgtOnly = run(docs(corpus: _*), target)
+    assert(out.forall { case (id, (n, _, tgtM, _)) =>
+      tgtOnly(id)._1 === n && tgtOnly(id)._2 === tgtM })
+  }
+
   test("reserved columns are rejected") {
     val d = docs(1L -> "a b").withColumnRenamed("text", "__gram")
     intercept[IllegalArgumentException] {
