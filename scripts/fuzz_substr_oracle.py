@@ -25,6 +25,7 @@ import duckdb
 
 K = 20       # must match the gates' k
 MIN_LEN = 30  # must match the gates' minLen
+SELF_K, SELF_MIN_LEN = 12, 16  # the d_substr_self gate's params
 
 
 def ref_runs(rows, k, min_len):
@@ -70,12 +71,32 @@ def ref_apply(rows, k, min_len):
     return out
 
 
+def ref_self(rows, k, min_len):
+    """Maximal runs of t[i] == t[i+d] per shift d > 0."""
+    out = set()
+    for did, t in rows:
+        for d in range(1, len(t)):
+            i = 0
+            while i < len(t) - d:
+                if t[i] == t[i + d]:
+                    j = i
+                    while j < len(t) - d and t[j] == t[j + d]:
+                        j += 1
+                    if j - i >= k and j - i >= min_len:
+                        out.add((did, i + 1, i + 1 + d, j - i))
+                    i = j
+                else:
+                    i += 1
+    return out
+
+
 def main():
     out_dir = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 80
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     runs_sql = oracles["d_substr_runs"]
     apply_sql = oracles["d_substr_apply"]
+    self_sql = oracles["d_substr_self"]
 
     random.seed(4321)
     fails = 0
@@ -110,11 +131,16 @@ def main():
         got_r = {tuple(r) for r in con.sql(runs_sql).fetchall()}
         want_a = ref_apply(rows, K, MIN_LEN)
         got_a = {r[0]: (r[1], r[2], r[3]) for r in con.sql(apply_sql).fetchall()}
-        if got_r != want_r or got_a != want_a:
+        # the self gate reads doc_id % 2 = 0: even-id subset of rows+decoys
+        evens = [r for r in rows + decoy if r[0] % 2 == 0]
+        want_s = ref_self(evens, SELF_K, SELF_MIN_LEN)
+        got_s = {tuple(r) for r in con.sql(self_sql).fetchall()}
+        if got_r != want_r or got_a != want_a or got_s != want_s:
             fails += 1
             print(f"MISMATCH trial {trial}: rows={rows}")
             print(f"  runs got  {sorted(got_r)}\n  runs want {sorted(want_r)}")
             print(f"  apply got  {got_a}\n  apply want {want_a}")
+            print(f"  self got  {sorted(got_s)}\n  self want {sorted(want_s)}")
     print(f"trials={trials} fails={fails}")
     sys.exit(1 if fails else 0)
 

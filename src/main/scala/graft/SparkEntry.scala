@@ -1335,6 +1335,15 @@ object SparkEntry {
         "doc_id", "text", k = 20, minLen = 30)
         .orderBy("id_a", "id_b", "start_a", "start_b")
     }),
+    "d_substr_self" -> ((s, dir) => {
+      // within-document verbatim repetition with exact offsets — the
+      // self-join variant: anchors key on (digest, doc id) so matches
+      // never cross documents and cross-doc hot anchors cost nothing
+      graft.dedup.Substr.selfRuns(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 12, minLen = 16)
+        .orderBy("doc_id", "start_a", "start_b")
+    }),
     "d_substr_apply" -> ((s, dir) => {
       // ExactSubstr apply: duplicated spans are CUT from the later
       // copy (min-id occurrence survives) — runs merge to disjoint
@@ -3287,6 +3296,10 @@ object SparkEntry {
       (graft.dedup.Substr.sharedRunsSql(k = 20, minLen = 30,
         whereClause = "WHERE doc_id % 3 = 2")
         + "\nORDER BY id_a, id_b, start_a, start_b"),
+    "d_substr_self" ->
+      (graft.dedup.Substr.selfRunsSql(k = 12, minLen = 16,
+        whereClause = "WHERE doc_id % 2 = 0")
+        + "\nORDER BY doc_id, start_a, start_b"),
     "d_substr_apply" ->
       (graft.dedup.Substr.removeSharedSpansSql(k = 20, minLen = 30,
         whereClause = "WHERE doc_id % 3 = 2") + "\nORDER BY doc_id"),

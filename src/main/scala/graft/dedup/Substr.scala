@@ -39,6 +39,29 @@ import org.apache.spark.sql.functions._
   */
 object Substr {
 
+  /** One `(doc, position, key)` anchor per char offset — shared by
+    * [[sharedRuns]] and [[selfRuns]]; optionally persisted because
+    * every caller self-joins it (see the persist note on
+    * [[sharedRuns]]).
+    */
+  private def anchorsOf(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, joinOnDigest: Boolean, persistAnchors: Boolean,
+  ): DataFrame = {
+    val gram = col("__text").substr(col("__pos"), lit(k))
+    val anchors = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .select(col("__id"), col("__text"),
+        explode(when(length(col("__text")) >= k,
+            sequence(lit(1), length(col("__text")) - lit(k - 1)))
+          .otherwise(array().cast("array<int>"))).as("__pos"))
+      .select(col("__id"), col("__pos"),
+        (if (joinOnDigest) md5(gram.cast("binary")) else gram).as("__key"))
+    if (persistAnchors)
+      anchors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else anchors
+  }
+
   /** Maximal shared runs of length `≥ minLen` between document pairs:
     * `(id_a, id_b, start_a, start_b, run_len)` with `id_a < id_b`,
     * 1-based char offsets, one row per maximal same-diagonal run.
@@ -56,15 +79,6 @@ object Substr {
     require(k >= 2, s"k $k must be >= 2")
     require(minLen >= k, s"minLen $minLen must be >= k $k")
     require(maxGramDocs >= 0, s"maxGramDocs $maxGramDocs must be >= 0")
-    val gram = col("__text").substr(col("__pos"), lit(k))
-    val anchors1 = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .select(col("__id"), col("__text"),
-        explode(when(length(col("__text")) >= k,
-            sequence(lit(1), length(col("__text")) - lit(k - 1)))
-          .otherwise(array().cast("array<int>"))).as("__pos"))
-      .select(col("__id"), col("__pos"),
-        (if (joinOnDigest) md5(gram.cast("binary")) else gram).as("__key"))
     // the anchor frame feeds BOTH self-join sides (and the hot-gram
     // census when on): persist it once so the k-gram explode + digest
     // runs once and both sides read the same blocks — the same
@@ -72,10 +86,8 @@ object Substr {
     // builders (session-lifetime entry; MEMORY_AND_DISK spills, so at
     // corpus scale this trades the second anchor shuffle for disk
     // blocks — measured 5× on the gate. Opt out to recompute.)
-    val anchors0 =
-      if (persistAnchors)
-        anchors1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else anchors1
+    val anchors0 = anchorsOf(df, idCol, textCol, k, joinOnDigest,
+      persistAnchors)
     val anchors =
       if (maxGramDocs == 0) anchors0
       else {
@@ -103,6 +115,88 @@ object Substr {
       .filter(col("run_len") >= minLen)
       .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
         col("run_len"))
+  }
+
+  /** Within-document verbatim repetition: maximal runs of length
+    * `≥ minLen` that occur at TWO positions of the SAME document —
+    * the self-join variant of [[sharedRuns]] (scraped pages
+    * duplicate their own boilerplate; Gopher-style repetition
+    * ratios ([[graft.text.TextFunctions.repetitionScore]]) flag the
+    * symptom, this recovers the exact spans a rewriter needs).
+    * Output: `(idCol, start_a, start_b, run_len)` with
+    * `start_a < start_b`, one row per maximal same-diagonal run —
+    * periodic text reports one run per period alignment, as in
+    * [[sharedRuns]].
+    *
+    * Scale shape: the anchor join keys on `(digest, doc id)`, so
+    * matches never cross documents and the shuffle groups by
+    * document — cross-document hot anchors cost nothing here. The
+    * quadratic hazard is a gram repeated P times WITHIN one document
+    * (P² join rows — degenerate "aaaa…" pages): cap it with
+    * `maxGramRepeats` (per-document occurrence census; runs through
+    * capped anchors are conservatively missed).
+    */
+  def selfRuns(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, minLen: Int = 16,
+      maxGramRepeats: Int = 0, joinOnDigest: Boolean = true,
+      persistAnchors: Boolean = true,
+  ): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    require(minLen >= k, s"minLen $minLen must be >= k $k")
+    require(maxGramRepeats >= 0, s"maxGramRepeats $maxGramRepeats must be >= 0")
+    val anchors0 = anchorsOf(df, idCol, textCol, k, joinOnDigest,
+      persistAnchors)
+    val anchors =
+      if (maxGramRepeats == 0) anchors0
+      else {
+        val hot = anchors0.groupBy(col("__id"), col("__key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxGramRepeats)
+          .select(col("__id"), col("__key"))
+        anchors0.join(hot, Seq("__id", "__key"), "left_anti")
+      }
+    val a = anchors.select(col("__id"), col("__pos").as("pos_a"), col("__key"))
+    val b = anchors.select(col("__id"), col("__pos").as("pos_b"), col("__key"))
+    val diag = a.join(b, Seq("__key", "__id"))
+      .filter(col("pos_a") < col("pos_b"))
+      .select(col("__id"), col("pos_a"), col("pos_b"),
+        (col("pos_b") - col("pos_a")).as("__diag"))
+    val w = Window.partitionBy(col("__id"), col("__diag"))
+      .orderBy(col("pos_a"))
+    diag
+      .withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy(col("__id"), col("__diag"), col("__island"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit(k - 1)).cast("int").as("run_len"))
+      .filter(col("run_len") >= minLen)
+      .select(col("__id").as(idCol), col("start_a"), col("start_b"),
+        col("run_len"))
+  }
+
+  /** DuckDB rendering of [[selfRuns]] (digest-join form) over
+    * `documents(doc_id, text)` restricted to `whereClause`.
+    */
+  def selfRunsSql(k: Int, minLen: Int, whereClause: String): String = {
+    require(k >= 2 && minLen >= k, s"bad k $k / minLen $minLen")
+    s"""WITH d AS (SELECT doc_id, text FROM documents $whereClause),
+       |an AS (SELECT doc_id, pos, md5(substr(text, pos, $k)) AS key
+       |  FROM (SELECT doc_id, text,
+       |      unnest(range(1, greatest(length(text) - ${k - 1}, 0) + 1)) AS pos
+       |    FROM d)),
+       |pr AS (SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
+       |    b.pos - a.pos AS diag
+       |  FROM an a JOIN an b
+       |    ON a.key = b.key AND a.doc_id = b.doc_id AND a.pos < b.pos),
+       |isl AS (SELECT *, pos_a - row_number() OVER (
+       |    PARTITION BY doc_id, diag ORDER BY pos_a) AS island
+       |  FROM pr),
+       |runs AS (SELECT doc_id, CAST(min(pos_a) AS INT) AS start_a,
+       |    CAST(min(pos_b) AS INT) AS start_b,
+       |    CAST(count(*) + ${k - 1} AS INT) AS run_len
+       |  FROM isl GROUP BY doc_id, diag, island)
+       |SELECT doc_id, start_a, start_b, run_len
+       |FROM runs WHERE run_len >= $minLen""".stripMargin
   }
 
   /** The apply step of ExactSubstr dedup: cut every shared run out

@@ -111,6 +111,66 @@ class SubstrSpec extends AnyFunSuite with SparkSpec {
       expectedClean(rows, k, minLen))
   }
 
+  /** Char-level reference for within-document repeats: maximal runs
+    * of `t(i) == t(i+d)` per shift d > 0.
+    */
+  private def expectedSelf(
+      rows: Seq[(Long, String)], k: Int, minLen: Int,
+  ): Set[(Long, Int, Int, Int)] = {
+    val out = scala.collection.mutable.Set[(Long, Int, Int, Int)]()
+    for ((id, t) <- rows; d <- 1 until t.length) {
+      var i = 0
+      while (i < t.length - d) {
+        if (t(i) == t(i + d)) {
+          var j = i
+          while (j < t.length - d && t(j) == t(j + d)) j += 1
+          val len = j - i
+          if (len >= k && len >= minLen) out += ((id, i + 1, i + 1 + d, len))
+          i = j
+        } else i += 1
+      }
+    }
+    out.toSet
+  }
+
+  private def runSelf(
+      df: DataFrame, k: Int, minLen: Int, maxGramRepeats: Int = 0,
+  ): Set[(Long, Int, Int, Int)] =
+    Substr.selfRuns(df, "doc_id", "text", k, minLen, maxGramRepeats)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+
+  test("selfRuns finds within-document repeats with exact offsets") {
+    val phrase = "REPEATED-BOILERPLATE-PHRASE"
+    val rows = Seq(
+      1L -> s"intro $phrase middle $phrase end",
+      2L -> "no repeats in this document at all x",
+      3L -> ("ab" * 20)) // periodic: one run per period alignment
+    val k = 10; val minLen = 15
+    val got = runSelf(docs(rows: _*), k, minLen)
+    assert(got === expectedSelf(rows, k, minLen))
+    assert(got.exists { case (id, _, _, len) =>
+      id == 1L && len >= phrase.length })
+    assert(!got.exists(_._1 == 2L))
+    assert(got.count(_._1 == 3L) > 1)
+  }
+
+  test("selfRuns matches the reference on random text; repeat guard censors") {
+    val rnd = new Random(31)
+    def rand(n: Int): String =
+      Seq.fill(n)(('a' + rnd.nextInt(3)).toChar).mkString
+    val rows = (1L to 8L).map(i => i -> rand(70))
+    val k = 6; val minLen = 9
+    assert(runSelf(docs(rows: _*), k, minLen) === expectedSelf(rows, k, minLen))
+    assert(runSelf(docs(rows: _*).repartition(5), k, minLen) ===
+      expectedSelf(rows, k, minLen))
+    // degenerate page: every anchor identical -> the cap kills the runs
+    val degen = Seq(9L -> ("z" * 60))
+    assert(runSelf(docs(degen: _*), k, minLen).nonEmpty)
+    assert(runSelf(docs(degen: _*), k, minLen, maxGramRepeats = 5).isEmpty)
+  }
+
   test("hot-gram guard drops runs through ubiquitous anchors") {
     val boiler = "SHARED-BOILERPLATE-FOOTER-TEXT"
     val rows = (1L to 6L).map(i => i -> s"doc$i unique-$i $boiler")
