@@ -2014,6 +2014,16 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "p_pack_materialize" -> ((s, dir) => {
+      // the packing WRITER step: each sequence materializes as one
+      // row with members concatenated in id order + an EOS separator
+      // — the one sanctioned text shuffle (regrouping text into its
+      // output layout); rows bounded by maxTokens + one straddler
+      graft.ops.Packing.materializeSequences(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", maxTokens = 1024, shards = 8)
+        .orderBy("shard", "seq_in_shard")
+    }),
     "p_budget_select" -> ((s, dir) => {
       // quality-ranked selection under a global token budget: exact
       // global prefix sum WITHOUT a single-partition window — range
@@ -3653,6 +3663,10 @@ object SparkEntry {
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
         whereClause = "WHERE doc_id % 4 = 0"),
+    "p_pack_materialize" ->
+      (graft.ops.Packing.materializeSequencesSql(maxTokens = 1024,
+        shards = 8, whereClause = "WHERE doc_id % 4 = 0")
+        + "\nORDER BY shard, seq_in_shard"),
     "p_budget_select" ->
       graft.ops.Selection.selectToBudgetSql(
         graft.text.TextFunctions.qualityScoreSql.replace("TXT", "text"),

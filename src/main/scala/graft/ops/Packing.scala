@@ -62,6 +62,68 @@ object Packing {
           .as("clipped"))
   }
 
+  /** The writer step: materialize each packed sequence as one row —
+    * `(shard, seq_in_shard, n_docs, n_clipped, seq_tokens,
+    * packed_chars, packed_text)` with member documents concatenated
+    * in id order, `sep` between them (the EOS marker a trainer's
+    * tokenizer expects). A document belongs to the sequence where it
+    * STARTS ([[packSequences]]' assignment); boundary-straddlers
+    * stay whole here and are counted in `n_clipped` — truncate/split
+    * policy is the downstream writer's.
+    *
+    * Scale: this is the ONE place document text legitimately
+    * shuffles — materialization IS the regrouping of text into its
+    * output layout (exactly like
+    * [[graft.sources.Sources.writeSharded]]); the assignment join
+    * ships only `(id, shard, seq)`, and each output row is bounded
+    * by `maxTokens` + one straddler regardless of document skew.
+    */
+  def materializeSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, shards: Int, seed: Long = 42L,
+      sep: String = "<|eos|>",
+  ): DataFrame = {
+    val assign = packSequences(df, idCol, textCol, maxTokens, shards, seed)
+      .select(col("id"), col("shard"), col("seq_in_shard"),
+        col("n_tokens"), col("clipped"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(assign, Seq("id"))
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("clipped").cast("int")).cast("int").as("n_clipped"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        sort_array(collect_list(struct(col("id"), col("__text").as("t"))))
+          .as("__docs"))
+      .select(col("shard"), col("seq_in_shard"), col("n_docs"),
+        col("n_clipped"), col("seq_tokens"),
+        array_join(transform(col("__docs"), d => d("t")), sep)
+          .as("packed_text"))
+      .withColumn("packed_chars", length(col("packed_text")).cast("long"))
+  }
+
+  /** DuckDB rendering of [[materializeSequences]] over
+    * `documents(doc_id, text)` restricted by `whereClause`.
+    */
+  def materializeSequencesSql(
+      maxTokens: Int, shards: Int, seed: Long = 42L,
+      sep: String = "<|eos|>", whereClause: String = "",
+  ): String = {
+    val assign = packSequencesSql(maxTokens, shards, seed, whereClause)
+    val sq = sep.replace("'", "''")
+    s"""WITH assign AS ($assign),
+       |j AS (SELECT a.id, a.shard, a.seq_in_shard, a.n_tokens,
+       |    a.clipped, d.text
+       |  FROM assign a JOIN documents d ON a.id = d.doc_id)
+       |SELECT shard, seq_in_shard,
+       |  CAST(count(*) AS INT) AS n_docs,
+       |  CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+       |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |  string_agg(text, '$sq' ORDER BY id) AS packed_text,
+       |  CAST(length(string_agg(text, '$sq' ORDER BY id)) AS BIGINT)
+       |    AS packed_chars
+       |FROM j GROUP BY shard, seq_in_shard""".stripMargin
+  }
+
   /** DuckDB rendering of [[packSequences]] over `documents(doc_id,
     * text)` restricted by `whereClause`.
     */

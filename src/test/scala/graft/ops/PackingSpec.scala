@@ -21,6 +21,44 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
 
   private def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
 
+  test("materializeSequences reconstructs every document once, in id order") {
+    val rows = (1L to 40L).map(i => i -> words(3 + (i % 5).toInt))
+    def run(parts: Int) = Packing.materializeSequences(
+      docs(rows: _*).repartition(parts), "doc_id", "text",
+      maxTokens = 16, shards = 3, sep = "#")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getString(5),
+          r.getLong(6))))
+      .toMap
+    val out = run(2)
+    assert(out === run(11), "materialization depends on partition layout")
+    // per-row accounting
+    for (((_, _), (nDocs, nClipped, seqTok, text, chars)) <- out) {
+      assert(text.split("#", -1).length === nDocs)
+      assert(chars === text.length.toLong)
+      assert(nClipped >= 0 && nClipped <= nDocs)
+      assert(seqTok > 0)
+    }
+    // global reconstruction: concatenating sequences per shard in seq
+    // order and splitting on the separator yields every document
+    // exactly once, in (shard-assignment, id) order
+    val assign = Packing.packSequences(docs(rows: _*), "doc_id", "text",
+        maxTokens = 16, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byShard = assign.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted.map(id => rows.toMap.apply(id))).toMap
+    val rebuilt = out.toSeq.sortBy { case ((sh, sq), _) => (sh, sq) }
+      .groupBy(_._1._1).view
+      .mapValues(_.flatMap(_._2._4.split("#", -1))).toMap
+    assert(rebuilt.view.mapValues(_.toSeq).toMap ===
+      byShard.view.mapValues(_.toSeq).toMap)
+    // sequence budget: every sequence's token sum is bounded by the
+    // capacity plus its one boundary straddler
+    val tokensOf = rows.toMap.view.mapValues(_.split(" ").length.toLong).toMap
+    val maxDoc = tokensOf.values.max
+    assert(out.values.forall(_._3 <= 16 + maxDoc))
+  }
+
   test("single shard: running totals, sequence boundaries, clipped flags") {
     // token counts 6, 6, 6 into capacity-10 sequences:
     //   doc 1: starts 0  -> seq 0, offset 0, 0+6 <= 10  -> not clipped
