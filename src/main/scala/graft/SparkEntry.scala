@@ -2079,6 +2079,19 @@ object SparkEntry {
         "doc_id", seed = 17L)
         .orderBy("id")
     }),
+    "s_ordered_shards" -> ((s, dir) => {
+      // "shard files ARE the training order": global shuffle rank
+      // bucketed into fixed-size shards — each shard's rank range
+      // must be contiguous and exactly sized; the audit a loader
+      // runs before trusting shard order
+      graft.ops.Shuffling.shuffleRank(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", seed = 29L)
+        .groupBy(expr("rank div 100").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"))
+        .orderBy("shard")
+    }),
     "t_tfidf_top" -> ((s, dir) => {
       graft.text.TfIdf.topTerms(
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
@@ -3688,6 +3701,13 @@ object SparkEntry {
     "p_shuffle_rank" ->
       (graft.ops.Shuffling.shuffleRankSql(seed = 17L,
         whereClause = "WHERE doc_id % 4 = 1") + "\nORDER BY id"),
+    "s_ordered_shards" ->
+      s"""WITH r AS (${graft.ops.Shuffling.shuffleRankSql(seed = 29L,
+            whereClause = "WHERE doc_id % 2 = 1")})
+         |SELECT CAST(rank // 100 AS BIGINT) AS shard,
+         |  count(*) AS n_docs,
+         |  min(rank) AS min_rank, max(rank) AS max_rank
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "t_tfidf_top" ->
       graft.text.TfIdf.topTermsSql(5, "WHERE doc_id % 20 = 0"),
     "t_vocab_top" ->
