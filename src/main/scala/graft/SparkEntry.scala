@@ -1713,6 +1713,24 @@ object SparkEntry {
           (col("p") + 1).cast("long").as("i"), col("q"))
         .orderBy("id", "i")
     }),
+    "e_binary_sign" -> ((s, dir) =>
+      // 1-bit sign quantization: 64 float dims → two 32-bit words
+      // (16 bytes/vector, 16×) — map-only, pure-integer unrolled
+      // packing, exact under the hash gate
+      graft.ann.Binary.signPack(
+        t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding")
+        .orderBy("id")),
+    "e_hamming_topk" -> ((s, dir) => {
+      // binary retrieval: popcount(xor) top-10 over the sign-packed
+      // corpus — candidate scan reads only the 16-byte words, never
+      // the float embedding; ties (common at 64 bits) break by id
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Binary.hammingTopK(
+        emb.filter(col("vec_id") % 50 === 1), emb,
+        "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "s_kmv_distinct" -> ((s, dir) =>
       // KMV cardinality sketch: distinct → TakeOrdered heap of the
       // 256 smallest md5 hashes → one division. Deterministic where
@@ -3518,6 +3536,10 @@ object SparkEntry {
     "e_mrl_truncate" ->
       (graft.ann.Ann.mrlTruncateSql(dims = 16,
         whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
+    "e_binary_sign" ->
+      graft.ann.Binary.signPackSql("WHERE vec_id % 7 = 0"),
+    "e_hamming_topk" ->
+      graft.ann.Binary.hammingTopKSql("id % 50 = 1", k = 10),
     "s_kmv_distinct" ->
       graft.ops.Sketches.kmvDistinctSql("lineitem", "l_partkey", 256),
     "s_cms_counts" ->
