@@ -1713,6 +1713,26 @@ object SparkEntry {
           (col("p") + 1).cast("long").as("i"), col("q"))
         .orderBy("id", "i")
     }),
+    "e_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-20 (sparse) ⊕ cosine top-20
+      // (dense, anchor = the query's own embedding) fused by
+      // reciprocal-rank — nano-quantized 1/(60+rank) contributions,
+      // ties by doc_id. Fusion input is queries×k rows per system,
+      // corpus-size-independent
+      val qs = Seq(1 -> "hash join", 2 -> "window agg stream",
+        3 -> "fast vector scan")
+      val sparse = graft.text.Bm25.topK(
+        t(s, dir, "documents"), "doc_id", "text", qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.ann.Ann.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1, 2, 3)), emb,
+        "vec_id", "embedding", k = 20)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+      graft.ann.Fusion.rrfFuse(Seq(sparse, dense), k = 10)
+        .orderBy("query_id", "rnk")
+    }),
     "e_binary_sign" -> ((s, dir) =>
       // 1-bit sign quantization: 64 float dims → two 32-bit words
       // (16 bytes/vector, 16×) — map-only, pure-integer unrolled
@@ -3536,6 +3556,27 @@ object SparkEntry {
     "e_mrl_truncate" ->
       (graft.ann.Ann.mrlTruncateSql(dims = 16,
         whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
+    "e_hybrid_rrf" -> {
+      val sparse = graft.text.Bm25.topKSql(
+        Seq(1 -> "hash join", 2 -> "window agg stream", 3 -> "fast vector scan"),
+        k = 20, whereClause = "")
+      val dense =
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           |  WHERE vec_id IN (1, 2, 3)
+           |    AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+           |  WHERE ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),
+           |scored AS (SELECT query_id, neighbor_id,
+           |  ${graft.ann.Ann.cosineSql("qv", "cv", 64)} AS score
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, rank FROM ranked
+           |WHERE rank <= 20""".stripMargin
+      graft.ann.Fusion.rrfFuseSql(sparse, dense, k = 10)
+    },
     "e_binary_sign" ->
       graft.ann.Binary.signPackSql("WHERE vec_id % 7 = 0"),
     "e_hamming_topk" ->
