@@ -1757,6 +1757,19 @@ object SparkEntry {
       // HyperLogLog is engine-private, so the ESTIMATE hash-matches
       graft.ops.Sketches.kmvDistinct(
         t(s, dir, "lineitem"), "l_partkey", 256)),
+    "s_hll_registers" -> ((s, dir) =>
+      // deterministic HyperLogLog registers: md5 hash → 8-bit bucket
+      // + leftmost-1 rho via STRING bit length (no log2 rounding
+      // hazard); groupBy(bucket).max — max is duplicate-blind, so no
+      // distinct shuffle ever runs (the scale edge over KMV)
+      graft.ops.Hll.registerFrame(t(s, dir, "lineitem"), "l_partkey")
+        .orderBy("bucket")),
+    "s_hll_estimate" -> ((s, dir) =>
+      // the raw HLL estimator with an INTEGER harmonic denominator
+      // (z_scaled = Σ 2^(53-M_j), exact in BIGINT) and one final IEEE
+      // division — est_raw hashes raw; v_zero ships so consumers can
+      // apply the ln-based small-range correction engine-side
+      graft.ops.Hll.distinctEstimate(t(s, dir, "lineitem"), "l_partkey")),
     "s_kmv_groups" -> ((s, dir) =>
       // per-group sketches through the bounded-heap TopK aggregate —
       // O(k) state per group, never a per-group sort
@@ -3583,6 +3596,10 @@ object SparkEntry {
       graft.ann.Binary.hammingTopKSql("id % 50 = 1", k = 10),
     "s_kmv_distinct" ->
       graft.ops.Sketches.kmvDistinctSql("lineitem", "l_partkey", 256),
+    "s_hll_registers" ->
+      graft.ops.Hll.registersSql("lineitem", "l_partkey"),
+    "s_hll_estimate" ->
+      graft.ops.Hll.estimateSql("lineitem", "l_partkey"),
     "s_cms_counts" ->
       graft.ops.Sketches.cmsCountsSql("lineitem", "l_suppkey", 4, 512),
     "s_kmv_groups" ->
