@@ -1757,6 +1757,17 @@ object SparkEntry {
       // HyperLogLog is engine-private, so the ESTIMATE hash-matches
       graft.ops.Sketches.kmvDistinct(
         t(s, dir, "lineitem"), "l_partkey", 256)),
+    "s_kmv_overlap" -> ((s, dir) => {
+      // sketch-level set intersection: Jaccard/overlap of two slices'
+      // distinct part keys from 256-hash KMV sketches — sizes a
+      // cross-snapshot dedup BEFORE any corpus-scale join runs; the
+      // estimate itself only ever touches k-row frames
+      val li = t(s, dir, "lineitem")
+      graft.ops.Sketches.kmvOverlap(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 3 === 0),
+        "l_partkey", 256)
+    }),
     "s_hll_registers" -> ((s, dir) =>
       // deterministic HyperLogLog registers: md5 hash → 8-bit bucket
       // + leftmost-1 rho via STRING bit length (no log2 rounding
@@ -3596,6 +3607,9 @@ object SparkEntry {
       graft.ann.Binary.hammingTopKSql("id % 50 = 1", k = 10),
     "s_kmv_distinct" ->
       graft.ops.Sketches.kmvDistinctSql("lineitem", "l_partkey", 256),
+    "s_kmv_overlap" ->
+      graft.ops.Sketches.kmvOverlapSql("lineitem", "l_partkey",
+        "WHERE l_orderkey % 2 = 0", "WHERE l_orderkey % 3 = 0", 256),
     "s_hll_registers" ->
       graft.ops.Hll.registersSql("lineitem", "l_partkey"),
     "s_hll_estimate" ->

@@ -117,6 +117,84 @@ object Sketches {
           .otherwise(lit(k - 1.0) / col("kth_hash")).as("n_distinct_est"))
   }
 
+  /** Distinct-overlap estimate between two corpora from their KMV
+    * sketches — the set-operation KMV was built for (union is
+    * [[kmvMergeSketches]]; intersection follows from the ρ statistic):
+    * with `K` = the k-th smallest hash of the UNION sketch, every
+    * sketch hash ≤ K is a uniform sample of the union, so
+    * `ρ = |{h ∈ skA ∩ skB : h ≤ K}|` binomially estimates Jaccard as
+    * `ρ/k`, and `|A ∩ B| ≈ (ρ/k) · union_est`. Shard-level dedup
+    * plans use exactly this to size cross-snapshot overlap BEFORE
+    * running the expensive pairwise dedup (a near-zero estimate
+    * skips the join entirely).
+    *
+    * Determinism: ρ, k and the underfull branch are integers; with
+    * `k` a power of two `ρ/k` is one EXACT IEEE division, and the
+    * final product is one IEEE multiply — engine-identical, hashed
+    * raw. Underfull union (< k distinct values in A ∪ B) means the
+    * sketches ARE the value sets: the exact intersection count is
+    * emitted.
+    *
+    * Scale shape: two sketch builds (distinct + TakeOrdered heap,
+    * the [[kmvSketch]] plan) and then k-row joins — the estimate
+    * itself never touches corpus-sized data.
+    *
+    * Output (one row): `(rho, n_kept, jaccard_est, union_est,
+    * inter_est)`.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 1 && (k & (k - 1)) == 0,
+      s"k $k must be a power of two > 1 (exact ρ/k division)")
+    val ska = kmvSketch(a, valueCol, k)
+    val skb = kmvSketch(b, valueCol, k)
+    val merged = kmvMergeSketches(ska, skb, k)
+    val stats = kmvEstimate(merged, k)
+    val kth = merged.agg(max(col("hi")).as("kth_hi"))
+    val common = ska.select(col("hi")).intersect(skb.select(col("hi")))
+    val rho = common.crossJoin(broadcast(kth))
+      .filter(col("hi") <= col("kth_hi"))
+      .agg(count(lit(1)).as("rho"))
+    rho.crossJoin(broadcast(stats))
+      .select(col("rho"), col("n_kept"),
+        when(col("n_kept") < k, lit(null).cast("double"))
+          .otherwise(col("rho").cast("double") / k).as("jaccard_est"),
+        col("n_distinct_est").as("union_est"),
+        when(col("n_kept") < k, col("rho").cast("double"))
+          .otherwise((col("rho").cast("double") / k) * col("n_distinct_est"))
+          .as("inter_est"))
+  }
+
+  /** DuckDB rendering of [[kmvOverlap]] over two filtered reads of
+    * `table.valueCol` (`whereA`/`whereB` are full `WHERE …` clauses
+    * or "").
+    */
+  def kmvOverlapSql(
+      table: String, valueCol: String, whereA: String, whereB: String,
+      k: Int): String = {
+    val (hi, _) = kmvHashSql("v")
+    def sketch(where: String): String =
+      s"""SELECT $hi AS hi FROM (SELECT DISTINCT $valueCol AS v FROM $table
+         |    $where) dv
+         |  WHERE v IS NOT NULL ORDER BY hi LIMIT $k""".stripMargin
+    s"""WITH ska AS (${sketch(whereA)}),
+       |skb AS (${sketch(whereB)}),
+       |merged AS (SELECT DISTINCT hi FROM (SELECT hi FROM ska
+       |    UNION ALL SELECT hi FROM skb) u ORDER BY hi LIMIT $k),
+       |st AS (SELECT COUNT(*) AS n_kept, MAX(hi) AS kth_hi,
+       |    MAX(CAST(hi AS DOUBLE) / $HashSpan) AS kth_hash FROM merged),
+       |common AS (SELECT hi FROM ska INTERSECT SELECT hi FROM skb),
+       |r AS (SELECT COUNT(*) AS rho FROM common, st WHERE hi <= st.kth_hi)
+       |SELECT r.rho AS rho, CAST(st.n_kept AS BIGINT) AS n_kept,
+       |  CASE WHEN st.n_kept < $k THEN NULL
+       |       ELSE CAST(r.rho AS DOUBLE) / $k END AS jaccard_est,
+       |  CASE WHEN st.n_kept < $k THEN CAST(st.n_kept AS DOUBLE)
+       |       ELSE ${k - 1}.0 / st.kth_hash END AS union_est,
+       |  CASE WHEN st.n_kept < $k THEN CAST(r.rho AS DOUBLE)
+       |       ELSE (CAST(r.rho AS DOUBLE) / $k) * (${k - 1}.0 / st.kth_hash)
+       |       END AS inter_est
+       |FROM r, st""".stripMargin
+  }
+
   // ---- Count-min sketch ----------------------------------------------
 
   /** Row-r bucket of value `v` in a width-`width` count-min sketch:

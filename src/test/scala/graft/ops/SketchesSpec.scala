@@ -128,4 +128,31 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getDouble(2)
     assert(global === grouped)
   }
+
+  test("kmvOverlap estimates a planted 50% Jaccard within 20%") {
+    // |A|=6000, |B|=6000, |A∩B|=4000, |A∪B|=8000 → J = 0.5
+    val a = spark.range(6000).select(col("id").as("v"))
+    val b = spark.range(2000, 8000).select(col("id").as("v"))
+    val out = Sketches.kmvOverlap(a, b, "v", 256).collect().head
+    val j = out.getDouble(2)
+    val inter = out.getDouble(4)
+    assert(math.abs(j - 0.5) <= 0.10, s"jaccard $j")
+    assert(math.abs(inter - 4000) / 4000.0 <= 0.20, s"intersection $inter")
+  }
+
+  test("kmvOverlap under-full union is exact; disjoint sets estimate 0") {
+    val a = spark.range(50).select(col("id").as("v"))
+    val b = spark.range(30, 80).select(col("id").as("v"))
+    val out = Sketches.kmvOverlap(a, b, "v", 256).collect().head
+    // union of 80 < k: exact counts, jaccard_est NULL (not estimated)
+    assert(out.getLong(1) == 80L)
+    assert(out.isNullAt(2))
+    assert(out.getDouble(3) == 80.0)
+    assert(out.getDouble(4) == 20.0) // exact |A ∩ B| = |{30..49}|
+    val disj = Sketches.kmvOverlap(
+      spark.range(5000).select(col("id").as("v")),
+      spark.range(5000, 10000).select(col("id").as("v")), "v", 256)
+      .collect().head
+    assert(disj.getLong(0) == 0L && disj.getDouble(4) == 0.0)
+  }
 }
