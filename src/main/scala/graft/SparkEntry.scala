@@ -1713,6 +1713,24 @@ object SparkEntry {
           (col("p") + 1).cast("long").as("i"), col("q"))
         .orderBy("id", "i")
     }),
+    "f_jaro_winkler" -> ((s, dir) => {
+      // fuzzy record-linkage scoring: native codegen Jaro-Winkler
+      // (byte semantics, Winkler boost >0.7, prefix cap 4) pinned
+      // bit-for-bit to DuckDB's builtin — raw doubles under the hash
+      // gate. Bounded slices here; at corpus scale the pair source is
+      // a blocking join (dedup.Fuzzy), never all-pairs
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_partkey") % 40 === 1)
+        .select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.filter(col("p_partkey") % 40 === 2)
+        .select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.crossJoin(b)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.JaroWinkler.jaro_winkler(
+            col("name_a"), col("name_b")).as("jw"))
+        .filter(col("jw") > 0.8)
+        .orderBy("id_a", "id_b")
+    }),
     "e_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 top-20 (sparse) ⊕ cosine top-20
       // (dense, anchor = the query's own embedding) fused by
@@ -3580,6 +3598,13 @@ object SparkEntry {
     "e_mrl_truncate" ->
       (graft.ann.Ann.mrlTruncateSql(dims = 16,
         whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
+    "f_jaro_winkler" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM part a, part b
+        |WHERE a.p_partkey % 40 = 1 AND b.p_partkey % 40 = 2
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) > 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "e_hybrid_rrf" -> {
       val sparse = graft.text.Bm25.topKSql(
         Seq(1 -> "hash join", 2 -> "window agg stream", 3 -> "fast vector scan"),
