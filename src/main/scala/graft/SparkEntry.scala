@@ -1713,6 +1713,16 @@ object SparkEntry {
           (col("p") + 1).cast("long").as("i"), col("q"))
         .orderBy("id", "i")
     }),
+    "t_hashed_classifier" -> ((s, dir) =>
+      // fastText-shaped quality-filter inference: hashed unigram+
+      // bigram features → fixed 4096-slot weight table (md5 stand-in
+      // for a trained model; same plan shape) → mean weight per doc.
+      // Map-only extraction + one doc-keyed agg; integer census +
+      // one IEEE division so the score hashes raw
+      graft.text.HashedClassifier.score(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 2),
+        "doc_id", "text")
+        .orderBy("id")),
     "f_jaro_winkler" -> ((s, dir) => {
       // fuzzy record-linkage scoring: native codegen Jaro-Winkler
       // (byte semantics, Winkler boost >0.7, prefix cap 4) pinned
@@ -3598,6 +3608,8 @@ object SparkEntry {
     "e_mrl_truncate" ->
       (graft.ann.Ann.mrlTruncateSql(dims = 16,
         whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
+    "t_hashed_classifier" ->
+      graft.text.HashedClassifier.scoreSql("WHERE doc_id % 3 = 2"),
     "f_jaro_winkler" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
