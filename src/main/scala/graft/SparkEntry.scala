@@ -1548,6 +1548,19 @@ object SparkEntry {
         Ann.ivfTopKHashCells(q, emb, "vec_id", "embedding", k = 10),
         q, emb, "vec_id", "embedding", n = 10)
     }),
+    "e_binary_recall" -> ((s, dir) => {
+      // 1-bit retrieval quality gate: recall@10 of Hamming-over-sign-
+      // bits vs the exact cosine top-10 — same caveat as the LSH/IVF
+      // recall gates (no natural near neighbors in this corpus, so
+      // the absolute number is low; the gate pins REGRESSIONS in the
+      // packing/distance path)
+      import graft.ann.{Ann, Binary}
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 20 === 0)
+      Ann.annRecall(
+        Binary.hammingTopK(q, emb, "vec_id", "embedding", k = 10),
+        q, emb, "vec_id", "embedding", n = 10)
+    }),
     "e_ann_lsh_planted" -> ((s, dir) => {
       // planted-cohort recovery: every vec_id % 20 == 0 vector gets a
       // perturbed twin (cosine ≈ 0.997) as a query; `found` says
@@ -3550,6 +3563,10 @@ object SparkEntry {
     "e_ann_ivf_recall" ->
       graft.ann.Ann.annRecallSql(
         graft.ann.Ann.ivfTopKHashCellsSql("vec_id % 20 = 0", k = 10),
+        "vec_id % 20 = 0", n = 10),
+    "e_binary_recall" ->
+      graft.ann.Ann.annRecallSql(
+        graft.ann.Binary.hammingTopKSql("id % 20 = 0", k = 10),
         "vec_id % 20 = 0", n = 10),
     "e_ann_lsh_planted" ->
       graft.ann.Ann.plantedRecoveryLshSql(
