@@ -1726,6 +1726,18 @@ object SparkEntry {
           (col("p") + 1).cast("long").as("i"), col("q"))
         .orderBy("id", "i")
     }),
+    "t_wordpiece" -> ((s, dir) =>
+      // the OTHER classic subword tokenizer beside BPE: greedy
+      // longest-match WordPiece against a deterministic vocab (top-
+      // 100 census words + [a-z0-9] singles/continuations); the loop
+      // runs over the DISTINCT-WORD census with the vocab broadcast
+      // — vocabulary-sized, never corpus-sized. Oracle = recursive
+      // CTE with a LATERAL longest-match step
+      graft.text.WordPiece.segmentCensus(
+        graft.text.Bpe.wordCensus(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "text"),
+        topN = 8)
+        .orderBy("word")),
     "t_hashed_classifier" -> ((s, dir) =>
       // fastText-shaped quality-filter inference: hashed unigram+
       // bigram features → fixed 4096-slot weight table (md5 stand-in
@@ -3625,6 +3637,10 @@ object SparkEntry {
     "e_mrl_truncate" ->
       (graft.ann.Ann.mrlTruncateSql(dims = 16,
         whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
+    "t_wordpiece" ->
+      // topN=8: only the 8 hottest words stay whole, so the gate
+      // exercises multi-piece continuation segmentation on the rest
+      graft.text.WordPiece.segmentCensusSql("WHERE doc_id % 5 = 0", topN = 8),
     "t_hashed_classifier" ->
       graft.text.HashedClassifier.scoreSql("WHERE doc_id % 3 = 2"),
     "f_jaro_winkler" ->
