@@ -1726,6 +1726,22 @@ object SparkEntry {
           (col("p") + 1).cast("long").as("i"), col("q"))
         .orderBy("id", "i")
     }),
+    "d_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking: boundaries where the 8-gram hash ≡
+      // 0 (mod 16) — chunk spans realign after insertions, the
+      // shift-resistance fixed-width shingles lack. Gram hashing is
+      // the winnowing plan; spans are doc-keyed list arithmetic
+      graft.dedup.Cdc.chunkSpans(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 3),
+        "doc_id", "text")
+        .orderBy("id", "chunk_idx")),
+    "d_cdc_dupes" -> ((s, dir) =>
+      // cross-document duplicate-chunk census over CDC spans: the
+      // fingerprint-keyed shuffle at ~1/16 of the gram volume
+      graft.dedup.Cdc.duplicateChunks(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy("chunk_hash")),
     "t_wordpiece" -> ((s, dir) =>
       // the OTHER classic subword tokenizer beside BPE: greedy
       // longest-match WordPiece against a deterministic vocab (top-
@@ -3637,6 +3653,10 @@ object SparkEntry {
     "e_mrl_truncate" ->
       (graft.ann.Ann.mrlTruncateSql(dims = 16,
         whereClause = "WHERE vec_id % 20 = 3") + "\nORDER BY id, i"),
+    "d_cdc_chunks" ->
+      graft.dedup.Cdc.chunkSpansSql(8, 16, "WHERE doc_id % 7 = 3"),
+    "d_cdc_dupes" ->
+      graft.dedup.Cdc.duplicateChunksSql(8, 16, 2, "WHERE doc_id % 2 = 0"),
     "t_wordpiece" ->
       // topN=8: only the 8 hottest words stay whole, so the gate
       // exercises multi-piece continuation segmentation on the rest
