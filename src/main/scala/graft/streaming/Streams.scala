@@ -143,6 +143,23 @@ object Streams {
     // shards
     graft.ops.Sketches.cmsCells(events, valueCol, depth, width)
 
+  /** Streaming HyperLogLog registers over a value column — the
+    * distinct-count twin of [[cmsCellsStream]], with the same
+    * no-watermark safety argument one better: state is AT MOST 256
+    * `(bucket, max_rho)` cells by construction, and the per-bucket
+    * `max` is duplicate-blind AND monotone, so update mode only ever
+    * emits a bucket when its register grows. After any stream prefix
+    * the registers equal the batch [[graft.ops.Hll.registerFrame]]
+    * of the rows so far (StreamsSpec pins it), so ingest-time
+    * registers merge exactly with batch shards via
+    * [[graft.ops.Hll.mergeRegisters]] — continuous cardinality
+    * monitoring with 2 KB of state.
+    */
+  def hllRegistersStream(events: DataFrame, valueCol: String): DataFrame =
+    // delegate: select/groupBy(bucket).max is streaming-safe as-is,
+    // and one body keeps stream and batch registers mergeable forever
+    graft.ops.Hll.registerFrame(events, valueCol)
+
   /** Watermarked stream-stream interval join (event attribution):
     * each `effects` row joins the `causes` rows with the same `key`
     * whose timestamp precedes the effect's by at most

@@ -101,6 +101,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HLL registers equal the batch registers after every micro-batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    // complete mode with no watermark is SAFE: ≤256 register cells by
+    // construction, and per-bucket max is duplicate-blind + monotone
+    val query = Streams.hllRegistersStream(input.toDF(), "user_id")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    def streamRegs() = spark.table("hll_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def batchRegs(rows: Seq[EventRow]) =
+      graft.ops.Hll.registerFrame(rows.toDF(), "user_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    try {
+      val batch1 = (1 to 30).map(i => ev(i, i % 13, i))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      assert(streamRegs() === batchRegs(batch1))
+      // duplicates + new keys: registers must only ever grow
+      val batch2 = (31 to 50).map(i => ev(i, i % 23, i))
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      assert(streamRegs() === batchRegs(batch1 ++ batch2))
+    } finally query.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch after every micro-batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
