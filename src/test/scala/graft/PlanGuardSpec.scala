@@ -498,6 +498,58 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"BM25 plan re-scans the corpus:\n$p")
   }
 
+  test("HLL registers: one shuffle, partial max map-side, no distinct pass") {
+    val p = plan("s_hll_registers")
+    // one hash shuffle for the 256-bucket agg; the gate's ORDER BY
+    // range exchange is presentation, not part of the register build
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"register build should hash-shuffle exactly once (256 buckets):\n$p")
+    assert(p.contains("partial_max") || p.contains("partial"),
+      s"per-bucket max lost its map-side partial aggregation:\n$p")
+    // duplicate-blindness means NO dedup stage may ever appear — the
+    // scale edge over KMV's distinct-first pipeline
+    assert(!p.contains("HashAggregate(keys=[v"),
+      s"a distinct pass crept into the HLL register build:\n$p")
+  }
+
+  test("KMV overlap: sketches plan distributed heaps; stats ride 1-row broadcasts") {
+    val p = plan("s_kmv_overlap")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sketch build lost its TakeOrdered heap (full sort?):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"kmvOverlap plans a cartesian:\n$p")
+  }
+
+  test("hashed classifier: map-only feature path, doc-keyed agg is the only shuffle") {
+    val p = plan("t_hashed_classifier")
+    assert(!p.contains("Join"), s"classifier scoring must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"classifier should hash-shuffle once (the doc-keyed census):\n$p")
+  }
+
+  test("CDC chunking: cuts meet docs on a doc-id equi-join, never all-pairs") {
+    for (q <- Seq("d_cdc_chunks", "d_cdc_dupes")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its doc-id equi-key:\n$p")
+    }
+  }
+
+  test("hybrid RRF: sparse side keeps its broadcasts; fusion adds no cartesian") {
+    val p = plan("e_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"BM25 query-term broadcast gone from the fused plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"e_hybrid_rrf plans a cartesian:\n$p")
+  }
+
+  test("WordPiece census segmentation: vocab rides a TakeOrdered, no corpus join") {
+    val p = plan("t_wordpiece")
+    assert(!p.contains("Join"),
+      s"census segmentation must not join (vocab is broadcast state):\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
