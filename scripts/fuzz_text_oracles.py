@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Fuzz the SHIPPED t_lm_surprise / t_bm25_topk oracle SQL against
+"""Fuzz the SHIPPED t_lm_surprise / t_lm_kneser_ney / t_bm25_topk
+oracle SQL against
 independent Python references (Python floats are IEEE doubles, so
 the references replicate the documented op order exactly).
 
@@ -51,6 +52,40 @@ def ref_lm(corpus, reference, order=2):
     return out
 
 
+def ref_kn(corpus, reference):
+    def bigrams(t):
+        return [tuple(t[i:i + 2]) for i in range(len(t) - 1)]
+    pc, gc, vocab = {}, {}, set()
+    for t in map(toks, reference):
+        vocab.update(t)
+        for w in t[:-1]:  # tokens in PREFIX position (all but last)
+            pc[w] = pc.get(w, 0) + 1
+        for g in bigrams(t):
+            gc[g] = gc.get(g, 0) + 1
+    v = len(vocab)
+    nw, nc = {}, {}
+    for (w1, w2) in gc:
+        nw[w1] = nw.get(w1, 0) + 1
+        nc[w2] = nc.get(w2, 0) + 1
+    nt = len(gc)
+    out = {}
+    for did, text in corpus:
+        grams = bigrams(toks(text))
+        s = 0
+        for (w1, w2) in grams:
+            pcont = (nc.get(w2, 0) + 1) / (nt + v)
+            c1 = pc.get(w1, 0)
+            if c1 > 0:
+                pkn = (max(gc.get((w1, w2), 0) - 0.75, 0.0)
+                       + (0.75 * nw.get(w1, 0)) * pcont) / c1
+            else:
+                pkn = pcont
+            s += math.floor(1e6 / pkn)
+        mean = s / len(grams) / 1e6 if grams else 0.0
+        out[did] = (len(grams), s, mean)
+    return out
+
+
 def ref_bm25(corpus, queries, k):
     doc_toks = [(did, toks(t)) for did, t in corpus]
     n = len(corpus)
@@ -85,6 +120,7 @@ def main():
     lm_sql = oracles["t_lm_surprise"]
     lm3_sql = oracles["t_lm_surprise3"]
     bm_sql = oracles["t_bm25_topk"]
+    kn_sql = oracles["t_lm_kneser_ney"]
 
     random.seed(99)
     query_words = [w for _, q in BM25_QUERIES for w in q.split()]
@@ -107,12 +143,17 @@ def main():
         want_lm3 = ref_lm([d for d in docs if d[0] % 10 == 1],
                           [t for i, t in docs if i % 2 == 1], order=3)
         got_lm3 = {r[0]: (r[1], r[2], r[3]) for r in con.sql(lm3_sql).fetchall()}
+        # kn gate: score %10=4 against reference %2=0
+        want_kn = ref_kn([d for d in docs if d[0] % 10 == 4],
+                         [t for i, t in docs if i % 2 == 0])
+        got_kn = {r[0]: (r[1], r[2], r[3]) for r in con.sql(kn_sql).fetchall()}
         # bm25 gate: corpus %2=1
         want_bm = ref_bm25([d for d in docs if d[0] % 2 == 1],
                            BM25_QUERIES, TOPK)
         got_bm = {(r[0], r[1]): (r[2], r[3], r[4])
                   for r in con.sql(bm_sql).fetchall()}
-        if got_lm != want_lm or got_lm3 != want_lm3 or got_bm != want_bm:
+        if (got_lm != want_lm or got_lm3 != want_lm3 or got_bm != want_bm
+                or got_kn != want_kn):
             fails += 1
             print(f"MISMATCH trial {trial}: docs={docs}")
             if got_lm != want_lm:
@@ -121,6 +162,8 @@ def main():
                 print(f"  lm3 got  {got_lm3}\n  lm3 want {want_lm3}")
             if got_bm != want_bm:
                 print(f"  bm got  {got_bm}\n  bm want {want_bm}")
+            if got_kn != want_kn:
+                print(f"  kn got  {got_kn}\n  kn want {want_kn}")
     print(f"trials={trials} fails={fails}")
     sys.exit(1 if fails else 0)
 

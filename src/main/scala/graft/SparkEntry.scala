@@ -2336,6 +2336,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text")
         .orderBy("doc_id")
     }),
+    "t_lm_kneser_ney" -> ((s, dir) => {
+      // the smoothing production LM filters actually use: d=0.75
+      // absolute discount + continuation-probability backoff (the
+      // "francisco" correction), full backoff on unseen prefixes,
+      // add-one escape on the continuation census. All extra
+      // censuses derive from the gram census — no corpus rescans
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.kneserNeyScore(
+        docs.filter(col("doc_id") % 10 === 4), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .orderBy("doc_id")
+    }),
     "t_lm_surprise3" -> ((s, dir) => {
       // trigram-order LM surprise: conditioning prefix is the
       // (order-1)-gram census — same join topology as the bigram
@@ -3912,6 +3924,10 @@ object SparkEntry {
     "t_lm_surprise" ->
       (graft.text.Lm.surpriseScoreSql(
         whereClause = "WHERE doc_id % 10 = 7",
+        refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
+    "t_lm_kneser_ney" ->
+      (graft.text.Lm.kneserNeySql(
+        whereClause = "WHERE doc_id % 10 = 4",
         refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
     "t_lm_surprise3" ->
       (graft.text.Lm.surpriseScoreSql(

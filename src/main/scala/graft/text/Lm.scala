@@ -203,6 +203,138 @@ object Lm {
        |JOIN (${surpriseScoreSql(whereClause, sourceWhere, order)}) b
        |  USING (doc_id)""".stripMargin
 
+  /** Kneser-Ney smoothed bigram surprise — the smoothing real n-gram
+    * LM filters actually ship (add-one overweights unseen grams
+    * badly; KN discounts observed counts by `d = 0.75` and backs off
+    * to the CONTINUATION probability, "how many distinct contexts
+    * does this word follow", which is why it famously scores
+    * "francisco" low despite high raw frequency):
+    *
+    *   P_KN(w2|w1) = (max(c(w1,w2) − d, 0) + d·N1+(w1,·)·P_cont(w2)) / c(w1)
+    *   P_cont(w2)  = (N1+(·,w2) + 1) / (N_types + V)
+    *
+    * with full backoff to `P_cont` when the prefix is unseen, and
+    * add-one on the continuation census so unseen continuations stay
+    * finite (the same escape-hatch role V plays in [[surpriseScore]]).
+    * Engine-exactness carries over verbatim: `d = 0.75` is binary-
+    * exact, every count is an integer, the op order is pinned in
+    * both renderings, and each occurrence quantizes to
+    * `floor(1e6 / P_KN)` before the BIGINT sum.
+    *
+    * Scale shape: ALL the extra censuses (N1+ left/right, N_types)
+    * derive from the gram census — census-sized aggregations, not
+    * corpus rescans; the scoring joins are the [[surpriseScore]]
+    * topology plus one more census-keyed left join. Output:
+    * `(idCol, n_grams, kn_micro, mean_kn)`.
+    */
+  def kneserNeyScore(
+      df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      persistReference: Boolean = false,
+  ): DataFrame = {
+    Seq("__gram", "__w1", "__w2", "__c1", "__c12", "__v", "__n1pw",
+      "__n1pc", "__nt").foreach(c =>
+      require(!df.columns.contains(c),
+        s"kneserNeyScore reserves column name $c; rename it in the input"))
+    val (_, grams, vocabSize) =
+      referenceCensus(reference, refTextCol, persistReference, order = 2)
+    // KN's context total is Σ_w2 c(w1,w2) — tokens in PREFIX position
+    // only, NOT the raw unigram count (which includes document-final
+    // tokens and would deflate every conditional; the fuzz harness
+    // caught exactly this divergence). Derived from the gram census
+    // in the same pass as N1+(w1,·).
+    val ctx = grams
+      .select(substring_index(col("__gram"), " ", 1).as("__w1"), col("__c12"))
+      .groupBy("__w1")
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1pw"))
+    val n1pc = grams
+      .select(substring_index(col("__gram"), " ", -1).as("__w2"))
+      .groupBy("__w2").agg(count(lit(1)).as("__n1pc"))
+    val ntypes = grams.agg(count(lit(1)).as("__nt"))
+    val scored = df.select(col(idCol), col(textCol))
+      .withColumn("__gram",
+        explode_outer(TextFunctions.allGramsOf(
+          TextFunctions.tokens(lower(col(textCol))), 2)))
+      .drop(textCol)
+      .withColumn("__w1", substring_index(col("__gram"), " ", 1))
+      .withColumn("__w2", substring_index(col("__gram"), " ", -1))
+      .join(ctx, Seq("__w1"), "left")
+      .join(grams, Seq("__gram"), "left")
+      .join(n1pc, Seq("__w2"), "left")
+      .crossJoin(broadcast(ntypes))
+      .crossJoin(broadcast(vocabSize))
+    // op order pinned against kneserNeySql — change BOTH or neither
+    val pcont = (coalesce(col("__n1pc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__nt") + col("__v")).cast("double")
+    val disc = greatest(
+      coalesce(col("__c12"), lit(0L)).cast("double") - lit(0.75), lit(0.0))
+    val pkn = when(coalesce(col("__c1"), lit(0L)) > 0,
+      (disc + (lit(0.75) * coalesce(col("__n1pw"), lit(0L)).cast("double"))
+        * pcont) / col("__c1").cast("double"))
+      .otherwise(pcont)
+    scored
+      .withColumn("__micro",
+        when(col("__gram").isNull, lit(null))
+          .otherwise(floor(lit(1e6) / pkn)))
+      .groupBy(col(idCol))
+      .agg(count(col("__gram")).cast("int").as("n_grams"),
+        coalesce(sum(col("__micro")), lit(0L)).as("kn_micro"))
+      .withColumn("mean_kn",
+        when(col("n_grams") > 0,
+          col("kn_micro").cast("double") /
+            col("n_grams").cast("double") / lit(1e6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB rendering of [[kneserNeyScore]] over `documents(doc_id,
+    * text)`.
+    */
+  def kneserNeySql(whereClause: String, refWhereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    val grams = TextFunctions.allGramsSql("toks", 2)
+    s"""WITH rt AS (SELECT $toks AS toks FROM documents $refWhereClause),
+       |gc AS (SELECT gram, count(*) AS c12
+       |  FROM (SELECT unnest($grams) AS gram FROM rt) GROUP BY gram),
+       |pc AS (SELECT string_split(gram, ' ')[1] AS w1,
+       |    CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1pw
+       |  FROM gc GROUP BY 1),
+       |nc AS (SELECT string_split(gram, ' ')[-1] AS w2, count(*) AS n1pc
+       |  FROM gc GROUP BY 1),
+       |nt AS (SELECT count(*) AS nt FROM gc),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM rt)),
+       |dt AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
+       |dg AS (SELECT doc_id, gram,
+       |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[-1] AS w2
+       |  FROM (SELECT doc_id, unnest($grams) AS gram FROM dt)),
+       |sc AS (SELECT dg.doc_id,
+       |    CAST(floor(1e6 / (
+       |      CASE WHEN coalesce(pc.c1, 0) > 0
+       |      THEN (greatest(CAST(coalesce(gc.c12, 0) AS DOUBLE) - 0.75, 0.0)
+       |            + (0.75 * CAST(coalesce(pc.n1pw, 0) AS DOUBLE))
+       |              * (CAST(coalesce(nc.n1pc, 0) + 1 AS DOUBLE)
+       |                 / CAST(nt.nt + v.v AS DOUBLE)))
+       |           / CAST(pc.c1 AS DOUBLE)
+       |      ELSE CAST(coalesce(nc.n1pc, 0) + 1 AS DOUBLE)
+       |           / CAST(nt.nt + v.v AS DOUBLE) END)) AS BIGINT) AS micro
+       |  FROM dg
+       |  LEFT JOIN pc ON dg.w1 = pc.w1
+       |  LEFT JOIN gc ON dg.gram = gc.gram
+       |  LEFT JOIN nc ON dg.w2 = nc.w2
+       |  CROSS JOIN nt CROSS JOIN v),
+       |c AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+       |    sum(micro) AS n_micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_grams, 0) AS n_grams,
+       |  CAST(coalesce(c.n_micro, 0) AS BIGINT) AS kn_micro,
+       |  CASE WHEN coalesce(c.n_grams, 0) > 0
+       |    THEN CAST(c.n_micro AS DOUBLE) / CAST(c.n_grams AS DOUBLE) / 1e6
+       |    ELSE 0.0 END AS mean_kn
+       |FROM (SELECT doc_id FROM documents $whereClause) d
+       |LEFT JOIN c USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB rendering of [[surpriseScore]] over `documents(doc_id,
     * text)`: score the documents matching `whereClause` against the
     * model trained on documents matching `refWhereClause` (full
