@@ -1844,6 +1844,13 @@ object SparkEntry {
       // distinct shuffle ever runs (the scale edge over KMV)
       graft.ops.Hll.registerFrame(t(s, dir, "lineitem"), "l_partkey")
         .orderBy("bucket")),
+    "s_hll_groups" -> ((s, dir) =>
+      // per-group HLL: one ≤256-cell register set per order priority
+      // — the per-domain cardinality census at 2 KB of state per
+      // group, no distinct shuffle at any group cardinality
+      graft.ops.Hll.distinctPerGroup(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey")
+        .orderBy("o_orderpriority")),
     "s_hll_estimate" -> ((s, dir) =>
       // the raw HLL estimator with an INTEGER harmonic denominator
       // (z_scaled = Σ 2^(53-M_j), exact in BIGINT) and one final IEEE
@@ -3716,6 +3723,9 @@ object SparkEntry {
       graft.ops.Hll.registersSql("lineitem", "l_partkey"),
     "s_hll_estimate" ->
       graft.ops.Hll.estimateSql("lineitem", "l_partkey"),
+    "s_hll_groups" ->
+      graft.ops.Hll.distinctPerGroupSql(
+        "orders", "o_orderpriority", "o_custkey"),
     "s_cms_counts" ->
       graft.ops.Sketches.cmsCountsSql("lineitem", "l_suppkey", 4, 512),
     "s_kmv_groups" ->

@@ -63,6 +63,57 @@ object Hll {
   def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("bucket")).agg(max(col("r")).as("r"))
 
+  /** Per-group distinct estimates: one register set per group key
+    * (≤256 `(g, bucket)` rows/group — 2 KB of aggregate state per
+    * domain/source at ANY cardinality), then the [[estimate]]
+    * arithmetic per group. The per-domain census a mixture planner
+    * reads without ever shuffling distinct values. Output:
+    * `(groupCol, n_buckets, v_zero, z_scaled, est_raw)`.
+    */
+  def distinctPerGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = Sketches.kmvHash(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        shiftrightunsigned(h, 52).as("bucket"),
+        rho(h.bitwiseAND(lit(RemMask))).as("rho"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))"))
+          .as("z_present"))
+      .select(col("g").as(groupCol), col("n_buckets"),
+        (lit(M) - col("n_buckets")).cast("int").as("v_zero"),
+        (col("z_present") +
+          (lit(M.toLong) - col("n_buckets").cast("long")) * lit(Pow53))
+          .as("z_scaled"))
+      .select(col(groupCol), col("n_buckets"), col("v_zero"), col("z_scaled"),
+        (lit(AlphaNumerator) / col("z_scaled").cast("double")).as("est_raw"))
+  }
+
+  /** DuckDB rendering of [[distinctPerGroup]] over
+    * `table.(groupCol, valueCol)`.
+    */
+  def distinctPerGroupSql(
+      table: String, groupCol: String, valueCol: String): String = {
+    val (hi, _) = Sketches.kmvHashSql(valueCol)
+    s"""WITH br AS (SELECT $groupCol AS g, ($hi >> 52) AS bucket,
+       |    CAST(CASE WHEN ($hi & $RemMask) = 0 THEN 53
+       |         ELSE 53 - length(bin($hi & $RemMask)) END AS INT) AS rho
+       |  FROM $table WHERE $valueCol IS NOT NULL),
+       |regs AS (SELECT g, bucket, MAX(rho) AS r FROM br GROUP BY g, bucket),
+       |agg AS (SELECT g, CAST(COUNT(*) AS INT) AS n_buckets,
+       |    SUM(1::BIGINT << (53 - r)) AS z_present FROM regs GROUP BY g)
+       |SELECT g AS $groupCol, n_buckets,
+       |  CAST($M - n_buckets AS INT) AS v_zero,
+       |  CAST(z_present + ($M - n_buckets)::BIGINT * $Pow53 AS BIGINT)
+       |    AS z_scaled,
+       |  $AlphaNumerator / CAST(z_present + ($M - n_buckets)::BIGINT * $Pow53
+       |    AS DOUBLE) AS est_raw
+       |FROM agg ORDER BY $groupCol""".stripMargin
+  }
+
   private val M = 256
   private val Pow53 = 9007199254740992L // 2^53
 

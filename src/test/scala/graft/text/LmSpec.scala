@@ -122,6 +122,55 @@ class LmSpec extends AnyFunSuite with SparkSpec {
       tgtOnly(id)._1 === n && tgtOnly(id)._2 === tgtM })
   }
 
+  test("Kneser-Ney matches an independent sequential reference, incl. backoff") {
+    // independent KN: c1 = Σ_w2 c(w1,w2) (prefix-position counts),
+    // d = 0.75, continuation add-one over (N_types + V)
+    def knExpected(
+        corpus: Seq[(Long, String)], ref: Seq[String],
+    ): Map[Long, (Int, Long)] = {
+      def toks(s: String) =
+        s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      def bigrams(t: Seq[String]) =
+        t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      val refToks = ref.map(toks)
+      val gc = refToks.flatMap(bigrams)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val v = refToks.flatten.distinct.size.toLong
+      val c1 = gc.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      val n1pw = gc.keys.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+      val n1pc = gc.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+      val nt = gc.size.toLong
+      corpus.map { case (id, text) =>
+        val grams = bigrams(toks(text))
+        val micros = grams.map { case (w1, w2) =>
+          val pcont = (n1pc.getOrElse(w2, 0L) + 1).toDouble / (nt + v).toDouble
+          val c = c1.getOrElse(w1, 0L)
+          val pkn =
+            if (c > 0)
+              (math.max(gc.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) +
+                (0.75 * n1pw(w1).toDouble) * pcont) / c.toDouble
+            else pcont
+          math.floor(1e6 / pkn).toLong
+        }
+        id -> ((grams.size, micros.sum))
+      }.toMap
+    }
+    val rnd = new Random(5)
+    val vocab = Vector("a", "b", "c", "dd", "e")
+    def sentence() =
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val refRows = (0 until 12).map(_ => sentence())
+    val corpusRows = (0L until 15L).map(i =>
+      // include unseen tokens to force the full-backoff branch
+      i -> (sentence() + (if (i % 4 == 0) " zz qq" else "")))
+    val got = Lm.kneserNeyScore(
+      docs(corpusRows: _*), "doc_id", "text",
+      docs(refRows.zipWithIndex.map { case (t, i) => (100L + i, t) }: _*),
+      "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === knExpected(corpusRows, refRows))
+  }
+
   test("reserved columns are rejected") {
     val d = docs(1L -> "a b").withColumnRenamed("text", "__gram")
     intercept[IllegalArgumentException] {
