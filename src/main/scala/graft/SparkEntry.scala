@@ -1411,6 +1411,21 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
         .orderBy("doc_id")
     }),
+    "d_dedup_apply_best" -> ((s, dir) => {
+      // quality-aware canonical selection: each near-dup family keeps
+      // its LONGEST member (ties to smallest id) — what production
+      // dedup ships, vs d_dedup_apply's crawl-order min-id. The
+      // argmax runs on the cluster frame, never the corpus
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3)
+      val clusters = graft.dedup.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      graft.dedup.Dedup.dedupApplyBest(docs, "doc_id", clusters,
+        length(col("text")).cast("long"))
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "p_leakproof_split" -> ((s, dir) => {
       // LEAK-PROOF train/test split: split on the dedup CLUSTER label
       // (near-dup family), not the document id, so two near-duplicate
@@ -3491,6 +3506,10 @@ object SparkEntry {
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")),
     "d_dedup_apply" ->
       graft.dedup.Dedup.dedupApplySql(
+        graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
+        "WHERE doc_id % 5 = 0"),
+    "d_dedup_apply_best" ->
+      graft.dedup.Dedup.dedupApplyBestSql(
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
         "WHERE doc_id % 5 = 0"),
     "p_leakproof_split" -> {

@@ -942,6 +942,57 @@ object Dedup {
     df.join(dups, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-aware [[dedupApply]]: per cluster keep the member with
+    * the HIGHEST `qualityCol` (ties to the smallest id), not the
+    * smallest id — the selection real pipelines run (near-dup
+    * families keep their longest/cleanest member; min-id keeps
+    * whichever copy was crawled first). `clusters` is the
+    * `(id, cluster)` frame from [[connectedComponents]].
+    *
+    * Scale shape: quality joins onto the CLUSTER frame (pair-derived,
+    * ≪ corpus); the per-cluster argmax is one `max(struct)` aggregate
+    * with map-side partials; the corpus sees only the final
+    * broadcast-able anti-join of dropped ids — same topology as
+    * [[dedupApply]] plus one cluster-keyed aggregate.
+    */
+  def dedupApplyBest(
+      df: DataFrame, idCol: String, clusters: DataFrame,
+      qualityCol: Column,
+  ): DataFrame = {
+    Seq("__drop_id", "__q", "__best").foreach(c =>
+      require(!df.columns.contains(c),
+        s"dedupApplyBest reserves the column name $c; rename it on the input"))
+    val quality = df.select(col(idCol).as("id"), qualityCol.as("__q"))
+    val members = clusters.join(quality, Seq("id"))
+    val best = members.groupBy(col("cluster"))
+      .agg(max(struct(col("__q").as("q"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("cluster"), (-col("__best").getField("nid")).as("__best"))
+    val dups = members.join(best, Seq("cluster"))
+      .filter(col("id") =!= col("__best"))
+      .select(col("id").as("__drop_id"))
+    df.join(dups, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** DuckDB rendering of the [[dedupApplyBest]] survivors over
+    * `documents(doc_id, text)` with `length(text)` as the quality —
+    * same CTE core as [[dedupApplySql]].
+    */
+  def dedupApplyBestSql(pairsSql: String, whereClause: String): String = {
+    val keep = "doc_id NOT IN (SELECT id FROM dups)"
+    val where =
+      if (whereClause.trim.isEmpty) s"WHERE $keep"
+      else s"$whereClause\n  AND $keep"
+    s"""${ccCtes(pairsSql)},
+       |memq AS (SELECT cc.id, cc.cluster, length(d.text) AS q
+       |  FROM cc JOIN documents d ON cc.id = d.doc_id),
+       |rk AS (SELECT id, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY q DESC, id) AS rn FROM memq),
+       |dups AS (SELECT id FROM rk WHERE rn > 1)
+       |SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+       |FROM documents $where
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB rendering of the [[dedupApply]] survivors over
     * `documents(doc_id, text)` restricted by `whereClause` (a full
     * `WHERE ...` clause, or "" for the whole corpus), with clusters

@@ -357,6 +357,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(survivors == Set(10L, 12L))
   }
 
+  test("dedupApplyBest keeps the highest-quality member, ties to smallest id") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = docs(1L -> "short", 2L -> "the much longer duplicate copy",
+      3L -> "alone", 7L -> "same len a", 8L -> "same len b")
+    val clusterRows = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L))
+      .map { case (i, c) => Row(i, c) }
+    val clusters = spark.createDataFrame(
+      spark.sparkContext.parallelize(clusterRows, 2),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("cluster", LongType, nullable = false))))
+    val kept = Dedup.dedupApplyBest(d, "doc_id", clusters,
+      length(col("text")).cast("long"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // cluster 1: doc 2 is longer → min-id doc 1 is DROPPED;
+    // cluster 7: equal lengths → tie keeps the smaller id 7;
+    // singleton 3 survives untouched
+    assert(kept == Set(2L, 3L, 7L))
+  }
+
   test("distributed connected components: 130k edges, 512-node chains, log-bounded rounds") {
     // the scale exercise the driver path can't stand in for: 256
     // disjoint chains of 512 nodes (130,816 pairs), forced onto the
