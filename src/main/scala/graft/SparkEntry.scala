@@ -1769,6 +1769,17 @@ object SparkEntry {
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "text"),
         topN = 8)
         .orderBy("word")),
+    "t_wordpiece_stats" -> ((s, dir) =>
+      // cross-slice encode: vocab trained on the %5=0 slice, the
+      // %10=1 slice's census segments against it, docs resolve
+      // through a broadcast join — per-doc subword/UNK budget counts
+      graft.text.WordPiece.encodeStats(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 1),
+        "doc_id", "text",
+        graft.text.Bpe.wordCensus(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "text"),
+        topN = 8)
+        .orderBy("id")),
     "t_hashed_classifier" -> ((s, dir) =>
       // fastText-shaped quality-filter inference: hashed unigram+
       // bigram features → fixed 4096-slot weight table (md5 stand-in
@@ -3699,6 +3710,9 @@ object SparkEntry {
       // topN=8: only the 8 hottest words stay whole, so the gate
       // exercises multi-piece continuation segmentation on the rest
       graft.text.WordPiece.segmentCensusSql("WHERE doc_id % 5 = 0", topN = 8),
+    "t_wordpiece_stats" ->
+      graft.text.WordPiece.encodeStatsSql(
+        "WHERE doc_id % 10 = 1", "WHERE doc_id % 5 = 0", topN = 8),
     "t_hashed_classifier" ->
       graft.text.HashedClassifier.scoreSql("WHERE doc_id % 3 = 2"),
     "f_jaro_winkler" ->

@@ -114,26 +114,76 @@ object WordPiece {
     segment(census.select("word"), start, cont)
   }
 
-  /** DuckDB rendering of [[segmentCensus]] over the word census of
-    * `documents` restricted by `whereClause` — a recursive CTE whose
-    * step takes the LATERAL longest vocabulary match at the current
-    * position.
-    *
-    * Two formulation constraints are load-bearing (DuckDB 1.0.0
-    * planner): no `MATERIALIZED` hints, and the final ORDER BY lives
-    * in an OUTER wrapper — a top-level ORDER BY directly on the
-    * recursive+LATERAL body makes every LATERAL probe miss (all
-    * words come back `[UNK]`; reproduced and pinned while building
-    * this oracle).
+  /** Per-document encode statistics with a vocabulary trained on a
+    * DIFFERENT slice — the production encode path: the top-`topN`
+    * start words come from `vocabCensus` (the training corpus), the
+    * encode corpus' own distinct words segment against that vocab
+    * (vocabulary-sized work), and documents resolve through a
+    * broadcast join of tokens against the segmented census (the
+    * [[Bpe]] `encodeStats` topology). Tokens whose segmentation hits
+    * the `[UNK]` rule count 1 subword and 1 unk. Output:
+    * `(id, n_tokens, n_subwords, n_unk)`.
     */
-  def segmentCensusSql(whereClause: String, topN: Int = 100): String = {
+  def encodeStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabCensus: DataFrame, topN: Int = 100): DataFrame = {
+    val words = topWords(
+      vocabCensus.filter(!col("word").startsWith("##")), topN)
+    val start = words.toSet ++ CharPieces
+    val cont = CharPieces.toSet
+    val seg = segment(
+      Bpe.wordCensus(docs, textCol).select("word"), start, cont)
+      .withColumn("__n_sub",
+        when(col("unk"), lit(1L))
+          .otherwise(size(split(col("pieces"), " ")).cast("long")))
+      .withColumn("__u", when(col("unk"), lit(1L)).otherwise(lit(0L)))
+      .select(col("word"), col("__n_sub"), col("__u"))
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__n_sub")).as("n_subwords"),
+        sum(col("__u")).as("n_unk"))
+  }
+
+  /** DuckDB rendering of [[encodeStats]]: vocab words from
+    * `vocabWhere`, encode corpus from `docsWhere`.
+    */
+  def encodeStatsSql(
+      docsWhere: String, vocabWhere: String, topN: Int = 100): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    val seg = segmentSql(docsWhere, vocabWhere, topN)
+    s"""WITH seg AS (SELECT word,
+       |    CASE WHEN unk THEN 1 ELSE len(string_split(pieces, ' ')) END
+       |      AS n_sub,
+       |    CASE WHEN unk THEN 1 ELSE 0 END AS u
+       |  FROM ($seg) sq),
+       |tok AS (SELECT doc_id AS id, unnest($toks) AS word
+       |  FROM documents $docsWhere)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(u) AS BIGINT) AS n_unk
+       |FROM tok JOIN seg USING (word)
+       |GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** The segmentation core shared by [[segmentCensusSql]] (vocab and
+    * census from the same slice) and [[encodeStatsSql]] (vocab from
+    * `vocabWhere`, words from `docsWhere`).
+    */
+  private def segmentSql(
+      censusWhere: String, vocabWhere: String, topN: Int): String = {
     val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
     s"""SELECT * FROM (
        |WITH RECURSIVE
        |w AS (SELECT word, CAST(sum(1) AS BIGINT) AS freq FROM (
-       |    SELECT unnest($toks) AS word FROM documents $whereClause)
+       |    SELECT unnest($toks) AS word FROM documents $censusWhere)
        |  GROUP BY word),
-       |vw AS (SELECT word FROM w WHERE word NOT LIKE '##%'
+       |wv AS (SELECT word, CAST(sum(1) AS BIGINT) AS freq FROM (
+       |    SELECT unnest($toks) AS word FROM documents $vocabWhere)
+       |  GROUP BY word),
+       |vw AS (SELECT word FROM wv WHERE word NOT LIKE '##%'
        |  ORDER BY freq DESC, word LIMIT $topN),
        |chars AS (SELECT chr(CAST(range AS INT)) AS c FROM range(97, 123)
        |  UNION ALL SELECT chr(CAST(range AS INT)) FROM range(48, 58)),
@@ -167,6 +217,21 @@ object WordPiece {
        |)
        |SELECT word, pieces, unk FROM seg
        |WHERE pos > length(word) OR unk
-       |) q ORDER BY word""".stripMargin
+       |) q""".stripMargin
   }
+
+  /** DuckDB rendering of [[segmentCensus]] over the word census of
+    * `documents` restricted by `whereClause` — a recursive CTE whose
+    * step takes the LATERAL longest vocabulary match at the current
+    * position.
+    *
+    * Two formulation constraints are load-bearing (DuckDB 1.0.0
+    * planner): no `MATERIALIZED` hints, and the final ORDER BY lives
+    * in an OUTER wrapper — a top-level ORDER BY directly on the
+    * recursive+LATERAL body makes every LATERAL probe miss (all
+    * words come back `[UNK]`; reproduced and pinned while building
+    * this oracle).
+    */
+  def segmentCensusSql(whereClause: String, topN: Int = 100): String =
+    segmentSql(whereClause, whereClause, topN) + " ORDER BY word"
 }
