@@ -2178,6 +2178,15 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "p_span_mask" -> ((s, dir) =>
+      // T5-style span-corruption plan: 15% of token positions by a
+      // per-(doc, pos) md5 coin, adjacent picks merged to spans via
+      // gaps-and-islands — one doc-keyed window, reproducible and
+      // shard-stable (no RNG state crosses partitions)
+      graft.ops.Masking.spanPlan(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 1),
+        "doc_id", "text")
+        .orderBy("id", "span_idx")),
     "p_pack_materialize" -> ((s, dir) => {
       // the packing WRITER step: each sequence materializes as one
       // row with members concatenated in id order + an EOS separator
@@ -3915,6 +3924,8 @@ object SparkEntry {
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
         whereClause = "WHERE doc_id % 4 = 0"),
+    "p_span_mask" ->
+      graft.ops.Masking.spanPlanSql("WHERE doc_id % 7 = 1"),
     "p_pack_materialize" ->
       (graft.ops.Packing.materializeSequencesSql(maxTokens = 1024,
         shards = 8, whereClause = "WHERE doc_id % 4 = 0")
