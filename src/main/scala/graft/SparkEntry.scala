@@ -2178,6 +2178,15 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "e_neg_sample" -> ((s, dir) =>
+      // contrastive-training negatives WITHOUT an all-pairs scan:
+      // corpus gets a dense shuffle-rank index once; probe j of
+      // anchor a targets rank md5(a:j:seed) mod N and resolves by a
+      // rank equi-join. Reproducible, shard-stable, uniform
+      graft.ops.Shuffling.negativeSample(
+        t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0),
+        "vec_id", t(s, dir, "embeddings"), "vec_id", k = 8, seed = 7L)
+        .orderBy("anchor_id", "j")),
     "p_span_mask" -> ((s, dir) =>
       // T5-style span-corruption plan: 15% of token positions by a
       // per-(doc, pos) md5 coin, adjacent picks merged to spans via
@@ -3924,6 +3933,9 @@ object SparkEntry {
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
         whereClause = "WHERE doc_id % 4 = 0"),
+    "e_neg_sample" ->
+      graft.ops.Shuffling.negativeSampleSql(
+        "WHERE vec_id % 25 = 0", k = 8, seed = 7L),
     "p_span_mask" ->
       graft.ops.Masking.spanPlanSql("WHERE doc_id % 7 = 1"),
     "p_pack_materialize" ->

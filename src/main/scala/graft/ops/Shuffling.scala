@@ -75,6 +75,64 @@ object Shuffling {
       }.toDF("id", "shuffle_key", "rank")
   }
 
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random corpus rows per anchor, WITHOUT an all-pairs scan
+    * — the corpus gets a dense [[shuffleRank]] index once, then probe
+    * `j` of anchor `a` targets rank `md5(a:j:seed) mod N` and
+    * resolves through a rank equi-join (anchors×k probe rows against
+    * the rank-keyed corpus — at 100 TB the ranked corpus is written
+    * once per epoch and every trainer shard joins its own probes).
+    * Hash-keyed, so negatives are reproducible and shard-stable, and
+    * the draw is uniform over the corpus. Self-collisions (a probe
+    * landing on the anchor itself) are dropped — callers get ≤ k
+    * negatives, never a degenerate positive.
+    *
+    * Output: `(anchor_id, j, neg_id)` with `j` 1-based.
+    */
+  def negativeSample(
+      anchors: DataFrame, anchorIdCol: String,
+      corpus: DataFrame, corpusIdCol: String,
+      k: Int, seed: Long,
+  ): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val ranked = shuffleRank(corpus, corpusIdCol, seed)
+      .select(col("rank"), col("id").as("neg_id"))
+    val n = ranked.count()
+    require(n > 0, "negativeSample needs a non-empty corpus")
+    val probes = anchors.select(col(anchorIdCol).as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("rank",
+        graft.ops.Sketches.kmvHash(concat_ws(":",
+          col("anchor_id").cast("string"), col("j").cast("string"),
+          lit(seed.toString))) % n)
+    probes.join(ranked, Seq("rank"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+  }
+
+  /** DuckDB rendering of [[negativeSample]] over
+    * `embeddings(vec_id)`: anchors restricted by `anchorWhere`,
+    * corpus the whole table.
+    */
+  def negativeSampleSql(anchorWhere: String, k: Int, seed: Long): String = {
+    val (hash, _) = Sketches.kmvHashSql(
+      s"(CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || '$seed')")
+    s"""WITH ranked AS (SELECT vec_id AS neg_id,
+       |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)
+       |      || ':$seed'), vec_id) - 1 AS BIGINT) AS rank
+       |  FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM ranked),
+       |probes AS (SELECT anchor_id, CAST(j AS INT) AS j,
+       |    $hash % (SELECT n FROM n) AS rank
+       |  FROM (SELECT vec_id AS anchor_id FROM embeddings $anchorWhere) a,
+       |       unnest(range(1, $k + 1)) AS u(j))
+       |SELECT anchor_id, j, neg_id
+       |FROM probes JOIN ranked USING (rank)
+       |WHERE neg_id <> anchor_id
+       |ORDER BY anchor_id, j""".stripMargin
+  }
+
   /** DuckDB rendering of [[shuffleRank]] over `documents` restricted
     * by `whereClause`: the plain global window, value-identical.
     */

@@ -43,4 +43,32 @@ class ShufflingSpec extends AnyFunSuite with SparkSpec {
   test("empty input yields empty output") {
     assert(run(ids(0), seed = 1).isEmpty)
   }
+
+  test("negativeSample: ≤k negatives per anchor, no self, deterministic, near-uniform") {
+    val corpus = ids(500)
+    val anchors = ids(500).filter("doc_id % 50 = 0") // 10 anchors
+    val out = Shuffling.negativeSample(
+      anchors, "doc_id", corpus, "doc_id", k = 8, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.keySet.size == 10)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.length <= 8 && rows.length >= 7) // rare self-collision only
+      assert(rows.forall(_._3 != a), s"anchor $a sampled itself")
+    }
+    // deterministic across runs
+    val again = Shuffling.negativeSample(
+      anchors, "doc_id", corpus, "doc_id", k = 8, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    // different seed draws a different set
+    val other = Shuffling.negativeSample(
+      anchors, "doc_id", corpus, "doc_id", k = 8, seed = 4L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet != other.toSet)
+    // draws spread across the corpus, not clustered in one region
+    val negs = out.map(_._3)
+    assert(negs.distinct.length > negs.length / 2)
+    assert(negs.count(_ < 250) > 10 && negs.count(_ >= 250) > 10)
+  }
 }
