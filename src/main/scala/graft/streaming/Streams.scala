@@ -143,6 +143,33 @@ object Streams {
     // shards
     graft.ops.Sketches.cmsCells(events, valueCol, depth, width)
 
+  /** Streaming quality-classifier scoring — the twin of the batch
+    * [[graft.text.HashedClassifier.score]] for documents arriving on
+    * a stream: the ingest-time quality filter (score at the door,
+    * route below-threshold documents to quarantine before they reach
+    * the corpus). The feature explode + bucket weights are the batch
+    * operator's own body ([[graft.text.HashedClassifier.gramWeights]]
+    * — one code path, stream ≡ batch pinned in StreamsSpec), and the
+    * weight table is pure hash arithmetic — NO static side at all,
+    * so this is the rare stream twin with zero retrain-restart
+    * caveat. Watermarked per-(window, doc) aggregation like
+    * [[encodeStatsStream]].
+    */
+  def classifierStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096, watermark: String = "1 hour",
+  ): DataFrame =
+    graft.text.HashedClassifier.gramWeights(
+        docs.withWatermark("ts", watermark)
+          .select(col("ts"), col(idCol).as("id"), col(textCol)),
+        textCol, buckets)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("w_sum"))
+      .select(col("w.start").as("hour"), col("id"),
+        col("n_grams"), col("w_sum"),
+        (col("w_sum").cast("double") / col("n_grams").cast("double"))
+          .as("score"))
+
   /** Streaming HyperLogLog registers over a value column — the
     * distinct-count twin of [[cmsCellsStream]], with the same
     * no-watermark safety argument one better: state is AT MOST 256

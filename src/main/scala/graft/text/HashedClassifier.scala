@@ -49,6 +49,20 @@ object HashedClassifier {
   def bucketWeight(bucket: Column): Column =
     Sketches.kmvHash(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
 
+  /** Per-gram weight rows — the shared core of the batch scorer and
+    * the streaming twin (one body, so stream ≡ batch can never
+    * drift). Input rows keep their other columns; each input row
+    * explodes to one row per feature with its bucket weight `__w`.
+    */
+  private[graft] def gramWeights(
+      df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    df.withColumn("__g",
+        explode(grams(TextFunctions.tokens(lower(col(textCol))))))
+      .drop(textCol)
+      .withColumn("__w", bucketWeight(bucket(col("__g"), buckets)))
+  }
+
   /** Per-document score: `(id, n_grams, w_sum, score)` where `score`
     * = mean bucket weight in micro-units. Documents with no tokens
     * are absent (no features → nothing to score; filter-stage
@@ -56,17 +70,14 @@ object HashedClassifier {
     */
   def score(
       df: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 4096): DataFrame = {
-    require(buckets > 0, s"buckets $buckets must be positive")
-    df.select(col(idCol).as("id"),
-        explode(grams(TextFunctions.tokens(lower(col(textCol))))).as("g"))
-      .select(col("id"), bucketWeight(bucket(col("g"), buckets)).as("w"))
+      buckets: Int = 4096): DataFrame =
+    gramWeights(df.select(col(idCol).as("id"), col(textCol)),
+        textCol, buckets)
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("w_sum"))
       .select(col("id"), col("n_grams"), col("w_sum"),
         (col("w_sum").cast("double") / col("n_grams").cast("double"))
           .as("score"))
-  }
 
   /** DuckDB rendering of [[score]] over `documents(doc_id, text)`
     * restricted by `whereClause`.

@@ -101,6 +101,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("classifierStream equals batch HashedClassifier.score per document") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streams.classifierStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("complete").start()
+    try {
+      val docs = Seq((1L, ts(0), "the quick brown fox"), (2L, ts(5), "solo"),
+        (3L, ts(70), "hash join stream window agg"))
+      input.addData(docs.take(2): _*)
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("clf_stream").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("w_sum"),
+            r.getAs[Double]("score")))).toMap
+      val want = graft.text.HashedClassifier.score(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("w_sum"),
+            r.getAs[Double]("score")))).toMap
+      assert(got == want, s"stream $got != batch $want")
+    } finally query.stop()
+  }
+
   test("streaming HLL registers equal the batch registers after every micro-batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
