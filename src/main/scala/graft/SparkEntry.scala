@@ -1828,6 +1828,17 @@ object SparkEntry {
       graft.ann.Fusion.rrfFuse(Seq(sparse, dense), k = 10)
         .orderBy("query_id", "rnk")
     }),
+    "e_binary_rerank" -> ((s, dir) => {
+      // production two-stage retrieval: Hamming coarse top-50 over
+      // the 16-byte packed scan, exact cosine rerank of ONLY the
+      // survivors to top-10 — the rerank join touches queries×50
+      // float rows regardless of corpus size
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Binary.hammingRerank(
+        emb.filter(col("vec_id") % 50 === 1), emb,
+        "vec_id", "embedding", k = 10, kCoarse = 50)
+        .orderBy("query_id", "rank")
+    }),
     "e_binary_sign" -> ((s, dir) =>
       // 1-bit sign quantization: 64 float dims → two 32-bit words
       // (16 bytes/vector, 16×) — map-only, pure-integer unrolled
@@ -3761,6 +3772,8 @@ object SparkEntry {
            |WHERE rank <= 20""".stripMargin
       graft.ann.Fusion.rrfFuseSql(sparse, dense, k = 10)
     },
+    "e_binary_rerank" ->
+      graft.ann.Binary.hammingRerankSql("id % 50 = 1", k = 10, kCoarse = 50),
     "e_binary_sign" ->
       graft.ann.Binary.signPackSql("WHERE vec_id % 7 = 0"),
     "e_hamming_topk" ->

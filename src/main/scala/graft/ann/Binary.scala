@@ -88,6 +88,59 @@ object Binary {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("hamming"))
   }
 
+  /** Two-stage retrieval — the production shape for 1-bit indexes:
+    * Hamming over packed words retrieves `kCoarse` candidates (the
+    * 16-byte scan), then ONLY those survivors rejoin their float
+    * vectors for an exact cosine rerank to `k`. At corpus scale the
+    * rerank join touches `queries × kCoarse` rows of the float
+    * table — the whole point of quantized retrieval. Zero-norm
+    * survivors are excluded at rerank (the library's cosine NaN
+    * rule); output matches [[Ann.bruteForceTopK]]:
+    * `(query_id, neighbor_id, rank, score)`.
+    */
+  def hammingRerank(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, kCoarse: Int, dim: Int = 64,
+  ): DataFrame = {
+    require(kCoarse >= k, s"kCoarse $kCoarse must be >= k $k")
+    val coarse = hammingTopK(queries, candidates, idCol, vecCol, kCoarse, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Ann.norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), Ann.norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
+    val scored = coarse.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** DuckDB rendering of [[hammingRerank]] with queries restricted by
+    * `queryWhere` (candidates = the whole embeddings table).
+    */
+  def hammingRerankSql(
+      queryWhere: String, k: Int, kCoarse: Int, dim: Int = 64): String = {
+    val nz = s"${Ann.dotSql("embedding", "embedding", dim)} > 0"
+    s"""WITH coarse AS (${hammingTopKSql(queryWhere, kCoarse, dim)}),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE $nz),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+       |  WHERE $nz),
+       |scored AS (SELECT coarse.query_id, coarse.neighbor_id,
+       |    ${Ann.cosineSql("qv", "cv", dim)} AS score
+       |  FROM coarse JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, score FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB rendering of [[signWord]] for list expression `v` —
     * the identical 32-term literal sum.
     */
