@@ -2486,6 +2486,18 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    "mm_augment_plan" -> ((s, dir) => {
+      // per-(image, epoch) deterministic RandomResizedCrop+flip
+      // parameters from md5 coins — reproducible, shard-stable,
+      // computed at METADATA time so the codec pass gets exact
+      // (x, y, w, h, flip) instructions; map-only
+      import graft.multimodal.Multimodal
+      val meta = Multimodal.decodeMeta(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text"),
+        "doc_id", "content")
+      Multimodal.augmentPlan(meta, epochs = 3).orderBy("id", "epoch")
+    }),
     "mm_resize_plan" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val meta = Multimodal.decodeMeta(
@@ -4034,6 +4046,9 @@ object SparkEntry {
         |SELECT lang, bin, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "mm_augment_plan" ->
+      graft.multimodal.Multimodal.augmentPlanSql(
+        "WHERE doc_id % 10 = 0", epochs = 3),
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id AS id,
         |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,

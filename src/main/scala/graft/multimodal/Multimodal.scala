@@ -184,6 +184,67 @@ object Multimodal {
       .withColumn("n_tokens", col("n_patches") + lit(1L))
   }
 
+  /** Per-(image, epoch) augmentation plan — deterministic
+    * RandomResizedCrop + horizontal-flip PARAMETERS from md5 coins
+    * (the [[graft.ops.Masking]] argument applied to vision):
+    * hash-keyed rather than RNG so every epoch's augmentation is
+    * reproducible, shard-stable, and oracle-checkable, and the plan
+    * is computable at METADATA time — the expensive pixel work
+    * executes later, codec-side, against exact `(x, y, w, h, flip)`
+    * instructions. Crop fraction is 50–100% per side; offsets are
+    * uniform over the valid range; all integer arithmetic.
+    *
+    * Output: `(id, epoch, crop_x, crop_y, crop_w, crop_h, flip)` —
+    * 0-based offsets, one row per (image, epoch), map-only at any
+    * scale.
+    */
+  def augmentPlan(meta: DataFrame, epochs: Int, seed: Long = 42L): DataFrame = {
+    require(epochs >= 1, s"epochs $epochs must be >= 1")
+    def h(k: Int) = graft.ops.Sketches.kmvHash(concat_ws(":",
+      lit("aug"), col("id").cast("string"), col("epoch").cast("string"),
+      lit(k.toString), lit(seed.toString)))
+    meta.select(col("id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("__f1", lit(50L) + h(1) % 51)
+      .withColumn("__f2", lit(50L) + h(2) % 51)
+      // integer div (the `/` Column operator would widen to double)
+      .withColumn("crop_w", greatest(lit(1L), expr("width * __f1 div 100")))
+      .withColumn("crop_h", greatest(lit(1L), expr("height * __f2 div 100")))
+      .select(col("id"), col("epoch").cast("int").as("epoch"),
+        (h(3) % (col("width") - col("crop_w") + 1)).as("crop_x"),
+        (h(4) % (col("height") - col("crop_h") + 1)).as("crop_y"),
+        col("crop_w"), col("crop_h"),
+        (h(5) % 2 === 0).as("flip"))
+  }
+
+  /** DuckDB rendering of [[augmentPlan]] over the fake-decode
+    * metadata of `documents` restricted by `whereClause` (the same
+    * width/height derivation the mm_resize/mm_patch oracles use).
+    */
+  def augmentPlanSql(whereClause: String, epochs: Int, seed: Long = 42L): String = {
+    def h(k: Int): String = {
+      val s = s"('aug:' || CAST(id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) || ':' || '$k' || ':' || '$seed')"
+      graft.ops.Sketches.kmvHashSql(s)._1
+    }
+    s"""WITH m AS (SELECT doc_id AS id,
+       |    CAST(1 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+       |    CAST(1 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
+       |  FROM documents $whereClause),
+       |e AS (SELECT id, width, height, CAST(ep AS INT) AS epoch
+       |  FROM m, unnest(range(1, $epochs + 1)) AS u(ep)),
+       |cw AS (SELECT id, width, height, epoch,
+       |    greatest(1, width * (50 + ${h(1)} % 51) // 100) AS crop_w,
+       |    greatest(1, height * (50 + ${h(2)} % 51) // 100) AS crop_h
+       |  FROM e)
+       |SELECT id, epoch,
+       |  CAST(${h(3)} % (width - crop_w + 1) AS BIGINT) AS crop_x,
+       |  CAST(${h(4)} % (height - crop_h + 1) AS BIGINT) AS crop_y,
+       |  CAST(crop_w AS BIGINT) AS crop_w, CAST(crop_h AS BIGINT) AS crop_h,
+       |  (${h(5)} % 2 = 0) AS flip
+       |FROM cw ORDER BY id, epoch""".stripMargin
+  }
+
   /** Per-partition probe that reads a frame count out of a video
     * container header — the [[BinaryDecoder]] analogue for
     * [[sampleFrames]]. Implementations must be serializable and

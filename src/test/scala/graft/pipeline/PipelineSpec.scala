@@ -479,6 +479,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((1L, 96L)))
   }
 
+  test("augment plan: crops in-bounds at 50-100%, deterministic, epoch-varied") {
+    val rows = Seq(Row(1L, 10L, 512, 96, "png"), Row(2L, 10L, 1, 1, "png"))
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.metaSchema)
+    def plan() = Multimodal.augmentPlan(meta, epochs = 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("epoch"),
+        r.getAs[Long]("crop_x"), r.getAs[Long]("crop_y"),
+        r.getAs[Long]("crop_w"), r.getAs[Long]("crop_h"),
+        r.getAs[Boolean]("flip")))
+    val out = plan()
+    assert(out.length == 8)
+    out.foreach { case (id, _, x, y, w, h, _) =>
+      val (iw, ih) = if (id == 1L) (512L, 96L) else (1L, 1L)
+      assert(w >= math.max(1L, iw / 2) && w <= iw)
+      assert(h >= math.max(1L, ih / 2) && h <= ih)
+      assert(x >= 0 && x + w <= iw && y >= 0 && y + h <= ih)
+    }
+    // 1x1 degenerate image always crops to itself at (0, 0)
+    assert(out.filter(_._1 == 2L).forall(t => t._3 == 0 && t._5 == 1L))
+    // deterministic across runs; parameters vary across epochs
+    assert(plan().toSeq == out.toSeq)
+    assert(out.filter(_._1 == 1L).map(t => (t._3, t._4, t._5, t._6))
+      .distinct.length > 1)
+  }
+
   test("frame sampling: every stride-th frame, deterministic fingerprints") {
     val d = Multimodal.withFakePayload(docs(5L -> "0123456789"), "text")
     val out = Multimodal.sampleFrames(d, "doc_id", "content", stride = 4)
