@@ -2189,6 +2189,15 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "e_triplets" -> ((s, dir) =>
+      // contrastive training triplets: exact top-1 positive (swap in
+      // the LSH/binary paths at corpus scale) ⊕ hash-drawn negatives
+      // via the rank join; false-negative collisions dropped
+      graft.ann.Triplets.mine(
+        t(s, dir, "embeddings").filter(col("vec_id") % 25 === 0),
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, seed = 11L)
+        .orderBy("anchor_id", "j")),
     "e_neg_sample" -> ((s, dir) =>
       // contrastive-training negatives WITHOUT an all-pairs scan:
       // corpus gets a dense shuffle-rank index once; probe j of
@@ -3961,6 +3970,8 @@ object SparkEntry {
     "e_neg_sample" ->
       graft.ops.Shuffling.negativeSampleSql(
         "WHERE vec_id % 25 = 0", k = 8, seed = 7L),
+    "e_triplets" ->
+      graft.ann.Triplets.mineSql("WHERE vec_id % 25 = 0", k = 4, seed = 11L),
     "p_span_mask" ->
       graft.ops.Masking.spanPlanSql("WHERE doc_id % 7 = 1"),
     "p_pack_materialize" ->

@@ -119,8 +119,9 @@ object Shuffling {
     val (hash, _) = Sketches.kmvHashSql(
       s"(CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || '$seed')")
     s"""WITH ranked AS (SELECT vec_id AS neg_id,
-       |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)
-       |      || ':$seed'), vec_id) - 1 AS BIGINT) AS rank
+       |    CAST(row_number() OVER (ORDER BY
+       |      md5(CAST(vec_id AS VARCHAR) || ':$seed'), vec_id) - 1
+       |      AS BIGINT) AS rank
        |  FROM embeddings),
        |n AS (SELECT count(*) AS n FROM ranked),
        |probes AS (SELECT anchor_id, CAST(j AS INT) AS j,
