@@ -550,6 +550,30 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"census segmentation must not join (vocab is broadcast state):\n$p")
   }
 
+  test("negative sampling and triplets resolve through rank/anchor equi-joins") {
+    for (q <- Seq("e_neg_sample", "e_triplets")) {
+      val p = rawPlan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian:\n$p")
+    }
+    // the rank join specifically must be an equi-join (hash or
+    // sort-merge), never a nested loop over the corpus — for
+    // e_neg_sample the ONLY join is the rank join
+    assert(!rawPlan("e_neg_sample").contains("BroadcastNestedLoopJoin"),
+      "negative-sample rank join degenerated to a nested loop")
+  }
+
+  test("augment and span-mask plans are map-only / single-window doc-keyed") {
+    val aug = plan("mm_augment_plan")
+    assert(!aug.contains("Join") &&
+      !aug.contains("Exchange hashpartitioning"),
+      s"augment plan must be map-only:\n$aug")
+    val mask = plan("p_span_mask")
+    assert(!mask.contains("Join"), s"span mask must not join:\n$mask")
+    assert("Window".r.findAllIn(mask).size <= 3,
+      s"span mask should stay within its doc-keyed windows:\n$mask")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
