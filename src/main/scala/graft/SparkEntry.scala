@@ -2189,6 +2189,15 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "e_centroid_drift" -> ((s, dir) =>
+      // semantic drift monitor: per-label centroid, pairwise cosine
+      // between centroids — NOTHING sums raw doubles (order-dependent
+      // under partial agg); components quantize to micro ints first,
+      // so the one corpus pass is an exact (group, dim) integer
+      // census and everything after runs on groups·64 cells
+      graft.ann.CentroidDrift.pairwiseCosine(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label_a", "label_b")),
     "e_triplets" -> ((s, dir) =>
       // contrastive training triplets: exact top-1 positive (swap in
       // the LSH/binary paths at corpus scale) ⊕ hash-drawn negatives
@@ -3972,6 +3981,8 @@ object SparkEntry {
         "WHERE vec_id % 25 = 0", k = 8, seed = 7L),
     "e_triplets" ->
       graft.ann.Triplets.mineSql("WHERE vec_id % 25 = 0", k = 4, seed = 11L),
+    "e_centroid_drift" ->
+      graft.ann.CentroidDrift.pairwiseCosineSql("WHERE TRUE"),
     "p_span_mask" ->
       graft.ops.Masking.spanPlanSql("WHERE doc_id % 7 = 1"),
     "p_pack_materialize" ->
