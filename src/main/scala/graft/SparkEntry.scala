@@ -2189,6 +2189,16 @@ object SparkEntry {
         "doc_id", "text", maxTokens = 1024, shards = 8)
         .orderBy("id")
     }),
+    "e_mmr_diversify" -> ((s, dir) => {
+      // RAG context assembly: brute-force top-20 for one query, then
+      // MMR greedy re-selection of 5 (λ=0.5) — redundancy removed
+      // before context tokens are spent. Retrieval is the expensive
+      // part; MMR runs on the BOUNDED candidate set
+      val emb = t(s, dir, "embeddings")
+      val cands = graft.ann.Ann.bruteForceTopK(
+        emb.filter(col("vec_id") === 7), emb, "vec_id", "embedding", k = 20)
+      graft.ann.Mmr.diversify(cands, emb, "vec_id", "embedding", k = 5)
+    }),
     "e_centroid_drift" -> ((s, dir) =>
       // semantic drift monitor: per-label centroid, pairwise cosine
       // between centroids — NOTHING sums raw doubles (order-dependent
@@ -3983,6 +3993,8 @@ object SparkEntry {
       graft.ann.Triplets.mineSql("WHERE vec_id % 25 = 0", k = 4, seed = 11L),
     "e_centroid_drift" ->
       graft.ann.CentroidDrift.pairwiseCosineSql("WHERE TRUE"),
+    "e_mmr_diversify" ->
+      graft.ann.Mmr.diversifySql(queryId = 7L, kCand = 20, k = 5),
     "p_span_mask" ->
       graft.ops.Masking.spanPlanSql("WHERE doc_id % 7 = 1"),
     "p_pack_materialize" ->
