@@ -1757,6 +1757,14 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
         .orderBy("chunk_hash")),
+    "t_colloc_lift" -> ((s, dir) =>
+      // phrase mining: top-30 adjacent pairs by PMI-surrogate lift
+      // (n_ab·N / n_a·n_b, log-free and hash-gated); min-count 3
+      // suppresses the rare-pair PMI noise mode. Census topology =
+      // the LM scorer's; ranking is a TakeOrdered heap
+      graft.text.Ngrams.collocationLift(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "text", k = 30)),
     "t_wordpiece" -> ((s, dir) =>
       // the OTHER classic subword tokenizer beside BPE: greedy
       // longest-match WordPiece against a deterministic vocab (top-
@@ -3775,6 +3783,8 @@ object SparkEntry {
       graft.dedup.Cdc.chunkSpansSql(8, 16, "WHERE doc_id % 7 = 3"),
     "d_cdc_dupes" ->
       graft.dedup.Cdc.duplicateChunksSql(8, 16, 2, "WHERE doc_id % 2 = 0"),
+    "t_colloc_lift" ->
+      graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),
     "t_wordpiece" ->
       // topN=8: only the 8 hottest words stay whole, so the gate
       // exercises multi-piece continuation segmentation on the rest

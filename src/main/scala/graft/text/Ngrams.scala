@@ -88,4 +88,79 @@ object Ngrams {
        |FROM (SELECT doc_id FROM documents $whereClause) d
        |LEFT JOIN c USING (doc_id)""".stripMargin
   }
+
+  /** Collocation mining by PMI-surrogate LIFT: for adjacent token
+    * pairs, `lift(a,b) = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` —
+    * a strictly monotone transform of pointwise mutual information
+    * (PMI = ln lift), log-free so it sits under the hash gate like
+    * [[graft.text.Lm]]'s surprise. High-lift pairs are multiword
+    * expressions ("san francisco", "machine learning") — tokenizer
+    * vocab candidates and phrase-mining input.
+    *
+    * Engine-exactness: the censuses are exact BIGINTs; the score is
+    * `floor(n_ab·N / (n_a·n_b) · 1e6)` computed as doubles in that
+    * pinned op order (products first, one division, one scale) —
+    * double rounding is deterministic per IEEE, identical across
+    * engines. Ranking ties break by gram ascending.
+    *
+    * Scale shape: one corpus pass for each census (the [[graft.text.Lm]]
+    * topology), a bigram→unigram equi-join ×2, and a TakeOrdered
+    * top-k — no corpus-sized sort, no broadcast of corpus-sized
+    * frames.
+    *
+    * Output: top-`k` `(gram, n_ab, lift_micro)` by
+    * `(lift_micro desc, gram)`, restricted to `n_ab ≥ minCount`
+    * (rare-pair lift is noise — the classic PMI failure mode).
+    */
+  def collocationLift(
+      df: DataFrame, textCol: String, k: Int, minCount: Long = 3L,
+  ): DataFrame = {
+    val toks = df.select(
+      graft.text.TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+    val total = toks.select(explode(col("__toks")).as("__w"))
+      .agg(count(lit(1)).as("__t"))
+    val bi = toks
+      .select(explode(graft.text.TextFunctions.allGramsOf(col("__toks"), 2))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi.withColumn("__w1", substring_index(col("gram"), " ", 1))
+      .withColumn("__w2", substring_index(col("gram"), " ", -1))
+      .join(uni.select(col("__w").as("__w1"), col("__n").as("__na")), Seq("__w1"))
+      .join(uni.select(col("__w").as("__w2"), col("__n").as("__nb")), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("n_ab"),
+        floor((col("n_ab").cast("double") * col("__t").cast("double")) /
+          (col("__na").cast("double") * col("__nb").cast("double")) * lit(1e6))
+          .cast("long").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[collocationLift]] over `documents(text)`
+    * restricted by `whereClause`.
+    */
+  def collocationLiftSql(
+      whereClause: String, k: Int, minCount: Long = 3L): String = {
+    val toks = graft.text.TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    val grams = graft.text.TextFunctions.allGramsSql("toks", 2)
+    s"""WITH d AS (SELECT $toks AS toks FROM documents $whereClause),
+       |uni AS (SELECT w, count(*) AS n
+       |  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+       |tot AS (SELECT count(*) AS t FROM (SELECT unnest(toks) AS w FROM d)),
+       |bi AS (SELECT gram, count(*) AS n_ab
+       |  FROM (SELECT unnest($grams) AS gram FROM d)
+       |  GROUP BY gram HAVING count(*) >= $minCount)
+       |SELECT gram, n_ab,
+       |  CAST(floor((CAST(n_ab AS DOUBLE) * CAST(tot.t AS DOUBLE))
+       |    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) * 1e6) AS BIGINT)
+       |    AS lift_micro
+       |FROM bi
+       |JOIN uni a ON string_split(gram, ' ')[1] = a.w
+       |JOIN uni b ON string_split(gram, ' ')[-1] = b.w
+       |CROSS JOIN tot
+       |ORDER BY lift_micro DESC, gram LIMIT $k""".stripMargin
+  }
 }
