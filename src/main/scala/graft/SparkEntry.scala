@@ -1757,6 +1757,18 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
         .orderBy("chunk_hash")),
+    "s_domain_rank" -> ((s, dir) => {
+      // source-quality link analysis: ALL-INTEGER PageRank (micro
+      // units, floor-div at two pinned points — no double-sum order
+      // hazard) over the domain co-citation graph; the planted
+      // mirror host becomes the hub and concentrates rank
+      val urls = graft.text.Urls.extractUrls(
+        plantedUrls(s, dir), "doc_id", "text")
+        .select(col("doc_id").as("id"), col("domain"))
+      graft.ops.LinkAnalysis.pageRank(
+        graft.ops.LinkAnalysis.cocitationEdges(urls), iters = 5)
+        .orderBy("domain")
+    }),
     "t_colloc_lift" -> ((s, dir) =>
       // phrase mining: top-30 adjacent pairs by PMI-surrogate lift
       // (n_ab·N / n_a·n_b, log-free and hash-gated); min-count 3
@@ -3783,6 +3795,22 @@ object SparkEntry {
       graft.dedup.Cdc.chunkSpansSql(8, 16, "WHERE doc_id % 7 = 3"),
     "d_cdc_dupes" ->
       graft.dedup.Cdc.duplicateChunksSql(8, 16, 2, "WHERE doc_id % 2 = 0"),
+    "s_domain_rank" -> {
+      val urlRows =
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN text
+          |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+          |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+          |                 ELSE '' END END AS text
+          |  FROM documents),
+          |uu AS (SELECT doc_id AS id,
+          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+          |  FROM d)
+          |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
+          |FROM uu""".stripMargin
+      graft.ops.LinkAnalysis.pageRankSql(urlRows, iters = 5)
+    },
     "t_colloc_lift" ->
       graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),
     "t_wordpiece" ->

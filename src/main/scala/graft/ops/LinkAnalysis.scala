@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link analysis for source-quality scoring — the Common-Crawl-lore
+  * pattern: rank hosts by a PageRank-style centrality over the link
+  * (here: co-citation) graph and prefer high-centrality sources when
+  * curating. The implementation is an ALL-INTEGER power iteration so
+  * every intermediate sits under the hash gate:
+  *
+  *   r_0(v) = 1e6;
+  *   contrib(u→v) = r_t(u) div outdeg(u)            (integer div)
+  *   r_{t+1}(v)   = 150000 + (85 · Σ contrib) div 100
+  *
+  * i.e. damping 0.85 and teleport 0.15 in micro-units with
+  * floor-division at exactly two pinned points — deterministic with
+  * NO floating point anywhere (the usual double-sum order hazard
+  * cannot exist). Dangling mass is dropped (nodes with no out-edges
+  * leak their rank — the standard simplification; totals are not
+  * conserved and the gate pins values, not invariants).
+  *
+  * Scale shape: each iteration is one edge⋈rank equi-join on `src`
+  * + one `dst`-keyed sum — the textbook Pregel-free formulation;
+  * ranks are node-sized, edges edge-sized, nothing else
+  * materializes. Iteration count is fixed and small (the BPE-round
+  * argument); the oracle unrolls the same rounds as chained CTEs.
+  */
+object LinkAnalysis {
+
+  /** Distinct directed co-citation edges between domains appearing in
+    * the same document: `(src, dst)`, both directions, self-pairs
+    * excluded. Input: `(id, domain)` URL rows (e.g.
+    * [[graft.text.Urls.extractUrls]] output).
+    */
+  def cocitationEdges(urls: DataFrame): DataFrame = {
+    val d = urls.select(col("id"), col("domain")).distinct()
+    d.as("a").join(d.as("b"),
+        col("a.id") === col("b.id") && col("a.domain") =!= col("b.domain"))
+      .select(col("a.domain").as("src"), col("b.domain").as("dst"))
+      .distinct()
+  }
+
+  /** Integer PageRank over an edge list — see object scaladoc.
+    * Output: `(domain, rank_micro)`.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val nodes = edges.select(col("src").as("domain"))
+      .union(edges.select(col("dst"))).distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("domain"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy(col("domain")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("domain"), "left")
+        .select(col("domain"),
+          (lit(150000L) +
+            expr("85 * coalesce(in_sum, 0L) div 100")).as("rank_micro"))
+    }
+    ranks
+  }
+
+  /** DuckDB rendering of [[cocitationEdges]] + [[pageRank]] over URL
+    * rows produced by `urlRowsSql` (must yield `(id, domain)`).
+    */
+  def pageRankSql(urlRowsSql: String, iters: Int = 5): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""u AS (SELECT DISTINCT id, domain FROM ($urlRowsSql) q),
+         |edges AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+         |  FROM u a JOIN u b ON a.id = b.id AND a.domain <> b.domain),
+         |nodes AS (SELECT src AS domain FROM edges
+         |  UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS rank_micro
+         |  FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      parts += s"""c$i AS (SELECT e.dst AS domain,
+                  |    CAST(SUM(r.rank_micro // o.deg) AS BIGINT) AS in_sum
+                  |  FROM edges e
+                  |  JOIN r${i - 1} r ON e.src = r.domain
+                  |  JOIN outdeg o ON e.src = o.src
+                  |  GROUP BY e.dst)""".stripMargin
+      parts += s"""r$i AS (SELECT n.domain,
+                  |    CAST(150000 + 85 * coalesce(c.in_sum, 0) // 100 AS BIGINT)
+                  |      AS rank_micro
+                  |  FROM nodes n LEFT JOIN c$i c ON n.domain = c.domain)""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT domain, rank_micro FROM r$iters ORDER BY domain"
+  }
+}

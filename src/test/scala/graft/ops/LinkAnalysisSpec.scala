@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Integer PageRank: symmetry, hub concentration, the exact
+  * micro-unit recurrence on a hand graph, and co-citation edge
+  * construction.
+  */
+class LinkAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("2-node cycle stays symmetric at the fixed point") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = LinkAnalysis.pageRank(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == out("b"))
+    // fixed point of r = 150000 + 85*r div 100 is 1_000_000
+    assert(out("a") == 1000000L)
+  }
+
+  test("hand-computed recurrence on a 3-node chain with a dangling sink") {
+    // a -> b -> c; c dangles (leaks mass)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = LinkAnalysis.pageRank(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // iter1: a=150000, b=150000+85*1e6 div 100=1000000, c=1000000
+    // iter2: a=150000, b=150000+(85*150000) div 100=277500,
+    //        c=150000+(85*1000000) div 100=1000000
+    assert(out == Map("a" -> 150000L, "b" -> 277500L, "c" -> 1000000L))
+  }
+
+  test("star graph concentrates rank at the hub") {
+    val spokes = (1 to 8).map(i => s"s$i")
+    val edges = (spokes.map(s => (s, "hub")) ++ spokes.map(s => ("hub", s)))
+      .toDF("src", "dst")
+    val out = LinkAnalysis.pageRank(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spokes.forall(s => out("hub") > 3 * out(s)))
+  }
+
+  test("cocitationEdges: per-doc distinct, both directions, no self") {
+    val urls = Seq((1L, "x.com"), (1L, "x.com"), (1L, "y.com"),
+      (2L, "x.com"), (3L, "z.com")).toDF("id", "domain")
+    val edges = LinkAnalysis.cocitationEdges(urls).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("x.com", "y.com"), ("y.com", "x.com")))
+  }
+}
