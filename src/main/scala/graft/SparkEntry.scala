@@ -1757,6 +1757,22 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
         .orderBy("chunk_hash")),
+    "d_url_canon" -> ((s, dir) => {
+      // crawl-frontier dedup: scheme/case/www/query/slash variants of
+      // the same page collapse under the pinned 5-step canon rule —
+      // planted even/odd docs carry the two variant spellings
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" https://WWW.s"), (col("doc_id") % 11).cast("string"),
+              lit(".example.com/page/"), (col("doc_id") % 40).cast("string"),
+              lit("?utm=x")))
+            .otherwise(concat(lit(" http://s"),
+              (col("doc_id") % 11).cast("string"), lit(".example.com/page/"),
+              (col("doc_id") % 40).cast("string"), lit("/")))).as("text"))
+      graft.text.Urls.canonicalStats(docs, "doc_id", "text")
+        .orderBy("canon_url")
+    }),
     "s_domain_rank" -> ((s, dir) => {
       // source-quality link analysis: ALL-INTEGER PageRank (micro
       // units, floor-div at two pinned points — no double-sum order
@@ -1768,6 +1784,19 @@ object SparkEntry {
       graft.ops.LinkAnalysis.pageRank(
         graft.ops.LinkAnalysis.cocitationEdges(urls), iters = 5)
         .orderBy("domain")
+    }),
+    "t_readability" -> ((s, dir) => {
+      // Flesch reading ease from integer censuses (sentence runs,
+      // vowel-group syllable proxy floored at word count) — map-only;
+      // the score doubles hash raw (pinned IEEE op order)
+      import graft.text.TextFunctions._
+      t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_words"),
+          sentenceCount(col("text")).as("n_sent"),
+          syllableProxy(col("text")).as("n_syl"),
+          flesch(col("text")).as("flesch"))
+        .orderBy("doc_id")
     }),
     "t_colloc_lift" -> ((s, dir) =>
       // phrase mining: top-30 adjacent pairs by PMI-surrogate lift
@@ -3795,6 +3824,23 @@ object SparkEntry {
       graft.dedup.Cdc.chunkSpansSql(8, 16, "WHERE doc_id % 7 = 3"),
     "d_cdc_dupes" ->
       graft.dedup.Cdc.duplicateChunksSql(8, 16, 2, "WHERE doc_id % 2 = 0"),
+    "d_url_canon" -> {
+      val urlRows =
+        """WITH d AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN ' https://WWW.s' || CAST(doc_id % 11 AS VARCHAR) ||
+          |            '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+          |            '?utm=x'
+          |       ELSE ' http://s' || CAST(doc_id % 11 AS VARCHAR) ||
+          |            '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+          |            '/' END AS text
+          |  FROM documents),
+          |uu AS (SELECT doc_id AS id,
+          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+          |  FROM d)
+          |SELECT id, url FROM uu""".stripMargin
+      graft.text.Urls.canonicalStatsSql(urlRows)
+    },
     "s_domain_rank" -> {
       val urlRows =
         """WITH d AS (SELECT doc_id,
@@ -3810,6 +3856,15 @@ object SparkEntry {
           |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
           |FROM uu""".stripMargin
       graft.ops.LinkAnalysis.pageRankSql(urlRows, iters = 5)
+    },
+    "t_readability" -> {
+      import graft.text.TextFunctions._
+      s"""SELECT doc_id,
+         |  CAST(len(${tokensSql.replace("TXT", "text")}) AS INT) AS n_words,
+         |  CAST(${sentenceCountSql("text")} AS INT) AS n_sent,
+         |  CAST(${syllableProxySql("text")} AS INT) AS n_syl,
+         |  ${fleschSql("text")} AS flesch
+         |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin
     },
     "t_colloc_lift" ->
       graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),

@@ -192,4 +192,53 @@ object TextFunctions {
     s"(CASE WHEN len($grams) = 0 THEN 0.0 ELSE " +
       s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / CAST(len($grams) AS DOUBLE) END)"
   }
+
+  /** Sentence count: runs of `[.!?]` (floored at 1 so ratio features
+    * stay defined for fragments).
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+
+  /** Syllable proxy: vowel-group count (`[aeiouy]+` runs in the
+    * lowercased text), floored at the word count — every word has at
+    * least one syllable. The standard cheap proxy; exact
+    * syllabification needs a dictionary.
+    */
+  def syllableProxy(text: Column): Column =
+    greatest(tokenCount(text),
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))))
+
+  /** Flesch Reading Ease from the integer censuses:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` in
+    * exactly that IEEE op order (constants shortest-round-trip
+    * rendered in [[fleschSql]]) — the classic readability quality
+    * signal (very low scores flag jargon/boilerplate; implausibly
+    * high ones flag listicles/fragments). Null when the document has
+    * no words.
+    */
+  def flesch(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val syl = syllableProxy(text).cast("double")
+    when(w > 0,
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w))
+  }
+
+  /** DuckDB renderings of the readability censuses and score for a
+    * text expression `t` (op order identical to [[flesch]]).
+    */
+  def sentenceCountSql(t: String): String =
+    s"greatest(1, len(regexp_extract_all($t, '[.!?]+', 0)))"
+
+  def syllableProxySql(t: String): String =
+    s"greatest(len(${tokensSql.replace("TXT", t)}), " +
+      s"len(regexp_extract_all(lower($t), '[aeiouy]+', 0)))"
+
+  def fleschSql(t: String): String = {
+    val w = s"CAST(len(${tokensSql.replace("TXT", t)}) AS DOUBLE)"
+    s"""CASE WHEN $w > 0 THEN 206.835
+       | - 1.015 * ($w / CAST(${sentenceCountSql(t)} AS DOUBLE))
+       | - 84.6 * (CAST(${syllableProxySql(t)} AS DOUBLE) / $w)
+       | END""".stripMargin.replace("\n", "")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL extraction and per-domain statistics — the provenance signal a
@@ -53,4 +53,49 @@ object Urls {
     extractUrls(df, idCol, textCol)
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"), countDistinct(col(idCol)).as("n_docs"))
+
+  /** URL canonicalization — the crawl-frontier dedup rule: lowercase,
+    * scheme off, query/fragment off, leading `www.` off, trailing
+    * slash off — so `https://WWW.Site.com/p/1?utm=x` and
+    * `http://site.com/p/1` count as ONE page. The five rewrites are
+    * regex steps in a PINNED order (each mirrored in
+    * [[canonicalStatsSql]]); deliberately conservative — no path
+    * normalization or param-allowlisting, which are site-specific
+    * policy.
+    */
+  def canonicalize(url: Column): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noQuery = regexp_replace(noScheme, "[?#].*$", "")
+    val noWww = regexp_replace(noQuery, "^www\\.", "")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** Canonical-URL census: `(canon_url, n_occ, n_docs)` over the
+    * extracted URLs of a corpus — duplicate-page detection across
+    * scheme/case/query variants. Map-only extract + one canon-keyed
+    * shuffle.
+    */
+  def canonicalStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractUrls(df, idCol, textCol)
+      .select(col(idCol), canonicalize(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
+
+  /** DuckDB rendering of [[canonicalStats]] over URL rows from
+    * `urlRowsSql` (must yield `(id, url)`).
+    */
+  def canonicalStatsSql(urlRowsSql: String): String =
+    s"""WITH u AS (SELECT id, url FROM ($urlRowsSql) q),
+       |c AS (SELECT id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(lower(url), '^https?://', ''),
+       |          '[?#].*$$', ''),
+       |        '^www\\.', ''),
+       |      '/$$', '') AS canon_url
+       |  FROM u)
+       |SELECT canon_url, count(*) AS n_occ, count(DISTINCT id) AS n_docs
+       |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
 }
