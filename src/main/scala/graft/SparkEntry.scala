@@ -903,6 +903,16 @@ object SparkEntry {
           col("n_events"), col("last_val"))
         .orderBy("user_id", "bucket_ts")
     }),
+    "ev_ewma" -> ((s, dir) =>
+      // per-user smoothed activity (EWMA, alpha=0.25 seeded at the
+      // first event): ordered fold over the sorted event array — the
+      // identical IEEE op sequence as the oracle's recursive CTE, so
+      // the doubles hash raw; one shuffle, fold in codegen
+      graft.ops.Ewma.ewma(
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value", alpha = 0.25)
+        .orderBy("user_id")),
     "ev_funnel" -> ((s, dir) => {
       // ordered-funnel summary: greedy earliest-first step times per
       // user, strict (>) step ordering, chained whole-partition window
@@ -1396,6 +1406,20 @@ object SparkEntry {
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
     }),
+    "d_dedup_clusters_lp" -> ((s, dir) => {
+      // the same clustering FORCED down the distributed arm
+      // (driverThresholdEdges = 0): min-label flooding + pointer
+      // jumping, the path a 100 TB pair list takes — gated against
+      // the identical recursive-CTE oracle as the hybrid entry, so
+      // the driver verifies BOTH arms produce the same labeling.
+      // Executes eagerly (iterative) like d_dedup_clusters
+      val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", maxHamming = 3)
+      graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverThresholdEdges = 0L)
+        .orderBy("id")
+    }),
     "d_dedup_apply" -> ((s, dir) => {
       // the full dedup pipeline applied: find near-dup pairs, cluster
       // them, drop every non-canonical cluster member — the surviving
@@ -1796,6 +1820,32 @@ object SparkEntry {
           sentenceCount(col("text")).as("n_sent"),
           syllableProxy(col("text")).as("n_syl"),
           flesch(col("text")).as("flesch"))
+        .orderBy("doc_id")
+    }),
+    "t_char_gini" -> ((s, dir) =>
+      // letter-distribution concentration (log-free Gini entropy
+      // stand-in, integer ppm) — gibberish/blob detector; map-only,
+      // no explode: 26 replace-counts folded in one aggregate pass
+      graft.text.TextFunctions.letterConcentration(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 2),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+    "t_html_strip" -> ((s, dir) => {
+      // markup extraction: strip tags + decode entities over a PLANTED
+      // html wrapping of the corpus (same construction in the oracle)
+      // — the pre-dedup text-extraction pass; map-only, in codegen
+      import graft.text.Html._
+      val html = concat(
+        lit("<html><body "), lit("class=\"d"),
+        (col("doc_id") % 7).cast("string"), lit("\"><h1>Doc &#39;"),
+        col("doc_id").cast("string"), lit("&#39;</h1><p>"),
+        replace(col("text"), lit("a"), lit("&amp;")),
+        lit("</p><br/></body></html>"))
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"), extractText(html).as("clean"))
+        .select(col("doc_id"),
+          length(col("clean")).cast("bigint").as("n_chars"),
+          substring(col("clean"), 1, 40).as("head"))
         .orderBy("doc_id")
     }),
     "t_colloc_lift" -> ((s, dir) =>
@@ -2850,6 +2900,26 @@ object SparkEntry {
       Sources.writeOrc(nation, s"$out/n")
       Sources.readOrc(s, s"$out/n").orderBy("n_nationkey")
     }),
+    "s_merge_schema" -> ((s, dir) => {
+      // schema-evolution read: two parquet drops with DIFFERENT
+      // schemas (columns added over time, the normal life of a 100 TB
+      // dataset) unified by mergeSchema=true — missing columns null,
+      // names matched, no rewrite of old files. The oracle builds the
+      // same union from the source table, so the hash-match proves
+      // the merged read reconstructs every value and null slot
+      val nation = t(s, dir, "nation")
+      val out = s"${scratchRoot()}/merge_schema"
+      nation.select(col("n_nationkey"), col("n_name"), lit("v1").as("src"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      nation.select(col("n_nationkey"), col("n_regionkey"),
+        (col("n_nationkey") * 2).as("extra"), lit("v2").as("src"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/v1", s"$out/v2")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("extra"), col("src"))
+        .orderBy("n_nationkey", "src")
+    }),
     "s_heavy_hitters" -> ((s, dir) => {
       // join-key skew diagnosis: top-25 part keys by lineitem row
       // count with exact share — one map-combined hash agg, total
@@ -3321,6 +3391,7 @@ object SparkEntry {
         |  last_value(in_bucket IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS last_val
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "ev_ewma" -> graft.ops.Ewma.ewmaSql(alpha = 0.25, ""),
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
         |a AS (SELECT user_id, ts, event_type,
@@ -3633,6 +3704,11 @@ object SparkEntry {
     "d_dedup_clusters" ->
       graft.dedup.Dedup.connectedComponentsSql(
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")),
+    "d_dedup_clusters_lp" ->
+      // the SAME oracle as d_dedup_clusters: both arms must label
+      // identically, and the driver proves it for each independently
+      graft.dedup.Dedup.connectedComponentsSql(
+        graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")),
     "d_dedup_apply" ->
       graft.dedup.Dedup.dedupApplySql(
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0"),
@@ -3865,6 +3941,28 @@ object SparkEntry {
          |  CAST(${syllableProxySql("text")} AS INT) AS n_syl,
          |  ${fleschSql("text")} AS flesch
          |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin
+    },
+    "t_char_gini" -> {
+      val (n, s2) = graft.text.TextFunctions.letterCensusSql("text")
+      s"""WITH c AS (SELECT doc_id, $n AS n_letters, $s2 AS s2
+         |  FROM documents WHERE doc_id % 4 = 2)
+         |SELECT doc_id, n_letters,
+         |  CASE WHEN n_letters > 0 THEN CAST(
+         |    ((n_letters * n_letters - s2) * 1000000)
+         |      // (n_letters * n_letters) AS BIGINT) END AS gini_ppm
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "t_html_strip" -> {
+      val html = "'<html><body ' || 'class=\"d' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '\"><h1>Doc &#39;' || " +
+        "CAST(doc_id AS VARCHAR) || '&#39;</h1><p>' || " +
+        "replace(text, 'a', '&amp;') || '</p><br/></body></html>'"
+      s"""WITH c AS (SELECT doc_id,
+         |  ${graft.text.Html.extractTextSql(html)} AS clean
+         |  FROM documents WHERE doc_id % 5 = 3)
+         |SELECT doc_id, CAST(len(clean) AS BIGINT) AS n_chars,
+         |  substring(clean, 1, 40) AS head
+         |FROM c ORDER BY doc_id""".stripMargin
     },
     "t_colloc_lift" ->
       graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),
@@ -4383,6 +4481,14 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_merge_schema" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+        |    CAST(NULL AS INTEGER) AS extra, 'v1' AS src FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey,
+        |    CAST(n_nationkey * 2 AS INTEGER), 'v2' FROM nation)
+        |ORDER BY n_nationkey, src""".stripMargin,
     "s_heavy_hitters" ->
       """WITH c AS (SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
         |t AS (SELECT sum(n_rows) AS total FROM c)

@@ -241,4 +241,52 @@ object TextFunctions {
        | - 84.6 * (CAST(${syllableProxySql(t)} AS DOUBLE) / $w)
        | END""".stripMargin.replace("\n", "")
   }
+
+  /** Letter-distribution concentration — a LOG-FREE entropy stand-in
+    * for gibberish/keyboard-mash detection (natural prose spreads mass
+    * over many letters; `aaaa…`/base64 blobs concentrate it). Reports
+    * the Gini impurity of the a–z letter histogram in integer parts
+    * per million: `gini_ppm = 1e6 · (N² − Σcᵢ²) / N²` (floored) —
+    * near 0 = single-letter degenerate, English prose ≈ 930,000.
+    * Entirely integer arithmetic (the Gini's Σp² needs no logarithm —
+    * the same transcendental-free trick as the PMI-lift collocations),
+    * so the oracle matches bit-for-bit.
+    *
+    * Shape: map-only, NO explode — the 26 per-letter counts come from
+    * `length(t) − length(replace(t, letter))` inside one projected
+    * array, folded to (N, Σc²) in a single `aggregate` pass; stays in
+    * whole-stage codegen. Counts only `[a-z]` after lowercasing:
+    * portable across engines (no unicode-class divergence) and
+    * scale-free in the alphabet.
+    */
+  private val letterCountsExpr =
+    "transform(sequence(0, 25), i -> cast(length(__low) - " +
+      "length(replace(__low, char(i + 97))) as bigint))"
+
+  def letterConcentration(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+  ): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains("__low"),
+      "letterConcentration reserves column name __low; rename it")
+    df.withColumn("__low", lower(col(textCol)))
+      .withColumn("__ns", expr(
+        s"aggregate($letterCountsExpr, named_struct('n', 0L, 's', 0L), " +
+          "(a, x) -> named_struct('n', a.n + x, 's', a.s + x * x))"))
+      .select(col(idCol),
+        col("__ns.n").as("n_letters"),
+        when(col("__ns.n") > 0,
+          expr("((__ns.n * __ns.n - __ns.s) * 1000000L) div (__ns.n * __ns.n)"))
+          .as("gini_ppm"))
+  }
+
+  /** DuckDB rendering of [[letterConcentration]]'s per-row censuses
+    * for a text expression `t`: `(n_letters, sum_sq)` as two exprs.
+    */
+  def letterCensusSql(t: String): (String, String) = {
+    val counts = s"list_transform(range(0, 26), i -> " +
+      s"len(lower($t)) - len(replace(lower($t), " +
+      s"chr(CAST(i + 97 AS INTEGER)), '')))"
+    (s"CAST(list_sum($counts) AS BIGINT)",
+      s"CAST(list_sum(list_transform($counts, x -> x * x)) AS BIGINT)")
+  }
 }
