@@ -2604,6 +2604,18 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
         .orderBy("lang", "bin")
     }),
+    "mm_audio_windows" -> ((s, dir) => {
+      // VAD-style audio chunking plan: overlapping (start, len)
+      // windows + deterministic energy flags from the stubbed header
+      // arithmetic — map-only explode bounded by samples/hop, the cut
+      // list the codec pass executes
+      import graft.multimodal.Multimodal
+      Multimodal.audioWindows(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text"),
+        "doc_id", "content")
+        .orderBy("id", "win_idx")
+    }),
     "mm_frame_sample" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.sampleFrames(
@@ -4303,6 +4315,8 @@ object SparkEntry {
         |SELECT id, out_w, out_h, n_x, n_y,
         |  n_x * n_y AS n_patches, n_x * n_y + 1 AS n_tokens
         |FROM p ORDER BY id""".stripMargin,
+    "mm_audio_windows" ->
+      graft.multimodal.Multimodal.audioWindowsSql("WHERE doc_id % 50 = 0"),
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id,
         |    1 + octet_length(encode(text)) % 240 AS n_frames

@@ -305,4 +305,76 @@ object Multimodal {
         md5(concat(col("id").cast(StringType), lit(":"),
           col("frame_idx").cast(StringType))).as("frame_fp"))
   }
+
+  /** VAD-style windowing plan for audio payloads: fixed-length
+    * overlapping windows over each clip's sample count, each scored
+    * and flagged voiced/silent — the speech-pipeline front door
+    * (silence trimming, ASR chunking) computed at METADATA time so
+    * the codec pass receives exact (start, len) cut instructions per
+    * clip. One output row per window; the last window truncates at
+    * the clip edge rather than padding.
+    *
+    * The sample count comes from the stubbed header arithmetic
+    * `sr + (n_bytes · 31) % (30 · sr)` (same [[StubDecoder]] contract
+    * as [[sampleFrames]]: 1–31 s of audio, no codec in this
+    * environment); the energy score is a deterministic md5 coin in
+    * ppm where a real pipeline computes RMS over decoded samples —
+    * both swap behind the same row shape without touching the
+    * windowing. `voiced` = energy ≥ 300,000 ppm (the conventional
+    * ~30% threshold position).
+    *
+    * Shape: map-only `sequence` + `explode`, output bounded by
+    * `ceil(n_samples / hop)` rows per clip, partitioned like the
+    * input; no shuffle, no UDF, fully codegen'd.
+    */
+  def audioWindows(
+      df: DataFrame, idCol: String, binCol: String,
+      sampleRate: Int = 16000, winSamples: Int = 4800, hopSamples: Int = 3200,
+  ): DataFrame = {
+    require(sampleRate > 0 && winSamples > 0 && hopSamples > 0,
+      s"sampleRate/winSamples/hopSamples must be positive")
+    val counted = df.select(col(idCol).cast(LongType).as("id"),
+      (lit(sampleRate.toLong) +
+        (length(col(binCol)).cast(LongType) * 31L) % (30L * sampleRate))
+        .as("n_samples"))
+    counted
+      .select(col("id"), col("n_samples"),
+        explode(sequence(lit(0L),
+          expr(s"(n_samples - 1L) div ${hopSamples}L"),
+          lit(1L))).as("win_idx"))
+      .select(col("id"), col("n_samples"), col("win_idx"),
+        (col("win_idx") * hopSamples.toLong).as("start_sample"),
+        least(col("win_idx") * hopSamples.toLong + winSamples.toLong,
+          col("n_samples")).as("end_sample"))
+      .withColumn("energy_ppm",
+        pmod(graft.ops.Sketches.kmvHash(concat_ws(":",
+          lit("vad"), col("id"), col("win_idx"))), lit(1000000L)))
+      .withColumn("voiced", col("energy_ppm") >= 300000L)
+  }
+
+  /** DuckDB rendering of [[audioWindows]] (defaults) over documents
+    * rows selected by `whereClause`, text-encoded payload stub.
+    */
+  def audioWindowsSql(
+      whereClause: String, sampleRate: Int = 16000, winSamples: Int = 4800,
+      hopSamples: Int = 3200,
+  ): String = {
+    val h = graft.ops.Sketches.kmvHashSql(
+      "('vad:' || CAST(id AS VARCHAR) || ':' || CAST(win_idx AS VARCHAR))")._1
+    s"""WITH d AS (SELECT doc_id AS id,
+       |    CAST($sampleRate + (octet_length(encode(text)) * 31)
+       |      % (30 * $sampleRate) AS BIGINT) AS n_samples
+       |  FROM documents $whereClause),
+       |w AS (SELECT id, n_samples,
+       |    unnest(range(0, (n_samples - 1) // $hopSamples + 1)) AS win_idx
+       |  FROM d),
+       |s AS (SELECT id, n_samples, win_idx,
+       |    win_idx * $hopSamples AS start_sample,
+       |    least(win_idx * $hopSamples + $winSamples, n_samples) AS end_sample,
+       |    $h % 1000000 AS energy_ppm
+       |  FROM w)
+       |SELECT id, n_samples, win_idx, start_sample, end_sample, energy_ppm,
+       |  energy_ppm >= 300000 AS voiced
+       |FROM s ORDER BY id, win_idx""".stripMargin
+  }
 }

@@ -470,4 +470,49 @@ object Streams {
           }
       }
   }
+
+  final case class EwmaState(
+      n: Long, lastTs: Long, lastOrd: Long, lastVal: Double, ewma: Double)
+
+  final case class EwmaOut(
+      user_id: Long, n_events: Long, last_val: Double, ewma: Double)
+
+  /** Streaming twin of the batch [[graft.ops.Ewma.ewma]]: O(1) state
+    * per key (the running smoothed value — EWMA is the canonical
+    * streamable statistic), emitting each key's current
+    * `(n_events, last_val, ewma)` every micro-batch in update mode.
+    *
+    * Within a micro-batch rows fold in `(ts, event_id)` order, so
+    * stream ≡ batch whenever arrival respects event time at
+    * micro-batch granularity (StreamsSpec pins it). A row arriving
+    * LATE — after a later-timestamped row already folded — is folded
+    * at arrival position instead of its event-time slot: the standard
+    * streaming-EWMA compromise (an exact repair would need the full
+    * history the batch operator has). State never needs a watermark
+    * to stay bounded per key; pair with a timeout-based evictor if
+    * the KEY space itself is unbounded.
+    */
+  def ewmaStream(
+      events: Dataset[EventRow], alpha: Double,
+  ): Dataset[EwmaOut] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha must be in (0, 1]")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = sorted.foldLeft(state.getOption) {
+            case (None, e) =>
+              Some(EwmaState(1L, e.ts.getTime, e.event_id, e.value, e.value))
+            case (Some(s), e) =>
+              Some(EwmaState(s.n + 1, e.ts.getTime, e.event_id, e.value,
+                alpha * e.value + (1.0 - alpha) * s.ewma))
+          }
+          next.foreach(state.update)
+          val s = next.get
+          EwmaOut(userId, s.n, s.lastVal, s.ewma)
+      }
+  }
 }

@@ -515,6 +515,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(fp0 == org.apache.commons.codec.digest.DigestUtils.md5Hex("5:0"))
   }
 
+  test("audio windowing: hop-spaced windows cover the clip, last truncates") {
+    val d = Multimodal.withFakePayload(docs(3L -> "0123456789"), "text")
+    // 10 bytes -> n_samples = 100 + (10*31) % 3000 = 410 with sr=100
+    val out = Multimodal.audioWindows(d, "doc_id", "content",
+      sampleRate = 100, winSamples = 150, hopSamples = 100)
+      .collect().sortBy(_.getLong(2))
+    assert(out.forall(_.getLong(1) == 410L))
+    assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L, 150L), (1L, 100L, 250L), (2L, 200L, 350L),
+        (3L, 300L, 410L), (4L, 400L, 410L)))
+    // energy flags are deterministic md5 coins in [0, 1e6)
+    assert(out.forall(r => r.getLong(5) >= 0L && r.getLong(5) < 1000000L))
+    assert(out.forall(r => r.getBoolean(6) == (r.getLong(5) >= 300000L)))
+  }
+
   test("multimodal: HeaderProbeDecoder reads real PNG and JPEG headers") {
     def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(

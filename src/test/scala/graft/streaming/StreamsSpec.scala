@@ -155,6 +155,34 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("ewmaStream equals the batch EWMA fold after every in-order micro-batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.ewmaStream(input.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("update").start()
+    def latest() = spark.table("ewma_stream").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
+    def batch(rows: Seq[EventRow]) =
+      graft.ops.Ewma.ewma(rows.toDF(), "user_id", "ts", "event_id", "value", 0.25)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+    try {
+      val batch1 = Seq(ev(1, 1, 0, 2.0), ev(2, 1, 5, 10.0), ev(3, 2, 1, 7.0))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      assert(latest() === batch(batch1))
+      // a second in-order batch folds on top of carried state
+      val batch2 = Seq(ev(4, 1, 9, 4.0), ev(5, 2, 10, 1.0))
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      assert(latest() === batch(batch1 ++ batch2))
+    } finally query.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch after every micro-batch") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
