@@ -1856,6 +1856,16 @@ object SparkEntry {
       graft.text.Ngrams.collocationLift(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         "text", k = 30)),
+    "t_unigram_cost" -> ((s, dir) =>
+      // unigram-LM (SentencePiece-family) Viterbi segmentation with
+      // ALL-INTEGER piece costs (1 + Fmax div freq over top-200
+      // census n-grams) — per-doc minimum encode cost + piece count;
+      // the DP runs over the DISTINCT-WORD census with the cost
+      // table broadcast. Oracle = position-unrolled chained-CTE DP
+      graft.text.Unigram.encodeCost(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 1),
+        "doc_id", "text")
+        .orderBy("id")),
     "t_wordpiece" -> ((s, dir) =>
       // the OTHER classic subword tokenizer beside BPE: greedy
       // longest-match WordPiece against a deterministic vocab (top-
@@ -3978,6 +3988,8 @@ object SparkEntry {
     },
     "t_colloc_lift" ->
       graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),
+    "t_unigram_cost" ->
+      graft.text.Unigram.encodeCostSql("WHERE doc_id % 3 = 1"),
     "t_wordpiece" ->
       // topN=8: only the 8 hottest words stay whole, so the gate
       // exercises multi-piece continuation segmentation on the rest
