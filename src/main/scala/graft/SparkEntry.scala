@@ -2922,6 +2922,41 @@ object SparkEntry {
       Sources.writeOrc(nation, s"$out/n")
       Sources.readOrc(s, s"$out/n").orderBy("n_nationkey")
     }),
+    "s_bucketed_join" -> ((s, dir) => {
+      // the SCALE.md prescription for recurring 100 TB fact joins,
+      // driver-gated: both sides written bucketed+sorted on the join
+      // key (no per-query shuffle — BucketedJoinSpec pins the plan),
+      // then joined and aggregated; the oracle joins the source
+      // tables, so the hash-match proves the bucketed layout loses
+      // nothing. Tables land in the gitignored spark-warehouse
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_orders_b")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_lineitem_b")
+      s.table("g_lineitem_b")
+        .join(s.table("g_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          decAgg(sum(dec(col("l_quantity"), 18, 4)), 28, 4).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+    "s_compaction_plan" -> ((s, dir) => {
+      // OPTIMIZE-style small-file compaction planning: a per-month
+      // file manifest (metadata-sized) binned into contiguous
+      // compaction groups by cumulative byte offset
+      val manifest = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("bigint").as("file_id"))
+        .agg((count(lit(1)) * 64L).as("n_bytes"))
+      graft.sources.Sources.compactionPlan(
+        manifest, "file_id", "n_bytes", targetBytes = 200000L)
+        .orderBy("file_id")
+    }),
     "s_merge_schema" -> ((s, dir) => {
       // schema-evolution read: two parquet drops with DIFFERENT
       // schemas (columns added over time, the normal life of a 100 TB
@@ -4507,6 +4542,23 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s_compaction_plan" ->
+      """WITH m AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS file_id,
+        |    CAST(count(*) * 64 AS BIGINT) AS n_bytes
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT file_id, n_bytes,
+        |    CAST(coalesce(sum(n_bytes) OVER (ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM m)
+        |SELECT file_id, n_bytes, cum_before // 200000 AS grp,
+        |  cum_before % 200000 AS grp_offset
+        |FROM c ORDER BY file_id""".stripMargin,
     "s_merge_schema" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,

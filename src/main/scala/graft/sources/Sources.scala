@@ -83,6 +83,37 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-file compaction planning — the lakehouse maintenance pass:
+    * given a file manifest `(file id, size)`, assign each file to a
+    * compaction group by its cumulative byte offset (`offset div
+    * targetBytes`), so groups are contiguous in `idCol` order and
+    * average `targetBytes` (a file straddling a boundary lands in the
+    * group its FIRST byte falls in — the cumulative-offset binning
+    * Delta/Iceberg OPTIMIZE planners use; groups can exceed the
+    * target by at most one file, never undershoot by more than one).
+    *
+    * Scale: the manifest is METADATA — one row per file, millions of
+    * rows for a 100 TB table at most — so the single-partition
+    * running-sum window is the sanctioned shard-manifest pattern,
+    * never a data-sized sort. Output: `(idCol, n_bytes, grp,
+    * grp_offset)`.
+    */
+  def compactionPlan(
+      files: DataFrame, idCol: String, sizeCol: String, targetBytes: Long,
+  ): DataFrame = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__cum_before",
+        coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L)))
+      .select(col(idCol), col(sizeCol).cast("long").as("n_bytes"),
+        expr(s"__cum_before div ${targetBytes}L").as("grp"),
+        (col("__cum_before") % targetBytes).as("grp_offset"))
+  }
+
   /** The manifest [[writeSharded]] computes: one row per shard with
     * its row count and order-independent content checksum.
     */
