@@ -2057,6 +2057,18 @@ object SparkEntry {
           element_at(col("codes2"), sb + 1).as(s"code_$sb")): _*)
         .orderBy("id")
     }),
+    "e_ivfpq_topk" -> ((s, dir) => {
+      // the composed FAISS-style index: hash-cell coarse quantizer
+      // prunes to nProbe cells per query, PQ asymmetric distance
+      // scores ONLY the survivors from byte codes — corpus touched
+      // twice map-only (assign, encode), then a cell equi-join;
+      // never all-pairs
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      Ann.ivfPqTopK(emb.filter(col("vec_id") % 300 === 0), emb,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_pq_topk" -> ((s, dir) => {
       // PQ asymmetric-distance top-5 self-search: every double (the
       // per-query distance table, the ADC fold) is a fixed IEEE op
@@ -4099,6 +4111,9 @@ object SparkEntry {
          |  code_4, code_5, code_6, code_7
          |FROM enc ORDER BY id""".stripMargin
     },
+    "e_ivfpq_topk" ->
+      graft.ann.Ann.ivfPqTopKSql(5, 16, 4, 8, 16, 64, 42L,
+        "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
     "e_pq_topk" ->
       graft.ann.Ann.pqTopKSql(5, 8, 16, 64, 42L,
         "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),

@@ -1096,6 +1096,160 @@ object Ann {
        |GROUP BY pq.query_id ORDER BY pq.query_id""".stripMargin
   }
 
+  /** IVF-PQ — the real FAISS-style composed index, both halves of
+    * this library's ANN family in ONE scored path: the hash-cell
+    * coarse quantizer ([[ivfTopKHashCells]]'s cosine cells) prunes
+    * the candidate set to `nProbe` probed cells per query, and PQ
+    * asymmetric distance ([[pqTopK]]'s ADC fold) scores ONLY the
+    * survivors from their byte codes — per scored pair the work is
+    * `m` table lookups, and per query the corpus touched is
+    * `nProbe/nCells` of the code table, never the vectors.
+    *
+    * 100 TB shape: the corpus is touched exactly twice map-only
+    * (cell assignment, PQ encode — both against broadcast
+    * centroids/codebooks), then the scored join is a cell equi-join
+    * of the probe list against the `(cell, id, codes)` table — the
+    * bytes-not-vectors layout that makes a billion-row index a few
+    * GB. No all-pairs stage exists anywhere in the plan.
+    *
+    * Every double is a fixed IEEE op sequence (cosine cell argmax,
+    * l2sq code assignment, the ADC fold), so ranks are engine-exact;
+    * ties break to the smallest cell/neighbor id throughout, the
+    * family's standard rule. Output: `(query_id, neighbor_id, rank,
+    * adc)`.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, k: Int = 16, dim: Int = 64, seed: Long = 42L,
+  ): DataFrame = {
+    val d = dim / m
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    // hash-picked centroids with norms, one broadcast row (the
+    // ivfTopKHashCells coarse quantizer, verbatim semantics)
+    val cents = candidates
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+      .filter(norm(col("centroid")) > 0)
+      .withColumn("ck", md5(col("cell").cast("string")))
+      .orderBy(col("ck"), col("cell")).limit(nCells)
+      .agg(collect_list(struct(col("cell"), col("centroid"),
+        norm(col("centroid")).as("cnorm"))).as("cents"))
+    def cellScores(vec: Column, vnorm: Column): Column =
+      transform(col("cents"), ct =>
+        struct((dot(vec, ct("centroid")) / (vnorm * ct("cnorm"))).as("cos"),
+          (-ct("cell")).as("negcell"), ct("cell").as("cell")))
+
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_max(cellScores(col("cv"), col("cn")))("cell"))
+      .select(col("neighbor_id"), col("cell"))
+
+    val codebooks = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
+    val cellCodes = pqEncode(candidates, idCol, vecCol, codebooks, m, dim)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(assigned, Seq("neighbor_id"))
+
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("scores", array_sort(cellScores(col("qv"), col("qn"))))
+      .filter(size(col("scores")) > 0)
+      .withColumn("np", least(lit(nProbe), size(col("scores"))))
+      .withColumn("probe", explode(slice(col("scores"), -col("np"), col("np"))))
+      .select(col("query_id"), col("probe.cell").as("cell"))
+
+    // per-query flat ADC table (the pqTopK body, verbatim semantics)
+    val qsub = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .select(col("query_id"), col("sub"),
+        transform(slice(col("qv"), col("sub") * d + 1, lit(d)),
+          x => x.cast("double")).as("qsubvec"))
+    val dtable = qsub.join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("qsubvec"), col("centroid")).as("qdist"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("qdist")))),
+        e => e.getField("qdist")).as("dtable"))
+
+    val scored = probes.join(broadcast(dtable), Seq("query_id"))
+      .join(cellCodes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("keff", (size(col("dtable")) / m).cast("int"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("dtable"),
+            s * col("keff") + element_at(col("codes"), s + 1) + 1)).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
+  /** DuckDB rendering of [[ivfPqTopK]] (self-search: corpus =
+    * `whereClause` slice of `embeddings`, queries = its `queryWhere`
+    * rows).
+    */
+  def ivfPqTopKSql(
+      n: Int, nCells: Int, nProbe: Int, m: Int, k: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String = {
+    require(whereClause.startsWith("WHERE "),
+      s"ivfPqTopKSql whereClause must start with 'WHERE ': '$whereClause'")
+    require(queryWhere.startsWith("WHERE "),
+      s"ivfPqTopKSql queryWhere must start with 'WHERE ': '$queryWhere'")
+    val d = dim / m
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
+    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)},
+       |cents AS (SELECT vec_id AS cell, embedding AS centroid
+       |  FROM e WHERE $nz
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |assign0 AS (SELECT ee.vec_id AS neighbor_id, c.cell,
+       |    row_number() OVER (PARTITION BY ee.vec_id
+       |      ORDER BY ${cosineSql("ee.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM (SELECT * FROM e WHERE $nz) ee CROSS JOIN cents c),
+       |assigned AS (SELECT neighbor_id, cell FROM assign0 WHERE rn = 1),
+       |ccodes AS (SELECT codes.id AS neighbor_id, codes.codes, a.cell
+       |  FROM codes JOIN assigned a ON codes.id = a.neighbor_id),
+       |probe0 AS (SELECT qq.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY qq.vec_id
+       |      ORDER BY ${cosineSql("qq.embedding", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM (SELECT * FROM e
+       |    WHERE (${queryWhere.stripPrefix("WHERE ")}) AND $nz
+       |    ) qq CROSS JOIN cents c),
+       |probes AS (SELECT query_id, cell FROM probe0 WHERE rn <= $nProbe),
+       |q AS (SELECT vec_id AS query_id, sub,
+       |    list_transform(list_slice(embedding, sub * $d + 1, sub * $d + $d),
+       |      x -> CAST(x AS DOUBLE)) AS qsubvec
+       |  FROM e, subs $queryWhere),
+       |dt AS (SELECT query_id, q.sub, code,
+       |    ${l2sqSql("qsubvec", "centroid", d)} AS qdist
+       |  FROM q JOIN cb ON q.sub = cb.sub),
+       |dtable AS (SELECT query_id, list(qdist ORDER BY sub, code) AS dtable
+       |  FROM dt GROUP BY query_id),
+       |scored AS (SELECT p.query_id, cc.neighbor_id,
+       |    list_reduce(list_transform(range(0, $m), s ->
+       |      dtable[s * (len(dtable) // $m) + codes[s + 1] + 1]),
+       |      (acc, x) -> acc + x) AS adc
+       |  FROM probes p
+       |  JOIN dtable ON p.query_id = dtable.query_id
+       |  JOIN ccodes cc ON cc.cell = p.cell
+       |  WHERE cc.neighbor_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adc FROM ranked
+       |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` among
     * `df` (exact, all-pairs — O(n²); the baseline/verifier for
     * [[cosineNearDupLsh]], and usable directly on small or

