@@ -903,6 +903,16 @@ object SparkEntry {
           col("n_events"), col("last_val"))
         .orderBy("user_id", "bucket_ts")
     }),
+    "ev_rfm" -> ((s, dir) =>
+      // RFM behavioral segmentation: per-user recency/frequency/
+      // exact-decimal monetary, quartiled by FIXED-WIDTH integer bins
+      // over exact global ranks (the shuffleRank device — range
+      // partition + offsets, never a single-partition window)
+      graft.ops.Rfm.rfm(
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value")
+        .orderBy("user_id")),
     "ev_ewma" -> ((s, dir) =>
       // per-user smoothed activity (EWMA, alpha=0.25 seeded at the
       // first event): ordered fold over the sorted event array — the
@@ -1406,6 +1416,18 @@ object SparkEntry {
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
     }),
+    "d_record_linkage" -> ((s, dir) =>
+      // structured entity resolution (Fellegi-Sunter shape): brand-
+      // blocked candidate pairs, integer agreement weights (floored
+      // micro jaro-winkler name sim + type equality + size
+      // proximity), declared matches at >= 600000 (the corpus' two-
+      // word names cap name_sim well below the generic default)
+      graft.dedup.Linkage.scoredPairs(
+        t(s, dir, "part").filter(col("p_partkey") % 7 === 0),
+        "p_partkey", "p_brand", "p_name",
+        exactCols = Seq("p_type"), nearCol = "p_size", tol = 1,
+        threshold = 600000)
+        .orderBy("id_a", "id_b")),
     "d_dedup_clusters_lp" -> ((s, dir) => {
       // the same clustering FORCED down the distributed arm
       // (driverThresholdEdges = 0): min-label flooding + pointer
@@ -3460,6 +3482,7 @@ object SparkEntry {
         |  last_value(in_bucket IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS last_val
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "ev_rfm" -> graft.ops.Rfm.rfmSql(""),
     "ev_ewma" -> graft.ops.Ewma.ewmaSql(alpha = 0.25, ""),
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
@@ -3773,6 +3796,9 @@ object SparkEntry {
     "d_dedup_clusters" ->
       graft.dedup.Dedup.connectedComponentsSql(
         graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")),
+    "d_record_linkage" ->
+      graft.dedup.Linkage.scoredPairsPartSql(
+        "WHERE p_partkey % 7 = 0", tol = 1, threshold = 600000),
     "d_dedup_clusters_lp" ->
       // the SAME oracle as d_dedup_clusters: both arms must label
       // identically, and the driver proves it for each independently

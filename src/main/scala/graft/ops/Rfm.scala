@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RFM segmentation — the classic behavioral scoring over an event
+  * log: per user, Recency (days since last event, against the
+  * corpus-wide clock), Frequency (event count), Monetary (exact
+  * decimal value sum), each binned into quartiles, concatenated into
+  * the familiar 3-digit `rfm_code` (111 = best in all three).
+  *
+  * Quartiles are FIXED-WIDTH integer bins over the exact global rank:
+  * `q = ((rank − 1) · 4) div n + 1` with rank 1-based under a total
+  * order (metric, then user id) — deliberately NOT SQL `ntile`, whose
+  * remainder distribution is a per-engine spec detail; this rule is
+  * one integer expression both engines evaluate identically.
+  *
+  * Scale shape: the per-user frame is the corpus REDUCED (one row per
+  * user); each of the three ranks is the [[Shuffling.shuffleRank]]
+  * device over that frame — range-partition on the metric, per-
+  * partition offsets from a bounded driver collect (one row per
+  * partition), map-side sequential rank — never a single-partition
+  * window. Monetary sums go through the decimal→string→double chain
+  * ([[graft.SparkEntry]]'s decAgg rationale): order-independent exact
+  * aggregation, then a correctly-rounded double both engines parse
+  * identically.
+  */
+object Rfm {
+
+  /** Exact 1-based global rank of `df`'s rows under `(sortCols…,
+    * idCol)` without a single-partition window: range partition,
+    * offset, sequential map. `idCol` must be a unique long.
+    */
+  private[ops] def rangeRank(
+      df: DataFrame, idCol: String, sortCols: Seq[Column],
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyed = df
+      .repartitionByRange(p, sortCols :+ col(idCol): _*)
+      .sortWithinPartitions(sortCols :+ col(idCol): _*)
+      .localCheckpoint()
+    val counts = keyed
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until p).map { i =>
+        val o = i -> acc
+        acc += counts.getOrElse(i, 0L)
+        o
+      }.toMap
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    keyed.select(col(idCol)).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = offB.value.getOrElse(pid, 0L)
+        it.map { id => run += 1L; (id, run) }
+      }.toDF(idCol, "rank")
+  }
+
+  private def quartile(rank: String, n: String): Column =
+    expr(s"cast((($rank - 1) * 4) div $n as int) + 1")
+
+  /** `(user_id, recency_days, n_events, monetary, r_q, f_q, m_q,
+    * rfm_code)` — one row per user. `tsCol` must be epoch-ns longs
+    * (the events convention); recency floors to whole days behind
+    * the corpus max.
+    */
+  def rfm(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+  ): DataFrame = {
+    val day = 86400L * 1000000000L
+    val per = events.groupBy(col(userCol).cast("long").as("user_id"))
+      .agg(max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(28,6)")
+          .cast("string").cast("double").as("monetary"))
+    val mx = per.agg(max(col("last_ts")).as("max_ts"),
+      count(lit(1)).as("nu"))
+    val base = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days", expr(s"(max_ts - last_ts) div ${day}L"))
+      .select(col("user_id"), col("recency_days"), col("n_events"),
+        col("monetary"), col("nu"))
+    def q(sortCols: Seq[Column], out: String): DataFrame =
+      rangeRank(base, "user_id", sortCols)
+        .withColumnRenamed("rank", s"__rk_$out")
+    val ranked = base
+      .join(q(Seq(col("recency_days")), "r"), Seq("user_id"))
+      .join(q(Seq(col("n_events").desc), "f"), Seq("user_id"))
+      .join(q(Seq(col("monetary").desc), "m"), Seq("user_id"))
+    ranked.select(col("user_id"), col("recency_days"), col("n_events"),
+      col("monetary"),
+      quartile("__rk_r", "nu").as("r_q"),
+      quartile("__rk_f", "nu").as("f_q"),
+      quartile("__rk_m", "nu").as("m_q"))
+      .withColumn("rfm_code",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
+  /** DuckDB rendering of [[rfm]] over the `events` table. */
+  def rfmSql(whereClause: String): String =
+    s"""WITH per AS (SELECT user_id, max(epoch_ns(ts)) AS last_ts,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS monetary
+       |  FROM events $whereClause GROUP BY user_id),
+       |mx AS (SELECT max(last_ts) AS max_ts, count(*) AS nu FROM per),
+       |b AS (SELECT user_id, (max_ts - last_ts) // 86400000000000 AS recency_days,
+       |    n_events, monetary, nu FROM per, mx),
+       |r AS (SELECT user_id, row_number() OVER (ORDER BY recency_days, user_id) AS rk FROM b),
+       |f AS (SELECT user_id, row_number() OVER (ORDER BY n_events DESC, user_id) AS rk FROM b),
+       |m AS (SELECT user_id, row_number() OVER (ORDER BY monetary DESC, user_id) AS rk FROM b),
+       |s AS (SELECT b.user_id, recency_days, n_events, monetary,
+       |    CAST((r.rk - 1) * 4 // nu + 1 AS INT) AS r_q,
+       |    CAST((f.rk - 1) * 4 // nu + 1 AS INT) AS f_q,
+       |    CAST((m.rk - 1) * 4 // nu + 1 AS INT) AS m_q
+       |  FROM b JOIN r USING (user_id) JOIN f USING (user_id)
+       |    JOIN m USING (user_id))
+       |SELECT user_id, recency_days, n_events, monetary, r_q, f_q, m_q,
+       |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+       |FROM s ORDER BY user_id""".stripMargin
+}
