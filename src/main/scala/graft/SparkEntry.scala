@@ -1043,6 +1043,18 @@ object SparkEntry {
           expr("aggregate(zip_with(sequence(1L, 1 + doc_id % 7), reverse(sequence(1L, 1 + doc_id % 7)), (a, b) -> a * b), 0L, (a, x) -> a + x)").as("zip_sum"))
         .orderBy("doc_id")
     }),
+    "f_bitwise_ops" -> ((s, dir) =>
+      // scalar bitwise breadth (& | ^ << bit_count) over integral
+      // keys — map-only codegen'd built-ins, integer-exact twins in
+      // DuckDB; the << stays inside BIGINT (orderkeys are small)
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("l_orderkey").bitwiseOR(lit(15L)).as("b_or"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+          shiftleft(col("l_orderkey"), 3).as("b_shl"),
+          bit_count(col("l_orderkey")).cast("int").as("b_pop"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "f_string_ops" -> ((s, dir) => {
       // scalar string-function breadth (split_part / translate / lpad
       // / reverse / instr / levenshtein / repeat) — all map-only
@@ -2847,6 +2859,33 @@ object SparkEntry {
           count(lit(1)).as("n_candidates"))
         .orderBy("p_user", "purchase_id")
     }),
+    "a_upsert" -> ((s, dir) => {
+      // MERGE INTO semantics as a plan: the update batch wins on
+      // matched keys, inserts on new keys, untouched rows pass
+      // through — one left-anti join + union (AQE broadcasts the
+      // batch side). Price doubling is exact: ×2 is a power of two
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val target = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      graft.ops.Upsert.upsert(target, updates, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+    "ev_scd2" -> ((s, dir) =>
+      // SCD type-2 history build: per-user event_type change log run-
+      // compressed into validity intervals (valid_to null while
+      // current) — one exchange + one sort, no self-join
+      graft.ops.Scd.scd2(
+        t(s, dir, "events").filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          expr("timestamp_micros(valid_from div 1000)").as("vf_ts"),
+          expr("timestamp_micros(valid_to div 1000)").as("vt_ts"))
+        .orderBy("user_id", "vf_ts")),
     "a_union_by_name" -> ((s, dir) => {
       // schema-evolution union: two corpus drops with different column
       // sets align by NAME with null padding (unionByName +
@@ -3575,6 +3614,15 @@ object SparkEntry {
         |  list_zip(range(1, 2 + doc_id % 7), list_reverse(range(1, 2 + doc_id % 7))),
         |  p -> p[1] * p[2]), 'sum') AS BIGINT) AS zip_sum
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "f_bitwise_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS b_and,
+        |  l_orderkey | 15 AS b_or,
+        |  xor(l_orderkey, l_partkey) AS b_xor,
+        |  l_orderkey << 3 AS b_shl,
+        |  CAST(bit_count(l_orderkey) AS INT) AS b_pop
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f_string_ops" ->
       """SELECT p_partkey,
         |split_part(p_name, ' ', 2) AS name_tail,
@@ -4501,6 +4549,30 @@ object SparkEntry {
         |SELECT p_user, purchase_id, view_id, CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM j WHERE rn = 1
         |ORDER BY p_user, purchase_id""".stripMargin,
+    "a_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 4 <> 0),
+        |u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM u
+        |UNION ALL
+        |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |ORDER BY o_orderkey""".stripMargin,
+    "ev_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+        |    FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM ch)
+        |SELECT user_id, event_type, make_timestamp(vf // 1000) AS vf_ts,
+        |  make_timestamp(vt // 1000) AS vt_ts
+        |FROM f ORDER BY user_id, vf_ts""".stripMargin,
     "a_union_by_name" ->
       """SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey % 200 = 0
