@@ -3001,7 +3001,22 @@ object SparkEntry {
       // key (no per-query shuffle — BucketedJoinSpec pins the plan),
       // then joined and aggregated; the oracle joins the source
       // tables, so the hash-match proves the bucketed layout loses
-      // nothing. Tables land in the gitignored spark-warehouse
+      // nothing. Tables land in the gitignored spark-warehouse.
+      // Stale state from a PRIOR JVM must be cleared first: the
+      // in-memory catalog starts empty, and CREATE on a leftover
+      // managed-table location fails with LOCATION_ALREADY_EXISTS
+      // (DROP alone can't see it); tables stay registered after —
+      // the returned frame reads them lazily
+      for (tbl <- Seq("g_orders_b", "g_lineitem_b")) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = java.nio.file.Paths.get(java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+        if (java.nio.file.Files.exists(wh)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(wh).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+      }
       t(s, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("g_orders_b")

@@ -115,6 +115,35 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       "write lost its partitionBy or the filter no longer prunes")
   }
 
+  test("IVF-PQ scored path stays a cell equi-join; linkage stays blocked") {
+    // the 1-row broadcast centroid/dtable sides plan
+    // BroadcastNestedLoopJoin by design (the e_ann_ivf precedent);
+    // what must never appear is an unbroadcast cartesian product
+    assert(!rawPlan("e_ivfpq_topk").contains("CartesianProduct"),
+      "e_ivfpq_topk plans a cartesian product")
+    val link = plan("d_record_linkage")
+    assert(!link.contains("CartesianProduct") &&
+      !link.contains("BroadcastNestedLoopJoin"),
+      "d_record_linkage lost its blocking equi-key — all-pairs linkage")
+  }
+
+  test("RFM ranks use the range-partition device, not a global window") {
+    // a naive `row_number() over (order by metric)` would plan a
+    // Window over one partition; the device has NO window operator at
+    // all (the only SinglePartition exchange is the 1-row nu/max agg)
+    val p = rawPlan("ev_rfm")
+    assert(!p.contains("Window"),
+      "ev_rfm regressed to a window-function global rank")
+    assert(p.contains("rangepartitioning"),
+      "ev_rfm lost the range-partitioned rank scan")
+  }
+
+  test("upsert anti-join broadcasts the update-batch key side") {
+    val p = plan("a_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"a_upsert lost the broadcast anti-join:\n$p")
+  }
+
   test("driver smoke gate: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
