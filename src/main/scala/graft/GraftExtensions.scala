@@ -32,6 +32,8 @@ import graft.functions.{NormalizeText, RollingHash, ZInterleave}
   *   - `chunk_windows(text, chunkTokens, stride)` — array of RAG
   *     chunk structs (literal sizes), for `LATERAL explode(...)`
   *   - `lang_id(text)` — heuristic marker-word language id
+  *   - `html_extract(html)` — tag strip + entity decode (the
+  *     crawled-text extraction pass)
   *
   * Column-composed functions go through the Bridge: the builder wraps
   * the argument expressions in Columns, reuses the library's exact
@@ -98,6 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     inject(e, "lang_id", "graft.text.TextFunctions", 1)(cols =>
       graft.text.TextFunctions.langId(cols.head))
+    inject(e, "html_extract", "graft.text.Html", 1)(cols =>
+      graft.text.Html.extractText(cols.head))
     inject(e, "quality_rules", "graft.text.QualityFilters", 1)(cols =>
       struct(graft.text.QualityFilters.rules(cols.head)
         .map { case (n, c) => c.as(n) }: _*))

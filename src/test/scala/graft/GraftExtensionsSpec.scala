@@ -122,6 +122,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("html_extract in SQL matches Html.extractText") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val d = Seq("<p>a &amp; b</p>", "plain").toDF("t")
+      val viaSql = d.selectExpr("html_extract(t) AS c")
+        .collect().map(_.getString(0)).toSeq
+      val viaCol = d.select(graft.text.Html.extractText(col("t")))
+        .collect().map(_.getString(0)).toSeq
+      assert(viaSql === viaCol)
+      assert(viaSql === Seq("a & b", "plain"))
+    }
+  }
+
   test("arity errors name the function") {
     withExtendedSession { s =>
       val err = intercept[Exception] { s.sql("SELECT fingerprint('a', 'b')").collect() }
