@@ -17,7 +17,8 @@ class EventTsVintageSpec extends AnyFunSuite with SparkSpec {
 
   // events-only gated queries (no other tables in the staged dirs)
   private val eventQueries =
-    Seq("ev_sessionize", "ev_hourly_agg", "j_props_extract")
+    Seq("ev_sessionize", "ev_hourly_agg", "j_props_extract",
+      "ev_ewma", "ev_rfm", "ev_scd2")
 
   test("timestamp[us] and ns-long events vintages gate identically") {
     val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
