@@ -2660,6 +2660,17 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
         .orderBy("lang", "bin")
     }),
+    "mm_scene_cuts" -> ((s, dir) => {
+      // shot-boundary detection plan: sampled-frame signal diffs →
+      // cut flags → gaps-and-islands scene spans; one doc-keyed
+      // window + one doc-keyed agg, nothing wider than the video id
+      import graft.multimodal.Multimodal
+      Multimodal.sceneCuts(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 25 === 5), "text"),
+        "doc_id", "content")
+        .orderBy("id", "scene_id")
+    }),
     "mm_audio_windows" -> ((s, dir) => {
       // VAD-style audio chunking plan: overlapping (start, len)
       // windows + deterministic energy flags from the stubbed header
@@ -4466,6 +4477,8 @@ object SparkEntry {
         |SELECT id, out_w, out_h, n_x, n_y,
         |  n_x * n_y AS n_patches, n_x * n_y + 1 AS n_tokens
         |FROM p ORDER BY id""".stripMargin,
+    "mm_scene_cuts" ->
+      graft.multimodal.Multimodal.sceneCutsSql("WHERE doc_id % 25 = 5"),
     "mm_audio_windows" ->
       graft.multimodal.Multimodal.audioWindowsSql("WHERE doc_id % 50 = 0"),
     "mm_frame_sample" ->

@@ -306,6 +306,73 @@ object Multimodal {
           col("frame_idx").cast(StringType))).as("frame_fp"))
   }
 
+  /** Scene-cut segmentation plan for video payloads: consecutive
+    * sampled frames whose signal differs by at least `threshold`
+    * open a new scene; frames between cuts group into scene rows
+    * with `[start_frame, end_frame)` spans — the shot-boundary
+    * detection every video-training pipeline runs before per-scene
+    * captioning/sampling. The per-frame signal here is the
+    * deterministic md5 energy derived from the frame fingerprint
+    * (where production computes a color-histogram distance); the
+    * segmentation machinery — ordered frame diff, cut flags,
+    * gaps-and-islands scene ids, span aggregation — is the real
+    * thing and swaps signals without changing shape.
+    *
+    * Shape: [[sampleFrames]]'s map-only explode, then ONE doc-keyed
+    * window (lag + running cut sum) and one doc-keyed aggregation —
+    * never a shuffle wider than the video id.
+    */
+  def sceneCuts(
+      df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 4, threshold: Long = 500000L,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(df, idCol, binCol, stride)
+      .withColumn("energy",
+        pmod(conv(substring(col("frame_fp"), 1, 15), 16, 10).cast("long"),
+          lit(1000000L)))
+    val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("cut",
+        when(abs(col("energy") - lag(col("energy"), 1).over(w)) >= threshold,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("scene_id", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
+  /** DuckDB rendering of [[sceneCuts]] (defaults) over documents
+    * rows selected by `whereClause`, text-encoded payload stub.
+    */
+  def sceneCutsSql(
+      whereClause: String, stride: Int = 4, threshold: Long = 500000L,
+  ): String =
+    s"""WITH d AS (SELECT doc_id AS id,
+       |    1 + octet_length(encode(text)) % 240 AS n_frames
+       |  FROM documents $whereClause),
+       |f AS (SELECT id, unnest(range(0, n_frames, $stride)) AS frame_idx
+       |  FROM d),
+       |e AS (SELECT id, frame_idx,
+       |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+       |      CAST(frame_idx AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+       |      AS energy
+       |  FROM f),
+       |c AS (SELECT id, frame_idx, energy,
+       |    CASE WHEN abs(energy - lag(energy) OVER w) >= $threshold
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM e WINDOW w AS (PARTITION BY id ORDER BY frame_idx)),
+       |s AS (SELECT id, frame_idx,
+       |    CAST(sum(cut) OVER (PARTITION BY id ORDER BY frame_idx
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+       |  FROM c)
+       |SELECT id, scene_id, min(frame_idx) AS start_frame,
+       |  max(frame_idx) AS end_frame, CAST(count(*) AS BIGINT) AS n_frames
+       |FROM s GROUP BY id, scene_id
+       |ORDER BY id, scene_id""".stripMargin
+
   /** VAD-style windowing plan for audio payloads: fixed-length
     * overlapping windows over each clip's sample count, each scored
     * and flagged voiced/silent — the speech-pipeline front door

@@ -471,6 +471,52 @@ object Streams {
       }
   }
 
+  final case class Scd2State(value: String, since: Long)
+
+  final case class Scd2Out(
+      user_id: Long, value: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Streaming twin of the batch [[graft.ops.Scd.scd2]]: dimension
+    * updates arrive on the event stream, and each key's CLOSED
+    * validity intervals emit the moment the value changes (append
+    * mode — an interval is immutable once closed; the open run lives
+    * only in state). State is O(1) per key: the current value and
+    * its start.
+    *
+    * Within a micro-batch rows fold in `(ts, event_id)` order;
+    * stream ≡ batch-minus-open-rows whenever arrival respects event
+    * time at micro-batch granularity (StreamsSpec pins it) — the
+    * same in-order contract as [[ewmaStream]].
+    */
+  def scd2Stream(
+      events: Dataset[EventRow],
+  ): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          var closed = List.empty[Scd2Out]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if s.value == e.event_type => ()
+              case Some(s) =>
+                closed ::= Scd2Out(userId, s.value,
+                  new Timestamp(s.since), new Timestamp(e.ts.getTime))
+                cur = Some(Scd2State(e.event_type, e.ts.getTime))
+              case None =>
+                cur = Some(Scd2State(e.event_type, e.ts.getTime))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
   final case class EwmaState(
       n: Long, lastTs: Long, lastOrd: Long, lastVal: Double, ewma: Double)
 

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -152,6 +153,43 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       input.addData(batch2: _*)
       query.processAllAvailable()
       assert(streamRegs() === batchRegs(batch1 ++ batch2))
+    } finally query.stop()
+  }
+
+  test("scd2Stream emits exactly the batch SCD2's closed intervals, across batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    def emitted() = spark.table("scd2_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+    def batchClosed(rows: Seq[EventRow]) = {
+      val df = rows.toDF().select(col("user_id"),
+        expr("unix_millis(ts)").as("tsl"), col("event_id"), col("event_type"))
+      graft.ops.Scd.scd2(df, "user_id", "tsl", "event_id", "event_type")
+        .filter(col("valid_to").isNotNull).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    def evt(id: Long, user: Long, minutes: Long, t: String) =
+      EventRow(id, ts(minutes), user, t, 1.0, "{}")
+    try {
+      val b1 = Seq(evt(1, 1, 0, "view"), evt(2, 1, 5, "view"),
+        evt(3, 1, 9, "click"), evt(4, 2, 1, "view"))
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      // ts casts to long MILLIS in the batch frame; stream emits
+      // Timestamp — compare in millis on both sides
+      assert(emitted() === batchClosed(b1))
+      // the value change arriving in a LATER batch closes the run
+      // opened in the earlier one
+      val b2 = Seq(evt(5, 1, 15, "purchase"), evt(6, 2, 20, "error"))
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      assert(emitted() === batchClosed(b1 ++ b2))
     } finally query.stop()
   }
 
