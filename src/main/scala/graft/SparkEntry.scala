@@ -3006,6 +3006,46 @@ object SparkEntry {
       Sources.writeOrc(nation, s"$out/n")
       Sources.readOrc(s, s"$out/n").orderBy("n_nationkey")
     }),
+    "s_dq_report" -> ((s, dir) =>
+      // Deequ-style declarative expectations: every rule folds into
+      // ONE map-combined corpus pass; the publish gate artifact
+      graft.ops.Dq.report(t(s, dir, "orders"), Seq(
+        "price_nonpositive" -> (col("o_totalprice") <= 0),
+        "status_null" -> col("o_orderstatus").isNull,
+        "status_unknown" -> !col("o_orderstatus").isin("F", "O", "P"),
+        "date_after_1997" -> (col("o_orderdate") > lit("1997-01-01").cast("date"))))
+        .orderBy("rule")),
+    "d_ensemble_pairs" -> ((s, dir) => {
+      // multi-finder dedup ensemble: minhash-LSH and simhash pair
+      // sets over the SAME slice, unioned with method provenance —
+      // production dedup votes across finders (each catches what the
+      // other's blocking misses) before clustering
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val mh = graft.dedup.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 16, bands = 4)
+        .select(col("id_a"), col("id_b"), lit("minhash").as("method"))
+      val sh = graft.dedup.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit("simhash").as("method"))
+      mh.unionByName(sh)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).cast("int").as("n_methods"),
+          concat_ws("+", sort_array(collect_list(col("method"))))
+            .as("methods"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      // melt/unpivot breadth: the pivoted per-priority status counts
+      // widened then melted back to long form (zero-filled) — the
+      // wide→long reshape feature-store exports lean on
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1))).na.fill(0L)
+      wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n_orders")
+        .orderBy("o_orderpriority", "status")
+    }),
     "s_bucketed_join" -> ((s, dir) => {
       // the SCALE.md prescription for recurring 100 TB fact joins,
       // driver-gated: both sides written bucketed+sorted on the join
@@ -4683,6 +4723,47 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_dq_report" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+        |v AS (
+        |  SELECT 'price_nonpositive' AS rule, CAST(coalesce(sum(
+        |    CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_violations FROM orders
+        |  UNION ALL SELECT 'status_null', CAST(coalesce(sum(
+        |    CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL SELECT 'status_unknown', CAST(coalesce(sum(
+        |    CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'date_after_1997', CAST(coalesce(sum(
+        |    CASE WHEN o_orderdate > DATE '1997-01-01' THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM orders)
+        |SELECT rule, n_violations, n.n_rows,
+        |  CASE WHEN n.n_rows > 0 THEN
+        |    ((n.n_rows - n_violations) * 1000000) // n.n_rows END AS pass_ppm
+        |FROM v, n ORDER BY rule""".stripMargin,
+    "d_ensemble_pairs" -> {
+      val mh = graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0")
+      val sh = graft.dedup.Dedup.simhashPairsSql(3, 6, "WHERE doc_id % 5 = 0")
+      s"""WITH mh AS (SELECT id_a, id_b FROM ($mh) qmh),
+         |shp AS (SELECT id_a, id_b FROM ($sh) qsh),
+         |u AS (SELECT id_a, id_b, 'minhash' AS method FROM mh
+         |  UNION ALL SELECT id_a, id_b, 'simhash' FROM shp)
+         |SELECT id_a, id_b, CAST(count(*) AS INT) AS n_methods,
+         |  string_agg(method, '+' ORDER BY method) AS methods
+         |FROM u GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+    },
+    "q_unpivot" ->
+      """WITH g AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |st AS (SELECT unnest(['F', 'O', 'P']) AS status)
+        |SELECT p.o_orderpriority, st.status, coalesce(g.c, 0) AS n_orders
+        |FROM p CROSS JOIN st
+        |LEFT JOIN g ON g.o_orderpriority = p.o_orderpriority
+        |  AND g.o_orderstatus = st.status
+        |ORDER BY p.o_orderpriority, st.status""".stripMargin,
     "s_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR) AS DOUBLE) AS sum_qty
