@@ -1043,6 +1043,20 @@ object SparkEntry {
           expr("aggregate(zip_with(sequence(1L, 1 + doc_id % 7), reverse(sequence(1L, 1 + doc_id % 7)), (a, b) -> a * b), 0L, (a, x) -> a + x)").as("zip_sum"))
         .orderBy("doc_id")
     }),
+    "f_datetime_ops" -> ((s, dir) =>
+      // datetime scalar breadth (trunc/add_months/datediff/last_day/
+      // iso-dow/quarter) — map-only; Spark weekday()+1 is DuckDB's
+      // isodow (Spark's dayofweek is Sunday-1, a cross-engine trap)
+      t(s, dir, "orders").filter(col("o_orderkey") % 400 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          add_months(col("o_orderdate"), 2).as("plus_2m"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          last_day(col("o_orderdate")).as("month_end"),
+          (weekday(col("o_orderdate")) + 1).cast("int").as("iso_dow"),
+          quarter(col("o_orderdate")).cast("int").as("q"))
+        .orderBy("o_orderkey")),
     "f_bitwise_ops" -> ((s, dir) =>
       // scalar bitwise breadth (& | ^ << bit_count) over integral
       // keys — map-only codegen'd built-ins, integer-exact twins in
@@ -1854,6 +1868,24 @@ object SparkEntry {
           sentenceCount(col("text")).as("n_sent"),
           syllableProxy(col("text")).as("n_syl"),
           flesch(col("text")).as("flesch"))
+        .orderBy("doc_id")
+    }),
+    "t_code_detect" -> ((s, dir) => {
+      // code-vs-prose detection (the code-filter stage of an LLM
+      // corpus): symbol/digit densities in integer ppm from portable
+      // regex classes — map-only, flag at >= 40000 ppm symbols
+      val sym = size(regexp_extract_all(col("text"),
+        lit("[{}()\\[\\];=<>]"), lit(0))).cast("long")
+      val dig = size(regexp_extract_all(col("text"),
+        lit("[0-9]"), lit(0))).cast("long")
+      t(s, dir, "documents").filter(col("doc_id") % 6 === 2)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          sym.as("n_sym"), dig.as("n_dig"))
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          expr("(n_sym * 1000000L) div n_chars").as("sym_ppm"),
+          expr("(n_dig * 1000000L) div n_chars").as("dig_ppm"))
+        .withColumn("codeish", col("sym_ppm") >= 40000L)
         .orderBy("doc_id")
     }),
     "t_char_gini" -> ((s, dir) =>
@@ -3680,6 +3712,16 @@ object SparkEntry {
         |  list_zip(range(1, 2 + doc_id % 7), list_reverse(range(1, 2 + doc_id % 7))),
         |  p -> p[1] * p[2]), 'sum') AS BIGINT) AS zip_sum
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "f_datetime_ops" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+        |    AS days_since,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders WHERE o_orderkey % 400 = 0 ORDER BY o_orderkey""".stripMargin,
     "f_bitwise_ops" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_orderkey & 255 AS b_and,
@@ -4151,6 +4193,17 @@ object SparkEntry {
          |  ${fleschSql("text")} AS flesch
          |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin
     },
+    "t_code_detect" ->
+      """WITH c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT)
+        |      AS n_sym,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_dig
+        |  FROM documents WHERE doc_id % 6 = 2)
+        |SELECT doc_id, n_chars,
+        |  (n_sym * 1000000) // n_chars AS sym_ppm,
+        |  (n_dig * 1000000) // n_chars AS dig_ppm,
+        |  (n_sym * 1000000) // n_chars >= 40000 AS codeish
+        |FROM c WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
     "t_char_gini" -> {
       val (n, s2) = graft.text.TextFunctions.letterCensusSql("text")
       s"""WITH c AS (SELECT doc_id, $n AS n_letters, $s2 AS s2
