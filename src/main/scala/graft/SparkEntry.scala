@@ -2902,6 +2902,22 @@ object SparkEntry {
           count(lit(1)).as("n_candidates"))
         .orderBy("p_user", "purchase_id")
     }),
+    "a_bag_setops" -> ((s, dir) => {
+      // BAG-semantics set operations (exceptAll / intersectAll):
+      // duplicates subtract and intersect by multiplicity — the
+      // reconciliation semantics a row-count-preserving diff needs
+      // (DISTINCT set ops silently collapse duplicate rows)
+      val a = t(s, dir, "lineitem").filter(col("l_orderkey") % 6 === 0)
+        .select(col("l_returnflag"), col("l_linestatus"))
+      val b = t(s, dir, "lineitem").filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_returnflag"), col("l_linestatus"))
+      a.exceptAll(b).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        .unionByName(
+          a.intersectAll(b).groupBy("l_returnflag", "l_linestatus")
+            .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all")))
+        .orderBy("op", "l_returnflag", "l_linestatus")
+    }),
     "a_upsert" -> ((s, dir) => {
       // MERGE INTO semantics as a plan: the update batch wins on
       // matched keys, inserts on new keys, untouched rows pass
@@ -4670,6 +4686,21 @@ object SparkEntry {
         |SELECT p_user, purchase_id, view_id, CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM j WHERE rn = 1
         |ORDER BY p_user, purchase_id""".stripMargin,
+    "a_bag_setops" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+        |    WHERE l_orderkey % 6 = 0),
+        |b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+        |    WHERE l_orderkey % 9 = 0),
+        |ea AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) q
+        |  GROUP BY 1, 2),
+        |ia AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) q
+        |  GROUP BY 1, 2)
+        |SELECT * FROM ea UNION ALL SELECT * FROM ia
+        |ORDER BY op, l_returnflag, l_linestatus""".stripMargin,
     "a_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |    FROM orders WHERE o_orderkey % 4 <> 0),

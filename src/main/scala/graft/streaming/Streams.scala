@@ -471,6 +471,44 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the batch [[graft.ops.Dq]] expectations: the
+    * same named violation predicates evaluated per event-time window
+    * — the live data-quality MONITOR beside the batch publish gate
+    * (alert when a window's violation count jumps at ingest, instead
+    * of discovering it at the next batch audit). One row per
+    * (window, rule); watermarked, so state is bounded.
+    *
+    * Same null semantics as the batch operator (a null predicate is
+    * not a violation), and the per-rule aggregation is the identical
+    * sum-of-when fold — a rule constant can never mean two things in
+    * batch and stream.
+    */
+  def dqStream(
+      events: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    require(rules.nonEmpty, "dqStream needs at least one rule")
+    val flags = events.withWatermark("ts", watermark)
+      .select(col("ts") +: rules.map { case (n, p) =>
+        when(p, lit(1L)).otherwise(lit(0L)).as(s"__v_$n")
+      }: _*)
+    val agged = flags.groupBy(window(col("ts"), "1 hour"))
+      .agg(coalesce(sum(col(s"__v_${rules.head._1}")), lit(0L))
+          .as(s"__s_${rules.head._1}"),
+        rules.tail.map { case (n, _) =>
+          coalesce(sum(col(s"__v_$n")), lit(0L)).as(s"__s_$n")
+        } :+ count(lit(1)).as("__n"): _*)
+    agged.select(col("window.start").as("win_start"),
+        explode(array(rules.map { case (n, _) =>
+          struct(lit(n).as("rule"), col(s"__s_$n").as("n_violations"),
+            col("__n").as("n_rows"))
+        }: _*)).as("r"))
+      .select(col("win_start"), col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"),
+        col("r.n_rows").as("n_rows"))
+  }
+
   final case class Scd2State(value: String, since: Long)
 
   final case class Scd2Out(

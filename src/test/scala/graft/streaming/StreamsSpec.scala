@@ -156,6 +156,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("dqStream counts windowed rule violations with batch-identical semantics") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val rules = Seq(
+      "value_negative" -> (col("value") < 0),
+      "type_unknown" -> !col("event_type").isin("click", "view"))
+    val query = Streams.dqStream(input.toDF(), rules)
+      .writeStream.format("memory").queryName("dq_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 1, "click", -1.0, "{}"),
+        EventRow(2, ts(10), 1, "view", 2.0, "{}"),
+        EventRow(3, ts(20), 2, "weird", 3.0, "{}"))
+      query.processAllAvailable()
+      val got = spark.table("dq_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("value_negative", 1L, 3L), ("type_unknown", 1L, 3L)))
+    } finally query.stop()
+  }
+
   test("scd2Stream emits exactly the batch SCD2's closed intervals, across batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
