@@ -44,7 +44,7 @@ def ref_scd2(rows):
                 runs.append([tsus, et])
         for i, (start, et) in enumerate(runs):
             end = runs[i + 1][0] if i + 1 < len(runs) else None
-            out.add((uid, et, start, end))
+            out.add((uid, i + 1, et, start, end))
     return out
 
 
@@ -87,7 +87,10 @@ def main():
         n_users = random.randint(1, 13)
         rows = []
         eid = 0
-        for uid in range(1, n_users + 1):
+        # uids are multiples of 10 so EVERY user sits inside the
+        # ev_scd2 gate's user_id % 10 = 0 slice (ids 1..n would leave
+        # the scd2 check vacuous on most trials)
+        for uid in range(10, (n_users + 1) * 10, 10):
             for _ in range(random.randint(1, 12)):
                 eid += 1
                 # microsecond timestamps; deliberate tie collisions
@@ -107,12 +110,15 @@ def main():
         got_e = {r[0]: (r[1], r[2], r[3])
                  for r in con.sql(oracles["ev_ewma"]).fetchall()}
         want_e = ref_ewma(rows)
-        got_s = {(r[0], r[1],
-                  int(r[2].timestamp() * 1e6),
-                  int(r[3].timestamp() * 1e6) if r[3] else None)
-                 for r in con.sql(oracles["ev_scd2"]).fetchall()
-                 } if True else set()
-        # the gate slices user_id % 10 = 0; regenerate uids to cover it:
+        # DuckDB returns NAIVE datetimes; .timestamp() would apply the
+        # HOST timezone — pin to UTC so epochs compare on any machine
+        from datetime import timezone
+
+        def us(dt):
+            return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+
+        got_s = {(r[0], r[1], r[2], us(r[3]), us(r[4]) if r[4] else None)
+                 for r in con.sql(oracles["ev_scd2"]).fetchall()}
         want_s = ref_scd2([r for r in rows if r[2] % 10 == 0])
         got_r = {r[0]: tuple(r[1:]) for r in con.sql(oracles["ev_rfm"]).fetchall()}
         want_r = ref_rfm(rows)

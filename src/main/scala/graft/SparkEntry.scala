@@ -2941,10 +2941,13 @@ object SparkEntry {
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type")),
         "user_id", "ts", "event_id", "event_type")
-        .select(col("user_id"), col("event_type"),
+        .select(col("user_id"), col("run_idx"), col("event_type"),
           expr("timestamp_micros(valid_from div 1000)").as("vf_ts"),
           expr("timestamp_micros(valid_to div 1000)").as("vt_ts"))
-        .orderBy("user_id", "vf_ts")),
+        // run_idx, NOT vf_ts: equal-timestamp runs (or ns starts that
+        // collapse at the µs truncation) would make a timestamp sort
+        // nondeterministic across engines
+        .orderBy("user_id", "run_idx")),
     "a_union_by_name" -> ((s, dir) => {
       // schema-evolution union: two corpus drops with different column
       // sets align by NAME with null padding (unionByName +
@@ -3112,8 +3115,10 @@ object SparkEntry {
           s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
         if (java.nio.file.Files.exists(wh)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(wh).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.delete)
+          scala.util.Using.resource(java.nio.file.Files.walk(wh)) { st =>
+            st.iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.delete)
+          }
         }
       }
       t(s, dir, "orders").write.mode("overwrite")
@@ -4225,7 +4230,7 @@ object SparkEntry {
       s"""WITH c AS (SELECT doc_id, $n AS n_letters, $s2 AS s2
          |  FROM documents WHERE doc_id % 4 = 2)
          |SELECT doc_id, n_letters,
-         |  CASE WHEN n_letters > 0 THEN CAST(
+         |  CASE WHEN n_letters > 0 AND n_letters <= 3000000 THEN CAST(
          |    ((n_letters * n_letters - s2) * 1000000)
          |      // (n_letters * n_letters) AS BIGINT) END AS gini_ppm
          |FROM c ORDER BY doc_id""".stripMargin
@@ -4720,11 +4725,13 @@ object SparkEntry {
         |ch AS (SELECT user_id, ts, event_id, event_type FROM c
         |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |f AS (SELECT user_id, event_type, ts AS vf,
-        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
-        |  FROM ch)
-        |SELECT user_id, event_type, make_timestamp(vf // 1000) AS vf_ts,
+        |    CAST(row_number() OVER w2 AS INT) AS run_idx,
+        |    lead(ts) OVER w2 AS vt
+        |  FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, run_idx, event_type,
+        |  make_timestamp(vf // 1000) AS vf_ts,
         |  make_timestamp(vt // 1000) AS vt_ts
-        |FROM f ORDER BY user_id, vf_ts""".stripMargin,
+        |FROM f ORDER BY user_id, run_idx""".stripMargin,
     "a_union_by_name" ->
       """SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey % 200 = 0

@@ -16,50 +16,15 @@ import org.apache.spark.sql.functions._
   * one integer expression both engines evaluate identically.
   *
   * Scale shape: the per-user frame is the corpus REDUCED (one row per
-  * user); each of the three ranks is the [[Shuffling.shuffleRank]]
-  * device over that frame — range-partition on the metric, per-
-  * partition offsets from a bounded driver collect (one row per
-  * partition), map-side sequential rank — never a single-partition
-  * window. Monetary sums go through the decimal→string→double chain
+  * user); each of the three ranks is one [[Shuffling.rankBy]] pass
+  * over that frame — range-partition on the metric, per-partition
+  * offsets from a bounded driver collect (one row per partition),
+  * map-side sequential rank — never a single-partition window. Monetary sums go through the decimal→string→double chain
   * ([[graft.SparkEntry]]'s decAgg rationale): order-independent exact
   * aggregation, then a correctly-rounded double both engines parse
   * identically.
   */
 object Rfm {
-
-  /** Exact 1-based global rank of `df`'s rows under `(sortCols…,
-    * idCol)` without a single-partition window: range partition,
-    * offset, sequential map. `idCol` must be a unique long.
-    */
-  private[ops] def rangeRank(
-      df: DataFrame, idCol: String, sortCols: Seq[Column],
-  ): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val keyed = df
-      .repartitionByRange(p, sortCols :+ col(idCol): _*)
-      .sortWithinPartitions(sortCols :+ col(idCol): _*)
-      .localCheckpoint()
-    val counts = keyed
-      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      (0 until p).map { i =>
-        val o = i -> acc
-        acc += counts.getOrElse(i, 0L)
-        o
-      }.toMap
-    }
-    val offB = spark.sparkContext.broadcast(offsets)
-    keyed.select(col(idCol)).as[Long]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var run = offB.value.getOrElse(pid, 0L)
-        it.map { id => run += 1L; (id, run) }
-      }.toDF(idCol, "rank")
-  }
 
   private def quartile(rank: String, n: String): Column =
     expr(s"cast((($rank - 1) * 4) div $n as int) + 1")
@@ -85,7 +50,7 @@ object Rfm {
       .select(col("user_id"), col("recency_days"), col("n_events"),
         col("monetary"), col("nu"))
     def q(sortCols: Seq[Column], out: String): DataFrame =
-      rangeRank(base, "user_id", sortCols)
+      Shuffling.rankBy(base, "user_id", sortCols)
         .withColumnRenamed("rank", s"__rk_$out")
     val ranked = base
       .join(q(Seq(col("recency_days")), "r"), Seq("user_id"))

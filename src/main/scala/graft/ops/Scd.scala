@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** `(keyCol, valueCol, valid_from, valid_to)` — run-compressed
-    * validity intervals per key, `valid_to` null on the open run.
+  /** `(keyCol, run_idx, valueCol, valid_from, valid_to)` —
+    * run-compressed validity intervals per key, `valid_to` null on
+    * the open run. `run_idx` (1-based per key, in event order) is the
+    * DETERMINISTIC presentation key: `valid_from` alone is not unique
+    * per key (two runs can start at equal timestamps under tie-broken
+    * event order, and downstream truncation — e.g. ns → µs — can
+    * collapse distinct starts), so any ordered dump must sort by
+    * `(keyCol, run_idx)`, never by the timestamp.
     */
   def scd2(
       df: DataFrame, keyCol: String, tsCol: String, orderCol: String,
@@ -39,8 +45,9 @@ object Scd {
       .filter(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
     changes
+      .withColumn("run_idx", row_number().over(w2).cast("int"))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
-      .select(col(keyCol), col(valueCol),
+      .select(col(keyCol), col("run_idx"), col(valueCol),
         col(tsCol).as("valid_from"), col("valid_to"))
   }
 }

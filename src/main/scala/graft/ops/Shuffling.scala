@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic global training-order shuffle: every epoch of LLM
@@ -73,6 +73,53 @@ object Shuffling {
           (id, key, r)
         }
       }.toDF("id", "shuffle_key", "rank")
+  }
+
+  /** The distributed-rank device generalized to ARBITRARY sort
+    * columns: exact 1-based global rank of `df`'s rows under
+    * `(sortCols…, idCol)` — range partition on the sort key, bounded
+    * one-row-per-partition count collect, offset broadcast, map-side
+    * sequential rank. Never a single-partition window. `idCol` must
+    * be a unique long (the total-order tie-break). Output:
+    * `(idCol, rank)`.
+    *
+    * [[shuffleRank]] above is the md5-keyed instance of the same
+    * device (kept separate because it carries the shuffle key through
+    * and ranks 0-based — its gated plan predates this
+    * generalization); metric-ordered consumers ([[Rfm]] quartiles)
+    * call this one.
+    */
+  def rankBy(
+      df: DataFrame, idCol: String, sortCols: Seq[Column],
+      partitions: Int = 0,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyed = df
+      .repartitionByRange(p, sortCols :+ col(idCol): _*)
+      .sortWithinPartitions(sortCols :+ col(idCol): _*)
+      .localCheckpoint()
+    val counts = keyed
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until p).map { i =>
+        val o = i -> acc
+        acc += counts.getOrElse(i, 0L)
+        o
+      }.toMap
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    keyed.select(col(idCol)).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = offB.value.getOrElse(pid, 0L)
+        it.map { id => run += 1L; (id, run) }
+      }.toDF(idCol, "rank")
   }
 
   /** Deterministic negative sampling for contrastive training: `k`

@@ -489,19 +489,20 @@ object Streams {
       watermark: String = "1 hour",
   ): DataFrame = {
     require(rules.nonEmpty, "dqStream needs at least one rule")
+    // index-keyed internal columns (the batch Dq.report convention):
+    // a rule NAME may contain dots/backticks that break col() lookups
     val flags = events.withWatermark("ts", watermark)
-      .select(col("ts") +: rules.map { case (n, p) =>
-        when(p, lit(1L)).otherwise(lit(0L)).as(s"__v_$n")
+      .select(col("ts") +: rules.zipWithIndex.map { case ((_, p), i) =>
+        when(p, lit(1L)).otherwise(lit(0L)).as(s"__v_$i")
       }: _*)
+    val sums = rules.zipWithIndex.map { case (_, i) =>
+      coalesce(sum(col(s"__v_$i")), lit(0L)).as(s"__s_$i")
+    }
     val agged = flags.groupBy(window(col("ts"), "1 hour"))
-      .agg(coalesce(sum(col(s"__v_${rules.head._1}")), lit(0L))
-          .as(s"__s_${rules.head._1}"),
-        rules.tail.map { case (n, _) =>
-          coalesce(sum(col(s"__v_$n")), lit(0L)).as(s"__s_$n")
-        } :+ count(lit(1)).as("__n"): _*)
+      .agg(sums.head, sums.tail :+ count(lit(1)).as("__n"): _*)
     agged.select(col("window.start").as("win_start"),
-        explode(array(rules.map { case (n, _) =>
-          struct(lit(n).as("rule"), col(s"__s_$n").as("n_violations"),
+        explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).as("rule"), col(s"__s_$i").as("n_violations"),
             col("__n").as("n_rows"))
         }: _*)).as("r"))
       .select(col("win_start"), col("r.rule").as("rule"),

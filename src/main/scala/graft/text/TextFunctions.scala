@@ -274,7 +274,11 @@ object TextFunctions {
           "(a, x) -> named_struct('n', a.n + x, 's', a.s + x * x))"))
       .select(col(idCol),
         col("__ns.n").as("n_letters"),
-        when(col("__ns.n") > 0,
+        // upper guard: (n² − s)·1e6 exceeds Long past ~3.04M letters,
+        // where Spark (non-ANSI) would wrap silently while DuckDB
+        // raises — null the score instead, identically in both
+        // engines (chunk pathological documents first)
+        when(col("__ns.n") > 0 && col("__ns.n") <= 3000000L,
           expr("((__ns.n * __ns.n - __ns.s) * 1000000L) div (__ns.n * __ns.n)"))
           .as("gini_ppm"))
   }

@@ -16,9 +16,9 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
         StructField("o", LongType), StructField("v", StringType))))
 
   private def run(df: org.apache.spark.sql.DataFrame) =
-    Scd.scd2(df, "k", "ts", "o", "v").orderBy("k", "valid_from").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    Scd.scd2(df, "k", "ts", "o", "v").orderBy("k", "run_idx").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
 
   test("runs compress; intervals chain; open run has null valid_to") {
     val got = run(frame(
@@ -40,5 +40,11 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
       (1L, 5L, 2L, "b"), (1L, 5L, 1L, "a"), (2L, 5L, 3L, "c")))
     assert(got.toSeq === Seq(
       (1L, "a", 5L, 5L), (1L, "b", 5L, -1L), (2L, "c", 5L, -1L)))
+    // run_idx disambiguates the equal-timestamp runs for ordered dumps
+    val idx = Scd.scd2(frame(
+      (1L, 5L, 2L, "b"), (1L, 5L, 1L, "a")), "k", "ts", "o", "v")
+      .orderBy("k", "run_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(idx.toSeq === Seq((1, "a"), (2, "b")))
   }
 }

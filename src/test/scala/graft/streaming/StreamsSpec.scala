@@ -194,7 +194,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         expr("unix_millis(ts)").as("tsl"), col("event_id"), col("event_type"))
       graft.ops.Scd.scd2(df, "user_id", "tsl", "event_id", "event_type")
         .filter(col("valid_to").isNotNull).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
         .toSet
     }
     def evt(id: Long, user: Long, minutes: Long, t: String) =
