@@ -903,6 +903,20 @@ object SparkEntry {
           col("n_events"), col("last_val"))
         .orderBy("user_id", "bucket_ts")
     }),
+    "ev_lifecycle" -> ((s, dir) =>
+      // growth accounting: weekly new/retained/resurrected/churned
+      // counts from the distinct (user, week) activity grid — one
+      // distinct shuffle + one per-user window, stages explode
+      // map-side; active(b) = new + retained + resurrected holds.
+      // The md5 (user, week) gap filter PLANTS churn/resurrection
+      // dynamics (this corpus' users are otherwise active every
+      // week, which would leave the resurrected arm untested)
+      graft.ops.Cohort.lifecycle(
+        t(s, dir, "events").filter(
+          pmod(graft.ops.Sketches.kmvHash(concat_ws(":",
+            col("user_id"), expr("ts div 604800000000000"))), lit(3L)) =!= 0),
+        "user_id", "ts", bucket = 604800L * 1000000000L)
+        .orderBy("bucket", "stage")),
     "ev_rfm" -> ((s, dir) =>
       // RFM behavioral segmentation: per-user recency/frequency/
       // exact-decimal monetary, quartiled by FIXED-WIDTH integer bins
@@ -3640,6 +3654,13 @@ object SparkEntry {
         |  last_value(in_bucket IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS last_val
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "ev_lifecycle" -> {
+      val h = graft.ops.Sketches.kmvHashSql(
+        "(CAST(user_id AS VARCHAR) || ':' || " +
+          "CAST(epoch_ns(ts) // 604800000000000 AS VARCHAR))")._1
+      graft.ops.Cohort.lifecycleSql(
+        s"WHERE $h % 3 <> 0", bucket = 604800L * 1000000000L)
+    },
     "ev_rfm" -> graft.ops.Rfm.rfmSql(""),
     "ev_ewma" -> graft.ops.Ewma.ewmaSql(alpha = 0.25, ""),
     "ev_funnel" ->

@@ -48,4 +48,35 @@ class CohortSpec extends AnyFunSuite with SparkSpec {
     assert(run(frame(rows: _*), 50L).toSeq ===
       run(frame(rows: _*).repartition(17), 50L).toSeq)
   }
+
+  private def stages(df: org.apache.spark.sql.DataFrame, bucket: Long) =
+    Cohort.lifecycle(df, "u", "ts", bucket)
+      .orderBy("bucket", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("lifecycle: new/retained/resurrected/churned with churn at bucket+1") {
+    // u1: buckets 0,1,3 (gap at 2); u2: bucket 0 only
+    val got = stages(frame(
+      ("u1", 5L), ("u1", 15L), ("u1", 35L), ("u2", 3L)), 10L)
+    assert(got.toSeq === Seq(
+      (0L, "new", 2L),
+      (1L, "churned", 1L),     // u2 never returns
+      (1L, "retained", 1L),    // u1
+      (2L, "churned", 1L),     // u1's gap: next activity is bucket 3
+      (3L, "resurrected", 1L), // u1 returns after the gap
+      (4L, "churned", 1L)))    // u1's last observed bucket
+  }
+
+  test("lifecycle identity: active(b) = new + retained + resurrected") {
+    val rows = (1L to 400L).map(i =>
+      ("u" + (i % 23), (i * 13L) % 170L))
+    val df = frame(rows: _*)
+    val got = stages(df, 10L)
+    val active = df.selectExpr("u", "ts div 10 AS b").distinct()
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonChurn = got.filter(_._2 != "churned")
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._3).sum }
+    assert(nonChurn === active)
+  }
 }
