@@ -2243,6 +2243,32 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang").asc_nulls_first, col("doc_id"))
     }),
+    "p_interleave" -> ((s, dir) =>
+      // training-order source interleaving: round-robin positions
+      // across md5-shuffled per-source streams — consecutive
+      // examples come from different sources; broadcast ordinal dim,
+      // one per-source window
+      graft.ops.Shuffling.interleaveBySource(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", "source", seed = 7L)
+        .orderBy("pos")),
+    "e_cos_threshold_hist" -> ((s, dir) => {
+      // dedup-threshold tuning aid: pair counts per 0.05 cosine band
+      // over a BOUNDED slice (the all-pairs verifier family, like
+      // e_cos_neardup) — pick the near-dup cutoff from the histogram
+      // before a corpus-scale run
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .filter(Ann.norm(col("embedding")) > 0)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(floor(Ann.cosine(col("va"), col("vb")) * 20).cast("int")
+          .as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("band")
+    }),
     "p_cap_domain" -> ((s, dir) => {
       // provenance-driven curation chain: extract planted domains
       // (shared plantedUrls construction), then cap each domain's
@@ -4396,6 +4422,19 @@ object SparkEntry {
       s"""SELECT lang, doc_id FROM (
          |${graft.ops.Sampling.sampleExactKSql("documents", "lang", "doc_id", k = 7, seed = 11L)}
          |) ORDER BY lang NULLS FIRST, doc_id""".stripMargin,
+    "p_interleave" ->
+      graft.ops.Shuffling.interleaveBySourceSql(
+        "WHERE doc_id % 2 = 1", seed = 7L),
+    "e_cos_threshold_hist" -> {
+      val cos = graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)
+      val nz = graft.ann.Ann.dotSql("embedding", "embedding", 64) + " > 0"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 7 = 0 AND $nz)
+         |SELECT CAST(floor($cos * 20) AS INT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |GROUP BY 1 ORDER BY band""".stripMargin
+    },
     "p_cap_domain" -> {
       val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 8, seed = 3L)
       """WITH d AS (SELECT doc_id,

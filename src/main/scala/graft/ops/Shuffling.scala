@@ -192,4 +192,62 @@ object Shuffling {
        |  CAST(row_number() OVER (ORDER BY shuffle_key, id) - 1 AS BIGINT)
        |    AS rank
        |FROM keyed""".stripMargin
+
+  /** Deterministic SOURCE INTERLEAVING for training order: round-robin
+    * across sources (each source's rows first shuffled md5-style
+    * within the source), so consecutive training examples come from
+    * different sources — the gradient-diversity layout streaming
+    * loaders build, here materialized as an explicit position column.
+    * `pos = (rank − 1) · n_sources + (source_idx − 1)` with `rank`
+    * the row's 1-based md5 order within its source and `source_idx`
+    * the source's 1-based alphabetical ordinal; positions are unique,
+    * and sources with fewer rows simply stop contributing (the tail
+    * keeps the same relative order with holes — readers sort by
+    * `pos`, not index into it).
+    *
+    * 100 TB shape: the within-source rank is a per-source window (one
+    * sort per source — at extreme per-source volume swap in
+    * [[rankBy]] per source); the source ordinal table is
+    * dimension-sized and broadcast. Reproducible in (seed), like
+    * every md5-keyed op here.
+    */
+  def interleaveBySource(
+      df: DataFrame, idCol: String, groupCol: String, seed: Long,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = df.select(col(groupCol)).distinct()
+      .withColumn("__src_idx",
+        row_number().over(Window.orderBy(col(groupCol))).cast("long"))
+    val nSrc = srcIdx.agg(max(col("__src_idx")).as("__n_src"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__sk"), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("__sk",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .join(broadcast(srcIdx), Seq(groupCol))
+      .crossJoin(broadcast(nSrc))
+      .select(col(idCol), col(groupCol),
+        ((col("__rank") - 1L) * col("__n_src") + col("__src_idx") - 1L)
+          .as("pos"))
+  }
+
+  /** DuckDB rendering of [[interleaveBySource]] over
+    * `documents(doc_id, source)` restricted by `whereClause`.
+    */
+  def interleaveBySourceSql(whereClause: String, seed: Long): String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents $whereClause),
+       |si AS (SELECT source,
+       |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+       |  FROM (SELECT DISTINCT source FROM d) q),
+       |ns AS (SELECT max(src_idx) AS n_src FROM si),
+       |r AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$seed'), doc_id)
+       |      AS BIGINT) AS rnk
+       |  FROM d)
+       |SELECT r.doc_id, r.source,
+       |  (r.rnk - 1) * ns.n_src + si.src_idx - 1 AS pos
+       |FROM r JOIN si USING (source), ns
+       |ORDER BY pos""".stripMargin
 }

@@ -71,4 +71,27 @@ class ShufflingSpec extends AnyFunSuite with SparkSpec {
     assert(negs.distinct.length > negs.length / 2)
     assert(negs.count(_ < 250) > 10 && negs.count(_ >= 250) > 10)
   }
+
+  test("interleaveBySource: unique positions, strict round-robin while sources last") {
+    import spark.implicits._
+    // 3 sources with 4/4/2 rows: the first 6 positions must cycle
+    // a,b,c,a,b,c; after c runs dry, a and b keep their slots
+    val df = (1L to 10L).map(i =>
+      (i, Seq("a", "b", "c")((i % 10 % 3).toInt) match {
+        case "c" if i > 6 => "a" // rebalance: c gets rows 3, 6 only
+        case s => s
+      })).toDF("id", "src")
+    val got = Shuffling.interleaveBySource(df, "id", "src", seed = 5L)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._3).distinct.length === got.length) // unique pos
+    // pos mod n_src identifies the source ordinal — round-robin slots
+    val slotBySrc = got.map(t => t._2 -> t._3 % 3).distinct
+    assert(slotBySrc.toMap.size === 3 && slotBySrc.length === 3)
+    // determinism + partition independence
+    val again = Shuffling.interleaveBySource(df.repartition(7), "id", "src", 5L)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+  }
 }
