@@ -3216,6 +3216,57 @@ object SparkEntry {
       graft.ops.Profile.heavyHitters(
         t(s, dir, "lineitem"), Seq("l_partkey"), k = 25)
     }),
+    "s_shard_delta" -> ((s, dir) => {
+      // incremental-publish planning: manifests of the previous and
+      // current snapshots joined on shard — only shards whose 16-byte
+      // checksum changed get re-read/re-published; manifest-sized
+      // work, the corpus is touched only by the manifest aggregates
+      import graft.sources.Sources
+      val cols = Seq("doc_id", "source", "lang")
+      // previous snapshot: shard 3 absent entirely (-> 'added' now)
+      // and a sparse doc_id slice of shard 5 missing (-> 'changed');
+      // every other shard is untouched (-> 'same') — all three
+      // statuses exercised, because the filter aligns with the SAME
+      // md5 shard function the manifest uses
+      val shardOf = graft.ops.Sampling.bucket(col("doc_id"), 42L) % 8
+      val prev = Sources.shardManifest(
+        t(s, dir, "documents").filter(shardOf =!= 3 &&
+          !(shardOf === 5 && col("doc_id") % 7 === 0)),
+        "doc_id", cols, nShards = 8)
+        .select(col("shard"), col("n_rows").as("n_prev"),
+          col("checksum").as("ck_prev"))
+      val cur = Sources.shardManifest(
+        t(s, dir, "documents"), "doc_id", cols, nShards = 8)
+        .select(col("shard"), col("n_rows").as("n_cur"),
+          col("checksum").as("ck_cur"))
+      prev.join(cur, Seq("shard"), "full_outer")
+        .select(col("shard"),
+          coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          when(col("ck_prev").isNull, lit("added"))
+            .when(col("ck_cur").isNull, lit("removed"))
+            .when(col("ck_prev") === col("ck_cur"), lit("same"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy("shard")
+    }),
+    "d_dupe_rate_by_source" -> ((s, dir) => {
+      // provenance dashboard: near-dup involvement rate per source —
+      // which crawl feeds are polluting the corpus; pair finder +
+      // distinct member ids + one broadcast-joinable doc dimension
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val dupes = graft.dedup.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      docs.select(col("doc_id"), col("source"))
+        .join(dupes.withColumn("__d", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__d")), lit(0L)).as("n_dupes"))
+        .withColumn("dupe_ppm",
+          expr("(n_dupes * 1000000L) div n_docs"))
+        .orderBy("source")
+    }),
     "s_shard_manifest" -> ((s, dir) => {
       // deterministic sharded training-set write + verifiable manifest:
       // the gate covers the manifest math (md5-bucket shard assignment,
@@ -4949,6 +5000,42 @@ object SparkEntry {
     "s_shard_manifest" ->
       (graft.sources.Sources.shardManifestSql("documents", "doc_id",
         Seq("doc_id", "source", "lang"), nShards = 8) + "\nORDER BY shard"),
+    "s_shard_delta" -> {
+      val cols = Seq("doc_id", "source", "lang")
+      val shardOf =
+        s"(${graft.ops.Sampling.bucketSql("doc_id", 42L)} % 8)"
+      val prev = graft.sources.Sources.shardManifestSql("documents",
+        "doc_id", cols, nShards = 8,
+        whereClause = s"WHERE $shardOf <> 3 " +
+          s"AND NOT ($shardOf = 5 AND doc_id % 7 = 0)")
+      val cur = graft.sources.Sources.shardManifestSql("documents",
+        "doc_id", cols, nShards = 8)
+      s"""WITH p AS ($prev), c AS ($cur)
+         |SELECT coalesce(p.shard, c.shard) AS shard,
+         |  CAST(coalesce(p.n_rows, 0) AS BIGINT) AS n_prev,
+         |  CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_cur,
+         |  CASE WHEN p.checksum IS NULL THEN 'added'
+         |       WHEN c.checksum IS NULL THEN 'removed'
+         |       WHEN p.checksum = c.checksum THEN 'same'
+         |       ELSE 'changed' END AS status
+         |FROM p FULL OUTER JOIN c ON p.shard = c.shard
+         |ORDER BY shard""".stripMargin
+    },
+    "d_dupe_rate_by_source" -> {
+      val pairs = graft.dedup.Dedup.simhashPairsSql(
+        3, 6, "WHERE doc_id % 5 = 0")
+      s"""WITH du AS (SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM ($pairs) q1
+         |    UNION SELECT id_b FROM ($pairs) q2) u)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN du.id IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_dupes,
+         |  (CAST(coalesce(sum(CASE WHEN du.id IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) * 1000000) // count(*) AS dupe_ppm
+         |FROM documents d LEFT JOIN du ON d.doc_id = du.id
+         |WHERE d.doc_id % 5 = 0
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "s_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
