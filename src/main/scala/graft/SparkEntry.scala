@@ -903,6 +903,26 @@ object SparkEntry {
           col("n_events"), col("last_val"))
         .orderBy("user_id", "bucket_ts")
     }),
+    "ev_gap_stats" -> ((s, dir) => {
+      // inter-event cadence features: per-user min/median/max gap in
+      // whole seconds — integer gaps make the exact median dyadic
+      // (half-steps), so both engines interpolate bit-identically;
+      // one shuffle + one per-user window for the lag
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(ts - lag(ts, 1) over (partition by user_id " +
+            "order by ts, event_id)) div 1000000000"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"),
+          expr("percentile(gap_s, 0.5)").as("median_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .orderBy("user_id")
+    }),
     "ev_lifecycle" -> ((s, dir) =>
       // growth accounting: weekly new/retained/resurrected/churned
       // counts from the distinct (user, week) activity grid — one
@@ -3731,6 +3751,19 @@ object SparkEntry {
         |  last_value(in_bucket IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS last_val
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "ev_gap_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id
+        |    FROM events WHERE user_id % 5 = 0),
+        |g AS (SELECT user_id,
+        |    (ts - lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) // 1000000000 AS gap_s
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  min(gap_s) AS min_gap_s,
+        |  quantile_cont(gap_s, 0.5) AS median_gap_s,
+        |  max(gap_s) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_lifecycle" -> {
       val h = graft.ops.Sketches.kmvHashSql(
         "(CAST(user_id AS VARCHAR) || ':' || " +
