@@ -1011,6 +1011,29 @@ object SparkEntry {
           percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
         .orderBy("lang", "doc_id")
     }),
+    "w_cume_dist" -> ((s, dir) => {
+      // cumulative-distribution window breadth: fraction of peers at
+      // or below each row — ties share a value (both engines define
+      // cume_dist identically; the division is one IEEE op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_orderkey") % 250 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    "q_bool_aggs" -> ((s, dir) =>
+      // boolean-aggregate breadth (count_if / every / any) — the
+      // predicate-summary idiom; DuckDB twins are count_if/bool_and/
+      // bool_or
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("count_if(o_totalprice > 100000)").as("n_big"),
+          expr("every(o_totalprice > 0)").as("all_positive"),
+          expr("any(o_orderstatus = 'P')").as("has_pending"))
+        .orderBy("o_orderpriority")),
     "w_lead_lag_ntile" -> ((s, dir) => {
       // offset/bucket window breadth: lead-delta, lag with default,
       // ntile quartiles — deterministic because doc_id totally orders
@@ -3824,6 +3847,19 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 20 = 0
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
         |ORDER BY lang, doc_id""".stripMargin,
+    "w_cume_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS cd
+        |FROM orders WHERE o_orderkey % 250 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_bool_aggs" ->
+      """SELECT o_orderpriority,
+        |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'P') AS has_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "w_lead_lag_ntile" ->
       """SELECT lang, doc_id, n_chars,
         |lead(n_chars) OVER w - n_chars AS next_delta,
