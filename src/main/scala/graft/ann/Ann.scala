@@ -117,6 +117,50 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** Bounded-heap per-query ranking of a scored pair frame — the
+    * retrieval tail shared by [[pqTopK]], [[ivfPqTopK]], and
+    * [[Binary.hammingTopK]]/[[Binary.hammingRerank]]: turns
+    * `(query_id, neighbor_id, metric)` into `(query_id, neighbor_id,
+    * rank, metric)` keeping the best `k` per query via the
+    * [[graft.functions.TopK]] aggregator, NOT a `row_number` window.
+    *
+    * Why it matters at corpus scale: in the scored frames feeding
+    * these paths each query's partition is the (probed slice of the)
+    * whole corpus, so the window formulation sorts a corpus-sized
+    * partition per query — a spill-prone single-reducer sort.
+    * The aggregator's state never exceeds `k` pairs: partial
+    * aggregation truncates map-side, the shuffle moves
+    * O(queries·partitions·k), and no full-partition sort ever runs.
+    * ([[bruteForceTopK]] keeps the window on purpose — it is the
+    * exact-baseline verifier whose all-pairs scan is already the
+    * documented non-scalable arm.)
+    *
+    * `ascending = true` ranks the SMALLEST metric first (distances:
+    * hamming, ADC) by negating into the max-heap; `false` ranks the
+    * largest first (scores: cosine). Ties break to the ascending
+    * neighbor id either way — TopK's `(value desc, id asc)` rule is
+    * exactly the family's `ORDER BY metric [DESC], id` convention.
+    * Double negation is IEEE-exact, so the emitted metric is
+    * bit-identical to the scored input. Requires an INTEGRAL,
+    * non-null `neighbor_id` and non-null metric (the
+    * [[graft.ops.Sampling.sampleExactK]] id contract; TopK skips
+    * null pairs like `max_by`).
+    */
+  private[ann] def heapRank(
+      scored: DataFrame, metric: String, metricType: String,
+      k: Int, ascending: Boolean): DataFrame = {
+    val signed = if (ascending) -col(metric) else col(metric)
+    val recover = (v: Column) => (if (ascending) -v else v).cast(metricType)
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(
+        signed.cast("double"), col("neighbor_id").cast("long"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__sel")))
+      .select(col("query_id"), col("__sel")("id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        recover(col("__sel")("value")).as(metric))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * maps the top 60 bits of md5("plane:dim") to (-0.5, 0.5).
     * Computed once on the driver (plain Scala) — the exact arithmetic
@@ -928,10 +972,9 @@ object Ann {
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
           acc + element_at(col("dtable"),
             s * col("keff") + element_at(col("codes"), s + 1) + 1)).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+    // bounded-heap ranking, NOT a window: each query's scored
+    // partition is corpus-sized here — see [[heapRank]]
+    heapRank(scored, "adc", "double", n, ascending = true)
   }
 
   /** DuckDB rendering of the [[pqCodebooks]] + [[pqEncode]] CTE chain
@@ -1188,10 +1231,9 @@ object Ann {
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
           acc + element_at(col("dtable"),
             s * col("keff") + element_at(col("codes"), s + 1) + 1)).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+    // bounded-heap ranking, NOT a window: each query's scored
+    // partition is its probed corpus slice — see [[heapRank]]
+    heapRank(scored, "adc", "double", n, ascending = true)
   }
 
   /** DuckDB rendering of [[ivfPqTopK]] (self-search: corpus =

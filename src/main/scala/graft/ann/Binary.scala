@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Binary (1-bit) embedding quantization and Hamming-distance
@@ -27,11 +26,11 @@ import org.apache.spark.sql.functions._
   * no exchange); the packed corpus is 16 bytes/row, so a billion-row
   * index fits in ~16 GB — broadcast-able to every executor where the
   * float corpus never was. [[hammingTopK]] scores query×corpus with
-  * the small query side broadcast and reduces per query through a
-  * row_number window over candidates, the same shape as
-  * [[Ann.bruteForceTopK]]; at retrieval scale the corpus-side scan
-  * reads ONLY the two packed word columns (column pruning), not the
-  * 64-float embedding.
+  * the small query side broadcast and reduces per query through the
+  * bounded-heap [[graft.functions.TopK]] aggregate — O(k) state per
+  * query with map-side truncation, never a corpus-sized partition
+  * sort; at retrieval scale the corpus-side scan reads ONLY the two
+  * packed word columns (column pruning), not the 64-float embedding.
   */
 object Binary {
 
@@ -82,10 +81,10 @@ object Binary {
       .reduce(_ + _).cast("long")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dist.as("hamming"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("hamming"))
+    // bounded-heap ranking, NOT a window: each query's scored
+    // partition is corpus-sized — see [[Ann.heapRank]]; hamming ≤ 64
+    // round-trips through the Double heap value exactly
+    Ann.heapRank(scored, "hamming", "long", k, ascending = true)
   }
 
   /** Two-stage retrieval — the production shape for 1-bit indexes:
@@ -113,10 +112,9 @@ object Binary {
     val scored = coarse.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    // per-query partitions are ≤ kCoarse rows here, but the heap
+    // rank keeps the whole two-stage path window-free uniformly
+    Ann.heapRank(scored, "score", "double", k, ascending = false)
   }
 
   /** DuckDB rendering of [[hammingRerank]] with queries restricted by

@@ -447,6 +447,26 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"TopK must run as a (partial) object hash aggregate:\n$p")
   }
 
+  test("quantized retrieval tails rank through the bounded-heap TopK aggregate, never a window sort") {
+    // the scored frame feeding these paths puts the (probed) corpus
+    // in every query's partition — a row_number window there is a
+    // spill-prone corpus-sized sort per query. The tail must be the
+    // TopK ObjectHashAggregate: O(k) state, map-side truncation.
+    for (q <- Seq("e_hamming_topk", "e_pq_topk", "e_ivfpq_topk",
+      "e_binary_rerank")) {
+      val p = plan(q)
+      // the codebook seed ranking keeps a bounded k-row global
+      // window; the forbidden shape is a window PARTITIONED BY
+      // query_id — that partition is the scored corpus
+      assert(!p.contains("windowspecdefinition(query_id"),
+        s"$q fell back to the row_number window (corpus-sized per-query sort):\n$p")
+      assert(p.toLowerCase.contains("topk"),
+        s"$q no longer ranks through the TopK aggregator:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q TopK must run as a (partial) object hash aggregate:\n$p")
+    }
+  }
+
   test("q7/q8/q9/q16/q20 join topologies broadcast their dims, no all-pairs") {
     for (q <- Seq("q7_nation_volume", "q8_market_share", "q9_product_profit",
       "q16_supplier_count", "q20_part_promotion")) {
