@@ -3074,6 +3074,42 @@ object SparkEntry {
           expr("(end_ts - start_ts) div 1000000").as("duration_ms"))
         .orderBy("user_id", "session_seq")
     }),
+    "st_sessionize" -> ((s, dir) => {
+      // the STREAMING engine under the hash gate: gap sessionization
+      // runs through FileStreamSource → flatMapGroupsWithState →
+      // parquet sink via Trigger.AvailableNow (graft.streaming.Replay
+      // stages the slice + two watermark sentinels), then the summary
+      // is hashed against a DuckDB twin of the session definition.
+      // ts is ms-truncated first: the stream's Timestamp.getTime
+      // arithmetic is ms-grained, and the oracle mirrors exactly that
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.sessionizeReplay(s, ev, gapMinutes = 60)
+        .select(col("user_id"), col("session_seq"),
+          col("n_events").cast("long").as("n_events"),
+          col("session_start"),
+          (unix_millis(col("session_end")) - unix_millis(col("session_start")))
+            .as("duration_ms"))
+        .orderBy("user_id", "session_seq")
+    }),
+    "st_scd2" -> ((s, dir) => {
+      // second streaming-engine row: scd2Stream's closed validity
+      // intervals via the same AvailableNow replay (no sentinels —
+      // closes emit during the data batch; the open run stays in
+      // state, so the oracle is batch SCD2 minus each user's
+      // current row). seq is the (vf, vt, value) ordinal on BOTH
+      // sides — engine-identical by construction
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.scd2Replay(s, ev)
+        .select(col("user_id"), col("seq"), col("value").as("event_type"),
+          col("valid_from").as("vf_ts"), col("valid_to").as("vt_ts"))
+        .orderBy("user_id", "seq")
+    }),
     "ev_sessionize_events" -> ((s, dir) => {
       // event-level twin of ev_sessionize: session_seq attached to
       // every event row — the form downstream feature pipelines join
@@ -4963,6 +4999,40 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  make_timestamp(min(ts) // 1000) AS session_start,
         |  (max(ts) - min(ts)) // 1000000 AS duration_ms
+        |FROM x GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "st_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
+        |    event_type FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT user_id, ms, event_id, event_type,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |ch AS (SELECT user_id, ms, event_id, event_type FROM c
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, event_type, ms AS vf, lead(ms) OVER w2 AS vt
+        |  FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY vf, vt, event_type) AS BIGINT) AS seq,
+        |  event_type,
+        |  make_timestamp(vf * 1000) AS vf_ts,
+        |  make_timestamp(vt * 1000) AS vt_ts
+        |FROM f WHERE vt IS NOT NULL
+        |ORDER BY user_id, seq""".stripMargin,
+    "st_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, event_id, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |       OR ms - lag(ms) OVER w > 3600000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |x AS (SELECT user_id, ms,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  make_timestamp(min(ms) * 1000) AS session_start,
+        |  max(ms) - min(ms) AS duration_ms
         |FROM x GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "ev_sessionize_events" ->

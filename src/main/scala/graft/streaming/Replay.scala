@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Bounded replay of a parquet slice THROUGH the streaming engine —
+  * the bridge that puts `streaming/Streams.scala` operators under the
+  * same hash gate as their batch twins. Batch specs pin stream ≡
+  * batch on hand-built micro-batches; this harness runs the real
+  * `FileStreamSource → [flat]mapGroupsWithState → parquet sink`
+  * pipeline with `Trigger.AvailableNow` over driver testdata, so a
+  * `SparkEntry.queries` row can hash the STREAMING engine's output
+  * against the DuckDB oracle.
+  *
+  * Mechanics (and why each step exists):
+  *   - the input slice lands in a temp dir as ONE parquet file
+  *     (micro-batch 1), optionally followed by single-row sentinel
+  *     files with far-future timestamps and negative user ids
+  *     (micro-batches 2..n; `maxFilesPerTrigger = 1` + strictly
+  *     increasing modification times pin the batch order).
+  *   - sentinels exist for TIMEOUT-driven operators (sessionize): a
+  *     session closes only when the event-time watermark passes its
+  *     gap timeout, and the watermark advances BETWEEN micro-batches
+  *     from the previous batch's max event time — so sentinel 1
+  *     advances the watermark past the real data and sentinel 2 runs
+  *     the batch in which every remaining real session's timeout
+  *     fires. Sentinel state itself stays open and is filtered by
+  *     `user_id >= 0`. Operators that emit during the data batch
+  *     (scd2Stream's closed intervals) replay with no sentinels.
+  *   - the sink is a real parquet Append sink (checkpointed), NOT the
+  *     in-memory test sink: results never materialize on the driver,
+  *     the same shape a production replay job writes.
+  *
+  * Scale note: this is a VERIFICATION harness over a bounded slice
+  * (the single-file batch is deliberate — it makes the replay
+  * deterministic). A production backfill through the same streaming
+  * code keeps the source partitioned and relies on the watermark
+  * delay for cross-file disorder instead; the operator under test is
+  * identical either way, with per-key O(1) state and timeout-driven
+  * eviction.
+  */
+object Replay {
+
+  /** Stages `events` (+ sentinels) and streams them through `build`
+    * with Trigger.AvailableNow into a parquet sink; returns the sink
+    * read back as a DataFrame. `events` must be EventRow-shaped with
+    * ms-truncated `ts` — the stateful operators' `Timestamp.getTime`
+    * arithmetic is millisecond-grained, so sub-ms input would diverge
+    * from any ns oracle.
+    */
+  private def runReplay(
+      spark: SparkSession, events: DataFrame,
+      sentinels: Seq[Streams.EventRow],
+      build: Dataset[Streams.EventRow] => Dataset[_],
+  ): DataFrame = {
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+
+    stageBatch(spark, events.coalesce(1), inDir, "b000", mtimeSec = 1000L)
+    sentinels.zipWithIndex.foreach { case (row, i) =>
+      import spark.implicits._
+      stageBatch(spark, Seq(row).toDF(), inDir, f"b${i + 1}%03d",
+        mtimeSec = 1000L + 1000L * (i + 1))
+    }
+
+    val src = spark.readStream
+      .schema(Encoders.product[Streams.EventRow].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val out = {
+      import spark.implicits._
+      build(src.as[Streams.EventRow])
+    }
+    val q = out.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Runs [[Streams.sessionize]] over `events` via the replay, then
+    * assigns per-user `session_seq` by session start on the summary
+    * frame (a summary-sized window — sessions per user, never
+    * events). Output: `(user_id, session_start, session_end,
+    * n_events, total_value, session_seq)` for real users only.
+    */
+  def sessionizeReplay(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapMs = gapMinutes * 60L * 1000L
+    // one bounded aggregate row to place the sentinels — NOT a data
+    // collect (same device as the rank/offset collects elsewhere)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "sessionizeReplay: empty input slice")
+    val s1 = new Timestamp(maxTs.getTime + gapMs + 3600L * 1000L)
+    val s2 = new Timestamp(s1.getTime + gapMs + 3600L * 1000L)
+    def sentinel(uid: Long, ts: Timestamp) =
+      Streams.EventRow(-1L, ts, uid, "sentinel", 0.0, "")
+
+    val out = runReplay(spark, events,
+      Seq(sentinel(-1L, s1), sentinel(-2L, s2)),
+      ds => Streams.sessionize(ds, gapMinutes, watermark = "0 seconds"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    out.filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+  }
+
+  /** Runs [[Streams.scd2Stream]] over `events` via the replay. The
+    * stream emits each key's CLOSED validity intervals during the
+    * data batch itself (no timeout → no sentinels needed); the open
+    * run stays in state, so the result is the batch SCD2 history
+    * minus each user's current row. `seq` is assigned post-hoc by
+    * `(valid_from, valid_to, value)` — adjacent runs differ in value
+    * and share at most one boundary instant, so the ordering is
+    * deterministic wherever rows are distinguishable at all.
+    */
+  def scd2Replay(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = runReplay(spark, events, Nil, ds => Streams.scd2Stream(ds))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("valid_to"), col("value"))
+    out.withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  /** Writes `df` as a single parquet file named `<name>.parquet` in
+    * `inDir` with the given modification time — FileStreamSource
+    * orders pending files oldest-first, so staged mtimes pin the
+    * micro-batch order.
+    */
+  private def stageBatch(
+      spark: SparkSession, df: DataFrame, inDir: Path, name: String,
+      mtimeSec: Long): Unit = {
+    val tmp = inDir.resolveSibling(s"stage_$name")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter { p =>
+        val f = p.getFileName.toString
+        f.startsWith("part-") && f.endsWith(".parquet")
+      }.findFirst().get()
+      finally listing.close()
+    val dest = inDir.resolve(s"$name.parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000L))
+  }
+}

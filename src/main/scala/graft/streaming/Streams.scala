@@ -526,7 +526,11 @@ object Streams {
     * Within a micro-batch rows fold in `(ts, event_id)` order;
     * stream ≡ batch-minus-open-rows whenever arrival respects event
     * time at micro-batch granularity (StreamsSpec pins it) — the
-    * same in-order contract as [[ewmaStream]].
+    * same in-order contract as [[ewmaStream]]. And the same state
+    * caveat: each key's open run lives in state forever (NoTimeout —
+    * a dimension's current value has no natural expiry), so pair
+    * with a timeout-based evictor if the KEY space itself is
+    * unbounded.
     */
   def scd2Stream(
       events: Dataset[EventRow],
