@@ -47,6 +47,11 @@ object Mmr {
     require(cand.length <= 1000,
       s"MMR candidate set ${cand.length} exceeds the bounded-driver cap")
     val ids = cand.map(_._1).toSet
+    // one query's list only: duplicate neighbor ids mean the caller
+    // passed a multi-query top-k frame, which would silently collapse
+    require(ids.size == cand.length,
+      s"duplicate neighbor_id in MMR candidates (${cand.length} rows, " +
+        s"${ids.size} distinct) — filter the top-k frame to ONE query first")
     val v = vectors.select(col(idCol).as("id"), col(vecCol))
       .filter(col("id").isInCollection(ids))
     val simRows = v.as("a").join(v.as("b"),
@@ -58,7 +63,6 @@ object Mmr {
     def sim(a: Long, b: Long): Double =
       if (a == b) 1.0 else simRows.getOrElse((math.min(a, b), math.max(a, b)), 0.0)
 
-    val rel = cand.toMap
     var selected = Vector.empty[(Long, Double, Option[Double])]
     var remaining = cand.sortBy { case (id, s) => (-s, id) }.toVector
     while (selected.size < math.min(k, cand.length)) {

@@ -45,12 +45,20 @@ object LinkAnalysis {
     * Output: `(domain, rank_micro)`.
     */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
-    require(iters >= 1, s"iters $iters must be >= 1")
+    // each round nests two joins into ONE unexecuted plan — without a
+    // lineage cut, analyzer/optimizer cost grows exponentially in
+    // iters. The cap bounds the failure mode loudly, and the periodic
+    // localCheckpoint (the Bpe.train device) keeps the plan
+    // constant-size between cuts, freeing the previous cut's blocks
+    require(iters >= 1 && iters <= 100,
+      s"iters $iters must be in [1, 100] — PageRank converges in tens " +
+        "of rounds; an unbounded count only grows the plan")
     val nodes = edges.select(col("src").as("domain"))
       .union(edges.select(col("dst"))).distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to iters) {
+    var prevCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -61,9 +69,26 @@ object LinkAnalysis {
         .select(col("domain"),
           (lit(150000L) +
             expr("85 * coalesce(in_sum, 0L) div 100")).as("rank_micro"))
+      if (i % 5 == 0 && i < iters) {
+        val cut = ranks.localCheckpoint() // eager: plan → LogicalRDD
+        prevCkpt.flatMap(checkpointRdd).foreach(_.unpersist(false))
+        prevCkpt = Some(cut)
+        ranks = cut
+      }
     }
     ranks
   }
+
+  /** The checkpointed RDD behind a `localCheckpoint`ed frame — the
+    * handle `unpersist` must target (the Dataset itself has no
+    * CacheManager entry); None for non-LogicalRDD plans. Same device
+    * as `Bpe.train`.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 
   /** DuckDB rendering of [[cocitationEdges]] + [[pageRank]] over URL
     * rows produced by `urlRowsSql` (must yield `(id, domain)`).

@@ -215,13 +215,20 @@ object Shuffling {
       df: DataFrame, idCol: String, groupCol: String, seed: Long,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val srcIdx = df.select(col(groupCol)).distinct()
+    // null sources are excluded UP FRONT: engines disagree on null
+    // sort position (Spark windows default NULLS FIRST, DuckDB ORDER
+    // BY defaults NULLS LAST), so a null group in the ordinal window
+    // would shift every source's ordinal on one engine only — and
+    // the equi-join below would drop the null rows anyway. Excluding
+    // them first makes the ordinals engine-identical by construction.
+    val nn = df.filter(col(groupCol).isNotNull)
+    val srcIdx = nn.select(col(groupCol)).distinct()
       .withColumn("__src_idx",
         row_number().over(Window.orderBy(col(groupCol))).cast("long"))
     val nSrc = srcIdx.agg(max(col("__src_idx")).as("__n_src"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__sk"), col(idCol))
-    df.select(col(idCol), col(groupCol))
+    nn.select(col(idCol), col(groupCol))
       .withColumn("__sk",
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("__rank", row_number().over(w).cast("long"))
