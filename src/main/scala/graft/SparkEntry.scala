@@ -2132,6 +2132,43 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinctPerGroup(
         t(s, dir, "orders"), "o_orderpriority", "o_custkey", 64)
         .orderBy("o_orderpriority")),
+    "s_quantile_sketch" -> ((s, dir) => {
+      // mergeable quantile sketch: HDR-style log-linear buckets in
+      // ALL-INTEGER arithmetic (bit length via the string-length
+      // device, no log2) — one map-combined groupBy collapses any
+      // row count to ≤ ~2k cells; merging shards = adding counts
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents", (col("l_extendedprice") * 100).cast("long"))
+      graft.ops.QuantileSketch.cells(li, "cents", m = 5)
+        .select(col("bucket"), col("cnt"),
+          graft.ops.QuantileSketch.lowerBound(col("bucket"), 5).as("est_lb"),
+          graft.ops.QuantileSketch.upperBound(col("bucket"), 5).as("est_ub"))
+        .orderBy("bucket")
+    }),
+    "s_quantile_answers" -> ((s, dir) => {
+      // rank queries on the sketch: integer per-mille targets
+      // (rank = (n·q + 999) div 1000 — no float ever multiplies a
+      // count), answered by a cumulative walk over the cell frame;
+      // the true quantile lies in [est_lb, est_ub], width ≤ 2^-5
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents", (col("l_extendedprice") * 100).cast("long"))
+      graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.cells(li, "cents", m = 5),
+        Seq(500, 900, 990, 999), m = 5)
+        .orderBy("q_permille")
+    }),
+    "s_quantile_groups" -> ((s, dir) => {
+      // per-group quantile sketch: ≤ ~2k cells per order priority at
+      // ANY group cardinality — the bounded-state per-domain latency/
+      // size percentile census
+      val o = t(s, dir, "orders")
+        .withColumn("cents", (col("o_totalprice") * 100).cast("long"))
+      graft.ops.QuantileSketch.quantilesPerGroup(
+        graft.ops.QuantileSketch.cellsPerGroup(o, "o_orderpriority", "cents", 5),
+        Seq(500, 900), m = 5)
+        .withColumnRenamed("g", "o_orderpriority")
+        .orderBy("o_orderpriority", "q_permille")
+    }),
     "s_cms_counts" -> ((s, dir) => {
       // count-min frequency sketch probed with the corpus's own keys,
       // true counts alongside — the overcount column exhibits the
@@ -4511,6 +4548,14 @@ object SparkEntry {
         "orders", "o_orderpriority", "o_custkey"),
     "s_cms_counts" ->
       graft.ops.Sketches.cmsCountsSql("lineitem", "l_suppkey", 4, 512),
+    "s_quantile_sketch" ->
+      graft.ops.QuantileSketch.cellsSql("lineitem", "l_extendedprice * 100", 5),
+    "s_quantile_answers" ->
+      graft.ops.QuantileSketch.quantilesSql(
+        "lineitem", "l_extendedprice * 100", Seq(500, 900, 990, 999), 5),
+    "s_quantile_groups" ->
+      graft.ops.QuantileSketch.quantilesPerGroupSql(
+        "orders", "o_orderpriority", "o_totalprice * 100", Seq(500, 900), 5),
     "s_kmv_groups" ->
       graft.ops.Sketches.kmvGroupsSql("orders", "o_orderpriority", "o_custkey", 64),
     "e_pq_encode" ->
