@@ -126,6 +126,19 @@ object SparkEntry {
             when(col("doc_id") % 3 === 0, lit(" http://mirror.example.org/m"))
               .otherwise(lit("")))).as("text"))
 
+  /** Planted-class labeled documents for the classifier trainer
+    * gates — class tokens appended by doc-id parity, identical
+    * construction in [[graft.text.HashedClassifier.plantedLabelSql]].
+    */
+  private def plantedClassDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        (col("doc_id") % 2).cast("long").as("label"),
+        concat(col("text"), when(col("doc_id") % 2 === 1,
+          lit(" valueoffer promodeal valueoffer promodeal"))
+          .otherwise(lit(" plainnote calmtext plainnote calmtext")))
+          .as("text"))
+
   /** Shared oracle core for the planted fuzzy near-dup pairs
     * (`d_fuzzy_pairs` gates the pairs; `d_fuzzy_clusters` feeds the
     * same pair set through the recursive-CTE component labeling).
@@ -2022,6 +2035,28 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 3 === 2),
         "doc_id", "text")
         .orderBy("id")),
+    "t_classifier_train" -> ((s, dir) =>
+      // the TRAINER behind the hashed classifier: all-integer
+      // difference of add-one-smoothed class rates per bucket (the
+      // log-free NB-family weight — ln is engine-divergent) over a
+      // planted-label slice; one gram census + 1-row totals broadcast
+      graft.text.HashedClassifier.train(
+        plantedClassDocs(s, dir).filter(col("id") % 3 === 0),
+        "text", "label")
+        .orderBy("bucket")),
+    "t_classifier_holdout" -> ((s, dir) => {
+      // train∘score∘evaluate end to end: weights from the % 3 = 0
+      // slice, sign-test accuracy counts on the disjoint % 3 = 1
+      // holdout — planted class tokens make the classes separable,
+      // so a working trainer shows near-perfect counts and a broken
+      // one ~50%; the gate pins the exact integers either way
+      val docs = plantedClassDocs(s, dir)
+      val weights = graft.text.HashedClassifier.train(
+        docs.filter(col("id") % 3 === 0), "text", "label")
+      graft.text.HashedClassifier.holdoutAccuracy(
+        docs.filter(col("id") % 3 === 1), "id", "text", "label", weights)
+        .orderBy("label")
+    }),
     "f_jaro_winkler" -> ((s, dir) => {
       // fuzzy record-linkage scoring: native codegen Jaro-Winkler
       // (byte semantics, Winkler boost >0.7, prefix cap 4) pinned
@@ -4500,6 +4535,11 @@ object SparkEntry {
         "WHERE doc_id % 10 = 1", "WHERE doc_id % 5 = 0", topN = 8),
     "t_hashed_classifier" ->
       graft.text.HashedClassifier.scoreSql("WHERE doc_id % 3 = 2"),
+    "t_classifier_train" ->
+      graft.text.HashedClassifier.trainSql("WHERE doc_id % 3 = 0"),
+    "t_classifier_holdout" ->
+      graft.text.HashedClassifier.holdoutSql(
+        "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 1"),
     "f_jaro_winkler" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw

@@ -79,6 +79,172 @@ object HashedClassifier {
         (col("w_sum").cast("double") / col("n_grams").cast("double"))
           .as("score"))
 
+  // ---- trainer: weights from a labeled census (round 13) ----
+
+  /** TRAINS the weight table from a labeled slice — the fastText-
+    * pipeline shape real curation stacks run (label a small slice,
+    * train a cheap linear model, filter the corpus with it). The
+    * model is an all-integer difference of add-one-smoothed
+    * class-conditional bucket rates (the Rocchio/centroid member of
+    * the Naive-Bayes family — NB's log-likelihood weights need `ln`,
+    * which is not correctly rounded and engine-divergent; the same
+    * trade [[graft.text.Lm]] makes with its log-free inverse-
+    * probability quantization):
+    *
+    *   w(b) = (cnt_pos(b)+1)·10^6 div (n_pos + buckets)
+    *        − (cnt_neg(b)+1)·10^6 div (n_neg + buckets)
+    *
+    * in ppm micro-units, where `cnt_c(b)` counts gram occurrences of
+    * class `c` hashing to bucket `b` and `n_c` is class `c`'s total
+    * gram count. Both divisions have non-negative operands, so
+    * Spark `div` (truncate) ≡ DuckDB `//` (floor) — no negative-
+    * division divergence can enter. A document scores positive when
+    * its summed bucket weights exceed zero ([[scoreTrained]] /
+    * [[holdoutAccuracy]] — sign test, no further division).
+    *
+    * Output: `(bucket, cnt_pos, cnt_neg, n_pos, n_neg, w)` — one row
+    * per SEEN bucket (≤ `buckets` rows; the totals ride along so
+    * scoring can derive the unseen-bucket weight without a second
+    * pass). 100 TB shape: one gram census (map-side combined, state
+    * ≤ `buckets` cells) + a 1-row totals broadcast; vocabulary
+    * growth never grows state — that IS the hashing trick.
+    *
+    * `labelCol` must be 0/1 integers. Overflow bound: safe while
+    * class gram totals stay below ~9·10^12 (`cnt·10^6` in BIGINT) —
+    * far beyond any labeled training slice (labeling, not training,
+    * is the bottleneck at that size).
+    */
+  def train(
+      labeled: DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    val g = labeled
+      .select(col(labelCol).cast("long").as("__y"),
+        explode(grams(TextFunctions.tokens(lower(col(textCol))))).as("__g"))
+      .select(bucket(col("__g"), buckets).as("bucket"), col("__y"))
+    val counts = g.groupBy(col("bucket"))
+      .agg(sum(col("__y")).as("cnt_pos"),
+        sum(lit(1L) - col("__y")).as("cnt_neg"))
+    val totals = counts.agg(sum(col("cnt_pos")).as("n_pos"),
+      sum(col("cnt_neg")).as("n_neg"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("cnt_pos"), col("cnt_neg"),
+        col("n_pos"), col("n_neg"),
+        (expr(s"(cnt_pos + 1L) * 1000000L div (n_pos + $buckets)") -
+          expr(s"(cnt_neg + 1L) * 1000000L div (n_neg + $buckets)")).as("w"))
+  }
+
+  /** Scores `df` with a TRAINED table ([[train]] output): per
+    * document `(id, n_grams, w_sum, score)` — same output shape as
+    * the stand-in [[score]], weights from the labeled census
+    * instead. Unseen buckets get the smoothing-only weight derived
+    * from the trained totals (the `cnt = 0` case of the same
+    * formula). The weight table joins BROADCAST (≤ `buckets` rows).
+    */
+  def scoreTrained(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 4096): DataFrame = {
+    val w = weights.select(col("bucket"), col("w"))
+    val unseen = weights
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"))
+      .select((expr(s"1000000L div (n_pos + $buckets)") -
+        expr(s"1000000L div (n_neg + $buckets)")).as("__w0"))
+    df.select(col(idCol).as("id"), col(textCol))
+      .withColumn("__g",
+        explode(grams(TextFunctions.tokens(lower(col(textCol))))))
+      .drop(textCol)
+      .select(col("id"), bucket(col("__g"), buckets).as("bucket"))
+      .join(broadcast(w), Seq("bucket"), "left")
+      .crossJoin(broadcast(unseen))
+      .withColumn("__w", coalesce(col("w"), col("__w0")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("w_sum"))
+      .select(col("id"), col("n_grams"), col("w_sum"),
+        (col("w_sum").cast("double") / col("n_grams").cast("double"))
+          .as("score"))
+  }
+
+  /** Holdout evaluation: per true label, how many documents the
+    * sign test (`w_sum > 0` → predict 1) classifies correctly.
+    * Output: `(label, n_docs, n_correct)` — all-integer, so the
+    * train∘score∘evaluate chain sits under the hash gate end to end.
+    * Unscorable documents (no tokens) are excluded by the inner
+    * join, identically on both engines.
+    */
+  def holdoutAccuracy(
+      holdout: DataFrame, idCol: String, textCol: String, labelCol: String,
+      weights: DataFrame, buckets: Int = 4096): DataFrame = {
+    val scored = scoreTrained(holdout, idCol, textCol, weights, buckets)
+      .select(col("id"), when(col("w_sum") > 0, 1L).otherwise(0L).as("__pred"))
+    holdout.select(col(idCol).as("id"), col(labelCol).cast("long").as("label"))
+      .join(scored, Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
+  /** The planted-class document frame shared by the train/holdout
+    * oracles' Spark sides: class tokens appended deterministically by
+    * doc id parity, so the two classes are linearly separable and a
+    * working trainer shows near-perfect holdout accuracy (a broken
+    * one shows ~50% — the gate pins exact counts either way).
+    */
+  def plantedLabelSql(whereClause: String): String =
+    s"""SELECT doc_id AS id, CAST(doc_id % 2 AS BIGINT) AS label,
+       |  text || CASE WHEN doc_id % 2 = 1
+       |    THEN ' valueoffer promodeal valueoffer promodeal'
+       |    ELSE ' plainnote calmtext plainnote calmtext' END AS text
+       |FROM documents $whereClause""".stripMargin
+
+  /** DuckDB rendering of the shared gram→bucket explosion over a
+    * labeled CTE `d(id, label, text)`.
+    */
+  private def gramBucketsSql(buckets: Int): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    val (hashG, _) = Sketches.kmvHashSql("g")
+    s"""toked AS (SELECT id, label, $toks AS toks FROM d),
+       |gr AS (SELECT id, label, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) >= 2
+       |         THEN list_transform(range(1, len(toks)),
+       |                i -> toks[i] || '_' || toks[i + 1])
+       |         ELSE [] END)) AS g
+       |  FROM toked),
+       |gb AS (SELECT id, label, ($hashG % $buckets) AS bucket FROM gr)""".stripMargin
+  }
+
+  /** DuckDB rendering of [[train]] over the planted-label frame. */
+  def trainSql(trainWhere: String, buckets: Int = 4096): String =
+    s"""WITH d AS (${plantedLabelSql(trainWhere)}),
+       |${gramBucketsSql(buckets)},
+       |counts AS (SELECT bucket, CAST(SUM(label) AS BIGINT) AS cnt_pos,
+       |    CAST(SUM(1 - label) AS BIGINT) AS cnt_neg FROM gb GROUP BY bucket),
+       |totals AS (SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cnt_neg) AS BIGINT) AS n_neg FROM counts)
+       |SELECT bucket, cnt_pos, cnt_neg, n_pos, n_neg,
+       |  CAST((cnt_pos + 1) * 1000000 // (n_pos + $buckets)
+       |    - (cnt_neg + 1) * 1000000 // (n_neg + $buckets) AS BIGINT) AS w
+       |FROM counts, totals ORDER BY bucket""".stripMargin
+
+  /** DuckDB rendering of [[train]] + [[holdoutAccuracy]]: weights
+    * from `trainWhere` docs, evaluated on `holdoutWhere` docs.
+    */
+  def holdoutSql(
+      trainWhere: String, holdoutWhere: String, buckets: Int = 4096): String =
+    s"""WITH weights AS (${trainSql(trainWhere, buckets).replace("ORDER BY bucket", "")}),
+       |unseen AS (SELECT CAST(1000000 // (MAX(n_pos) + $buckets)
+       |    - 1000000 // (MAX(n_neg) + $buckets) AS BIGINT) AS w0 FROM weights),
+       |d AS (${plantedLabelSql(holdoutWhere)}),
+       |${gramBucketsSql(buckets)},
+       |scored AS (SELECT gb.id, gb.label,
+       |    CAST(SUM(coalesce(weights.w, unseen.w0)) AS BIGINT) AS w_sum
+       |  FROM gb LEFT JOIN weights ON gb.bucket = weights.bucket, unseen
+       |  GROUP BY gb.id, gb.label)
+       |SELECT label, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN (CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) = label
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   /** DuckDB rendering of [[score]] over `documents(doc_id, text)`
     * restricted by `whereClause`.
     */

@@ -48,4 +48,50 @@ class HashedClassifierSpec extends AnyFunSuite with SparkSpec {
       .select("w_sum").distinct().count()
     assert(out == 1L)
   }
+
+  private def labeledCorpus(ids: Range) = {
+    import spark.implicits._
+    // separable classes: spam docs carry spamword tokens, ham hamword
+    ids.map { i =>
+      val y = i % 2
+      val cls = if (y == 1) "spamword offerjunk spamword" else "hamword calmtext hamword"
+      (i.toLong, y.toLong, s"filler common text number $i $cls")
+    }.toDF("id", "label", "text")
+  }
+
+  test("trainer separates planted classes: 100% holdout accuracy") {
+    val train = labeledCorpus(0 until 60)
+    val holdout = labeledCorpus(60 until 100)
+    val w = HashedClassifier.train(train, "text", "label")
+    val acc = HashedClassifier
+      .holdoutAccuracy(holdout, "id", "text", "label", w)
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))).toMap
+    assert(acc(0L)._1 == 20L && acc(0L) == (20L, 20L), s"got $acc")
+    assert(acc(1L)._1 == 20L && acc(1L) == (20L, 20L), s"got $acc")
+  }
+
+  test("trained weights: class-indicative buckets carry the class sign") {
+    import org.apache.spark.sql.functions._
+    val w = HashedClassifier.train(labeledCorpus(0 until 60), "text", "label")
+    // the bucket 'spamword' hashes to must be positive-weighted, the
+    // 'hamword' bucket negative (they never co-occur across classes)
+    val spamB = HashedClassifier.bucket(lit("spamword"), 4096)
+    val hamB = HashedClassifier.bucket(lit("hamword"), 4096)
+    val rows = w.withColumn("sb", spamB).withColumn("hb", hamB)
+      .select(col("bucket"), col("w"), col("sb"), col("hb")).collect()
+    val spamW = rows.find(r => r.getAs[Long]("bucket") == r.getAs[Long]("sb")).get
+    val hamW = rows.find(r => r.getAs[Long]("bucket") == r.getAs[Long]("hb")).get
+    assert(spamW.getAs[Long]("w") > 0, s"spam bucket weight ${spamW.getAs[Long]("w")}")
+    assert(hamW.getAs[Long]("w") < 0, s"ham bucket weight ${hamW.getAs[Long]("w")}")
+  }
+
+  test("unseen buckets score with the smoothing-only weight, not null") {
+    import spark.implicits._
+    val w = HashedClassifier.train(labeledCorpus(0 until 20), "text", "label")
+    val novel = Seq((999L, "zzzunseen qqqnovel")).toDF("id", "text")
+    val out = HashedClassifier.scoreTrained(novel, "id", "text", w).head()
+    assert(out.getAs[Long]("n_grams") == 3L) // 2 unigrams + 1 bigram
+    assert(!out.isNullAt(out.fieldIndex("w_sum")))
+  }
 }
