@@ -17,15 +17,21 @@ import duckdb
 
 MAX_LEN = 30
 BIG = 1000000000
+BYTE_COST = 1000000
 MAX_GRAM = 4
 TOP_V = 200
+PLANT = " µω€𝄞 qµz"
+
+
+def nbytes(ch):
+    return len(ch.encode("utf-8"))
 
 
 def toks(s):
     return [w for w in re.split(r"\s+", s.strip().lower()) if w]
 
 
-def ref_unigram(docs):
+def ref_unigram(docs, byte_fallback=False):
     census = {}
     for _, t in docs:
         for w in toks(t):
@@ -47,6 +53,9 @@ def ref_unigram(docs):
         cps = list(w)
         n = len(cps)
         if n > MAX_LEN:
+            if byte_fallback:
+                b = sum(nbytes(c) for c in cps)
+                return b * BYTE_COST, b
             return n * BIG, n
         d = [None] * (n + 1)
         d[0] = 0
@@ -57,12 +66,16 @@ def ref_unigram(docs):
                     continue
                 g = "".join(cps[j - l:j])
                 if g in costs:
-                    c = costs[g]
+                    inc = costs[g] * 1024 + 1
                 elif l == 1:
-                    c = BIG
+                    if byte_fallback:
+                        nb = nbytes(cps[j - 1])
+                        inc = nb * BYTE_COST * 1024 + nb
+                    else:
+                        inc = BIG * 1024 + 1
                 else:
                     continue
-                cand = d[j - l] + c * 1024 + 1
+                cand = d[j - l] + inc
                 if best is None or cand < best:
                     best = cand
             d[j] = best
@@ -82,7 +95,9 @@ def ref_unigram(docs):
 def main():
     out_dir = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["t_unigram_cost"]
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = sqls["t_unigram_cost"]
+    sql_bytes = sqls.get("t_unigram_bytes")
 
     random.seed(23)
     fails = 0
@@ -103,7 +118,7 @@ def main():
                 return "".join(random.choices("ab", k=random.randint(29, 32)))
             return "".join(random.choices(vocab, k=random.randint(1, 4)))
         docs = [(i, " ".join(word() for _ in range(random.randint(0, 8))))
-                for i in range(random.randint(3, 25))]
+                for i in range(random.randint(3, 70))]
         con = duckdb.connect()
         con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
                     ",".join("(%d, '%s')" % (i, d.replace("'", "''"))
@@ -118,6 +133,22 @@ def main():
             print(f"  diff on {sorted(diff)[:5]}: "
                   f"got {[got.get(k) for k in sorted(diff)[:5]]} "
                   f"want {[want.get(k) for k in sorted(diff)[:5]]}")
+        if sql_bytes:
+            # the bytes gate slices doc_id % 10 = 4 and plants OOV
+            # glyphs on doc_id % 31 = 0 (textExpr applies pre-slice)
+            docs_b = [(i, t + (PLANT if i % 31 == 0 else ""))
+                      for i, t in docs if i % 10 == 4]
+            want_b = ref_unigram(docs_b, byte_fallback=True)
+            got_b = {r[0]: (r[1], r[2], r[3])
+                     for r in con.sql(sql_bytes).fetchall()}
+            if got_b != want_b:
+                fails += 1
+                diff = {k for k in set(got_b) | set(want_b)
+                        if got_b.get(k) != want_b.get(k)}
+                print(f"BYTES MISMATCH trial {trial}: docs={docs}")
+                print(f"  diff on {sorted(diff)[:5]}: "
+                      f"got {[got_b.get(k) for k in sorted(diff)[:5]]} "
+                      f"want {[want_b.get(k) for k in sorted(diff)[:5]]}")
     print(f"trials={trials} fails={fails}")
     sys.exit(1 if fails else 0)
 

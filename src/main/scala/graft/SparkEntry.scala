@@ -2002,6 +2002,19 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 3 === 1),
         "doc_id", "text")
         .orderBy("id")),
+    "t_unigram_bytes" -> ((s, dir) =>
+      // byte-fallback twin of t_unigram_cost (SentencePiece
+      // --byte_fallback): planted OOV glyphs of 2/3/4-byte UTF-8
+      // widths (µ €, 𝄞) decompose into their bytes — nb pieces at
+      // nb·ByteCost — instead of one Big-priced UNK, so encode is
+      // total and piece counts reflect actual byte emission
+      graft.text.Unigram.encodeCost(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 4)
+          .select(col("doc_id"),
+            concat(col("text"), when(col("doc_id") % 31 === 0,
+              lit(" µω€𝄞 qµz")).otherwise(lit(""))).as("text")),
+        "doc_id", "text", byteFallback = true)
+        .orderBy("id")),
     "t_wordpiece" -> ((s, dir) =>
       // the OTHER classic subword tokenizer beside BPE: greedy
       // longest-match WordPiece against a deterministic vocab (top-
@@ -4526,6 +4539,11 @@ object SparkEntry {
       graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),
     "t_unigram_cost" ->
       graft.text.Unigram.encodeCostSql("WHERE doc_id % 3 = 1"),
+    "t_unigram_bytes" ->
+      graft.text.Unigram.encodeCostSql("WHERE doc_id % 10 = 4",
+        byteFallback = true,
+        textExpr = "text || CASE WHEN doc_id % 31 = 0" +
+          " THEN ' µω€𝄞 qµz' ELSE '' END"),
     "t_wordpiece" ->
       // topN=8: only the 8 hottest words stay whole, so the gate
       // exercises multi-piece continuation segmentation on the rest

@@ -41,6 +41,14 @@ object Unigram {
   /** OOV single-character cost. */
   val Big = 1000000000L
 
+  /** Per-byte cost under byte fallback — far above any vocab piece
+    * cost in practice (byte pieces are the LAST resort, as in
+    * SentencePiece's `--byte_fallback`) but 1000× cheaper than the
+    * UNK price, so covered-but-rare glyphs stop dominating a
+    * document's total.
+    */
+  val ByteCost = 1000000L
+
   /** Character n-grams (1..`maxGram` code points) of every census
     * word, freq-weighted: `(gram, gfreq)`.
     */
@@ -65,15 +73,37 @@ object Unigram {
       .select(col("gram"), (lit(1L) + expr("fmax div gfreq")).as("cost"))
   }
 
+  /** UTF-8 byte width of one code point. */
+  private def utf8Bytes(cp: Int): Long =
+    if (cp < 0x80) 1L else if (cp < 0x800) 2L
+    else if (cp < 0x10000) 3L else 4L
+
   /** Viterbi DP over one word's code points against the broadcast
     * cost table. Returns `(cost, pieces)`.
+    *
+    * `byteFallback = true` is SentencePiece's `--byte_fallback`: an
+    * OOV single character decomposes into its UTF-8 bytes — `nb`
+    * pieces at `nb·`[[ByteCost]] total — instead of one UNK piece at
+    * [[Big]], so encode is TOTAL with piece counts that reflect
+    * actual byte emission (a downstream token budget can trust
+    * `pieces` even on glyphs the census never saw). Long words
+    * (> [[MaxLen]]) price as all bytes under fallback, all UNK
+    * singles otherwise. Piece counts stay < 1024 either way
+    * (≤ MaxLen·4 = 120), so the packed `cost·1024 + pieces` order
+    * still IS the lexicographic (cost, pieces) order.
     */
   private[text] def viterbi(
-      word: String, costs: Map[String, Long], maxGram: Int): (Long, Long) = {
+      word: String, costs: Map[String, Long], maxGram: Int,
+      byteFallback: Boolean = false): (Long, Long) = {
     val cps = word.codePoints.toArray
     val n = cps.length
     if (n == 0) return (0L, 0L)
-    if (n > MaxLen) return (n.toLong * Big, n.toLong)
+    if (n > MaxLen) {
+      return if (byteFallback) {
+        val bytes = cps.map(utf8Bytes).sum
+        (bytes * ByteCost, bytes)
+      } else (n.toLong * Big, n.toLong)
+    }
     val d = Array.fill(n + 1)(Long.MaxValue)
     d(0) = 0L
     var j = 1
@@ -83,13 +113,18 @@ object Unigram {
       while (l <= lMax) {
         if (d(j - l) != Long.MaxValue) {
           val g = new String(cps, j - l, l)
-          val cost = costs.get(g) match {
-            case Some(c) => c
-            case None if l == 1 => Big
+          // edge increment: packed cost·1024 + pieces for this piece
+          val inc = costs.get(g) match {
+            case Some(c) => c * 1024L + 1L
+            case None if l == 1 =>
+              if (byteFallback) {
+                val nb = utf8Bytes(cps(j - 1))
+                nb * ByteCost * 1024L + nb
+              } else Big * 1024L + 1L
             case None => -1L
           }
-          if (cost >= 0L) {
-            val cand = d(j - l) + cost * 1024L + 1L
+          if (inc >= 0L) {
+            val cand = d(j - l) + inc
             if (cand < d(j)) d(j) = cand
           }
         }
@@ -102,7 +137,8 @@ object Unigram {
 
   /** Segment every census word: `(word, cost, pieces)`. */
   def segmentCosts(
-      census: DataFrame, maxGram: Int = 4, topV: Int = 200): DataFrame = {
+      census: DataFrame, maxGram: Int = 4, topV: Int = 200,
+      byteFallback: Boolean = false): DataFrame = {
     val spark = census.sparkSession
     import spark.implicits._
     val costs = vocabCosts(census, maxGram, topV)
@@ -111,7 +147,9 @@ object Unigram {
     census.select(col("word").cast("string")).as[String]
       .mapPartitions { it =>
         val m = b.value
-        it.map { w => val (c, p) = viterbi(w, m, maxGram); (w, c, p) }
+        it.map { w =>
+          val (c, p) = viterbi(w, m, maxGram, byteFallback); (w, c, p)
+        }
       }
       .toDF("word", "cost", "pieces")
   }
@@ -123,8 +161,10 @@ object Unigram {
     */
   def encodeCost(
       docs: DataFrame, idCol: String, textCol: String,
-      maxGram: Int = 4, topV: Int = 200): DataFrame = {
-    val seg = segmentCosts(Bpe.wordCensus(docs, textCol), maxGram, topV)
+      maxGram: Int = 4, topV: Int = 200,
+      byteFallback: Boolean = false): DataFrame = {
+    val seg = segmentCosts(Bpe.wordCensus(docs, textCol), maxGram, topV,
+      byteFallback)
     docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .join(broadcast(seg), Seq("word"))
@@ -149,11 +189,22 @@ object Unigram {
     * recursive+LATERAL body only.
     */
   def encodeCostSql(
-      whereClause: String, maxGram: Int = 4, topV: Int = 200): String = {
-    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+      whereClause: String, maxGram: Int = 4, topV: Int = 200,
+      byteFallback: Boolean = false, textExpr: String = "text"): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", s"lower($textExpr)")
+    // edge increment (packed cost·1024 + pieces) for an OOV single:
+    // UNK price, or its UTF-8 bytes under fallback (strlen = byte
+    // count in DuckDB, vs length = code points)
+    val oovInc =
+      if (byteFallback) s"strlen(e.gram) * $ByteCost * 1024 + strlen(e.gram)"
+      else s"CAST($Big AS BIGINT) * 1024 + 1"
+    val longArm =
+      if (byteFallback)
+        s"SELECT word, strlen(word) * $ByteCost, strlen(word) FROM w"
+      else s"SELECT word, length(word) * $Big, length(word) FROM w"
     val dp = (1 to MaxLen).map { j =>
       val arms = (1 to math.min(maxGram, j)).map { l =>
-        s"""SELECT e.word, d.comb + e.cost * 1024 + 1 AS comb
+        s"""SELECT e.word, d.comb + e.inc AS comb
            |    FROM ec e JOIN d${j - l} d USING (word)
            |    WHERE e.j = $j AND e.l = $l""".stripMargin
       }.mkString("\n    UNION ALL ")
@@ -187,7 +238,8 @@ object Unigram {
        |    unnest(range(1, $maxGram + 1)) AS ul(l)
        |  WHERE l <= j),
        |ec AS MATERIALIZED (SELECT e.word, e.j, e.l,
-       |    CASE WHEN vc.cost IS NOT NULL THEN vc.cost ELSE $Big END AS cost
+       |    CAST(CASE WHEN vc.cost IS NOT NULL THEN vc.cost * 1024 + 1
+       |         ELSE $oovInc END AS BIGINT) AS inc
        |  FROM e LEFT JOIN vc ON vc.gram = e.gram
        |  WHERE vc.cost IS NOT NULL OR e.l = 1),
        |d0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS comb FROM words),
@@ -197,7 +249,7 @@ object Unigram {
        |  SELECT w.word, d.comb // 1024 AS cost, d.comb % 1024 AS np
        |  FROM words w JOIN dall d ON d.word = w.word AND d.j = w.n
        |  UNION ALL
-       |  SELECT word, length(word) * $Big, length(word) FROM w
+       |  $longArm
        |  WHERE length(word) > $MaxLen),
        |tok AS (SELECT doc_id AS id, unnest($toks) AS word
        |  FROM documents $whereClause)

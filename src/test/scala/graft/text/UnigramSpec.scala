@@ -32,6 +32,24 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
       (31L * Unigram.Big, 31L))
   }
 
+  test("byte fallback: OOV glyphs decompose into UTF-8 byte pieces") {
+    val bc = Unigram.ByteCost
+    // 'µ' U+00B5 = 2 bytes, '€' U+20AC = 3, U+1D11E = 4 (surrogate
+    // pair in UTF-16 — still one DP position, four byte pieces)
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(Unigram.viterbi("µ", Map.empty, 4, byteFallback = true) ===
+      (2L * bc, 2L))
+    assert(Unigram.viterbi("a€" + clef, Map("a" -> 5L), 4,
+      byteFallback = true) === (5L + 3L * bc + 4L * bc, 1L + 3L + 4L))
+    // vocab coverage still wins over bytes when cheaper
+    assert(Unigram.viterbi("µ", Map("µ" -> 7L), 4, byteFallback = true) ===
+      (7L, 1L))
+    // long words price as total bytes under fallback
+    val long = "é" * (Unigram.MaxLen + 1)
+    assert(Unigram.viterbi(long, Map("é" -> 1L), 4, byteFallback = true) ===
+      (62L * bc, 62L))
+  }
+
   test("surrogate pairs count as one position") {
     // U+1F600 is one code point (two UTF-16 chars)
     val emoji = new String(Character.toChars(0x1F600))
