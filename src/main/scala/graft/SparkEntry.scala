@@ -3179,6 +3179,33 @@ object SparkEntry {
             .as("duration_ms"))
         .orderBy("user_id", "session_seq")
     }),
+    "st_hourly" -> ((s, dir) => {
+      // the watermarked tumbling-window aggregation through the
+      // streaming engine (Append mode: a window emits only when the
+      // watermark passes its end — two sentinel batches flush every
+      // real window, then filter the sentinel type). Counts only:
+      // a float sum folds in engine-private order on both engines
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.hourlyCountsReplay(s, ev)
+        .select(col("hour"), col("event_type"), col("n_events"))
+        .orderBy("hour", "event_type")
+    }),
+    "st_dedup" -> ((s, dir) => {
+      // stateful streaming dedup (dropDuplicatesWithinWatermark)
+      // under the gate: the slice unioned with itself plants an
+      // exact duplicate of every event; the surviving key set must
+      // be the distinct ids (which twin survives is engine-private,
+      // so the gate projects the key — dedup correctness IS the set)
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.dedupReplay(s, ev.unionAll(ev), "event_id")
+        .orderBy("event_id")
+    }),
     "st_scd2" -> ((s, dir) => {
       // second streaming-engine row: scd2Stream's closed validity
       // intervals via the same AvailableNow replay (no sentinels —
@@ -5104,6 +5131,14 @@ object SparkEntry {
         |  (max(ts) - min(ts)) // 1000000 AS duration_ms
         |FROM x GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "st_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id % 10 = 0
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st_dedup" ->
+      """SELECT DISTINCT event_id FROM events WHERE user_id % 10 = 0
+        |ORDER BY event_id""".stripMargin,
     "st_scd2" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
         |    event_type FROM events WHERE user_id % 10 = 0),

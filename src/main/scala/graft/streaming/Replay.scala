@@ -131,6 +131,43 @@ object Replay {
     out.withColumn("seq", row_number().over(w).cast("long"))
   }
 
+  /** Runs [[Streams.hourlyEventCounts]] via the replay: the
+    * watermarked tumbling-window aggregation through the streaming
+    * engine. Two sentinels flush every finalized real window (a
+    * window emits in Append mode only when the watermark passes its
+    * END, and the watermark advances between batches — the
+    * sessionize argument applied to windows); the sentinels' own
+    * far-future window never finalizes and is filtered by
+    * `event_type`. Counts only — a float `sum(value)` folds in
+    * engine-private order on BOTH engines and has no business under
+    * a hash gate.
+    */
+  def hourlyCountsReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "hourlyCountsReplay: empty input slice")
+    val s1 = new Timestamp(maxTs.getTime + 2L * 3600L * 1000L)
+    val s2 = new Timestamp(s1.getTime + 2L * 3600L * 1000L)
+    def sentinel(uid: Long, ts: Timestamp) =
+      Streams.EventRow(-1L, ts, uid, "sentinel", 0.0, "")
+    runReplay(spark, events,
+      Seq(sentinel(-1L, s1), sentinel(-2L, s2)),
+      ds => Streams.hourlyEventCounts(ds.toDF(), watermark = "0 seconds")
+        .select(col("hour"), col("event_type"), col("n_events")))
+      .filter(col("event_type") =!= "sentinel")
+  }
+
+  /** Runs [[Streams.streamingDedup]] via the replay and returns the
+    * SURVIVING ids (projected to the dedup key — which duplicate row
+    * survives within a micro-batch is engine-private, the key set is
+    * not). No sentinels: `dropDuplicatesWithinWatermark` emits
+    * survivors in the batch they arrive.
+    */
+  def dedupReplay(
+      spark: SparkSession, events: DataFrame, idCol: String): DataFrame =
+    runReplay(spark, events, Nil,
+      ds => Streams.streamingDedup(ds.toDF(), idCol, watermark = "1 hour")
+        .select(col(idCol)))
+
   /** Writes `df` as a single parquet file named `<name>.parquet` in
     * `inDir` with the given modification time — FileStreamSource
     * orders pending files oldest-first, so staged mtimes pin the
