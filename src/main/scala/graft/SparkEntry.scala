@@ -139,6 +139,24 @@ object SparkEntry {
           .otherwise(lit(" plainnote calmtext plainnote calmtext")))
           .as("text"))
 
+  /** `(id, domain)` URL rows of the [[plantedUrls]] corpus — the
+    * shared oracle core for the domain-graph centrality gates
+    * (`s_domain_rank` PageRank, `s_domain_hits` HITS).
+    */
+  private val plantedDomainRowsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 0 THEN text
+      |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+      |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+      |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+      |                 ELSE '' END END AS text
+      |  FROM documents),
+      |uu AS (SELECT doc_id AS id,
+      |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+      |  FROM d)
+      |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
+      |FROM uu""".stripMargin
+
   /** Shared oracle core for the planted fuzzy near-dup pairs
     * (`d_fuzzy_pairs` gates the pairs; `d_fuzzy_clusters` feeds the
     * same pair set through the recursive-CTE component labeling).
@@ -2137,6 +2155,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "s_domain_hits" -> ((s, dir) => {
+      // PageRank's companion centrality: integer HITS hubs &
+      // authorities over the same co-citation graph — L2 norm
+      // replaced by a fixed 10^6-max floor-div rescale so every
+      // intermediate is exact BIGINT and the iteration hash-gates
+      val urls = graft.text.Urls.extractUrls(
+        plantedUrls(s, dir), "doc_id", "text")
+        .select(col("doc_id").as("id"), col("domain"))
+      graft.ops.LinkAnalysis.hits(
+        graft.ops.LinkAnalysis.cocitationEdges(urls), iters = 5)
+        .orderBy("domain")
+    }),
+    "ev_transitions" -> ((s, dir) =>
+      // first-order Markov transition census: adjacent event-type
+      // pairs per user timeline (one lead window, the sessionize
+      // frame) → |types|²-cell census + broadcast src marginal;
+      // conditional P(dst|src) floor-quantized to ppm
+      graft.ops.Transitions.transitionCensus(
+        t(s, dir, "events").filter(col("user_id") % 5 === 0),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("src", "dst")),
     "s_kmv_distinct" -> ((s, dir) =>
       // KMV cardinality sketch: distinct → TakeOrdered heap of the
       // 256 smallest md5 hashes → one division. Deterministic where
@@ -4504,22 +4543,10 @@ object SparkEntry {
           |SELECT id, url FROM uu""".stripMargin
       graft.text.Urls.canonicalStatsSql(urlRows)
     },
-    "s_domain_rank" -> {
-      val urlRows =
-        """WITH d AS (SELECT doc_id,
-          |  CASE WHEN doc_id % 4 = 0 THEN text
-          |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
-          |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
-          |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
-          |                 ELSE '' END END AS text
-          |  FROM documents),
-          |uu AS (SELECT doc_id AS id,
-          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
-          |  FROM d)
-          |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
-          |FROM uu""".stripMargin
-      graft.ops.LinkAnalysis.pageRankSql(urlRows, iters = 5)
-    },
+    "s_domain_rank" ->
+      graft.ops.LinkAnalysis.pageRankSql(plantedDomainRowsSql, iters = 5),
+    "s_domain_hits" ->
+      graft.ops.LinkAnalysis.hitsSql(plantedDomainRowsSql, iters = 5),
     "t_readability" -> {
       import graft.text.TextFunctions._
       s"""SELECT doc_id,
@@ -5131,6 +5158,8 @@ object SparkEntry {
         |  (max(ts) - min(ts)) // 1000000 AS duration_ms
         |FROM x GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "ev_transitions" ->
+      graft.ops.Transitions.transitionCensusSql("WHERE user_id % 5 = 0"),
     "st_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events

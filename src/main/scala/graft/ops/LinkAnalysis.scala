@@ -90,6 +90,98 @@ object LinkAnalysis {
       case _ => None
     }
 
+  /** Integer HITS (Kleinberg hubs & authorities) over an edge list —
+    * PageRank's companion centrality: a good HUB links to many good
+    * authorities, a good AUTHORITY is linked from many good hubs
+    * (`a ← Σ h(in-neighbors)`, `h ← Σ a(out-neighbors)`). Where the
+    * classical algorithm L2-normalizes each half-step (floating
+    * point, engine-divergent), this variant rescales to a fixed
+    * 10^6 MAXIMUM by floor division — `x·10^6 div max(x)` — which
+    * keeps every intermediate an exact BIGINT (scores ≤ 10^6 ·
+    * max-degree per half-step, no overflow) and makes the fixed
+    * point deterministic, so the whole iteration sits under the hash
+    * gate. Scale shape per half-step: one edge⋈score equi-join + one
+    * keyed sum + a 1-row max broadcast — same as [[pageRank]], and
+    * the same iters cap + periodic localCheckpoint bounds plan
+    * growth. Output: `(domain, hub, auth)` in micro-units.
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"iters $iters must be in [1, 100] — HITS converges in tens of rounds")
+    val nodes = edges.select(col("src").as("domain"))
+      .union(edges.select(col("dst"))).distinct()
+    var scores = nodes
+      .withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
+    var prevCkpt: Option[DataFrame] = None
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("__mx"))
+      df.crossJoin(broadcast(mx))
+        .withColumn(c, expr(s"$c * 1000000L div __mx"))
+        .drop("__mx")
+    }
+    for (i <- 1 to iters) {
+      val authSum = edges
+        .join(scores.select(col("domain").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("domain")).agg(sum(col("hub")).as("auth"))
+      val a = rescale(
+        nodes.join(authSum, Seq("domain"), "left")
+          .select(col("domain"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth")
+      val hubSum = edges
+        .join(a.select(col("domain").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("domain")).agg(sum(col("auth")).as("hub"))
+      scores = rescale(
+        nodes.join(hubSum, Seq("domain"), "left")
+          .select(col("domain"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub")
+        .join(a, Seq("domain"))
+        .select(col("domain"), col("hub"), col("auth"))
+      if (i % 3 == 0 && i < iters) {
+        val cut = scores.localCheckpoint()
+        prevCkpt.flatMap(checkpointRdd).foreach(_.unpersist(false))
+        prevCkpt = Some(cut)
+        scores = cut
+      }
+    }
+    scores
+  }
+
+  /** DuckDB rendering of [[cocitationEdges]] + [[hits]] over URL rows
+    * produced by `urlRowsSql` (must yield `(id, domain)`).
+    */
+  def hitsSql(urlRowsSql: String, iters: Int = 5): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""u AS MATERIALIZED (SELECT DISTINCT id, domain FROM ($urlRowsSql) q),
+         |edges AS MATERIALIZED (SELECT DISTINCT a.domain AS src, b.domain AS dst
+         |  FROM u a JOIN u b ON a.id = b.id AND a.domain <> b.domain),
+         |nodes AS MATERIALIZED (SELECT src AS domain FROM edges
+         |  UNION SELECT dst FROM edges),
+         |s0 AS MATERIALIZED (SELECT domain, CAST(1000000 AS BIGINT) AS hub,
+         |  CAST(1000000 AS BIGINT) AS auth FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      parts += s"""ar$i AS MATERIALIZED (SELECT n.domain,
+                  |    CAST(coalesce(t.s, 0) AS BIGINT) AS auth
+                  |  FROM nodes n LEFT JOIN (SELECT e.dst AS domain,
+                  |      SUM(s.hub) AS s FROM edges e
+                  |      JOIN s${i - 1} s ON e.src = s.domain
+                  |      GROUP BY e.dst) t ON n.domain = t.domain)""".stripMargin
+      parts += s"""a$i AS MATERIALIZED (SELECT domain, CAST(auth * 1000000 //
+                  |    (SELECT MAX(auth) FROM ar$i) AS BIGINT) AS auth
+                  |  FROM ar$i)""".stripMargin
+      parts += s"""hr$i AS MATERIALIZED (SELECT n.domain,
+                  |    CAST(coalesce(t.s, 0) AS BIGINT) AS hub
+                  |  FROM nodes n LEFT JOIN (SELECT e.src AS domain,
+                  |      SUM(a.auth) AS s FROM edges e
+                  |      JOIN a$i a ON e.dst = a.domain
+                  |      GROUP BY e.src) t ON n.domain = t.domain)""".stripMargin
+      parts += s"""s$i AS MATERIALIZED (SELECT h.domain, CAST(h.hub * 1000000 //
+                  |    (SELECT MAX(hub) FROM hr$i) AS BIGINT) AS hub, a.auth
+                  |  FROM hr$i h JOIN a$i a ON h.domain = a.domain)""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT domain, hub, auth FROM s$iters ORDER BY domain"
+  }
+
   /** DuckDB rendering of [[cocitationEdges]] + [[pageRank]] over URL
     * rows produced by `urlRowsSql` (must yield `(id, domain)`).
     */

@@ -42,6 +42,25 @@ class LinkAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(spokes.forall(s => out("hub") > 3 * out(s)))
   }
 
+  test("HITS: symmetric cycle is a fixed point at the 1e6 ceiling") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = LinkAnalysis.hits(edges, iters = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set(("a", 1000000L, 1000000L),
+      ("b", 1000000L, 1000000L)))
+  }
+
+  test("HITS: a star's center is the top authority, spokes the hubs") {
+    val spokes = (1 to 6).map(i => s"s$i")
+    val edges = spokes.map(s => (s, "ctr")).toDF("src", "dst")
+    val out = LinkAnalysis.hits(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // center: max authority (1e6 after rescale), zero hub (no out-edges)
+    assert(out("ctr") == (0L, 1000000L))
+    // spokes: max hubs, zero authority
+    spokes.foreach(s => assert(out(s) == (1000000L, 0L), s"$s -> ${out(s)}"))
+  }
+
   test("cocitationEdges: per-doc distinct, both directions, no self") {
     val urls = Seq((1L, "x.com"), (1L, "x.com"), (1L, "y.com"),
       (2L, "x.com"), (3L, "z.com")).toDF("id", "domain")
