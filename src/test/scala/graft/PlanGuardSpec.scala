@@ -467,6 +467,29 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantile sketch: map-combined cell census, no window over data") {
+    // the cell build must partial-aggregate map-side (every partition
+    // collapses to <= ~2k cells before the shuffle) and never sort or
+    // window the data; the only Window allowed anywhere in the family
+    // is the cumulative walk over the CELL frame (answers/groups)
+    val p = plan("s_quantile_sketch")
+    assert(!p.contains("Window"),
+      s"s_quantile_sketch windows the data:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"s_quantile_sketch lost its map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"s_quantile_sketch plans a cartesian:\n$p")
+  }
+
+  test("transition census: one user window, marginal joins broadcast") {
+    val p = plan("ev_transitions")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ev_transitions src-marginal join is no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ev_transitions degenerated to all-pairs:\n$p")
+  }
+
   test("q7/q8/q9/q16/q20 join topologies broadcast their dims, no all-pairs") {
     for (q <- Seq("q7_nation_volume", "q8_market_share", "q9_product_profit",
       "q16_supplier_count", "q20_part_promotion")) {
