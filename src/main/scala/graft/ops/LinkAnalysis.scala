@@ -108,41 +108,62 @@ object LinkAnalysis {
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 100,
       s"iters $iters must be in [1, 100] — HITS converges in tens of rounds")
-    val nodes = edges.select(col("src").as("domain"))
-      .union(edges.select(col("dst"))).distinct()
+    // materialize the edge list once: every per-iteration job would
+    // otherwise recompute the caller's edge derivation (for the
+    // co-citation gate, a corpus regexp scan) 2×iters times. At
+    // cluster scale an iterative graph algorithm persists its edges
+    // as a matter of course.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     var scores = nodes
       .withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
-    var prevCkpt: Option[DataFrame] = None
+    // every iteration cuts lineage TWICE (a, then scores): the
+    // rescale's max-aggregate references its input frame a second
+    // time, so without an eager cut per half-step the plan doubles
+    // per rescale — 4 rescale branches per round made the naive
+    // version exponential in iters (67 s for 5 rounds on a 24-node
+    // graph, all analyzer time). With the cuts each round is two
+    // node-sized jobs and the plan stays constant-size.
+    var live = List.empty[org.apache.spark.rdd.RDD[_]]
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint() // eager
+      c
+    }
     def rescale(df: DataFrame, c: String): DataFrame = {
       val mx = df.agg(max(col(c)).as("__mx"))
       df.crossJoin(broadcast(mx))
         .withColumn(c, expr(s"$c * 1000000L div __mx"))
         .drop("__mx")
     }
-    for (i <- 1 to iters) {
-      val authSum = edges
+    for (_ <- 1 to iters) {
+      val authSum = e
         .join(scores.select(col("domain").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("domain")).agg(sum(col("hub")).as("auth"))
-      val a = rescale(
+      val a = cut(rescale(
         nodes.join(authSum, Seq("domain"), "left")
           .select(col("domain"), coalesce(col("auth"), lit(0L)).as("auth")),
-        "auth")
-      val hubSum = edges
+        "auth"))
+      val hubSum = e
         .join(a.select(col("domain").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("domain")).agg(sum(col("auth")).as("hub"))
-      scores = rescale(
+      val next = cut(rescale(
         nodes.join(hubSum, Seq("domain"), "left")
           .select(col("domain"), coalesce(col("hub"), lit(0L)).as("hub")),
         "hub")
         .join(a, Seq("domain"))
-        .select(col("domain"), col("hub"), col("auth"))
-      if (i % 3 == 0 && i < iters) {
-        val cut = scores.localCheckpoint()
-        prevCkpt.flatMap(checkpointRdd).foreach(_.unpersist(false))
-        prevCkpt = Some(cut)
-        scores = cut
-      }
+        .select(col("domain"), col("hub"), col("auth")))
+      // next is materialized: everything older is dead — free it now
+      // rather than waiting for the GC-driven ContextCleaner
+      live.foreach(_.unpersist(false))
+      live = List(a, next).flatMap(checkpointRdd)
+      scores = next
     }
+    // the final frame is materialized: free everything but its own
+    // checkpoint (edges, nodes, the final a)
+    (checkpointRdd(e) ++ checkpointRdd(nodes) ++
+      live.filterNot(r => checkpointRdd(scores).contains(r)))
+      .foreach(_.unpersist(false))
     scores
   }
 
