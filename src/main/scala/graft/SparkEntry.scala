@@ -2155,6 +2155,29 @@ object SparkEntry {
         "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "o_bloom_stats" -> ((s, dir) => {
+      // the runtime-filter census: md5-pinned bloom layout means even
+      // the FALSE-POSITIVE count is deterministic and hash-gated —
+      // the filter arithmetic itself is under the oracle, not just
+      // the FP-insensitive join result
+      val fact = t(s, dir, "lineitem").select(col("l_partkey").as("fk"))
+      val dim = t(s, dir, "part").filter(col("p_retailprice") > 950)
+        .select(col("p_partkey").as("dk"))
+      graft.ops.Bloom.stats(fact, "fk", dim, "dk", m = 8192, k = 3)
+    }),
+    "o_bloom_join" -> ((s, dir) => {
+      // bloom-pruned semi join: the ~1 KB bit array broadcasts where
+      // the dim rows might not; fact rows drop MAP-SIDE and only
+      // survivors reach the shuffle — result identical to the plain
+      // semi join (the oracle), bytes moved O(survivors)
+      val fact = t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_partkey").as("fk"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+      val dim = t(s, dir, "part").filter(col("p_retailprice") > 950)
+        .select(col("p_partkey").as("dk"))
+      graft.ops.Bloom.semiJoin(fact, "fk", dim, "dk", m = 8192, k = 3)
+        .orderBy("fk", "rid")
+    }),
     "s_domain_hits" -> ((s, dir) => {
       // PageRank's companion centrality: integer HITS hubs &
       // authorities over the same co-citation graph — L2 norm
@@ -5160,6 +5183,16 @@ object SparkEntry {
         |ORDER BY user_id, session_seq""".stripMargin,
     "ev_transitions" ->
       graft.ops.Transitions.transitionCensusSql("WHERE user_id % 5 = 0"),
+    "o_bloom_stats" ->
+      graft.ops.Bloom.statsSql(
+        "SELECT l_partkey AS fk FROM lineitem",
+        "SELECT p_partkey AS dk FROM part WHERE p_retailprice > 950",
+        m = 8192, k = 3),
+    "o_bloom_join" ->
+      graft.ops.Bloom.semiJoinSql(
+        "SELECT l_partkey AS fk, l_orderkey * 10 + l_linenumber AS rid " +
+          "FROM lineitem WHERE l_orderkey % 7 = 0",
+        "SELECT p_partkey AS dk FROM part WHERE p_retailprice > 950"),
     "st_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events
