@@ -2155,6 +2155,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "e_dim_stats" -> ((s, dir) =>
+      // embedding dimension QA: dead/stuck/blown-up dims as one
+      // anomalous census row; components quantize exactly
+      // (floor(v·2^20) — power-of-two multiply is IEEE-exact) so the
+      // integer moments are order-independent and hash-gated
+      graft.ann.DimStats.dimStats(
+        t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        "embedding")
+        .orderBy("dim")),
+    "t_lexical_diversity" -> ((s, dir) =>
+      // per-source type-token + hapax census: template/machine text
+      // shows low TTR, gibberish high hapax fraction — one word
+      // census shuffle, then a types-sized rollup
+      graft.text.Vocab.lexicalDiversity(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "source", "text")
+        .withColumnRenamed("g", "source")
+        .orderBy("source")),
     "o_bloom_stats" -> ((s, dir) => {
       // the runtime-filter census: md5-pinned bloom layout means even
       // the FALSE-POSITIVE count is deterministic and hash-gated —
@@ -5183,6 +5201,10 @@ object SparkEntry {
         |ORDER BY user_id, session_seq""".stripMargin,
     "ev_transitions" ->
       graft.ops.Transitions.transitionCensusSql("WHERE user_id % 5 = 0"),
+    "e_dim_stats" ->
+      graft.ann.DimStats.dimStatsSql("WHERE vec_id % 2 = 0"),
+    "t_lexical_diversity" ->
+      graft.text.Vocab.lexicalDiversitySql("source", "WHERE doc_id % 2 = 0"),
     "o_bloom_stats" ->
       graft.ops.Bloom.statsSql(
         "SELECT l_partkey AS fk FROM lineitem",

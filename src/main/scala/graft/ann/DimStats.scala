@@ -1,0 +1,55 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-dimension embedding QA census — the health check an embedding
+  * pipeline runs before trusting a model/version bump: a DEAD
+  * dimension (all zeros — often a truncation or masking bug), a
+  * stuck dimension (min = max), or a range blow-up (quantization or
+  * normalization regressed) each shows up as one anomalous row in a
+  * `dim`-keyed census instead of silently degrading every downstream
+  * similarity score.
+  *
+  * Float sums fold in engine-private order, so raw moments can never
+  * hash-match; instead each component QUANTIZES exactly:
+  * `q = floor(v · 2^20)` — the multiply by a power of two is an
+  * exact IEEE operation and `floor` is engine-identical, so `q` is
+  * the same BIGINT everywhere and integer sums are
+  * order-independent. (Spark's bare double→long cast truncates
+  * toward zero while DuckDB's ROUNDS — the explicit floor sidesteps
+  * that divergence.)
+  *
+  * Scale shape: `posexplode` is map-side (rows × dim), the census is
+  * a `dim`-keyed aggregate with `dim` cells of state — map-side
+  * combine collapses every partition to `dim` rows before the
+  * shuffle. Output: `(dim, n, n_zero, sum_q, min_q, max_q)`.
+  */
+object DimStats {
+
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select((col("i") + 1).as("dim"),
+        floor(col("v").cast("double") * 1048576L).cast("long").as("q"),
+        when(col("v") === 0.0f, 1L).otherwise(0L).as("z"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("n_zero"),
+        sum(col("q")).as("sum_q"), min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+
+  /** DuckDB rendering over `embeddings(vec_id, embedding)` restricted
+    * by `whereClause`.
+    */
+  def dimStatsSql(whereClause: String, dim: Int = 64): String =
+    s"""WITH x AS (SELECT i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q,
+       |    CASE WHEN embedding[i] = 0 THEN 1 ELSE 0 END AS z
+       |  FROM embeddings, unnest(range(1, ${dim + 1})) AS t(i)
+       |  $whereClause)
+       |SELECT CAST(i AS INT) AS dim, count(*) AS n,
+       |  CAST(SUM(z) AS BIGINT) AS n_zero,
+       |  CAST(SUM(q) AS BIGINT) AS sum_q,
+       |  MIN(q) AS min_q, MAX(q) AS max_q
+       |FROM x GROUP BY i ORDER BY dim""".stripMargin
+}

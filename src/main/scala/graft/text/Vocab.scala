@@ -296,4 +296,55 @@ object Vocab {
        |    ELSE 0.0 END AS oov_rate
        |FROM c""".stripMargin
   }
+
+  /** Per-group lexical-diversity census — the cheap gibberish/
+    * boilerplate detector a mixture planner reads per source: token
+    * volume, distinct types, hapax legomena (frequency-1 types), and
+    * the type-token / hapax ratios in floor-quantized ppm (the
+    * library's log-free device — non-negative operands, so Spark
+    * `div` ≡ DuckDB `//`). Machine-generated or template text shows
+    * abnormally LOW TTR (few types repeated endlessly); OCR noise or
+    * gibberish shows abnormally HIGH hapax fraction.
+    *
+    * Shape: one `(group, word)`-keyed census shuffle (map-side
+    * combined), then a group-keyed rollup of census rows — the
+    * second aggregate is types-sized, never corpus-sized. Output:
+    * `(g, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)`.
+    */
+  def lexicalDiversity(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("g"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000L div n_tokens").as("hapax_ppm"))
+
+  /** DuckDB rendering of [[lexicalDiversity]] over
+    * `documents(source, text)` restricted by `whereClause`.
+    */
+  def lexicalDiversitySql(
+      groupCol: String, whereClause: String,
+      outGroupCol: String = ""): String = {
+    val outG = if (outGroupCol.isEmpty) groupCol else outGroupCol
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH w AS (SELECT $groupCol AS g, unnest($toks) AS w
+       |  FROM documents $whereClause),
+       |c AS (SELECT g, w, count(*) AS cnt FROM w GROUP BY g, w),
+       |r AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax
+       |  FROM c GROUP BY g)
+       |SELECT g AS $outG, n_tokens, n_types, n_hapax,
+       |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       |  CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS hapax_ppm
+       |FROM r ORDER BY $outG""".stripMargin
+  }
 }

@@ -150,4 +150,19 @@ class VocabSpec extends AnyFunSuite with SparkSpec {
         docs(1L -> "a").select(org.apache.spark.sql.functions.col("text").as("term")))
     }
   }
+
+  test("lexicalDiversity: hand-counted types, hapax, ppm floors") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", "the cat the mat"),   // tokens 4, types 3 (the×2), hapax 2
+      ("s1", "the dog"),           // s1 total: 6 tokens, types {the,cat,mat,dog}=4, hapax {cat,mat,dog}=3
+      ("s2", "x x x"),             // low TTR: 3 tokens, 1 type, 0 hapax
+    ).toDF("source", "text")
+    val out = Vocab.lexicalDiversity(d, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("s1") == (6L, 4L, 3L, 666666L, 500000L))
+    assert(out("s2") == (3L, 1L, 0L, 333333L, 0L))
+  }
 }
