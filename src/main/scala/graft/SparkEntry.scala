@@ -3286,6 +3286,22 @@ object SparkEntry {
       graft.streaming.Replay.dedupReplay(s, ev.unionAll(ev), "event_id")
         .orderBy("event_id")
     }),
+    "st_funnel" -> ((s, dir) => {
+      // the out-of-order funnel state machine through the streaming
+      // engine: step events BUFFER until the watermark ripens them
+      // (event-time timeouts), then each user's greedy earliest-
+      // first strict-order step times emit — equivalent to the
+      // chained-min batch recurrence the oracle runs
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.funnelReplay(s, ev,
+        Seq("signup", "click", "purchase"))
+        .select(col("user_id"), col("step_idx"), col("step"),
+          col("ts").as("step_ts"))
+        .orderBy("user_id", "step_idx")
+    }),
     "st_scd2" -> ((s, dir) => {
       // second streaming-engine row: scd2Stream's closed validity
       // intervals via the same AvailableNow replay (no sentinels —
@@ -5223,6 +5239,23 @@ object SparkEntry {
     "st_dedup" ->
       """SELECT DISTINCT event_id FROM events WHERE user_id % 10 = 0
         |ORDER BY event_id""".stripMargin,
+    "st_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_type
+        |  FROM events WHERE user_id % 10 = 0),
+        |t1 AS (SELECT user_id, min(ms) AS t FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(ms) AS t FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ms > t1.t GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(ms) AS t FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms > t2.t GROUP BY e.user_id),
+        |u AS (SELECT user_id, 1 AS step_idx, 'signup' AS step, t FROM t1
+        |  UNION ALL SELECT user_id, 2, 'click', t FROM t2
+        |  UNION ALL SELECT user_id, 3, 'purchase', t FROM t3)
+        |SELECT user_id, CAST(step_idx AS INT) AS step_idx, step,
+        |  make_timestamp(t * 1000) AS step_ts
+        |FROM u ORDER BY user_id, step_idx""".stripMargin,
     "st_scd2" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
         |    event_type FROM events WHERE user_id % 10 = 0),

@@ -156,6 +156,28 @@ object Replay {
       .filter(col("event_type") =!= "sentinel")
   }
 
+  /** Runs [[Streams.funnelStream]] via the replay: the buffered
+    * out-of-order funnel state machine through the streaming engine.
+    * Events buffer un-ripened while the watermark sits at zero
+    * (batch 1), then the sentinel batches ripen and flush every
+    * user's greedy earliest-first step times via the event-time
+    * timeouts. Sentinel users are negative and their event type is
+    * never a step, so they produce no output rows — filtered anyway.
+    */
+  def funnelReplay(
+      spark: SparkSession, events: DataFrame, steps: Seq[String]): DataFrame = {
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "funnelReplay: empty input slice")
+    val s1 = new Timestamp(maxTs.getTime + 3600L * 1000L)
+    val s2 = new Timestamp(s1.getTime + 3600L * 1000L)
+    def sentinel(uid: Long, ts: Timestamp) =
+      Streams.EventRow(-1L, ts, uid, "sentinel", 0.0, "")
+    runReplay(spark, events,
+      Seq(sentinel(-1L, s1), sentinel(-2L, s2)),
+      ds => Streams.funnelStream(ds, steps, watermark = "0 seconds"))
+      .filter(col("user_id") >= 0)
+  }
+
   /** Runs [[Streams.streamingDedup]] via the replay and returns the
     * SURVIVING ids (projected to the dedup key — which duplicate row
     * survives within a micro-batch is engine-private, the key set is
