@@ -2266,7 +2266,8 @@ object SparkEntry {
       // device, no log2) — one map-combined groupBy collapses any
       // row count to ≤ ~2k cells; merging shards = adding counts
       val li = t(s, dir, "lineitem")
-        .withColumn("cents", (col("l_extendedprice") * 100).cast("long"))
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
       graft.ops.QuantileSketch.cells(li, "cents", m = 5)
         .select(col("bucket"), col("cnt"),
           graft.ops.QuantileSketch.lowerBound(col("bucket"), 5).as("est_lb"),
@@ -2279,7 +2280,8 @@ object SparkEntry {
       // count), answered by a cumulative walk over the cell frame;
       // the true quantile lies in [est_lb, est_ub], width ≤ 2^-5
       val li = t(s, dir, "lineitem")
-        .withColumn("cents", (col("l_extendedprice") * 100).cast("long"))
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
       graft.ops.QuantileSketch.quantiles(
         graft.ops.QuantileSketch.cells(li, "cents", m = 5),
         Seq(500, 900, 990, 999), m = 5)
@@ -2290,12 +2292,25 @@ object SparkEntry {
       // ANY group cardinality — the bounded-state per-domain latency/
       // size percentile census
       val o = t(s, dir, "orders")
-        .withColumn("cents", (col("o_totalprice") * 100).cast("long"))
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
       graft.ops.QuantileSketch.quantilesPerGroup(
         graft.ops.QuantileSketch.cellsPerGroup(o, "o_orderpriority", "cents", 5),
         Seq(500, 900), m = 5)
         .withColumnRenamed("g", "o_orderpriority")
         .orderBy("o_orderpriority", "q_permille")
+    }),
+    "s_quantile_bins" -> ((s, dir) => {
+      // equal-frequency discretization through the sketch: quartile
+      // boundaries from the sketch answers ride a 1-row broadcast
+      // and each row bins via a codegen'd HOF — no join, no sort,
+      // no second data pass beyond the cell census
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      graft.ops.QuantileSketch.discretize(
+        o, "o_orderkey", "cents", Seq(250, 500, 750), m = 5)
+        .orderBy("id")
     }),
     "s_cms_counts" -> ((s, dir) => {
       // count-min frequency sketch probed with the corpus's own keys,
@@ -4718,13 +4733,18 @@ object SparkEntry {
     "s_cms_counts" ->
       graft.ops.Sketches.cmsCountsSql("lineitem", "l_suppkey", 4, 512),
     "s_quantile_sketch" ->
-      graft.ops.QuantileSketch.cellsSql("lineitem", "l_extendedprice * 100", 5),
+      graft.ops.QuantileSketch.cellsSql("lineitem", "floor(l_extendedprice * 100 + 0.5)", 5),
+    "s_quantile_bins" ->
+      graft.ops.QuantileSketch.discretizeSql(
+        "(SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents" +
+          " FROM orders WHERE o_orderkey % 3 = 0) oslice",
+        "o_orderkey", "cents", Seq(250, 500, 750), 5),
     "s_quantile_answers" ->
       graft.ops.QuantileSketch.quantilesSql(
-        "lineitem", "l_extendedprice * 100", Seq(500, 900, 990, 999), 5),
+        "lineitem", "floor(l_extendedprice * 100 + 0.5)", Seq(500, 900, 990, 999), 5),
     "s_quantile_groups" ->
       graft.ops.QuantileSketch.quantilesPerGroupSql(
-        "orders", "o_orderpriority", "o_totalprice * 100", Seq(500, 900), 5),
+        "orders", "o_orderpriority", "floor(o_totalprice * 100 + 0.5)", Seq(500, 900), 5),
     "s_kmv_groups" ->
       graft.ops.Sketches.kmvGroupsSql("orders", "o_orderpriority", "o_custkey", 64),
     "e_pq_encode" ->

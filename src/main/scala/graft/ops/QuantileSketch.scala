@@ -52,6 +52,13 @@ import org.apache.spark.sql.functions._
   * cells per group — bounded state per domain/source at any
   * cardinality.
   *
+  * Input contract: values must already be integral. Converting a
+  * DOUBLE column must use an explicit engine-identical rule —
+  * `floor(x·100 + 0.5)` for cents — because a bare double→bigint
+  * cast TRUNCATES in Spark and ROUNDS in DuckDB (a latent ±1 that
+  * surfaces the moment a gate emits the raw value; the gated cents
+  * construction does exactly this).
+  *
   * Quantile targets are integer per-mille (`q_permille` ∈ [1, 1000]):
   * `rank = ceil(n·q/1000)` computed as `(n·q + 999) div 1000` — no
   * float q ever multiplies a count, so ranks are engine-exact. The
@@ -175,6 +182,27 @@ object QuantileSketch {
         upperBound(col("bucket"), m).as("est_ub"))
   }
 
+  /** Equal-frequency discretization THROUGH the sketch — the feature-
+    * engineering stage quantile sketches exist to feed: bucket
+    * boundaries come from the sketch's quantile answers (`est_lb` of
+    * each target), ride a 1-row broadcast, and each row's `bin` is
+    * the count of boundaries ≤ its value — a pure codegen'd HOF, no
+    * join, no sort, no second pass over the data beyond the cell
+    * census. `len(qPermille)+1` bins, bin `i` = values in
+    * `[bound_i, bound_{i+1})`.
+    */
+  def discretize(
+      df: DataFrame, idCol: String, valueCol: String,
+      qPermille: Seq[Int], m: Int = 5): DataFrame = {
+    val bounds = quantiles(cells(df, valueCol, m), qPermille, m)
+      .agg(sort_array(collect_list(col("est_lb"))).as("__bounds"))
+    df.select(col(idCol).as("id"), col(valueCol).cast("long").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("id"), col("v"),
+        size(filter(col("__bounds"), b => col("v") >= b)).cast("int")
+          .as("bin"))
+  }
+
   // ---- DuckDB oracle renderings (identical integer arithmetic) ----
 
   /** Bucket expression for value SQL `v`. */
@@ -236,6 +264,20 @@ object QuantileSketch {
        |  ${upperBoundSql("bucket", m)} AS est_ub
        |FROM hit ORDER BY q_permille""".stripMargin
   }
+
+  /** DuckDB rendering of [[discretize]] (`idExpr` must be unique and
+    * sortable — the output orders by it).
+    */
+  def discretizeSql(
+      fromClause: String, idExpr: String, valueExpr: String,
+      qPermille: Seq[Int], m: Int = 5): String =
+    s"""WITH q AS (${quantilesSql(fromClause, valueExpr, qPermille, m)}),
+       |vals AS (SELECT $idExpr AS id, CAST($valueExpr AS BIGINT) AS v
+       |  FROM $fromClause)
+       |SELECT id, v,
+       |  CAST((SELECT count(*) FROM q WHERE q.est_lb <= vals.v) AS INT)
+       |    AS bin
+       |FROM vals ORDER BY id""".stripMargin
 
   /** Per-group quantile answers; the group column is emitted as
     * `outGroupCol` (defaults to the expression itself, matching a
