@@ -978,6 +978,17 @@ object SparkEntry {
           col("user_id"), col("ts"), col("value")),
         "user_id", "ts", "value")
         .orderBy("user_id")),
+    "ev_rfm_sketch" -> ((s, dir) =>
+      // the sketch twin of ev_rfm: quartile BOUNDARIES from the
+      // quantile sketch's 1-row broadcast instead of three exact
+      // global rank passes — one pass over the user frame, no rank
+      // shuffles; the scale path when segments (not ranks) are the
+      // product
+      graft.ops.Rfm.rfmSketch(
+        t(s, dir, "events").filter(col("user_id") % 3 === 1)
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value")
+        .orderBy("user_id")),
     "ev_ewma" -> ((s, dir) =>
       // per-user smoothed activity (EWMA, alpha=0.25 seeded at the
       // first event): ordered fold over the sorted event array — the
@@ -4054,6 +4065,8 @@ object SparkEntry {
         s"WHERE $h % 3 <> 0", bucket = 604800L * 1000000000L)
     },
     "ev_rfm" -> graft.ops.Rfm.rfmSql(""),
+    "ev_rfm_sketch" ->
+      graft.ops.Rfm.rfmSketchSql("WHERE user_id % 3 = 1"),
     "ev_ewma" -> graft.ops.Ewma.ewmaSql(alpha = 0.25, ""),
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),

@@ -58,4 +58,24 @@ class RfmSpec extends AnyFunSuite with SparkSpec {
     val got = run(frame((1L, 0L, 0.1), (1L, 0L, 0.2), (2L, 0L, 1.0)))
     assert(got(0)._4 === 0.3) // decimal path: exactly 0.3, not 0.30000000000000004
   }
+
+  test("sketch twin agrees with exact-rank quartiles on separated metrics") {
+    // 8 users with widely separated recency/frequency/monetary (no
+    // value within 2^-5 relative distance of a quartile boundary), so
+    // the sketch's boundary-grade bins must equal the exact ranks'
+    val rows = (0 until 8).flatMap { u =>
+      val uid = u + 1L
+      // recency: user u last active at day 100 - 10u; frequency: u+1
+      // events; monetary: (u+1)*1000 spread over the events
+      (0 to u).map(i => (uid, (100L - 10L * u) - 0L,
+        1000.0 * (u + 1) / (u + 1))) :+
+        ((uid, 100L - 10L * u, 1000.0 * (u + 1) - (u + 1)))
+    }
+    val exact = run(frame(rows: _*))
+    val sk = Rfm.rfmSketch(frame(rows: _*), "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6)))
+    val ex = exact.map(r => (r._1, r._5, r._6, r._7))
+    assert(sk.toSeq === ex.toSeq, s"sketch ${sk.toSeq} vs exact ${ex.toSeq}")
+  }
 }
