@@ -167,6 +167,88 @@ object LinkAnalysis {
     scores
   }
 
+  /** Degree-oriented triangle count over an undirected edge set —
+    * the clustering-density census (spam link farms and mirror
+    * clusters show as triangle-dense neighborhoods; organic link
+    * graphs are sparse in triangles relative to edges). Input edges
+    * may be directed/duplicated ([[cocitationEdges]] emits both
+    * directions); they canonicalize to `src < dst` first.
+    *
+    * The count uses the standard SKEW-SAFE orientation: every edge
+    * points from its lower-`(degree, node)` endpoint to the higher
+    * one (a total order, so the oriented graph is acyclic and each
+    * triangle has exactly ONE source vertex with two out-edges —
+    * counted once, no /3 or /6 correction). Orientation bounds every
+    * join fan-out by O(√|E|): a celebrity node of degree millions
+    * receives almost all its edges INBOUND, so the wedge join
+    * `e1.dst = e2.src` never explodes on it — the reason this shape
+    * survives power-law graphs at 100×. Two equi-joins + one count;
+    * degrees are one keyed census.
+    *
+    * Output: one row `(n_nodes, n_edges, n_triangles)`.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (degree, node): lower endpoint -> higher endpoint
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("u"), col("e2.t").as("w"))
+    // the closing edge between the two out-neighbors, either direction
+    val closed = wedges.join(oriented.as("e3"),
+      (col("u") === col("e3.s") && col("w") === col("e3.t")) ||
+        (col("w") === col("e3.s") && col("u") === col("e3.t")),
+      "left_semi")
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("sum_d"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(nn))
+      .select(col("n_nodes"),
+        expr("sum_d div 2").as("n_edges"), col("n_triangles"))
+  }
+
+  /** DuckDB rendering of [[cocitationEdges]] + [[triangles]] over URL
+    * rows produced by `urlRowsSql` (must yield `(id, domain)`).
+    */
+  def trianglesSql(urlRowsSql: String): String =
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT id, domain
+       |  FROM ($urlRowsSql) q),
+       |und AS MATERIALIZED (SELECT DISTINCT
+       |    least(a.domain, b.domain) AS a, greatest(a.domain, b.domain) AS b
+       |  FROM u a JOIN u b ON a.id = b.id AND a.domain <> b.domain),
+       |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+       |  GROUP BY v),
+       |o AS MATERIALIZED (SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+       |         THEN und.a ELSE und.b END AS s,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+       |         THEN und.b ELSE und.a END AS t
+       |  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+       |wedge AS (SELECT e1.t AS u, e2.t AS w FROM o e1
+       |  JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+       |tri AS (SELECT * FROM wedge WHERE EXISTS (SELECT 1 FROM o e3
+       |  WHERE (e3.s = wedge.u AND e3.t = wedge.w)
+       |     OR (e3.s = wedge.w AND e3.t = wedge.u)))
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(SUM(d) // 2 AS BIGINT) FROM deg) AS n_edges,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin
+
   /** DuckDB rendering of [[cocitationEdges]] + [[hits]] over URL rows
     * produced by `urlRowsSql` (must yield `(id, domain)`).
     */

@@ -61,6 +61,26 @@ class LinkAnalysisSpec extends AnyFunSuite with SparkSpec {
     spokes.foreach(s => assert(out(s) == (1000000L, 0L), s"$s -> ${out(s)}"))
   }
 
+  test("triangles: K4 has 4, a path has 0, duplicates/directions collapse") {
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a != b
+    } yield (a, b)).toDF("src", "dst") // both directions + all pairs
+    val got = LinkAnalysis.triangles(k4).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (4L, 6L, 4L))
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(LinkAnalysis.triangles(path).head().getLong(2) == 0L)
+  }
+
+  test("triangles: hub fan with one closing edge counts exactly once") {
+    // star a-{b,c,d,e} plus edge b-c: exactly one triangle (a,b,c),
+    // regardless of which endpoint the orientation picks as source
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+      ("b", "c")).toDF("src", "dst")
+    val got = LinkAnalysis.triangles(edges).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (5L, 5L, 1L))
+  }
+
   test("cocitationEdges: per-doc distinct, both directions, no self") {
     val urls = Seq((1L, "x.com"), (1L, "x.com"), (1L, "y.com"),
       (2L, "x.com"), (3L, "z.com")).toDF("id", "domain")
