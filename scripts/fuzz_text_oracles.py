@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Fuzz the SHIPPED t_lm_surprise / t_lm_kneser_ney / t_bm25_topk
-oracle SQL against
+"""Fuzz the SHIPPED t_lm_surprise / t_lm_kneser_ney /
+t_lm_stupid_backoff / t_bm25_topk oracle SQL against
 independent Python references (Python floats are IEEE doubles, so
 the references replicate the documented op order exactly).
 
@@ -86,6 +86,35 @@ def ref_kn(corpus, reference):
     return out
 
 
+def ref_sb(corpus, reference):
+    def bigrams(t):
+        return [tuple(t[i:i + 2]) for i in range(len(t) - 1)]
+    pc, gc, uc = {}, {}, {}
+    for t in map(toks, reference):
+        for w in t:
+            uc[w] = uc.get(w, 0) + 1
+        for w in t[:-1]:  # prefix-position totals
+            pc[w] = pc.get(w, 0) + 1
+        for g in bigrams(t):
+            gc[g] = gc.get(g, 0) + 1
+    n = sum(uc.values())
+    v = len(uc)
+    out = {}
+    for did, text in corpus:
+        grams = bigrams(toks(text))
+        s = 0
+        for (w1, w2) in grams:
+            c12 = gc.get((w1, w2), 0)
+            if c12 > 0:
+                sb = c12 / pc[w1]
+            else:
+                sb = 0.4 * (uc.get(w2, 0) + 1) / (n + v)
+            s += math.floor(1e6 / sb)
+        mean = s / len(grams) / 1e6 if grams else 0.0
+        out[did] = (len(grams), s, mean)
+    return out
+
+
 def ref_bm25(corpus, queries, k):
     doc_toks = [(did, toks(t)) for did, t in corpus]
     n = len(corpus)
@@ -121,6 +150,7 @@ def main():
     lm3_sql = oracles["t_lm_surprise3"]
     bm_sql = oracles["t_bm25_topk"]
     kn_sql = oracles["t_lm_kneser_ney"]
+    sb_sql = oracles["t_lm_stupid_backoff"]
 
     random.seed(99)
     query_words = [w for _, q in BM25_QUERIES for w in q.split()]
@@ -147,13 +177,17 @@ def main():
         want_kn = ref_kn([d for d in docs if d[0] % 10 == 4],
                          [t for i, t in docs if i % 2 == 0])
         got_kn = {r[0]: (r[1], r[2], r[3]) for r in con.sql(kn_sql).fetchall()}
+        # stupid backoff gate: score %10=4 against reference %2=0
+        want_sb = ref_sb([d for d in docs if d[0] % 10 == 4],
+                         [t for i, t in docs if i % 2 == 0])
+        got_sb = {r[0]: (r[1], r[2], r[3]) for r in con.sql(sb_sql).fetchall()}
         # bm25 gate: corpus %2=1
         want_bm = ref_bm25([d for d in docs if d[0] % 2 == 1],
                            BM25_QUERIES, TOPK)
         got_bm = {(r[0], r[1]): (r[2], r[3], r[4])
                   for r in con.sql(bm_sql).fetchall()}
         if (got_lm != want_lm or got_lm3 != want_lm3 or got_bm != want_bm
-                or got_kn != want_kn):
+                or got_kn != want_kn or got_sb != want_sb):
             fails += 1
             print(f"MISMATCH trial {trial}: docs={docs}")
             if got_lm != want_lm:
@@ -164,6 +198,8 @@ def main():
                 print(f"  bm got  {got_bm}\n  bm want {want_bm}")
             if got_kn != want_kn:
                 print(f"  kn got  {got_kn}\n  kn want {want_kn}")
+            if got_sb != want_sb:
+                print(f"  sb got  {got_sb}\n  sb want {want_sb}")
     print(f"trials={trials} fails={fails}")
     sys.exit(1 if fails else 0)
 

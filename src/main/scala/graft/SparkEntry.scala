@@ -2910,6 +2910,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text")
         .orderBy("doc_id")
     }),
+    "t_lm_stupid_backoff" -> ((s, dir) => {
+      // the Brants web-scale rule: raw bigram ratio when seen, 0.4×
+      // the (add-one) unigram frequency otherwise — no discounting
+      // censuses at all, the cheap sibling of t_lm_kneser_ney; same
+      // gram-keyed join shape, scalars broadcast, text never shuffles
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.stupidBackoffScore(
+        docs.filter(col("doc_id") % 10 === 4), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .orderBy("doc_id")
+    }),
     "t_lm_kneser_ney" -> ((s, dir) => {
       // the smoothing production LM filters actually use: d=0.75
       // absolute discount + continuation-probability backoff (the
@@ -5033,6 +5044,10 @@ object SparkEntry {
         refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
     "t_lm_kneser_ney" ->
       (graft.text.Lm.kneserNeySql(
+        whereClause = "WHERE doc_id % 10 = 4",
+        refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
+    "t_lm_stupid_backoff" ->
+      (graft.text.Lm.stupidBackoffSql(
         whereClause = "WHERE doc_id % 10 = 4",
         refWhereClause = "WHERE doc_id % 2 = 0") + "\nORDER BY doc_id"),
     "t_lm_surprise3" ->

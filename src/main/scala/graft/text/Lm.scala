@@ -335,6 +335,114 @@ object Lm {
        |LEFT JOIN c USING (doc_id)""".stripMargin
   }
 
+  /** Stupid-backoff scoring (Brants et al. 2007 — the deliberately
+    * unnormalized rule the web-scale Google LMs shipped, because at
+    * large counts it tracks Kneser-Ney at a fraction of the cost):
+    *
+    *   S(w2 | w1) = c(w1,w2) / c(w1)              if c(w1,w2) > 0
+    *              = 0.4 · (c(w2) + 1) / (N + V)   otherwise
+    *
+    * with `c(w1)` the PREFIX-position total (Σ_w2 c(w1,w2) — the
+    * kneserNeyScore lesson), `c(w2)` the raw unigram count, `N` the
+    * reference token total, and add-one on the backoff arm so the
+    * score is total over unseen words (the one tweak vs the paper,
+    * which lets unseen unigrams score 0). Emitted as the library's
+    * standard inverse-score micro-units (`floor(1e6 / S)`, summed as
+    * BIGINT); every double op is a pinned, correctly-rounded
+    * sequence, so the whole scorer hash-gates. Same plan shape as
+    * [[surpriseScore]]: censuses join on gram keys, the two scalars
+    * broadcast, text never shuffles.
+    */
+  def stupidBackoffScore(
+      df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      persistReference: Boolean = false,
+  ): DataFrame = {
+    Seq("__gram", "__w1", "__w2", "__c1", "__c12", "__cw2", "__v", "__n")
+      .foreach(c => require(!df.columns.contains(c),
+        s"stupidBackoffScore reserves column name $c; rename it in the input"))
+    val (uni, grams, vocabSize) =
+      referenceCensus(reference, refTextCol, persistReference, order = 2)
+    val ctx = grams
+      .select(substring_index(col("__gram"), " ", 1).as("__w1"), col("__c12"))
+      .groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
+    val w2c = uni.select(col("__w1").as("__w2"), col("__c1").as("__cw2"))
+    val nTotal = uni.agg(sum(col("__c1")).as("__n"))
+    val scored = df.select(col(idCol), col(textCol))
+      .withColumn("__gram",
+        explode_outer(TextFunctions.allGramsOf(
+          TextFunctions.tokens(lower(col(textCol))), 2)))
+      .drop(textCol)
+      .withColumn("__w1", substring_index(col("__gram"), " ", 1))
+      .withColumn("__w2", substring_index(col("__gram"), " ", -1))
+      .join(ctx, Seq("__w1"), "left")
+      .join(grams, Seq("__gram"), "left")
+      .join(w2c, Seq("__w2"), "left")
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(vocabSize))
+    // op order pinned against stupidBackoffSql — change BOTH or neither
+    val sb = when(coalesce(col("__c12"), lit(0L)) > 0,
+      col("__c12").cast("double") / col("__c1").cast("double"))
+      .otherwise(lit(0.4) *
+        (coalesce(col("__cw2"), lit(0L)) + lit(1L)).cast("double") /
+        (col("__n") + col("__v")).cast("double"))
+    scored
+      .withColumn("__micro",
+        when(col("__gram").isNull, lit(null))
+          .otherwise(floor(lit(1e6) / sb)))
+      .groupBy(col(idCol))
+      .agg(count(col("__gram")).cast("int").as("n_grams"),
+        coalesce(sum(col("__micro")), lit(0L)).as("sb_micro"))
+      .withColumn("mean_sb",
+        when(col("n_grams") > 0,
+          col("sb_micro").cast("double") /
+            col("n_grams").cast("double") / lit(1e6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB rendering of [[stupidBackoffScore]] over
+    * `documents(doc_id, text)`.
+    */
+  def stupidBackoffSql(whereClause: String, refWhereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    val grams = TextFunctions.allGramsSql("toks", 2)
+    s"""WITH rt AS (SELECT $toks AS toks FROM documents $refWhereClause),
+       |uc AS (SELECT w, count(*) AS cw
+       |  FROM (SELECT unnest(toks) AS w FROM rt) GROUP BY w),
+       |gc AS (SELECT gram, count(*) AS c12
+       |  FROM (SELECT unnest($grams) AS gram FROM rt) GROUP BY gram),
+       |pc AS (SELECT string_split(gram, ' ')[1] AS w1,
+       |    CAST(sum(c12) AS BIGINT) AS c1 FROM gc GROUP BY 1),
+       |n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uc),
+       |v AS (SELECT count(*) AS v FROM uc),
+       |dt AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
+       |dg AS (SELECT doc_id, gram,
+       |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[-1] AS w2
+       |  FROM (SELECT doc_id, unnest($grams) AS gram FROM dt)),
+       |sc AS (SELECT dg.doc_id,
+       |    CAST(floor(1e6 / (
+       |      CASE WHEN coalesce(gc.c12, 0) > 0
+       |      THEN CAST(gc.c12 AS DOUBLE) / CAST(pc.c1 AS DOUBLE)
+       |      ELSE 0.4 * CAST(coalesce(uc.cw, 0) + 1 AS DOUBLE)
+       |           / CAST(n.n + v.v AS DOUBLE) END)) AS BIGINT) AS micro
+       |  FROM dg
+       |  LEFT JOIN pc ON dg.w1 = pc.w1
+       |  LEFT JOIN gc ON dg.gram = gc.gram
+       |  LEFT JOIN uc ON dg.w2 = uc.w
+       |  CROSS JOIN n CROSS JOIN v),
+       |c AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+       |    sum(micro) AS n_micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_grams, 0) AS n_grams,
+       |  CAST(coalesce(c.n_micro, 0) AS BIGINT) AS sb_micro,
+       |  CASE WHEN coalesce(c.n_grams, 0) > 0
+       |    THEN CAST(c.n_micro AS DOUBLE) / CAST(c.n_grams AS DOUBLE) / 1e6
+       |    ELSE 0.0 END AS mean_sb
+       |FROM (SELECT doc_id FROM documents $whereClause) d
+       |LEFT JOIN c USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB rendering of [[surpriseScore]] over `documents(doc_id,
     * text)`: score the documents matching `whereClause` against the
     * model trained on documents matching `refWhereClause` (full
