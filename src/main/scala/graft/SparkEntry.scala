@@ -2665,6 +2665,14 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       }
     }),
+    "p_padding_waste" -> ((s, dir) =>
+      // length-bucketed batching efficiency: per 64-token bucket, the
+      // padded-slot waste in ppm — the number compared against the
+      // packing path's clip rate to pick a batching strategy; one
+      // map projection + a ≤16-cell census
+      graft.ops.Packing.paddingWaste(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1), "text")
+        .orderBy("bucket")),
     "p_pack_sequences" -> ((s, dir) => {
       // context-window packing: 1024-token sequences over 8 shards —
       // per-shard running totals, no global sort (see Packing scaladoc)
@@ -4978,6 +4986,8 @@ object SparkEntry {
     "p_pack_sequences" ->
       graft.ops.Packing.packSequencesSql(maxTokens = 1024, shards = 8,
         whereClause = "WHERE doc_id % 4 = 0"),
+    "p_padding_waste" ->
+      graft.ops.Packing.paddingWasteSql("WHERE doc_id % 2 = 1"),
     "e_neg_sample" ->
       graft.ops.Shuffling.negativeSampleSql(
         "WHERE vec_id % 25 = 0", k = 8, seed = 7L),

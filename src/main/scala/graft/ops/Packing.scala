@@ -147,4 +147,62 @@ object Packing {
        |  start_total % $maxTokens + n_tokens > $maxTokens AS clipped
        |FROM cum ORDER BY id""".stripMargin
   }
+
+  /** Padding-waste census — the throughput number a LENGTH-BUCKETED
+    * batching scheme is judged by (the alternative to [[packSequences]]'
+    * concat-packing: bucket similar lengths together and pad to the
+    * bucket ceiling). Each document rounds up to the next multiple of
+    * `bucketSize` (capped at `maxLen`; longer docs truncate to
+    * `maxLen` with zero pad); per bucket: document count, real
+    * tokens, padded slots wasted, and the waste fraction in ppm
+    * (`sum_waste·10^6 div (n_docs·bucket)` — all-integer, the padded
+    * slot total is exactly `n_docs·bucket`). One map-side projection
+    * + a ≤ `maxLen/bucketSize`-cell census. A pipeline compares this
+    * against the packing path's clip rate to pick its batching
+    * strategy per corpus.
+    */
+  def paddingWaste(
+      docs: DataFrame, textCol: String,
+      bucketSize: Int = 64, maxLen: Int = 1024): DataFrame = {
+    require(bucketSize > 0 && maxLen % bucketSize == 0,
+      s"maxLen $maxLen must be a positive multiple of bucketSize $bucketSize")
+    docs
+      .select(least(graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"),
+        lit(maxLen.toLong)).as("__len"))
+      .select(col("__len"),
+        (ceil(col("__len").cast("double") / bucketSize).cast("long") *
+          bucketSize).as("bucket"))
+      // empty docs round to bucket 0 — keep them visible as their own
+      // zero-waste row rather than inventing a phantom bucketSize pad
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_tokens"),
+        sum(col("bucket") - col("__len")).as("sum_waste"))
+      .withColumn("waste_ppm",
+        when(col("bucket") > 0,
+          expr("sum_waste * 1000000L div (n_docs * bucket)"))
+          .otherwise(lit(0L)))
+  }
+
+  /** DuckDB rendering of [[paddingWaste]] over `documents`
+    * restricted by `whereClause`.
+    */
+  def paddingWasteSql(
+      whereClause: String, bucketSize: Int = 64, maxLen: Int = 1024): String = {
+    val toks = graft.text.TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH l AS (SELECT least(CAST(len($toks) AS BIGINT), $maxLen) AS ln
+       |  FROM documents $whereClause),
+       |b AS (SELECT ln,
+       |    CAST(ceil(CAST(ln AS DOUBLE) / $bucketSize) AS BIGINT)
+       |      * $bucketSize AS bucket FROM l),
+       |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ln) AS BIGINT) AS sum_tokens,
+       |    CAST(SUM(bucket - ln) AS BIGINT) AS sum_waste
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, sum_tokens, sum_waste,
+       |  CAST(CASE WHEN bucket > 0
+       |    THEN sum_waste * 1000000 // (n_docs * bucket)
+       |    ELSE 0 END AS BIGINT) AS waste_ppm
+       |FROM c ORDER BY bucket""".stripMargin
+  }
 }
