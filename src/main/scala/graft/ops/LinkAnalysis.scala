@@ -209,11 +209,13 @@ object LinkAnalysis {
       .join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.t").as("u"), col("e2.t").as("w"))
-    // the closing edge between the two out-neighbors, either direction
-    val closed = wedges.join(oriented.as("e3"),
-      (col("u") === col("e3.s") && col("w") === col("e3.t")) ||
-        (col("w") === col("e3.s") && col("u") === col("e3.t")),
-      "left_semi")
+    // the closing edge between the two out-neighbors: wedges already
+    // order u < w by VALUE, so the lookup joins the canonical a<b
+    // undirected set on BOTH columns — a plain hash-joinable
+    // equi-pair (an `(u,w) OR (w,u)` probe against the ORIENTED set
+    // would be a nested-loop join: OR'd key pairs have no hash key)
+    val closed = wedges.join(und
+      .select(col("a").as("u"), col("b").as("w")), Seq("u", "w"), "left_semi")
     val nn = deg.agg(count(lit(1)).as("n_nodes"),
       sum(col("d")).as("sum_d"))
     closed.agg(count(lit(1)).as("n_triangles"))
@@ -242,9 +244,8 @@ object LinkAnalysis {
        |  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
        |wedge AS (SELECT e1.t AS u, e2.t AS w FROM o e1
        |  JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
-       |tri AS (SELECT * FROM wedge WHERE EXISTS (SELECT 1 FROM o e3
-       |  WHERE (e3.s = wedge.u AND e3.t = wedge.w)
-       |     OR (e3.s = wedge.w AND e3.t = wedge.u)))
+       |tri AS (SELECT * FROM wedge WHERE EXISTS (SELECT 1 FROM und
+       |  WHERE und.a = wedge.u AND und.b = wedge.w))
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        |  (SELECT CAST(SUM(d) // 2 AS BIGINT) FROM deg) AS n_edges,
        |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin

@@ -481,6 +481,35 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"s_quantile_sketch plans a cartesian:\n$p")
   }
 
+  test("bloom semi join: map-side prefilter, no all-pairs, exact join keyed") {
+    val p = plan("o_bloom_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"o_bloom_join degenerated to all-pairs:\n$p")
+    // the probe is a pure Filter over the scan (array-literal tests),
+    // visible as might-contain arithmetic BEFORE any join
+    assert(p.contains("Filter"),
+      s"o_bloom_join lost its map-side bloom prefilter:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"o_bloom_join exact verification join is gone:\n$p")
+  }
+
+  test("triangle count: oriented wedge joins stay equi-keyed") {
+    val p = plan("s_graph_triangles")
+    // the closing-edge probe must be the canonical-pair EQUI semi
+    // join — an OR'd (u,w)/(w,u) probe has no hash key and planned a
+    // nested-loop join over wedges × edges (caught by this pin). The
+    // single permitted BroadcastNestedLoopJoin is the 1-row × 1-row
+    // summary-assembly cross join at the very top.
+    assert(!p.contains("CartesianProduct"),
+      s"s_graph_triangles plans a cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"s_graph_triangles wedge/closing joins degenerated to all-pairs:\n$p")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\\n]*LeftSemi".r
+      .findFirstIn(p).isDefined,
+      s"s_graph_triangles closing-edge check is not an equi semi join:\n$p")
+  }
+
   test("transition census: one user window, marginal joins broadcast") {
     val p = plan("ev_transitions")
     assert(p.contains("BroadcastHashJoin"),
