@@ -86,8 +86,22 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .start(outDir)
     q.awaitTermination()
+    // the staged input and checkpoint are dead once the query has
+    // terminated — only the sink parquet backs the returned frame.
+    // Repeated bench/verify invocations would otherwise accumulate
+    // staging dirs in the system temp for the JVM's lifetime.
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
     spark.read.parquet(outDir)
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   /** Runs [[Streams.sessionize]] over `events` via the replay, then
     * assigns per-user `session_seq` by session start on the summary
