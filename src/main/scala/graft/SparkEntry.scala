@@ -2175,6 +2175,22 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
         "embedding")
         .orderBy("dim")),
+    "e_embedding_drift" -> ((s, dir) => {
+      // model-upgrade QA: cosine census between two embedding
+      // versions joined on id — version B plants a component shift
+      // on 1-in-5 ids (double-space add, cast back to float, so both
+      // engines store the identical perturbed value); the census
+      // shows the identity mass at bin 999/1000 and the drift tail
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 1)
+      val v2 = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, concat(
+          array((element_at(col("embedding"), 1).cast("double")
+            + lit(0.5)).cast("float")),
+          slice(col("embedding"), 2, 63)))
+          .otherwise(col("embedding")).as("embedding"))
+      graft.ann.DimStats.pairedDriftCensus(emb, v2, "vec_id", "embedding")
+        .orderBy("bin")
+    }),
     "t_lexical_diversity" -> ((s, dir) =>
       // per-source type-token + hapax census: template/machine text
       // shows low TTR, gibberish high hapax fraction — one word
@@ -5316,6 +5332,11 @@ object SparkEntry {
       graft.ops.Transitions.transitionCensusSql("WHERE user_id % 5 = 0"),
     "e_dim_stats" ->
       graft.ann.DimStats.dimStatsSql("WHERE vec_id % 2 = 0"),
+    "e_embedding_drift" ->
+      graft.ann.DimStats.pairedDriftCensusSql("WHERE vec_id % 4 = 1",
+        "CASE WHEN vec_id % 5 = 0 THEN list_concat(" +
+          "[CAST(CAST(embedding[1] AS DOUBLE) + 0.5 AS FLOAT)], " +
+          "embedding[2:]) ELSE embedding END"),
     "t_lexical_diversity" ->
       graft.text.Vocab.lexicalDiversitySql("source", "WHERE doc_id % 2 = 0"),
     "o_bloom_stats" ->

@@ -38,6 +38,50 @@ object DimStats {
         sum(col("q")).as("sum_q"), min(col("q")).as("min_q"),
         max(col("q")).as("max_q"))
 
+  /** Paired version-drift census — the model-upgrade QA check: join
+    * two embedding versions on id, cosine each pair (the same
+    * fixed-IEEE sequence as every scoring path, zero-norm rows
+    * excluded under the library's NaN rule), and histogram
+    * `floor(cos·1000)` — re-embedded corpora should concentrate at
+    * bin 999/1000 with a drift tail; a pipeline bug (wrong model,
+    * truncation, shuffled ids) shows as mass far below. One id
+    * equi-join + a ≤2001-cell census; embeddings move once.
+    * Output: `(bin, n_vecs)`.
+    */
+  def pairedDriftCensus(
+      a: DataFrame, b: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val va = a.select(col(idCol).as("id"), col(vecCol).as("va"),
+      Ann.norm(col(vecCol)).as("na")).filter(col("na") > 0)
+    val vb = b.select(col(idCol).as("id"), col(vecCol).as("vb"),
+      Ann.norm(col(vecCol)).as("nb")).filter(col("nb") > 0)
+    va.join(vb, Seq("id"))
+      .select(floor(
+        Ann.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1000)
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** DuckDB rendering of [[pairedDriftCensus]] where version A is the
+    * `whereClause` slice of `embeddings` and version B is the same
+    * slice with `bExpr` as its vector expression (the planted-drift
+    * device: the gate perturbs B arithmetically so both engines build
+    * the identical second version).
+    */
+  def pairedDriftCensusSql(
+      whereClause: String, bExpr: String, dim: Int = 64): String = {
+    val nz = (v: String) => s"sqrt(${Ann.dotSql(v, v, dim)}) > 0"
+    s"""WITH a AS (SELECT vec_id AS id, embedding AS va FROM embeddings
+       |  $whereClause),
+       |b AS (SELECT vec_id AS id, $bExpr AS vb FROM embeddings
+       |  $whereClause),
+       |p AS (SELECT CAST(floor(${Ann.cosineSql("va", "vb", dim)} * 1000)
+       |    AS BIGINT) AS bin
+       |  FROM a JOIN b USING (id)
+       |  WHERE ${nz("va")} AND ${nz("vb")})
+       |SELECT bin, count(*) AS n_vecs FROM p
+       |GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** DuckDB rendering over `embeddings(vec_id, embedding)` restricted
     * by `whereClause`.
     */
