@@ -2175,6 +2175,21 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
         "embedding")
         .orderBy("dim")),
+    "d_source_overlap" -> ((s, dir) => {
+      // cross-source duplication matrix: distinct (fingerprint,
+      // source) rows self-join on the fingerprint — fan-out bounded
+      // by SOURCE count per fingerprint, never by document
+      // multiplicity; planted syndicated templates make the hot
+      // cells real. The census a mixture planner reads to drop
+      // wholesale-subset sources before per-document dedup
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("syndicated item "), (col("doc_id") % 7).cast("string")))
+            .otherwise(col("text")).as("text"))
+      graft.dedup.Provenance.sourceOverlap(docs, "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
     "e_embedding_drift" -> ((s, dir) => {
       // model-upgrade QA: cosine census between two embedding
       // versions joined on id — version B plants a component shift
@@ -5332,6 +5347,10 @@ object SparkEntry {
       graft.ops.Transitions.transitionCensusSql("WHERE user_id % 5 = 0"),
     "e_dim_stats" ->
       graft.ann.DimStats.dimStatsSql("WHERE vec_id % 2 = 0"),
+    "d_source_overlap" ->
+      graft.dedup.Provenance.sourceOverlapSql("WHERE doc_id % 2 = 0",
+        "CASE WHEN doc_id % 3 = 0 THEN 'syndicated item ' || " +
+          "CAST(doc_id % 7 AS VARCHAR) ELSE text END"),
     "e_embedding_drift" ->
       graft.ann.DimStats.pairedDriftCensusSql("WHERE vec_id % 4 = 1",
         "CASE WHEN vec_id % 5 = 0 THEN list_concat(" +
