@@ -3083,6 +3083,17 @@ object SparkEntry {
         "doc_id", "content")
       Multimodal.augmentPlan(meta, epochs = 3).orderBy("id", "epoch")
     }),
+    "mm_aspect_buckets" -> ((s, dir) => {
+      // SDXL-style aspect bucketing at metadata time: all-integer
+      // ratio bands over the decoded (width, height) — the batching
+      // plan computed before any pixel decode; 11-cell census
+      import graft.multimodal.Multimodal
+      val meta = Multimodal.decodeMeta(
+        Multimodal.withFakePayload(
+          t(s, dir, "documents").filter(col("doc_id") % 3 === 2), "text"),
+        "doc_id", "content")
+      Multimodal.aspectBuckets(meta).orderBy("band")
+    }),
     "mm_resize_plan" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val meta = Multimodal.decodeMeta(
@@ -5120,6 +5131,11 @@ object SparkEntry {
     "mm_augment_plan" ->
       graft.multimodal.Multimodal.augmentPlanSql(
         "WHERE doc_id % 10 = 0", epochs = 3),
+    "mm_aspect_buckets" ->
+      graft.multimodal.Multimodal.aspectBucketsSql(
+        """SELECT CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,
+          |    CAST(1 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+          |  FROM documents WHERE doc_id % 3 = 2""".stripMargin),
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id AS id,
         |    CAST(1 + octet_length(encode(text)) % 512 AS INT) AS width,

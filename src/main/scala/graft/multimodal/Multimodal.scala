@@ -184,6 +184,51 @@ object Multimodal {
       .withColumn("n_tokens", col("n_patches") + lit(1L))
   }
 
+  /** Aspect-ratio band thresholds in ratio-per-mille (`w·1000 div
+    * h`): band = count of thresholds ≤ the image's ratio — 11 bands
+    * from tall 1:4 columns through square to wide 4:1 panoramas.
+    */
+  val AspectThresholds: Seq[Long] =
+    Seq(250L, 400L, 563L, 750L, 900L, 1100L, 1333L, 1778L, 2500L, 4000L)
+
+  /** SDXL-style aspect-ratio bucketing census over decoded metadata:
+    * batched vision training groups images of similar aspect so each
+    * batch crops/pads minimally — this plans the buckets at METADATA
+    * time (the [[resizePlan]] argument again: no payload bytes
+    * touched). Ratio is the all-integer `w·1000 div h`; the band is
+    * the count of fixed [[AspectThresholds]] at or below it — one
+    * map-side expression, then an 11-cell census with per-band ratio
+    * extremes (the numbers that tune the threshold list itself).
+    * Output: `(band, n_images, min_ratio_pm, max_ratio_pm)`.
+    */
+  def aspectBuckets(meta: DataFrame): DataFrame = {
+    val ratio = expr("CAST(width AS BIGINT) * 1000 div height")
+    val band = AspectThresholds
+      .map(t => when(ratio >= t, 1).otherwise(0))
+      .reduce(_ + _)
+    meta.select(band.as("band"), ratio.as("ratio_pm"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("ratio_pm")).as("min_ratio_pm"),
+        max(col("ratio_pm")).as("max_ratio_pm"))
+  }
+
+  /** DuckDB rendering of the [[aspectBuckets]] band arithmetic for a
+    * metadata CTE exposing `(width, height)`.
+    */
+  def aspectBucketsSql(metaCte: String): String = {
+    val bands = AspectThresholds
+      .map(t => s"CASE WHEN ratio_pm >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS ($metaCte),
+       |r AS (SELECT CAST(width AS BIGINT) * 1000 // height AS ratio_pm
+       |  FROM m),
+       |b AS (SELECT CAST($bands AS INT) AS band, ratio_pm FROM r)
+       |SELECT band, count(*) AS n_images,
+       |  MIN(ratio_pm) AS min_ratio_pm, MAX(ratio_pm) AS max_ratio_pm
+       |FROM b GROUP BY band ORDER BY band""".stripMargin
+  }
+
   /** Per-(image, epoch) augmentation plan — deterministic
     * RandomResizedCrop + horizontal-flip PARAMETERS from md5 coins
     * (the [[graft.ops.Masking]] argument applied to vision):
