@@ -118,8 +118,9 @@ object Ann {
   }
 
   /** Bounded-heap per-query ranking of a scored pair frame — the
-    * retrieval tail shared by [[pqTopK]], [[ivfPqTopK]], and
-    * [[Binary.hammingTopK]]/[[Binary.hammingRerank]]: turns
+    * retrieval tail shared by EVERY approximate path: [[pqTopK]],
+    * [[ivfPqTopK]], [[lshTopK]], [[ivfTopKHashCells]], [[ivfTopK]],
+    * and [[Binary.hammingTopK]]/[[Binary.hammingRerank]]: turns
     * `(query_id, neighbor_id, metric)` into `(query_id, neighbor_id,
     * rank, metric)` keeping the best `k` per query via the
     * [[graft.functions.TopK]] aggregator, NOT a `row_number` window.
@@ -311,10 +312,10 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    // each query's scored partition is every row sharing a probed
+    // bucket — a corpus FRACTION, not a constant — so rank through the
+    // bounded-heap TopK aggregate, not a per-query window sort
+    heapRank(scored, "score", "double", k, ascending = false)
   }
 
   /** DuckDB rendering of [[lshTopK]] over `embeddings(vec_id,
@@ -413,10 +414,9 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    // nProbe/nCells of the corpus lands in each query's partition —
+    // linear in corpus size, so heap-rank it (see [[heapRank]])
+    heapRank(scored, "score", "double", k, ascending = false)
   }
 
   /** DuckDB rendering of [[ivfTopKHashCells]] over
@@ -503,28 +503,34 @@ object Ann {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }.toSeq
-    val centroidDf = queries.sparkSession.createDataFrame(centroids)
+    val cents = queries.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
-      .withColumn("cnorm", norm(col("centroid")))
+      .agg(collect_list(struct(col("cell"), col("centroid"),
+        norm(col("centroid")).as("cnorm"))).as("cents"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
-    val probes = q.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist",
-        -cosinePre(col("qv"), col("centroid"), col("qn"), col("cnorm")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    // map-only probe selection (same device as [[ivfTopKHashCells]]):
+    // sort the <= nCells-entry struct array, slice the tail — cosine
+    // desc, ties to smallest cell via the negated-cell middle field.
+    // No window: a query_id-partitioned window here (though bounded)
+    // would break the family's window-free retrieval plan pin.
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("scores", array_sort(transform(col("cents"), ct =>
+        struct((dot(col("qv"), ct("centroid")) / (col("qn") * ct("cnorm"))).as("cos"),
+          (-ct("cell")).as("negcell"), ct("cell").as("cell")))))
+      .filter(size(col("scores")) > 0)
+      .withColumn("np", least(lit(nProbe), size(col("scores"))))
+      .withColumn("probe", explode(slice(col("scores"), -col("np"), col("np"))))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.cell").as("cell"))
 
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    // probed cells hold ~nProbe/nCells of the corpus per query —
+    // heap-rank the tail like every other approximate retrieval path
+    heapRank(scored, "score", "double", k, ascending = false)
   }
 
   /** Majority-vote label assignment from a precomputed neighbor frame

@@ -452,8 +452,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     // in every query's partition — a row_number window there is a
     // spill-prone corpus-sized sort per query. The tail must be the
     // TopK ObjectHashAggregate: O(k) state, map-side truncation.
+    // r14: the float-cosine tails (lshTopK → e_ann_lsh,
+    // ivfTopKHashCells → e_ann_ivf) joined the heap family — their
+    // scored partitions are corpus FRACTIONS (bucket / nProbe-of-
+    // nCells slices), which grow linearly with the corpus
     for (q <- Seq("e_hamming_topk", "e_pq_topk", "e_ivfpq_topk",
-      "e_binary_rerank")) {
+      "e_binary_rerank", "e_ann_lsh", "e_ann_ivf")) {
       val p = plan(q)
       // the codebook seed ranking keeps a bounded k-row global
       // window; the forbidden shape is a window PARTITIONED BY
