@@ -3428,6 +3428,64 @@ object SparkEntry {
           col("valid_from").as("vf_ts"), col("valid_to").as("vt_ts"))
         .orderBy("user_id", "seq")
     }),
+    "st_ewma" -> ((s, dir) => {
+      // mapGroupsWithState EWMA through the streaming engine: the
+      // slice splits into TWO event-time micro-batches, so every
+      // user's O(1) smoothing state genuinely crosses a batch
+      // boundary before its final row emits. Update mode can't feed
+      // the Append-only file sink, so emissions land via foreachBatch
+      // (the production upsert-sink pattern); n_events grows per
+      // emission, so each user's max-n row is the final one — equal
+      // to the oracle's recursive-CTE fold because stream and batch
+      // run the identical IEEE sequence in (ms, event_id) order
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.ewmaReplay(s, ev, alpha = 0.25)
+        .orderBy("user_id")
+    }),
+    "st_hll" -> ((s, dir) => {
+      // unwatermarked streaming aggregation (HLL registers) through
+      // the engine in Complete mode: two micro-batches, each snapshot
+      // overwriting the sink — the final ≤256-cell register set must
+      // equal the batch registers of the whole slice (per-bucket max
+      // is duplicate-blind and order-blind, the mergeability the
+      // scaladoc promises, here under the hash gate)
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.hllRegistersReplay(s, ev, "user_id")
+        .orderBy("bucket")
+    }),
+    "st_cms" -> ((s, dir) => {
+      // count-min cells through the streaming engine, same Complete-
+      // mode snapshot device as st_hll: cell counts SUM across the
+      // two micro-batches inside the aggregation state, and the final
+      // 4x64 cell frame hashes against the batch census definition
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.cmsCellsReplay(s, ev, "user_id", 4, 64)
+        .orderBy("r", "bucket")
+    }),
+    "st_dq" -> ((s, dir) => {
+      // the hourly DQ census through the streaming engine (Append
+      // mode + watermark; two sentinels flush every real window —
+      // the st_hourly device applied to declarative expectations):
+      // the ingest-side quality monitor a production pipeline runs
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.dqReplay(s, ev, Seq(
+        "value_gt_300" -> (col("value") > 300.0),
+        "type_error" -> (col("event_type") === "error"),
+        "props_short" -> (length(col("props")) < 8)))
+        .orderBy("win_start", "rule")
+    }),
     "ev_sessionize_events" -> ((s, dir) => {
       // event-level twin of ev_sessionize: session_seq attached to
       // every event row — the form downstream feature pipelines join
@@ -5392,6 +5450,51 @@ object SparkEntry {
     "st_dedup" ->
       """SELECT DISTINCT event_id FROM events WHERE user_id % 10 = 0
         |ORDER BY event_id""".stripMargin,
+    "st_ewma" ->
+      // graft.ops.Ewma.ewmaSql with the st_* ms truncation: the
+      // stream folds Timestamp.getTime (ms) order, so the oracle
+      // ranks by (epoch ms, event_id), not raw ns
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000000, event_id) AS rn
+        |  FROM events WHERE user_id % 10 = 0),
+        |r(user_id, rn, ewma) AS (
+        |  SELECT user_id, 1, value FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, 0.25 * e.value + 0.75 * r.ewma
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  arg_max(value, rn) AS last_val, max(rn) AS m
+        |  FROM e GROUP BY user_id)
+        |SELECT n.user_id, n.n_events, n.last_val, r.ewma
+        |FROM n JOIN r ON r.user_id = n.user_id AND r.rn = n.m
+        |ORDER BY n.user_id""".stripMargin,
+    "st_hll" ->
+      graft.ops.Hll.registersSql(
+        "(SELECT user_id FROM events WHERE user_id % 10 = 0) ev", "user_id"),
+    "st_cms" ->
+      graft.ops.Sketches.cmsCellsSql(
+        "(SELECT user_id FROM events WHERE user_id % 10 = 0) ev",
+        "user_id", 4, 64),
+    "st_dq" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS win_start, value,
+        |    event_type, props
+        |  FROM events WHERE user_id % 10 = 0),
+        |p AS (SELECT win_start,
+        |    CAST(coalesce(sum(CASE WHEN value > 300.0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS v0,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS v1,
+        |    CAST(coalesce(sum(CASE WHEN length(props) < 8 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS v2,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM e GROUP BY 1)
+        |SELECT win_start, 'value_gt_300' AS rule, v0 AS n_violations, n_rows
+        |  FROM p
+        |UNION ALL SELECT win_start, 'type_error', v1, n_rows FROM p
+        |UNION ALL SELECT win_start, 'props_short', v2, n_rows FROM p
+        |ORDER BY win_start, rule""".stripMargin,
     "st_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_type
         |  FROM events WHERE user_id % 10 = 0),

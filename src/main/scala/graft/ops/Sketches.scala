@@ -284,6 +284,24 @@ object Sketches {
        |FROM t JOIN est USING (v0) ORDER BY $valueCol""".stripMargin
   }
 
+  /** DuckDB rendering of [[cmsCells]] alone — the raw `(r, bucket, n)`
+    * cell frame (deterministic integers, so the sketch STATE itself
+    * can sit under a hash gate, e.g. against the streaming twin's
+    * final snapshot). `r` is cast to INT to match Spark's
+    * `sequence(0, depth-1)` element type.
+    */
+  def cmsCellsSql(
+      table: String, valueCol: String, depth: Int, width: Int): String = {
+    val bucket =
+      s"CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || " +
+        s"CAST($valueCol AS VARCHAR)), 1, 15)) AS BIGINT) % $width"
+    s"""WITH rr AS (SELECT unnest(range(0, $depth)) AS r)
+       |SELECT CAST(r AS INT) AS r, $bucket AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM $table, rr WHERE $valueCol IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY r, bucket""".stripMargin
+  }
+
   /** DuckDB rendering of [[kmvHash]] + normalization for value
     * expression `v`.
     */

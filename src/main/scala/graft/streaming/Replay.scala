@@ -92,7 +92,154 @@ object Replay {
     // staging dirs in the system temp for the JVM's lifetime.
     deleteRecursively(inDir)
     deleteRecursively(root.resolve("ckpt"))
+    // the sink must outlive this call (the returned frame reads it
+    // lazily), so the root reaps at JVM exit, not here
+    reapAtExit(root)
     spark.read.parquet(outDir)
+  }
+
+  /** foreachBatch-sink replay for operators the Append-only file sink
+    * cannot take: `mapGroupsWithState` (Update mode only — [[Streams.ewmaStream]])
+    * and unwatermarked streaming aggregations (Update/Complete only —
+    * [[Streams.hllRegistersStream]], [[Streams.cmsCellsStream]]).
+    * `foreachBatch` is itself the production sink pattern for these
+    * (upsert the emitted rows into a store); here each micro-batch's
+    * emission lands in the parquet sink dir — `replaceEachBatch = true`
+    * for Complete mode (the last snapshot IS the result),
+    * `false` for Update mode (emissions accumulate; the caller picks
+    * each key's final row). The source, state store, checkpoint, and
+    * trigger are exactly [[runReplay]]'s — the engine under test is
+    * the same.
+    */
+  private def runReplayEach(
+      spark: SparkSession, batches: Seq[DataFrame], mode: String,
+      replaceEachBatch: Boolean,
+      build: Dataset[Streams.EventRow] => Dataset[_],
+  ): DataFrame = {
+    require(batches.nonEmpty, "runReplayEach: no batches")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      stageBatch(spark, b.coalesce(1), inDir, f"b$i%03d",
+        mtimeSec = 1000L + 1000L * i)
+    }
+
+    val src = spark.readStream
+      .schema(Encoders.product[Streams.EventRow].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val out = {
+      import spark.implicits._
+      build(src.as[Streams.EventRow])
+    }
+    val sinkMode = if (replaceEachBatch) "overwrite" else "append"
+    val write: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => b.write.mode(sinkMode).parquet(outDir)
+    val q = out.toDF().writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(write)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
+  /** Two event-time halves of `events` (cut at the midpoint of the ms
+    * span) — the staged micro-batches for the cross-batch-state
+    * replays. Cutting on event TIME keeps per-user arrival order equal
+    * to event order across the batch boundary (ties land whole in the
+    * first half), which is exactly the in-order contract
+    * [[Streams.ewmaStream]]'s stream ≡ batch equivalence needs.
+    */
+  private def splitByMidTs(events: DataFrame): Seq[DataFrame] = {
+    val row = events.agg(min(col("ts")), max(col("ts"))).head
+    require(!row.isNullAt(0), "replay: empty input slice")
+    val lo = row.getTimestamp(0).getTime
+    val cut = lo + (row.getTimestamp(1).getTime - lo) / 2
+    Seq(events.filter(unix_millis(col("ts")) <= cut),
+      events.filter(unix_millis(col("ts")) > cut))
+  }
+
+  /** Runs [[Streams.ewmaStream]] via the replay: two event-time-split
+    * micro-batches, so each user's EWMA state genuinely crosses a
+    * batch boundary before the final value emits. Update mode emits a
+    * row per (user, batch-with-events); `n_events` strictly grows per
+    * emission, so each user's final row is the max-n one — equal to
+    * the batch [[graft.ops.Ewma.ewma]] fold because both fold the
+    * identical IEEE sequence in `(ts, event_id)` order.
+    */
+  def ewmaReplay(spark: SparkSession, events: DataFrame, alpha: Double): DataFrame =
+    runReplayEach(spark, splitByMidTs(events), "update", replaceEachBatch = false,
+      ds => Streams.ewmaStream(ds, alpha))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("last_val"), col("ewma")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.last_val").as("last_val"), col("f.ewma").as("ewma"))
+
+  /** Runs [[Streams.hllRegistersStream]] via the replay: Complete mode
+    * over two micro-batches, each batch overwriting the sink with the
+    * full ≤256-cell register snapshot — the final snapshot equals the
+    * batch registers of the whole slice (per-bucket max is
+    * duplicate-blind, order-blind, and mergeable by construction).
+    */
+  def hllRegistersReplay(
+      spark: SparkSession, events: DataFrame, valueCol: String): DataFrame =
+    runReplayEach(spark, splitByMidTs(events), "complete", replaceEachBatch = true,
+      ds => Streams.hllRegistersStream(ds.toDF(), valueCol))
+
+  /** Runs [[Streams.cmsCellsStream]] via the replay — same Complete-
+    * mode snapshot device as [[hllRegistersReplay]]; cell counts sum
+    * across batches inside the streaming aggregation state.
+    */
+  def cmsCellsReplay(
+      spark: SparkSession, events: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame =
+    runReplayEach(spark, splitByMidTs(events), "complete", replaceEachBatch = true,
+      ds => Streams.cmsCellsStream(ds.toDF(), valueCol, depth, width))
+
+  /** Runs [[Streams.dqStream]] via the replay: the watermarked hourly
+    * DQ census through the streaming engine. Two sentinels flush every
+    * real window (the [[hourlyCountsReplay]] argument); sentinel
+    * windows sit ≥ 2h past the real max, so the `win_start <= max ts`
+    * filter drops them even if the final no-data batch finalizes one.
+    */
+  def dqReplay(
+      spark: SparkSession, events: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "dqReplay: empty input slice")
+    val s1 = new Timestamp(maxTs.getTime + 2L * 3600L * 1000L)
+    val s2 = new Timestamp(s1.getTime + 2L * 3600L * 1000L)
+    def sentinel(uid: Long, ts: Timestamp) =
+      Streams.EventRow(-1L, ts, uid, "sentinel", 0.0, "")
+    runReplay(spark, events,
+      Seq(sentinel(-1L, s1), sentinel(-2L, s2)),
+      ds => Streams.dqStream(ds.toDF(), rules, watermark = "0 seconds"))
+      .filter(col("win_start") <= lit(maxTs))
+  }
+
+  /** Roots whose sink dirs are still live; a single JVM shutdown hook
+    * deletes them all, so repeated bench/verify invocations leave
+    * nothing behind the process.
+    */
+  private val liveRoots = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val reaperInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      liveRoots.forEach(r => deleteRecursively(r))
+    }, "graft-replay-reaper"))
+    true
+  }
+  private def reapAtExit(root: Path): Unit = {
+    require(reaperInstalled)
+    liveRoots.add(root)
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -224,5 +371,9 @@ object Replay {
     val dest = inDir.resolve(s"$name.parquet")
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000L))
+    // the staging dir only exists to give the single-file write a
+    // home; once the part file moved out, the _SUCCESS/.crc husk is
+    // garbage — reap it now, not at JVM exit
+    deleteRecursively(tmp)
   }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Replay-harness hygiene + the foreachBatch replay path: one replay
+  * invocation must leave exactly ONE live dir (the sink) in its temp
+  * root — staging dirs, the input dir, and the checkpoint are reaped
+  * eagerly (the root itself reaps at JVM exit, since the returned
+  * frame reads the sink lazily).
+  */
+class ReplaySpec extends AnyFunSuite with SparkSpec {
+
+  test("a replay leaves exactly the sink dir in its temp root") {
+    import spark.implicits._
+    val ev = Seq(
+      Streams.EventRow(1L, new Timestamp(1000000L), 1L, "a", 1.0, ""),
+      Streams.EventRow(2L, new Timestamp(2000000L), 1L, "b", 2.0, ""),
+      Streams.EventRow(3L, new Timestamp(7200000L), 2L, "a", 3.0, "")).toDF()
+
+    val out = Replay.ewmaReplay(spark, ev, alpha = 0.5)
+    val rows = out.orderBy("user_id").collect()
+
+    // the two-batch split (mid-ts cut at 4100000 ms) puts user 1's two
+    // events in batch 1 and user 2's in batch 2; the final fold must
+    // equal the batch EWMA regardless
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSeq === Seq((1L, 2L, 1.5), (2L, 1L, 3.0)))
+
+    val sinkFile = new java.io.File(new java.net.URI(out.inputFiles.head))
+    val root = sinkFile.getParentFile.getParentFile
+    assert(root.getName.startsWith("graft_replay_"), root.toString)
+    val live = root.listFiles().map(_.getName).filterNot(_ == "out")
+    assert(live.isEmpty,
+      s"replay left non-sink entries in ${root}: ${live.mkString(", ")}")
+  }
+}
