@@ -27,6 +27,30 @@ object SparkEntry {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Child session on the SAME SparkContext but WITH
+    * [[GraftExtensions]] installed — extensions only apply at session
+    * construction, and the driver's verify session is built without
+    * them, so the one gate that exercises the injected optimizer rule
+    * ([[plans.RangeJoinRewrite]]) builds its frames here. The active/
+    * default session is restored before returning; the child session
+    * stays usable (sessions share the context and are never stopped).
+    */
+  private def extendedSession(s: SparkSession): SparkSession = {
+    s.sparkContext // the shared context must exist before the builder runs
+    val orig = SparkSession.getActiveSession
+    val origDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "32")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      orig.foreach(SparkSession.setActiveSession)
+      origDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   /** The event operators and their DuckDB oracles share one `ts`
     * convention: int64 epoch nanoseconds (the oracles read the parquet
     * natively and apply `epoch_ns(ts)`). Testdata vintages differ —
@@ -2099,6 +2123,37 @@ object SparkEntry {
         docs.filter(col("id") % 3 === 1), "id", "text", "label", weights)
         .orderBy("label")
     }),
+    "t_classifier_apply" -> ((s, dir) => {
+      // production shape: train ONCE, persist the weight table,
+      // score later corpora FROM THE RELOAD (the t_bpe_segment
+      // pattern for merge tables). The oracle recomputes the weights
+      // inline, so a broken write/read path — schema drift, lost
+      // rows, a stale dir — hash-fails instead of silently shifting
+      // scores; the apply slice (% 3 = 2) is disjoint from train
+      val docs = plantedClassDocs(s, dir)
+      val out = s"${scratchRoot()}/classifier_weights"
+      graft.text.HashedClassifier.train(
+        docs.filter(col("id") % 3 === 0), "text", "label")
+        .write.mode("overwrite").parquet(out)
+      graft.text.HashedClassifier.scoreTrained(
+        docs.filter(col("id") % 3 === 2), "id", "text",
+        s.read.parquet(out))
+        .orderBy("id")
+    }),
+    "s_quantile_reload" -> ((s, dir) => {
+      // sketch-state persistence: the ≤ ~2k-cell census writes once
+      // and rank queries answer from the RELOAD — the sketch-store
+      // consumption path (monitoring reads sketches, never raw data)
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      val out = s"${scratchRoot()}/quantile_cells"
+      graft.ops.QuantileSketch.cells(li, "cents", m = 5)
+        .write.mode("overwrite").parquet(out)
+      graft.ops.QuantileSketch.quantiles(
+        s.read.parquet(out), Seq(250, 750, 950), m = 5)
+        .orderBy("q_permille")
+    }),
     "f_jaro_winkler" -> ((s, dir) => {
       // fuzzy record-linkage scoring: native codegen Jaro-Winkler
       // (byte semantics, Winkler boost >0.7, prefix cap 4) pinned
@@ -3237,6 +3292,43 @@ object SparkEntry {
         .select(col("i_user"), col("session_seq"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("i_user", "session_seq")
+    }),
+    "o_range_join_rewrite" -> ((s, dir) => {
+      // the INJECTED OPTIMIZER RULE under the gate: the same range
+      // attribution as o_range_join, but written as the NAIVE
+      // non-equi join a user would type — inside a child session
+      // with GraftExtensions + spark.graft.rangeJoin.binWidth set,
+      // RangeJoinRewrite must substitute the binned equi-join on the
+      // logical plan. The row itself asserts the executed plan holds
+      // no nested-loop/cartesian: a silently-inert rule fails loudly
+      // here, not at 100 TB
+      val c = extendedSession(s)
+      c.conf.set("spark.graft.rangeJoin.binWidth",
+        (3600L * 1000000000L).toString)
+      val ev = t(c, dir, "events")
+      val intervals = graft.ops.Sessions.sessionSummary(
+        ev.filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", gap = 3600L * 1000000000L)
+        .select(col("user_id").as("i_user"), col("session_seq"),
+          (col("start_ts") - lit(300L * 1000000000L)).as("lo"),
+          (col("end_ts") + lit(300L * 1000000000L)).as("hi"))
+      val pts = ev.filter(col("user_id") % 7 === 0)
+        .select(col("ts").as("p_ts"))
+      val hits = pts
+        .join(intervals, col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
+        .groupBy(col("i_user"), col("session_seq"))
+        .agg(count(lit(1)).as("n_hits"))
+      val res = intervals.join(hits, Seq("i_user", "session_seq"), "left")
+        .select(col("i_user"), col("session_seq"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("i_user", "session_seq")
+      val plan = res.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "RangeJoinRewrite did not fire: naive range join kept its " +
+          s"nested-loop plan\n$plan")
+      res
     }),
     "ev_attribution" -> ((s, dir) => {
       // view→purchase attribution, the batch twin of the streaming
@@ -4855,6 +4947,12 @@ object SparkEntry {
     "t_classifier_holdout" ->
       graft.text.HashedClassifier.holdoutSql(
         "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 1"),
+    "t_classifier_apply" ->
+      graft.text.HashedClassifier.scoreTrainedSql(
+        "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 2"),
+    "s_quantile_reload" ->
+      graft.ops.QuantileSketch.quantilesSql(
+        "lineitem", "floor(l_extendedprice * 100 + 0.5)", Seq(250, 750, 950), 5),
     "f_jaro_winkler" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
@@ -5291,6 +5389,28 @@ object SparkEntry {
         |WHERE o_orderkey % 100 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "o_range_join" ->
+      """WITH se AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m),
+        |i AS (SELECT user_id AS i_user, session_seq,
+        |  min(ts) - 300000000000 AS lo, max(ts) + 300000000000 AS hi
+        |  FROM x GROUP BY 1, 2),
+        |p AS (SELECT epoch_ns(ts) AS p_ts FROM events WHERE user_id % 7 = 0)
+        |SELECT i_user, session_seq, count(p.p_ts) AS n_hits
+        |FROM i LEFT JOIN p ON p.p_ts >= i.lo AND p.p_ts <= i.hi
+        |GROUP BY i_user, session_seq
+        |ORDER BY i_user, session_seq""".stripMargin,
+    "o_range_join_rewrite" ->
+      // identical result contract to o_range_join: the gate varies
+      // the PLAN (optimizer-injected rewrite of the naive join), not
+      // the semantics
       """WITH se AS (SELECT user_id, event_id, epoch_ns(ts) AS ts
         |  FROM events WHERE user_id % 10 = 0),
         |m AS (SELECT user_id, event_id, ts,

@@ -145,10 +145,17 @@ object HashedClassifier {
       df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int = 4096): DataFrame = {
     val w = weights.select(col("bucket"), col("w"))
+    // an EMPTY weights table (empty training slice, or a bad reload
+    // path) would make max(n_pos/n_neg) NULL and every coalesce
+    // below silently yield NULL w_sum/score — fail loudly instead
     val unseen = weights
       .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"))
-      .select((expr(s"1000000L div (n_pos + $buckets)") -
-        expr(s"1000000L div (n_neg + $buckets)")).as("__w0"))
+      .select(coalesce(
+        expr(s"1000000L div (n_pos + $buckets)") -
+          expr(s"1000000L div (n_neg + $buckets)"),
+        raise_error(lit("scoreTrained: empty weights table — nothing " +
+          "was trained, the unseen-bucket weight is undefined"))
+          .cast("long")).as("__w0"))
     df.select(col(idCol).as("id"), col(textCol))
       .withColumn("__g",
         explode(grams(TextFunctions.tokens(lower(col(textCol))))))
@@ -244,6 +251,26 @@ object HashedClassifier {
        |  CAST(SUM(CASE WHEN (CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) = label
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
+  /** DuckDB rendering of [[train]] + [[scoreTrained]]: weights from
+    * `trainWhere` docs, per-document scores on `applyWhere` docs —
+    * the oracle for the persist-and-reload gate (the SQL recomputes
+    * the weights inline; the Spark side must produce the identical
+    * scores FROM THE RELOADED parquet, proving the round trip).
+    */
+  def scoreTrainedSql(
+      trainWhere: String, applyWhere: String, buckets: Int = 4096): String =
+    s"""WITH weights AS (${trainSql(trainWhere, buckets).replace("ORDER BY bucket", "")}),
+       |unseen AS (SELECT CAST(1000000 // (MAX(n_pos) + $buckets)
+       |    - 1000000 // (MAX(n_neg) + $buckets) AS BIGINT) AS w0 FROM weights),
+       |d AS (${plantedLabelSql(applyWhere)}),
+       |${gramBucketsSql(buckets)}
+       |SELECT gb.id, COUNT(*) AS n_grams,
+       |  CAST(SUM(coalesce(weights.w, unseen.w0)) AS BIGINT) AS w_sum,
+       |  CAST(SUM(coalesce(weights.w, unseen.w0)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS score
+       |FROM gb LEFT JOIN weights ON gb.bucket = weights.bucket, unseen
+       |GROUP BY gb.id ORDER BY gb.id""".stripMargin
 
   /** DuckDB rendering of [[score]] over `documents(doc_id, text)`
     * restricted by `whereClause`.
