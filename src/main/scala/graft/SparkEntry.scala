@@ -2328,6 +2328,29 @@ object SparkEntry {
       graft.ops.LinkAnalysis.triangles(
         graft.ops.LinkAnalysis.cocitationEdges(urls))
     }),
+    "s_triangle_domains" -> ((s, dir) => {
+      // WHICH domains are triangle-dense (the spam-farm hunt's
+      // actionable output): per-vertex local triangle counts over
+      // the same planted co-citation graph as s_graph_triangles —
+      // the mirror/hub2 farm corners show high closure, the organic
+      // s<N> spokes mostly zero despite nonzero degree
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" https://s"),
+              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+              col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0,
+                lit(" http://mirror.example.org/m")).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0,
+                lit(" http://hub2.example.org/x")).otherwise(lit(""))))
+            .as("text"))
+      val urls = graft.text.Urls.extractUrls(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("domain"))
+      graft.ops.LinkAnalysis.trianglesPerVertex(
+        graft.ops.LinkAnalysis.cocitationEdges(urls))
+        .orderBy("domain")
+    }),
     "ev_transitions" -> ((s, dir) =>
       // first-order Markov transition census: adjacent event-type
       // pairs per user timeline (one lead window, the sessionize
@@ -4868,6 +4891,22 @@ object SparkEntry {
       graft.ops.LinkAnalysis.hitsSql(plantedDomainRowsSql, iters = 5),
     "s_graph_triangles" ->
       graft.ops.LinkAnalysis.trianglesSql(
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN text
+          |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+          |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+          |                 ELSE '' END ||
+          |            CASE WHEN doc_id % 5 = 0 THEN ' http://hub2.example.org/x'
+          |                 ELSE '' END END AS text
+          |  FROM documents),
+          |uu AS (SELECT doc_id AS id,
+          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+          |  FROM d)
+          |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
+          |FROM uu""".stripMargin),
+    "s_triangle_domains" ->
+      graft.ops.LinkAnalysis.trianglesPerVertexSql(
         """WITH d AS (SELECT doc_id,
           |  CASE WHEN doc_id % 4 = 0 THEN text
           |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||

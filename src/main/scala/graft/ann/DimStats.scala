@@ -85,15 +85,22 @@ object DimStats {
   /** DuckDB rendering over `embeddings(vec_id, embedding)` restricted
     * by `whereClause`.
     */
-  def dimStatsSql(whereClause: String, dim: Int = 64): String =
+  def dimStatsSql(whereClause: String, dim: Int = 64): String = {
+    // mirror the Spark side's isNotNull vector filter: a NULL
+    // embedding row would otherwise contribute dim rows of NULL q/z
+    // here while the Spark census excludes it entirely
+    val where =
+      if (whereClause.trim.isEmpty) "WHERE embedding IS NOT NULL"
+      else s"$whereClause AND embedding IS NOT NULL"
     s"""WITH x AS (SELECT i,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q,
        |    CASE WHEN embedding[i] = 0 THEN 1 ELSE 0 END AS z
        |  FROM embeddings, unnest(range(1, ${dim + 1})) AS t(i)
-       |  $whereClause)
+       |  $where)
        |SELECT CAST(i AS INT) AS dim, count(*) AS n,
        |  CAST(SUM(z) AS BIGINT) AS n_zero,
        |  CAST(SUM(q) AS BIGINT) AS sum_q,
        |  MIN(q) AS min_q, MAX(q) AS max_q
        |FROM x GROUP BY i ORDER BY dim""".stripMargin
+  }
 }

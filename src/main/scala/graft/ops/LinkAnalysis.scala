@@ -188,23 +188,7 @@ object LinkAnalysis {
     * Output: one row `(n_nodes, n_edges, n_triangles)`.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("v"))
-      .union(und.select(col("b")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient by (degree, node): lower endpoint -> higher endpoint
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("s"), col("b").as("t")))
-          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val (und, deg, oriented) = orientedCore(edges)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
@@ -223,6 +207,92 @@ object LinkAnalysis {
       .select(col("n_nodes"),
         expr("sum_d div 2").as("n_edges"), col("n_triangles"))
   }
+
+  /** The shared skeleton of the triangle family: canonical `a < b`
+    * undirected edge set, the degree census, and the degree-oriented
+    * edge set (see [[triangles]] for why orientation bounds wedge
+    * fan-out by O(√|E|) on power-law graphs).
+    */
+  private def orientedCore(
+      edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (degree, node): lower endpoint -> higher endpoint
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    (und, deg, oriented)
+  }
+
+  /** Per-vertex (local) triangle counts — WHICH domains are
+    * triangle-dense, the actionable form of [[triangles]]'s global
+    * census (a spam-farm hunt needs the dense vertices, not just the
+    * corpus total). Same oriented-wedge plan; each closed wedge
+    * `(s, u, w)` is one triangle crediting all three corners, so the
+    * per-vertex tally is a 3-way explode + keyed count over the
+    * triangle set (output-sized, never edge×edge). Zero-triangle
+    * nodes survive through the degree left join — the contrast
+    * between high degree and zero closure is itself the signal.
+    *
+    * Output: `(domain, degree, n_triangles)`, one row per node.
+    */
+  def trianglesPerVertex(edges: DataFrame): DataFrame = {
+    val (und, deg, oriented) = orientedCore(edges)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("s"), col("e1.t").as("u"), col("e2.t").as("w"))
+    val tri = wedges.join(und
+      .select(col("a").as("u"), col("b").as("w")), Seq("u", "w"), "left_semi")
+    val perV = tri
+      .select(explode(array(col("s"), col("u"), col("w"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    deg.join(perV, Seq("v"), "left")
+      .select(col("v").as("domain"), col("d").as("degree"),
+        coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** DuckDB rendering of [[cocitationEdges]] + [[trianglesPerVertex]]
+    * over URL rows produced by `urlRowsSql` (must yield
+    * `(id, domain)`).
+    */
+  def trianglesPerVertexSql(urlRowsSql: String): String =
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT id, domain
+       |  FROM ($urlRowsSql) q),
+       |und AS MATERIALIZED (SELECT DISTINCT
+       |    least(a.domain, b.domain) AS a, greatest(a.domain, b.domain) AS b
+       |  FROM u a JOIN u b ON a.id = b.id AND a.domain <> b.domain),
+       |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+       |  GROUP BY v),
+       |o AS MATERIALIZED (SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+       |         THEN und.a ELSE und.b END AS s,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+       |         THEN und.b ELSE und.a END AS t
+       |  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+       |w3 AS (SELECT e1.s AS s, e1.t AS u, e2.t AS w FROM o e1
+       |  JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+       |tri AS (SELECT * FROM w3 WHERE EXISTS (SELECT 1 FROM und
+       |  WHERE und.a = w3.u AND und.b = w3.w)),
+       |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT s AS v FROM tri UNION ALL SELECT u FROM tri
+       |    UNION ALL SELECT w FROM tri) x GROUP BY v)
+       |SELECT deg.v AS domain, deg.d AS degree,
+       |  CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles
+       |FROM deg LEFT JOIN pv ON deg.v = pv.v
+       |ORDER BY domain""".stripMargin
 
   /** DuckDB rendering of [[cocitationEdges]] + [[triangles]] over URL
     * rows produced by `urlRowsSql` (must yield `(id, domain)`).

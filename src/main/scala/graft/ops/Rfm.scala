@@ -129,10 +129,18 @@ object Rfm {
     // bucket — the assignment that agrees with the exact-rank
     // quartiles whenever values sit in distinct buckets (RfmSpec
     // pins the agreement; est_lb would miscount the boundary user
-    // itself whenever its value exceeds its bucket's lower bound)
+    // itself whenever its value exceeds its bucket's lower bound).
+    // Boundaries are DEDUPED: on a degenerate distribution two
+    // per-mille targets can answer the same sketch bucket, and a
+    // repeated ub would bump the bin by 2 — a phantom empty quartile.
+    // With distinct boundaries the segment labels COMPRESS instead
+    // (e.g. three labels when q250 and q500 share a bucket), the
+    // third deliberate delta beside the one-bin-off and tie-sharing
+    // ones documented above; the oracle dedupes identically.
     def bounds(c: String) = QuantileSketch
       .quantiles(QuantileSketch.cells(base, c), Seq(250, 500, 750))
-      .agg(sort_array(collect_list(col("est_ub"))).as(s"__b_$c"))
+      .agg(sort_array(array_distinct(collect_list(col("est_ub"))))
+        .as(s"__b_$c"))
     def bin(c: String): Column =
       size(filter(col(s"__b_$c"), b => col(c) > b)).cast("int")
     base
@@ -161,9 +169,9 @@ object Rfm {
        |    n_events, monetary,
        |    CAST(floor(monetary * 100 + 0.5) AS BIGINT) AS cents
        |  FROM per, mx),
-       |rb AS MATERIALIZED (SELECT est_ub FROM ${bq("recency_days")} z),
-       |fb AS MATERIALIZED (SELECT est_ub FROM ${bq("n_events")} z),
-       |mb AS MATERIALIZED (SELECT est_ub FROM ${bq("cents")} z),
+       |rb AS MATERIALIZED (SELECT DISTINCT est_ub FROM ${bq("recency_days")} z),
+       |fb AS MATERIALIZED (SELECT DISTINCT est_ub FROM ${bq("n_events")} z),
+       |mb AS MATERIALIZED (SELECT DISTINCT est_ub FROM ${bq("cents")} z),
        |s AS (SELECT user_id, recency_days, n_events, monetary,
        |    CAST((SELECT count(*) FROM rb WHERE est_ub < b.recency_days)
        |      + 1 AS INT) AS r_q,
