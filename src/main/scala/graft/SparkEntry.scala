@@ -27,6 +27,71 @@ object SparkEntry {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** DuckDB rendering of the planted-leak corpus shared by
+    * `e_semantic_contam` (batch scan) and `st_semantic_contam`
+    * (stream twin): the `% 10 = 0` slice as doubles plus int8
+    * re-encoded copies of the `% 40 = 3` rows under id+2000000.
+    */
+  private lazy val semContamCorpusSql: String = {
+    import graft.ann.Ann.{dequantElemSql, qscaleSql, quantizeElemSql}
+    s"""SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |FROM embeddings WHERE vec_id % 10 = 0
+       |UNION ALL
+       |SELECT vec_id + 2000000 AS id,
+       |  list_transform(embedding, x ->
+       |    ${dequantElemSql(quantizeElemSql("x", "qscale"), "qscale")}) AS v
+       |FROM (SELECT vec_id, embedding,
+       |    ${qscaleSql("embedding")} AS qscale
+       |  FROM embeddings WHERE vec_id % 40 = 3) s""".stripMargin
+  }
+
+  /** The eval-set side of the semantic-contamination gates. */
+  private lazy val semContamEvalSql: String =
+    """SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings WHERE vec_id % 20 = 3""".stripMargin
+
+  /** `(doc_id, ts, text)` document-stream slice with a SYNTHETIC
+    * hour-grid event time (documents carry no timestamp):
+    * `ts = 2024-01-01T00:00Z + (doc_id div 40) h + (doc_id mod 40) min`
+    * — deterministic, monotone in doc_id (so an id-range batch split
+    * respects event time), minutes < 60 (so the hour window of a doc
+    * is exactly `2024-01-01 + (doc_id div 40) h`, computable from the
+    * id alone on the oracle side).
+    */
+  private def docStream(
+      s: SparkSession, dir: String,
+      where: org.apache.spark.sql.Column): DataFrame =
+    t(s, dir, "documents").filter(where)
+      .select(col("doc_id"),
+        expr("timestamp_seconds(1704067200L + (doc_id div 40) * 3600 " +
+          "+ (doc_id % 40) * 60)").as("ts"),
+        col("text"))
+
+  /** The two far-future watermark sentinels for windowed document
+    * streams (the [[graft.streaming.Replay.hourlyCountsReplay]]
+    * flush device): empty text produces no gram/token rows, so a
+    * sentinel can never contribute an output row even if its own
+    * far-future window were ever finalized.
+    */
+  private def docSentinels(s: SparkSession): Seq[DataFrame] = {
+    import s.implicits._
+    Seq(1L, 2L).map(i =>
+      Seq((-i, new java.sql.Timestamp(
+        (1704067200L + 100000000L + i * 86400L) * 1000L), ""))
+        .toDF("doc_id", "ts", "text"))
+  }
+
+  /** Id-range micro-batch split for [[docStream]] slices: the cut is
+    * a multiple of 40 (an hour-window boundary of the synthetic
+    * grid), so no window straddles the batch boundary and a
+    * zero-delay watermark drops nothing.
+    */
+  private def docBatches(docs: DataFrame, cutId: Long = 400L): Seq[DataFrame] =
+    Seq(docs.filter(col("doc_id") < cutId),
+      docs.filter(col("doc_id") >= cutId))
+
   /** Child session on the SAME SparkContext but WITH
     * [[GraftExtensions]] installed — extensions only apply at session
     * construction, and the driver's verify session is built without
@@ -3601,6 +3666,105 @@ object SparkEntry {
         "props_short" -> (length(col("props")) < 8)))
         .orderBy("win_start", "rule")
     }),
+    "st_classifier" -> ((s, dir) => {
+      // the ingest-time quality filter through the streaming engine:
+      // hashed-classifier scoring as a watermarked per-(window, doc)
+      // aggregation over two event-time micro-batches + two sentinel
+      // flushes; docs are whole, so each (hour, id) row must equal
+      // the batch per-doc score with hour derivable from the id alone
+      val docs = docStream(s, dir, col("doc_id") % 7 === 0)
+      graft.streaming.Replay.replayBatches(s,
+        docBatches(docs) ++ docSentinels(s),
+        src => graft.streaming.Streams.classifierStream(
+          src, "doc_id", "text", watermark = "0 seconds"))
+        .orderBy("id")
+    }),
+    "st_encode_stats" -> ((s, dir) => {
+      // tokenizer budget stats at the stream door: the trained BPE
+      // segmentation (static side, broadcast) joins documents
+      // arriving on the stream; per-(window, doc) subword/OOV counts
+      // hash against the batch encodeStats definition
+      val all = t(s, dir, "documents")
+      val (_, seg) = graft.text.Bpe.train(
+        graft.text.Bpe.wordCensus(
+          all.filter(col("doc_id") % 10 === 0), "text"), numMerges = 8)
+      val docs = docStream(s, dir, col("doc_id") % 20 === 5)
+      graft.streaming.Replay.replayBatches(s,
+        docBatches(docs) ++ docSentinels(s),
+        src => graft.streaming.Streams.encodeStatsStream(
+          src, "doc_id", "text", seg, watermark = "0 seconds"))
+        .orderBy("id")
+    }),
+    "st_surprise" -> ((s, dir) => {
+      // the perplexity-filter signal at the stream door: quantized
+      // LM surprise against the trained reference censuses (static
+      // side), per-(window, doc) — the same slices as the batch
+      // t_lm_surprise gate, so the stream twin's integers must
+      // reproduce the batch definition exactly
+      val all = t(s, dir, "documents")
+      val (uni, bi, v) = graft.text.Lm.referenceCensus(
+        all.filter(col("doc_id") % 2 === 0), "text")
+      val docs = docStream(s, dir, col("doc_id") % 10 === 7)
+      graft.streaming.Replay.replayBatches(s,
+        docBatches(docs) ++ docSentinels(s),
+        src => graft.streaming.Streams.surpriseStream(
+          src, "doc_id", "text", uni, bi, v, watermark = "0 seconds"))
+        // surpriseStream deliberately KEEPS zero-gram docs (a doc too
+        // short to score still reports 0), so the sentinels' own rows
+        // emit once their window finalizes — drop the negative ids
+        .filter(col("id") >= 0)
+        .orderBy("id")
+    }),
+    "st_decontam" -> ((s, dir) => {
+      // fingerprint decontamination at the stream door (stateless
+      // stream-static anti join — no watermark, no sentinels):
+      // mutated copies of every blocklisted doc (uppercased, extra
+      // whitespace) ride the stream under id+3000000 and must ALL
+      // vanish via the normalized fingerprint; the organic slice
+      // survives untouched
+      val docs0 = t(s, dir, "documents")
+      val blocklist = docs0.filter(col("doc_id") % 100 === 0)
+        .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+      val stream = docs0
+        .filter(col("doc_id") % 100 =!= 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs0.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 3000000L).as("id"),
+            concat(upper(col("text")), lit("  ")).as("text")))
+      graft.streaming.Replay.replayBatches(s,
+        Seq(stream.filter(col("id") % 2 === 0),
+          stream.filter(col("id") % 2 === 1)),
+        src => graft.streaming.Streams.decontaminateStream(
+          src, "text", blocklist).select(col("id")))
+        .orderBy("id")
+    }),
+    "st_semantic_contam" -> ((s, dir) => {
+      // embedding-space decontamination at the stream door: the
+      // banded-LSH stream-static scan over the same planted int8
+      // leaks as e_semantic_contam, emitted AT-LEAST-ONCE (one row
+      // per colliding band — deterministic LSH arithmetic, so the
+      // multiplicity itself sits under the hash gate)
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val leaked = Ann.quantizeInt8(
+        emb.filter(col("vec_id") % 40 === 3), "vec_id", "embedding")
+        .select((col("id") + 2000000L).as("id"),
+          transform(col("qvec"),
+            x => x.cast("double") / lit(127.0) * col("qscale")).as("v"))
+      val corpus = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .unionByName(leaked)
+      graft.streaming.Replay.replayBatches(s,
+        Seq(corpus.filter(col("id") % 2 === 0),
+          corpus.filter(col("id") % 2 === 1)),
+        src => graft.streaming.Streams.semanticContamStream(
+          src, evalSet, "id", "v", threshold = 0.98))
+        .orderBy("id", "eval_id")
+    }),
     "ev_sessionize_events" -> ((s, dir) => {
       // event-level twin of ev_sessionize: session_seq attached to
       // every event row — the form downstream feature pipelines join
@@ -4836,26 +5000,9 @@ object SparkEntry {
       graft.ann.Ann.cosineNearDupLshSql(0.98, planes = 192, bands = 16,
         sourceSql = Some(src))
     },
-    "e_semantic_contam" -> {
-      import graft.ann.Ann.{dequantElemSql, qscaleSql, quantizeElemSql}
-      val corpus =
-        s"""SELECT vec_id AS id,
-           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |FROM embeddings WHERE vec_id % 10 = 0
-           |UNION ALL
-           |SELECT vec_id + 2000000 AS id,
-           |  list_transform(embedding, x ->
-           |    ${dequantElemSql(quantizeElemSql("x", "qscale"), "qscale")}) AS v
-           |FROM (SELECT vec_id, embedding,
-           |    ${qscaleSql("embedding")} AS qscale
-           |  FROM embeddings WHERE vec_id % 40 = 3) s""".stripMargin
-      val ev =
-        """SELECT vec_id AS id,
-          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |FROM embeddings WHERE vec_id % 20 = 3""".stripMargin
-      graft.ann.Ann.semanticContaminationSql(corpus, ev, 0.98,
-        planes = 192, bands = 16)
-    },
+    "e_semantic_contam" ->
+      graft.ann.Ann.semanticContaminationSql(semContamCorpusSql,
+        semContamEvalSql, 0.98, planes = 192, bands = 16),
     "e_knn_classify" ->
       graft.ann.Ann.knnClassifySql(
         "vec_id % 10 = 1", "vec_id % 10 = 0", k = 5),
@@ -5632,6 +5779,54 @@ object SparkEntry {
     "st_hll" ->
       graft.ops.Hll.registersSql(
         "(SELECT user_id FROM events WHERE user_id % 10 = 0) ev", "user_id"),
+    "st_classifier" -> {
+      // per-doc batch score + the synthetic hour grid (hour is a pure
+      // function of the doc id — see docStream)
+      val inner = graft.text.HashedClassifier.scoreSql("WHERE doc_id % 7 = 0")
+        .replace("ORDER BY id", "")
+      s"""WITH base AS ($inner)
+         |SELECT make_timestamp((1704067200 + (id // 40) * 3600) * 1000000)
+         |    AS hour,
+         |  id, n_grams, w_sum, score
+         |FROM base ORDER BY id""".stripMargin
+    },
+    "st_encode_stats" -> {
+      val inner = graft.text.Bpe.encodeStatsSql(8,
+        "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 5")
+        .replace("ORDER BY id", "")
+      s"""WITH base AS ($inner)
+         |SELECT make_timestamp((1704067200 + (id // 40) * 3600) * 1000000)
+         |    AS hour,
+         |  id, n_subwords, n_oov
+         |FROM base ORDER BY id""".stripMargin
+    },
+    "st_surprise" -> {
+      val inner = graft.text.Lm.surpriseScoreSql(
+        whereClause = "WHERE doc_id % 10 = 7",
+        refWhereClause = "WHERE doc_id % 2 = 0")
+      s"""WITH base AS ($inner)
+         |SELECT make_timestamp((1704067200 + (doc_id // 40) * 3600) * 1000000)
+         |    AS hour,
+         |  doc_id AS id, n_grams, surprise_micro
+         |FROM base ORDER BY id""".stripMargin
+    },
+    "st_decontam" -> {
+      val fp = graft.text.TextFunctions.fingerprintSql
+      s"""WITH bl AS (SELECT ${fp.replace("TXT", "text")} AS fp
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |st AS (SELECT doc_id AS id, text FROM documents
+         |    WHERE doc_id % 100 <> 0 AND doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS id, upper(text) || '  ' AS text
+         |  FROM documents WHERE doc_id % 100 = 0)
+         |SELECT id FROM st
+         |WHERE NOT EXISTS (SELECT 1 FROM bl
+         |  WHERE bl.fp = ${fp.replace("TXT", "st.text")})
+         |ORDER BY id""".stripMargin
+    },
+    "st_semantic_contam" ->
+      graft.ann.Ann.semanticContamPairsSql(semContamCorpusSql,
+        semContamEvalSql, 0.98, planes = 192, bands = 16),
     "st_cms" ->
       graft.ops.Sketches.cmsCellsSql(
         "(SELECT user_id FROM events WHERE user_id % 10 = 0) ev",

@@ -1846,4 +1846,36 @@ object Ann {
        |  max(cos) AS max_cos
        |FROM hits GROUP BY id ORDER BY id""".stripMargin
   }
+
+  /** DuckDB rendering of
+    * [[graft.streaming.Streams.semanticContamStream]]'s AT-LEAST-ONCE
+    * flag stream: one `(id, eval_id, cos)` row per COLLIDING BAND —
+    * band collisions are deterministic LSH arithmetic, so the
+    * multiplicity itself sits under the hash gate (the batch
+    * [[semanticContaminationSql]] dedups pairs; the stream
+    * deliberately does not — see the stream's scaladoc for why a
+    * global pair dedup is the wrong trade there).
+    */
+  def semanticContamPairsSql(
+      corpusSql: String, evalSql: String, threshold: Double,
+      planes: Int = 192, bands: Int = 16, dim: Int = 64,
+  ): String = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    def bandedSql(rel: String) = (0 until bands).map { b =>
+      s"SELECT id, v, $b AS band, ${lshBandKeySql("v", b, r, dim)} AS bkey " +
+        s"FROM $rel WHERE ${dotSql("v", "v", dim)} > 0"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH corpus AS ($corpusSql),
+       |ev AS ($evalSql),
+       |cb AS (
+       |${bandedSql("corpus")}),
+       |eb AS (
+       |${bandedSql("ev")}),
+       |hits AS (SELECT cb.id AS id, eb.id AS eval_id,
+       |    ${cosineSql("cb.v", "eb.v", dim)} AS cos
+       |  FROM cb JOIN eb ON cb.band = eb.band AND cb.bkey = eb.bkey)
+       |SELECT id, eval_id, cos FROM hits WHERE cos >= $threshold
+       |ORDER BY id, eval_id""".stripMargin
+  }
 }

@@ -226,6 +226,48 @@ object Replay {
       .filter(col("win_start") <= lit(maxTs))
   }
 
+  /** Generic replay for streams that are NOT EventRow-shaped
+    * (document and embedding streams keep their native schemas): the
+    * caller supplies the staged micro-batches — including any
+    * sentinel batches a watermarked Append aggregation needs to
+    * flush (far-future event time, content that produces no output
+    * rows) — and a `build` over the streaming source. Same engine
+    * path as [[runReplay]]: FileStreamSource with pinned batch order,
+    * checkpoint, Trigger.AvailableNow, checkpointed parquet Append
+    * sink. Stateless stream-static joins need no sentinels (they
+    * emit in the arrival batch); windowed aggregations follow the
+    * [[hourlyCountsReplay]] watermark argument.
+    */
+  def replayBatches(
+      spark: SparkSession, batches: Seq[DataFrame],
+      build: DataFrame => DataFrame,
+  ): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: no batches")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      stageBatch(spark, b.coalesce(1), inDir, f"b$i%03d",
+        mtimeSec = 1000L + 1000L * i)
+    }
+    val src = spark.readStream
+      .schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val q = build(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
   /** Roots whose sink dirs are still live; a single JVM shutdown hook
     * deletes them all, so repeated bench/verify invocations leave
     * nothing behind the process.
