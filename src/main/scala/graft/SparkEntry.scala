@@ -3666,6 +3666,32 @@ object SparkEntry {
         "props_short" -> (length(col("props")) < 8)))
         .orderBy("win_start", "rule")
     }),
+    "st_interval_join" -> ((s, dir) => {
+      // the watermarked STREAM-STREAM interval join (view→purchase
+      // attribution) through the engine: two file sources, ms-grain
+      // event times, a full-span watermark so no pair is evicted
+      // mid-replay — the result must be exactly the batch interval
+      // join (every same-user purchase within 6 h of a view)
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      def halves(df: DataFrame, tsCol: String) = Seq(
+        df.filter(col(tsCol) < lit("2024-01-16").cast("timestamp")),
+        df.filter(col(tsCol) >= lit("2024-01-16").cast("timestamp")))
+      graft.streaming.Replay.replayBatches2(s,
+        halves(views, "v_ts"), halves(purchases, "p_ts"),
+        (c, e) => graft.streaming.Streams.intervalJoin(
+          c, e, "user_id", "v_ts", "p_ts",
+          maxDelayMinutes = 360, watermark = "60 days"))
+        .orderBy("user_id", "view_id", "purchase_id")
+    }),
     "st_classifier" -> ((s, dir) => {
       // the ingest-time quality filter through the streaming engine:
       // hashed-classifier scoring as a watermarked per-(window, doc)
@@ -5779,6 +5805,19 @@ object SparkEntry {
     "st_hll" ->
       graft.ops.Hll.registersSql(
         "(SELECT user_id FROM events WHERE user_id % 10 = 0) ev", "user_id"),
+    "st_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |    epoch_ns(ts) // 1000000 AS v_ms
+        |  FROM events WHERE event_type = 'view' AND user_id % 10 = 0),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_ns(ts) // 1000000 AS p_ms
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0)
+        |SELECT v.user_id AS user_id, v.view_id,
+        |  make_timestamp(v_ms * 1000) AS v_ts,
+        |  p.purchase_id, make_timestamp(p_ms * 1000) AS p_ts
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p_ms >= v_ms AND p_ms <= v_ms + 21600000
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
     "st_classifier" -> {
       // per-doc batch score + the synthetic hour grid (hour is a pure
       // function of the doc id — see docStream)

@@ -268,6 +268,49 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** Two-source replay for STREAM-STREAM operators
+    * ([[Streams.intervalJoin]]): each side stages into its own input
+    * dir with interleaved modification times (a1, b1, a2, b2, …), so
+    * micro-batches alternate sides and the join state genuinely
+    * buffers rows waiting for the other stream. Everything else is
+    * [[replayBatches]].
+    */
+  def replayBatches2(
+      spark: SparkSession, aBatches: Seq[DataFrame], bBatches: Seq[DataFrame],
+      build: (DataFrame, DataFrame) => DataFrame,
+  ): DataFrame = {
+    require(aBatches.nonEmpty && bBatches.nonEmpty, "replayBatches2: no batches")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inA = Files.createDirectory(root.resolve("inA"))
+    val inB = Files.createDirectory(root.resolve("inB"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    aBatches.zipWithIndex.foreach { case (b, i) =>
+      stageBatch(spark, b.coalesce(1), inA, f"a$i%03d",
+        mtimeSec = 1000L + 2000L * i)
+    }
+    bBatches.zipWithIndex.foreach { case (b, i) =>
+      stageBatch(spark, b.coalesce(1), inB, f"b$i%03d",
+        mtimeSec = 2000L + 2000L * i)
+    }
+    def src(dir: Path, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = build(src(inA, aBatches.head.schema), src(inB, bBatches.head.schema))
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    deleteRecursively(inA)
+    deleteRecursively(inB)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
   /** Roots whose sink dirs are still live; a single JVM shutdown hook
     * deletes them all, so repeated bench/verify invocations leave
     * nothing behind the process.
