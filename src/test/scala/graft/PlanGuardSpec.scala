@@ -514,6 +514,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"s_graph_triangles closing-edge check is not an equi semi join:\n$p")
   }
 
+  test("per-vertex triangle census keeps the oriented equi-join shape") {
+    // same skeleton as the global count, but no 1-row summary cross
+    // join at the top — NO BroadcastNestedLoopJoin is permitted here
+    val p = plan("s_triangle_domains")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"s_triangle_domains wedge/closing joins degenerated to all-pairs:\n$p")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\\n]*LeftSemi".r
+      .findFirstIn(p).isDefined,
+      s"s_triangle_domains closing-edge check is not an equi semi join:\n$p")
+  }
+
   test("transition census: one user window, marginal joins broadcast") {
     val p = plan("ev_transitions")
     assert(p.contains("BroadcastHashJoin"),

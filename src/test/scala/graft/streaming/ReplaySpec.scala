@@ -37,4 +37,19 @@ class ReplaySpec extends AnyFunSuite with SparkSpec {
     assert(live.isEmpty,
       s"replay left non-sink entries in ${root}: ${live.mkString(", ")}")
   }
+
+  test("the generic-schema replay honors the same cleanup invariant") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "v")
+    val out = Replay.replayBatches(spark,
+      Seq(a.filter(col("id") < 3), a.filter(col("id") >= 3)),
+      src => src.filter(col("v") === "y").select(col("id")))
+    assert(out.as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val root = new java.io.File(new java.net.URI(out.inputFiles.head))
+      .getParentFile.getParentFile
+    val live = root.listFiles().map(_.getName).filterNot(_ == "out")
+    assert(live.isEmpty,
+      s"replayBatches left non-sink entries in ${root}: ${live.mkString(", ")}")
+  }
 }
