@@ -1603,6 +1603,24 @@ object SparkEntry {
         numHashes = 16, bands = 4)
         .orderBy("new_id", "corpus_id")
     }),
+    "d_minhash_store" -> ((s, dir) => {
+      // the signature STORE round trip d_minhash_incr's comment
+      // promises: corpus signatures persist to parquet once, and the
+      // next drop's banding runs against the RELOAD (numHashes+1
+      // longs per doc — the only thing an incremental dedup ever
+      // re-reads). The oracle recomputes signatures inline, so a
+      // lossy write/read path hash-fails
+      val docs = t(s, dir, "documents")
+      val out = s"${scratchRoot()}/minhash_store"
+      graft.dedup.Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16)
+        .write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.minhashLshPairsAgainst(
+        graft.dedup.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 16),
+        s.read.parquet(out), numHashes = 16, bands = 4)
+        .orderBy("new_id", "corpus_id")
+    }),
     "d_simhash" -> ((s, dir) => {
       graft.dedup.Dedup.simhash(
         t(s, dir, "documents").filter(col("doc_id") % 25 === 0),
@@ -2415,6 +2433,49 @@ object SparkEntry {
       graft.ops.LinkAnalysis.trianglesPerVertex(
         graft.ops.LinkAnalysis.cocitationEdges(urls))
         .orderBy("domain")
+    }),
+    "s_kcore_domains" -> ((s, dir) => {
+      // the dense-core complement of the triangle census: a 4-round
+      // 2-core peel. The planting DIFFERS from s_graph_triangles in
+      // one dial: only spokes with residue < 12 ever cite hub2, so
+      // spokes 12..22 hang off mirror alone (degree 1) and shed in
+      // round 1, while the farm (mirror/hub2 + doubly-linked spokes
+      // 0..11) survives — the peel must discriminate, not rubber-
+      // stamp. Bounded rounds are the spec on both engines (the
+      // pageRank iters convention)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" https://s"),
+              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+              col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0,
+                lit(" http://mirror.example.org/m")).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0 && col("doc_id") % 23 < 12,
+                lit(" http://hub2.example.org/x")).otherwise(lit(""))))
+            .as("text"))
+      val urls = graft.text.Urls.extractUrls(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("domain"))
+      graft.ops.LinkAnalysis.kCorePeel(
+        graft.ops.LinkAnalysis.cocitationEdges(urls), k = 2, rounds = 4)
+        .orderBy("domain")
+    }),
+    "t_pii_rate_by_source" -> ((s, dir) => {
+      // per-source PII exposure census (the pre-release privacy
+      // gate): the synthetic corpus has no PII, so identifiers are
+      // planted in a quarter of the scanned slice (identical
+      // construction in the oracle) — sources then report distinct
+      // nonzero rates, and the ppm arithmetic stays all-integer
+      val txt = when(col("doc_id") % 4 === 1,
+        concat(substring(col("text"), 1, 60),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0.7"))).otherwise(col("text"))
+      graft.text.Pii.rateBySource(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("source"), txt.as("text")),
+        "source", "text")
+        .orderBy("source")
     }),
     "ev_transitions" -> ((s, dir) =>
       // first-order Markov transition census: adjacent event-type
@@ -5094,6 +5155,34 @@ object SparkEntry {
           |  FROM d)
           |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
           |FROM uu""".stripMargin),
+    "s_kcore_domains" ->
+      graft.ops.LinkAnalysis.kCorePeelSql(
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN text
+          |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+          |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+          |                 ELSE '' END ||
+          |            CASE WHEN doc_id % 5 = 0 AND doc_id % 23 < 12
+          |                 THEN ' http://hub2.example.org/x'
+          |                 ELSE '' END END AS text
+          |  FROM documents),
+          |uu AS (SELECT doc_id AS id,
+          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+          |  FROM d)
+          |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
+          |FROM uu""".stripMargin, k = 2, rounds = 4),
+    "t_pii_rate_by_source" ->
+      graft.text.Pii.rateBySourceSql(
+        """(SELECT source, CASE WHEN doc_id % 4 = 1
+          |    THEN substr(text, 1, 60) || ' contact user' ||
+          |      CAST(doc_id AS VARCHAR) || '@example.com via 10.' ||
+          |      CAST(doc_id % 200 AS VARCHAR) || '.0.7'
+          |    ELSE text END AS text
+          |  FROM documents WHERE doc_id % 5 = 0) dd""".stripMargin),
+    "d_minhash_store" ->
+      graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
+        whereNew = "WHERE doc_id % 10 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
     "t_readability" -> {
       import graft.text.TextFunctions._
       s"""SELECT doc_id,

@@ -263,6 +263,76 @@ object LinkAnalysis {
         coalesce(col("n"), lit(0L)).as("n_triangles"))
   }
 
+  /** Bounded-round k-core peel over an undirected edge set — which
+    * nodes sit inside a DENSE CORE, the third member of the spam-farm
+    * toolkit beside [[trianglesPerVertex]] (local closure) and
+    * [[hits]] (mutual reinforcement): farms survive high-k peels,
+    * organically-linked spokes shed in the first rounds. Each round
+    * recomputes degrees over the surviving edge set, keeps nodes with
+    * degree ≥ k, and restricts edges to kept endpoints.
+    *
+    * `rounds` is part of the operator's SPEC (both the Spark side and
+    * the oracle compute the identical R-round peel — the pageRank
+    * `iters` convention): the planted test graph converges well
+    * inside R, and a production caller raises R or loops the same
+    * per-round plan to fixpoint via an emptiness check.
+    *
+    * 100 TB shape: one keyed degree census + two semi joins per
+    * round, everything equi-keyed on the node; lineage cut every 3
+    * rounds (the HITS localCheckpoint lesson — each round references
+    * the previous frame three times, so the plan would otherwise grow
+    * 3^R). Output: surviving `(domain, degree)`, degree measured in
+    * the surviving subgraph.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of [1, 64]")
+    var cur = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    for (i <- 1 to rounds) {
+      val keep = cur.select(col("a").as("v")).union(cur.select(col("b")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      cur = cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      if (i % 3 == 0 && i < rounds) cur = cur.localCheckpoint(true)
+    }
+    cur.select(col("a").as("v")).union(cur.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .select(col("v").as("domain"), col("degree"))
+  }
+
+  /** DuckDB rendering of [[cocitationEdges]] + [[kCorePeel]] over URL
+    * rows produced by `urlRowsSql` (must yield `(id, domain)`) —
+    * rounds unrolled as MATERIALIZED CTE stages, the [[hitsSql]]
+    * device.
+    */
+  def kCorePeelSql(urlRowsSql: String, k: Int, rounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""u AS MATERIALIZED (SELECT DISTINCT id, domain FROM ($urlRowsSql) q),
+         |e0 AS MATERIALIZED (SELECT DISTINCT
+         |    least(a.domain, b.domain) AS a, greatest(a.domain, b.domain) AS b
+         |  FROM u a JOIN u b ON a.id = b.id AND a.domain <> b.domain)""".stripMargin)
+    for (i <- 1 to rounds) {
+      parts += s"""k$i AS MATERIALIZED (SELECT v FROM (
+                  |    SELECT v, count(*) AS d FROM (SELECT a AS v FROM e${i - 1}
+                  |      UNION ALL SELECT b FROM e${i - 1}) x$i GROUP BY v) dd$i
+                  |  WHERE d >= $k)""".stripMargin
+      parts += s"""e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+                  |  WHERE a IN (SELECT v FROM k$i)
+                  |    AND b IN (SELECT v FROM k$i))""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n") +
+      s""",
+         |fd AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) xf
+         |  GROUP BY v)
+         |SELECT v AS domain, degree FROM fd ORDER BY domain""".stripMargin
+  }
+
   /** DuckDB rendering of [[cocitationEdges]] + [[trianglesPerVertex]]
     * over URL rows produced by `urlRowsSql` (must yield
     * `(id, domain)`).

@@ -66,6 +66,50 @@ object Pii {
       regexp_count(col(textCol), lit(ipv4Pattern)).cast("int").as("n_ipv4"),
       regexp_count(col(textCol), lit(phonePattern)).cast("int").as("n_phones"))
 
+  /** Per-source PII exposure census — the privacy release gate a
+    * corpus publisher runs BEFORE the redaction pass: which ingest
+    * sources leak identifiers, at what rate, and of which class.
+    * One map-combined corpus pass (per-row codegen'd `regexp_count`,
+    * then a source-keyed census bounded by source cardinality); the
+    * text never shuffles. Output: `(source, n_docs, n_flagged,
+    * n_emails, n_ipv4, n_phones, flagged_ppm)` — `n_flagged` counts
+    * documents with ANY hit, ppm in integer `div` arithmetic.
+    */
+  def rateBySource(
+      df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        regexp_count(col(textCol), lit(emailPattern)).cast("long").as("e"),
+        regexp_count(col(textCol), lit(ipv4Pattern)).cast("long").as("i"),
+        regexp_count(col(textCol), lit(phonePattern)).cast("long").as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("e")).as("n_emails"), sum(col("i")).as("n_ipv4"),
+        sum(col("p")).as("n_phones"))
+      .withColumn("flagged_ppm", expr("n_flagged * 1000000L div n_docs"))
+
+  /** DuckDB rendering of [[rateBySource]]; `fromClause` supplies the
+    * `(source, text)` rows.
+    */
+  def rateBySourceSql(fromClause: String): String = {
+    def cnt(pat: String, as: String) =
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS $as"
+    s"""WITH d AS (SELECT source, ${cnt(emailPattern, "e")},
+       |    ${cnt(ipv4Pattern, "i")}, ${cnt(phonePattern, "p")}
+       |  FROM $fromClause),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flagged,
+       |    CAST(sum(e) AS BIGINT) AS n_emails,
+       |    CAST(sum(i) AS BIGINT) AS n_ipv4,
+       |    CAST(sum(p) AS BIGINT) AS n_phones
+       |  FROM d GROUP BY source)
+       |SELECT source, n_docs, n_flagged, n_emails, n_ipv4, n_phones,
+       |  (n_flagged * 1000000) // n_docs AS flagged_ppm
+       |FROM c ORDER BY source""".stripMargin
+  }
+
   /** DuckDB rendering of [[scrub]]'s projection (no FROM clause —
     * caller supplies source and ordering; `idExpr`/`textExpr` are SQL
     * expressions).

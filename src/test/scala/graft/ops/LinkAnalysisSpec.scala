@@ -88,4 +88,40 @@ class LinkAnalysisSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(edges == Set(("x.com", "y.com"), ("y.com", "x.com")))
   }
+
+  test("trianglesPerVertex: K4 corners carry 3 each, a pendant carries 0") {
+    // K4 on {a,b,c,d} (each vertex in 3 triangles) + pendant e-a
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val edges = (k4 :+ ("a", "e")).toDF("src", "dst")
+    val got = LinkAnalysis.trianglesPerVertex(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a" -> (4L, 3L), "b" -> (3L, 3L), "c" -> (3L, 3L),
+      "d" -> (3L, 3L), "e" -> (1L, 0L)))
+  }
+
+  test("kCorePeel: pendant chain sheds, the clique core survives with in-core degrees") {
+    // triangle {a,b,c} + chain c-d-e: d and e peel at k=2 (e first,
+    // then d), the triangle survives with degree 2 each
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val got = LinkAnalysis.kCorePeel(edges, k = 2, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kCorePeel: bounded rounds stop where the spec says, not at the fixpoint") {
+    // chain a-b-c-d-e at k=2: each round peels only the current
+    // endpoints, so ONE round leaves the inner chain b-c-d (degree
+    // recomputed in the survivor subgraph), while 4 rounds empty it
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val one = LinkAnalysis.kCorePeel(chain, k = 2, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("b" -> 1L, "c" -> 2L, "d" -> 1L))
+    assert(LinkAnalysis.kCorePeel(chain, k = 2, rounds = 4).isEmpty)
+  }
 }

@@ -44,6 +44,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.getString(1) == "ssh user@<IP> fast")
   }
 
+  test("Pii.rateBySource: per-source doc and hit tallies, integer ppm") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", "mail a@b.co and c@d.org"), // flagged, 2 emails
+      ("web", "clean"),
+      ("web", "host 10.0.0.1"),           // flagged, 1 ip
+      ("web", "also clean"),
+      ("book", "nothing here"),
+    ).toDF("source", "text")
+    val got = Pii.rateBySource(df, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("web") == ((4L, 2L, 2L, 1L, 0L, 500000L)))
+    assert(got("book") == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("Boilerplate.removeFrequentLines strips lines in >= minDocs docs, keeps the rest") {
     val corpus = docs(
       1L -> "alpha one#FOOTER#beta one",
