@@ -3610,6 +3610,24 @@ object SparkEntry {
             .as("duration_ms"))
         .orderBy("user_id", "session_seq")
     }),
+    "st_sessionize_native" -> ((s, dir) => {
+      // the ENGINE'S OWN merging session windows (session_window)
+      // against the identical oracle as st_sessionize's explicit
+      // state machine — two implementations, one definition; a
+      // drift between them (or a session_window semantics change
+      // across Spark versions) hash-fails here
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.sessionizeNativeReplay(s, ev, gapMinutes = 60)
+        .select(col("user_id"), col("session_seq"),
+          col("n_events").cast("long").as("n_events"),
+          col("session_start"),
+          (unix_millis(col("session_end")) - unix_millis(col("session_start")))
+            .as("duration_ms"))
+        .orderBy("user_id", "session_seq")
+    }),
     "st_hourly" -> ((s, dir) => {
       // the watermarked tumbling-window aggregation through the
       // streaming engine (Append mode: a window emits only when the
@@ -6012,6 +6030,25 @@ object SparkEntry {
         |  make_timestamp(vt * 1000) AS vt_ts
         |FROM f WHERE vt IS NOT NULL
         |ORDER BY user_id, seq""".stripMargin,
+    "st_sessionize_native" ->
+      // IDENTICAL definition to st_sessionize — the Spark side varies
+      // the ENGINE MECHANISM (native session_window vs the explicit
+      // state machine), not the semantics
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, event_id, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |       OR ms - lag(ms) OVER w > 3600000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |x AS (SELECT user_id, ms,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  make_timestamp(min(ms) * 1000) AS session_start,
+        |  max(ms) - min(ms) AS duration_ms
+        |FROM x GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "st_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms
         |  FROM events WHERE user_id % 10 = 0),

@@ -361,6 +361,30 @@ object Replay {
       .withColumn("session_seq", row_number().over(w).cast("long"))
   }
 
+  /** Runs [[Streams.sessionizeNative]] over `events` via the replay —
+    * identical sentinel/flush mechanics to [[sessionizeReplay]] (a
+    * native session window finalizes when the watermark passes its
+    * end, i.e. last event + gap), identical output shape, so both
+    * sessionizers gate against the same oracle.
+    */
+  def sessionizeNativeReplay(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapMs = gapMinutes * 60L * 1000L
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "sessionizeNativeReplay: empty input slice")
+    val s1 = new Timestamp(maxTs.getTime + gapMs + 3600L * 1000L)
+    val s2 = new Timestamp(s1.getTime + gapMs + 3600L * 1000L)
+    def sentinel(uid: Long, ts: Timestamp) =
+      Streams.EventRow(-1L, ts, uid, "sentinel", 0.0, "")
+    val out = runReplay(spark, events,
+      Seq(sentinel(-1L, s1), sentinel(-2L, s2)),
+      ds => Streams.sessionizeNative(ds.toDF(), gapMinutes,
+        watermark = "0 seconds"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    out.filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+  }
+
   /** Runs [[Streams.scd2Stream]] over `events` via the replay. The
     * stream emits each key's CLOSED validity intervals during the
     * data batch itself (no timeout → no sentinels needed); the open

@@ -510,6 +510,36 @@ object Streams {
         col("r.n_rows").as("n_rows"))
   }
 
+  /** Gap sessionization through Spark's NATIVE merging session
+    * windows (`session_window`) — the engine's own implementation of
+    * what [[sessionize]] builds as an explicit state machine. Both
+    * exist deliberately: the native window is the right default (the
+    * state store merges overlapping sessions for free, no custom
+    * state class), while the flatMapGroupsWithState twin is the
+    * template users extend when they need policies the window can't
+    * express (per-key dynamic gaps, side outputs, custom eviction).
+    * Stream ≡ state-machine-twin for in-horizon data; the gate pins
+    * both against ONE oracle.
+    *
+    * A session window's `end` is `last event + gap` (the window is
+    * the event span EXTENDED by the gap), so the last-event time is
+    * `w.end - gap` — callers recover the [[SessionOut]] shape from
+    * that. Emits in Append mode when the watermark passes the
+    * session end; state is O(open sessions), merged and evicted by
+    * the engine.
+    */
+  def sessionizeNative(
+      events: DataFrame, gapMinutes: Int, watermark: String = "1 hour",
+  ): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        (col("w.end") - expr(s"INTERVAL $gapMinutes MINUTES"))
+          .as("session_end"),
+        col("n_events"))
+
   final case class Scd2State(value: String, since: Long)
 
   final case class Scd2Out(
