@@ -514,6 +514,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"s_graph_triangles closing-edge check is not an equi semi join:\n$p")
   }
 
+  test("k-core peel: every round's degree census and node restriction stay equi-keyed") {
+    val p = plan("s_kcore_domains")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"s_kcore_domains peel joins degenerated to all-pairs:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"s_kcore_domains lost its node-restriction semi joins:\n$p")
+  }
+
   test("per-vertex triangle census keeps the oriented equi-join shape") {
     // same skeleton as the global count, but no 1-row summary cross
     // join at the top — NO BroadcastNestedLoopJoin is permitted here
