@@ -3642,6 +3642,18 @@ object SparkEntry {
         .select(col("hour"), col("event_type"), col("n_events"))
         .orderBy("hour", "event_type")
     }),
+    "st_sliding" -> ((s, dir) => {
+      // OVERLAPPING windows through the engine (2h length, 1h
+      // slide): every event must appear in exactly two concurrent
+      // windows' state — the trailing-window monitor shape, gated
+      // against a per-event two-window unnest twin
+      val ev = t(s, dir, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          expr("timestamp_micros((ts div 1000000) * 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      graft.streaming.Replay.slidingCountsReplay(s, ev)
+        .orderBy("win_start", "event_type")
+    }),
     "st_dedup" -> ((s, dir) => {
       // stateful streaming dedup (dropDuplicatesWithinWatermark)
       // under the gate: the slice unioned with itself plants an
@@ -5889,6 +5901,15 @@ object SparkEntry {
     "st_dedup" ->
       """SELECT DISTINCT event_id FROM events WHERE user_id % 10 = 0
         |ORDER BY event_id""".stripMargin,
+    "st_sliding" ->
+      // a 2h window sliding 1h holds each event in exactly the two
+      // hour-aligned windows [h-1h, h+1h) and [h, h+2h)
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type
+        |  FROM events WHERE user_id % 10 = 0),
+        |u AS (SELECT h - INTERVAL 1 HOUR AS win_start, event_type FROM e
+        |  UNION ALL SELECT h, event_type FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events
+        |FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "st_ewma" ->
       // graft.ops.Ewma.ewmaSql with the st_* ms truncation: the
       // stream folds Timestamp.getTime (ms) order, so the oracle

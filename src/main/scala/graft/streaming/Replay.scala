@@ -426,6 +426,24 @@ object Replay {
       .filter(col("event_type") =!= "sentinel")
   }
 
+  /** Runs [[Streams.slidingEventCounts]] (2h windows sliding 1h) via
+    * the replay — the [[hourlyCountsReplay]] device with margins
+    * sized to the LONGER window (a 2h window ending at
+    * trunc(max)+2h needs the first sentinel strictly past it).
+    */
+  def slidingCountsReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null, "slidingCountsReplay: empty input slice")
+    val s1 = new Timestamp(maxTs.getTime + 3L * 3600L * 1000L)
+    val s2 = new Timestamp(s1.getTime + 3L * 3600L * 1000L)
+    def sentinel(uid: Long, ts: Timestamp) =
+      Streams.EventRow(-1L, ts, uid, "sentinel", 0.0, "")
+    runReplay(spark, events,
+      Seq(sentinel(-1L, s1), sentinel(-2L, s2)),
+      ds => Streams.slidingEventCounts(ds.toDF(), watermark = "0 seconds"))
+      .filter(col("event_type") =!= "sentinel")
+  }
+
   /** Runs [[Streams.funnelStream]] via the replay: the buffered
     * out-of-order funnel state machine through the streaming engine.
     * Events buffer un-ripened while the watermark sits at zero

@@ -42,6 +42,25 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding (overlapping) windowed counts per event type — the
+    * trailing-window monitor beside [[hourlyEventCounts]]'s tumbling
+    * census: each event lands in `length/slide` concurrent windows,
+    * and the engine maintains state for all of them (the overlap IS
+    * the feature — a 2h/1h dial reports every hour on the trailing
+    * two). Append-mode emission and watermark eviction work exactly
+    * as for tumbling windows, per window end.
+    */
+  def slidingEventCounts(
+      events: DataFrame, length: String = "2 hours", slide: String = "1 hour",
+      watermark: String = "2 hours",
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
   /** Streaming tokenizer budget stats — the twin of the batch
     * [[graft.text.Bpe.encodeStats]] for documents arriving on a
     * stream: per document, the subword count under a TRAINED
