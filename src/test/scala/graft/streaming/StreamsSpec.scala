@@ -40,6 +40,52 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windowed counts: each event lands in exactly two overlapping windows") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.slidingEventCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 70))
+      query.processAllAvailable()
+      val rows = spark.table("sliding").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Long]("n_events")))
+      val h = 1699999200000L // ts(0) truncated to hour
+      def t0(ms: Long) = new Timestamp(ms)
+      // events at minutes 0/10 -> windows [h-1h, h+1h) and [h, h+2h);
+      // minute 70 -> [h, h+2h) and [h+1h, h+3h)
+      assert(rows.toSet == Set(
+        (t0(h - 3600000L), 2L), (t0(h), 3L), (t0(h + 3600000L), 1L)))
+    } finally query.stop()
+  }
+
+  test("sessionizeNative equals the state-machine sessionizer's summaries") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val query = Streams.sessionizeNative(input.toDF(), gapMinutes = 60,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions (gap 100 min > 60); user 2: one event
+      input.addData(ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 130), ev(4, 2, 10))
+      // far-future row advances the watermark so all sessions finalize
+      input.addData(ev(99, 9, 10000))
+      query.processAllAvailable()
+      val rows = spark.table("sess_native").collect()
+        .filter(_.getAs[Long]("user_id") < 9)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(rows == Set(
+        (1L, ts(0), ts(30), 2L), (1L, ts(130), ts(130), 1L),
+        (2L, ts(10), ts(10), 1L)))
+    } finally query.stop()
+  }
+
   test("encodeStatsStream equals batch encodeStats per document (stream-static vocab join)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
