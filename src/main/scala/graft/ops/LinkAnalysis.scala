@@ -287,10 +287,17 @@ object LinkAnalysis {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of [1, 64]")
+    // cut lineage at ENTRY, not just mid-loop: every round references
+    // the previous frame three times (census union twice + the
+    // restricted join), so an uncut chain re-executes the upstream
+    // edge construction — typically a full corpus scan (URL regex +
+    // explode) — 3^depth times. Checkpointing the canonical edge set
+    // first makes every reference a scan of a small materialized RDD.
     var cur = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
     for (i <- 1 to rounds) {
       val keep = cur.select(col("a").as("v")).union(cur.select(col("b")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -298,7 +305,7 @@ object LinkAnalysis {
       cur = cur
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-      if (i % 3 == 0 && i < rounds) cur = cur.localCheckpoint(true)
+      if (i % 2 == 0 && i < rounds) cur = cur.localCheckpoint(true)
     }
     cur.select(col("a").as("v")).union(cur.select(col("b")))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
