@@ -2460,6 +2460,33 @@ object SparkEntry {
         graft.ops.LinkAnalysis.cocitationEdges(urls), k = 2, rounds = 4)
         .orderBy("domain")
     }),
+    "s_link_predict" -> ((s, dir) => {
+      // which non-adjacent domains SHOULD be linked (the
+      // same-publisher prior before any content comparison): common
+      // neighbors + integer Resource Allocation index over the
+      // k-core planting, whose one dial (hub2 only for residue < 12)
+      // splits the predictions — spoke pairs both < 12 share two
+      // neighbors (mirror AND hub2), mixed/high pairs share mirror
+      // alone, and the RA weights differ with the hubs' degrees. The
+      // maxHubDeg wedge cap is part of the operator spec (both
+      // engines): fan-out through any node is bounded by cap^2
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" https://s"),
+              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+              col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0,
+                lit(" http://mirror.example.org/m")).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0 && col("doc_id") % 23 < 12,
+                lit(" http://hub2.example.org/x")).otherwise(lit(""))))
+            .as("text"))
+      val urls = graft.text.Urls.extractUrls(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("domain"))
+      graft.ops.LinkAnalysis.linkPredict(
+        graft.ops.LinkAnalysis.cocitationEdges(urls), maxHubDeg = 64)
+        .orderBy("u", "w")
+    }),
     "t_pii_rate_by_source" -> ((s, dir) => {
       // per-source PII exposure census (the pre-release privacy
       // gate): the synthetic corpus has no PII, so identifiers are
@@ -2580,6 +2607,27 @@ object SparkEntry {
       graft.ops.QuantileSketch.discretize(
         o, "o_orderkey", "cents", Seq(250, 500, 750), m = 5)
         .orderBy("id")
+    }),
+    "s_incr_agg" -> ((s, dir) => {
+      // incremental aggregate maintenance — the materialized-view
+      // law: per-supplier mergeable state (count/sum/min/max in
+      // exact cents) computed over two disjoint ingest slices
+      // INDEPENDENTLY and merged; the oracle recomputes the whole
+      // table in one pass. Hash equality proves the aggregation-
+      // homomorphism identity merge(stats(old), stats(delta)) ≡
+      // stats(old ∪ delta) cross-engine — the license to never
+      // re-scan a 100 TB corpus on ingest
+      import graft.ops.IncrementalAgg
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      val prev = li.filter(col("l_orderkey") % 10 =!= 7)
+      val delta = li.filter(col("l_orderkey") % 10 === 7)
+      IncrementalAgg.withMean(IncrementalAgg.merge(
+        Seq(IncrementalAgg.stats(prev, Seq("l_suppkey"), col("cents")),
+          IncrementalAgg.stats(delta, Seq("l_suppkey"), col("cents"))),
+        Seq("l_suppkey")))
+        .orderBy("l_suppkey")
     }),
     "s_cms_counts" -> ((s, dir) => {
       // count-min frequency sketch probed with the corpus's own keys,
@@ -4128,6 +4176,23 @@ object SparkEntry {
         Seq("doc_id", "source", "lang"), nShards = 8)
         .orderBy("shard")
     }),
+    "s_zone_skip" -> ((s, dir) => {
+      // data-skipping effectiveness contrast — the quantified case
+      // for clustered layouts: the same orders rows zoned 64 ways by
+      // (a) hash bucket and (b) fixed-width o_orderdate binning, the
+      // 1995-Q1 range predicate evaluated against each layout's
+      // zone-map envelopes. Clustered skips nearly every zone,
+      // random skips none — the whole reason writeZOrdered /
+      // range-partitioned writes exist. All-integer epoch-day values
+      val lo = expr("datediff(date'1995-01-01', date'1970-01-01')")
+      val hi = expr("datediff(date'1995-03-31', date'1970-01-01')")
+      graft.sources.Sources.layoutSkipContrast(
+        t(s, dir, "orders")
+          .withColumn("v_days",
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))),
+        "o_orderkey", "v_days", nZones = 64, lo = lo, hi = hi)
+        .orderBy("layout")
+    }),
     // partitioned parquet sink + partition-pruned scan: the filter on
     // the partition column prunes directories before any IO (the
     // .explain shows PartitionFilters, not a full scan + filter)
@@ -5202,6 +5267,23 @@ object SparkEntry {
           |  FROM d)
           |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
           |FROM uu""".stripMargin, k = 2, rounds = 4),
+    "s_link_predict" ->
+      graft.ops.LinkAnalysis.linkPredictSql(
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN text
+          |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+          |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+          |                 ELSE '' END ||
+          |            CASE WHEN doc_id % 5 = 0 AND doc_id % 23 < 12
+          |                 THEN ' http://hub2.example.org/x'
+          |                 ELSE '' END END AS text
+          |  FROM documents),
+          |uu AS (SELECT doc_id AS id,
+          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+          |  FROM d)
+          |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
+          |FROM uu""".stripMargin, maxHubDeg = 64),
     "t_pii_rate_by_source" ->
       graft.text.Pii.rateBySourceSql(
         """(SELECT source, CASE WHEN doc_id % 4 = 1
@@ -5332,6 +5414,9 @@ object SparkEntry {
         "orders", "o_orderpriority", "o_custkey"),
     "s_cms_counts" ->
       graft.ops.Sketches.cmsCountsSql("lineitem", "l_suppkey", 4, 512),
+    "s_incr_agg" ->
+      graft.ops.IncrementalAgg.directSql("lineitem", Seq("l_suppkey"),
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
     "s_quantile_sketch" ->
       graft.ops.QuantileSketch.cellsSql("lineitem", "floor(l_extendedprice * 100 + 0.5)", 5),
     "s_quantile_bins" ->
@@ -6226,6 +6311,13 @@ object SparkEntry {
          |WHERE d.doc_id % 5 = 0
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "s_zone_skip" ->
+      graft.sources.Sources.layoutSkipContrastSql(
+        "orders", "o_orderkey",
+        "(CAST(o_orderdate AS DATE) - DATE '1970-01-01')",
+        nZones = 64,
+        loSql = "DATE '1995-01-01' - DATE '1970-01-01'",
+        hiSql = "DATE '1995-03-31' - DATE '1970-01-01'"),
     "s_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,

@@ -184,4 +184,115 @@ object Sources {
       .parquet(path)
     shardManifest(df, idCol, checksumCols, nShards, seed)
   }
+
+  /** Zone maps — per-zone (file / row-group) min-max statistics for
+    * one column, the metadata parquet footers and Delta/Iceberg
+    * manifests keep per file. Input: `(zone, v)` rows; output one
+    * METADATA row per zone: `(zone, min_v, max_v, n_rows)`. A range
+    * predicate `v BETWEEN lo AND hi` can skip every zone whose
+    * envelope misses the range entirely — the reason clustered
+    * layouts ([[writeZOrdered]], range-partitioned writes) dominate
+    * at scale: I/O is proportional to zones SCANNED, not corpus size.
+    */
+  def zoneMaps(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rows.groupBy(col("zone"))
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Data-skipping effectiveness contrast between two physical
+    * layouts of the SAME rows — the quantified case for clustering:
+    *
+    *   - `random`    — zones assigned by hash bucket (arrival-order /
+    *     unclustered ingest): every zone's min-max envelope spans
+    *     nearly the full domain, so a selective range predicate skips
+    *     ~nothing;
+    *   - `clustered` — zones assigned by fixed-width value binning on
+    *     the predicate column (what a range-partitioned or z-ordered
+    *     write produces): envelopes are tight and disjoint, so the
+    *     same predicate skips all but the overlapping zones.
+    *
+    * For each layout, rows are zoned, [[zoneMaps]] computes the
+    * envelope census, and one summary row reports how many zones —
+    * and how many ROWS — the predicate `v BETWEEN lo AND hi` skips.
+    * All arithmetic is integer (caller supplies an integral `v`, e.g.
+    * epoch days): the clustered zone id is
+    * `(v - vmin) * nZones div (vmax - vmin + 1)` with the global
+    * bounds from a 1-row broadcast, never a sort; the random zone is
+    * the md5 bucket mod nZones. Both layouts reduce to a
+    * zone-count-sized metadata aggregate — the whole operator is two
+    * keyed censuses over one scan each, no shuffle larger than the
+    * zone count.
+    *
+    * Output: `(layout, n_zones, zones_skipped, rows_skipped,
+    * n_rows)`, one row per layout.
+    */
+  def layoutSkipContrast(
+      df: DataFrame, idCol: String, valCol: String,
+      nZones: Int, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column, seed: Long = 42L): DataFrame = {
+    require(nZones > 0, s"nZones $nZones must be positive")
+    import org.apache.spark.sql.functions._
+    val base = df.select(col(idCol).as("id"), col(valCol).cast("long").as("v"))
+    val bounds = base.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val clustered = base.crossJoin(broadcast(bounds))
+      .select(expr(s"(v - vmin) * ${nZones}L div (vmax - vmin + 1)")
+        .as("zone"), col("v"))
+    val random = base
+      .select((graft.ops.Sampling.bucket(col("id"), seed) % nZones)
+        .as("zone"), col("v"))
+    def summarize(layout: String, rows: DataFrame): DataFrame =
+      zoneMaps(rows)
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("max_v") < lo || col("min_v") > hi, 1L)
+            .otherwise(0L)).as("zones_skipped"),
+          sum(when(col("max_v") < lo || col("min_v") > hi, col("n_rows"))
+            .otherwise(0L)).as("rows_skipped"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(layout).as("layout"), col("n_zones"),
+          col("zones_skipped"), col("rows_skipped"), col("n_rows"))
+    summarize("clustered", clustered).unionByName(summarize("random", random))
+  }
+
+  /** DuckDB rendering of [[layoutSkipContrast]] over `(idExpr,
+    * valExpr)` rows from `fromClause` (a table name or parenthesized
+    * subquery; `valExpr` must already be integral).
+    */
+  def layoutSkipContrastSql(
+      fromClause: String, idExpr: String, valExpr: String,
+      nZones: Int, loSql: String, hiSql: String,
+      seed: Long = 42L): String = {
+    // rz reads the already-projected base CTE, where the id column is
+    // named `id` — bucket over that, not over the raw idExpr
+    val zoneRand = s"(${graft.ops.Sampling.bucketSql("id", seed)} % $nZones)"
+    s"""WITH base AS MATERIALIZED (SELECT $idExpr AS id,
+       |    CAST($valExpr AS BIGINT) AS v FROM $fromClause),
+       |bounds AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM base),
+       |cz AS (SELECT (v - vmin) * $nZones // (vmax - vmin + 1) AS zone, v
+       |  FROM base, bounds),
+       |rz AS (SELECT $zoneRand AS zone, v FROM base),
+       |czm AS (SELECT zone, MIN(v) AS min_v, MAX(v) AS max_v,
+       |    CAST(count(*) AS BIGINT) AS n_rows FROM cz GROUP BY zone),
+       |rzm AS (SELECT zone, MIN(v) AS min_v, MAX(v) AS max_v,
+       |    CAST(count(*) AS BIGINT) AS n_rows FROM rz GROUP BY zone),
+       |summ AS (
+       |  SELECT 'clustered' AS layout, CAST(count(*) AS BIGINT) AS n_zones,
+       |    CAST(SUM(CASE WHEN max_v < ($loSql) OR min_v > ($hiSql)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS zones_skipped,
+       |    CAST(SUM(CASE WHEN max_v < ($loSql) OR min_v > ($hiSql)
+       |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+       |    CAST(SUM(n_rows) AS BIGINT) AS n_rows
+       |  FROM czm
+       |  UNION ALL
+       |  SELECT 'random', CAST(count(*) AS BIGINT),
+       |    CAST(SUM(CASE WHEN max_v < ($loSql) OR min_v > ($hiSql)
+       |      THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN max_v < ($loSql) OR min_v > ($hiSql)
+       |      THEN n_rows ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(n_rows) AS BIGINT)
+       |  FROM rzm)
+       |SELECT layout, n_zones, zones_skipped, rows_skipped, n_rows
+       |FROM summ ORDER BY layout""".stripMargin
+  }
 }

@@ -124,4 +124,38 @@ class LinkAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(one == Map("b" -> 1L, "c" -> 2L, "d" -> 1L))
     assert(LinkAnalysis.kCorePeel(chain, k = 2, rounds = 4).isEmpty)
   }
+
+  test("linkPredict: path graph predicts the two-hop pair with exact RA weight") {
+    // path a-b-c: (a, c) share only b (deg 2) -> n_common 1,
+    // ra = 1000000 div 2; the adjacent pairs are anti-joined away
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = LinkAnalysis.linkPredict(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "c", 1L, 500000L)))
+  }
+
+  test("linkPredict: shared-neighbor count and RA sum over a double wedge") {
+    // a and d share b (deg 2) and c (deg 3, extra pendant e):
+    // n_common 2, ra = 500000 + 333333; e-a and e-d share c only
+    val edges = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"),
+      ("c", "e")).toDF("src", "dst")
+    val got = LinkAnalysis.linkPredict(edges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(("a", "d")) == (2L, 833333L))
+    assert(got(("a", "e")) == (1L, 333333L))
+    assert(got(("d", "e")) == (1L, 333333L))
+    // b and c also share two neighbors (a and d, deg 2 each)
+    assert(got(("b", "c")) == (2L, 1000000L))
+    assert(got.size == 4)
+  }
+
+  test("linkPredict: the hub cap excludes wedges through celebrity nodes") {
+    // star hub-{s1..s5}: every spoke pair is predicted through the
+    // hub at cap >= 5, and NOTHING survives at cap 4 (the hub is the
+    // only intermediate) — the fan-out bound is observable behavior
+    val edges = (1 to 5).map(i => ("hub", s"s$i")).toDF("src", "dst")
+    assert(LinkAnalysis.linkPredict(edges, maxHubDeg = 64).count() == 10L)
+    assert(LinkAnalysis.linkPredict(edges, maxHubDeg = 4).isEmpty)
+  }
 }
