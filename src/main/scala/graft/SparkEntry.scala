@@ -3346,6 +3346,31 @@ object SparkEntry {
         "doc_id", "content")
       Multimodal.aspectBuckets(meta).orderBy("band")
     }),
+    "mm_ahash_pairs" -> ((s, dir) => {
+      // image near-dup via perceptual average hash: a stubbed
+      // decode-and-downscale (the StubDecoder stance — deterministic
+      // 48-cell luma grids, scenes of four sharing a base image with
+      // one per-doc perturbed cell) feeds aHash signatures into the
+      // SAME banded block-pair engine the text simhash path uses.
+      // In-scene pairs land within the Hamming radius (1-2 flipped
+      // cells + mean-shift jitter), cross-scene pairs sit near
+      // bits/2 and never collide on a clean block pair
+      val grid = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id"), expr("doc_id div 28").as("scene"))
+        .select(col("id"), col("scene"),
+          explode(sequence(lit(0), lit(47))).as("cell"))
+        .withColumn("base",
+          conv(substring(md5(concat_ws(":", col("scene"), col("cell"))),
+            1, 2), 16, 10).cast("long"))
+        .withColumn("luma",
+          when(col("cell") === expr("(id div 7) % 48"),
+            lit(255L) - col("base")).otherwise(col("base")))
+        .select("id", "cell", "luma")
+      graft.dedup.Dedup.simhashNearDupPairsFromSignatures(
+        graft.multimodal.Multimodal.aHash(grid),
+        maxHamming = 5, blocks = 8)
+        .orderBy("id_a", "id_b")
+    }),
     "mm_resize_plan" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val meta = Multimodal.decodeMeta(
@@ -4175,6 +4200,40 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id",
         Seq("doc_id", "source", "lang"), nShards = 8)
         .orderBy("shard")
+    }),
+    "s_join_size_est" -> ((s, dir) => {
+      // the System R cardinality formula as a pre-join redflag
+      // check: metadata-priced summaries (count + exact ndv) feed
+      // |A||B| div max(ndv) via the overflow-free decomposition;
+      // the exact join count rides alongside so the estimate's
+      // error is itself pinned data
+      graft.ops.JoinStats.joinSizeEstimate(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0),
+        "l_orderkey", "o_orderkey")
+    }),
+    "s_k_anon" -> ((s, dir) => {
+      // k-anonymity by global recoding: the 6-level generalization
+      // ladder (acctbal buckets widening 500→1000→2000, then bal /
+      // segment / nation suppressed in turn) walks until every
+      // equivalence class holds >= 10 customers and publishes the
+      // LEAST such level — minimal information loss subject to the
+      // privacy floor. The acctbal offset (+1000) keeps the bucket
+      // arithmetic non-negative so Spark's div and DuckDB's //
+      // agree (they differ on negatives)
+      import graft.ops.Anonymize
+      val nat = col("c_nationkey").cast("string")
+      val seg = col("c_mktsegment")
+      def balB(w: Int) = expr(
+        s"cast((cast(floor(c_acctbal) as bigint) + 1000) div $w as string)")
+      def lvl(n: Column, s2: Column, b: Column) =
+        Seq(n.as("g_nation"), s2.as("g_segment"), b.as("g_bal"))
+      Anonymize.kAnonLadder(t(s, dir, "customer"), Seq(
+        lvl(nat, seg, balB(500)), lvl(nat, seg, balB(1000)),
+        lvl(nat, seg, balB(2000)), lvl(nat, seg, lit("*")),
+        lvl(nat, lit("*"), lit("*")),
+        lvl(lit("*"), lit("*"), lit("*"))), k = 10)
+        .orderBy("g_nation", "g_segment", "g_bal")
     }),
     "s_zone_skip" -> ((s, dir) => {
       // data-skipping effectiveness contrast — the quantified case
@@ -5737,6 +5796,19 @@ object SparkEntry {
         |SELECT id, out_w, out_h, n_x, n_y,
         |  n_x * n_y AS n_patches, n_x * n_y + 1 AS n_tokens
         |FROM p ORDER BY id""".stripMargin,
+    "mm_ahash_pairs" ->
+      graft.multimodal.Multimodal.aHashPairsSql(
+        """SELECT doc_id AS id, cell,
+          |  CASE WHEN cell = (doc_id // 7) % 48
+          |    THEN 255 - CAST(('0x' || substr(md5(
+          |      CAST(doc_id // 28 AS VARCHAR) || ':' ||
+          |      CAST(cell AS VARCHAR)), 1, 2)) AS BIGINT)
+          |    ELSE CAST(('0x' || substr(md5(
+          |      CAST(doc_id // 28 AS VARCHAR) || ':' ||
+          |      CAST(cell AS VARCHAR)), 1, 2)) AS BIGINT) END AS luma
+          |FROM documents, range(48) t(cell)
+          |WHERE doc_id % 7 = 0""".stripMargin,
+        maxHamming = 5, blocks = 8),
     "mm_scene_cuts" ->
       graft.multimodal.Multimodal.sceneCutsSql("WHERE doc_id % 25 = 5"),
     "mm_audio_windows" ->
@@ -6310,6 +6382,25 @@ object SparkEntry {
          |FROM documents d LEFT JOIN du ON d.doc_id = du.id
          |WHERE d.doc_id % 5 = 0
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+    "s_join_size_est" ->
+      graft.ops.JoinStats.joinSizeEstimateSql(
+        "lineitem", "l_orderkey",
+        "(SELECT * FROM orders WHERE o_orderkey % 3 = 0) ob", "o_orderkey"),
+    "s_k_anon" -> {
+      val natS = "CAST(c_nationkey AS VARCHAR)"
+      def balS(w: Int) =
+        s"CAST((CAST(floor(c_acctbal) AS BIGINT) + 1000) // $w AS VARCHAR)"
+      def slvl(n: String, sg: String, b: String) =
+        Seq(n -> "g_nation", sg -> "g_segment", b -> "g_bal")
+      graft.ops.Anonymize.kAnonLadderSql("customer", Seq(
+        slvl(natS, "c_mktsegment", balS(500)),
+        slvl(natS, "c_mktsegment", balS(1000)),
+        slvl(natS, "c_mktsegment", balS(2000)),
+        slvl(natS, "c_mktsegment", "'*'"),
+        slvl(natS, "'*'", "'*'"),
+        slvl("'*'", "'*'", "'*'")), k = 10,
+        orderBy = Seq("g_nation", "g_segment", "g_bal"))
     },
     "s_zone_skip" ->
       graft.sources.Sources.layoutSkipContrastSql(

@@ -489,4 +489,79 @@ object Multimodal {
        |  energy_ppm >= 300000 AS voiced
        |FROM s ORDER BY id, win_idx""".stripMargin
   }
+
+  /** Perceptual AVERAGE HASH over a decoded luma grid — the classic
+    * pHash-family baseline for image near-dup detection: downscale
+    * the image to a tiny grid, threshold each cell against the
+    * grid's own mean luma, pack the sign bits into one integer
+    * fingerprint. Visually-identical images (recompressions,
+    * thumbnails, small overlays) agree on almost every cell, so
+    * their fingerprints sit within a small Hamming radius — exactly
+    * the property the repo's banded block-pair engine
+    * ([[graft.dedup.Dedup.simhashNearDupPairsFromSignatures]])
+    * exploits, which this op feeds directly: image dedup reuses the
+    * text-simhash pair machinery wholesale, signatures swapped.
+    *
+    * Input: `(id, cell, luma)` rows — one row per grid cell, luma
+    * integral. The decode-and-downscale that PRODUCES the grid is
+    * the stub boundary (same stance as [[StubDecoder]]): a real
+    * deployment derives cells from decoded pixels via
+    * [[BinaryDecoder]]/`mapInPandas`; the gate derives them
+    * arithmetically so the DuckDB oracle can verify the hash and
+    * pair math end-to-end.
+    *
+    * All-integer: the mean is `sum div n` (floor), a bit is set iff
+    * `luma > mean`. Scale shape: one keyed sum + one id-equi join
+    * (grid is a constant 48 rows per image, both sides partitioned
+    * by id) + one keyed pack — map-combined throughout, no state
+    * beyond 48 cells per image anywhere.
+    *
+    * Output: `(id, simhash)` — the column is named `simhash` so the
+    * frame plugs into the shared banding engine unchanged.
+    */
+  def aHash(grid: DataFrame, bits: Int = 48): DataFrame = {
+    require(bits >= 2 && bits <= 62, s"bits $bits out of [2, 62]")
+    val means = grid.groupBy(col("id"))
+      .agg(expr("sum(luma) div count(1)").as("mean_luma"))
+    grid.join(means, Seq("id"))
+      .filter(col("cell") < bits)
+      .groupBy(col("id"))
+      .agg(sum(when(col("luma") > col("mean_luma"),
+        expr("shiftleft(1L, cast(cell as int))")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** DuckDB rendering of [[aHash]] + the block-pair Hamming search
+    * over grid rows produced by `gridSql` (must yield `(id, cell,
+    * luma)`) — the image twin of
+    * [[graft.dedup.Dedup.simhashPairsSql]], banding arithmetic
+    * identical.
+    */
+  def aHashPairsSql(
+      gridSql: String, maxHamming: Int, blocks: Int,
+      bits: Int = 48): String = {
+    require(bits % blocks == 0, "blocks must divide bits")
+    val w = bits / blocks
+    val pairsList = (for { i <- 0 until blocks; j <- i + 1 until blocks }
+      yield s"($i, $j)").mkString(", ")
+    s"""WITH grid AS MATERIALIZED ($gridSql),
+       |m AS (SELECT id, SUM(luma) // count(*) AS mean_luma
+       |  FROM grid GROUP BY id),
+       |sh AS MATERIALIZED (SELECT grid.id,
+       |    CAST(SUM(CASE WHEN luma > mean_luma
+       |      THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT)
+       |      AS simhash
+       |  FROM grid JOIN m ON grid.id = m.id
+       |  WHERE cell < $bits GROUP BY grid.id),
+       |buckets AS (SELECT id, simhash, t.i * $blocks + t.j AS tbl,
+       |    ((simhash >> (t.i * $w)) % ${1L << w}) * ${1L << w}
+       |      + ((simhash >> (t.j * $w)) % ${1L << w}) AS bkey
+       |  FROM sh CROSS JOIN (VALUES $pairsList) t(i, j)),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM buckets a JOIN buckets b
+       |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
 }

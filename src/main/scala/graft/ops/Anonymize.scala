@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity by global recoding — the privacy gate a training-data
+  * release runs before quasi-identifiers (location × segment ×
+  * numeric attribute) leave the house: every published equivalence
+  * class must contain at least k individuals, achieved by walking a
+  * fixed GENERALIZATION LADDER (Samarati/Sweeney's full-domain
+  * generalization, one lattice path): each level coarsens the
+  * quasi-identifiers further (wider numeric buckets, then suppressing
+  * whole columns to `*`), and the chosen level is the LEAST one whose
+  * smallest class reaches k — minimal information loss subject to the
+  * privacy floor. Callers terminate the ladder with a fully
+  * suppressed level, which always satisfies any k ≤ row count, so the
+  * walk cannot fail.
+  *
+  * Scale shape: one map-combined keyed census per level (the level
+  * count is a small constant — the ladder, not the data), a
+  * level-count-sized min table, a 1-row chosen-level broadcast, and
+  * one broadcast join to filter the published census. No shuffle
+  * exceeds class cardinality; nothing row-sized survives the first
+  * censuses. Determinism: class labels are strings built by integer
+  * arithmetic only, so the hash gate pins every cell.
+  *
+  * Output: the per-class census AT the chosen level —
+  * `(level, <generalized qid columns…>, n_rows)`.
+  */
+object Anonymize {
+
+  /** Walk the ladder: `levels(i)` lists the generalized
+    * quasi-identifier columns (each aliased — every level must
+    * produce the SAME column names) for level i, least-general
+    * first. Returns the census at the least level whose minimum
+    * class size is ≥ k (empty only if no level qualifies — always
+    * terminate the ladder with full suppression).
+    */
+  def kAnonLadder(
+      df: DataFrame, levels: Seq[Seq[Column]], k: Long): DataFrame = {
+    require(levels.nonEmpty, "empty generalization ladder")
+    require(k >= 1, s"k $k must be >= 1")
+    val censuses = levels.zipWithIndex.map { case (cols, l) =>
+      df.groupBy(cols: _*).agg(count(lit(1)).as("n_rows"))
+        .withColumn("level", lit(l))
+    }
+    val all = censuses.reduce(_.unionByName(_))
+    val chosen = all.groupBy(col("level"))
+      .agg(min(col("n_rows")).as("min_n"))
+      .filter(col("min_n") >= k)
+      .agg(min(col("level")).as("level"))
+    all.join(broadcast(chosen), Seq("level"))
+  }
+
+  /** DuckDB rendering of [[kAnonLadder]]: `levels(i)` lists
+    * `(sqlExpr, alias)` pairs — aliases must match the Spark side's
+    * column names and be identical across levels. `orderBy` columns
+    * are appended verbatim.
+    */
+  def kAnonLadderSql(
+      fromClause: String, levels: Seq[Seq[(String, String)]], k: Long,
+      orderBy: Seq[String]): String = {
+    val census = levels.zipWithIndex.map { case (cols, l) =>
+      val sel = cols.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+      val grp = cols.map(_._2).mkString(", ")
+      s"""SELECT $l AS level, $sel, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM $fromClause GROUP BY $grp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aliases = levels.head.map(_._2).mkString(", ")
+    s"""WITH census AS MATERIALIZED (
+       |$census),
+       |chosen AS (SELECT MIN(level) AS level FROM (
+       |  SELECT level, MIN(n_rows) AS min_n FROM census GROUP BY level) m
+       |  WHERE min_n >= $k)
+       |SELECT c.level, $aliases, n_rows
+       |FROM census c JOIN chosen ON c.level = chosen.level
+       |ORDER BY ${orderBy.mkString(", ")}""".stripMargin
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Ladder semantics: least qualifying level wins, full suppression
+  * terminates, and the published census is exactly that level's.
+  */
+class AnonymizeSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def people = Seq(
+    ("us", "a"), ("us", "a"), ("us", "b"),
+    ("fr", "a"), ("fr", "a"), ("fr", "a")).toDF("geo", "seg")
+
+  private def ladder = Seq(
+    Seq(col("geo").as("g_geo"), col("seg").as("g_seg")),
+    Seq(col("geo").as("g_geo"), lit("*").as("g_seg")),
+    Seq(lit("*").as("g_geo"), lit("*").as("g_seg")))
+
+  test("picks the least level whose min class reaches k") {
+    // k=2: level 0 has class (us, b) of size 1 -> level 1 (min 3)
+    val got = Anonymize.kAnonLadder(people, ladder, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1, "us", "*", 3L), (1, "fr", "*", 3L)))
+  }
+
+  test("k=1 publishes the raw census; k=rowcount needs full suppression") {
+    val lvl0 = Anonymize.kAnonLadder(people, ladder, k = 1)
+    assert(lvl0.select("level").distinct().head().getInt(0) == 0)
+    assert(lvl0.count() == 3) // (us,a) (us,b) (fr,a)
+    val top = Anonymize.kAnonLadder(people, ladder, k = 6).collect()
+    assert(top.map(r => (r.getInt(0), r.getLong(3))).toSeq == Seq((2, 6L)))
+  }
+
+  test("an unsatisfiable k over a truncated ladder returns empty, not garbage") {
+    val got = Anonymize.kAnonLadder(people, ladder.take(2), k = 5)
+    assert(got.isEmpty)
+  }
+}
