@@ -97,6 +97,29 @@ def ref_tri_per_vertex(und):
     return {v: (deg[v], tri[v]) for v in deg}
 
 
+def ref_link_predict(und, max_hub=64, min_common=1):
+    """Independent RA-index reference: dict adjacency, per-intermediate
+    neighbor-pair loop (no wedge SQL algebra), existing edges removed.
+    """
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cand = {}
+    for z, nbrs in adj.items():
+        d = len(nbrs)
+        if d > max_hub:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                cn, ra = cand.get(key, (0, 0))
+                cand[key] = (cn + 1, ra + 1000000 // d)
+    return {k: v for k, v in cand.items()
+            if k not in und and v[0] >= min_common}
+
+
 def main():
     out_dir = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 60
@@ -132,12 +155,17 @@ def main():
         want_t = ref_tri_per_vertex(und)
         got_t = {r[0]: (r[1], r[2])
                  for r in con.sql(oracles["s_triangle_domains"]).fetchall()}
+        # link prediction plants like kcore (hub2 restricted < 12)
+        want_lp = ref_link_predict(edges_from_docs(rows, hub2_below_12=True))
+        got_lp = {(r[0], r[1]): (r[2], r[3])
+                  for r in con.sql(oracles["s_link_predict"]).fetchall()}
 
-        if got_k != want_k or got_t != want_t:
+        if got_k != want_k or got_t != want_t or got_lp != want_lp:
             fails += 1
             print(f"MISMATCH trial {trial} (docs={n_docs}, edges={len(und)})")
             for nm, g, w in [("kcore", got_k, want_k),
-                             ("tri", got_t, want_t)]:
+                             ("tri", got_t, want_t),
+                             ("linkpred", got_lp, want_lp)]:
                 if g != w:
                     ks = [k for k in set(g) | set(w) if g.get(k) != w.get(k)]
                     print(f"  {nm} diff {ks[:4]}: got "

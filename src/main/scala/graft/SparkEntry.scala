@@ -2353,6 +2353,14 @@ object SparkEntry {
         "source", "text")
         .withColumnRenamed("g", "source")
         .orderBy("source")),
+    "t_heaps_law" -> ((s, dir) =>
+      // Heaps-law vocabulary growth: cumulative (tokens, types) per
+      // ingest bucket via the first-bucket-per-type device — exact
+      // prefix-distincts from ONE token census, no prefix re-scans;
+      // the curve that sizes a tokenizer vocab before full training
+      graft.text.Vocab.heapsGrowth(
+        t(s, dir, "documents"), "doc_id", "text", bucketWidth = 25L)
+        .orderBy("bucket")),
     "o_bloom_stats" -> ((s, dir) => {
       // the runtime-filter census: md5-pinned bloom layout means even
       // the FALSE-POSITIVE count is deterministic and hash-gated —
@@ -4201,6 +4209,26 @@ object SparkEntry {
         Seq("doc_id", "source", "lang"), nShards = 8)
         .orderBy("shard")
     }),
+    "s_fd_audit" -> ((s, dir) =>
+      // functional-dependency discovery census: propose candidate
+      // FDs, keep the zero-violation ones — (orderkey, linenumber)
+      // is a true key (0), the two fan-out candidates report their
+      // violating-key counts. One pair-distinct census per candidate
+      graft.ops.Integrity.fdSummary(t(s, dir, "lineitem"), Seq(
+        ("line_key_to_part", Seq("l_orderkey", "l_linenumber"),
+          "l_partkey"),
+        ("order_to_linestatus", Seq("l_orderkey"), "l_linestatus"),
+        ("part_to_supp", Seq("l_partkey"), "l_suppkey")))
+        .orderBy("fd")),
+    "s_ri_orphans" -> ((s, dir) =>
+      // referential-integrity audit with planted orphans: every
+      // fifth order deleted from the parent side, so ~20% of
+      // lineitems dangle — the anti-join census a pipeline runs
+      // before trusting a join key
+      graft.ops.Integrity.riAudit(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderkey") % 5 =!= 2),
+        "o_orderkey")),
     "s_join_size_est" -> ((s, dir) => {
       // the System R cardinality formula as a pre-join redflag
       // check: metadata-priced summaries (count + exact ndv) feed
@@ -6040,6 +6068,8 @@ object SparkEntry {
           "embedding[2:]) ELSE embedding END"),
     "t_lexical_diversity" ->
       graft.text.Vocab.lexicalDiversitySql("source", "WHERE doc_id % 2 = 0"),
+    "t_heaps_law" ->
+      graft.text.Vocab.heapsGrowthSql(25L, ""),
     "o_bloom_stats" ->
       graft.ops.Bloom.statsSql(
         "SELECT l_partkey AS fk FROM lineitem",
@@ -6383,6 +6413,17 @@ object SparkEntry {
          |WHERE d.doc_id % 5 = 0
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "s_fd_audit" ->
+      graft.ops.Integrity.fdSummarySql("lineitem", Seq(
+        ("line_key_to_part", Seq("l_orderkey", "l_linenumber"),
+          "l_partkey"),
+        ("order_to_linestatus", Seq("l_orderkey"), "l_linestatus"),
+        ("part_to_supp", Seq("l_partkey"), "l_suppkey"))),
+    "s_ri_orphans" ->
+      graft.ops.Integrity.riAuditSql(
+        "lineitem", "l_orderkey",
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 2)",
+        "o_orderkey"),
     "s_join_size_est" ->
       graft.ops.JoinStats.joinSizeEstimateSql(
         "lineitem", "l_orderkey",

@@ -347,4 +347,69 @@ object Vocab {
        |  CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS hapax_ppm
        |FROM r ORDER BY $outG""".stripMargin
   }
+
+  /** Heaps-law vocabulary growth census — how the TYPE count grows
+    * as the corpus grows, the curve that sizes a tokenizer vocabulary
+    * (and predicts OOV mass) before training on the full corpus:
+    * Heaps' law V(n) ≈ K·n^β says types grow sublinearly in tokens;
+    * this op produces the empirical curve as (cumulative tokens,
+    * cumulative types) per ingest bucket, with the fit left to the
+    * analyst (a log-log regression is float territory; the census is
+    * the deterministic, hashable part).
+    *
+    * Cumulative distinct WITHOUT re-scanning prefixes: each type's
+    * FIRST bucket is a min-aggregate over the token census — a type
+    * contributes to the cumulative count of every bucket ≥ its first
+    * appearance, so per-bucket new-type counts running-summed give
+    * the exact prefix-distinct series. One token census + two
+    * bucket-keyed aggregates + a running sum over the BUCKET frame
+    * (bucket count is metadata-sized — the sanctioned
+    * single-partition window, same stance as the shard manifest).
+    *
+    * Output: `(bucket, n_tokens, n_types_new, cum_tokens,
+    * cum_types)`, one row per ingest bucket in order.
+    */
+  def heapsGrowth(
+      df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth $bucketWidth must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      expr(s"$idCol div ${bucketWidth}L").as("bucket"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+    val firstB = toks.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_types_new"))
+    val occ = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firstB, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_types_new"), lit(0L)).as("n_types_new"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_types_new")).over(w))
+  }
+
+  /** DuckDB rendering of [[heapsGrowth]] over `documents(doc_id,
+    * text)` restricted by `whereClause`.
+    */
+  def heapsGrowthSql(bucketWidth: Long, whereClause: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id // $bucketWidth AS bucket,
+       |    unnest($toks) AS tok
+       |  FROM documents $whereClause),
+       |fb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_types_new
+       |  FROM (SELECT tok, MIN(bucket) AS bucket FROM t GROUP BY tok) f
+       |  GROUP BY bucket),
+       |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY bucket)
+       |SELECT occ.bucket, occ.n_tokens,
+       |  CAST(coalesce(fb.n_types_new, 0) AS BIGINT) AS n_types_new,
+       |  CAST(SUM(occ.n_tokens) OVER (ORDER BY occ.bucket) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(SUM(coalesce(fb.n_types_new, 0)) OVER (ORDER BY occ.bucket)
+       |    AS BIGINT) AS cum_types
+       |FROM occ LEFT JOIN fb ON occ.bucket = fb.bucket
+       |ORDER BY occ.bucket""".stripMargin
+  }
 }
