@@ -1539,6 +1539,16 @@ object SparkEntry {
         "doc_id", "text", numHashes = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
+    "d_lsh_histogram" -> ((s, dir) => {
+      // LSH capacity planning: the per-band bucket-size histogram
+      // (and the candidate-pair volume each size class would emit),
+      // priced from a census-sized pass BEFORE any pair join runs —
+      // the number you read at 100 TB to pick bands/maxBucketSize
+      graft.dedup.Dedup.lshBucketHistogram(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", numHashes = 16, bands = 4)
+        .orderBy("band", "sz")
+    }),
     "d_winnow_fp" -> ((s, dir) => {
       // winnowing (MOSS) fingerprints: rightmost-min-of-window gram
       // sampling with span positions — one doc-keyed shuffle for both
@@ -2733,6 +2743,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("split")
     }),
+    "p_sample_skew" -> ((s, dir) =>
+      // sampling-bias audit: per-priority population vs hash-sample
+      // shares in integer ppm — the after-every-sample check that a
+      // "uniform" id-keyed sample didn't correlate with the category.
+      // Two map-combined censuses over one scan + 1-row totals
+      graft.ops.Sampling.sampleSkewAudit(
+        t(s, dir, "orders"), "o_orderkey", "o_orderpriority",
+        fraction = 0.2)
+        .orderBy("cat")),
     "p_stratified_sample" -> ((s, dir) => {
       graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
         "lang", "doc_id", Map("en" -> 0.25, "de" -> 1.0),
@@ -3810,6 +3829,26 @@ object SparkEntry {
           col("user_id"), col("event_type"), col("value"), col("props"))
       graft.streaming.Replay.hllRegistersReplay(s, ev, "user_id")
         .orderBy("bucket")
+    }),
+    "st_incr_agg" -> ((s, dir) => {
+      // the streaming form of the materialized-view law: per-supplier
+      // mergeable state folded across two micro-batches inside an
+      // unwatermarked Complete-mode aggregation (state = supplier
+      // cardinality, never row-sized), final snapshot ≡ the batch
+      // recompute oracle — the same homomorphism s_incr_agg proves
+      // for the two-slice merge, here proven for the engine's own
+      // incremental fold
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 1)
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .select("l_suppkey", "l_partkey", "cents")
+      val b1 = li.filter(col("l_partkey") % 2 === 0)
+      val b2 = li.filter(col("l_partkey") % 2 === 1)
+      graft.streaming.Replay.replayBatchesComplete(s, Seq(b1, b2), df =>
+        graft.ops.IncrementalAgg.withMean(
+          graft.ops.IncrementalAgg.stats(df, Seq("l_suppkey"),
+            col("cents"))))
+        .orderBy("l_suppkey")
     }),
     "st_cms" -> ((s, dir) => {
       // count-min cells through the streaming engine, same Complete-
@@ -5072,6 +5111,8 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainmentSql(3, 0.8, "WHERE doc_id % 25 = 0"),
     "d_minhash_lsh" ->
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
+    "d_lsh_histogram" ->
+      graft.dedup.Dedup.lshBucketHistogramSql(16, 4, "WHERE doc_id % 2 = 0"),
     "d_winnow_pairs" ->
       graft.dedup.Winnow.sharedFingerprintPairsSql(k = 8, window = 8,
         minShared = 3, whereClause = "WHERE doc_id % 10 = 1"),
@@ -5549,6 +5590,9 @@ object SparkEntry {
          |count(*) AS n, min(doc_id) AS min_id
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+    "p_sample_skew" ->
+      graft.ops.Sampling.sampleSkewAuditSql(
+        "orders", "o_orderkey", "o_orderpriority", fraction = 0.2),
     "p_stratified_sample" -> {
       val b = graft.ops.Sampling.bucketSql("doc_id", 42L)
       val cut = graft.ops.Sampling.stratifiedCutoffSql("lang",
@@ -6185,6 +6229,10 @@ object SparkEntry {
       graft.ops.Sketches.cmsCellsSql(
         "(SELECT user_id FROM events WHERE user_id % 10 = 0) ev",
         "user_id", 4, 64),
+    "st_incr_agg" ->
+      graft.ops.IncrementalAgg.directSql("lineitem", Seq("l_suppkey"),
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        whereClause = "WHERE l_orderkey % 4 = 1"),
     "st_dq" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS win_start, value,
         |    event_type, props

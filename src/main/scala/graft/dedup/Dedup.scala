@@ -709,6 +709,76 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** LSH CAPACITY PLANNING — the bucket-size histogram computed
+    * BEFORE any pair join runs: per band, how many buckets hold 1, 2,
+    * 3… documents, and how many candidate pairs (`n_buckets · C(sz,
+    * 2)`) each size class would emit. The histogram prices the LSH
+    * join from a census-sized pass — at 100 TB you read this, not the
+    * pair explosion, to pick `bands`/`numHashes`/`maxBucketSize`: a
+    * heavy tail here is the hot-bucket warning the skew guard exists
+    * for, and Σ cand_pairs is the exact shuffle volume the pair join
+    * would pay (before the cap and cross-band dedup).
+    *
+    * Scale shape: signatures (one shingle census) → band keys
+    * (map-only explode) → bucket sizes (keyed count) → size census
+    * (keyed count) — strictly smaller at every step; output is
+    * bands × distinct-sizes, metadata scale.
+    *
+    * Output: `(band, sz, n_buckets, cand_pairs)`.
+    */
+  def lshBucketHistogram(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*))
+          .as("bkey"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    buckets.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"), col("sz"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("cand_pairs",
+        expr("n_buckets * ((sz * (sz - 1)) div 2)"))
+  }
+
+  /** DuckDB rendering of [[lshBucketHistogram]] over
+    * `documents(doc_id, text)` restricted by `whereClause`.
+    */
+  def lshBucketHistogramSql(
+      numHashes: Int, bands: Int, whereClause: String): String = {
+    val r = numHashes / bands
+    val toks = TextFunctions.tokensSql.replace("TXT", "text")
+    val mins = (0 until numHashes)
+      .map(j => s"min((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents $whereClause),
+       |toks0 AS (SELECT doc_id AS id, unnest(list_distinct($toks)) AS tok FROM docs),
+       |toks AS (SELECT id,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM toks0),
+       |sig AS (SELECT id, $mins FROM toks GROUP BY id),
+       |bands AS (
+       |$bandSelects),
+       |bs AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY band, bkey)
+       |SELECT band, sz, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(count(*) * ((sz * (sz - 1)) // 2) AS BIGINT) AS cand_pairs
+       |FROM bs GROUP BY band, sz
+       |ORDER BY band, sz""".stripMargin
+  }
+
   /** DuckDB rendering of [[minhashLshPairsAgainst]] over
     * `documents(doc_id, text)`: new batch = rows matching `whereNew`,
     * corpus = rows matching `whereCorpus` (full `WHERE ...` clauses).

@@ -303,4 +303,56 @@ object Sampling {
         val escaped = k.replace("'", "''")
         s"CASE WHEN $stratumExpr = '$escaped' THEN ${thresh(f)} ELSE $acc END"
       }
+
+  /** Sampling-bias audit — does the hash sample actually look like
+    * the population? Per category: population and sample counts,
+    * their integer-ppm shares, and the share delta. A correct
+    * id-keyed hash sample drifts only by sampling noise (deltas near
+    * 0); a systematic delta means the sample key correlates with the
+    * category — the silent way a "uniform" sample poisons every
+    * downstream census. Run this after ANY sampled pipeline stage;
+    * at 100 TB it costs two map-combined censuses over one scan
+    * (the sample predicate is a pushed-down filter, not a separate
+    * materialization) plus two 1-row totals broadcasts.
+    *
+    * Output: `(cat, n_pop, n_samp, pop_ppm, samp_ppm, delta_ppm)`.
+    */
+  def sampleSkewAudit(
+      df: DataFrame, idCol: String, catCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    val flagged = df.select(col(catCol).as("cat"),
+      when(bucket(col(idCol), seed) < thresh(fraction), 1L)
+        .otherwise(0L).as("in_samp"))
+    val census = flagged.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("in_samp")).as("n_samp"))
+    val totals = census.agg(sum(col("n_pop")).as("tot_pop"),
+      sum(col("n_samp")).as("tot_samp"))
+    census.crossJoin(broadcast(totals))
+      .select(col("cat"), col("n_pop"), col("n_samp"),
+        expr("n_pop * 1000000L div tot_pop").as("pop_ppm"),
+        expr("n_samp * 1000000L div tot_samp").as("samp_ppm"))
+      .withColumn("delta_ppm", col("samp_ppm") - col("pop_ppm"))
+  }
+
+  /** DuckDB rendering of [[sampleSkewAudit]] over `(idExpr, catExpr)`
+    * rows from `fromClause`.
+    */
+  def sampleSkewAuditSql(
+      fromClause: String, idExpr: String, catExpr: String,
+      fraction: Double, seed: Long = 42L): String = {
+    val inSamp =
+      s"CASE WHEN ${bucketSql(idExpr, seed)} < ${thresh(fraction)} " +
+        "THEN 1 ELSE 0 END"
+    s"""WITH c AS (SELECT $catExpr AS cat,
+       |    CAST(count(*) AS BIGINT) AS n_pop,
+       |    CAST(SUM($inSamp) AS BIGINT) AS n_samp
+       |  FROM $fromClause GROUP BY 1),
+       |t AS (SELECT SUM(n_pop) AS tot_pop, SUM(n_samp) AS tot_samp FROM c)
+       |SELECT cat, n_pop, n_samp,
+       |  n_pop * 1000000 // tot_pop AS pop_ppm,
+       |  n_samp * 1000000 // tot_samp AS samp_ppm,
+       |  n_samp * 1000000 // tot_samp - n_pop * 1000000 // tot_pop
+       |    AS delta_ppm
+       |FROM c, t ORDER BY cat""".stripMargin
+  }
 }

@@ -311,6 +311,46 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** Generic-schema COMPLETE-mode replay: every micro-batch's full
+    * aggregation snapshot overwrites the sink via foreachBatch (the
+    * upsert-sink pattern), so the read-back is the final snapshot —
+    * the streaming twin of a batch aggregate over all batches
+    * together. For unwatermarked streaming aggregations whose state
+    * is key-bounded (mergeable per-key summaries, sketch cells);
+    * same staging/cleanup contract as [[replayBatches]].
+    */
+  def replayBatchesComplete(
+      spark: SparkSession, batches: Seq[DataFrame],
+      build: DataFrame => DataFrame,
+  ): DataFrame = {
+    require(batches.nonEmpty, "replayBatchesComplete: no batches")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      stageBatch(spark, b.coalesce(1), inDir, f"b$i%03d",
+        mtimeSec = 1000L + 1000L * i)
+    }
+    val src = spark.readStream
+      .schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val write: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => b.write.mode("overwrite").parquet(outDir)
+    val q = build(src).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(write)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
   /** Roots whose sink dirs are still live; a single JVM shutdown hook
     * deletes them all, so repeated bench/verify invocations leave
     * nothing behind the process.

@@ -147,4 +147,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(small !== other)
   }
+
+  test("sampleSkewAudit: counts reconcile and ppm deltas are near zero for a hash sample") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("cat"))
+    val got = Sampling.sampleSkewAudit(df, "id", "cat", fraction = 0.3)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(got.values.map(_._1).sum == 3000L)
+    val sampTotal = got.values.map(_._2).sum
+    assert(math.abs(sampTotal - 900L) < 100L, s"sample size $sampTotal")
+    // the category is id % 3 while the sample keys on md5(id) — no
+    // correlation, so every share delta stays within noise (< 3%)
+    got.foreach { case (c, (_, _, d)) =>
+      assert(math.abs(d) < 30000L, s"cat $c delta_ppm $d")
+    }
+    // a sample KEYED ON the category itself is the pathology the
+    // audit exists to catch: whole categories land in or out
+    // together (here cats 0 and 9 pass the 0.3 threshold), so their
+    // shares inflate to ~500000 ppm while the rest read zero
+    val wide = spark.range(3000)
+      .select(col("id"), (col("id") % 10).cast("string").as("cat"))
+    val biased = Sampling.sampleSkewAudit(wide, "cat", "cat", 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(biased.values.exists(d => math.abs(d) > 100000L),
+      s"biased sample not flagged: $biased")
+  }
 }

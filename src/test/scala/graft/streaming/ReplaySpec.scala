@@ -52,4 +52,26 @@ class ReplaySpec extends AnyFunSuite with SparkSpec {
     assert(live.isEmpty,
       s"replayBatches left non-sink entries in ${root}: ${live.mkString(", ")}")
   }
+
+  test("complete-mode replay folds mergeable state across batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(("a", 10L), ("a", 30L), ("b", 5L), ("a", 20L), ("b", 7L))
+      .toDF("k", "cents")
+    val out = Replay.replayBatchesComplete(spark,
+      Seq(rows.limit(3), rows.exceptAll(rows.limit(3))),
+      df => graft.ops.IncrementalAgg.stats(df, Seq("k"), col("cents")))
+    // the final snapshot equals the batch aggregate over ALL rows,
+    // whichever batch each row landed in
+    val got = out.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a")._1 == 3L && got("a")._2 == 60L)
+    assert(got("b") == (2L, 12L, 5L, 7L))
+    val root = new java.io.File(new java.net.URI(out.inputFiles.head))
+      .getParentFile.getParentFile
+    val live = root.listFiles().map(_.getName).filterNot(_ == "out")
+    assert(live.isEmpty,
+      s"replayBatchesComplete left non-sink entries: ${live.mkString(", ")}")
+  }
 }
