@@ -700,6 +700,29 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"span mask should stay within its doc-keyed windows:\n$mask")
   }
 
+  test("link prediction wedges stay equi-keyed on the shared neighbor") {
+    // the adjacency self-join must key on z (hub-capped fan-out);
+    // losing the key would plan the all-pairs fallback
+    val p = plan("s_link_predict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"linkPredict plans an all-pairs join — the z equi-key is gone:\n$p")
+  }
+
+  test("the LSH capacity histogram never joins — censuses only") {
+    // the whole point: price the pair join WITHOUT running any join
+    val p = plan("d_lsh_histogram")
+    assert(!p.contains("Join"),
+      s"lshBucketHistogram must be a census chain, not a join:\n$p")
+  }
+
+  test("the image aHash pair search keeps the block-pair equi-key") {
+    val p = plan("mm_ahash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"aHash pairs plan an all-pairs join — the band equi-key is gone:\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
