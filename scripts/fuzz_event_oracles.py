@@ -32,6 +32,21 @@ def ref_ewma(rows, alpha=0.25):
     return out
 
 
+def ref_holt(rows, alpha=0.5, beta=0.25):
+    by_user = {}
+    for eid, tsus, uid, et, val in sorted(rows, key=lambda r: (r[1], r[0])):
+        by_user.setdefault(uid, []).append(val)
+    out = {}
+    for uid, vals in by_user.items():
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            l1 = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (l1 - l) + (1.0 - beta) * b
+            l = l1
+        out[uid] = (len(vals), l, b, l + b)
+    return out
+
+
 def ref_scd2(rows):
     by_user = {}
     for eid, tsus, uid, et, val in sorted(rows, key=lambda r: (r[1], r[0])):
@@ -122,11 +137,17 @@ def main():
         want_s = ref_scd2([r for r in rows if r[2] % 10 == 0])
         got_r = {r[0]: tuple(r[1:]) for r in con.sql(oracles["ev_rfm"]).fetchall()}
         want_r = ref_rfm(rows)
-        ok = got_e == want_e and got_s == want_s and got_r == want_r
+        # holt gates on user_id % 3 = 1 (uid 10, 40, ... here)
+        got_h = {r[0]: (r[1], r[2], r[3], r[4])
+                 for r in con.sql(oracles["ev_holt"]).fetchall()}
+        want_h = ref_holt([r for r in rows if r[2] % 3 == 1])
+        ok = (got_e == want_e and got_s == want_s and got_r == want_r
+              and got_h == want_h)
         if not ok:
             fails += 1
             print(f"MISMATCH trial {trial} (users={n_users}, rows={len(rows)})")
-            for nm, g, w in [("ewma", got_e, want_e), ("rfm", got_r, want_r)]:
+            for nm, g, w in [("ewma", got_e, want_e), ("rfm", got_r, want_r),
+                             ("holt", got_h, want_h)]:
                 if g != w:
                     ks = [k for k in set(g) | set(w) if g.get(k) != w.get(k)]
                     print(f"  {nm} diff {ks[:3]}: got "

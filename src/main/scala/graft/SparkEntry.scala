@@ -1088,6 +1088,17 @@ object SparkEntry {
           col("user_id"), col("ts"), col("event_id"), col("value")),
         "user_id", "ts", "event_id", "value", alpha = 0.25)
         .orderBy("user_id")),
+    "ev_holt" -> ((s, dir) =>
+      // Holt level+trend smoothing (the forecasting upgrade of
+      // ev_ewma): same ordered-fold device carrying an (l, b) pair,
+      // identical IEEE op sequence as the recursive-CTE oracle —
+      // raw doubles hash, incl. the one-step forecast l + b
+      graft.ops.Ewma.holt(
+        t(s, dir, "events").filter(col("user_id") % 3 === 1).select(
+          col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        alpha = 0.5, beta = 0.25)
+        .orderBy("user_id")),
     "ev_funnel" -> ((s, dir) => {
       // ordered-funnel summary: greedy earliest-first step times per
       // user, strict (>) step ordering, chained whole-partition window
@@ -2504,6 +2515,31 @@ object SparkEntry {
       graft.ops.LinkAnalysis.linkPredict(
         graft.ops.LinkAnalysis.cocitationEdges(urls), maxHubDeg = 64)
         .orderBy("u", "w")
+    }),
+    "s_bfs_layers" -> ((s, dir) => {
+      // hop-distance census from a seed hub over the k-core planting:
+      // hub2 reaches its doubly-linked spokes (residue < 12) and
+      // mirror at layer 1; mirror's exclusive spokes (12..22) only at
+      // layer 2 — the frontier genuinely advances twice. Bounded
+      // rounds are the spec; per round one semi + one anti equi-join,
+      // visited checkpointed (it is referenced twice per round)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" https://s"),
+              (col("doc_id") % 23).cast("string"), lit(".example.com/p/"),
+              col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0,
+                lit(" http://mirror.example.org/m")).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0 && col("doc_id") % 23 < 12,
+                lit(" http://hub2.example.org/x")).otherwise(lit(""))))
+            .as("text"))
+      val urls = graft.text.Urls.extractUrls(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("domain"))
+      graft.ops.LinkAnalysis.bfsLayers(
+        graft.ops.LinkAnalysis.cocitationEdges(urls),
+        seeds = Seq("hub2.example.org"), rounds = 3)
+        .orderBy("domain")
     }),
     "t_pii_rate_by_source" -> ((s, dir) => {
       // per-source PII exposure census (the pre-release privacy
@@ -4797,6 +4833,8 @@ object SparkEntry {
     "ev_rfm_sketch" ->
       graft.ops.Rfm.rfmSketchSql("WHERE user_id % 3 = 1"),
     "ev_ewma" -> graft.ops.Ewma.ewmaSql(alpha = 0.25, ""),
+    "ev_holt" -> graft.ops.Ewma.holtSql(alpha = 0.5, beta = 0.25,
+      "WHERE user_id % 3 = 1"),
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
         |a AS (SELECT user_id, ts, event_type,
@@ -5412,6 +5450,24 @@ object SparkEntry {
           |  FROM d)
           |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
           |FROM uu""".stripMargin, maxHubDeg = 64),
+    "s_bfs_layers" ->
+      graft.ops.LinkAnalysis.bfsLayersSql(
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN text
+          |       ELSE text || ' https://s' || CAST(doc_id % 23 AS VARCHAR) ||
+          |            '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          |            CASE WHEN doc_id % 3 = 0 THEN ' http://mirror.example.org/m'
+          |                 ELSE '' END ||
+          |            CASE WHEN doc_id % 5 = 0 AND doc_id % 23 < 12
+          |                 THEN ' http://hub2.example.org/x'
+          |                 ELSE '' END END AS text
+          |  FROM documents),
+          |uu AS (SELECT doc_id AS id,
+          |  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?:/[^\s]*)?', 0)) AS url
+          |  FROM d)
+          |SELECT id, regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain
+          |FROM uu""".stripMargin,
+        seeds = Seq("hub2.example.org"), rounds = 3),
     "t_pii_rate_by_source" ->
       graft.text.Pii.rateBySourceSql(
         """(SELECT source, CASE WHEN doc_id % 4 = 1

@@ -524,6 +524,80 @@ object LinkAnalysis {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Bounded-round multi-source BFS over an undirected edge set —
+    * hop-distance layers from a seed set, the "how far is everything
+    * from the known-bad (or known-good) core" census: seed domains at
+    * layer 0, each round's frontier is the unvisited neighborhood of
+    * the previous frontier. `rounds` is part of the operator SPEC on
+    * both engines (the [[kCorePeel]] convention — unreached nodes are
+    * simply absent, their distance is "> rounds").
+    *
+    * 100 TB shape per round: one adjacency semi join on the frontier
+    * + one anti join against the visited set (both node-sized, hash
+    * equi-joins), then an eager `localCheckpoint` — the visited
+    * frame is referenced twice per round (union + anti join), so an
+    * uncut chain re-executes the upstream edge construction 2^depth
+    * times (the [[kCorePeel]] lesson). Frontier size is bounded by
+    * the graph's expansion, never the corpus.
+    *
+    * Output: `(domain, layer)` for every node within `rounds` hops.
+    */
+  def bfsLayers(
+      edges: DataFrame, seeds: Seq[String], rounds: Int): DataFrame = {
+    require(seeds.nonEmpty, "bfsLayers: empty seed set")
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of [1, 64]")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = seeds.toDF("v").distinct()
+      .withColumn("layer", lit(0)).localCheckpoint(true)
+    var frontier = visited.select(col("v"))
+    for (i <- 1 to rounds) {
+      val nxt = adj.join(frontier, Seq("v"), "left_semi")
+        .select(col("n").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+      visited = visited.union(nxt.withColumn("layer", lit(i)))
+        .localCheckpoint(true)
+      frontier = nxt
+    }
+    visited.select(col("v").as("domain"), col("layer"))
+  }
+
+  /** DuckDB rendering of [[cocitationEdges]] + [[bfsLayers]] over URL
+    * rows produced by `urlRowsSql` — rounds unrolled as MATERIALIZED
+    * CTE stages (the [[kCorePeelSql]] device).
+    */
+  def bfsLayersSql(
+      urlRowsSql: String, seeds: Seq[String], rounds: Int): String = {
+    val seedVals = seeds.distinct
+      .map(s => s"('${s.replace("'", "''")}')").mkString(", ")
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""u AS MATERIALIZED (SELECT DISTINCT id, domain FROM ($urlRowsSql) q),
+         |und AS MATERIALIZED (SELECT DISTINCT
+         |    least(a.domain, b.domain) AS a, greatest(a.domain, b.domain) AS b
+         |  FROM u a JOIN u b ON a.id = b.id AND a.domain <> b.domain),
+         |adj AS MATERIALIZED (SELECT a AS v, b AS n FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |vis0 AS MATERIALIZED (SELECT v, 0 AS layer
+         |  FROM (VALUES $seedVals) s(v)),
+         |f0 AS MATERIALIZED (SELECT v FROM vis0)""".stripMargin)
+    for (i <- 1 to rounds) {
+      parts += s"""f$i AS MATERIALIZED (SELECT DISTINCT adj.n AS v
+                  |  FROM adj JOIN f${i - 1} f ON adj.v = f.v
+                  |  WHERE adj.n NOT IN (SELECT v FROM vis${i - 1}))""".stripMargin
+      parts += s"""vis$i AS MATERIALIZED (SELECT v, layer FROM vis${i - 1}
+                  |  UNION ALL SELECT v, $i FROM f$i)""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT v AS domain, layer FROM vis$rounds ORDER BY domain"
+  }
+
   /** DuckDB rendering of [[cocitationEdges]] + [[linkPredict]] over
     * URL rows produced by `urlRowsSql` (must yield `(id, domain)`).
     */

@@ -75,4 +75,43 @@ class EwmaSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"),
       s"ewma must fold inside the aggregate, not via a window: $plan")
   }
+
+  /** Holt reference fold in plain Scala — the same op order. */
+  private def refHolt(
+      alpha: Double, beta: Double, xs: Seq[Double]): (Double, Double) =
+    xs.tail.foldLeft((xs.head, 0.0)) { case ((l, b), x) =>
+      val l1 = alpha * x + (1.0 - alpha) * (l + b)
+      (l1, beta * (l1 - l) + (1.0 - beta) * b)
+    }
+
+  test("holt matches the hand recurrence; a trending series forecasts ahead") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      ("a", (i + 1).toLong, (i + 1).toLong, v)
+    }
+    val got = Ewma.holt(frame(rows: _*), "k", "ts", "o", "v",
+      alpha = 0.5, beta = 0.25).head()
+    val (l, b) = refHolt(0.5, 0.25, xs)
+    assert(got.getDouble(2) == l && got.getDouble(3) == b)
+    assert(got.getDouble(4) == l + b)
+    // on a rising series the forecast exceeds the level (trend > 0),
+    // which plain EWMA structurally cannot do
+    assert(b > 0.0 && got.getDouble(4) > l)
+  }
+
+  test("holt: single-event key is well-defined at (x, 0)") {
+    val got = Ewma.holt(frame(("a", 1L, 1L, 7.0)), "k", "ts", "o", "v",
+      0.5, 0.25).head()
+    assert((got.getDouble(2), got.getDouble(3), got.getDouble(4)) ==
+      (7.0, 0.0, 7.0))
+  }
+
+  test("holt beta=0 freezes the trend at its zero seed: level ewma-tracks") {
+    // with b locked at 0, the level recurrence degenerates to ewma
+    val rows = Seq(("a", 1L, 1L, 4.0), ("a", 2L, 2L, 8.0), ("a", 3L, 3L, 2.0))
+    val got = Ewma.holt(frame(rows: _*), "k", "ts", "o", "v",
+      alpha = 0.25, beta = 0.0).head()
+    assert(got.getDouble(2) == ref(0.25, Seq(4.0, 8.0, 2.0)))
+    assert(got.getDouble(3) == 0.0)
+  }
 }

@@ -150,6 +150,26 @@ class LinkAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 4)
   }
 
+  test("bfsLayers assigns exact hop distances within the round budget") {
+    // path a-b-c-d-e seeded at a: layers 0..3 within 3 rounds; e is
+    // 4 hops away and must be ABSENT (distance "> rounds")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val got = LinkAnalysis.bfsLayers(edges, Seq("a"), rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("bfsLayers: multi-source seeds take the minimum distance; cycles don't revisit") {
+    // triangle a-b-c plus pendant c-d, seeded at {a, d}: b is 1 from
+    // a; c is 1 from both sides — counted once at layer 1
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = LinkAnalysis.bfsLayers(edges, Seq("a", "d"), rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "d" -> 0, "b" -> 1, "c" -> 1))
+  }
+
   test("linkPredict: the hub cap excludes wedges through celebrity nodes") {
     // star hub-{s1..s5}: every spoke pair is predicted through the
     // hub at cap >= 5, and NOTHING survives at cap 4 (the hub is the
