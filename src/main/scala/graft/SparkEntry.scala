@@ -1088,6 +1088,18 @@ object SparkEntry {
           col("user_id"), col("ts"), col("event_id"), col("value")),
         "user_id", "ts", "event_id", "value", alpha = 0.25)
         .orderBy("user_id")),
+    "ev_mad_outliers" -> ((s, dir) =>
+      // robust per-type anomaly census: Hampel's |v - med| > 3·MAD
+      // with BOTH medians through the mergeable quantile sketch —
+      // the only scale-safe formulation (exact group medians would
+      // sort each group); estimates are deterministic so the census
+      // hash-gates, and the flagging threshold dominates the
+      // sketch's 2^-m envelope
+      graft.ops.Robust.madOutlierCensus(
+        t(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+        "event_type", "cents")
+        .orderBy("g")),
     "ev_holt" -> ((s, dir) =>
       // Holt level+trend smoothing (the forecasting upgrade of
       // ev_ewma): same ordered-fold device carrying an (l, b) pair,
@@ -2661,6 +2673,27 @@ object SparkEntry {
       graft.ops.QuantileSketch.discretize(
         o, "o_orderkey", "cents", Seq(250, 500, 750), m = 5)
         .orderBy("id")
+    }),
+    "s_incr_join" -> ((s, dir) => {
+      // join-view maintenance: A'⋈B' reconstructed as the stored
+      // view plus THREE delta-sided joins (each bounded by |Δ| ·
+      // fan-out, never a full re-join), aggregated per priority —
+      // the oracle joins the full tables directly; hash equality is
+      // the bag delta algebra, multiplicities and all
+      import graft.ops.IncrementalAgg
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      val full = IncrementalAgg.maintainedJoin(
+        li.filter(col("l_linenumber") =!= 3),
+        li.filter(col("l_linenumber") === 3),
+        o.filter(col("o_orderkey") % 7 =!= 3),
+        o.filter(col("o_orderkey") % 7 === 3),
+        "l_orderkey", "o_orderkey")
+      full.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
     }),
     "s_incr_agg" -> ((s, dir) => {
       // incremental aggregate maintenance — the materialized-view
@@ -4835,6 +4868,9 @@ object SparkEntry {
     "ev_ewma" -> graft.ops.Ewma.ewmaSql(alpha = 0.25, ""),
     "ev_holt" -> graft.ops.Ewma.holtSql(alpha = 0.5, beta = 0.25,
       "WHERE user_id % 3 = 1"),
+    "ev_mad_outliers" ->
+      graft.ops.Robust.madOutlierCensusSql("events", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT)"),
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
         |a AS (SELECT user_id, ts, event_type,
@@ -5601,6 +5637,12 @@ object SparkEntry {
     "s_incr_agg" ->
       graft.ops.IncrementalAgg.directSql("lineitem", Seq("l_suppkey"),
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    "s_incr_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s_quantile_sketch" ->
       graft.ops.QuantileSketch.cellsSql("lineitem", "floor(l_extendedprice * 100 + 0.5)", 5),
     "s_quantile_bins" ->

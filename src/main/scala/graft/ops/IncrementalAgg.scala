@@ -63,6 +63,36 @@ object IncrementalAgg {
   def withMean(state: DataFrame): DataFrame =
     state.withColumn("avg_cents", expr("sum_cents div n_rows"))
 
+  /** Join-view maintenance — the DELTA ALGEBRA for materialized
+    * joins: with `A' = A ∪ ΔA` and `B' = B ∪ ΔB` (bag union),
+    *
+    *   A' ⋈ B'  =  (A ⋈ B)  ∪  (ΔA ⋈ B)  ∪  (A ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+    *
+    * so a maintained join view absorbs an ingest batch with three
+    * DELTA-SIDED joins — each bounded by |Δ| · fan-out, never a
+    * re-join of the full tables. (The `A ⋈ B` term is the already-
+    * materialized view; this helper recomputes it only because the
+    * gate must produce the whole view to compare against the direct
+    * oracle — a production pipeline unions the three delta terms
+    * into the stored view.) Insert-only deltas here; deletions use
+    * the same algebra with signed multiplicities.
+    *
+    * Scale shape: all four terms are hash equi-joins on the same
+    * key, so they co-partition; the delta terms broadcast when Δ is
+    * batch-sized. Bag semantics throughout (`unionByName` of inner
+    * joins — multiplicities multiply exactly as the algebra says).
+    */
+  def maintainedJoin(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      keyA: String, keyB: String): DataFrame = {
+    def j(x: DataFrame, y: DataFrame) = x.join(y, col(keyA) === col(keyB))
+    j(aOld, bOld)
+      .unionByName(j(aDelta, bOld))
+      .unionByName(j(aOld, bDelta))
+      .unionByName(j(aDelta, bDelta))
+  }
+
   /** DuckDB rendering of the RIGHT-hand side of the homomorphism
     * identity — the direct whole-table aggregate the merged state
     * must equal. `valCentsSql` must be the integral-cents expression.

@@ -55,6 +55,27 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     assert(asMap(doubled)("a") == (6L, 600L, -50L, 250L))
   }
 
+  test("maintainedJoin: the four-term delta algebra equals the direct join, multiplicities included") {
+    val a = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("ka", "av")
+    val b = Seq((1, 10), (1, 11), (2, 20), (9, 90)).toDF("kb", "bv")
+    val direct = a.join(b, col("ka") === col("kb"))
+      .groupBy(col("ka")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // slice both sides arbitrarily; the reconstruction must not care
+    for (am <- 0 to 1; bm <- 0 to 1) {
+      val got = IncrementalAgg.maintainedJoin(
+        a.filter(col("av") =!= (if (am == 0) "y" else "z")),
+        a.filter(col("av") === (if (am == 0) "y" else "z")),
+        b.filter(col("bv") % 2 === bm), b.filter(col("bv") % 2 =!= bm),
+        "ka", "kb")
+        .groupBy(col("ka")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == direct, s"slicing ($am, $bm)")
+    }
+    // key 1 fans out 2x2 = 4 — the multiplicity product survives
+    assert(direct(1) == 4L)
+  }
+
   test("withMean floor-divides the merged state, matching SQL // on positives") {
     val st = IncrementalAgg.stats(
       rows.filter(col("cents") > 0), Seq("k"), col("cents"))
