@@ -1562,6 +1562,17 @@ object SparkEntry {
         "doc_id", "text", numHashes = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
+    "d_lsh_recall" -> ((s, dir) => {
+      // the dedup twin of the ANN recall gates: exact word-Jaccard
+      // ground truth on a bounded slice vs the banded MinHash
+      // candidates at the same integerized threshold — how
+      // numHashes/bands get tuned before a corpus-wide deploy. The
+      // exact arm is slice-bounded by contract (its all-pairs join
+      // is the thing LSH exists to avoid)
+      graft.dedup.Dedup.lshRecallAudit(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5)
+    }),
     "d_lsh_histogram" -> ((s, dir) => {
       // LSH capacity planning: the per-band bucket-size histogram
       // (and the candidate-pair volume each size class would emit),
@@ -5187,6 +5198,9 @@ object SparkEntry {
       graft.dedup.Dedup.minhashLshSql(16, 4, "WHERE doc_id % 5 = 0"),
     "d_lsh_histogram" ->
       graft.dedup.Dedup.lshBucketHistogramSql(16, 4, "WHERE doc_id % 2 = 0"),
+    "d_lsh_recall" ->
+      graft.dedup.Dedup.lshRecallAuditSql(16, 4, 0.5,
+        "WHERE doc_id % 10 = 0"),
     "d_winnow_pairs" ->
       graft.dedup.Winnow.sharedFingerprintPairsSql(k = 8, window = 8,
         minShared = 3, whereClause = "WHERE doc_id % 10 = 1"),

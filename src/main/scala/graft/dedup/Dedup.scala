@@ -709,6 +709,108 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** LSH RECALL AUDIT — the dedup twin of the ANN recall gates: on a
+    * bounded slice, compute the exact word-set Jaccard ground truth
+    * (pairs ≥ threshold, integer-micro comparison — no float
+    * boundary ambiguity), run the banded MinHash candidate search on
+    * the same slice (a pair qualifies when its signature agreement
+    * reaches `ceil(threshold · numHashes)` — the integer form of the
+    * unbiased Jaccard estimate), and report how much truth the
+    * approximation finds. This is how `numHashes`/`bands` get TUNED:
+    * run the audit on a sampled slice, read recall, then deploy the
+    * config corpus-wide — the exact arm never runs at corpus scale
+    * (its all-pairs shared-token join is the thing LSH exists to
+    * avoid; the slice bound is the caller's contract, same stance as
+    * the ANN recall gates' brute-force arm).
+    *
+    * Output one row: `(n_true, n_cand, n_found, recall_ppm)`.
+    */
+  def lshRecallAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold out of (0, 1]")
+    val thrMicro = math.floor(threshold * 1e6).toLong
+    val minAgree = math.ceil(threshold * numHashes).toLong
+    val toks = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), 1)).as("tok")).distinct()
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val truth = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("nc"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
+      .filter(expr(s"nc * 1000000L div (sa + sb - nc) >= ${thrMicro}L"))
+      .select(col("id_a"), col("id_b"))
+    val cand = minhashLshPairs(df, idCol, textCol, numHashes, bands)
+      .filter(col("n_common_minhash") >= minAgree)
+      .select(col("id_a"), col("id_b"))
+    val found = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_cand"), col("n_found"),
+        expr("n_found * 1000000L div greatest(n_true, 1L)")
+          .as("recall_ppm"))
+  }
+
+  /** DuckDB rendering of [[lshRecallAudit]] over
+    * `documents(doc_id, text)` restricted by `whereClause`.
+    */
+  def lshRecallAuditSql(
+      numHashes: Int, bands: Int, threshold: Double,
+      whereClause: String): String = {
+    val thrMicro = math.floor(threshold * 1e6).toLong
+    val minAgree = math.ceil(threshold * numHashes).toLong
+    val toks = TextFunctions.tokensSql.replace("TXT", "text")
+    val r = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(j => s"min((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val agree = (0 until numHashes)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents $whereClause),
+       |toks0 AS (SELECT doc_id AS id,
+       |    unnest(list_distinct($toks)) AS tok FROM docs),
+       |sizes AS (SELECT id, count(*) AS sz FROM toks0 GROUP BY id),
+       |truth AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM toks0 a JOIN toks0 b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |  HAVING count(*) * 1000000 //
+       |    ((SELECT sz FROM sizes WHERE id = a.id) +
+       |     (SELECT sz FROM sizes WHERE id = b.id) - count(*))
+       |    >= $thrMicro),
+       |toks AS (SELECT id,
+       |    CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM toks0),
+       |sig AS (SELECT id, $mins FROM toks GROUP BY id),
+       |bands AS (
+       |$bandSelects),
+       |cpairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+       |cand AS MATERIALIZED (SELECT id_a, id_b FROM cpairs
+       |  JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+       |  WHERE ($agree) >= $minAgree),
+       |f AS (SELECT count(*) AS n_found FROM truth
+       |  WHERE EXISTS (SELECT 1 FROM cand
+       |    WHERE cand.id_a = truth.id_a AND cand.id_b = truth.id_b))
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CAST(n_found * 1000000 //
+       |    greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+       |    AS recall_ppm
+       |FROM f""".stripMargin
+  }
+
   /** LSH CAPACITY PLANNING — the bucket-size histogram computed
     * BEFORE any pair join runs: per band, how many buckets hold 1, 2,
     * 3… documents, and how many candidate pairs (`n_buckets · C(sz,

@@ -42,4 +42,24 @@ class LshHistogramSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 2L)))
   }
+
+  test("recall audit: exact duplicates are perfect recall; disjoint docs contribute no truth") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    val r = Dedup.lshRecallAudit(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5).head()
+    // truth = the one identical pair; identical signatures always
+    // share every band, and 16/16 agreement passes any threshold
+    assert((r.getLong(0), r.getLong(2), r.getLong(3)) == (1L, 1L, 1000000L))
+  }
+
+  test("recall audit: zero truth reports zero recall, not a division error") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "omega psi chi")).toDF("doc_id", "text")
+    val r = Dedup.lshRecallAudit(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5).head()
+    assert((r.getLong(0), r.getLong(2), r.getLong(3)) == (0L, 0L, 0L))
+  }
 }
