@@ -97,6 +97,26 @@ def ref_tri_per_vertex(und):
     return {v: (deg[v], tri[v]) for v in deg}
 
 
+def ref_bfs(und, seeds, rounds=3):
+    """Independent BFS: plain frontier loop over dict adjacency."""
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for layer in range(1, rounds + 1):
+        nxt = set()
+        for v in frontier:
+            for n in adj.get(v, ()):
+                if n not in dist:
+                    nxt.add(n)
+        for n in nxt:
+            dist[n] = layer
+        frontier = nxt
+    return dist
+
+
 def ref_link_predict(und, max_hub=64, min_common=1):
     """Independent RA-index reference: dict adjacency, per-intermediate
     neighbor-pair loop (no wedge SQL algebra), existing edges removed.
@@ -155,17 +175,23 @@ def main():
         want_t = ref_tri_per_vertex(und)
         got_t = {r[0]: (r[1], r[2])
                  for r in con.sql(oracles["s_triangle_domains"]).fetchall()}
-        # link prediction plants like kcore (hub2 restricted < 12)
-        want_lp = ref_link_predict(edges_from_docs(rows, hub2_below_12=True))
+        # link prediction and bfs plant like kcore (hub2 restricted < 12)
+        und_k = edges_from_docs(rows, hub2_below_12=True)
+        want_lp = ref_link_predict(und_k)
         got_lp = {(r[0], r[1]): (r[2], r[3])
                   for r in con.sql(oracles["s_link_predict"]).fetchall()}
+        want_b = ref_bfs(und_k, ["hub2.example.org"], rounds=3)
+        got_b = {r[0]: r[1]
+                 for r in con.sql(oracles["s_bfs_layers"]).fetchall()}
 
-        if got_k != want_k or got_t != want_t or got_lp != want_lp:
+        if (got_k != want_k or got_t != want_t or got_lp != want_lp
+                or got_b != want_b):
             fails += 1
             print(f"MISMATCH trial {trial} (docs={n_docs}, edges={len(und)})")
             for nm, g, w in [("kcore", got_k, want_k),
                              ("tri", got_t, want_t),
-                             ("linkpred", got_lp, want_lp)]:
+                             ("linkpred", got_lp, want_lp),
+                             ("bfs", got_b, want_b)]:
                 if g != w:
                     ks = [k for k in set(g) | set(w) if g.get(k) != w.get(k)]
                     print(f"  {nm} diff {ks[:4]}: got "

@@ -2028,6 +2028,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     }),
+    "e_mutual_knn" -> ((s, dir) => {
+      // reciprocal-kNN edge mining: pairs where each endpoint ranks
+      // the other in its own top-5 — the hub-killing robustification
+      // of raw neighbor lists. Brute arm is the documented exact
+      // baseline; at scale any approximate top-k frame feeds
+      // mutualPairs unchanged
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      graft.ann.Ann.mutualPairs(
+        graft.ann.Ann.bruteForceTopK(emb, emb, "vec_id", "embedding",
+          k = 5))
+        .orderBy("id_a", "id_b")
+    }),
     "e_knn_classify" -> ((s, dir) => {
       // kNN label assignment (weak supervision): every 10th+1 vector
       // classified by majority label of its 5 nearest labeled
@@ -5401,6 +5413,8 @@ object SparkEntry {
     "e_semantic_contam" ->
       graft.ann.Ann.semanticContaminationSql(semContamCorpusSql,
         semContamEvalSql, 0.98, planes = 192, bands = 16),
+    "e_mutual_knn" ->
+      graft.ann.Ann.mutualKnnPairsSql("vec_id % 4 = 0", k = 5),
     "e_knn_classify" ->
       graft.ann.Ann.knnClassifySql(
         "vec_id % 10 = 1", "vec_id % 10 = 0", k = 5),

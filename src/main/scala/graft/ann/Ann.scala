@@ -587,6 +587,60 @@ object Ann {
       bruteForceTopK(queries, labeled, idCol, vecCol, k, excludeSelf),
       labeled, idCol, labelCol)
 
+  /** Mutual (reciprocal) kNN pairs — edges `(a, b)` where EACH
+    * endpoint ranks the other inside its own top-k: the standard
+    * robustification of raw nearest-neighbor pairs for near-dup and
+    * alignment mining (a hub vector sits in everyone's top-k, but
+    * reciprocity kills the hub edges because the hub's OWN top-k
+    * holds only its true neighbors — asymmetric neighbor lists are
+    * the noise, mutual ones the signal).
+    *
+    * Takes any `(query_id, neighbor_id, …)` top-k frame — at corpus
+    * scale feed an approximate path ([[lshTopK]], [[ivfPqTopK]],
+    * [[Binary.hammingTopK]]); the brute-force arm is the gate's
+    * exact baseline. The reciprocity filter itself is one canonical
+    * projection + one hash semi join on the pair key — output-sized,
+    * nothing quadratic.
+    *
+    * Output: `(id_a, id_b)` with `id_a < id_b`, each inside the
+    * other's top-k.
+    */
+  def mutualPairs(topk: DataFrame): DataFrame = {
+    val fwd = topk
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val rev = topk
+      .filter(col("neighbor_id") < col("query_id"))
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
+    fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** DuckDB rendering of brute-force self-kNN + [[mutualPairs]] over
+    * `embeddings(vec_id, embedding)` restricted by `whereClause`.
+    */
+  def mutualKnnPairsSql(
+      whereClause: String, k: Int, dim: Int = 64): String = {
+    val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ($whereClause) AND $nz),
+       |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${cosineSql("a.embedding", "b.embedding", dim)} AS score
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM scored) r WHERE rank <= $k),
+       |fwd AS (SELECT query_id AS id_a, neighbor_id AS id_b FROM topk
+       |  WHERE query_id < neighbor_id),
+       |rev AS (SELECT neighbor_id AS id_a, query_id AS id_b FROM topk
+       |  WHERE neighbor_id < query_id)
+       |SELECT fwd.id_a, fwd.id_b FROM fwd
+       |WHERE EXISTS (SELECT 1 FROM rev
+       |  WHERE rev.id_a = fwd.id_a AND rev.id_b = fwd.id_b)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB rendering of [[knnClassify]] over `embeddings(vec_id,
     * embedding, label)`: queries restricted by `queryWhere`, labeled
     * corpus by `labeledWhere`.

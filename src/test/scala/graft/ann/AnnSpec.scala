@@ -328,6 +328,34 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(withSelf == Set(1L), "excludeSelf=false must rank the colliding id")
   }
 
+  test("mutualPairs keeps only reciprocal edges — the hub edge dies") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // two tight pairs (1, 2) and (3, 4): both reciprocal at k=1.
+    // The asymmetric edges (e.g. 2→3 appears in nobody's mutual set
+    // because 3's best is 4) must vanish
+    val emb = df(Seq(
+      Row(1L, Seq(1f, 0f, 0f)), Row(2L, Seq(0.99f, 0.1f, 0f)),
+      Row(3L, Seq(0.6f, 0.75f, 0f)), Row(4L, Seq(0f, 1f, 0.4f))))
+    val topk = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+    val got = Ann.mutualPairs(topk).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)),
+      s"mutual set wrong at k=1: $got")
+    // a hand-built ASYMMETRIC top-k frame: 1→2 without 2→1 must die,
+    // and the reciprocal (3, 4) pair survives regardless of which
+    // direction each row was emitted in
+    import spark.implicits._
+    val asym = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("query_id", "neighbor_id")
+    val got2 = Ann.mutualPairs(asym).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((3L, 4L)), s"asymmetric edge survived: $got2")
+  }
+
   test("quantizerSample is bounded and independent of input partitioning") {
     val rows = (0 until 500).map(i => Row(i.toLong, Seq.fill(8)(i.toFloat)))
     def emb(parts: Int): DataFrame = spark.createDataFrame(
