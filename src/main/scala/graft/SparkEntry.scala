@@ -4394,6 +4394,21 @@ object SparkEntry {
         lvl(lit("*"), lit("*"), lit("*"))), k = 10)
         .orderBy("g_nation", "g_segment", "g_bal")
     }),
+    "s_zorder_skip" -> ((s, dir) => {
+      // the two-dimensional layout contrast behind writeZOrdered: a
+      // lexicographic layout serves only its leading key (y zones
+      // span the full domain — zero skips), while Morton tiles keep
+      // BOTH coordinates narrow per zone, so range predicates on
+      // either dimension skip most zones. Pure integer zone ids on
+      // known domains; two envelope censuses per dimension
+      graft.sources.Sources.zorderSkipContrast(
+        t(s, dir, "lineitem")
+          .withColumn("xq", col("l_partkey") % 1024)
+          .withColumn("yq", col("l_orderkey") % 1024),
+        "xq", "yq", bits = 10, nZones = 256,
+        xLo = 100L, xHi = 150L, yLo = 200L, yHi = 250L)
+        .orderBy("layout", "pred")
+    }),
     "s_zone_skip" -> ((s, dir) => {
       // data-skipping effectiveness contrast — the quantified case
       // for clustered layouts: the same orders rows zoned 64 ways by
@@ -6617,6 +6632,11 @@ object SparkEntry {
         slvl("'*'", "'*'", "'*'")), k = 10,
         orderBy = Seq("g_nation", "g_segment", "g_bal"))
     },
+    "s_zorder_skip" ->
+      graft.sources.Sources.zorderSkipContrastSql(
+        "lineitem", "l_partkey % 1024", "l_orderkey % 1024",
+        bits = 10, nZones = 256,
+        xLo = 100L, xHi = 150L, yLo = 200L, yHi = 250L),
     "s_zone_skip" ->
       graft.sources.Sources.layoutSkipContrastSql(
         "orders", "o_orderkey",

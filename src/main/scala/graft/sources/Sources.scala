@@ -255,6 +255,101 @@ object Sources {
     summarize("clustered", clustered).unionByName(summarize("random", random))
   }
 
+  /** TWO-dimensional skipping contrast — why [[writeZOrdered]] exists:
+    * the same rows zoned two ways, (a) `lex` — binned on the FIRST
+    * dimension only (what a lexicographic sort's file layout gives
+    * you), (b) `zorder` — binned on the Morton interleave of both
+    * dimensions — then a range predicate on EACH dimension evaluated
+    * against each layout's zone envelopes. The lex layout serves only
+    * its leading key (skips nothing for the y predicate: every zone
+    * spans all of y); the z-order layout skips substantially on
+    * EITHER dimension, because Morton locality keeps both
+    * coordinates' spans ~√zones-narrow per zone.
+    *
+    * Both dims must be pre-quantized to `bits` bits (the
+    * [[writeZOrdered]] contract). Zone ids are pure integer
+    * arithmetic on the known domains (`x · nZones div 2^bits`,
+    * `z · nZones div 2^(2·bits)`) — no sort, no sampling; everything
+    * reduces to two zone-count-sized envelope censuses per
+    * dimension.
+    *
+    * Output: `(layout, pred, n_zones, zones_skipped, rows_skipped,
+    * n_rows)` — four rows (2 layouts × 2 predicates).
+    */
+  def zorderSkipContrast(
+      df: DataFrame, xCol: String, yCol: String, bits: Int, nZones: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits $bits out of [1, 16]")
+    require(nZones > 0, s"nZones $nZones must be positive")
+    import org.apache.spark.sql.functions._
+    val dom = 1L << bits
+    val zdom = 1L << (2 * bits)
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+      .withColumn("z",
+        graft.functions.ZInterleave.z_interleave(col("x"), col("y"), bits))
+    def summarize(layout: String, zoneExpr: String, pred: String,
+        vCol: String, lo: Long, hi: Long): DataFrame =
+      zoneMaps(base.select(expr(zoneExpr).as("zone"), col(vCol).as("v")))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("max_v") < lo || col("min_v") > hi, 1L)
+            .otherwise(0L)).as("zones_skipped"),
+          sum(when(col("max_v") < lo || col("min_v") > hi, col("n_rows"))
+            .otherwise(0L)).as("rows_skipped"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(layout).as("layout"), lit(pred).as("pred"),
+          col("n_zones"), col("zones_skipped"), col("rows_skipped"),
+          col("n_rows"))
+    val lexZone = s"x * ${nZones}L div ${dom}L"
+    val zZone = s"z * ${nZones}L div ${zdom}L"
+    summarize("lex", lexZone, "x", "x", xLo, xHi)
+      .unionByName(summarize("lex", lexZone, "y", "y", yLo, yHi))
+      .unionByName(summarize("zorder", zZone, "x", "x", xLo, xHi))
+      .unionByName(summarize("zorder", zZone, "y", "y", yLo, yHi))
+  }
+
+  /** DuckDB rendering of [[zorderSkipContrast]] over `(xExpr, yExpr)`
+    * rows from `fromClause`.
+    */
+  def zorderSkipContrastSql(
+      fromClause: String, xExpr: String, yExpr: String, bits: Int,
+      nZones: Int, xLo: Long, xHi: Long, yLo: Long, yHi: Long): String = {
+    val dom = 1L << bits
+    val zdom = 1L << (2 * bits)
+    val z = graft.functions.ZInterleave.zInterleaveSql("x", "y", bits)
+    def arm(layout: String, zoneExpr: String, pred: String,
+        vCol: String, lo: Long, hi: Long): String =
+      s"""SELECT '$layout' AS layout, '$pred' AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_zones,
+         |  CAST(SUM(CASE WHEN max_v < $lo OR min_v > $hi
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_skipped,
+         |  CAST(SUM(CASE WHEN max_v < $lo OR min_v > $hi
+         |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+         |FROM (SELECT $zoneExpr AS zone, MIN($vCol) AS min_v,
+         |    MAX($vCol) AS max_v, count(*) AS n_rows
+         |  FROM base GROUP BY 1) zm""".stripMargin
+    val lexZone = s"x * $nZones // $dom"
+    val zZone = s"zz * $nZones // $zdom"
+    s"""WITH base AS MATERIALIZED (SELECT CAST($xExpr AS BIGINT) AS x,
+       |    CAST($yExpr AS BIGINT) AS y
+       |  FROM $fromClause),
+       |basez AS MATERIALIZED (SELECT x, y, $z AS zz FROM base)
+       |SELECT * FROM (
+       |${arm("lex", lexZone, "x", "x", xLo, xHi)
+        .replace("FROM base GROUP", "FROM basez GROUP")}
+       |UNION ALL
+       |${arm("lex", lexZone, "y", "y", yLo, yHi)
+        .replace("FROM base GROUP", "FROM basez GROUP")}
+       |UNION ALL
+       |${arm("zorder", zZone, "x", "x", xLo, xHi)
+        .replace("FROM base GROUP", "FROM basez GROUP")}
+       |UNION ALL
+       |${arm("zorder", zZone, "y", "y", yLo, yHi)
+        .replace("FROM base GROUP", "FROM basez GROUP")}) u
+       |ORDER BY layout, pred""".stripMargin
+  }
+
   /** DuckDB rendering of [[layoutSkipContrast]] over `(idExpr,
     * valExpr)` rows from `fromClause` (a table name or parenthesized
     * subquery; `valExpr` must already be integral).

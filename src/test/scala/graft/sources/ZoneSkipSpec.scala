@@ -40,6 +40,28 @@ class ZoneSkipSpec extends AnyFunSuite with SparkSpec {
     assert(rskip == 0L && rrows == 0L)
   }
 
+  test("z-order zones skip on BOTH dims; lexicographic only on the leading key") {
+    // full 64x64 grid (bits=6), 16 zones, a narrow predicate on each
+    // dim: lex layout (binned on x) skips x-predicates but never
+    // y-predicates (every x-slab spans all of y); Morton tiles are
+    // narrow in both coordinates
+    val dom = 64
+    val grid = spark.range((dom * dom).toLong)
+      .select((col("id") / dom).cast("long").as("x"),
+        (col("id") % dom).cast("long").as("y"))
+    val got = Sources.zorderSkipContrast(grid, "x", "y", bits = 6,
+      nZones = 16, xLo = 10L, xHi = 13L, yLo = 20L, yHi = 23L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("lex", "x"))._2 >= 12L, s"lex-x skips: $got")
+    assert(got(("lex", "y"))._2 == 0L, s"lex-y must not skip: $got")
+    // 16 Morton zones on a 64x64 grid are 16x16 tiles: the 4-wide
+    // predicate intersects exactly one tile row/column -> 12 skip
+    assert(got(("zorder", "x"))._2 == 12L, s"zorder-x skips: $got")
+    assert(got(("zorder", "y"))._2 == 12L, s"zorder-y skips: $got")
+  }
+
   test("a zone straddling the range boundary is scanned, not skipped") {
     // one zone [0,9], predicate [5,7]: envelope overlaps -> scan
     val df = spark.range(10).select(col("id"), col("id").as("v"))
