@@ -260,6 +260,59 @@ object SparkEntry {
       |FROM d a JOIN d b ON a.id < b.id
       |WHERE abs(length(a.t) - length(b.t)) <= 3 AND levenshtein(a.t, b.t) <= 3""".stripMargin
 
+  /** Shared fixture for the CDC changelog gates: a base snapshot
+    * (3/4 of orders) plus a deterministic I/U/D changelog derived
+    * from order keys — double updates (%6 supersedes %3), deletes
+    * (%9), inserts of keys outside the base (%4), and the
+    * insert-then-delete churn case on their overlaps (%36). `seq =
+    * key*10 + slice` is unique per key, the [[graft.ops.Changelog]]
+    * contract.
+    */
+  private def changelogFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val base = o.filter(col("k") % 4 =!= 0)
+    def slice(modK: Int, seqOff: Int, op: String,
+        status: Column, price: Column) =
+      o.filter(col("k") % modK === 0)
+        .select(col("k"), (col("k") * 10 + seqOff).as("seq"),
+          lit(op).as("op"), status.as("status"), price.as("price"))
+    val log =
+      slice(3, 1, "U", lit("U1"), col("price") * 2)
+        .unionByName(slice(6, 2, "U", lit("U2"), col("price") * 4))
+        .unionByName(slice(9, 3, "D", lit("X"), lit(0.0)))
+        .unionByName(slice(4, 0, "I", lit("I0"), col("price") + 1))
+    (base, log)
+  }
+
+  /** The changelog gates' shared oracle CTEs (mirror of
+    * [[changelogFixture]] plus the winner join).
+    */
+  private val changelogOracleCtes: String =
+    """base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+      |    o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 4 <> 0),
+      |log AS (
+      |  SELECT o_orderkey AS k, o_orderkey*10+1 AS seq, 'U' AS op,
+      |      'U1' AS status, o_totalprice*2 AS price
+      |    FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey*10+2, 'U', 'U2', o_totalprice*4
+      |    FROM orders WHERE o_orderkey % 6 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey*10+3, 'D', 'X', 0.0
+      |    FROM orders WHERE o_orderkey % 9 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey*10+0, 'I', 'I0', o_totalprice+1
+      |    FROM orders WHERE o_orderkey % 4 = 0),
+      |win AS (SELECT k, max(seq) AS seq, CAST(count(*) AS BIGINT) AS n_ops
+      |  FROM log GROUP BY 1),
+      |winner AS (SELECT l.k, l.op, l.status, l.price, w.n_ops
+      |  FROM log l JOIN win w ON l.k = w.k AND l.seq = w.seq)""".stripMargin
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1486,6 +1539,18 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           graft.functions.ZInterleave.z_interleave(
             col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "f_hilbert_key" -> ((s, dir) => {
+      // Hilbert layout key over the same two quantized dimensions
+      // (native codegen Expression, unit-step curve): the
+      // space-filling alternative Delta OPTIMIZE and Iceberg sort
+      // orders offer beside ZORDER; oracle runs the identical fold
+      // as an unrolled CTE chain
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.HilbertIndex.hilbert_index(
+            col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("hkey"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "d_fuzzy_pairs" -> ((s, dir) => {
@@ -3723,6 +3788,27 @@ object SparkEntry {
       graft.ops.Upsert.upsert(target, updates, "o_orderkey")
         .orderBy("o_orderkey")
     }),
+    "o_changelog_apply" -> ((s, dir) => {
+      // CDC changelog materialization: an ordered I/U/D stream (seq =
+      // key*10+slice, unique per key) applied to a base snapshot —
+      // last writer wins per key, a winning D drops the key even when
+      // the same batch inserted it, untouched rows pass through. The
+      // base meets the changelog in ONE left-anti join on |delta|
+      // distinct keys; everything else is changelog-sized
+      val (base, log) = changelogFixture(s, dir)
+      graft.ops.Changelog.apply(base, log, "k", "seq", "op")
+        .orderBy("k")
+    }),
+    "o_changelog_net" -> ((s, dir) => {
+      // changelog compaction, base-aware: per touched key the net
+      // action a writer must take (update/delete/insert/noop) — the
+      // Kafka-style per-key topic compaction, with insert-then-delete
+      // churn classified as noop instead of a write + tombstone
+      val (base, log) = changelogFixture(s, dir)
+      graft.ops.Changelog.netEffect(base.select(col("k")), log,
+        "k", "seq", "op")
+        .orderBy("k")
+    }),
     "ev_scd2" -> ((s, dir) =>
       // SCD type-2 history build: per-user event_type change log run-
       // compressed into validity intervals (valid_to null while
@@ -4394,6 +4480,24 @@ object SparkEntry {
         lvl(lit("*"), lit("*"), lit("*"))), k = 10)
         .orderBy("g_nation", "g_segment", "g_bal")
     }),
+    "s_l_diversity" -> ((s, dir) => {
+      // distinct l-diversity over the same recoding machinery: the
+      // homogeneity-attack fix — every published class must hold >=10
+      // customers AND >=3 distinct market segments (the sensitive
+      // attribute), so a class can't leak its segment by being
+      // uniform. One extra exact distinct census per ladder level
+      import graft.ops.Anonymize
+      val nat = col("c_nationkey").cast("string")
+      def balB(w: Int) = expr(
+        s"cast((cast(floor(c_acctbal) as bigint) + 1000) div $w as string)")
+      def lvl(n: Column, b: Column) =
+        Seq(n.as("g_nation"), b.as("g_bal"))
+      Anonymize.lDiverseLadder(t(s, dir, "customer"), Seq(
+        lvl(nat, balB(500)), lvl(nat, balB(1000)), lvl(nat, balB(2000)),
+        lvl(nat, lit("*")), lvl(lit("*"), lit("*"))),
+        col("c_mktsegment"), k = 10, l = 3)
+        .orderBy("g_nation", "g_bal")
+    }),
     "s_zorder_skip" -> ((s, dir) => {
       // the two-dimensional layout contrast behind writeZOrdered: a
       // lexicographic layout serves only its leading key (y zones
@@ -4406,6 +4510,25 @@ object SparkEntry {
           .withColumn("xq", col("l_partkey") % 1024)
           .withColumn("yq", col("l_orderkey") % 1024),
         "xq", "yq", bits = 10, nZones = 256,
+        xLo = 100L, xHi = 150L, yLo = 200L, yHi = 250L)
+        .orderBy("layout", "pred")
+    }),
+    "s_hilbert_skip" -> ((s, dir) => {
+      // the curve face-off on the same rows and predicates as
+      // s_zorder_skip: Morton vs Hilbert zone envelopes. nZones=192
+      // deliberately NOT a power of four — aligned zone counts make
+      // every zone one quadrant tile in BOTH curves (identical skip
+      // counts, vacuous contrast); at 192 zones straddle quadrant
+      // seams, where Morton's seam jump widens the straddler's box
+      // while Hilbert's unit-step walk keeps it tight. Measured here:
+      // Hilbert skips more zones in aggregate, but the win is
+      // per-dimension asymmetric, not uniform — the honest trade a
+      // layout advisor must price
+      graft.sources.Sources.hilbertSkipContrast(
+        t(s, dir, "lineitem")
+          .withColumn("xq", col("l_partkey") % 1024)
+          .withColumn("yq", col("l_orderkey") % 1024),
+        "xq", "yq", bits = 10, nZones = 192,
         xLo = 100L, xHi = 150L, yLo = 200L, yHi = 250L)
         .orderBy("layout", "pred")
     }),
@@ -5192,6 +5315,17 @@ object SparkEntry {
          |${graft.functions.ZInterleave.zInterleaveSql("l_partkey % 1024", "l_suppkey % 1024", 10)} AS zkey
          |FROM lineitem WHERE l_orderkey % 100 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f_hilbert_key" -> {
+      val ctes = graft.functions.HilbertIndex.hilbertSqlCtes(
+        "hin", "l_partkey % 1024", "l_suppkey % 1024", bits = 10,
+        passCols = Seq("l_orderkey", "l_linenumber"),
+        finalCte = "hfin", outCol = "hkey")
+      s"""WITH hin AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |  FROM lineitem WHERE l_orderkey % 100 = 0),
+         |$ctes
+         |SELECT l_orderkey, l_linenumber, hkey FROM hfin
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "d_fuzzy_pairs" ->
       (fuzzyPairsOracle + "\nORDER BY id_a, id_b"),
     "d_fuzzy_clusters" ->
@@ -6169,6 +6303,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
         |ORDER BY o_orderkey""".stripMargin,
+    "o_changelog_apply" ->
+      s"""WITH $changelogOracleCtes
+         |SELECT k, status, price FROM winner WHERE op <> 'D'
+         |UNION ALL
+         |SELECT k, status, price FROM base
+         |WHERE k NOT IN (SELECT k FROM log)
+         |ORDER BY k""".stripMargin,
+    "o_changelog_net" ->
+      s"""WITH $changelogOracleCtes
+         |SELECT w.k, w.n_ops, w.op AS last_op,
+         |  CASE WHEN b.k IS NOT NULL THEN
+         |    (CASE WHEN w.op = 'D' THEN 'delete' ELSE 'update' END)
+         |  ELSE
+         |    (CASE WHEN w.op = 'D' THEN 'noop' ELSE 'insert' END)
+         |  END AS net
+         |FROM winner w LEFT JOIN (SELECT DISTINCT k FROM base) b
+         |  ON w.k = b.k
+         |ORDER BY w.k""".stripMargin,
     "ev_scd2" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
         |    FROM events WHERE user_id % 10 = 0),
@@ -6632,10 +6784,27 @@ object SparkEntry {
         slvl("'*'", "'*'", "'*'")), k = 10,
         orderBy = Seq("g_nation", "g_segment", "g_bal"))
     },
+    "s_l_diversity" -> {
+      val natS = "CAST(c_nationkey AS VARCHAR)"
+      def balS(w: Int) =
+        s"CAST((CAST(floor(c_acctbal) AS BIGINT) + 1000) // $w AS VARCHAR)"
+      def slvl(n: String, b: String) =
+        Seq(n -> "g_nation", b -> "g_bal")
+      graft.ops.Anonymize.lDiverseLadderSql("customer", Seq(
+        slvl(natS, balS(500)), slvl(natS, balS(1000)),
+        slvl(natS, balS(2000)), slvl(natS, "'*'"),
+        slvl("'*'", "'*'")), "c_mktsegment", k = 10, l = 3,
+        orderBy = Seq("g_nation", "g_bal"))
+    },
     "s_zorder_skip" ->
       graft.sources.Sources.zorderSkipContrastSql(
         "lineitem", "l_partkey % 1024", "l_orderkey % 1024",
         bits = 10, nZones = 256,
+        xLo = 100L, xHi = 150L, yLo = 200L, yHi = 250L),
+    "s_hilbert_skip" ->
+      graft.sources.Sources.hilbertSkipContrastSql(
+        "lineitem", "l_partkey % 1024", "l_orderkey % 1024",
+        bits = 10, nZones = 192,
         xLo = 100L, xHi = 150L, yLo = 200L, yHi = 250L),
     "s_zone_skip" ->
       graft.sources.Sources.layoutSkipContrastSql(

@@ -52,6 +52,62 @@ object Anonymize {
     all.join(broadcast(chosen), Seq("level"))
   }
 
+  /** l-diversity on top of the k-anonymity ladder — the stronger
+    * release gate: a k-sized equivalence class whose SENSITIVE
+    * attribute is constant still leaks it (the homogeneity attack
+    * k-anonymity misses), so the chosen level must ALSO give every
+    * class at least `l` distinct sensitive values
+    * (Machanavajjhala et al.'s distinct l-diversity). Same ladder
+    * walk, same scale shape plus one exact distinct census per level
+    * — keyed by (class, sensitive value), so no shuffle exceeds the
+    * class-value pair count. Output census carries `n_rows` and
+    * `n_sensitive` per published class.
+    */
+  def lDiverseLadder(
+      df: DataFrame, levels: Seq[Seq[Column]], sensitive: Column,
+      k: Long, l: Long): DataFrame = {
+    require(levels.nonEmpty, "empty generalization ladder")
+    require(k >= 1 && l >= 1, s"k $k and l $l must be >= 1")
+    val censuses = levels.zipWithIndex.map { case (cols, lv) =>
+      df.groupBy(cols: _*).agg(count(lit(1)).as("n_rows"),
+        countDistinct(sensitive).as("n_sensitive"))
+        .withColumn("level", lit(lv))
+    }
+    val all = censuses.reduce(_.unionByName(_))
+    val chosen = all.groupBy(col("level"))
+      .agg(min(col("n_rows")).as("min_n"),
+        min(col("n_sensitive")).as("min_s"))
+      .filter(col("min_n") >= k && col("min_s") >= l)
+      .agg(min(col("level")).as("level"))
+    all.join(broadcast(chosen), Seq("level"))
+  }
+
+  /** DuckDB rendering of [[lDiverseLadder]] (see [[kAnonLadderSql]]
+    * for the argument contract; `sensitiveExpr` is a SQL expression).
+    */
+  def lDiverseLadderSql(
+      fromClause: String, levels: Seq[Seq[(String, String)]],
+      sensitiveExpr: String, k: Long, l: Long,
+      orderBy: Seq[String]): String = {
+    val census = levels.zipWithIndex.map { case (cols, lv) =>
+      val sel = cols.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+      val grp = cols.map(_._2).mkString(", ")
+      s"""SELECT $lv AS level, $sel, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT $sensitiveExpr) AS BIGINT) AS n_sensitive
+         |FROM $fromClause GROUP BY $grp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aliases = levels.head.map(_._2).mkString(", ")
+    s"""WITH census AS MATERIALIZED (
+       |$census),
+       |chosen AS (SELECT MIN(level) AS level FROM (
+       |  SELECT level, MIN(n_rows) AS min_n, MIN(n_sensitive) AS min_s
+       |  FROM census GROUP BY level) m
+       |  WHERE min_n >= $k AND min_s >= $l)
+       |SELECT c.level, $aliases, n_rows, n_sensitive
+       |FROM census c JOIN chosen ON c.level = chosen.level
+       |ORDER BY ${orderBy.mkString(", ")}""".stripMargin
+  }
+
   /** DuckDB rendering of [[kAnonLadder]]: `levels(i)` lists
     * `(sqlExpr, alias)` pairs — aliases must match the Spark side's
     * column names and be identical across levels. `orderBy` columns

@@ -350,6 +350,97 @@ object Sources {
        |ORDER BY layout, pred""".stripMargin
   }
 
+  /** The space-filling-curve face-off [[zorderSkipContrast]] sets up:
+    * the SAME rows zoned by Morton (z) and by Hilbert index
+    * ([[graft.functions.HilbertIndex]]), each layout's zone-map
+    * envelopes evaluated against range predicates on both dimensions.
+    * The curves differ only on zones that straddle quadrant seams:
+    * when `nZones` divides the grid into aligned quadrant tiles
+    * (a power of four) both curves produce the SAME tiles and the
+    * contrast is vacuous — pick a non-power-of-four `nZones`, where
+    * Morton's seam jump widens a straddling zone's box while
+    * Hilbert's unit-step walk keeps it tight. Hilbert then skips
+    * more zones in aggregate, though the win can be asymmetric
+    * across dimensions — this census puts the measured number on
+    * that trade. Same scale shape as the z contrast: two map-side
+    * censuses over integer zone ids, 2 layouts x 2 predicates rows.
+    */
+  def hilbertSkipContrast(
+      df: DataFrame, xCol: String, yCol: String, bits: Int, nZones: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits $bits out of [1, 16]")
+    require(nZones > 0, s"nZones $nZones must be positive")
+    import org.apache.spark.sql.functions._
+    val zdom = 1L << (2 * bits)
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+      .withColumn("z",
+        graft.functions.ZInterleave.z_interleave(col("x"), col("y"), bits))
+      .withColumn("h",
+        graft.functions.HilbertIndex.hilbert_index(col("x"), col("y"), bits))
+    def summarize(layout: String, zoneExpr: String, pred: String,
+        vCol: String, lo: Long, hi: Long): DataFrame =
+      zoneMaps(base.select(expr(zoneExpr).as("zone"), col(vCol).as("v")))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("max_v") < lo || col("min_v") > hi, 1L)
+            .otherwise(0L)).as("zones_skipped"),
+          sum(when(col("max_v") < lo || col("min_v") > hi, col("n_rows"))
+            .otherwise(0L)).as("rows_skipped"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(layout).as("layout"), lit(pred).as("pred"),
+          col("n_zones"), col("zones_skipped"), col("rows_skipped"),
+          col("n_rows"))
+    val zZone = s"z * ${nZones}L div ${zdom}L"
+    val hZone = s"h * ${nZones}L div ${zdom}L"
+    summarize("hilbert", hZone, "x", "x", xLo, xHi)
+      .unionByName(summarize("hilbert", hZone, "y", "y", yLo, yHi))
+      .unionByName(summarize("zorder", zZone, "x", "x", xLo, xHi))
+      .unionByName(summarize("zorder", zZone, "y", "y", yLo, yHi))
+  }
+
+  /** DuckDB rendering of [[hilbertSkipContrast]]: the Hilbert index
+    * comes from the unrolled CTE chain
+    * ([[graft.functions.HilbertIndex.hilbertSqlCtes]]), the rest
+    * mirrors [[zorderSkipContrastSql]].
+    */
+  def hilbertSkipContrastSql(
+      fromClause: String, xExpr: String, yExpr: String, bits: Int,
+      nZones: Int, xLo: Long, xHi: Long, yLo: Long, yHi: Long): String = {
+    val zdom = 1L << (2 * bits)
+    val z = graft.functions.ZInterleave.zInterleaveSql("x", "y", bits)
+    val hilb = graft.functions.HilbertIndex.hilbertSqlCtes(
+      "base", "x", "y", bits, passCols = Seq("x", "y"),
+      finalCte = "hfin", outCol = "hh")
+    def arm(layout: String, zoneExpr: String, pred: String,
+        vCol: String, lo: Long, hi: Long): String =
+      s"""SELECT '$layout' AS layout, '$pred' AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_zones,
+         |  CAST(SUM(CASE WHEN max_v < $lo OR min_v > $hi
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_skipped,
+         |  CAST(SUM(CASE WHEN max_v < $lo OR min_v > $hi
+         |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+         |FROM (SELECT $zoneExpr AS zone, MIN($vCol) AS min_v,
+         |    MAX($vCol) AS max_v, count(*) AS n_rows
+         |  FROM basez GROUP BY 1) zm""".stripMargin
+    val zZone = s"zz * $nZones // $zdom"
+    val hZone = s"hh * $nZones // $zdom"
+    s"""WITH base AS MATERIALIZED (SELECT CAST($xExpr AS BIGINT) AS x,
+       |    CAST($yExpr AS BIGINT) AS y
+       |  FROM $fromClause),
+       |$hilb,
+       |basez AS MATERIALIZED (SELECT x, y, $z AS zz, hh FROM hfin)
+       |SELECT * FROM (
+       |${arm("hilbert", hZone, "x", "x", xLo, xHi)}
+       |UNION ALL
+       |${arm("hilbert", hZone, "y", "y", yLo, yHi)}
+       |UNION ALL
+       |${arm("zorder", zZone, "x", "x", xLo, xHi)}
+       |UNION ALL
+       |${arm("zorder", zZone, "y", "y", yLo, yHi)}) u
+       |ORDER BY layout, pred""".stripMargin
+  }
+
   /** DuckDB rendering of [[layoutSkipContrast]] over `(idExpr,
     * valExpr)` rows from `fromClause` (a table name or parenthesized
     * subquery; `valExpr` must already be integral).

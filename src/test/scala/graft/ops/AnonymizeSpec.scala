@@ -41,4 +41,32 @@ class AnonymizeSpec extends AnyFunSuite with SparkSpec {
     val got = Anonymize.kAnonLadder(people, ladder.take(2), k = 5)
     assert(got.isEmpty)
   }
+
+  // (geo, seg) quasi-identifiers with a sensitive diagnosis column:
+  // the fr class is large but HOMOGENEOUS in dx
+  private def patients = Seq(
+    ("us", "a", "flu"), ("us", "a", "cold"), ("us", "b", "flu"),
+    ("fr", "a", "flu"), ("fr", "a", "flu"), ("fr", "a", "flu"))
+    .toDF("geo", "seg", "dx")
+
+  test("l-diversity skips a k-anonymous level whose class is homogeneous") {
+    // k=2 alone would publish level 1 (both geo classes of size 3),
+    // but fr's class has ONE distinct dx — the homogeneity attack —
+    // so l=2 forces full suppression
+    val kOnly = Anonymize.kAnonLadder(patients, ladder, k = 2)
+    assert(kOnly.select("level").distinct().head().getInt(0) == 1)
+    val got = Anonymize.lDiverseLadder(
+      patients, ladder, col("dx"), k = 2, l = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((2, "*", 6L, 2L)))
+  }
+
+  test("l=1 reduces l-diversity to plain k-anonymity") {
+    val kA = Anonymize.kAnonLadder(patients, ladder, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val lD = Anonymize.lDiverseLadder(patients, ladder, col("dx"), k = 2, l = 1)
+      .drop("n_sensitive").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(kA == lD)
+  }
 }
