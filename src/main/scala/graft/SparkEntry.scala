@@ -1487,6 +1487,16 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")
     }),
+    "s_encoding_advisor" -> ((s, dir) => {
+      // per-column parquet-encoding advisor: exact ndv + width census
+      // -> rle/dict/plain recommendation (the dictionary-overflow
+      // decision a 100 TB writer otherwise makes silently). The four
+      // columns span all three verdicts: unique key -> plain,
+      // mid-cardinality fk -> dict, status/priority -> rle
+      graft.ops.Profile.encodingAdvisor(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    }),
     "t_length_histogram" -> ((s, dir) => {
       // fixed-width histogram of document lengths: all-integer bucket
       // arithmetic, one hash-shuffle
@@ -5265,6 +5275,10 @@ object SparkEntry {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "s_encoding_advisor" ->
+      (graft.ops.Profile.encodingAdvisorSql("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")) +
+        "\nORDER BY col_name"),
     "t_length_histogram" ->
       """SELECT n_chars // 200 AS bucket, count(*) AS n_docs,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars

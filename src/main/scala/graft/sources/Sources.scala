@@ -52,12 +52,34 @@ object Sources {
     */
   def writeZOrdered(df: DataFrame, path: String,
       colA: String, colB: String, bits: Int = 10,
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0): Unit =
+    writeCurveOrdered(df, path, colA, colB, bits, numFiles, curve = "zorder")
+
+  /** [[writeZOrdered]] generalized over the space-filling curve:
+    * `curve = "zorder"` (Morton) or `"hilbert"`
+    * ([[graft.functions.HilbertIndex]] — unit-step walk, tighter
+    * envelopes on zones that straddle quadrant seams; see
+    * [[hilbertSkipContrast]] for the measured trade). Same plan
+    * either way: compute the key, range-partition by it (the range
+    * partitioner samples the key distribution, so files carry
+    * disjoint curve ranges), sort within partitions, drop the key.
+    */
+  def writeCurveOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, bits: Int = 10,
+      numFiles: Int = 0, curve: String = "hilbert"): Unit = {
     require(!df.columns.contains("__z"),
-      "writeZOrdered reserves column name __z; rename it in the input")
+      "writeCurveOrdered reserves column name __z; rename it in the input")
     import org.apache.spark.sql.functions.col
-    val z = df.withColumn("__z",
-      graft.functions.ZInterleave.z_interleave(col(colA), col(colB), bits))
+    val key = curve match {
+      case "zorder" =>
+        graft.functions.ZInterleave.z_interleave(col(colA), col(colB), bits)
+      case "hilbert" =>
+        graft.functions.HilbertIndex.hilbert_index(col(colA), col(colB), bits)
+      case other =>
+        throw new IllegalArgumentException(
+          s"curve '$other' is not one of zorder, hilbert")
+    }
+    val z = df.withColumn("__z", key)
     val ranged =
       if (numFiles > 0) z.repartitionByRange(numFiles, col("__z"))
       else z.repartitionByRange(col("__z"))

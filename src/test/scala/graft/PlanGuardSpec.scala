@@ -723,6 +723,35 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"aHash pairs plan an all-pairs join — the band equi-key is gone:\n$p")
   }
 
+  test("changelog apply: the snapshot meets the delta in ONE anti join, equi-keyed") {
+    val p = plan("o_changelog_apply")
+    // exactly one LeftAnti (the untouched-rows filter) — the base
+    // must never join the changelog a second time
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      s"changelog apply should anti-join the base exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"changelog winner/anti joins lost their equi-keys:\n$p")
+  }
+
+  test("curve skip contrasts are censuses — no join anywhere") {
+    for (q <- Seq("s_hilbert_skip", "s_zorder_skip")) {
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"$q is zone censuses only; a join crept in:\n$p")
+    }
+  }
+
+  test("encoding advisor: one scan, one Expand multi-distinct, no self-joins") {
+    val p = plan("s_encoding_advisor")
+    assert(!p.contains("Join"),
+      s"advisor must stay a single-pass aggregate:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct should plan ONE Expand over ONE scan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"advisor should scan the table exactly once:\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is

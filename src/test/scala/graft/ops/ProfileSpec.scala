@@ -53,4 +53,40 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
   test("unknown columns are rejected") {
     intercept[IllegalArgumentException] { Profile.profile(df, Seq("nope")) }
   }
+
+  private def advisorRows(n: Int, ndv: Int) = {
+    // n rows cycling through ndv distinct long values
+    val rows = (0 until n).map(i => Row(java.lang.Long.valueOf(i % ndv)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("c", LongType))))
+  }
+
+  test("encodingAdvisor verdict boundaries: rle 16, dict density and 64Ki caps") {
+    def verdict(n: Int, ndv: Int): String =
+      Profile.encodingAdvisor(advisorRows(n, ndv), Seq("c"))
+        .collect().head.getString(4)
+    assert(verdict(200, 16) == "rle")     // at the rle cap
+    assert(verdict(200, 17) == "dict")    // past rle, 17*10 <= 200
+    assert(verdict(160, 17) == "plain")   // 17*10 > 160: repeats too rare
+    assert(verdict(200, 20) == "dict")
+  }
+
+  test("encodingAdvisor width is milli-chars over NON-NULL values only") {
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("ab"), Row("abcd"), Row(null)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    val r = Profile.encodingAdvisor(d, Seq("s")).collect().head
+    assert(r.getLong(1) == 3L)            // n_rows counts nulls
+    assert(r.getLong(3) == 3000L)         // (2+4)*1000 div 2 non-null
+  }
+
+  test("encodingAdvisor on an all-null column is defined, not a crash") {
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null), Row(null)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    val r = Profile.encodingAdvisor(d, Seq("s")).collect().head
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getString(4) == "rle")
+  }
 }
