@@ -3835,6 +3835,19 @@ object SparkEntry {
         // collapse at the µs truncation) would make a timestamp sort
         // nondeterministic across engines
         .orderBy("user_id", "run_idx")),
+    "ev_survival" -> ((s, dir) => {
+      // Kaplan-Meier retention curve with right-censoring: activity
+      // truncated at day user_id % 29 plants varied lifetimes; users
+      // whose last day is within 5 days of the horizon are censored,
+      // not churned. The curve's product fold is all-integer ppm —
+      // the only hash-gateable formulation (see Survival scaladoc)
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          (expr("ts div 86400000000000") - 19723L).as("day"))
+        .filter(col("day") <= col("user_id") % 29)
+      graft.ops.Survival.kaplanMeier(days, "user_id", "day", gapDays = 5)
+        .orderBy("t")
+    }),
     "a_union_by_name" -> ((s, dir) => {
       // schema-evolution union: two corpus drops with different column
       // sets align by NAME with null padding (unionByName +
@@ -6335,6 +6348,13 @@ object SparkEntry {
          |FROM winner w LEFT JOIN (SELECT DISTINCT k FROM base) b
          |  ON w.k = b.k
          |ORDER BY w.k""".stripMargin,
+    "ev_survival" ->
+      graft.ops.Survival.kaplanMeierSql(
+        """SELECT user_id, (epoch_ns(ts) // 86400000000000) - 19723 AS day
+          |FROM events
+          |WHERE (epoch_ns(ts) // 86400000000000) - 19723 <= user_id % 29"""
+          .stripMargin,
+        gapDays = 5),
     "ev_scd2" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
         |    FROM events WHERE user_id % 10 = 0),
