@@ -4051,6 +4051,28 @@ object SparkEntry {
             col("cents"))))
         .orderBy("l_suppkey")
     }),
+    "st_changelog" -> ((s, dir) => {
+      // streaming CDC materialization in Complete mode: the changelog
+      // arrives as three op-ordered micro-batches (inserts, first
+      // updates, second updates + deletes); keyed max-seq state is
+      // ONE struct per key — O(keys), not O(mutations). The final
+      // overwrite snapshot feeds the same op filter + base anti-join
+      // as the batch operator, so the result hashes against the
+      // IDENTICAL oracle as o_changelog_apply
+      val (base, log) = changelogFixture(s, dir)
+      val batches = Seq(
+        log.filter(col("seq") % 10 === 0),
+        log.filter(col("seq") % 10 === 1),
+        log.filter(col("seq") % 10 >= 2))
+      val winners = graft.streaming.Replay.replayBatchesComplete(
+        s, batches,
+        df => graft.streaming.Streams.latestByKeyStream(df, "k", "seq"))
+      winners.filter(col("op") =!= "D")
+        .select(col("k"), col("status"), col("price"))
+        .unionByName(
+          base.join(winners.select(col("k")), Seq("k"), "left_anti"))
+        .orderBy("k")
+    }),
     "st_cms" -> ((s, dir) => {
       // count-min cells through the streaming engine, same Complete-
       // mode snapshot device as st_hll: cell counts SUM across the
@@ -6331,6 +6353,15 @@ object SparkEntry {
         |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
         |ORDER BY o_orderkey""".stripMargin,
     "o_changelog_apply" ->
+      s"""WITH $changelogOracleCtes
+         |SELECT k, status, price FROM winner WHERE op <> 'D'
+         |UNION ALL
+         |SELECT k, status, price FROM base
+         |WHERE k NOT IN (SELECT k FROM log)
+         |ORDER BY k""".stripMargin,
+    // the stream twin must land on the BATCH apply's exact rows —
+    // one oracle text serves both gates
+    "st_changelog" ->
       s"""WITH $changelogOracleCtes
          |SELECT k, status, price FROM winner WHERE op <> 'D'
          |UNION ALL

@@ -529,6 +529,31 @@ object Streams {
         col("r.n_rows").as("n_rows"))
   }
 
+  /** Streaming CDC materialization — the latest row per key from an
+    * ordered changelog stream (the live twin of
+    * [[graft.ops.Changelog.apply]]'s winner stage): an unwatermarked
+    * `max(struct(seq, payload…))` keyed aggregation whose state is
+    * ONE struct per key, updated in place as I/U/D mutations arrive.
+    * `seqCol` leads the struct, so the comparison is the
+    * last-writer-wins rule as long as `seqCol` is unique per key (the
+    * batch operator's contract). Run in complete/update mode against
+    * an upsert sink; downstream applies the same `op != 'D'` filter
+    * and base anti-join as the batch path.
+    *
+    * State is O(keys) — the table's key cardinality, not its mutation
+    * history — the same bound a Delta/Iceberg streaming MERGE sink
+    * carries.
+    */
+  def latestByKeyStream(
+      log: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val payload = log.columns.filterNot(_ == keyCol)
+    require(payload.contains(seqCol), s"seqCol $seqCol missing")
+    val ordered = seqCol +: payload.filterNot(_ == seqCol)
+    log.groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col).toIndexedSeq: _*)).as("__w"))
+      .select(col(keyCol) +: ordered.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
   /** Gap sessionization through Spark's NATIVE merging session
     * windows (`session_window`) — the engine's own implementation of
     * what [[sessionize]] builds as an explicit state machine. Both

@@ -587,4 +587,23 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       assert(kept.toSet == Set(3L), s"got ${kept.toSeq}")
     } finally query.stop()
   }
+
+  test("latestByKeyStream: max-seq state wins across micro-batches, deletes visible") {
+    import spark.implicits._
+    // static-frame semantics first (the same plan runs streamed)
+    val log = Seq(
+      (1L, 1L, "U", 10L), (1L, 3L, "D", 0L), (1L, 2L, "U", 11L),
+      (2L, 5L, "I", 20L)).toDF("k", "seq", "op", "v")
+    val got = Streams.latestByKeyStream(log, "k", "seq")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, "D", 0L), (2L, 5L, "I", 20L)))
+    // streamed across batches via the replay harness: same winners
+    val winners = graft.streaming.Replay.replayBatchesComplete(spark,
+      Seq(log.filter($"seq" <= 1), log.filter($"seq" > 1)),
+      df => Streams.latestByKeyStream(df, "k", "seq"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(winners.toSeq == got.toSeq)
+  }
 }
