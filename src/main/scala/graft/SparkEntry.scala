@@ -1487,6 +1487,39 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")
     }),
+    "s_erasure_plan" -> ((s, dir) => {
+      // GDPR erasure work order: events sharded BY SUBJECT (user div
+      // 10), erase requests for user_id % 37 = 0 — the plan shows the
+      // subject-clustered layout localizing each request to its own
+      // shard (5 rewrites of 15) instead of smearing across all; the
+      // request batch broadcasts, censuses are map-combined
+      val ev = t(s, dir, "events")
+      graft.ops.Anonymize.erasurePlan(
+        ev.select(col("user_id")),
+        expr("user_id div 10"), "user_id",
+        ev.filter(col("user_id") % 37 === 0).select(col("user_id")))
+        .orderBy("shard")
+    }),
+    "s_schema_compat" -> ((s, dir) => {
+      // data-contract gate: schema manifests of two table versions
+      // full-outer diffed under the registry compat rules. The plant
+      // exercises every change kind — widened fk, dropped comment,
+      // narrowed price (retyped), loosened/tightened nullability,
+      // and both added flavors (nullable ok, required breaks forward)
+      import s.implicits._
+      val prev = Seq(
+        ("o_orderkey", "bigint", false), ("o_custkey", "int", false),
+        ("o_comment", "string", true), ("o_totalprice", "double", true),
+        ("o_clerk", "string", false), ("o_orderstatus", "string", true))
+        .toDF("col_name", "dtype", "nullable")
+      val next = Seq(
+        ("o_orderkey", "bigint", false), ("o_custkey", "bigint", false),
+        ("o_totalprice", "int", true),
+        ("o_clerk", "string", true), ("o_orderstatus", "string", false),
+        ("o_tags", "string", true), ("o_version", "bigint", false))
+        .toDF("col_name", "dtype", "nullable")
+      graft.ops.SchemaCompat.diff(prev, next).orderBy("col_name")
+    }),
     "s_encoding_advisor" -> ((s, dir) => {
       // per-column parquet-encoding advisor: exact ndv + width census
       // -> rle/dict/plain recommendation (the dictionary-overflow
@@ -5310,6 +5343,23 @@ object SparkEntry {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "s_erasure_plan" ->
+      (graft.ops.Anonymize.erasurePlanSql(
+        "events", "user_id // 10", "user_id",
+        "SELECT user_id AS k FROM events WHERE user_id % 37 = 0") +
+        "\nORDER BY 1"), // r.shard; bare `shard` is ambiguous post-join
+    "s_schema_compat" ->
+      s"""WITH prev_m(col_name, dtype, nullable) AS (VALUES
+         |  ('o_orderkey', 'bigint', false), ('o_custkey', 'int', false),
+         |  ('o_comment', 'string', true), ('o_totalprice', 'double', true),
+         |  ('o_clerk', 'string', false), ('o_orderstatus', 'string', true)),
+         |next_m(col_name, dtype, nullable) AS (VALUES
+         |  ('o_orderkey', 'bigint', false), ('o_custkey', 'bigint', false),
+         |  ('o_totalprice', 'int', true),
+         |  ('o_clerk', 'string', true), ('o_orderstatus', 'string', false),
+         |  ('o_tags', 'string', true), ('o_version', 'bigint', false))
+         |${graft.ops.SchemaCompat.diffSql}
+         |ORDER BY col_name""".stripMargin,
     "s_encoding_advisor" ->
       (graft.ops.Profile.encodingAdvisorSql("orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")) +

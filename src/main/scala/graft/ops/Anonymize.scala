@@ -52,6 +52,56 @@ object Anonymize {
     all.join(broadcast(chosen), Seq("level"))
   }
 
+  /** Right-to-be-forgotten rewrite planning — the GDPR/CCPA erasure
+    * pass over an immutable-file lake: deletes can't happen in place,
+    * so the real cost is WHICH shards must be rewritten and how much
+    * clean data each rewrite drags along. Output, per shard: total
+    * rows, rows belonging to erased keys, and the rewrite verdict —
+    * the work order a compaction service executes, and the audit row
+    * a privacy office wants (hash-gateable, joinable against the
+    * request log).
+    *
+    * Scale shape: the erasure batch is small by nature (requests, not
+    * data) — it BROADCASTS into one semi join; both censuses are
+    * map-combined shard aggregates; output is manifest-sized. A lake
+    * that shards BY the subject key (the layout this planner's own
+    * numbers argue for) localizes each request to one shard; sharding
+    * by arrival time smears every request across all of them.
+    */
+  def erasurePlan(
+      df: DataFrame, shard: Column, keyCol: String,
+      deletes: DataFrame): DataFrame = {
+    val rows = df.select(shard.as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+    val hits = df.select(shard.as("shard"), col(keyCol))
+      .join(broadcast(deletes.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi")
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_hits"))
+    rows.join(hits, Seq("shard"), "left")
+      .select(col("shard"), col("n_rows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("rewrite"))
+  }
+
+  /** DuckDB rendering of [[erasurePlan]]: `fromClause` supplies the
+    * data rows, `shardExpr`/`keyExpr` the shard id and subject key,
+    * `deleteClause` the erased-key rows (one column named like
+    * `keyExpr`'s alias `k`).
+    */
+  def erasurePlanSql(
+      fromClause: String, shardExpr: String, keyExpr: String,
+      deleteClause: String): String =
+    s"""WITH base AS (SELECT $shardExpr AS shard, $keyExpr AS k
+       |  FROM $fromClause),
+       |dels AS (SELECT DISTINCT k FROM ($deleteClause) d),
+       |rows_c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM base GROUP BY 1),
+       |hits_c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM base WHERE k IN (SELECT k FROM dels) GROUP BY 1)
+       |SELECT r.shard, r.n_rows, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS rewrite
+       |FROM rows_c r LEFT JOIN hits_c h ON r.shard = h.shard""".stripMargin
+
   /** l-diversity on top of the k-anonymity ladder — the stronger
     * release gate: a k-sized equivalence class whose SENSITIVE
     * attribute is constant still leaks it (the homogeneity attack

@@ -61,6 +61,27 @@ class AnonymizeSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((2, "*", 6L, 2L)))
   }
 
+  test("erasurePlan: per-shard hit accounting and the rewrite verdict") {
+    import org.apache.spark.sql.functions._
+    val data = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 3L), (2L, 4L))
+      .toDF("shard", "uid")
+    val dels = Seq(2L, 4L, 99L).toDF("uid") // 99 hits nothing
+    val got = Anonymize.erasurePlan(data, col("shard"), "uid", dels)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 2L, true), (1L, 1L, 0L, false), (2L, 1L, 1L, true)))
+  }
+
+  test("erasurePlan: duplicate delete requests don't double-count hits") {
+    import org.apache.spark.sql.functions._
+    val data = Seq((0L, 1L), (0L, 1L)).toDF("shard", "uid")
+    val dels = Seq(1L, 1L, 1L).toDF("uid")
+    val got = Anonymize.erasurePlan(data, col("shard"), "uid", dels)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 2L)))
+  }
+
   test("l=1 reduces l-diversity to plain k-anonymity") {
     val kA = Anonymize.kAnonLadder(patients, ladder, k = 2).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
