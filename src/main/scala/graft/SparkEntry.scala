@@ -3019,6 +3019,27 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         "doc_id", "source", seed = 7L)
         .orderBy("pos")),
+    "e_jl_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss 64->8 sign projection, MAP-ONLY (one
+      // codegen HOF chain per row, sign matrix a plan literal derived
+      // from md5 parity — both engines build the identical matrix
+      // from the identical formula); integer outputs, order-free
+      graft.ann.Jl.project(
+        t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("id"), col("embedding")),
+        "id", "embedding", outDims = 8, dim = 64)
+        .orderBy("id", "j")
+    }),
+    "e_jl_distortion" -> ((s, dir) => {
+      // the audit that earns the projection its keep: pairwise
+      // distance-ratio census (rescaled by 1/k, 0.1 bands) over the
+      // bounded slice — JL says mass concentrates at band 10; a flat
+      // census means k is too small for the downstream ANN stage
+      graft.ann.Jl.distortionCensus(
+        t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", outDims = 8, dim = 64)
+        .orderBy("band")
+    }),
     "e_cos_threshold_hist" -> ((s, dir) => {
       // dedup-threshold tuning aid: pair counts per 0.05 cosine band
       // over a BOUNDED slice (the all-pairs verifier family, like
@@ -3840,6 +3861,26 @@ object SparkEntry {
       // distinct keys; everything else is changelog-sized
       val (base, log) = changelogFixture(s, dir)
       graft.ops.Changelog.apply(base, log, "k", "seq", "op")
+        .orderBy("k")
+    }),
+    "o_write_conflicts" -> ((s, dir) => {
+      // OCC row-level conflict check between two concurrent writers:
+      // each txn updates one key family and deletes a subfamily;
+      // keys both touched are the contended set (two delta-sized
+      // winner joins). %225 keys are deleted by BOTH — delete_delete,
+      // the benign kind an engine can auto-resolve; the coprime
+      // update families (%3 vs %5) make every winner combination
+      // (U,U)/(U,D)/(D,U)/(D,D) reachable
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      def txn(uMod: Int, dMod: Int) =
+        o.filter(col("k") % uMod === 0)
+          .select(col("k"), (col("k") * 10 + 1).as("seq"),
+            lit("U").as("op"))
+          .unionByName(o.filter(col("k") % dMod === 0)
+            .select(col("k"), (col("k") * 10 + 2).as("seq"),
+              lit("D").as("op")))
+      graft.ops.Changelog.conflicts(
+        txn(3, 9), txn(5, 25), "k", "seq", "op")
         .orderBy("k")
     }),
     "o_changelog_net" -> ((s, dir) => {
@@ -6005,6 +6046,16 @@ object SparkEntry {
     "p_interleave" ->
       graft.ops.Shuffling.interleaveBySourceSql(
         "WHERE doc_id % 2 = 1", seed = 7L),
+    "e_jl_project" ->
+      (graft.ann.Jl.projectSql(
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0) e",
+        "vec_id", "embedding", outDims = 8, dim = 64) +
+        "\nORDER BY id, j"),
+    "e_jl_distortion" ->
+      (graft.ann.Jl.distortionCensusSql(
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0) e",
+        "vec_id", "embedding", outDims = 8, dim = 64) +
+        "\nORDER BY band"),
     "e_cos_threshold_hist" -> {
       val cos = graft.ann.Ann.cosineSql("a.embedding", "b.embedding", 64)
       val nz = graft.ann.Ann.dotSql("embedding", "embedding", 64) + " > 0"
@@ -6409,6 +6460,30 @@ object SparkEntry {
          |SELECT k, status, price FROM base
          |WHERE k NOT IN (SELECT k FROM log)
          |ORDER BY k""".stripMargin,
+    "o_write_conflicts" ->
+      s"""WITH ta AS (
+         |  SELECT o_orderkey AS k, o_orderkey*10+1 AS seq, 'U' AS op
+         |    FROM orders WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderkey*10+2, 'D'
+         |    FROM orders WHERE o_orderkey % 9 = 0),
+         |tb AS (
+         |  SELECT o_orderkey AS k, o_orderkey*10+1 AS seq, 'U' AS op
+         |    FROM orders WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderkey*10+2, 'D'
+         |    FROM orders WHERE o_orderkey % 25 = 0),
+         |wa AS (SELECT l.k, l.op AS a_op FROM ta l
+         |  JOIN (SELECT k, max(seq) AS seq FROM ta GROUP BY 1) w
+         |  ON l.k = w.k AND l.seq = w.seq),
+         |wb AS (SELECT l.k, l.op AS b_op FROM tb l
+         |  JOIN (SELECT k, max(seq) AS seq FROM tb GROUP BY 1) w
+         |  ON l.k = w.k AND l.seq = w.seq)
+         |SELECT wa.k, a_op, b_op,
+         |  CASE WHEN a_op = 'D' AND b_op = 'D' THEN 'delete_delete'
+         |       ELSE 'write_write' END AS kind
+         |FROM wa JOIN wb ON wa.k = wb.k
+         |ORDER BY wa.k""".stripMargin,
     // the stream twin must land on the BATCH apply's exact rows —
     // one oracle text serves both gates
     "st_changelog" ->

@@ -46,6 +46,36 @@ object Changelog {
     upserts.unionByName(untouched)
   }
 
+  /** Optimistic-concurrency conflict detection between two
+    * transactions' changelogs — the row-level form of the check a
+    * Delta/Iceberg commit runs before accepting the second of two
+    * concurrent writers: a key BOTH transactions mutated cannot be
+    * serialized by simply applying both logs (whichever commits
+    * second silently clobbers the first). Output: one row per
+    * contended key with each side's winning op and the conflict
+    * kind — `delete_delete` (benign: both sides agree the key dies;
+    * many engines auto-resolve it) vs `write_write` (needs retry or
+    * merge). Keys touched by only one side never appear — they
+    * serialize trivially.
+    *
+    * Scale: each side reduces to its winner set (per-key max-seq,
+    * changelog-sized); the contended set is the equi-join of two
+    * delta-sized frames — never snapshot-sized.
+    */
+  def conflicts(a: DataFrame, b: DataFrame, keyCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    def winner(log: DataFrame, pfx: String) = {
+      val w = log.groupBy(col(keyCol)).agg(max(col(seqCol)).as(seqCol))
+      log.join(w, Seq(keyCol, seqCol))
+        .select(col(keyCol), col(opCol).as(s"${pfx}_op"))
+    }
+    winner(a, "a").join(winner(b, "b"), Seq(keyCol))
+      .select(col(keyCol), col("a_op"), col("b_op"),
+        when(col("a_op") === "D" && col("b_op") === "D",
+          lit("delete_delete"))
+          .otherwise(lit("write_write")).as("kind"))
+  }
+
   /** Net-effect compaction of a changelog against base-key
     * membership: per touched key, the operation count, the winning
     * op, and the NET action a downstream writer must take —

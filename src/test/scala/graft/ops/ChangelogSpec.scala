@@ -80,6 +80,26 @@ class ChangelogSpec extends AnyFunSuite with SparkSpec {
       6L -> ((2L, "D", "noop"))))   // churn: never reaches the base
   }
 
+  test("conflicts: only doubly-touched keys, delete_delete separated") {
+    val txnA = Seq(
+      (1L, 1L, "U", "a", 1L), (2L, 2L, "D", "b", 2L),
+      (3L, 3L, "U", "c", 3L), (3L, 4L, "D", "c", 3L), // A's winner: D
+      (7L, 5L, "U", "g", 7L))                          // A-only
+      .toDF("k", "seq", "op", "tag", "v")
+    val txnB = Seq(
+      (1L, 11L, "D", "a", 1L), (2L, 12L, "D", "b", 2L),
+      (3L, 13L, "D", "c", 3L),
+      (9L, 14L, "I", "i", 9L))                         // B-only
+      .toDF("k", "seq", "op", "tag", "v")
+    val got = Changelog.conflicts(txnA, txnB, "k", "seq", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "U", "D", "write_write"),
+      (2L, "D", "D", "delete_delete"),
+      (3L, "D", "D", "delete_delete"))) // A's U superseded by its own D
+  }
+
   test("netEffect names match what apply does") {
     val applied = Changelog.apply(base, log, "k", "seq", "op")
       .select("k").as[Long].collect().toSet
