@@ -3019,6 +3019,22 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         "doc_id", "source", seed = 7L)
         .orderBy("pos")),
+    "e_rank_metrics" -> ((s, dir) => {
+      // retrieval-quality eval over the exact-cosine run: MRR /
+      // capped recall@10 / nDCG@10 per query under label-match
+      // relevance. DCG position weights are driver-computed literals
+      // (floor(1e6/log2(r+1))) shared verbatim with the oracle — the
+      // engines never evaluate a log. Run is queries×k rows;
+      // label census broadcasts
+      val emb = t(s, dir, "embeddings")
+      val runs = graft.ann.Ann.bruteForceTopK(
+        emb.filter(col("vec_id") % 20 === 3), emb,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      graft.ann.RankEval.metrics(runs,
+        emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 10)
+        .orderBy("query_id")
+    }),
     "e_jl_project" -> ((s, dir) => {
       // Johnson-Lindenstrauss 64->8 sign projection, MAP-ONLY (one
       // codegen HOF chain per row, sign matrix a plan literal derived
@@ -6046,6 +6062,21 @@ object SparkEntry {
     "p_interleave" ->
       graft.ops.Shuffling.interleaveBySourceSql(
         "WHERE doc_id % 2 = 1", seed = 7L),
+    "e_rank_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 20 = 3 AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+         |  WHERE ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${graft.ann.Ann.cosineSql("qv", "cv", 64)} AS score
+         |  FROM q JOIN c ON query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |${graft.ann.RankEval.metricsSql(10)}
+         |ORDER BY query_id""".stripMargin,
     "e_jl_project" ->
       (graft.ann.Jl.projectSql(
         "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0) e",

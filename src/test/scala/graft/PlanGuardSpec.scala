@@ -752,6 +752,30 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"advisor should scan the table exactly once:\n$p")
   }
 
+  test("JL projection is map-only: no join, no hash exchange") {
+    val p = plan("e_jl_project")
+    assert(!p.contains("Join"),
+      s"the sign matrix must ride as a literal, never a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle (only the gate's orderBy sorts):\n$p")
+  }
+
+  test("erasure plan: the request batch broadcasts into a semi join") {
+    val p = plan("s_erasure_plan")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"delete requests must broadcast (requests << data):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge here means the broadcast was lost:\n$p")
+  }
+
+  test("rank metrics: run-sized joins only, label census broadcast") {
+    val p = plan("e_rank_metrics")
+    assert(!p.contains("CartesianProduct"),
+      s"metrics must join on equi-keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-label census must broadcast:\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
