@@ -1487,6 +1487,34 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")
     }),
+    "t_pii_luhn" -> ((s, dir) => {
+      // Luhn-validated card detection: %13 docs carry a VALID Visa
+      // test number, %17 docs an invalid 16-digit run — the checksum
+      // is what separates a breach from id/hash noise. Map-only HOF
+      // fold, identical spelling in the oracle
+      graft.text.Pii.cardScan(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("id"),
+            concat(col("text"),
+              when(col("doc_id") % 13 === 0,
+                lit(" card 4111 1111 1111 1111 ok")).otherwise(lit("")),
+              when(col("doc_id") % 17 === 0,
+                lit(" ref 1234-5678-9012-3456")).otherwise(lit("")))
+              .as("text")),
+        "id", "text")
+        .orderBy("id")
+    }),
+    "s_orc_roundtrip" -> ((s, dir) => {
+      // the ORC sink/scan under the hard signal: write the slice
+      // through writeOrc, answer from the readOrc reload — schema
+      // drift, lost rows, or value corruption in the columnar
+      // round trip hash-fails against the plain-scan oracle
+      val slice = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val out = s"${scratchRoot()}/orc_roundtrip"
+      graft.sources.Sources.writeOrc(slice, out)
+      graft.sources.Sources.readOrc(s, out).orderBy("o_orderkey")
+    }),
     "s_erasure_plan" -> ((s, dir) => {
       // GDPR erasure work order: events sharded BY SUBJECT (user div
       // 10), erase requests for user_id % 37 = 0 — the plan shows the
@@ -5400,6 +5428,19 @@ object SparkEntry {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "t_pii_luhn" ->
+      (graft.text.Pii.cardScanSql(
+        """(SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 13 = 0
+          |    THEN ' card 4111 1111 1111 1111 ok' ELSE '' END ||
+          |  CASE WHEN doc_id % 17 = 0
+          |    THEN ' ref 1234-5678-9012-3456' ELSE '' END AS text
+          |FROM documents WHERE doc_id % 3 = 0) d""".stripMargin,
+        "doc_id", "text") + "\nORDER BY id"),
+    "s_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "s_erasure_plan" ->
       (graft.ops.Anonymize.erasurePlanSql(
         "events", "user_id // 10", "user_id",

@@ -55,6 +55,67 @@ object Pii {
       s"regexp_replace($acc, '$pat', '$tok', 'g')"
     }
 
+  /** Card-shaped digit runs: 13-19 digits with optional single
+    * space/dash separators. Deliberately wide — the LUHN CHECK is
+    * the precision stage, not the regex.
+    */
+  val cardPattern = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn-validated payment-card detection — the checksum pass every
+    * serious PII scrubber runs AFTER the card regex, because 16-digit
+    * runs are everywhere (ids, hashes, timestamps) and only ~10% of
+    * them pass Luhn by chance: mod-10 double-every-second-from-the-
+    * right. Per document: candidate count and how many validate —
+    * the prioritization signal (a corpus full of Luhn-valid runs is
+    * a breach; Luhn-invalid runs are noise).
+    *
+    * All-integer HOF fold over the candidate's digit string; map-only
+    * at any corpus size (the [[scrub]] stance). The fold and the
+    * regex are spelled identically in [[cardScanSql]].
+    */
+  def cardScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Spark SQL string literals process backslash escapes ('\d' would
+    // be an escape, not a regex class) — double them for the parser;
+    // DuckDB single-quoted literals take backslashes raw
+    val patSql = cardPattern.replace("\\", "\\\\")
+    val cands = s"regexp_extract_all($textCol, '$patSql', 0)"
+    val digits = s"transform($cands, c -> regexp_replace(c, '[ -]', ''))"
+    val valid =
+      s"""aggregate($digits, 0L, (acc, d) -> acc +
+         |  (CASE WHEN length(d) BETWEEN 13 AND 19 AND
+         |    aggregate(sequence(1, length(d)), 0L, (t, i) -> t +
+         |      (CASE WHEN i % 2 = 0 THEN
+         |        (CASE WHEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 > 9
+         |         THEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 - 9
+         |         ELSE (ascii(substr(reverse(d), i, 1)) - 48) * 2 END)
+         |       ELSE ascii(substr(reverse(d), i, 1)) - 48 END)) % 10 = 0
+         |   THEN 1L ELSE 0L END))""".stripMargin
+    df.select(col(idCol),
+      expr(s"CAST(size($cands) AS BIGINT)").as("n_candidates"),
+      expr(valid).as("n_luhn_valid"))
+  }
+
+  /** DuckDB rendering of [[cardScan]] over `(idExpr, textExpr)` rows
+    * from `fromClause` — same regex, same fold.
+    */
+  def cardScanSql(fromClause: String, idExpr: String,
+      textExpr: String): String = {
+    val cands = s"regexp_extract_all($textExpr, '$cardPattern', 0)"
+    s"""SELECT $idExpr AS id,
+       |  CAST(len($cands) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |    list_transform($cands, c -> regexp_replace(c, '[ -]', '', 'g')),
+       |    d -> CASE WHEN length(d) BETWEEN 13 AND 19 AND
+       |        list_sum(list_transform(range(1, length(d) + 1), i ->
+       |          CASE WHEN i % 2 = 0 THEN
+       |            (CASE WHEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 > 9
+       |             THEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 - 9
+       |             ELSE (ascii(substr(reverse(d), i, 1)) - 48) * 2 END)
+       |           ELSE ascii(substr(reverse(d), i, 1)) - 48 END)) % 10 = 0
+       |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_luhn_valid
+       |FROM $fromClause""".stripMargin
+  }
+
   /** `(idCol, clean_text, n_emails, n_ipv4, n_phones)`: counts are
     * taken on the original text, redaction order as documented.
     */

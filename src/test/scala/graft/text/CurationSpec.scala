@@ -61,6 +61,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got("book") == ((1L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("Pii.cardScan: Luhn separates real card numbers from digit noise") {
+    val out = Pii.cardScan(docs(
+      1L -> "pay 4111 1111 1111 1111 now",        // valid Visa test
+      2L -> "ref 1234-5678-9012-3456 trace",      // fails Luhn
+      3L -> "amex 378282246310005 plain",         // 15-digit valid
+      4L -> "short 1234 5678 no card",            // too short: no match
+      5L -> "two: 4111111111111111 and 1234567890123456 here",
+      6L -> "clean text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 1L),
+      (4L, 0L, 0L), (5L, 2L, 1L), (6L, 0L, 0L)))
+  }
+
   test("Boilerplate.removeFrequentLines strips lines in >= minDocs docs, keeps the rest") {
     val corpus = docs(
       1L -> "alpha one#FOOTER#beta one",
