@@ -3047,6 +3047,34 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         "doc_id", "source", seed = 7L)
         .orderBy("pos")),
+    "e_ann_beam" -> ((s, dir) => {
+      // graph-based ANN (the NSW family): exact degree-6 kNN graph
+      // over the %4 corpus slice (bounded build by contract), then
+      // 3 rounds of deterministic beam search from the min-id entry —
+      // query cost O(rounds·beam·degree), corpus-size-independent.
+      // Queries (%40=1) are disjoint from the corpus
+      import graft.ann.Nsw
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 === 0)
+      val g = Nsw.knnGraph(corpus, "vec_id", "embedding", k = 6)
+      Nsw.beamSearch(g, corpus, emb.filter(col("vec_id") % 40 === 1),
+        "vec_id", "embedding", beam = 6, rounds = 3, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "e_ann_beam_recall" -> ((s, dir) => {
+      // recall@5 of the beam search vs the exact cosine top-5 over
+      // the SAME %4 corpus — the graph-ANN regression gate beside
+      // the lsh/ivf/binary recall rows
+      import graft.ann.{Ann, Nsw}
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 === 0)
+      val q = emb.filter(col("vec_id") % 40 === 1)
+      val g = Nsw.knnGraph(corpus, "vec_id", "embedding", k = 6)
+      Ann.annRecall(
+        Nsw.beamSearch(g, corpus, q, "vec_id", "embedding",
+          beam = 6, rounds = 3, k = 5),
+        q, corpus, "vec_id", "embedding", n = 5)
+    }),
     "e_rank_metrics" -> ((s, dir) => {
       // retrieval-quality eval over the exact-cosine run: MRR /
       // capped recall@10 / nDCG@10 per query under label-match
@@ -6103,6 +6131,27 @@ object SparkEntry {
     "p_interleave" ->
       graft.ops.Shuffling.interleaveBySourceSql(
         "WHERE doc_id % 2 = 1", seed = 7L),
+    "e_ann_beam" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 40 = 1 AND $nz),
+         |c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 4 = 0 AND $nz),
+         |${graft.ann.Nsw.beamSearchSql(graphK = 6, beam = 6, rounds = 3,
+            k = 5, dim = 64)}""".stripMargin
+    },
+    "e_ann_beam_recall" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      val beamSql =
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           |  WHERE vec_id % 40 = 1 AND $nz),
+           |c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+           |  WHERE vec_id % 4 = 0 AND $nz),
+           |${graft.ann.Nsw.beamSearchSql(graphK = 6, beam = 6, rounds = 3,
+              k = 5, dim = 64)}""".stripMargin
+      graft.ann.Ann.annRecallSql(beamSql, "vec_id % 40 = 1", n = 5,
+        candWhere = "vec_id % 4 = 0")
+    },
     "e_rank_metrics" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          |  WHERE vec_id % 20 = 3 AND ${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0),

@@ -1568,13 +1568,14 @@ object Ann {
     */
   def annRecallSql(
       approxSql: String, queryWhere: String, n: Int, dim: Int = 64,
+      candWhere: String = "TRUE",
   ): String = {
     val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
     s"""WITH ap AS ($approxSql),
        |xq AS (SELECT vec_id AS query_id, embedding AS qv
        |  FROM embeddings WHERE ($queryWhere) AND $nz),
        |xc AS (SELECT vec_id AS neighbor_id, embedding AS cv
-       |  FROM embeddings WHERE $nz),
+       |  FROM embeddings WHERE ($candWhere) AND $nz),
        |xr AS (SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY ${cosineSql("qv", "cv", dim)} DESC, neighbor_id) AS rnk

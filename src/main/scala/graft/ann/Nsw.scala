@@ -1,0 +1,145 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN — the NSW/HNSW family's search primitive, closing
+  * the index taxonomy beside LSH (ann/Ann.scala:316), IVF (:418),
+  * PQ and the binary path: a kNN PROXIMITY GRAPH over the corpus,
+  * then greedy BEAM SEARCH from a fixed entry point — each round
+  * expands the current beam's graph neighbors, scores them against
+  * the query, and keeps the best `beam` nodes. Query cost is
+  * O(rounds · beam · degree) — independent of corpus size, which is
+  * the entire reason production vector stores (HNSW in faiss/
+  * pgvector/Lucene) pay the graph build.
+  *
+  * Determinism (what makes this gateable where HNSW is not): no
+  * random level assignment, a FIXED entry point (the corpus min id),
+  * a FIXED round count, and every top-`beam`/top-`k` cut through the
+  * bounded-heap TopK rule `(score desc, id asc)` — the oracle unrolls
+  * the identical iteration as CTEs. Classic NSW instead stops when
+  * the beam stops improving and tracks a visited set; fixed rounds
+  * re-score already-seen nodes (idempotent — scores are pure) and
+  * bound the plan statically, trading a little wasted work for an
+  * exactly-reproducible search path.
+  *
+  * 100 TB shape: the SEARCH is rounds-many equi-joins on
+  * constant-bounded frontiers (queries × beam rows joining the
+  * degree-k edge list — never corpus-scans); the graph BUILD here is
+  * the exact all-pairs kNN (guarded, slice-bounded by contract) —
+  * at corpus scale you build it with NN-descent or banded-LSH
+  * candidate pruning and keep the same search.
+  */
+object Nsw {
+
+  /** Exact kNN proximity graph over a bounded corpus slice:
+    * `(src, dst)` edges, k per node. All-pairs by contract — the
+    * [[Jl.distortionCensus]] guard device bounds it.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxRows: Long = 2000L): DataFrame = {
+    val cnt = corpus.agg(count(lit(1)).as("__n"))
+    val guarded = corpus.crossJoin(broadcast(cnt))
+      .filter(when(col("__n") <= maxRows, lit(true))
+        .otherwise(raise_error(concat(col("__n").cast("string"),
+          lit(s" rows exceed maxRows=$maxRows — the exact kNN-graph build " +
+            "is O(n²) by contract; build with NN-descent/LSH candidates " +
+            "at corpus scale, search is unchanged")))))
+      .drop("__n")
+    Ann.bruteForceTopK(guarded, guarded, idCol, vecCol, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+  }
+
+  /** Beam search: `(query_id, neighbor_id, rank, score)` — top `k`
+    * of the final beam after `rounds` expansions from the corpus min
+    * id. `graph` is the `(src, dst)` edge list; `corpus` supplies
+    * node vectors, `queries` the probes (ids may overlap the corpus;
+    * self-matches are legitimate results here, unlike the
+    * exact-baseline verifiers).
+    */
+  def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, beam: Int, rounds: Int,
+      k: Int): DataFrame = {
+    require(beam >= 1 && rounds >= 0 && k >= 1 && k <= beam,
+      s"need 1 <= k <= beam and rounds >= 0, got beam=$beam rounds=$rounds k=$k")
+    val nodes = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
+      .filter(Ann.norm(col("nv")) > 0)
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(Ann.norm(col("qv")) > 0)
+    val entry = nodes.agg(min(col("node")).as("node"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(nodes, Seq("node"))
+        .join(qs, Seq("query_id"))
+        .select(col("query_id"), col("node").as("neighbor_id"),
+          Ann.cosine(col("qv"), col("nv")).as("score"))
+    val beam0 = qs.select(col("query_id")).crossJoin(broadcast(entry))
+    val last = (1 to rounds).foldLeft(beam0) { (b, _) =>
+      // b is referenced TWICE (kept ∪ expanded) — uncut, the plan
+      // tree doubles per round (the HITS lesson, SCALE.md); the
+      // beam is queries×beam rows, so an eager localCheckpoint per
+      // round costs nothing and keeps the plan constant-size
+      val cut = b.localCheckpoint(true)
+      val expanded = cut
+        .unionByName(cut.join(graph, col("node") === col("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      Ann.heapRank(score(expanded), "score", "double", beam,
+        ascending = false)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+    }
+    Ann.heapRank(score(last.distinct()), "score", "double", k,
+      ascending = false)
+  }
+
+  /** DuckDB rendering: unrolled beam iteration over `q(query_id, qv)`
+    * and `c(node, cv)` CTEs (both pre-filtered to nonzero norm,
+    * defined upstream) with the graph built inline at degree
+    * `graphK`. `dim` sizes the cosine. Emits the final
+    * `(query_id, neighbor_id, rank, score)` SELECT.
+    */
+  def beamSearchSql(graphK: Int, beam: Int, rounds: Int, k: Int,
+      dim: Int): String = {
+    val cos = Ann.cosineSql("qv", "cv", dim)
+    val gCos = Ann.cosineSql("av", "cv", dim)
+    def cut(inCte: String, outCte: String, n: Int): String =
+      s"""$outCte AS (SELECT query_id, node, score FROM (
+         |  SELECT s.query_id, s.node, s.score, row_number() OVER (
+         |    PARTITION BY s.query_id ORDER BY s.score DESC, s.node) AS rn
+         |  FROM $inCte s) r WHERE rn <= $n)""".stripMargin
+    def scored(candCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT d.query_id, d.node, $cos AS score
+         |  FROM $candCte d JOIN c ON c.node = d.node
+         |  JOIN q ON q.query_id = d.query_id)""".stripMargin
+    val rounds_ = (1 to rounds).map { r =>
+      val prev = if (r == 1) "b0" else s"b${r - 1}"
+      Seq(
+        s"""e$r AS (SELECT DISTINCT query_id, node FROM (
+           |  SELECT query_id, node FROM $prev
+           |  UNION ALL
+           |  SELECT p.query_id, g.dst AS node FROM $prev p
+           |  JOIN g ON g.src = p.node) u)""".stripMargin,
+        scored(s"e$r", s"s$r"),
+        cut(s"s$r", s"b$r", beam)).mkString(",\n")
+    }.mkString(",\n")
+    val lastB = if (rounds == 0) "b0" else s"b$rounds"
+    s"""g AS (SELECT src, dst FROM (
+       |  SELECT a.node AS src, b.node AS dst, row_number() OVER (
+       |    PARTITION BY a.node
+       |    ORDER BY $gCos DESC, b.node) AS rn
+       |  FROM (SELECT node, cv AS av FROM c) a JOIN c b
+       |    ON a.node <> b.node) e
+       |  WHERE rn <= $graphK),
+       |entry AS (SELECT min(node) AS node FROM c),
+       |b0 AS (SELECT q.query_id, entry.node, 0.0 AS score
+       |  FROM q, entry),
+       |$rounds_,
+       |fs AS (SELECT DISTINCT query_id, node FROM $lastB),
+       |${scored("fs", "fscored")}
+       |SELECT query_id, node AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, node) AS INT) AS rank, score
+       |FROM fscored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}
