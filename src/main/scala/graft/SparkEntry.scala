@@ -3075,6 +3075,17 @@ object SparkEntry {
           beam = 6, rounds = 3, k = 5),
         q, corpus, "vec_id", "embedding", n = 5)
     }),
+    "e_ann_nndescent" -> ((s, dir) => {
+      // the corpus-scale graph build for e_ann_beam: NN-descent from
+      // an md5-bucketed init (O(n·k²) per round, never all-pairs),
+      // edge recall vs the exact kNN graph as the single-row census —
+      // the number that says how many rounds the build needs
+      import graft.ann.Nsw
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      val g = Nsw.nnDescentGraph(corpus, "vec_id", "embedding",
+        k = 5, rounds = 2, groups = 16)
+      Nsw.graphRecall(g, corpus, "vec_id", "embedding", k = 5)
+    }),
     "e_rank_metrics" -> ((s, dir) => {
       // retrieval-quality eval over the exact-cosine run: MRR /
       // capped recall@10 / nDCG@10 per query under label-match
@@ -6151,6 +6162,13 @@ object SparkEntry {
               k = 5, dim = 64)}""".stripMargin
       graft.ann.Ann.annRecallSql(beamSql, "vec_id % 40 = 1", n = 5,
         candWhere = "vec_id % 4 = 0")
+    },
+    "e_ann_nndescent" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      s"""WITH c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 4 = 0 AND $nz),
+         |${graft.ann.Nsw.nnDescentRecallSql(k = 5, rounds = 2,
+            groups = 16, dim = 64)}""".stripMargin
     },
     "e_rank_metrics" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

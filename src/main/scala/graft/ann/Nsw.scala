@@ -91,6 +91,147 @@ object Nsw {
       ascending = false)
   }
 
+  /** NN-descent — the CORPUS-SCALE graph build that replaces
+    * [[knnGraph]]'s guarded all-pairs arm (Dong et al.'s insight:
+    * "a neighbor of a neighbor is likely a neighbor"): start from a
+    * cheap md5-bucketed regular graph, then each round scores every
+    * node against its neighbors, its neighbors' neighbors, and its
+    * REVERSE neighbors, keeping the best k. Per-round candidate
+    * volume is O(n·k²) — never O(n²) — and a handful of rounds
+    * recovers most true edges ([[graphRecall]] puts the number under
+    * the gate).
+    *
+    * Determinism: md5-bucket init, fixed rounds, heap-rule cuts
+    * `(score desc, dst asc)` — the oracle unrolls the identical
+    * iteration. Each round's edge frame is localCheckpointed
+    * (referenced three ways — the [[beamSearch]] plan-doubling
+    * lesson, cubed).
+    */
+  def nnDescentGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, groups: Int, initSeeds: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && rounds >= 0 && groups >= 1 && initSeeds >= 1,
+      s"bad nn-descent params k=$k rounds=$rounds groups=$groups initSeeds=$initSeeds")
+    val nodes = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
+      .filter(Ann.norm(col("nv")) > 0)
+    val src = nodes.select(col("node").as("src"), col("nv").as("sv"))
+    val dst = nodes.select(col("node").as("dst"), col("nv").as("dv"))
+    def topK(cands: DataFrame): DataFrame =
+      Ann.heapRank(
+        cands.join(src, Seq("src")).join(dst, Seq("dst"))
+          .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
+            Ann.cosine(col("sv"), col("dv")).as("score")),
+        "score", "double", k, ascending = false)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    // init: a clique within each md5 group, unioned across initSeeds
+    // INDEPENDENT groupings — one grouping alone partitions the
+    // graph into disjoint components the descent can never merge
+    // (candidates always derive from existing edges); overlapping
+    // partitions make the union connected whp, the DataFrame form of
+    // NN-descent's sample-random-neighbors init
+    val init = (0 until initSeeds).map { j =>
+      val g = nodes.select(col("node"),
+        (graft.ops.Sampling.bucket(col("node"), seed + j) % groups).as("grp"))
+      g.as("a").join(g.as("b"),
+          col("a.grp") === col("b.grp") && col("a.node") =!= col("b.node"))
+        .select(col("a.node").as("src"), col("b.node").as("dst"))
+    }.reduce(_.unionByName(_)).distinct()
+    (1 to rounds).foldLeft(topK(init)) { (e0, _) =>
+      val e = e0.localCheckpoint(true)
+      // the LOCAL JOIN (Dong et al.): co-neighbors of the same node
+      // meet — und(v→a) ⋈ und(v→b) → (a, b). Neighbor-of-neighbor
+      // expansion alone misses exactly the pairs that matter (two
+      // nodes pointing AT a shared hub never meet through it)
+      val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val wedges = und.as("x").join(
+          und.select(col("src").as("mid"), col("dst").as("dst2")).as("y"),
+          col("x.src") === col("y.mid") && col("x.dst") =!= col("y.dst2"))
+        .select(col("x.dst").as("src"), col("y.dst2").as("dst"))
+      topK(e.unionByName(wedges).distinct())
+    }
+  }
+
+  /** Edge recall of an approximate kNN graph vs the exact one — ONE
+    * row: `(n_nodes, n_true_edges, n_hit, recall_ppm)`. The exact
+    * side is the guarded all-pairs build (verifier arm by contract).
+    */
+  def graphRecall(approx: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val exact = knnGraph(corpus, idCol, vecCol, k)
+    val nNodes = corpus.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    approx.select(col("src"), col("dst"), lit(1).as("__a"))
+      .join(exact, Seq("src", "dst"), "right")
+      .agg(count(lit(1)).as("n_true_edges"),
+        sum(when(col("__a").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_true_edges"),
+        col("n_hit"),
+        expr("(n_hit * 1000000) div n_true_edges").as("recall_ppm"))
+  }
+
+  /** DuckDB rendering of [[nnDescentGraph]] + [[graphRecall]] over a
+    * `c(node, cv)` CTE (pre-filtered nonzero norm): unrolled rounds,
+    * exact graph inline, final single-row census.
+    */
+  def nnDescentRecallSql(k: Int, rounds: Int, groups: Int, dim: Int,
+      initSeeds: Int = 3, seed: Long = 42L): String = {
+    val cos = Ann.cosineSql("sv", "dv", dim)
+    def bucket(s: Long) =
+      s"(CAST(('0x' || substr(md5('$s:' || CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)"
+    def cut(inCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT src, dst FROM (
+         |  SELECT s.src, s.dst, row_number() OVER (PARTITION BY s.src
+         |    ORDER BY s.score DESC, s.dst) AS rn
+         |  FROM $inCte s) r WHERE rn <= $k)""".stripMargin
+    def scored(candCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT d.src, d.dst, $cos AS score
+         |  FROM $candCte d
+         |  JOIN (SELECT node, cv AS sv FROM c) a ON a.node = d.src
+         |  JOIN (SELECT node, cv AS dv FROM c) b ON b.node = d.dst)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      Seq(
+        s"""und$r AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM $prev
+           |  UNION ALL
+           |  SELECT dst AS src, src AS dst FROM $prev) u)""".stripMargin,
+        s"""cand$r AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM $prev
+           |  UNION ALL
+           |  SELECT x.dst AS src, y.dst AS dst FROM und$r x JOIN und$r y
+           |    ON x.src = y.src AND x.dst <> y.dst) u)""".stripMargin,
+        scored(s"cand$r", s"sc$r"),
+        cut(s"sc$r", s"e$r")).mkString(",\n")
+    }.mkString(",\n")
+    val lastE = s"e$rounds"
+    val initArms = (0 until initSeeds).map { j =>
+      s"""SELECT a.node AS src, b.node AS dst
+         |  FROM (SELECT node, ${bucket(seed + j)} % $groups AS g FROM c) a
+         |  JOIN (SELECT node, ${bucket(seed + j)} % $groups AS g FROM c) b
+         |  ON a.g = b.g AND a.node <> b.node""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""cand0 AS (SELECT DISTINCT src, dst FROM (
+       |$initArms) i),
+       |${scored("cand0", "sc0")},
+       |${cut("sc0", "e0")},
+       |$roundCtes,
+       |xs AS (SELECT d.src, d.dst, $cos AS score
+       |  FROM (SELECT a.node AS src, b.node AS dst FROM c a JOIN c b
+       |    ON a.node <> b.node) d
+       |  JOIN (SELECT node, cv AS sv FROM c) a ON a.node = d.src
+       |  JOIN (SELECT node, cv AS dv FROM c) b ON b.node = d.dst),
+       |${cut("xs", "xg")}
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_nodes,
+       |  CAST(count(*) AS BIGINT) AS n_true_edges,
+       |  CAST(SUM(CASE WHEN a.src IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  (CAST(SUM(CASE WHEN a.src IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS recall_ppm
+       |FROM xg x LEFT JOIN $lastE a ON a.src = x.src AND a.dst = x.dst""".stripMargin
+  }
+
   /** DuckDB rendering: unrolled beam iteration over `q(query_id, qv)`
     * and `c(node, cv)` CTEs (both pre-filtered to nonzero norm,
     * defined upstream) with the graph built inline at degree

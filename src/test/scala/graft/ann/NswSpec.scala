@@ -76,6 +76,35 @@ class NswSpec extends AnyFunSuite with SparkSpec {
     assert(run(2) == run(7))
   }
 
+  test("nn-descent: rounds improve edge recall; one group is exact") {
+    val c = frame(circle, ("id", "v"))
+    def recall(rounds: Int, groups: Int, seeds: Int): Long =
+      Nsw.graphRecall(
+        Nsw.nnDescentGraph(c, "id", "v", k = 2, rounds, groups, seeds),
+        c, "id", "v", k = 2).collect().head.getLong(3)
+    // one bucket = all-pairs init = already the exact graph
+    assert(recall(0, 1, 1) == 1000000L)
+    // 4 buckets x 3 seedings: init misses half the ring edges; two
+    // local-join rounds recover the FULL exact graph on this instance
+    val r0 = recall(0, 4, 3)
+    val r2 = recall(2, 4, 3)
+    assert(r0 < 1000000L, s"init unexpectedly exact: $r0")
+    assert(r2 == 1000000L, s"descent did not converge: $r0 -> $r2")
+  }
+
+  test("nn-descent with ONE seeding is trapped in its init components") {
+    // the documented pathology that motivates multi-seed init:
+    // disjoint md5 groups are disjoint graph components, and the
+    // local join can never merge components — recall stays at zero
+    val c = frame(circle, ("id", "v"))
+    def recall(rounds: Int): Long =
+      Nsw.graphRecall(
+        Nsw.nnDescentGraph(c, "id", "v", k = 2, rounds, groups = 6,
+          initSeeds = 1),
+        c, "id", "v", k = 2).collect().head.getLong(3)
+    assert(recall(0) == 0L && recall(3) == 0L)
+  }
+
   test("the graph-build guard raises above maxRows") {
     val c = frame(circle, ("id", "v"))
     val ex = intercept[Exception] {
