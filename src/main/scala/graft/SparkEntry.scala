@@ -3075,6 +3075,20 @@ object SparkEntry {
           beam = 6, rounds = 3, k = 5),
         q, corpus, "vec_id", "embedding", n = 5)
     }),
+    "e_ann_beam_nnd" -> ((s, dir) => {
+      // the END-TO-END graph-ANN production path: NN-descent build
+      // (never all-pairs) feeding the beam search — both scale arms
+      // composed under one gate, where e_ann_beam gates the search
+      // over the exact (verifier) graph
+      import graft.ann.Nsw
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 === 0)
+      val g = Nsw.nnDescentGraph(corpus, "vec_id", "embedding",
+        k = 5, rounds = 2, groups = 16)
+      Nsw.beamSearch(g, corpus, emb.filter(col("vec_id") % 40 === 1),
+        "vec_id", "embedding", beam = 6, rounds = 3, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_ann_nndescent" -> ((s, dir) => {
       // the corpus-scale graph build for e_ann_beam: NN-descent from
       // an md5-bucketed init (O(n·k²) per round, never all-pairs),
@@ -6162,6 +6176,18 @@ object SparkEntry {
               k = 5, dim = 64)}""".stripMargin
       graft.ann.Ann.annRecallSql(beamSql, "vec_id % 40 = 1", n = 5,
         candWhere = "vec_id % 4 = 0")
+    },
+    "e_ann_beam_nnd" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 40 = 1 AND $nz),
+         |c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 4 = 0 AND $nz),
+         |${graft.ann.Nsw.nnDescentEdgesSql(k = 5, rounds = 2,
+            groups = 16, dim = 64)},
+         |g AS (SELECT src, dst FROM e2),
+         |${graft.ann.Nsw.beamBodySql(beam = 6, rounds = 3, k = 5,
+            dim = 64)}""".stripMargin
     },
     "e_ann_nndescent" -> {
       val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"

@@ -171,11 +171,12 @@ object Nsw {
         expr("(n_hit * 1000000) div n_true_edges").as("recall_ppm"))
   }
 
-  /** DuckDB rendering of [[nnDescentGraph]] + [[graphRecall]] over a
-    * `c(node, cv)` CTE (pre-filtered nonzero norm): unrolled rounds,
-    * exact graph inline, final single-row census.
+  /** The [[nnDescentGraph]] iteration as CTEs over a `c(node, cv)`
+    * CTE, ending in `e{rounds}` — the reusable build block
+    * ([[nnDescentRecallSql]] appends the recall census,
+    * `e_ann_beam_nnd` splices it under [[beamBodySql]]).
     */
-  def nnDescentRecallSql(k: Int, rounds: Int, groups: Int, dim: Int,
+  def nnDescentEdgesSql(k: Int, rounds: Int, groups: Int, dim: Int,
       initSeeds: Int = 3, seed: Long = 42L): String = {
     val cos = Ann.cosineSql("sv", "dv", dim)
     def bucket(s: Long) =
@@ -205,7 +206,6 @@ object Nsw {
         scored(s"cand$r", s"sc$r"),
         cut(s"sc$r", s"e$r")).mkString(",\n")
     }.mkString(",\n")
-    val lastE = s"e$rounds"
     val initArms = (0 until initSeeds).map { j =>
       s"""SELECT a.node AS src, b.node AS dst
          |  FROM (SELECT node, ${bucket(seed + j)} % $groups AS g FROM c) a
@@ -216,7 +216,23 @@ object Nsw {
        |$initArms) i),
        |${scored("cand0", "sc0")},
        |${cut("sc0", "e0")},
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB rendering of [[nnDescentGraph]] + [[graphRecall]] over a
+    * `c(node, cv)` CTE (pre-filtered nonzero norm): unrolled rounds,
+    * exact graph inline, final single-row census.
+    */
+  def nnDescentRecallSql(k: Int, rounds: Int, groups: Int, dim: Int,
+      initSeeds: Int = 3, seed: Long = 42L): String = {
+    val cos = Ann.cosineSql("sv", "dv", dim)
+    def cut(inCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT src, dst FROM (
+         |  SELECT s.src, s.dst, row_number() OVER (PARTITION BY s.src
+         |    ORDER BY s.score DESC, s.dst) AS rn
+         |  FROM $inCte s) r WHERE rn <= $k)""".stripMargin
+    val lastE = s"e$rounds"
+    s"""${nnDescentEdgesSql(k, rounds, groups, dim, initSeeds, seed)},
        |xs AS (SELECT d.src, d.dst, $cos AS score
        |  FROM (SELECT a.node AS src, b.node AS dst FROM c a JOIN c b
        |    ON a.node <> b.node) d
@@ -240,8 +256,24 @@ object Nsw {
     */
   def beamSearchSql(graphK: Int, beam: Int, rounds: Int, k: Int,
       dim: Int): String = {
-    val cos = Ann.cosineSql("qv", "cv", dim)
     val gCos = Ann.cosineSql("av", "cv", dim)
+    s"""g AS (SELECT src, dst FROM (
+       |  SELECT a.node AS src, b.node AS dst, row_number() OVER (
+       |    PARTITION BY a.node
+       |    ORDER BY $gCos DESC, b.node) AS rn
+       |  FROM (SELECT node, cv AS av FROM c) a JOIN c b
+       |    ON a.node <> b.node) e
+       |  WHERE rn <= $graphK),
+       |${beamBodySql(beam, rounds, k, dim)}""".stripMargin
+  }
+
+  /** The beam-search iteration as CTEs + final SELECT, over existing
+    * `q(query_id, qv)`, `c(node, cv)` and `g(src, dst)` CTEs — the
+    * reusable search block ([[beamSearchSql]] supplies the exact
+    * graph; `e_ann_beam_nnd` supplies an NN-descent one).
+    */
+  def beamBodySql(beam: Int, rounds: Int, k: Int, dim: Int): String = {
+    val cos = Ann.cosineSql("qv", "cv", dim)
     def cut(inCte: String, outCte: String, n: Int): String =
       s"""$outCte AS (SELECT query_id, node, score FROM (
          |  SELECT s.query_id, s.node, s.score, row_number() OVER (
@@ -254,23 +286,16 @@ object Nsw {
     val rounds_ = (1 to rounds).map { r =>
       val prev = if (r == 1) "b0" else s"b${r - 1}"
       Seq(
-        s"""e$r AS (SELECT DISTINCT query_id, node FROM (
+        s"""x$r AS (SELECT DISTINCT query_id, node FROM (
            |  SELECT query_id, node FROM $prev
            |  UNION ALL
            |  SELECT p.query_id, g.dst AS node FROM $prev p
            |  JOIN g ON g.src = p.node) u)""".stripMargin,
-        scored(s"e$r", s"s$r"),
+        scored(s"x$r", s"s$r"),
         cut(s"s$r", s"b$r", beam)).mkString(",\n")
     }.mkString(",\n")
     val lastB = if (rounds == 0) "b0" else s"b$rounds"
-    s"""g AS (SELECT src, dst FROM (
-       |  SELECT a.node AS src, b.node AS dst, row_number() OVER (
-       |    PARTITION BY a.node
-       |    ORDER BY $gCos DESC, b.node) AS rn
-       |  FROM (SELECT node, cv AS av FROM c) a JOIN c b
-       |    ON a.node <> b.node) e
-       |  WHERE rn <= $graphK),
-       |entry AS (SELECT min(node) AS node FROM c),
+    s"""entry AS (SELECT min(node) AS node FROM c),
        |b0 AS (SELECT q.query_id, entry.node, 0.0 AS score
        |  FROM q, entry),
        |$rounds_,
