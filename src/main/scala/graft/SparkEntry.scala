@@ -3075,6 +3075,17 @@ object SparkEntry {
           beam = 6, rounds = 3, k = 5),
         q, corpus, "vec_id", "embedding", n = 5)
     }),
+    "e_mean_pool" -> ((s, dir) => {
+      // chunk->document mean pooling (5 chunk vectors per synthetic
+      // doc): integer-quantized per-dim means, one posexplode + one
+      // map-combined keyed aggregate, no joins — the encoder-to-index
+      // aggregation step of a long-document retrieval pipeline
+      graft.ann.Pool.meanPool(
+        t(s, dir, "embeddings")
+          .select((col("vec_id") % 100).as("doc"), col("embedding")),
+        "doc", "embedding")
+        .orderBy("group", "dim_idx")
+    }),
     "e_ann_beam_nnd" -> ((s, dir) => {
       // the END-TO-END graph-ANN production path: NN-descent build
       // (never all-pairs) feeding the beam search — both scale arms
@@ -6177,6 +6188,9 @@ object SparkEntry {
       graft.ann.Ann.annRecallSql(beamSql, "vec_id % 40 = 1", n = 5,
         candWhere = "vec_id % 4 = 0")
     },
+    "e_mean_pool" ->
+      (graft.ann.Pool.meanPoolSql("embeddings", "vec_id % 100",
+        "embedding", dim = 64) + "\nORDER BY \"group\", dim_idx"),
     "e_ann_beam_nnd" -> {
       val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
