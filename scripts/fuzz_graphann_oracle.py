@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Fuzz the SHIPPED e_ann_beam / e_ann_nndescent oracle SQL against
+independent Python references: the same documented algorithms (exact
+degree-6 graph or multi-seed NN-descent; min-id entry; fixed rounds;
+(score desc, id asc) cuts) re-implemented as direct loops, on random
+small corpora with duplicate vectors, near-ties, and corpora smaller
+than the beam.
+
+Embedding components are multiples of 1/64 so float32 storage is
+exact and Python's float64 arithmetic reproduces the oracle's CAST-
+to-double chain bit-for-bit (dot is the same left fold; sqrt and
+divide are correctly rounded everywhere).
+
+The shipped gates bind dim=64, corpus = vec_id % 4 = 0, queries =
+vec_id % 40 = 1; the harness materializes conforming tables.
+
+Usage: python3 scripts/fuzz_graphann_oracle.py <verifyOutDir> [trials]
+"""
+import hashlib
+import json
+import math
+import random
+import sys
+
+import duckdb
+
+DIM = 64
+GRAPH_K = 6
+BEAM = 6
+BEAM_ROUNDS = 3
+TOPK = 5
+ND_K = 5
+ND_ROUNDS = 2
+ND_GROUPS = 16
+ND_SEEDS = (42, 43, 44)
+
+
+def dot(a, b):
+    acc = a[0] * b[0]
+    for i in range(1, DIM):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def cos(a, b):
+    return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+
+def topk_edges(cands, vecs, k):
+    by_src = {}
+    for s, d in cands:
+        by_src.setdefault(s, set()).add(d)
+    out = set()
+    for s, ds in by_src.items():
+        best = sorted(ds, key=lambda d: (-cos(vecs[s], vecs[d]), d))[:k]
+        out.update((s, d) for d in best)
+    return out
+
+
+def exact_graph(vecs, k):
+    return topk_edges({(a, b) for a in vecs for b in vecs if a != b},
+                      vecs, k)
+
+
+def ref_beam(vecs, queries):
+    g = {}
+    for s, d in exact_graph(vecs, GRAPH_K):
+        g.setdefault(s, set()).add(d)
+    entry = min(vecs)
+    out = []
+    for q, qv in sorted(queries.items()):
+        beam = {entry}
+        for _ in range(BEAM_ROUNDS):
+            cand = set(beam)
+            for v in beam:
+                cand |= g.get(v, set())
+            beam = set(sorted(cand,
+                key=lambda n: (-cos(qv, vecs[n]), n))[:BEAM])
+        final = sorted(beam, key=lambda n: (-cos(qv, vecs[n]), n))[:TOPK]
+        out.extend((q, n, r + 1) for r, n in enumerate(final))
+    return out
+
+
+def bucket(i, seed):
+    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15],
+               16) % 1000000
+
+
+def ref_nndescent_recall(vecs):
+    init = set()
+    for seed in ND_SEEDS:
+        groups = {}
+        for i in vecs:
+            groups.setdefault(bucket(i, seed) % ND_GROUPS, []).append(i)
+        for g in groups.values():
+            init.update((a, b) for a in g for b in g if a != b)
+    e = topk_edges(init, vecs, ND_K)
+    for _ in range(ND_ROUNDS):
+        und = set(e) | {(d, s) for s, d in e}
+        by = {}
+        for s, d in und:
+            by.setdefault(s, set()).add(d)
+        cand = set(e)
+        for v, nb in by.items():
+            cand.update((a, b) for a in nb for b in nb if a != b)
+        e = topk_edges(cand, vecs, ND_K)
+    exact = exact_graph(vecs, ND_K)
+    return (len(vecs), len(exact), len(e & exact),
+            len(e & exact) * 1000000 // len(exact))
+
+
+def ref_rank_metrics(vecs_all, labels, w, idcg, k=10):
+    """Exact run (excludeSelf) over queries vec_id%20==3, then
+    label-match MRR / capped recall / nDCG with the WEIGHT LITERALS
+    parsed from the shipped SQL (never re-derives the log)."""
+    out = []
+    lab_n = {}
+    for i in vecs_all:
+        lab_n[labels[i]] = lab_n.get(labels[i], 0) + 1
+    for q in sorted(i for i in vecs_all if i % 20 == 3):
+        ranked = sorted((n for n in vecs_all if n != q),
+                        key=lambda n: (-cos(vecs_all[q], vecs_all[n]), n))[:k]
+        n_rel = lab_n[labels[q]] - 1
+        rels = [1 if labels[n] == labels[q] else 0 for n in ranked]
+        first = next((r + 1 for r, x in enumerate(rels) if x), None)
+        mrr = 1000000 // first if first else 0
+        hits = sum(rels)
+        if n_rel > 0:
+            recall = hits * 1000000 // min(n_rel, k)
+            dcg = sum(w[r] for r, x in enumerate(rels) if x)
+            ndcg = dcg * 1000000 // idcg[min(n_rel, k) - 1]
+        else:
+            mrr = mrr  # mrr independent of n_rel in the oracle
+            recall = 0
+            ndcg = 0
+        out.append((q, n_rel, mrr, recall, ndcg))
+    return out
+
+
+def main():
+    out_dir = sys.argv[1]
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import re as _re
+    lists = _re.findall(r"\[([0-9][0-9,]+)\]", oracles["e_rank_metrics"])
+    w = [int(x) for x in lists[0].split(",")]
+    idcg = [int(x) for x in lists[1].split(",")]
+
+    random.seed(61)
+    fails = 0
+    for trial in range(trials):
+        n = random.randint(3, 28)
+        corpus_ids = [4 * i for i in range(1, n + 1)]
+        query_ids = [40 * i + 1 for i in range(random.randint(1, 3))]
+        # rank-metrics queries live on a third residue family (%20==3)
+        rank_ids = [20 * i + 3 for i in range(random.randint(1, 3))]
+        vecs = {}
+        for i in corpus_ids:
+            vecs[i] = [random.randint(-64, 64) / 64.0 for _ in range(DIM)]
+        # plant a duplicate pair (score ties -> id tie-break) when big
+        if n >= 6:
+            vecs[corpus_ids[3]] = list(vecs[corpus_ids[1]])
+        queries = {q: [random.randint(-64, 64) / 64.0 for _ in range(DIM)]
+                   for q in query_ids}
+        rank_vecs = {q: [random.randint(-64, 64) / 64.0 for _ in range(DIM)]
+                     for q in rank_ids}
+        all_vecs = {**vecs, **queries, **rank_vecs}
+        labels = {i: random.randint(0, 2) for i in all_vecs}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings AS SELECT * FROM (VALUES " +
+            ",".join(
+                f"({i}, CAST({list(map(float, v))} AS FLOAT[]), {labels[i]})"
+                for i, v in all_vecs.items()) +
+            ") t(vec_id, embedding, label)")
+
+        got_beam = [(r[0], r[1], r[2])
+                    for r in con.sql(oracles["e_ann_beam"]).fetchall()]
+        want_beam = ref_beam(vecs, queries)
+        got_nd = tuple(map(int,
+            con.sql(oracles["e_ann_nndescent"]).fetchall()[0]))
+        want_nd = ref_nndescent_recall(vecs)
+        got_rm = [tuple(map(int, r)) for r in
+                  con.sql(oracles["e_rank_metrics"]).fetchall()]
+        want_rm = ref_rank_metrics(all_vecs, labels, w, idcg)
+        if got_beam != want_beam or got_nd != want_nd or got_rm != want_rm:
+            fails += 1
+            print(f"MISMATCH trial {trial} (n={n})")
+            if got_beam != want_beam:
+                print("  beam got ", got_beam[:8])
+                print("  beam want", want_beam[:8])
+            if got_nd != want_nd:
+                print(f"  nd got {got_nd} want {want_nd}")
+            if got_rm != want_rm:
+                print("  rank got ", got_rm[:4])
+                print("  rank want", want_rm[:4])
+        con.close()
+    print(f"trials={trials} fails={fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
