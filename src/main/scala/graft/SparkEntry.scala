@@ -2398,6 +2398,18 @@ object SparkEntry {
         docs.filter(col("id") % 3 === 1), "id", "text", "label", weights)
         .orderBy("label")
     }),
+    "t_calibration" -> ((s, dir) => {
+      // reliability census on the disjoint holdout: mean-gram-weight
+      // bands vs observed positive rate — the ranked-selection eval
+      // beside the sign-test accuracy gate (pos_ppm must rise with
+      // the band for the scores to be usable as a quality dial)
+      val docs = plantedClassDocs(s, dir)
+      val weights = graft.text.HashedClassifier.train(
+        docs.filter(col("id") % 3 === 0), "text", "label")
+      graft.text.HashedClassifier.reliability(
+        docs.filter(col("id") % 3 === 1), "id", "text", "label", weights)
+        .orderBy("band")
+    }),
     "t_classifier_apply" -> ((s, dir) => {
       // production shape: train ONCE, persist the weight table,
       // score later corpora FROM THE RELOAD (the t_bpe_segment
@@ -6021,6 +6033,9 @@ object SparkEntry {
     "t_classifier_apply" ->
       graft.text.HashedClassifier.scoreTrainedSql(
         "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 2"),
+    "t_calibration" ->
+      graft.text.HashedClassifier.reliabilitySql(
+        "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 1"),
     "s_quantile_reload" ->
       graft.ops.QuantileSketch.quantilesSql(
         "lineitem", "floor(l_extendedprice * 100 + 0.5)", Seq(250, 750, 950), 5),

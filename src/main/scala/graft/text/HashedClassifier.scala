@@ -258,6 +258,56 @@ object HashedClassifier {
     * the weights inline; the Spark side must produce the identical
     * scores FROM THE RELOADED parquet, proving the round trip).
     */
+  /** Reliability census — the calibration diagnostic run on a
+    * DISJOINT holdout after training: documents banded by their mean
+    * gram weight (the score, kept integer: `(w_sum + n·10^6) div n`
+    * then banded — the offset keeps Spark's truncating `div` on
+    * DuckDB's floor semantics for negative sums), each band reporting
+    * its observed positive rate. A working classifier shows pos_ppm
+    * rising monotonically with the band; a flat census means the
+    * scores carry no signal at any threshold — the eval that catches
+    * "accurate at the sign test, useless for ranked selection".
+    * Band count is bounded by the weight range / bandWidth, never by
+    * data. `bandWidth` must divide 10^6 (center alignment).
+    */
+  def reliability(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      weights: DataFrame, bandWidth: Long = 500L,
+      buckets: Int = 4096): DataFrame = {
+    require(bandWidth > 0 && 1000000L % bandWidth == 0,
+      s"bandWidth $bandWidth must divide 1e6")
+    val center = 1000000L / bandWidth
+    scoreTrained(df, idCol, textCol, weights, buckets)
+      .join(df.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("__lab")), Seq("id"))
+      .select(expr(s"((w_sum + n_grams * 1000000L) div n_grams)" +
+        s" div ${bandWidth}L - ${center}L").as("band"), col("__lab"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__lab")).as("n_pos"))
+      .select(col("band"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000L) div n_docs").as("pos_ppm"))
+  }
+
+  /** DuckDB rendering of [[reliability]] over the planted-label
+    * corpus (train/apply `WHERE` clauses as in [[scoreTrainedSql]]).
+    */
+  def reliabilitySql(
+      trainWhere: String, applyWhere: String, bandWidth: Long = 500L,
+      buckets: Int = 4096): String = {
+    val center = 1000000L / bandWidth
+    s"""WITH sc AS (${scoreTrainedSql(trainWhere, applyWhere, buckets)
+        .replace("ORDER BY gb.id", "")}),
+       |rl AS (SELECT ((sc.w_sum + sc.n_grams * 1000000) // sc.n_grams)
+       |    // $bandWidth - $center AS band,
+       |    CAST(d2.doc_id % 2 AS BIGINT) AS lab
+       |  FROM sc JOIN (SELECT doc_id FROM documents $applyWhere) d2
+       |    ON sc.id = d2.doc_id)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(lab) AS BIGINT) AS n_pos,
+       |  (CAST(SUM(lab) AS BIGINT) * 1000000) // count(*) AS pos_ppm
+       |FROM rl GROUP BY 1 ORDER BY band""".stripMargin
+  }
+
   def scoreTrainedSql(
       trainWhere: String, applyWhere: String, buckets: Int = 4096): String =
     s"""WITH weights AS (${trainSql(trainWhere, buckets).replace("ORDER BY bucket", "")}),

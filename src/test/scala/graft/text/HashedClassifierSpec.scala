@@ -71,6 +71,23 @@ class HashedClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(acc(1L)._1 == 20L && acc(1L) == (20L, 20L), s"got $acc")
   }
 
+  test("reliability census: pos rate rises with the score band") {
+    val train = labeledCorpus(0 until 60)
+    val holdout = labeledCorpus(60 until 100)
+    val w = HashedClassifier.train(train, "text", "label")
+    val bands = HashedClassifier
+      .reliability(holdout, "id", "text", "label", w)
+      .orderBy("band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(bands.map(_._2).sum == 40L)                  // every doc banded
+    // separable classes: strictly 0 ppm below some band, 1e6 above
+    val (neg, pos) = bands.partition(_._3 == 0L)
+    assert(neg.nonEmpty && pos.nonEmpty)
+    assert(pos.forall(_._3 == 1000000L), s"mixed bands: ${bands.toSeq}")
+    assert(neg.map(_._1).max < pos.map(_._1).min,
+      s"band order broken: ${bands.toSeq}")
+  }
+
   test("trained weights: class-indicative buckets carry the class sign") {
     import org.apache.spark.sql.functions._
     val w = HashedClassifier.train(labeledCorpus(0 until 60), "text", "label")
