@@ -4245,6 +4245,28 @@ object SparkEntry {
             col("cents"))))
         .orderBy("l_suppkey")
     }),
+    "st_survival" -> ((s, dir) => {
+      // Kaplan-Meier through the streaming engine: the per-user
+      // activity SPAN is the streamable part (Complete-mode min/max —
+      // O(users) state, the windowed census/fold machinery stays
+      // batch-side on the final snapshot, fed the span endpoints,
+      // which carry exactly the min/max KM needs). Hashes against
+      // ev_survival's IDENTICAL oracle — engine-level evidence the
+      // live spans equal the batch scan
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          (expr("ts div 86400000000000") - 19723L).as("day"))
+        .filter(col("day") <= col("user_id") % 29)
+      val spans = graft.streaming.Replay.replayBatchesComplete(s,
+        Seq(days.filter(col("day") < 15), days.filter(col("day") >= 15)),
+        df => df.groupBy("user_id")
+          .agg(min("day").as("fd"), max("day").as("ld")))
+      graft.ops.Survival.kaplanMeier(
+        spans.select(col("user_id"),
+          explode(array(col("fd"), col("ld"))).as("day")),
+        "user_id", "day", gapDays = 5)
+        .orderBy("t")
+    }),
     "st_changelog" -> ((s, dir) => {
       // streaming CDC materialization in Complete mode: the changelog
       // arrives as three op-ordered micro-batches (inserts, first
@@ -6698,6 +6720,14 @@ object SparkEntry {
          |FROM winner w LEFT JOIN (SELECT DISTINCT k FROM base) b
          |  ON w.k = b.k
          |ORDER BY w.k""".stripMargin,
+    // the stream twin must land on the batch KM's exact rows
+    "st_survival" ->
+      graft.ops.Survival.kaplanMeierSql(
+        """SELECT user_id, (epoch_ns(ts) // 86400000000000) - 19723 AS day
+          |FROM events
+          |WHERE (epoch_ns(ts) // 86400000000000) - 19723 <= user_id % 29"""
+          .stripMargin,
+        gapDays = 5),
     "ev_survival" ->
       graft.ops.Survival.kaplanMeierSql(
         """SELECT user_id, (epoch_ns(ts) // 86400000000000) - 19723 AS day
