@@ -69,6 +69,22 @@ def main(sf_dir, out_dir):
                   "(driver hash gate rejects decimal outputs; cast to DOUBLE)")
             n_fail += 1
             continue
+        # Same class of silent divergence: DuckDB widths Spark parquet
+        # cannot emit (HUGEINT from SUM(BIGINT) promotion, UHUGEINT,
+        # and the unsigned ints). Python ints compare equal across
+        # widths, but the driver's hash is type-sensitive — hard FAIL
+        # so the replica stays predictive. See VERDICT.md r14 item 1.
+        BAD_WIDTHS = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                      "USMALLINT", "UTINYINT")
+        wide_cols = sorted(
+            {want_cols[i] for i, t in enumerate(want_types)
+             if any(b in t.upper() for b in BAD_WIDTHS)})
+        if wide_cols:
+            print(f"FAIL {name}: oracle columns {wide_cols} have a width "
+                  "Spark parquet can't emit (HUGEINT/unsigned); CAST to "
+                  "BIGINT in the oracle SQL")
+            n_fail += 1
+            continue
         # driver sorts columns by name before hashing values
         wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])

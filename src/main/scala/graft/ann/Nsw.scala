@@ -168,7 +168,8 @@ object Nsw {
       .crossJoin(broadcast(nNodes))
       .select(col("n_nodes"), col("n_true_edges"),
         col("n_hit"),
-        expr("(n_hit * 1000000) div n_true_edges").as("recall_ppm"))
+        expr("(n_hit * 1000000) div greatest(n_true_edges, 1L)")
+          .as("recall_ppm"))
   }
 
   /** The [[nnDescentGraph]] iteration as CTEs over a `c(node, cv)`
@@ -244,7 +245,8 @@ object Nsw {
        |  CAST(SUM(CASE WHEN a.src IS NOT NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hit,
        |  (CAST(SUM(CASE WHEN a.src IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS recall_ppm
+       |    AS BIGINT) * 1000000)
+       |    // GREATEST(CAST(count(*) AS BIGINT), 1) AS recall_ppm
        |FROM xg x LEFT JOIN $lastE a ON a.src = x.src AND a.dst = x.dst""".stripMargin
   }
 
@@ -295,11 +297,13 @@ object Nsw {
         cut(s"s$r", s"b$r", beam)).mkString(",\n")
     }.mkString(",\n")
     val lastB = if (rounds == 0) "b0" else s"b$rounds"
+    // rounds == 0 is legal in beamSearch (score the entry point only);
+    // skip the rounds block entirely so no dangling comma is emitted.
+    val roundsBlock = if (rounds == 0) "" else s"$rounds_,\n"
     s"""entry AS (SELECT min(node) AS node FROM c),
        |b0 AS (SELECT q.query_id, entry.node, 0.0 AS score
        |  FROM q, entry),
-       |$rounds_,
-       |fs AS (SELECT DISTINCT query_id, node FROM $lastB),
+       |${roundsBlock}fs AS (SELECT DISTINCT query_id, node FROM $lastB),
        |${scored("fs", "fscored")}
        |SELECT query_id, node AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id

@@ -31,12 +31,24 @@ object Pool {
 
   /** Mean-pool `vecCol` over `groupCol`: `(group, dim_idx, n_chunks,
     * mean_micro)` with `dim_idx` 0-based.
+    *
+    * CONTRACT: every vector component must lie in `[-1, 1]`
+    * (unit-normalized encoder output). The div-parity offset below
+    * only covers that range — components below -1 would make Spark's
+    * truncating `div` and DuckDB's flooring `//` diverge by 1 — so
+    * the quantizer raises on any out-of-range component rather than
+    * silently splitting the engines.
     */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol).as("group"),
       posexplode(col(vecCol)).as(Seq("dim_idx", "__x")))
       .select(col("group"), col("dim_idx").cast("long").as("dim_idx"),
-        expr(s"CAST(floor(CAST(__x AS DOUBLE) * ${Scale}L) AS BIGINT)").as("__q"))
+        expr(s"""CASE WHEN __x >= -1.0D AND __x <= 1.0D
+                 |  THEN CAST(floor(CAST(__x AS DOUBLE) * ${Scale}L) AS BIGINT)
+                 |  ELSE CAST(raise_error(CONCAT(
+                 |    'Pool.meanPool: component outside [-1, 1]: ',
+                 |    CAST(__x AS STRING))) AS BIGINT) END""".stripMargin)
+          .as("__q"))
       .groupBy(col("group"), col("dim_idx"))
       .agg(count(lit(1)).as("n_chunks"),
         // the +count·2^20 offset keeps the numerator non-negative:

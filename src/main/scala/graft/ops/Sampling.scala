@@ -349,10 +349,10 @@ object Sampling {
        |  FROM $fromClause GROUP BY 1),
        |t AS (SELECT SUM(n_pop) AS tot_pop, SUM(n_samp) AS tot_samp FROM c)
        |SELECT cat, n_pop, n_samp,
-       |  n_pop * 1000000 // tot_pop AS pop_ppm,
-       |  n_samp * 1000000 // tot_samp AS samp_ppm,
-       |  n_samp * 1000000 // tot_samp - n_pop * 1000000 // tot_pop
-       |    AS delta_ppm
+       |  CAST(n_pop * 1000000 // tot_pop AS BIGINT) AS pop_ppm,
+       |  CAST(n_samp * 1000000 // tot_samp AS BIGINT) AS samp_ppm,
+       |  CAST(n_samp * 1000000 // tot_samp - n_pop * 1000000 // tot_pop
+       |    AS BIGINT) AS delta_ppm
        |FROM c, t ORDER BY cat""".stripMargin
   }
 }

@@ -252,12 +252,6 @@ object HashedClassifier {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |FROM scored GROUP BY label ORDER BY label""".stripMargin
 
-  /** DuckDB rendering of [[train]] + [[scoreTrained]]: weights from
-    * `trainWhere` docs, per-document scores on `applyWhere` docs —
-    * the oracle for the persist-and-reload gate (the SQL recomputes
-    * the weights inline; the Spark side must produce the identical
-    * scores FROM THE RELOADED parquet, proving the round trip).
-    */
   /** Reliability census — the calibration diagnostic run on a
     * DISJOINT holdout after training: documents banded by their mean
     * gram weight (the score, kept integer: `(w_sum + n·10^6) div n`
@@ -308,6 +302,12 @@ object HashedClassifier {
        |FROM rl GROUP BY 1 ORDER BY band""".stripMargin
   }
 
+  /** DuckDB rendering of [[train]] + [[scoreTrained]]: weights from
+    * `trainWhere` docs, per-document scores on `applyWhere` docs —
+    * the oracle for the persist-and-reload gate (the SQL recomputes
+    * the weights inline; the Spark side must produce the identical
+    * scores FROM THE RELOADED parquet, proving the round trip).
+    */
   def scoreTrainedSql(
       trainWhere: String, applyWhere: String, buckets: Int = 4096): String =
     s"""WITH weights AS (${trainSql(trainWhere, buckets).replace("ORDER BY bucket", "")}),
