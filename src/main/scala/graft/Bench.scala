@@ -23,7 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration knobs (the driver sets neither): ONLY filters to
+    // comma-separated name prefixes, PASSES trims the timed passes —
+    // profiling one family doesn't need the full 3-pass protocol
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // warmup: one untimed pass
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -49,7 +56,7 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
-    val passes = Seq.fill(3)(timedPass())
+    val passes = Seq.fill(nPasses)(timedPass())
     val results = names.map { n =>
       val ts = passes.map(_(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-trend audit: the 100× claim, tested instead of
+  * argued. Synthesizes a `factor`× blow-up of the input SF (id-shifted
+  * copies with per-copy word prefixes — see below) and measures
+  * t(factor×)/t(1×) for one representative per quadratic-hazard
+  * family from SCALE.md:
+  *
+  *   - `d_minhash_lsh`  — banded-signature pair join (hot-bucket guard)
+  *   - `d_substr_self`  — anchor-digest self-join (maxGramDocs guard)
+  *   - nnDescentGraph   — the graph-ANN build (O(n·k²)/round local
+  *     join; the `e_ann_nndescent` GATE also runs its exact all-pairs
+  *     verifier arm, quadratic BY CONTRACT, so the audit times the
+  *     scale arm it exists to verify)
+  *   - `d_dedup_clusters` — pair finder → connected components
+  *
+  * Blow-up construction: copy `i` shifts ids by a multiple of every
+  * residue modulus the gates slice on (so each copy contributes the
+  * same slice shape) and prefixes every word with `c<i>` (so shingles,
+  * anchors, and simhash blocks NEVER collide across copies). Per-copy
+  * duplicate structure — cluster sizes, bucket-size skew — is
+  * preserved exactly; only the corpus count scales. That is the regime
+  * where a real quadratic hazard (a pair source that isn't bucketed,
+  * a guard that regressed) shows up as a super-linear time ratio,
+  * while data-induced quadratics (10 exact copies of every doc WOULD
+  * multiply true pairs by 100) are excluded by construction.
+  * Embedding copies perturb one component by `i·1e-4` so cross-copy
+  * vectors are never byte-identical ties.
+  *
+  * Pass rule: ratio ≤ maxRatio (default 15 ≈ factor × shared-box
+  * noise headroom) per family; exit 1 on any breach. Ratios land in
+  * SCALE.md per round.
+  *
+  * Usage: `runMain graft.ScaleTrend [sfDir] [factor] [maxRatio]`
+  */
+object ScaleTrend {
+
+  // lcm(2,3,4,5,7,8,10,20,40,100) = 4200: every doc_id/vec_id residue
+  // filter in the four representatives (and their helpers) survives
+  // the shift, so each copy contributes an identical slice
+  private val ResidueLcm = 4200L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val maxRatio = if (args.length > 2) args(2).toDouble else 15.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("graft_scaletrend_")
+    val blowDir = root.toString
+    try {
+      synthesize(spark, sfDir, blowDir, factor)
+
+      val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+        "d_minhash_lsh" -> SparkEntry.queries("d_minhash_lsh"),
+        "d_substr_self" -> SparkEntry.queries("d_substr_self"),
+        "nndescent_build" -> ((s: SparkSession, dir: String) =>
+          graft.ann.Nsw.nnDescentGraph(
+            s.read.parquet(s"$dir/embeddings.parquet")
+              .filter(col("vec_id") % 4 === 0),
+            "vec_id", "embedding", k = 5, rounds = 2, groups = 16)),
+        "d_dedup_clusters" -> SparkEntry.queries("d_dedup_clusters"))
+
+      def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+
+      val rows = families.map { case (name, fn) =>
+        time(fn, sfDir) // warmup (codegen, footers)
+        val t1 = Seq.fill(2)(time(fn, sfDir)).min
+        time(fn, blowDir)
+        val tN = Seq.fill(2)(time(fn, blowDir)).min
+        val ratio = tN / math.max(t1, 0.01)
+        (name, t1, tN, ratio)
+      }
+
+      val qs = rows.map { case (n, t1, tN, r) =>
+        f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
+      }.mkString("{", ",", "}")
+      val breaches = rows.collect { case (n, _, _, r) if r > maxRatio => n }
+      println(s"""{"metric":"scale_trend","factor":$factor,"maxRatio":$maxRatio,"families":$qs,"breaches":${breaches.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      if (breaches.nonEmpty) {
+        System.err.println(s"[scaletrend] SUPER-LINEAR families: ${breaches.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    } finally {
+      deleteRecursively(root)
+    }
+    spark.stop()
+  }
+
+  /** Writes `factor`-times blow-ups of `documents` and `embeddings`
+    * into `blowDir` (the two tables the representatives read).
+    */
+  private[graft] def synthesize(
+      spark: SparkSession, sfDir: String, blowDir: String, factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val docShift = ((maxDoc / ResidueLcm) + 1L) * ResidueLcm
+    val bigDocs = (0 until factor).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else concat_ws(" ",
+          transform(split(col("text"), "\\s+"), w => concat(lit(s"c$i"), w)))
+      docs.select((col("doc_id") + lit(i * docShift)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    bigDocs.write.mode("overwrite").parquet(s"$blowDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val vecShift = ((maxVec / ResidueLcm) + 1L) * ResidueLcm
+    val bigEmb = (0 until factor).map { i =>
+      val vec =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit((i * 1e-4).toFloat)).otherwise(x))
+      emb.select((col("vec_id") + lit(i * vecShift)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    bigEmb.write.mode("overwrite").parquet(s"$blowDir/embeddings.parquet")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+}

@@ -3501,6 +3501,21 @@ object SparkEntry {
       Bpe.encodeStats(docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", seg)
         .orderBy("id")
     }),
+    "t_bpe_roundtrip" -> ((s, dir) => {
+      // decode(encode(x)) = x at the corpus level: a disjoint apply
+      // slice (never trained on — fallback-heavy by construction)
+      // encodes through the trained vocab with char fallback, decodes
+      // by concatenation, and must reconstruct every token. The
+      // oracle recomputes token/OOV counts and DECLARES the identity;
+      // the Spark side proves it by actually decoding.
+      import graft.text.Bpe
+      val docs = t(s, dir, "documents")
+      val census = Bpe.wordCensus(docs.filter(col("doc_id") % 10 === 0), "text")
+      val (_, seg) = Bpe.train(census, numMerges = 8)
+      Bpe.roundTripStats(docs.filter(col("doc_id") % 20 === 5),
+        "doc_id", "text", seg)
+        .orderBy("id")
+    }),
     "t_bpe_segment" -> ((s, dir) => {
       // the saved-merges RELOAD path: train once, keep only the merge
       // list, re-segment the census words via Bpe.segmentWords (the
@@ -4378,8 +4393,13 @@ object SparkEntry {
       // t_lm_surprise gate, so the stream twin's integers must
       // reproduce the batch definition exactly
       val all = t(s, dir, "documents")
-      val (uni, bi, v) = graft.text.Lm.referenceCensus(
+      val (uni0, bi0, v0) = graft.text.Lm.referenceCensus(
         all.filter(col("doc_id") % 2 === 0), "text")
+      // the trained censuses are STATIC sides of a streaming join —
+      // every micro-batch re-plans and re-executes them otherwise
+      // (5 recomputes per replay); checkpoint once, join many
+      val (uni, bi, v) =
+        (uni0.localCheckpoint(), bi0.localCheckpoint(), v0.localCheckpoint())
       val docs = docStream(s, dir, col("doc_id") % 10 === 7)
       graft.streaming.Replay.replayBatches(s,
         docBatches(docs) ++ docSentinels(s),
@@ -5721,6 +5741,9 @@ object SparkEntry {
       graft.text.Bpe.mergesSql(8, "WHERE doc_id % 10 = 0"),
     "t_bpe_encode" ->
       graft.text.Bpe.encodeStatsSql(8, "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 0"),
+    "t_bpe_roundtrip" ->
+      graft.text.Bpe.roundTripStatsSql(8,
+        "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 5"),
     "t_bpe_segment" ->
       graft.text.Bpe.segmentSql(8, "WHERE doc_id % 10 = 0"),
     "t_text_stats" -> {

@@ -47,6 +47,40 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Replay {
 
+  /** Session confs pinned for the DURATION of a replay run (saved and
+    * restored around each streaming query; MicroBatchExecution
+    * captures them at `start()`):
+    *   - 4 shuffle partitions: state-store instances per stateful
+    *     operator per micro-batch scale with shuffle partitions, and
+    *     each instance commits fsync'd delta files per batch — at the
+    *     driver's 32-thread session that is 32 commits × batches ×
+    *     gates of pure fixed cost over slice-sized data. The override
+    *     scopes to THIS harness only (a bounded verification replay);
+    *     a production streaming job sizes its own state partitioning.
+    *   - minBatchesToRetain=2: the checkpoint is dead the moment the
+    *     query terminates (reaped below) — retaining the default 100
+    *     batches of state snapshots buys nothing here.
+    *   - no-data micro-batches off: every emission in this harness is
+    *     driven by a STAGED batch (sentinel files advance the
+    *     watermark and fire timeouts/windows by design), so the
+    *     trailing no-data batch is a pure extra engine round-trip.
+    */
+  private val replayConf = Seq(
+    "spark.sql.shuffle.partitions" -> "4",
+    "spark.sql.streaming.minBatchesToRetain" -> "2",
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+
+  private def withReplayConf[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val saved = replayConf.map { case (k, _) => k -> conf.getOption(k) }
+    replayConf.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   /** Stages `events` (+ sentinels) and streams them through `build`
     * with Trigger.AvailableNow into a parquet sink; returns the sink
     * read back as a DataFrame. `events` must be EventRow-shaped with
@@ -58,7 +92,7 @@ object Replay {
       spark: SparkSession, events: DataFrame,
       sentinels: Seq[Streams.EventRow],
       build: Dataset[Streams.EventRow] => Dataset[_],
-  ): DataFrame = {
+  ): DataFrame = withReplayConf(spark) {
     val root = Files.createTempDirectory("graft_replay_")
     val inDir = Files.createDirectory(root.resolve("in"))
     val ckpt = root.resolve("ckpt").toString
@@ -115,7 +149,7 @@ object Replay {
       spark: SparkSession, batches: Seq[DataFrame], mode: String,
       replaceEachBatch: Boolean,
       build: Dataset[Streams.EventRow] => Dataset[_],
-  ): DataFrame = {
+  ): DataFrame = withReplayConf(spark) {
     require(batches.nonEmpty, "runReplayEach: no batches")
     val root = Files.createTempDirectory("graft_replay_")
     val inDir = Files.createDirectory(root.resolve("in"))
@@ -241,7 +275,7 @@ object Replay {
   def replayBatches(
       spark: SparkSession, batches: Seq[DataFrame],
       build: DataFrame => DataFrame,
-  ): DataFrame = {
+  ): DataFrame = withReplayConf(spark) {
     require(batches.nonEmpty, "replayBatches: no batches")
     val root = Files.createTempDirectory("graft_replay_")
     val inDir = Files.createDirectory(root.resolve("in"))
@@ -278,7 +312,7 @@ object Replay {
   def replayBatches2(
       spark: SparkSession, aBatches: Seq[DataFrame], bBatches: Seq[DataFrame],
       build: (DataFrame, DataFrame) => DataFrame,
-  ): DataFrame = {
+  ): DataFrame = withReplayConf(spark) {
     require(aBatches.nonEmpty && bBatches.nonEmpty, "replayBatches2: no batches")
     val root = Files.createTempDirectory("graft_replay_")
     val inA = Files.createDirectory(root.resolve("inA"))
@@ -322,7 +356,7 @@ object Replay {
   def replayBatchesComplete(
       spark: SparkSession, batches: Seq[DataFrame],
       build: DataFrame => DataFrame,
-  ): DataFrame = {
+  ): DataFrame = withReplayConf(spark) {
     require(batches.nonEmpty, "replayBatchesComplete: no batches")
     val root = Files.createTempDirectory("graft_replay_")
     val inDir = Files.createDirectory(root.resolve("in"))

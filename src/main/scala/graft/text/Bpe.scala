@@ -171,6 +171,60 @@ object Bpe {
          |FROM j GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** decode(encode(x)) = x census — the check a training pipeline
+    * runs after EVERY vocab change: each token encodes through the
+    * trained segmentation (character fallback for OOV words, the
+    * [[encodeStats]] rule), decodes by concatenating its symbols, and
+    * must reconstruct the token exactly. Per doc: token count,
+    * fallback (OOV) count, and exact-round-trip count. The symbols of
+    * a word partition it by construction, so any miss is a REAL
+    * defect — a symbol-boundary bug, a surrogate pair split into lone
+    * halves (the [[segmentWords]] hazard), a vocab row corrupted in a
+    * save/reload. The oracle asserts the identity (`n_roundtrip =
+    * n_tokens` recomputed independently); the Spark side PROVES it by
+    * actually decoding.
+    *
+    * 100 TB shape: identical to [[encodeStats]] — one corpus-token
+    * pass, broadcast vocab join, map-side-combined per-doc census.
+    */
+  def roundTripStats(
+      df: DataFrame, idCol: String, textCol: String, segmentation: DataFrame,
+  ): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .join(broadcast(segmentation.select(col("word"), col("syms"))),
+        Seq("word"), "left")
+      .select(col("id"),
+        col("syms").isNull.cast("long").as("fallback"),
+        (concat_ws("", coalesce(col("syms"),
+          expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")))
+          === col("word")).cast("long").as("ok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("fallback")).as("n_fallback"),
+        sum(col("ok")).as("n_roundtrip"))
+
+  /** Oracle for [[roundTripStats]]: token and OOV counts recomputed
+    * from the trained vocabulary, with `n_roundtrip` DECLARED equal to
+    * the token count — the identity the Spark side must prove by
+    * decoding.
+    */
+  def roundTripStatsSql(
+      numMerges: Int, censusWhere: String, docsWhere: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    trainCtesSql(numMerges, censusWhere) +
+      s""",
+         |tok AS (SELECT doc_id AS id, unnest($toks) AS word
+         |  FROM documents $docsWhere),
+         |j AS (SELECT id,
+         |    CASE WHEN s.word IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok LEFT JOIN sfin s ON tok.word = s.word)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_fallback,
+         |  CAST(count(*) AS BIGINT) AS n_roundtrip
+         |FROM j GROUP BY id ORDER BY id""".stripMargin
+  }
+
   /** One merge applied left-to-right: adjacent `(a, b)` becomes the
     * concatenated symbol. A fold with lookback — `acc` ends with `a`
     * and the next symbol is `b` → replace the tail with `a ++ b`;
