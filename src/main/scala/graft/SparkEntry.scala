@@ -2320,6 +2320,21 @@ object SparkEntry {
       graft.text.Ngrams.collocationLift(
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         "text", k = 30)),
+    "t_unigram_roundtrip" -> ((s, dir) =>
+      // decode(encode(x)) = x for the tokenizer family that actually
+      // EMITS BYTE PIECES: every token segments via the Viterbi
+      // backtrace (byte-fallback markers for OOV glyphs, incl.
+      // planted 2/3/4-byte UTF-8 widths — the surrogate-pair 𝄞 is
+      // the hazard case), decodes via the byte-marker inverse, and
+      // must reconstruct exactly. cost/pieces recompute through the
+      // oracle's unrolled DP; n_roundtrip is the declared identity
+      graft.text.Unigram.roundTripCensus(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 6)
+          .select(col("doc_id"),
+            concat(col("text"), when(col("doc_id") % 29 === 0,
+              lit(" µω€𝄞 zµq")).otherwise(lit(""))).as("text")),
+        "doc_id", "text", byteFallback = true)
+        .orderBy("id")),
     "t_unigram_cost" -> ((s, dir) =>
       // unigram-LM (SentencePiece-family) Viterbi segmentation with
       // ALL-INTEGER piece costs (1 + Fmax div freq over top-200
@@ -2983,6 +2998,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("split")
     }),
+    "p_bootstrap_means" -> ((s, dir) =>
+      // one-pass Poisson bootstrap of the mean doc length: 32
+      // deterministic md5-weighted resamples fused into ONE scan →
+      // ONE 32-group aggregate — the error bar on a corpus census
+      // without a second pass (the "did the filter REALLY move the
+      // mean" number). Spread of the 32 mean_micro rows = the CI.
+      graft.ops.Bootstrap.resampleMeans(
+        t(s, dir, "documents"), "doc_id", "n_chars", b = 32)
+        .orderBy("b")),
     "p_sample_skew" -> ((s, dir) =>
       // sampling-bias audit: per-priority population vs hash-sample
       // shares in integer ppm — the after-every-sample check that a
@@ -6054,6 +6078,11 @@ object SparkEntry {
     },
     "t_colloc_lift" ->
       graft.text.Ngrams.collocationLiftSql("WHERE doc_id % 2 = 1", k = 30),
+    "t_unigram_roundtrip" ->
+      graft.text.Unigram.roundTripCensusSql("WHERE doc_id % 10 = 6",
+        byteFallback = true,
+        textExpr = "text || CASE WHEN doc_id % 29 = 0" +
+          " THEN ' µω€𝄞 zµq' ELSE '' END"),
     "t_unigram_cost" ->
       graft.text.Unigram.encodeCostSql("WHERE doc_id % 3 = 1"),
     "t_unigram_bytes" ->
@@ -6186,6 +6215,9 @@ object SparkEntry {
          |count(*) AS n, min(doc_id) AS min_id
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+    "p_bootstrap_means" ->
+      graft.ops.Bootstrap.resampleMeansSql(
+        "documents", "doc_id", "n_chars", b = 32),
     "p_sample_skew" ->
       graft.ops.Sampling.sampleSkewAuditSql(
         "orders", "o_orderkey", "o_orderpriority", fraction = 0.2),

@@ -135,6 +135,153 @@ object Unigram {
     (d(n) / 1024L, d(n) % 1024L)
   }
 
+  /** The Viterbi DP of [[viterbi]] with BACKPOINTERS: returns the
+    * actual piece sequence of the min-(cost, pieces) path. Ties
+    * between equal packed costs keep the shortest edge (first l
+    * scanned) — any tie path's pieces concatenate back to the word,
+    * so the decode contract below is tie-independent. OOV singles
+    * under byte fallback emit one `<0XNN>` marker per UTF-8 byte
+    * (uppercase X: census words are lowercased by tokenization, so a
+    * marker can never collide with a real vocabulary piece); without
+    * fallback the OOV single is the character itself (the UNK price
+    * buys a literal piece). Long words (> [[MaxLen]]) are all-byte
+    * markers under fallback, per-character singles otherwise —
+    * matching [[viterbi]]'s counts exactly.
+    */
+  private[text] def viterbiPieces(
+      word: String, costs: Map[String, Long], maxGram: Int,
+      byteFallback: Boolean = false): Seq[String] = {
+    val cps = word.codePoints.toArray
+    val n = cps.length
+    def byteMarkers(cp: Int): Seq[String] =
+      new String(Character.toChars(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .toSeq.map(b => f"<0X${b & 0xff}%02X>")
+    if (n == 0) return Seq.empty
+    if (n > MaxLen) {
+      return if (byteFallback) cps.toSeq.flatMap(byteMarkers)
+      else cps.toSeq.map(cp => new String(Character.toChars(cp)))
+    }
+    val d = Array.fill(n + 1)(Long.MaxValue)
+    val back = Array.fill(n + 1)(0) // chosen edge length at j
+    d(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      val lMax = math.min(maxGram, j)
+      while (l <= lMax) {
+        if (d(j - l) != Long.MaxValue) {
+          val g = new String(cps, j - l, l)
+          val inc = costs.get(g) match {
+            case Some(c) => c * 1024L + 1L
+            case None if l == 1 =>
+              if (byteFallback) {
+                val nb = utf8Bytes(cps(j - 1))
+                nb * ByteCost * 1024L + nb
+              } else Big * 1024L + 1L
+            case None => -1L
+          }
+          if (inc >= 0L) {
+            val cand = d(j - l) + inc
+            if (cand < d(j)) { d(j) = cand; back(j) = l }
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      val l = back(p)
+      val g = new String(cps, p - l, l)
+      if (costs.contains(g)) out += g
+      else if (byteFallback) byteMarkers(cps(p - 1)).reverseIterator.foreach(out += _)
+      else out += g
+      p -= l
+    }
+    out.reverse.toSeq
+  }
+
+  /** Inverse of the piece representation: byte markers reassemble
+    * through a UTF-8 buffer (a multi-byte glyph's markers decode
+    * together), literal pieces append as-is. `decode(viterbiPieces(w))
+    * == w` is the tokenizer's integrity contract — what
+    * `t_unigram_roundtrip` proves corpus-wide.
+    */
+  private[text] def decodePieces(pieces: Seq[String]): String = {
+    val sb = new StringBuilder
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def flush(): Unit = if (buf.nonEmpty) {
+      sb.append(new String(buf.toArray, java.nio.charset.StandardCharsets.UTF_8))
+      buf.clear()
+    }
+    pieces.foreach { p =>
+      if (p.length == 6 && p.startsWith("<0X") && p.endsWith(">"))
+        buf += Integer.parseInt(p.substring(3, 5), 16).toByte
+      else { flush(); sb.append(p) }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** decode(encode(x)) = x census for the unigram tokenizer WITH byte
+    * fallback — the [[graft.text.Bpe.roundTripStats]] contract on the
+    * tokenizer family that actually emits byte pieces: every token
+    * segments via the Viterbi backtrace, decodes via the byte-marker
+    * inverse, and must reconstruct exactly; cost/pieces totals come
+    * from the SAME packed DP (the backtrace cannot drift from
+    * [[viterbi]]'s counts), so the oracle recomputes them through the
+    * unrolled-CTE DP and DECLARES the round-trip identity. Output:
+    * `(id, n_tokens, cost_total, pieces_total, n_roundtrip)`.
+    *
+    * 100 TB shape: [[encodeCost]]'s — vocabulary-sized DP work,
+    * corpus-sized census + broadcast join only.
+    */
+  def roundTripCensus(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxGram: Int = 4, topV: Int = 200,
+      byteFallback: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val census = Bpe.wordCensus(docs, textCol)
+    val costs = vocabCosts(census, maxGram, topV)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = spark.sparkContext.broadcast(costs)
+    val seg = census.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = b.value
+        it.map { w =>
+          val (c, p) = viterbi(w, m, maxGram, byteFallback)
+          val ok = decodePieces(viterbiPieces(w, m, maxGram, byteFallback)) == w
+          (w, c, p, if (ok) 1L else 0L)
+        }
+      }
+      .toDF("word", "cost", "pieces", "ok")
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cost")).as("cost_total"),
+        sum(col("pieces")).as("pieces_total"),
+        sum(col("ok")).as("n_roundtrip"))
+  }
+
+  /** Oracle for [[roundTripCensus]]: [[encodeCostSql]]'s unrolled DP
+    * recomputes `n_tokens`/`cost_total`/`pieces_total`, and
+    * `n_roundtrip` is DECLARED equal to the token count — the
+    * identity the Spark side proves by decoding the backtrace.
+    */
+  def roundTripCensusSql(
+      whereClause: String, maxGram: Int = 4, topV: Int = 200,
+      byteFallback: Boolean = true, textExpr: String = "text"): String =
+    encodeCostSql(whereClause, maxGram, topV, byteFallback, textExpr)
+      .replace(
+        "CAST(sum(np) AS BIGINT) AS pieces_total",
+        "CAST(sum(np) AS BIGINT) AS pieces_total,\n" +
+          "  CAST(count(*) AS BIGINT) AS n_roundtrip")
+
   /** Segment every census word: `(word, cost, pieces)`. */
   def segmentCosts(
       census: DataFrame, maxGram: Int = 4, topV: Int = 200,

@@ -77,4 +77,27 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
     // word aa: min(aa=3#1, a+a=4#2) -> 3,1 ; word ab: min(ab=8#1, a+b=10#2) -> 8,1
     assert(got.toSeq === Seq((1L, 2L, 11L, 2L), (2L, 2L, 6L, 2L)))
   }
+
+  test("viterbiPieces: backtrace concatenates to the word and matches viterbi counts") {
+    val costs = Map("a" -> 2L, "aa" -> 3L, "b" -> 8L, "ab" -> 8L)
+    for (w <- Seq("aa", "ab", "aab", "abab", "zzz", "aµ€𝄞",
+        "a" * (Unigram.MaxLen + 5))) {
+      for (fb <- Seq(true, false)) {
+        val pieces = Unigram.viterbiPieces(w, costs, 4, fb)
+        assert(Unigram.decodePieces(pieces) === w, s"w=$w fb=$fb")
+        val (_, np) = Unigram.viterbi(w, costs, 4, fb)
+        assert(pieces.length.toLong === np, s"piece count w=$w fb=$fb")
+      }
+    }
+  }
+
+  test("decodePieces: multi-byte glyphs reassemble through the byte buffer") {
+    // 𝄞 = 4 UTF-8 bytes (surrogate pair in UTF-16), € = 3, µ = 2
+    val pieces = Unigram.viterbiPieces("µ€𝄞", Map("x" -> 1L), 4, byteFallback = true)
+    assert(pieces.length === 9) // 2 + 3 + 4 byte markers
+    assert(pieces.forall(p => p.startsWith("<0X") && p.length === 6))
+    assert(Unigram.decodePieces(pieces) === "µ€𝄞")
+    // markers use uppercase X — lowercased census words can't collide
+    assert(Unigram.decodePieces(Seq("<0x41>")) === "<0x41>")
+  }
 }
