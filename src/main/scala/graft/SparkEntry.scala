@@ -2425,6 +2425,19 @@ object SparkEntry {
         docs.filter(col("id") % 3 === 1), "id", "text", "label", weights)
         .orderBy("band")
     }),
+    "t_pr_curve" -> ((s, dir) => {
+      // precision-recall threshold sweep on the disjoint holdout —
+      // how the production quality threshold gets picked: per score
+      // band, confusion counts + integer-ppm precision/recall of
+      // "keep docs scoring >= band". Cumulative window runs over the
+      // BAND census (bounded rows), never the corpus
+      val docs = plantedClassDocs(s, dir)
+      val weights = graft.text.HashedClassifier.train(
+        docs.filter(col("id") % 3 === 0), "text", "label")
+      graft.text.HashedClassifier.prCurve(
+        docs.filter(col("id") % 3 === 1), "id", "text", "label", weights)
+        .orderBy("band")
+    }),
     "t_classifier_apply" -> ((s, dir) => {
       // production shape: train ONCE, persist the weight table,
       // score later corpora FROM THE RELOAD (the t_bpe_segment
@@ -3007,6 +3020,15 @@ object SparkEntry {
       graft.ops.Bootstrap.resampleMeans(
         t(s, dir, "documents"), "doc_id", "n_chars", b = 32)
         .orderBy("b")),
+    "p_bootstrap_cluster" -> ((s, dir) =>
+      // the CLUSTER bootstrap: resample whole SOURCES (all of a
+      // source's docs share the per-resample weight), so the spread
+      // reflects between-source variation — the honest error bar when
+      // docs within a source correlate (in a crawled corpus they do;
+      // the row bootstrap's interval is too narrow by ~sqrt(deff))
+      graft.ops.Bootstrap.resampleMeans(
+        t(s, dir, "documents"), "source", "n_chars", b = 32, seed = 7L)
+        .orderBy("b")),
     "p_sample_skew" -> ((s, dir) =>
       // sampling-bias audit: per-priority population vs hash-sample
       // shares in integer ppm — the after-every-sample check that a
@@ -3524,6 +3546,19 @@ object SparkEntry {
       val (_, seg) = Bpe.train(census, numMerges = 8)
       Bpe.encodeStats(docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", seg)
         .orderBy("id")
+    }),
+    "t_fertility" -> ((s, dir) => {
+      // tokenizer fertility by language: the vocab trains on ONE
+      // slice, then every language reports pieces-per-token — the
+      // multilingual-fairness number (a lang the census under-
+      // represents segments into more pieces = a bigger token bill)
+      import graft.text.Bpe
+      val docs = t(s, dir, "documents")
+      val census = Bpe.wordCensus(docs.filter(col("doc_id") % 10 === 0), "text")
+      val (_, seg) = Bpe.train(census, numMerges = 8)
+      Bpe.fertilityByLang(docs.filter(col("doc_id") % 4 === 1),
+        "lang", "text", seg)
+        .orderBy("lang")
     }),
     "t_bpe_roundtrip" -> ((s, dir) => {
       // decode(encode(x)) = x at the corpus level: a disjoint apply
@@ -4550,6 +4585,30 @@ object SparkEntry {
       val out = s"${scratchRoot()}/orc_roundtrip"
       Sources.writeOrc(nation, s"$out/n")
       Sources.readOrc(s, s"$out/n").orderBy("n_nationkey")
+    }),
+    "s_binary_ingest" -> ((s, dir) => {
+      // the multimodal INGEST door: raw files through Spark's
+      // binaryFile source into a (path, length, content) frame —
+      // id parsed from the filename, byte length, payload md5, all
+      // three hash-checked against the staged originals. Staging is
+      // a bounded verification harness (<= 1% slice, hard-capped),
+      // the Replay pattern for file sources
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 1 && col("doc_id") < 20000)
+        .select(col("doc_id"), col("text")).collect()
+      val root = java.nio.file.Paths.get(scratchRoot(), "bin_ingest")
+      java.nio.file.Files.createDirectories(root)
+      rows.foreach { r =>
+        java.nio.file.Files.write(root.resolve(f"${r.getLong(0)}%09d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      graft.sources.Sources.readBinaryFiles(s, root.toString, "*.bin")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy("id")
     }),
     "s_dq_report" -> ((s, dir) =>
       // Deequ-style declarative expectations: every rule folds into
@@ -5765,6 +5824,9 @@ object SparkEntry {
       graft.text.Bpe.mergesSql(8, "WHERE doc_id % 10 = 0"),
     "t_bpe_encode" ->
       graft.text.Bpe.encodeStatsSql(8, "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 0"),
+    "t_fertility" ->
+      graft.text.Bpe.fertilityByLangSql(8,
+        "WHERE doc_id % 10 = 0", "WHERE doc_id % 4 = 1"),
     "t_bpe_roundtrip" ->
       graft.text.Bpe.roundTripStatsSql(8,
         "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 5"),
@@ -6110,6 +6172,9 @@ object SparkEntry {
     "t_calibration" ->
       graft.text.HashedClassifier.reliabilitySql(
         "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 1"),
+    "t_pr_curve" ->
+      graft.text.HashedClassifier.prCurveSql(
+        "WHERE doc_id % 3 = 0", "WHERE doc_id % 3 = 1"),
     "s_quantile_reload" ->
       graft.ops.QuantileSketch.quantilesSql(
         "lineitem", "floor(l_extendedprice * 100 + 0.5)", Seq(250, 750, 950), 5),
@@ -6218,6 +6283,9 @@ object SparkEntry {
     "p_bootstrap_means" ->
       graft.ops.Bootstrap.resampleMeansSql(
         "documents", "doc_id", "n_chars", b = 32),
+    "p_bootstrap_cluster" ->
+      graft.ops.Bootstrap.resampleMeansSql(
+        "documents", "source", "n_chars", b = 32, seed = 7L),
     "p_sample_skew" ->
       graft.ops.Sampling.sampleSkewAuditSql(
         "orders", "o_orderkey", "o_orderpriority", fraction = 0.2),
@@ -7112,6 +7180,11 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s_binary_ingest" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 100 = 1 AND doc_id < 20000
+        |ORDER BY id""".stripMargin,
     "s_dq_report" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
         |v AS (

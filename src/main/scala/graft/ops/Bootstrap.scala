@@ -65,12 +65,22 @@ object Bootstrap {
     * construction; that read is driver-free here, the rows stay a
     * DataFrame). `xCol` must already be integer-valued (quantize
     * floats upstream with the library floor device).
+    *
+    * `keyCol` chooses the resampling UNIT. The row id gives the
+    * classic row bootstrap. A cluster column (source, domain, crawl)
+    * gives the CLUSTER bootstrap — all of a cluster's rows enter
+    * resample `b` with the same weight, so the spread reflects
+    * between-cluster variation: the statistically honest error bar
+    * when rows within a source are correlated (in a crawled corpus
+    * they always are — the row bootstrap's interval is too narrow by
+    * ~sqrt(design effect) there). Either way the weight is a pure
+    * function of (seed, b, key): no cluster census, no join.
     */
   def resampleMeans(
-      df: DataFrame, idCol: String, xCol: String, b: Int = 32,
+      df: DataFrame, keyCol: String, xCol: String, b: Int = 32,
       seed: Long = 42L): DataFrame = {
     require(b >= 1, s"resamples $b must be >= 1")
-    df.select(col(idCol).as("__id"), col(xCol).cast("long").as("__x"))
+    df.select(col(keyCol).as("__id"), col(xCol).cast("long").as("__x"))
       .select(col("__id"), col("__x"),
         explode(sequence(lit(0L), lit(b - 1L))).as("b"))
       .select(col("b"), col("__x"),
@@ -82,14 +92,15 @@ object Bootstrap {
         expr("(sum_wx * 1000000L) div greatest(n_eff, 1L)").as("mean_micro"))
   }
 
-  /** DuckDB rendering of [[resampleMeans]] over `(idExpr, xExpr)`
-    * rows from `fromClause`.
+  /** DuckDB rendering of [[resampleMeans]] over `(keyExpr, xExpr)`
+    * rows from `fromClause` — pass a cluster expression as `keyExpr`
+    * for the cluster-bootstrap oracle.
     */
   def resampleMeansSql(
-      fromClause: String, idExpr: String, xExpr: String, b: Int = 32,
+      fromClause: String, keyExpr: String, xExpr: String, b: Int = 32,
       seed: Long = 42L): String =
     s"""WITH r AS (SELECT b, CAST($xExpr AS BIGINT) AS x,
-       |    ${weightSql(idExpr, seed)} AS w
+       |    ${weightSql(keyExpr, seed)} AS w
        |  FROM $fromClause, unnest(range(0, $b)) AS t(b)),
        |a AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
        |    CAST(sum(w * x) AS BIGINT) AS sum_wx

@@ -35,6 +35,28 @@ object Sources {
       .parquet(path)
   }
 
+  /** Raw-file ingest through Spark's `binaryFile` source — the entry
+    * step of every multimodal pipeline (a directory of images/audio
+    * clips/model shards becomes a `(path, length, content: binary)`
+    * frame that the `graft.multimodal` decoders consume). The scan is
+    * distributed file-at-a-time with NO decode on the driver;
+    * `pathGlobFilter` prunes at LISTING time (non-matching files are
+    * never opened), and the returned frame carries only the columns
+    * selected here — drop `content` upstream of any census that
+    * doesn't need bytes and the reader still never ships payloads.
+    * At 100 TB-of-small-files the listing itself is the bottleneck;
+    * this reader composes with a manifest-driven load
+    * ([[shardManifest]]) exactly like the parquet scans.
+    */
+  def readBinaryFiles(
+      spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("length"),
+        org.apache.spark.sql.functions.col("content"))
+
   /** Z-ordered parquet write: range-partition AND sort the data by
     * the Morton interleave of two quantized integer dimensions before
     * writing ([[graft.functions.ZInterleave]]), so every output

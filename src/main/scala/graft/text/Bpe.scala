@@ -225,6 +225,50 @@ object Bpe {
          |FROM j GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** Tokenizer FERTILITY by language — pieces emitted per input
+    * token, the number multilingual tokenizer evals lead with: a
+    * vocab trained on one language's census segments other languages
+    * into more pieces, silently inflating their token budgets (and
+    * training cost per document). Per language: token count, subword
+    * count (char fallback for OOV, the [[encodeStats]] rule), and
+    * `fertility_ppm = pieces·10^6 div tokens`. Same 100 TB shape as
+    * [[encodeStats]]: one corpus-token pass, broadcast vocab join,
+    * map-side-combined census over ≤ |languages| groups.
+    */
+  def fertilityByLang(
+      df: DataFrame, langCol: String, textCol: String, segmentation: DataFrame,
+  ): DataFrame =
+    df.select(col(langCol).as("lang"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .join(broadcast(segmentation.select(col("word"), col("syms"))),
+        Seq("word"), "left")
+      .select(col("lang"),
+        coalesce(size(col("syms")), length(col("word"))).cast("long").as("n_sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_pieces"))
+      .select(col("lang"), col("n_tokens"), col("n_pieces"),
+        expr("(n_pieces * 1000000L) div n_tokens").as("fertility_ppm"))
+
+  /** Oracle for [[fertilityByLang]]: the trained segmentation from
+    * `censusWhere` applied to `docsWhere` tokens, grouped by `lang`.
+    */
+  def fertilityByLangSql(
+      numMerges: Int, censusWhere: String, docsWhere: String): String = {
+    val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
+    trainCtesSql(numMerges, censusWhere) +
+      s""",
+         |tok AS (SELECT lang, unnest($toks) AS word
+         |  FROM documents $docsWhere),
+         |j AS (SELECT lang,
+         |    coalesce(len(s.syms), length(tok.word)) AS n_sub
+         |  FROM tok LEFT JOIN sfin s ON tok.word = s.word)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_pieces,
+         |  (CAST(sum(n_sub) AS BIGINT) * 1000000) // count(*)
+         |    AS fertility_ppm
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** One merge applied left-to-right: adjacent `(a, b)` becomes the
     * concatenated symbol. A fold with lookback — `acc` ends with `a`
     * and the next symbol is `b` → replace the tail with `a ++ b`;

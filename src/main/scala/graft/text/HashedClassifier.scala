@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Sketches
@@ -301,6 +302,61 @@ object HashedClassifier {
        |  (CAST(SUM(lab) AS BIGINT) * 1000000) // count(*) AS pos_ppm
        |FROM rl GROUP BY 1 ORDER BY band""".stripMargin
   }
+
+  /** Precision-recall threshold sweep — HOW a quality-filter
+    * threshold actually gets picked: for every score band (the
+    * [[reliability]] banding), the confusion counts and integer-ppm
+    * precision/recall of the filter "keep documents scoring ≥ this
+    * band". Cumulative sums run highest-band-down over the BAND
+    * census (bounded by score range / bandWidth, never by data), so
+    * the window is census-sized; the corpus-sized work is the same
+    * score + band aggregation as [[reliability]]. Read the row where
+    * precision_ppm first clears the target — that band is the
+    * production threshold.
+    * Output: `(band, n_docs, n_pos, tp, fp, fn, precision_ppm,
+    * recall_ppm)`, one row per non-empty band, band desc = threshold
+    * sweep from strictest to loosest.
+    */
+  def prCurve(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      weights: DataFrame, bandWidth: Long = 500L,
+      buckets: Int = 4096): DataFrame = {
+    val bands = reliability(df, idCol, textCol, labelCol, weights,
+      bandWidth, buckets)
+    val totals = bands.agg(sum(col("n_pos")).as("total_pos"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .select(col("band"), col("n_docs"), col("n_pos"),
+        sum(col("n_pos")).over(w).as("tp"),
+        (sum(col("n_docs")).over(w) - sum(col("n_pos")).over(w)).as("fp"))
+      .crossJoin(broadcast(totals))
+      .select(col("band"), col("n_docs"), col("n_pos"), col("tp"), col("fp"),
+        (col("total_pos") - col("tp")).as("fn"),
+        expr("(tp * 1000000L) div greatest(tp + fp, 1L)").as("precision_ppm"),
+        expr("(tp * 1000000L) div greatest(total_pos, 1L)").as("recall_ppm"))
+  }
+
+  /** DuckDB rendering of [[prCurve]] over the planted-label corpus. */
+  def prCurveSql(
+      trainWhere: String, applyWhere: String, bandWidth: Long = 500L,
+      buckets: Int = 4096): String =
+    s"""WITH bands AS (${reliabilitySql(trainWhere, applyWhere, bandWidth,
+          buckets).replace("ORDER BY band", "")}),
+       |cum AS (SELECT band, n_docs, n_pos,
+       |    CAST(SUM(n_pos) OVER (ORDER BY band DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+       |    CAST(SUM(n_docs) OVER (ORDER BY band DESC
+       |      ROWS UNBOUNDED PRECEDING)
+       |      - SUM(n_pos) OVER (ORDER BY band DESC
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+       |  FROM bands),
+       |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM bands)
+       |SELECT band, n_docs, n_pos, tp, fp,
+       |  total_pos - tp AS fn,
+       |  (tp * 1000000) // GREATEST(tp + fp, 1) AS precision_ppm,
+       |  (tp * 1000000) // GREATEST(total_pos, 1) AS recall_ppm
+       |FROM cum, t ORDER BY band""".stripMargin
 
   /** DuckDB rendering of [[train]] + [[scoreTrained]]: weights from
     * `trainWhere` docs, per-document scores on `applyWhere` docs —

@@ -47,6 +47,29 @@ class BootstrapSpec extends AnyFunSuite with SparkSpec {
       .foreach(n => assert(math.abs(n - 5000L) < 300L, s"n_eff $n"))
   }
 
+  test("cluster bootstrap: within-cluster rows share the weight, spread exceeds row bootstrap") {
+    // 10 clusters with strongly cluster-correlated values: cluster c's
+    // rows all carry value c*10 — between-cluster variance dominates
+    val rows = (0 until 2000).map { i =>
+      val c = i % 10
+      Row(i.toLong, s"src$c", (c * 10).toLong)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("src", StringType, nullable = false),
+        StructField("x", LongType, nullable = false))))
+    def spread(keyCol: String): Long = {
+      val m = Bootstrap.resampleMeans(df, keyCol, "x", b = 32)
+        .collect().map(_.getAs[Long]("mean_micro"))
+      m.max - m.min
+    }
+    // resampling whole clusters must show the between-cluster
+    // variance the row bootstrap averages away (design effect = 200)
+    assert(spread("src") > 4L * spread("id"),
+      s"cluster spread ${spread("src")} vs row spread ${spread("id")}")
+  }
+
   test("deterministic and partitioning-independent") {
     val a = Bootstrap.resampleMeans(vals(2000, 4), "id", "x", b = 8)
       .orderBy("b").collect().map(_.toSeq)

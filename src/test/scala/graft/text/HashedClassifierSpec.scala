@@ -88,6 +88,31 @@ class HashedClassifierSpec extends AnyFunSuite with SparkSpec {
       s"band order broken: ${bands.toSeq}")
   }
 
+  test("prCurve: confusion identities hold and the sweep finds the separating band") {
+    val train = labeledCorpus(0 until 60)
+    val holdout = labeledCorpus(60 until 100)
+    val w = HashedClassifier.train(train, "text", "label")
+    val rows = HashedClassifier
+      .prCurve(holdout, "id", "text", "label", w)
+      .orderBy(col("band").desc).collect()
+    val totalPos = 20L
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      assert(tp + fn === totalPos) // confusion identity
+      assert(r.getAs[Long]("recall_ppm") === tp * 1000000L / totalPos)
+      assert(r.getAs[Long]("precision_ppm") === tp * 1000000L / math.max(tp + fp, 1L))
+    }
+    // recall grows monotonically as the threshold loosens
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    // separable classes: some band has perfect precision AND recall
+    assert(rows.exists(r => r.getAs[Long]("precision_ppm") == 1000000L &&
+      r.getAs[Long]("recall_ppm") == 1000000L), rows.mkString("\n"))
+    // loosest band keeps everything: recall 1, precision = base rate
+    assert(recalls.last === 1000000L)
+  }
+
   test("trained weights: class-indicative buckets carry the class sign") {
     import org.apache.spark.sql.functions._
     val w = HashedClassifier.train(labeledCorpus(0 until 60), "text", "label")
