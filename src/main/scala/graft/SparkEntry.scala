@@ -4598,6 +4598,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text")).collect()
       val root = java.nio.file.Paths.get(scratchRoot(), "bin_ingest")
       java.nio.file.Files.createDirectories(root)
+      // the scratch dir is shared across runs AND scale factors — a
+      // stale .bin staged by a larger corpus would otherwise ride
+      // into this read and fail the gate; clear before staging
+      val old = java.nio.file.Files.list(root)
+      try old.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally old.close()
       rows.foreach { r =>
         java.nio.file.Files.write(root.resolve(f"${r.getLong(0)}%09d.bin"),
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))

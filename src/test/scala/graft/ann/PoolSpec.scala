@@ -38,6 +38,20 @@ class PoolSpec extends AnyFunSuite with SparkSpec {
     assert(b == -1000000L, s"expected floor(-1) micro, got $b")
   }
 
+  test("components outside [-1, 1] raise instead of silently splitting the engines") {
+    val e = intercept[Exception] {
+      Pool.meanPool(frame(Seq((1L, Seq(-1.5f)))), "g", "v").collect()
+    }
+    assert(e.getMessage.contains("outside [-1, 1]") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside [-1, 1]")),
+      s"unexpected error: $e")
+    // boundary values are in-contract: mean_micro = q·1e6 with
+    // q = floor(x·2^20) (the file's unit — see the x=-0.5 test above)
+    val ok = Pool.meanPool(frame(Seq((1L, Seq(-1.0f, 1.0f)))), "g", "v")
+      .orderBy("dim_idx").collect().map(_.getLong(3))
+    assert(ok.toSeq == Seq(-1048576000000L, 1048576000000L))
+  }
+
   test("groups and dims aggregate independently of partitioning") {
     val rows = (0L until 30L).map(i =>
       (i % 4, Seq((i.toFloat - 15) / 16f, (i % 7).toFloat / 8f)))
