@@ -88,8 +88,11 @@ object Bench {
         -1.0
       }
     }
-    timeKmeansIvf() // warmup
-    val kmeansIvf = {
+    // the ONLY filter applies to extras too — profiling one family
+    // must not pay 3 MLlib k-means fits of fixed cost per run
+    val runKmeans = only.forall(_.exists("e_ann_ivf_kmeans".startsWith))
+    val kmeansIvf = if (!runKmeans) -1.0 else {
+      timeKmeansIvf() // warmup
       val ts = Seq.fill(2)(timeKmeansIvf())
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }

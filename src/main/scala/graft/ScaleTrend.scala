@@ -62,6 +62,7 @@ object ScaleTrend {
 
     val root = Files.createTempDirectory("graft_scaletrend_")
     val blowDir = root.toString
+    var failed = false
     try {
       synthesize(spark, sfDir, blowDir, factor)
 
@@ -97,13 +98,15 @@ object ScaleTrend {
       println(s"""{"metric":"scale_trend","factor":$factor,"maxRatio":$maxRatio,"families":$qs,"breaches":${breaches.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
       if (breaches.nonEmpty) {
         System.err.println(s"[scaletrend] SUPER-LINEAR families: ${breaches.mkString(", ")}")
-        spark.stop()
-        sys.exit(1)
+        failed = true
       }
     } finally {
-      deleteRecursively(root)
+      // sys.exit inside the try would bypass this cleanup and leak
+      // the 10x blow-up parquet on every failing (re-)run
+      graft.ops.Fs.deleteRecursively(root)
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 
   /** Writes `factor`-times blow-ups of `documents` and `embeddings`
@@ -115,10 +118,14 @@ object ScaleTrend {
     val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0)
     val docShift = ((maxDoc / ResidueLcm) + 1L) * ResidueLcm
     val bigDocs = (0 until factor).map { i =>
+      // the 'x' delimiter keeps prefixes unambiguous at ANY factor:
+      // without it copy 1's token "1abc" and copy 11's "abc" would
+      // both render "c11abc" (and copy-0 naturals starting "c<digit>"
+      // could collide with prefixed copies)
       val text =
         if (i == 0) col("text")
         else concat_ws(" ",
-          transform(split(col("text"), "\\s+"), w => concat(lit(s"c$i"), w)))
+          transform(split(col("text"), "\\s+"), w => concat(lit(s"c${i}x"), w)))
       docs.select((col("doc_id") + lit(i * docShift)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
@@ -138,11 +145,4 @@ object ScaleTrend {
     bigEmb.write.mode("overwrite").parquet(s"$blowDir/embeddings.parquet")
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
 }

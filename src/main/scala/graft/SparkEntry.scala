@@ -4591,22 +4591,23 @@ object SparkEntry {
       // binaryFile source into a (path, length, content) frame —
       // id parsed from the filename, byte length, payload md5, all
       // three hash-checked against the staged originals. Staging is
-      // a bounded verification harness (<= 1% slice, hard-capped),
-      // the Replay pattern for file sources
+      // a bounded verification harness (<= 1% slice, hard-capped)
+      // into a PER-INVOCATION temp dir (the Replay pattern): a
+      // shared path would let concurrent runs — or a stale stage
+      // from another scale factor — pollute the read. deleteOnExit
+      // is LIFO, so registering the dir before its files deletes
+      // children first; the dir must outlive this call because the
+      // returned frame reads it lazily.
       val rows = t(s, dir, "documents")
         .filter(col("doc_id") % 100 === 1 && col("doc_id") < 20000)
         .select(col("doc_id"), col("text")).collect()
-      val root = java.nio.file.Paths.get(scratchRoot(), "bin_ingest")
-      java.nio.file.Files.createDirectories(root)
-      // the scratch dir is shared across runs AND scale factors — a
-      // stale .bin staged by a larger corpus would otherwise ride
-      // into this read and fail the gate; clear before staging
-      val old = java.nio.file.Files.list(root)
-      try old.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally old.close()
+      val root = java.nio.file.Files.createTempDirectory("graft_bin_")
+      root.toFile.deleteOnExit()
       rows.foreach { r =>
-        java.nio.file.Files.write(root.resolve(f"${r.getLong(0)}%09d.bin"),
+        val p = root.resolve(f"${r.getLong(0)}%09d.bin")
+        java.nio.file.Files.write(p,
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        p.toFile.deleteOnExit()
       }
       graft.sources.Sources.readBinaryFiles(s, root.toString, "*.bin")
         .select(

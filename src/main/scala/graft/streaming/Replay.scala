@@ -402,12 +402,7 @@ object Replay {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    graft.ops.Fs.deleteRecursively(p)
 
   /** Runs [[Streams.sessionize]] over `events` via the replay, then
     * assigns per-user `session_seq` by session start on the summary

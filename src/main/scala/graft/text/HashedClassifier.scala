@@ -323,14 +323,18 @@ object HashedClassifier {
       buckets: Int = 4096): DataFrame = {
     val bands = reliability(df, idCol, textCol, labelCol, weights,
       bandWidth, buckets)
-    val totals = bands.agg(sum(col("n_pos")).as("total_pos"))
     val w = Window.orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total_pos via a whole-frame window, NOT a separate aggregate
+    // crossJoined back: that would evaluate the corpus-scoring
+    // pipeline under `bands` twice (once per reference)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     bands
       .select(col("band"), col("n_docs"), col("n_pos"),
         sum(col("n_pos")).over(w).as("tp"),
-        (sum(col("n_docs")).over(w) - sum(col("n_pos")).over(w)).as("fp"))
-      .crossJoin(broadcast(totals))
+        (sum(col("n_docs")).over(w) - sum(col("n_pos")).over(w)).as("fp"),
+        sum(col("n_pos")).over(wAll).as("total_pos"))
       .select(col("band"), col("n_docs"), col("n_pos"), col("tp"), col("fp"),
         (col("total_pos") - col("tp")).as("fn"),
         expr("(tp * 1000000L) div greatest(tp + fp, 1L)").as("precision_ppm"),
@@ -341,22 +345,22 @@ object HashedClassifier {
   def prCurveSql(
       trainWhere: String, applyWhere: String, bandWidth: Long = 500L,
       buckets: Int = 4096): String =
-    s"""WITH bands AS (${reliabilitySql(trainWhere, applyWhere, bandWidth,
-          buckets).replace("ORDER BY band", "")}),
+    s"""WITH bands AS MATERIALIZED (${reliabilitySql(trainWhere, applyWhere,
+          bandWidth, buckets).replace("ORDER BY band", "")}),
        |cum AS (SELECT band, n_docs, n_pos,
        |    CAST(SUM(n_pos) OVER (ORDER BY band DESC
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
        |    CAST(SUM(n_docs) OVER (ORDER BY band DESC
        |      ROWS UNBOUNDED PRECEDING)
        |      - SUM(n_pos) OVER (ORDER BY band DESC
-       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
-       |  FROM bands),
-       |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM bands)
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+       |    CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+       |  FROM bands)
        |SELECT band, n_docs, n_pos, tp, fp,
        |  total_pos - tp AS fn,
        |  (tp * 1000000) // GREATEST(tp + fp, 1) AS precision_ppm,
        |  (tp * 1000000) // GREATEST(total_pos, 1) AS recall_ppm
-       |FROM cum, t ORDER BY band""".stripMargin
+       |FROM cum ORDER BY band""".stripMargin
 
   /** DuckDB rendering of [[train]] + [[scoreTrained]]: weights from
     * `trainWhere` docs, per-document scores on `applyWhere` docs —

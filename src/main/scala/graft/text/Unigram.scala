@@ -136,31 +136,36 @@ object Unigram {
   }
 
   /** The Viterbi DP of [[viterbi]] with BACKPOINTERS: returns the
-    * actual piece sequence of the min-(cost, pieces) path. Ties
-    * between equal packed costs keep the shortest edge (first l
-    * scanned) — any tie path's pieces concatenate back to the word,
-    * so the decode contract below is tie-independent. OOV singles
-    * under byte fallback emit one `<0XNN>` marker per UTF-8 byte
-    * (uppercase X: census words are lowercased by tokenization, so a
-    * marker can never collide with a real vocabulary piece); without
-    * fallback the OOV single is the character itself (the UNK price
-    * buys a literal piece). Long words (> [[MaxLen]]) are all-byte
-    * markers under fallback, per-character singles otherwise —
-    * matching [[viterbi]]'s counts exactly.
+    * `(cost, pieces)` of the min-(cost, pieces) path — the SAME DP,
+    * run once (callers needing both the cost and the piece sequence
+    * must not pay two DPs per word). Ties between equal packed costs
+    * keep the shortest edge (first l scanned) — any tie path's pieces
+    * concatenate back to the word, so the decode contract below is
+    * tie-independent. OOV singles under byte fallback emit one
+    * `<0XNN>` marker per UTF-8 byte (uppercase X: census words are
+    * lowercased by tokenization, so a marker can never collide with a
+    * real vocabulary piece); without fallback the OOV single is the
+    * character itself (the UNK price buys a literal piece). Long
+    * words (> [[MaxLen]]) are all-byte markers under fallback,
+    * per-character singles otherwise — matching [[viterbi]]'s counts
+    * exactly (UnigramSpec pins cost AND count equality).
     */
   private[text] def viterbiPieces(
       word: String, costs: Map[String, Long], maxGram: Int,
-      byteFallback: Boolean = false): Seq[String] = {
+      byteFallback: Boolean = false): (Long, Seq[String]) = {
     val cps = word.codePoints.toArray
     val n = cps.length
     def byteMarkers(cp: Int): Seq[String] =
       new String(Character.toChars(cp))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         .toSeq.map(b => f"<0X${b & 0xff}%02X>")
-    if (n == 0) return Seq.empty
+    if (n == 0) return (0L, Seq.empty)
     if (n > MaxLen) {
-      return if (byteFallback) cps.toSeq.flatMap(byteMarkers)
-      else cps.toSeq.map(cp => new String(Character.toChars(cp)))
+      return if (byteFallback) {
+        val bytes = cps.map(utf8Bytes).sum
+        (bytes * ByteCost, cps.toSeq.flatMap(byteMarkers))
+      } else
+        (n.toLong * Big, cps.toSeq.map(cp => new String(Character.toChars(cp))))
     }
     val d = Array.fill(n + 1)(Long.MaxValue)
     val back = Array.fill(n + 1)(0) // chosen edge length at j
@@ -200,7 +205,7 @@ object Unigram {
       else out += g
       p -= l
     }
-    out.reverse.toSeq
+    (d(n) / 1024L, out.reverse.toSeq)
   }
 
   /** Inverse of the piece representation: byte markers reassemble
@@ -252,9 +257,12 @@ object Unigram {
       .mapPartitions { it =>
         val m = b.value
         it.map { w =>
-          val (c, p) = viterbi(w, m, maxGram, byteFallback)
-          val ok = decodePieces(viterbiPieces(w, m, maxGram, byteFallback)) == w
-          (w, c, p, if (ok) 1L else 0L)
+          // ONE DP per word: the backtrace supplies cost, count
+          // (= pieces length, pinned equal to viterbi's in the spec),
+          // and the decodable sequence
+          val (c, pieces) = viterbiPieces(w, m, maxGram, byteFallback)
+          val ok = decodePieces(pieces) == w
+          (w, c, pieces.length.toLong, if (ok) 1L else 0L)
         }
       }
       .toDF("word", "cost", "pieces", "ok")

@@ -83,9 +83,10 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
     for (w <- Seq("aa", "ab", "aab", "abab", "zzz", "aµ€𝄞",
         "a" * (Unigram.MaxLen + 5))) {
       for (fb <- Seq(true, false)) {
-        val pieces = Unigram.viterbiPieces(w, costs, 4, fb)
+        val (cost, pieces) = Unigram.viterbiPieces(w, costs, 4, fb)
         assert(Unigram.decodePieces(pieces) === w, s"w=$w fb=$fb")
-        val (_, np) = Unigram.viterbi(w, costs, 4, fb)
+        val (c, np) = Unigram.viterbi(w, costs, 4, fb)
+        assert(cost === c, s"cost w=$w fb=$fb")
         assert(pieces.length.toLong === np, s"piece count w=$w fb=$fb")
       }
     }
@@ -93,7 +94,7 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
 
   test("decodePieces: multi-byte glyphs reassemble through the byte buffer") {
     // 𝄞 = 4 UTF-8 bytes (surrogate pair in UTF-16), € = 3, µ = 2
-    val pieces = Unigram.viterbiPieces("µ€𝄞", Map("x" -> 1L), 4, byteFallback = true)
+    val (_, pieces) = Unigram.viterbiPieces("µ€𝄞", Map("x" -> 1L), 4, byteFallback = true)
     assert(pieces.length === 9) // 2 + 3 + 4 byte markers
     assert(pieces.forall(p => p.startsWith("<0X") && p.length === 6))
     assert(Unigram.decodePieces(pieces) === "µ€𝄞")
