@@ -4470,6 +4470,27 @@ object SparkEntry {
         .filter(col("id") >= 0)
         .orderBy("id")
     }),
+    "st_minhash_incr" -> ((s, dir) => {
+      // incremental LSH at the stream door: arriving docs sign via
+      // ONE watermarked (window, doc) aggregation, band map-side, and
+      // join the persisted corpus signature store (static broadcast,
+      // localCheckpointed — a streaming join's static side re-executes
+      // per micro-batch otherwise). Shares d_minhash_incr's oracle;
+      // cross-band duplicate rows carry identical values and dedupe
+      // in the readback projection (the dedupReplay argument)
+      val docs0 = t(s, dir, "documents")
+      val corpusSigs = graft.dedup.Dedup.minhashSignatures(
+        docs0.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16)
+        .localCheckpoint()
+      val stream = docStream(s, dir, col("doc_id") % 10 === 7)
+      graft.streaming.Replay.replayBatches(s,
+        docBatches(stream) ++ docSentinels(s),
+        src => graft.streaming.Streams.minhashIncrStream(
+          src, "doc_id", "text", corpusSigs, numHashes = 16, bands = 4,
+          watermark = "0 seconds"))
+        .dropDuplicates("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    }),
     "st_decontam" -> ((s, dir) => {
       // fingerprint decontamination at the stream door (stateless
       // stream-static anti join — no watermark, no sentinels):
@@ -7045,6 +7066,11 @@ object SparkEntry {
          |  doc_id AS id, n_grams, surprise_micro
          |FROM base ORDER BY id""".stripMargin
     },
+    "st_minhash_incr" ->
+      // the IDENTICAL oracle as d_minhash_incr (the st_changelog
+      // device): the stream twin must reproduce the batch operator
+      graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
+        whereNew = "WHERE doc_id % 10 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
     "st_decontam" -> {
       val fp = graft.text.TextFunctions.fingerprintSql
       s"""WITH bl AS (SELECT ${fp.replace("TXT", "text")} AS fp

@@ -325,10 +325,41 @@ object Dedup {
       explode(wordShingles(col(textCol), 1)).as("tok"))
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, 7), 16, 10).cast("long"))
-    val aggs = (0 until numHashes).map { j =>
+    val aggs = signatureAggs(numHashes)
+    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The `numHashes` per-signature min aggregations over the shingle
+    * hash column `h` — shared by the batch [[minhashSignatures]] and
+    * the windowed streaming variant
+    * ([[graft.streaming.Streams.minhashIncrStream]]), so the two can
+    * never drift.
+    */
+  private[graft] def signatureAggs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
       min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j")
     }
-    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+
+  /** One row per (signature row, band) with the band's bucket key
+    * `bkey = md5(mh_{b·r} | … | mh_{b·r+r−1})`, mh columns carried —
+    * the shared banding of [[minhashLshPairsAgainst]] and the
+    * streaming ingest twin.
+    */
+  private[graft] def bandedSignatures(
+      sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*))
+          .as("bkey"))
+    }
+    sig.select(sig.columns.map(col).toSeq :+
+        explode(array(bandCols: _*)).as("bb"): _*)
+      .withColumn("band", col("bb.band"))
+      .withColumn("bkey", col("bb.bkey"))
+      .drop("bb")
   }
 
   /** LSH candidate pairs + exact signature agreement. Bands the
@@ -430,22 +461,8 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, maxBucketSize: Int = 1000,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    def bucketize(sig: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|",
-            (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*))
-            .as("bkey"))
-      }
-      sig.select(col("id") +: explode(array(bandCols: _*)).as("bb") +:
-          (0 until numHashes).map(j => col(s"mh$j")): _*)
-        .select(col("id") +: col("bb.band").as("band") +:
-          col("bb.bkey").as("bkey") +:
-          (0 until numHashes).map(j => col(s"mh$j")): _*)
-    }
-    val nb = bucketize(newSigs)
-    val cb = bucketize(corpusSigs)
+    val nb = bandedSignatures(newSigs, numHashes, bands)
+    val cb = bandedSignatures(corpusSigs, numHashes, bands)
     val hot = nb.select(col("band"), col("bkey"))
       .unionByName(cb.select(col("band"), col("bkey")))
       .groupBy(col("band"), col("bkey"))

@@ -130,6 +130,58 @@ object Streams {
       .select(col("w.start").as("hour"), col("id"),
         col("n_grams"), col("surprise_micro"))
 
+  /** Incremental MinHash-LSH at the stream door — the streaming twin
+    * of [[graft.dedup.Dedup.minhashLshPairsAgainst]]: documents
+    * arriving on the stream are shingled and signed (ONE watermarked
+    * per-(window, doc) aggregation of the shared
+    * [[graft.dedup.Dedup.signatureAggs]] mins), band keys derive
+    * map-side from the emitted signature
+    * ([[graft.dedup.Dedup.bandedSignatures]] — the identical
+    * derivation as the batch path), and candidates join the PERSISTED
+    * corpus signature store (static, banded, broadcast). Output: one
+    * `(new_id, corpus_id, n_common_minhash, est_jaccard)` row per
+    * matching band — cross-band duplicates carry identical values by
+    * construction and dedupe wherever the sink is consumed (the
+    * [[graft.streaming.Replay.dedupReplay]] projection argument).
+    *
+    * Scale/state: the only stateful operator is the signature
+    * aggregation — per-key state is `numHashes` longs, evicted by the
+    * watermark; the join is stateless stream-static. The hot-bucket
+    * guard is a STORE-side dial at this door: apply `maxBucketSize`
+    * to the corpus store batch-side before broadcasting (the store is
+    * what persists and accumulates boilerplate buckets); an
+    * ingest-side census would be a per-batch aggregation over rows
+    * that are already bounded by the micro-batch.
+    */
+  def minhashIncrStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusSigs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    val shingled = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), 1)).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 7), 16, 10).cast("long"))
+    val aggs = Dedup.signatureAggs(numHashes)
+    val sig = shingled
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("w")
+    val nb = Dedup.bandedSignatures(sig, numHashes, bands)
+    val cb = Dedup.bandedSignatures(corpusSigs, numHashes, bands)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    nb.as("sa")
+      .join(broadcast(cb.as("sb")),
+        col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey"))
+      .select(col("sa.id").as("new_id"), col("sb.id").as("corpus_id"),
+        agree.as("n_common_minhash"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   /** Streaming exact-dedup on an id column: duplicates arriving within
     * the watermark horizon are dropped; state for ids older than the
     * watermark is evicted (bounded memory). The streaming twin of the
