@@ -776,6 +776,35 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"the per-label census must broadcast:\n$p")
   }
 
+  test("bootstrap resampling: one scan into one keyed aggregate — no join, no window") {
+    val p = plan("p_bootstrap_means")
+    assert(!p.contains("Join"),
+      s"the bootstrap is map-only by design — a join means the weight stopped being a pure function of (seed, b, key):\n$p")
+    assert(!p.contains("Window"),
+      s"no window belongs in the bootstrap:\n$p")
+    // exactly one data shuffle: the B-group aggregate (the trailing
+    // rangepartitioning exchange is the gate's orderBy)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 aggregate exchange, got $hashEx:\n$p")
+  }
+
+  test("pr curve scores the corpus once — totals come from the band-census window") {
+    // the r15 self-review fix: total_pos via SUM OVER () on the band
+    // census instead of a crossJoined aggregate that re-evaluated the
+    // corpus-scoring pipeline. Pin RELATIVE to t_calibration (same
+    // scoring pipeline, no sweep): the sweep must add ZERO extra
+    // 1-row broadcast joins (both have only scoreTrained's unseen
+    // fallback) and zero extra corpus explodes.
+    def bnlj(p: String) = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    def explodes(p: String) = "Generate explode".r.findAllIn(p).size
+    val pr = rawPlan("t_pr_curve")
+    val cal = rawPlan("t_calibration")
+    assert(bnlj(pr) == bnlj(cal),
+      s"t_pr_curve plans ${bnlj(pr)} BNLJ vs t_calibration's ${bnlj(cal)} — the totals crossJoin is back")
+    assert(explodes(pr) == explodes(cal),
+      s"t_pr_curve plans ${explodes(pr)} explodes vs t_calibration's ${explodes(cal)} — the corpus is scored twice")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
