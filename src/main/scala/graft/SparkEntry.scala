@@ -3011,6 +3011,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("split")
     }),
+    "p_rank_corr" -> ((s, dir) => {
+      // Spearman agreement between two quality signals (char length
+      // vs token count): both rank via the distributed prefix-scan
+      // rankBy — never a single-partition window — then one integer
+      // census row (n, sum_d2, rho_ppm). The audit that says whether
+      // a new filter adds signal or re-ranks the old one
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 2)
+      graft.ops.Shuffling.rankCorrelation(docs, "doc_id",
+        col("n_chars"),
+        size(graft.text.TextFunctions.tokens(lower(col("text")))).cast("long"))
+    }),
     "p_bootstrap_means" -> ((s, dir) =>
       // one-pass Poisson bootstrap of the mean doc length: 32
       // deterministic md5-weighted resamples fused into ONE scan →
@@ -6308,6 +6319,12 @@ object SparkEntry {
          |count(*) AS n, min(doc_id) AS min_id
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+    "p_rank_corr" ->
+      graft.ops.Shuffling.rankCorrelationSql(
+        "documents WHERE doc_id % 4 = 2", "doc_id", "n_chars",
+        "CAST(len(" +
+          graft.text.TextFunctions.tokensSql.replace("TXT", "lower(text)") +
+          ") AS BIGINT)"),
     "p_bootstrap_means" ->
       graft.ops.Bootstrap.resampleMeansSql(
         "documents", "doc_id", "n_chars", b = 32),

@@ -122,6 +122,60 @@ object Shuffling {
       }.toDF(idCol, "rank")
   }
 
+  /** Spearman rank agreement between two per-row signals — "do my two
+    * quality filters agree?": both columns get an EXACT global rank
+    * via [[rankBy]] (the distributed prefix-scan device — never a
+    * single-partition window), and the census emits `(n, sum_d2,
+    * rho_ppm)` with `rho_ppm = 10^6 − (6·10^6·Σd²) div (n(n²−1))` —
+    * the classic Spearman formula kept all-integer. Ties break by
+    * `idCol` (deterministic, mirrored in the oracle), the policy that
+    * trades the textbook average-tied-rank for engine-exactness; for
+    * an agreement AUDIT the difference is noise.
+    *
+    * Integer-range dial: `6·10^6·Σd²` must fit int64, which holds for
+    * n up to ~115 000 rows (Σd² ≤ n³/3 in the worst case). The
+    * operator REQUIRES that bound rather than silently overflowing;
+    * at corpus scale run it on a deterministic [[Sampling.hashSample]]
+    * slice (rank agreement is a statistical property — a 10^5-row
+    * hash sample estimates ρ to ±0.01) or bucket the ranks first.
+    */
+  def rankCorrelation(
+      df: DataFrame, idCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), xCol.as("__x"), yCol.as("__y"))
+      .localCheckpoint() // both rank passes read it; one materialization
+    val rx = rankBy(base, "__id", Seq(col("__x")))
+      .withColumnRenamed("rank", "rx")
+    val ry = rankBy(base, "__id", Seq(col("__y")))
+      .withColumnRenamed("rank", "ry")
+    rx.join(ry, Seq("__id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        expr("CASE WHEN n > 115000 THEN raise_error(" +
+          "'rankCorrelation: n > 115000 overflows the exact integer " +
+          "rho - hashSample the input first') " +
+          "ELSE 1000000L - (6000000L * sum_d2) " +
+          "div greatest(n * (n * n - 1L), 1L) END")
+          .cast("long").as("rho_ppm"))
+  }
+
+  /** DuckDB rendering of [[rankCorrelation]] over `(idExpr, xExpr,
+    * yExpr)` rows from `fromClause`.
+    */
+  def rankCorrelationSql(
+      fromClause: String, idExpr: String, xExpr: String, yExpr: String): String =
+    s"""WITH d AS (SELECT $idExpr AS id, $xExpr AS x, $yExpr AS y
+       |  FROM $fromClause),
+       |rx AS (SELECT id, row_number() OVER (ORDER BY x, id) AS rx FROM d),
+       |ry AS (SELECT id, row_number() OVER (ORDER BY y, id) AS ry FROM d),
+       |j AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum((rx.rx - ry.ry) * (rx.rx - ry.ry)) AS BIGINT) AS sum_d2
+       |  FROM rx JOIN ry USING (id))
+       |SELECT n, sum_d2,
+       |  CAST(1000000 - (6000000 * sum_d2)
+       |    // GREATEST(n * (n * n - 1), 1) AS BIGINT) AS rho_ppm
+       |FROM j""".stripMargin
+
   /** Deterministic negative sampling for contrastive training: `k`
     * pseudo-random corpus rows per anchor, WITHOUT an all-pairs scan
     * — the corpus gets a dense [[shuffleRank]] index once, then probe

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,6 +71,32 @@ class ShufflingSpec extends AnyFunSuite with SparkSpec {
     val negs = out.map(_._3)
     assert(negs.distinct.length > negs.length / 2)
     assert(negs.count(_ < 250) > 10 && negs.count(_ >= 250) > 10)
+  }
+
+  test("rankCorrelation: +1 on identical order, -1 on reversed, ~0 on hash-independent") {
+    import spark.implicits._
+    val n = 400L
+    // y_same preserves x's order; y_rev reverses it; y_hash is
+    // order-independent of x
+    val base = (0L until n).map(i => (i, i * 3))
+      .toDF("id", "x")
+      .withColumn("y_same", col("x") + 7L)
+      .withColumn("y_rev", lit(n * 3) - col("x"))
+      .withColumn("y_hash", Sampling.bucket(col("id"), 99L))
+    def rho(y: String): Long =
+      Shuffling.rankCorrelation(base, "id", col("x"), col(y))
+        .collect().head.getAs[Long]("rho_ppm")
+    assert(rho("y_same") === 1000000L)
+    // reversed ranks: rho = 1 - 6*sum_d2/(n(n^2-1)) = -1 exactly... up
+    // to the integer div truncation of the closed form
+    assert(rho("y_rev") <= -999000L, s"reversed rho ${rho("y_rev")}")
+    assert(math.abs(rho("y_hash")) < 150000L, s"independent rho ${rho("y_hash")}")
+    // partitioning independence
+    val a = Shuffling.rankCorrelation(base.repartition(7), "id",
+      col("x"), col("y_hash")).collect().head.toSeq
+    val b = Shuffling.rankCorrelation(base.repartition(2), "id",
+      col("x"), col("y_hash")).collect().head.toSeq
+    assert(a === b)
   }
 
   test("interleaveBySource: unique positions, strict round-robin while sources last") {
