@@ -2057,6 +2057,18 @@ object SparkEntry {
       graft.ann.Ann.lloydAssignCounts(
         t(s, dir, "embeddings"), "vec_id", "embedding")
     }),
+    "e_ann_ivf_lloyd_topk" -> ((s, dir) => {
+      // END-TO-END retrieval through the deterministic Lloyd
+      // quantizer — the full trained-IVF production path the MLlib
+      // twin can't gate: train, assign (map-only broadcast pass),
+      // probe top-4 cells map-side, score probed members, heap-rank.
+      // Every number hash-matches the unrolled-CTE oracle.
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.lloydIvfTopK(
+        emb.filter(col("vec_id") % 40 === 1), emb,
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_ann_ivf_planted" -> ((s, dir) => {
       // planted-cohort recovery through the deterministic IVF index:
       // the probe set (top-4 of 16 cells) must include the source's
@@ -5982,6 +5994,8 @@ object SparkEntry {
         "vec_id % 20 = 0", idOffset = 1000000L, delta = 0.01, k = 10),
     "e_ann_ivf_lloyd" ->
       graft.ann.Ann.lloydAssignCountsSql(),
+    "e_ann_ivf_lloyd_topk" ->
+      graft.ann.Ann.lloydIvfTopKSql("id % 40 = 1", k = 5),
     "e_cos_neardup_lsh" -> {
       // corpus + int8 quantize->dequantize twins, mirroring the Spark
       // union via the SAME shared quantize helpers as quantizeInt8Sql

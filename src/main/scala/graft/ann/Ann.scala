@@ -1739,34 +1739,47 @@ object Ann {
     * members onto one row; that is safe exactly because the training
     * sample is bounded — the corpus-sized final pass is count-only.
     */
-  def lloydAssignCounts(
+  /** The doubled corpus view the Lloyd family works over:
+    * `(id, v: array<double>)`, zero-norm rows excluded.
+    */
+  private def lloydBase(
+      corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      expr(s"transform(`$vecCol`, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(dot(col("v"), col("v")) > 0) // zero-norm: see bruteForceTopK
+
+  /** Argmax-cosine cell assignment of `(id, v)` rows against a
+    * centroid frame — map-only: the ≤ nCells centroids ride as ONE
+    * broadcast array row, ties to the smallest cell id.
+    */
+  private def lloydAssign(rows: DataFrame, cents: DataFrame): DataFrame = {
+    val cl = broadcast(cents.agg(collect_list(struct(col("cell"),
+      col("centroid"), norm(col("centroid")).as("cnorm"))).as("cents")))
+    rows.crossJoin(cl)
+      .withColumn("cell", array_max(transform(col("cents"), ct =>
+        struct((dot(col("v"), ct("centroid")) / (norm(col("v")) * ct("cnorm"))).as("cos"),
+          (-ct("cell")).as("negcell"), ct("cell").as("cell"))))("cell"))
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** The trained `(cell, centroid)` frame after `iters` Lloyd rounds
+    * — the deterministic quantizer shared by [[lloydAssignCounts]]
+    * (the census gate) and [[lloydIvfTopK]] (end-to-end retrieval).
+    */
+  def lloydCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
       seed: Long = 42L, dim: Int = 64,
   ): DataFrame = {
-    val s0 = corpus.select(col(idCol).cast("long").as("id"),
-      expr(s"transform(`$vecCol`, x -> CAST(x AS DOUBLE))").as("v"))
-      .filter(dot(col("v"), col("v")) > 0) // zero-norm: see bruteForceTopK
-    val smp = s0
+    val smp = lloydBase(corpus, idCol, vecCol)
       .orderBy(md5(concat(lit(s"$seed:"), col("id").cast("string"))), col("id"))
       .limit(maxTrainRows)
     var cents = smp.withColumn("ck", md5(col("id").cast("string")))
       .orderBy(col("ck"), col("id")).limit(nCells)
       .select(col("id").as("cell"), col("v").as("centroid"))
       .localCheckpoint()
-
-    def assign(rows: DataFrame): DataFrame = {
-      val cl = broadcast(cents.agg(collect_list(struct(col("cell"),
-        col("centroid"), norm(col("centroid")).as("cnorm"))).as("cents")))
-      rows.crossJoin(cl)
-        .withColumn("cell", array_max(transform(col("cents"), ct =>
-          struct((dot(col("v"), ct("centroid")) / (norm(col("v")) * ct("cnorm"))).as("cos"),
-            (-ct("cell")).as("negcell"), ct("cell").as("cell"))))("cell"))
-        .select(col("id"), col("v"), col("cell"))
-    }
-
     for (_ <- 1 to iters) {
-      val means = assign(smp).groupBy(col("cell"))
+      val means = lloydAssign(smp, cents).groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"),
           count(lit(1)).cast("double").as("cnt"))
         .select(col("cell"), expr(s"transform(sequence(1, $dim), d -> " +
@@ -1776,26 +1789,83 @@ object Ann {
         .select(col("cell"), coalesce(col("mean"), col("centroid")).as("centroid"))
         .localCheckpoint() // iterative: constant-size plan per round
     }
+    cents
+  }
 
-    assign(s0).groupBy(col("cell"))
+  def lloydAssignCounts(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): DataFrame = {
+    val cents = lloydCentroids(corpus, idCol, vecCol, nCells, iters,
+      maxTrainRows, seed, dim)
+    lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
       .select(col("cell"), col("n"))
       .orderBy(col("cell"))
   }
 
-  /** DuckDB twin of [[lloydAssignCounts]], rounds unrolled as CTEs. */
-  def lloydAssignCountsSql(
-      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
-      seed: Long = 42L, dim: Int = 64,
+  /** End-to-end retrieval through the DETERMINISTIC Lloyd quantizer —
+    * what the bench-only MLlib [[ivfTopK]] cannot gate, this can:
+    * train ([[lloydCentroids]]), assign the corpus (one map pass),
+    * pick each query's `nProbe` nearest cells map-side (the
+    * [[ivfTopKHashCells]] sorted-slice device, window-free), score
+    * only the probed cells' members, and heap-rank the tail
+    * ([[heapRank]], never a corpus window). Output:
+    * `(query_id, neighbor_id, rank, score)`.
+    */
+  def lloydIvfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      maxTrainRows: Int = 300, seed: Long = 42L, dim: Int = 64,
+  ): DataFrame = {
+    val cents = lloydCentroids(corpus, idCol, vecCol, nCells, iters,
+      maxTrainRows, seed, dim)
+    val assigned = lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        norm(col("v")).as("cn"), col("cell"))
+    val cl = broadcast(cents.agg(collect_list(struct(col("cell"),
+      col("centroid"), norm(col("centroid")).as("cnorm"))).as("cents")))
+    val q = lloydBase(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qn"))
+    val probes = q.crossJoin(cl)
+      .withColumn("scores", array_sort(transform(col("cents"), ct =>
+        struct((dot(col("qv"), ct("centroid")) / (col("qn") * ct("cnorm"))).as("cos"),
+          (-ct("cell")).as("negcell"), ct("cell").as("cell")))))
+      .filter(size(col("scores")) > 0)
+      .withColumn("np", least(lit(nProbe), size(col("scores"))))
+      .withColumn("probe", explode(slice(col("scores"), -col("np"), col("np"))))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.cell").as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
+    heapRank(scored, "score", "double", k, ascending = false)
+  }
+
+  /** Per-id argmax-cell assignment CTE pair (`a<tag>r`, `a<tag>`) —
+    * shared by the Lloyd SQL twins.
+    */
+  private def lloydAssignCtesSql(
+      tag: String, rowsFrom: String, centsFrom: String, dim: Int) =
+    s"""a${tag}r AS (SELECT s.id, s.v, c.cell,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY ${cosineSql("s.v", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM $rowsFrom s CROSS JOIN $centsFrom c),
+       |a$tag AS (SELECT id, v, cell FROM a${tag}r WHERE rn = 1)""".stripMargin
+
+  /** The WITH-body prefix training the Lloyd centroids: defines
+    * `s0` (doubled nonzero corpus), `smp`, `c0` … `c<iters>` — the
+    * trained centroid CTE is `c<iters>`. Callers splice and append.
+    */
+  private def lloydCentroidCtesSql(
+      nCells: Int, iters: Int, maxTrainRows: Int, seed: Long, dim: Int,
   ): String = {
-    def assignCtes(tag: String, rowsFrom: String, centsFrom: String) =
-      s"""a${tag}r AS (SELECT s.id, s.v, c.cell,
-         |    row_number() OVER (PARTITION BY s.id
-         |      ORDER BY ${cosineSql("s.v", "c.centroid", dim)} DESC, c.cell) AS rn
-         |  FROM $rowsFrom s CROSS JOIN $centsFrom c),
-         |a$tag AS (SELECT id, v, cell FROM a${tag}r WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""${assignCtes(r.toString, "smp", s"c${r - 1}")},
+      s"""${lloydAssignCtesSql(r.toString, "smp", s"c${r - 1}", dim)},
          |m$r AS (SELECT cell, list(struct_pack(id := id, v := v) ORDER BY id) AS ms,
          |    CAST(count(*) AS DOUBLE) AS cnt
          |  FROM a$r GROUP BY cell),
@@ -1805,18 +1875,54 @@ object Ann {
          |    c.centroid) AS centroid
          |  FROM c${r - 1} c LEFT JOIN m$r USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH s0 AS (SELECT vec_id AS id,
+    s"""s0 AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings WHERE ${dotSql("embedding", "embedding", dim)} > 0),
        |smp AS (SELECT id, v FROM s0
        |  ORDER BY md5('$seed:' || CAST(id AS VARCHAR)), id LIMIT $maxTrainRows),
        |c0 AS (SELECT id AS cell, v AS centroid FROM smp
        |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCells),
-       |$rounds,
-       |${assignCtes("f", "s0", s"c$iters")}
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[lloydAssignCounts]], rounds unrolled as CTEs. */
+  def lloydAssignCountsSql(
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): String =
+    s"""WITH ${lloydCentroidCtesSql(nCells, iters, maxTrainRows, seed, dim)},
+       |${lloydAssignCtesSql("f", "s0", s"c$iters", dim)}
        |SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af
        |GROUP BY cell ORDER BY cell""".stripMargin
-  }
+
+  /** DuckDB twin of [[lloydIvfTopK]]: the trained-centroid CTEs, the
+    * corpus assignment, per-query probe ranking, probed-cell scoring,
+    * and the final per-query rank — queries are the `s0` rows
+    * selected by `queryWhere` (over the doubled id/v view).
+    */
+  def lloydIvfTopKSql(
+      queryWhere: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      maxTrainRows: Int = 300, seed: Long = 42L, dim: Int = 64,
+  ): String =
+    s"""WITH ${lloydCentroidCtesSql(nCells, iters, maxTrainRows, seed, dim)},
+       |${lloydAssignCtesSql("f", "s0", s"c$iters", dim)},
+       |q AS (SELECT id AS query_id, v AS qv FROM s0 WHERE $queryWhere),
+       |probe0 AS (SELECT q.query_id, q.qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosineSql("q.qv", "c.centroid", dim)} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN c$iters c),
+       |probes AS (SELECT query_id, qv, cell FROM probe0 WHERE rn <= $nProbe),
+       |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+       |    ${cosineSql("p.qv", "a.v", dim)} AS score
+       |  FROM probes p JOIN af a USING (cell)
+       |  WHERE p.query_id <> a.id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INT) AS rank, score
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Embedding-space decontamination: corpus rows whose cosine to ANY
     * eval-set embedding reaches `threshold` — the semantic twin of the
