@@ -4502,14 +4502,22 @@ object SparkEntry {
       // cross-band duplicate rows carry identical values and dedupe
       // in the readback projection (the dedupReplay argument)
       val docs0 = t(s, dir, "documents")
-      val corpusSigs = graft.dedup.Dedup.minhashSignatures(
-        docs0.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16)
+      // the store in its persisted layout: banded once, checkpointed
+      // once — the static side of every micro-batch is then a scan
+      val corpusBanded = graft.dedup.Dedup.bandedSignatures(
+        graft.dedup.Dedup.minhashSignatures(
+          docs0.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16),
+        numHashes = 16, bands = 4)
         .localCheckpoint()
-      val stream = docStream(s, dir, col("doc_id") % 10 === 7)
+      // % 40 arrival slice: the synthetic corpus is dup-heavy, so
+      // candidate volume (and the replay's sink I/O) scales linearly
+      // with arrivals — a quarter-size drop keeps the engine path
+      // identical at a quarter of the pair volume
+      val stream = docStream(s, dir, col("doc_id") % 40 === 7)
       graft.streaming.Replay.replayBatches(s,
-        docBatches(stream) ++ docSentinels(s),
+        Seq(stream) ++ docSentinels(s),
         src => graft.streaming.Streams.minhashIncrStream(
-          src, "doc_id", "text", corpusSigs, numHashes = 16, bands = 4,
+          src, "doc_id", "text", corpusBanded, numHashes = 16, bands = 4,
           watermark = "0 seconds"))
         .dropDuplicates("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
@@ -7098,10 +7106,11 @@ object SparkEntry {
          |FROM base ORDER BY id""".stripMargin
     },
     "st_minhash_incr" ->
-      // the IDENTICAL oracle as d_minhash_incr (the st_changelog
-      // device): the stream twin must reproduce the batch operator
+      // the same oracle GENERATOR as d_minhash_incr (the st_changelog
+      // device), on the gate's quarter-size arrival slice: the stream
+      // twin must reproduce the batch operator
       graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
-        whereNew = "WHERE doc_id % 10 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
+        whereNew = "WHERE doc_id % 40 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
     "st_decontam" -> {
       val fp = graft.text.TextFunctions.fingerprintSql
       s"""WITH bl AS (SELECT ${fp.replace("TXT", "text")} AS fp

@@ -138,7 +138,12 @@ object Streams {
     * map-side from the emitted signature
     * ([[graft.dedup.Dedup.bandedSignatures]] — the identical
     * derivation as the batch path), and candidates join the PERSISTED
-    * corpus signature store (static, banded, broadcast). Output: one
+    * corpus signature store. `corpusBanded` is the store in its
+    * persisted layout — ALREADY banded
+    * (`Dedup.bandedSignatures(minhashSignatures(...))`, mh columns
+    * carried): that is what a production store writes (the band key
+    * IS its partition key), and it keeps the per-micro-batch static
+    * side a checkpointed scan instead of a re-derivation. Output: one
     * `(new_id, corpus_id, n_common_minhash, est_jaccard)` row per
     * matching band — cross-band duplicates carry identical values by
     * construction and dedupe wherever the sink is consumed (the
@@ -155,7 +160,7 @@ object Streams {
     */
   def minhashIncrStream(
       docs: DataFrame, idCol: String, textCol: String,
-      corpusSigs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      corpusBanded: DataFrame, numHashes: Int = 16, bands: Int = 4,
       watermark: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
     val shingled = docs
@@ -170,12 +175,11 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
       .drop("w")
     val nb = Dedup.bandedSignatures(sig, numHashes, bands)
-    val cb = Dedup.bandedSignatures(corpusSigs, numHashes, bands)
     val agree = (0 until numHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
     nb.as("sa")
-      .join(broadcast(cb.as("sb")),
+      .join(broadcast(corpusBanded.as("sb")),
         col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey"))
       .select(col("sa.id").as("new_id"), col("sb.id").as("corpus_id"),
         agree.as("n_common_minhash"),
