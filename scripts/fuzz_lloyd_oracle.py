@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Fuzz the SHIPPED e_ann_ivf_lloyd_topk oracle SQL against an
+independent Python reference: the same documented algorithm (md5-seeded
+init, bounded md5 sample, argmax-cosine assignment with smallest-cell
+tie-break, id-ordered sequential-fold centroid means, empty cells keep
+the prior centroid, top-nProbe probe, (score desc, id) rank) written as
+direct loops, on random small corpora with duplicate vectors, zero
+vectors, and corpora smaller than nCells.
+
+Embedding components are multiples of 1/64 so float32 storage is exact
+and Python float64 arithmetic reproduces the oracle's CAST-to-double
+chain bit-for-bit (dot is the same left fold; sqrt and divide are
+correctly rounded everywhere).
+
+The shipped gate binds dim=64, nCells=16, nProbe=4, iters=2,
+maxTrainRows=300, seed=42, k=5, queries = s0 ids with id % 40 = 1
+(queries are corpus members; self excluded in scoring).
+
+Usage: python3 scripts/fuzz_lloyd_oracle.py <verifyOutDir> [trials]
+"""
+import hashlib
+import json
+import math
+import random
+import sys
+
+import duckdb
+
+DIM = 64
+N_CELLS = 16
+N_PROBE = 4
+ITERS = 2
+MAX_TRAIN = 300
+SEED = 42
+K = 5
+
+
+def dot(a, b):
+    acc = a[0] * b[0]
+    for i in range(1, DIM):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def cos(a, b):
+    return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+
+def md5hex(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def assign(ids, vecs, cents):
+    """id -> cell: argmax cosine, ties to the smallest cell id."""
+    out = {}
+    for i in ids:
+        best = sorted(cents, key=lambda c: (-cos(vecs[i], cents[c]), c))[0]
+        out[i] = best
+    return out
+
+
+def ref_lloyd_topk(vecs_raw):
+    # s0: zero-norm excluded
+    s0 = {i: v for i, v in vecs_raw.items() if dot(v, v) > 0}
+    smp = sorted(s0, key=lambda i: (md5hex(f"{SEED}:{i}"), i))[:MAX_TRAIN]
+    seeds = sorted(smp, key=lambda i: (md5hex(str(i)), i))[:N_CELLS]
+    cents = {i: list(s0[i]) for i in seeds}
+    for _ in range(ITERS):
+        a = assign(smp, s0, cents)
+        members = {}
+        for i in smp:
+            members.setdefault(a[i], []).append(i)
+        nxt = {}
+        for c in cents:
+            ms = sorted(members.get(c, []))
+            if not ms:
+                nxt[c] = cents[c]  # empty cell keeps prior centroid
+            else:
+                cnt = float(len(ms))
+                mean = []
+                for d in range(DIM):
+                    acc = s0[ms[0]][d]
+                    for m in ms[1:]:
+                        acc = acc + s0[m][d]
+                    mean.append(acc / cnt)
+                nxt[c] = mean
+        cents = nxt
+    af = assign(list(s0), s0, cents)
+    cell_members = {}
+    for i, c in af.items():
+        cell_members.setdefault(c, []).append(i)
+    out = []
+    for q in sorted(i for i in s0 if i % 40 == 1):
+        probes = sorted(cents, key=lambda c: (-cos(s0[q], cents[c]), c))[:N_PROBE]
+        cand = [n for c in probes for n in cell_members.get(c, []) if n != q]
+        ranked = sorted(cand, key=lambda n: (-cos(s0[q], s0[n]), n))[:K]
+        out.extend((q, n, r + 1, cos(s0[q], s0[n]))
+                   for r, n in enumerate(ranked))
+    return out
+
+
+def main():
+    out_dir = sys.argv[1]
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["e_ann_ivf_lloyd_topk"]
+
+    random.seed(73)
+    fails = 0
+    for trial in range(trials):
+        n = random.randint(3, 30)
+        ids = sorted(random.sample(range(0, 400), n))
+        # guarantee at least one query id (1 mod 40)
+        if not any(i % 40 == 1 for i in ids):
+            ids[0] = 40 * random.randint(0, 9) + 1
+            ids = sorted(set(ids))
+        vecs = {i: [random.randint(-64, 64) / 64.0 for _ in range(DIM)]
+                for i in ids}
+        # adversarial plants: a duplicate pair (tie-break) and a zero
+        # vector (s0 exclusion) when the corpus is big enough
+        if len(ids) >= 6:
+            vecs[ids[3]] = list(vecs[ids[1]])
+            vecs[ids[5]] = [0.0] * DIM
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings AS SELECT * FROM (VALUES " +
+            ",".join(f"({i}, CAST({list(map(float, v))} AS FLOAT[]), 0)"
+                     for i, v in vecs.items()) +
+            ") t(vec_id, embedding, label)")
+        got = [(int(r[0]), int(r[1]), int(r[2]), float(r[3]))
+               for r in con.sql(sql).fetchall()]
+        want = ref_lloyd_topk(vecs)
+        if got != want:
+            fails += 1
+            print(f"MISMATCH trial {trial} (n={len(ids)})")
+            print("  got ", got[:6])
+            print("  want", want[:6])
+        con.close()
+    print(f"trials={trials} fails={fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1869,10 +1869,14 @@ object Ann {
          |m$r AS (SELECT cell, list(struct_pack(id := id, v := v) ORDER BY id) AS ms,
          |    CAST(count(*) AS DOUBLE) AS cnt
          |  FROM a$r GROUP BY cell),
-         |c$r AS (SELECT c.cell, coalesce(
-         |    list_transform(range(1, ${dim + 1}), d ->
-         |      list_reduce(list_transform(m$r.ms, m -> m.v[d]), (x, y) -> x + y) / m$r.cnt),
-         |    c.centroid) AS centroid
+         |c$r AS (SELECT c.cell,
+         |    -- the empty-cell fallback must test ms ITSELF: transform
+         |    -- over a NULL ms yields a non-NULL list of NULLs, which
+         |    -- a coalesce on the transform result would keep
+         |    CASE WHEN m$r.ms IS NULL THEN c.centroid
+         |    ELSE list_transform(range(1, ${dim + 1}), d ->
+         |      list_reduce(list_transform(m$r.ms, m -> m.v[d]), (x, y) -> x + y) / m$r.cnt)
+         |    END AS centroid
          |  FROM c${r - 1} c LEFT JOIN m$r USING (cell))""".stripMargin
     }.mkString(",\n")
     s"""s0 AS (SELECT vec_id AS id,
