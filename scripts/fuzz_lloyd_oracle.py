@@ -50,11 +50,19 @@ def md5hex(s):
     return hashlib.md5(s.encode()).hexdigest()
 
 
+def live_cells(cents):
+    """Zero-norm centroids are excluded from assignment AND probing —
+    a cancelled refined centroid would cosine to NaN/NULL and diverge
+    the engines (the lloydCentsArray rule)."""
+    return {c: v for c, v in cents.items() if dot(v, v) > 0}
+
+
 def assign(ids, vecs, cents):
     """id -> cell: argmax cosine, ties to the smallest cell id."""
+    cs = live_cells(cents)
     out = {}
     for i in ids:
-        best = sorted(cents, key=lambda c: (-cos(vecs[i], cents[c]), c))[0]
+        best = sorted(cs, key=lambda c: (-cos(vecs[i], cs[c]), c))[0]
         out[i] = best
     return out
 
@@ -90,8 +98,9 @@ def ref_lloyd_topk(vecs_raw):
     for i, c in af.items():
         cell_members.setdefault(c, []).append(i)
     out = []
+    live = live_cells(cents)
     for q in sorted(i for i in s0 if i % 40 == 1):
-        probes = sorted(cents, key=lambda c: (-cos(s0[q], cents[c]), c))[:N_PROBE]
+        probes = sorted(live, key=lambda c: (-cos(s0[q], live[c]), c))[:N_PROBE]
         cand = [n for c in probes for n in cell_members.get(c, []) if n != q]
         ranked = sorted(cand, key=lambda n: (-cos(s0[q], s0[n]), n))[:K]
         out.extend((q, n, r + 1, cos(s0[q], s0[n]))
@@ -107,8 +116,13 @@ def main():
     random.seed(73)
     fails = 0
     for trial in range(trials):
-        n = random.randint(3, 30)
-        ids = sorted(random.sample(range(0, 400), n))
+        # every 10th trial goes BIG (n > maxTrainRows) so the bounded
+        # md5-sample path (smp a strict subset of s0) is genuinely
+        # exercised — small trials leave that CTE chain an identity
+        big = trial % 10 == 9
+        n = random.randint(MAX_TRAIN + 5, MAX_TRAIN + 40) if big \
+            else random.randint(3, 30)
+        ids = sorted(random.sample(range(0, 4000 if big else 400), n))
         # guarantee at least one query id (1 mod 40)
         if not any(i % 40 == 1 for i in ids):
             ids[0] = 40 * random.randint(0, 9) + 1

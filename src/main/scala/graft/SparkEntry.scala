@@ -4498,9 +4498,11 @@ object SparkEntry {
       // ONE watermarked (window, doc) aggregation, band map-side, and
       // join the persisted corpus signature store (static broadcast,
       // localCheckpointed — a streaming join's static side re-executes
-      // per micro-batch otherwise). Shares d_minhash_incr's oracle;
-      // cross-band duplicate rows carry identical values and dedupe
-      // in the readback projection (the dedupReplay argument)
+      // per micro-batch otherwise). Shares d_minhash_incr's oracle
+      // generator (unbounded maxBucketSize — the unguarded-stream
+      // contract); cross-band duplicate rows carry identical values
+      // and dedupe via dropDuplicates on the sink readback (the same
+      // engine-private-multiplicity stance as st_semantic_contam)
       val docs0 = t(s, dir, "documents")
       // the store in its persisted layout: banded once, checkpointed
       // once — the static side of every micro-batch is then a scan
@@ -7107,10 +7109,16 @@ object SparkEntry {
     },
     "st_minhash_incr" ->
       // the same oracle GENERATOR as d_minhash_incr (the st_changelog
-      // device), on the gate's quarter-size arrival slice: the stream
-      // twin must reproduce the batch operator
+      // device), on the gate's quarter-size arrival slice. The stream
+      // operator intentionally has NO in-stream hot-bucket guard (the
+      // guard is a store-side dial — see minhashIncrStream's
+      // scaladoc), so the oracle must declare the UNGUARDED contract:
+      // maxBucketSize = unbounded, not the batch default of 1000 —
+      // otherwise the two sides diverge the moment any band bucket
+      // crosses the default at a larger scale factor.
       graft.dedup.Dedup.minhashLshIncrementalSql(16, 4,
-        whereNew = "WHERE doc_id % 40 = 7", whereCorpus = "WHERE doc_id % 2 = 0"),
+        whereNew = "WHERE doc_id % 40 = 7", whereCorpus = "WHERE doc_id % 2 = 0",
+        maxBucketSize = Int.MaxValue),
     "st_decontam" -> {
       val fp = graft.text.TextFunctions.fingerprintSql
       s"""WITH bl AS (SELECT ${fp.replace("TXT", "text")} AS fp

@@ -1748,19 +1748,41 @@ object Ann {
       expr(s"transform(`$vecCol`, x -> CAST(x AS DOUBLE))").as("v"))
       .filter(dot(col("v"), col("v")) > 0) // zero-norm: see bruteForceTopK
 
+  /** The ≤ nCells centroids as ONE broadcast array row, ZERO-NORM
+    * CENTROIDS EXCLUDED: a refined centroid whose members cancel to
+    * the zero vector would make every cosine against it NaN on Spark
+    * (NaN ranks ABOVE every double — the [[ivfTopKHashCells]] hazard,
+    * here arising from the refinement output rather than the input)
+    * while SQL engines yield NULL and rank it last. Excluding the
+    * degenerate cell from assignment AND probing is the rule all
+    * three implementations (Spark, oracle, fuzzer reference) share.
+    */
+  private def lloydCentsArray(cents: DataFrame): DataFrame =
+    broadcast(cents
+      .filter(dot(col("centroid"), col("centroid")) > 0)
+      .agg(collect_list(struct(col("cell"), col("centroid"),
+        norm(col("centroid")).as("cnorm"))).as("cents")))
+
+  /** `(cos, negcell, cell)` score structs of `(v, vn)` against the
+    * broadcast `cents` array — `array_max` of these IS the argmax
+    * assignment (ties to the smallest cell id via the negated middle
+    * field), `array_sort` + tail slice IS probe selection. One
+    * construction shared by both, so the tie-break cannot drift.
+    */
+  private def cellScoreStructs(v: Column, vn: Column): Column =
+    transform(col("cents"), ct =>
+      struct((dot(v, ct("centroid")) / (vn * ct("cnorm"))).as("cos"),
+        (-ct("cell")).as("negcell"), ct("cell").as("cell")))
+
   /** Argmax-cosine cell assignment of `(id, v)` rows against a
     * centroid frame — map-only: the ≤ nCells centroids ride as ONE
     * broadcast array row, ties to the smallest cell id.
     */
-  private def lloydAssign(rows: DataFrame, cents: DataFrame): DataFrame = {
-    val cl = broadcast(cents.agg(collect_list(struct(col("cell"),
-      col("centroid"), norm(col("centroid")).as("cnorm"))).as("cents")))
-    rows.crossJoin(cl)
-      .withColumn("cell", array_max(transform(col("cents"), ct =>
-        struct((dot(col("v"), ct("centroid")) / (norm(col("v")) * ct("cnorm"))).as("cos"),
-          (-ct("cell")).as("negcell"), ct("cell").as("cell"))))("cell"))
+  private def lloydAssign(rows: DataFrame, cents: DataFrame): DataFrame =
+    rows.crossJoin(lloydCentsArray(cents))
+      .withColumn("cell",
+        array_max(cellScoreStructs(col("v"), norm(col("v"))))("cell"))
       .select(col("id"), col("v"), col("cell"))
-  }
 
   /** The trained `(cell, centroid)` frame after `iters` Lloyd rounds
     * — the deterministic quantizer shared by [[lloydAssignCounts]]
@@ -1826,15 +1848,12 @@ object Ann {
     val assigned = lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
       .select(col("id").as("neighbor_id"), col("v").as("cv"),
         norm(col("v")).as("cn"), col("cell"))
-    val cl = broadcast(cents.agg(collect_list(struct(col("cell"),
-      col("centroid"), norm(col("centroid")).as("cnorm"))).as("cents")))
     val q = lloydBase(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qv"),
         norm(col("v")).as("qn"))
-    val probes = q.crossJoin(cl)
-      .withColumn("scores", array_sort(transform(col("cents"), ct =>
-        struct((dot(col("qv"), ct("centroid")) / (col("qn") * ct("cnorm"))).as("cos"),
-          (-ct("cell")).as("negcell"), ct("cell").as("cell")))))
+    val probes = q.crossJoin(lloydCentsArray(cents))
+      .withColumn("scores",
+        array_sort(cellScoreStructs(col("qv"), col("qn"))))
       .filter(size(col("scores")) > 0)
       .withColumn("np", least(lit(nProbe), size(col("scores"))))
       .withColumn("probe", explode(slice(col("scores"), -col("np"), col("np"))))
@@ -1847,14 +1866,17 @@ object Ann {
   }
 
   /** Per-id argmax-cell assignment CTE pair (`a<tag>r`, `a<tag>`) —
-    * shared by the Lloyd SQL twins.
+    * shared by the Lloyd SQL twins. Zero-norm centroids are excluded
+    * (the [[lloydCentsArray]] rule: a cancelled refined centroid
+    * would cosine to NaN/NULL and diverge the engines).
     */
   private def lloydAssignCtesSql(
       tag: String, rowsFrom: String, centsFrom: String, dim: Int) =
     s"""a${tag}r AS (SELECT s.id, s.v, c.cell,
        |    row_number() OVER (PARTITION BY s.id
        |      ORDER BY ${cosineSql("s.v", "c.centroid", dim)} DESC, c.cell) AS rn
-       |  FROM $rowsFrom s CROSS JOIN $centsFrom c),
+       |  FROM $rowsFrom s CROSS JOIN (SELECT * FROM $centsFrom
+       |    WHERE ${dotSql("centroid", "centroid", dim)} > 0) c),
        |a$tag AS (SELECT id, v, cell FROM a${tag}r WHERE rn = 1)""".stripMargin
 
   /** The WITH-body prefix training the Lloyd centroids: defines
@@ -1915,7 +1937,8 @@ object Ann {
        |probe0 AS (SELECT q.query_id, q.qv, c.cell,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY ${cosineSql("q.qv", "c.centroid", dim)} DESC, c.cell) AS rn
-       |  FROM q CROSS JOIN c$iters c),
+       |  FROM q CROSS JOIN (SELECT * FROM c$iters
+       |    WHERE ${dotSql("centroid", "centroid", dim)} > 0) c),
        |probes AS (SELECT query_id, qv, cell FROM probe0 WHERE rn <= $nProbe),
        |scored AS (SELECT p.query_id, a.id AS neighbor_id,
        |    ${cosineSql("p.qv", "a.v", dim)} AS score

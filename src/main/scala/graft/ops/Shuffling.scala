@@ -132,12 +132,13 @@ object Shuffling {
     * trades the textbook average-tied-rank for engine-exactness; for
     * an agreement AUDIT the difference is noise.
     *
-    * Integer-range dial: `6·10^6·Σd²` must fit int64, which holds for
-    * n up to ~115 000 rows (Σd² ≤ n³/3 in the worst case). The
-    * operator REQUIRES that bound rather than silently overflowing;
-    * at corpus scale run it on a deterministic [[Sampling.hashSample]]
-    * slice (rank agreement is a statistical property — a 10^5-row
-    * hash sample estimates ρ to ±0.01) or bucket the ranks first.
+    * Integer-range dial: `6·10^6·Σd²` must fit int64 and worst-case
+    * Σd² (reversed ranks) is `n(n²−1)/3`, so `2·10^6·n³ ≤ 2^63−1` →
+    * n ≤ 16 600. Both engines REQUIRE that bound rather than silently
+    * overflowing (Spark raise_error, DuckDB error()); at corpus scale
+    * run it on a deterministic [[Sampling.hashSample]] slice (rank
+    * agreement is a statistical property — a 10^4-row hash sample
+    * estimates ρ to ±0.02) or bucket the ranks first.
     */
   def rankCorrelation(
       df: DataFrame, idCol: String, xCol: Column, yCol: Column): DataFrame = {
@@ -151,9 +152,10 @@ object Shuffling {
       .agg(count(lit(1)).as("n"),
         sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
       .select(col("n"), col("sum_d2"),
-        expr("CASE WHEN n > 115000 THEN raise_error(" +
-          "'rankCorrelation: n > 115000 overflows the exact integer " +
-          "rho - hashSample the input first') " +
+        expr("CASE WHEN n > 16600 THEN raise_error(" +
+          "'rankCorrelation: n > 16600 can overflow the exact integer " +
+          "rho (worst-case 6e6*sum_d2 = 2e6*n^3) - hashSample the " +
+          "input first') " +
           "ELSE 1000000L - (6000000L * sum_d2) " +
           "div greatest(n * (n * n - 1L), 1L) END")
           .cast("long").as("rho_ppm"))
@@ -172,8 +174,10 @@ object Shuffling {
        |    CAST(sum((rx.rx - ry.ry) * (rx.rx - ry.ry)) AS BIGINT) AS sum_d2
        |  FROM rx JOIN ry USING (id))
        |SELECT n, sum_d2,
-       |  CAST(1000000 - (6000000 * sum_d2)
-       |    // GREATEST(n * (n * n - 1), 1) AS BIGINT) AS rho_ppm
+       |  CAST(CASE WHEN n > 16600 THEN error(
+       |      'rankCorrelation: n > 16600 can overflow the exact rho')
+       |    ELSE 1000000 - (6000000 * sum_d2)
+       |      // GREATEST(n * (n * n - 1), 1) END AS BIGINT) AS rho_ppm
        |FROM j""".stripMargin
 
   /** Deterministic negative sampling for contrastive training: `k`

@@ -146,8 +146,9 @@ object Streams {
     * side a checkpointed scan instead of a re-derivation. Output: one
     * `(new_id, corpus_id, n_common_minhash, est_jaccard)` row per
     * matching band — cross-band duplicates carry identical values by
-    * construction and dedupe wherever the sink is consumed (the
-    * [[graft.streaming.Replay.dedupReplay]] projection argument).
+    * construction and dedupe wherever the sink is consumed (which
+    * duplicate survives a micro-batch is engine-private; consumers
+    * project the pair key — the [[semanticContamStream]] stance).
     *
     * Scale/state: the only stateful operator is the signature
     * aggregation — per-key state is `numHashes` longs, evicted by the

@@ -117,6 +117,56 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("minhashIncrStream candidate pairs equal the batch minhashLshPairsAgainst") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // a persisted corpus store with a planted near-dup of doc 1
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "entirely different words about spark streaming"),
+      (12L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val corpusBanded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 16), 16, 4)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streams.minhashIncrStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      corpusBanded, numHashes = 16, bands = 4, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    try {
+      val arrivals = Seq(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(5), "no shingles shared with anything here at all"))
+      input.addData(arrivals: _*)
+      // two far-future sentinels: the first advances the watermark
+      // past the data windows, the second runs the batch in which
+      // they finalize (the Replay two-sentinel device); sentinel
+      // shingles are unique tokens and collide with nothing
+      input.addData((-1L, ts(100000), "sentinelonly uniquetok"))
+      input.addData((-2L, ts(200000), "sentineltwo othertok"))
+      query.processAllAvailable()
+      val got = spark.table("mh_stream")
+        .filter(col("new_id") >= 0)
+        .select("new_id", "corpus_id", "n_common_minhash", "est_jaccard")
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      val want = Dedup.minhashLshPairsAgainst(
+        Dedup.minhashSignatures(
+          arrivals.toDF("doc_id", "ts", "text"), "doc_id", "text", 16),
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 16),
+        numHashes = 16, bands = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(want.exists(p => p._1 == 1L && p._2 == 10L),
+        "planted exact dup not found — weak fixture")
+    } finally query.stop()
+  }
+
   test("surpriseStream equals batch surpriseScore per document (stream-static census join)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
