@@ -4988,6 +4988,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    "s_dynamic_prune" -> ((s, dir) => {
+      // DYNAMIC partition pruning under the gate (s_partition_prune's
+      // join-driven sibling): the fact is partitioned by order YEAR
+      // and the dim keeps only years whose max order price clears a
+      // threshold — a DATA-DEPENDENT aggregate predicate no static
+      // rule can fold into a partition filter (a literal dim folds
+      // away; a key-derivable predicate gets inferred as a static
+      // constraint — both tried and rejected by this gate's own plan
+      // assertion). Spark must plant a dynamicpruning subquery in the
+      // fact scan's partition filters, fed by the dim broadcast.
+      // Asserted on the executed plan, the o_range_join_rewrite
+      // device: a silently-full scan fails loudly here, not at 100 TB
+      // where the partitions are months.
+      import graft.sources.Sources
+      val out = s"${scratchRoot()}/dynamic_prune"
+      Sources.writeParquet(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+        s"$out/o", partitionBy = Seq("o_year"))
+      val fact = Sources.readParquet(s, s"$out/o")
+      val dim = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(max(col("o_totalprice")).as("mx"))
+        .filter(col("mx") > 499000.0)
+      val res = fact
+        .join(broadcast(dim), col("o_year") === col("y"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderpriority")
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        "dynamic partition pruning did not plant its subquery — the " +
+          s"dim-filtered join would full-scan the fact:\n$plan")
+      res
+    }),
 
     // ---- the flagship reference capability under the oracle gate:
     // normalize a denormalized frame into a fresh Derby star schema via
@@ -7439,6 +7473,13 @@ object SparkEntry {
     "s_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "s_dynamic_prune" ->
+      """WITH y AS (SELECT year(o_orderdate) AS y
+        |  FROM orders GROUP BY 1 HAVING max(o_totalprice) > 499000.0)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_orderkey) AS min_key
+        |FROM orders JOIN y ON year(o_orderdate) = y.y
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "c_load_roundtrip" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_name""".stripMargin,
