@@ -4496,13 +4496,15 @@ object SparkEntry {
     "st_minhash_incr" -> ((s, dir) => {
       // incremental LSH at the stream door: arriving docs sign via
       // ONE watermarked (window, doc) aggregation, band map-side, and
-      // join the persisted corpus signature store (static broadcast,
-      // localCheckpointed — a streaming join's static side re-executes
-      // per micro-batch otherwise). Shares d_minhash_incr's oracle
-      // generator (unbounded maxBucketSize — the unguarded-stream
-      // contract); cross-band duplicate rows carry identical values
-      // and dedupe via dropDuplicates on the sink readback (the same
-      // engine-private-multiplicity stance as st_semantic_contam)
+      // join the persisted corpus signature store (NO strategy hint —
+      // the store is corpus-scale; localCheckpointed so a streaming
+      // join's static side doesn't re-execute per micro-batch).
+      // Shares d_minhash_incr's oracle generator (unbounded
+      // maxBucketSize — the unguarded contract, so the stream dial is
+      // pinned to Int.MaxValue here); cross-band duplicate rows carry
+      // identical values and dedupe via dropDuplicates on the sink
+      // readback (the same engine-private-multiplicity stance as
+      // st_semantic_contam)
       val docs0 = t(s, dir, "documents")
       // the store in its persisted layout: banded once, checkpointed
       // once — the static side of every micro-batch is then a scan
@@ -4520,7 +4522,11 @@ object SparkEntry {
         Seq(stream) ++ docSentinels(s),
         src => graft.streaming.Streams.minhashIncrStream(
           src, "doc_id", "text", corpusBanded, numHashes = 16, bands = 4,
-          watermark = "0 seconds"))
+          watermark = "0 seconds", maxBucketSize = Int.MaxValue))
+        // sentinel rows ride negative uids; they shingle to unique
+        // tokens and should pair with nothing, but the readback
+        // filters them like every sibling streaming gate does
+        .filter(col("new_id") >= 0)
         .dropDuplicates("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
     }),

@@ -153,16 +153,24 @@ object Streams {
     * Scale/state: the only stateful operator is the signature
     * aggregation — per-key state is `numHashes` longs, evicted by the
     * watermark; the join is stateless stream-static. The hot-bucket
-    * guard is a STORE-side dial at this door: apply `maxBucketSize`
-    * to the corpus store batch-side before broadcasting (the store is
-    * what persists and accumulates boilerplate buckets); an
-    * ingest-side census would be a per-batch aggregation over rows
-    * that are already bounded by the micro-batch.
+    * guard mirrors the batch twin's shape with the census on the
+    * STORE side (the side that persists and accumulates boilerplate
+    * buckets; the ingest side is already bounded by the micro-batch):
+    * buckets wider than `maxBucketSize` become a blocklist that is
+    * the ONLY broadcast side — both the store and the arriving band
+    * rows anti-join it. The store itself joins with NO strategy hint:
+    * it is O(corpus × bands) rows, and forcing a broadcast on it is a
+    * driver/executor OOM at exactly the scale this operator exists
+    * for — shuffle (or let AQE broadcast a genuinely small store) is
+    * the 100 TB plan. `broadcastStore = true` restores the hint for
+    * stores KNOWN to be small (e.g. a per-tenant blocklist);
+    * defaults off.
     */
   def minhashIncrStream(
       docs: DataFrame, idCol: String, textCol: String,
       corpusBanded: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", maxBucketSize: Int = 1000,
+      broadcastStore: Boolean = false): DataFrame = {
     import graft.dedup.Dedup
     val shingled = docs
       .withWatermark("ts", watermark)
@@ -176,11 +184,23 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
       .drop("w")
     val nb = Dedup.bandedSignatures(sig, numHashes, bands)
+    // the batch twin's hot-bucket device (minhashLshPairsAgainst):
+    // census band keys, broadcast only the tiny blocklist, anti-join
+    // both sides — the stream-side anti-join is a stateless map pass
+    // per micro-batch
+    val hot = corpusBanded
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val store0 = corpusBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val store = if (broadcastStore) broadcast(store0) else store0
+    val nbb = nb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     val agree = (0 until numHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    nb.as("sa")
-      .join(broadcast(corpusBanded.as("sb")),
+    nbb.as("sa")
+      .join(store.as("sb"),
         col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey"))
       .select(col("sa.id").as("new_id"), col("sb.id").as("corpus_id"),
         agree.as("n_common_minhash"),

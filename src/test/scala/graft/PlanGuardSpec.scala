@@ -220,6 +220,35 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       "minhash census lost its broadcast anti-join")
   }
 
+  test("stream-door minhash: only the hot blocklist is hinted — the store side is join-strategy-free") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Dedup
+    // the corpus signature store is O(docs × bands) rows — a binding
+    // broadcast hint on it is a driver OOM at the scale the stream
+    // door exists for. Pin: the analyzed plan carries exactly the two
+    // broadcast hints of the hot-bucket anti-joins (tiny blocklist),
+    // and the store side gains a hint ONLY via the explicit dial.
+    val corpus = spark.range(8).toDF("doc_id")
+      .select(col("doc_id"), concat(lit("tok"), col("doc_id")).as("text"))
+    val banded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 16), 16, 4)
+    def hintCount(broadcastStore: Boolean): Int = {
+      val src = spark.readStream.format("rate").load()
+        .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+          concat(lit("tok"), col("value")).as("text"))
+      val analyzed = graft.streaming.Streams.minhashIncrStream(
+        src, "doc_id", "text", banded, numHashes = 16, bands = 4,
+        watermark = "0 seconds", maxBucketSize = 1000,
+        broadcastStore = broadcastStore)
+        .queryExecution.analyzed.toString
+      "ResolvedHint".r.findAllIn(analyzed).size
+    }
+    assert(hintCount(false) == 2,
+      "store side gained (or blocklist lost) a broadcast hint")
+    assert(hintCount(true) == 3,
+      "broadcastStore dial no longer hints the store")
+  }
+
   test("tfidf persistInput collapses the triple source scan to one cached pass") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -167,6 +167,61 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("minhashIncrStream hot-bucket guard blocks pathological store buckets") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // three IDENTICAL store docs share every band bucket (width 3);
+    // with maxBucketSize = 2 those buckets are hot and must be
+    // blocklisted on BOTH sides, so the arriving identical doc pairs
+    // with nothing — while the distinct pair (20/21) still pairs
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpusBanded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 16), 16, 4)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streams.minhashIncrStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      corpusBanded, numHashes = 16, bands = 4, watermark = "0 seconds",
+      maxBucketSize = 2)
+      .writeStream.format("memory").queryName("mh_hot_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha beta gamma delta epsilon zeta"),
+        (2L, ts(5), "the quick brown fox jumps over a lazy dog"))
+      input.addData((-1L, ts(100000), "sentinelonly uniquetok"))
+      input.addData((-2L, ts(200000), "sentineltwo othertok"))
+      query.processAllAvailable()
+      val got = spark.table("mh_hot_stream")
+        .filter(col("new_id") >= 0)
+        .select("new_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.exists(_._1 == 1L),
+        s"hot-bucket doc 1 still paired: $got — store-side guard inert")
+      assert(got.exists(p => p._1 == 2L && p._2 == 20L),
+        s"cold-bucket near-dup (2,20) lost: $got — guard over-blocks")
+      // and the guard result equals the batch twin censused the same way
+      val want = Dedup.minhashLshPairsAgainst(
+        Dedup.minhashSignatures(
+          Seq((1L, "alpha beta gamma delta epsilon zeta"),
+            (2L, "the quick brown fox jumps over a lazy dog"))
+            .toDF("doc_id", "text"), "doc_id", "text", 16),
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 16),
+        numHashes = 16, bands = 4, maxBucketSize = 2)
+        .select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch censuses the COMBINED population, stream censuses the
+      // store; on this fixture the hot set is store-driven, so the
+      // two guards must agree exactly
+      assert(got == want, s"stream $got != batch $want")
+    } finally query.stop()
+  }
+
   test("surpriseStream equals batch surpriseScore per document (stream-static census join)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
