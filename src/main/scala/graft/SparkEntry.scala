@@ -3028,8 +3028,16 @@ object SparkEntry {
       // vs token count): both rank via the distributed prefix-scan
       // rankBy — never a single-partition window — then one integer
       // census row (n, sum_d2, rho_ppm). The audit that says whether
-      // a new filter adds signal or re-ranks the old one
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 2)
+      // a new filter adds signal or re-ranks the old one. The exact
+      // integer rho overflows past n = 16,600 (rankCorrelation raises
+      // there), so the audit runs on a deterministic hashSample of
+      // the slice — the rank-agreement number is a statistic, and a
+      // 10% hash sample keeps the gate under the guard to sf ~130
+      // while the sample itself stays membership-stable as the
+      // corpus grows
+      val docs = graft.ops.Sampling.hashSample(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 2),
+        "doc_id", fraction = 0.1)
       graft.ops.Shuffling.rankCorrelation(docs, "doc_id",
         col("n_chars"),
         size(graft.text.TextFunctions.tokens(lower(col("text")))).cast("long"))
@@ -6385,7 +6393,9 @@ object SparkEntry {
     },
     "p_rank_corr" ->
       graft.ops.Shuffling.rankCorrelationSql(
-        "documents WHERE doc_id % 4 = 2", "doc_id", "n_chars",
+        "documents WHERE doc_id % 4 = 2 AND " +
+          graft.ops.Sampling.bucketSql("doc_id", 42L) + " < 100000",
+        "doc_id", "n_chars",
         "CAST(len(" +
           graft.text.TextFunctions.tokensSql.replace("TXT", "lower(text)") +
           ") AS BIGINT)"),
