@@ -56,16 +56,36 @@ object Nsw {
     * node vectors, `queries` the probes (ids may overlap the corpus;
     * self-matches are legitimate results here, unlike the
     * exact-baseline verifiers).
+    *
+    * The rounds are sequential actions (each round's beam is
+    * localCheckpointed — see the fold comment), so the three frames
+    * every round re-references — the edge list and the two vector
+    * projections — would otherwise RE-EXECUTE per round: for a graph
+    * that arrives as a lazy build plan (the NN-descent composition)
+    * that is rounds× the whole build. `persistInputs` (default on)
+    * persists them MEMORY_AND_DISK for the search's duration — the
+    * reuse-over-recompute call a production searcher makes by reading
+    * its index from storage; pass `false` when the caller has already
+    * persisted/checkpointed all three. The final cut ranks the LAST
+    * round's carried scores — cosine is pure, so re-scoring the final
+    * beam through another pair of vector joins would compute
+    * identical values; skipping it drops one join chain from the
+    * critical path at any scale.
     */
   def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, beam: Int, rounds: Int,
-      k: Int): DataFrame = {
+      k: Int, persistInputs: Boolean = true): DataFrame = {
     require(beam >= 1 && rounds >= 0 && k >= 1 && k <= beam,
       s"need 1 <= k <= beam and rounds >= 0, got beam=$beam rounds=$rounds k=$k")
-    val nodes = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
-      .filter(Ann.norm(col("nv")) > 0)
-    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .filter(Ann.norm(col("qv")) > 0)
+    def reuse(df: DataFrame): DataFrame =
+      if (persistInputs)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val g = reuse(graph)
+    val nodes = reuse(corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
+      .filter(Ann.norm(col("nv")) > 0))
+    val qs = reuse(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(Ann.norm(col("qv")) > 0))
     val entry = nodes.agg(min(col("node")).as("node"))
     def score(cands: DataFrame): DataFrame =
       cands.join(nodes, Seq("node"))
@@ -73,22 +93,30 @@ object Nsw {
         .select(col("query_id"), col("node").as("neighbor_id"),
           Ann.cosine(col("qv"), col("nv")).as("score"))
     val beam0 = qs.select(col("query_id")).crossJoin(broadcast(entry))
-    val last = (1 to rounds).foldLeft(beam0) { (b, _) =>
-      // b is referenced TWICE (kept ∪ expanded) — uncut, the plan
-      // tree doubles per round (the HITS lesson, SCALE.md); the
-      // beam is queries×beam rows, so an eager localCheckpoint per
-      // round costs nothing and keeps the plan constant-size
+    // each round: b is referenced TWICE (kept ∪ expanded) — uncut,
+    // the plan tree doubles per round (the HITS lesson, SCALE.md);
+    // the beam is queries×beam rows, so an eager localCheckpoint per
+    // round costs nothing and keeps the plan constant-size
+    def expand(b: DataFrame): DataFrame = {
       val cut = b.localCheckpoint(true)
       val expanded = cut
-        .unionByName(cut.join(graph, col("node") === col("src"))
+        .unionByName(cut.join(g, col("node") === col("src"))
           .select(col("query_id"), col("dst").as("node")))
         .distinct()
       Ann.heapRank(score(expanded), "score", "double", beam,
         ascending = false)
-        .select(col("query_id"), col("neighbor_id").as("node"))
     }
-    Ann.heapRank(score(last.distinct()), "score", "double", k,
-      ascending = false)
+    if (rounds == 0)
+      Ann.heapRank(score(beam0.distinct()), "score", "double", k,
+        ascending = false)
+    else {
+      val last = (2 to rounds).foldLeft(expand(beam0)) { (b, _) =>
+        expand(b.select(col("query_id"), col("neighbor_id").as("node")))
+      }
+      Ann.heapRank(
+        last.select(col("query_id"), col("neighbor_id"), col("score")),
+        "score", "double", k, ascending = false)
+    }
   }
 
   /** NN-descent — the CORPUS-SCALE graph build that replaces
