@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   *     verifier arm, quadratic BY CONTRACT, so the audit times the
   *     scale arm it exists to verify)
   *   - `d_dedup_clusters` — pair finder → connected components
+  *   - stream_band_join   — the stream door's store join
+  *     ([[graft.dedup.Dedup.bandJoinAgainstStore]], the EXACT body
+  *     `minhashIncrStream` runs per micro-batch) over a
+  *     batch-equivalent arrival slice — the candidate-volume hazard
+  *     if the store's bucket skew regressed
+  *   - lloyd_ivf_topk     — trained-IVF retrieval
+  *     ([[graft.ann.Ann.lloydIvfTopK]]): the probes × assigned-cells
+  *     join is the quadratic hazard if the probe slice stops pruning
   *
   * Blow-up construction: copy `i` shifts ids by a multiple of every
   * residue modulus the gates slice on (so each copy contributes the
@@ -36,7 +44,10 @@ import org.apache.spark.sql.functions._
   * noise headroom) per family; exit 1 on any breach. Ratios land in
   * SCALE.md per round.
   *
-  * Usage: `runMain graft.ScaleTrend [sfDir] [factor] [maxRatio]`
+  * Usage: `runMain graft.ScaleTrend [sfDir] [factor] [maxRatio]
+  * [families]` — `families` a comma-separated subset (default all),
+  * for deep single-family points (e.g. `d_substr_self` at factor 30)
+  * without paying the full sweep at that factor.
   */
 object ScaleTrend {
 
@@ -66,7 +77,7 @@ object ScaleTrend {
     try {
       synthesize(spark, sfDir, blowDir, factor)
 
-      val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      val allFamilies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "d_minhash_lsh" -> SparkEntry.queries("d_minhash_lsh"),
         "d_substr_self" -> SparkEntry.queries("d_substr_self"),
         "nndescent_build" -> ((s: SparkSession, dir: String) =>
@@ -74,7 +85,33 @@ object ScaleTrend {
             s.read.parquet(s"$dir/embeddings.parquet")
               .filter(col("vec_id") % 4 === 0),
             "vec_id", "embedding", k = 5, rounds = 2, groups = 16)),
-        "d_dedup_clusters" -> SparkEntry.queries("d_dedup_clusters"))
+        "d_dedup_clusters" -> SparkEntry.queries("d_dedup_clusters"),
+        "stream_band_join" -> ((s: SparkSession, dir: String) => {
+          // the stream door's per-micro-batch body over a
+          // batch-equivalent arrival slice (st_minhash_incr's %40
+          // residue), at the PRODUCTION guard dial — the gate runs
+          // unguarded by oracle contract, the audit runs what a
+          // deployment would
+          import graft.dedup.Dedup
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          val store = Dedup.bandedSignatures(Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16), 16, 4)
+          val arrivals = Dedup.bandedSignatures(Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % 40 === 7), "doc_id", "text", 16), 16, 4)
+          Dedup.bandJoinAgainstStore(arrivals, store, numHashes = 16)
+        }),
+        "lloyd_ivf_topk" -> ((s: SparkSession, dir: String) => {
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          graft.ann.Ann.lloydIvfTopK(
+            emb.filter(col("vec_id") % 40 === 1), emb,
+            "vec_id", "embedding", k = 5)
+        }))
+      val wanted = if (args.length > 3) args(3).split(',').toSet else Set.empty[String]
+      val unknown = wanted -- allFamilies.map(_._1).toSet
+      require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
+      val families =
+        if (wanted.isEmpty) allFamilies
+        else allFamilies.filter(f => wanted(f._1))
 
       def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
         val t0 = System.nanoTime()

@@ -483,6 +483,56 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
   }
 
+  /** Band join of an ALREADY-BANDED new side against the persisted
+    * banded corpus store, with the hot-bucket guard censused on the
+    * STORE side — the tail of
+    * [[graft.streaming.Streams.minhashIncrStream]], factored out so
+    * the stream door and the batch-equivalent ScaleTrend audit time
+    * ONE body that can't drift. Differences vs
+    * [[minhashLshPairsAgainst]]: the inputs arrive banded (the store's
+    * persisted layout; a stream's map-side derivation), the census
+    * reads only the store (the new side is bounded by its
+    * batch/micro-batch), and cross-band duplicate pairs are NOT
+    * deduped here (a streaming sink dedupes on read — consumers
+    * project the pair key).
+    *
+    * Only the tiny blocklist broadcasts; the store side carries no
+    * join-strategy hint (it is O(corpus × bands) rows) unless
+    * `broadcastStore` — the dial for stores known to be small.
+    */
+  def bandJoinAgainstStore(
+      newBanded: DataFrame, corpusBanded: DataFrame, numHashes: Int,
+      maxBucketSize: Int = 1000, broadcastStore: Boolean = false,
+  ): DataFrame = {
+    // Int.MaxValue = guard disabled by contract (no bucket can exceed
+    // it): skip the census entirely — a streaming caller would
+    // otherwise pay a store-wide aggregation per micro-batch for an
+    // always-empty blocklist
+    val unguarded = maxBucketSize == Int.MaxValue
+    def withGuard(side: DataFrame): DataFrame =
+      if (unguarded) side
+      else {
+        val hot = corpusBanded
+          .groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize)
+          .select(col("band"), col("bkey"))
+        side.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
+    val store0 = withGuard(corpusBanded)
+    val store = if (broadcastStore) broadcast(store0) else store0
+    val nbb = withGuard(newBanded)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    nbb.as("sa")
+      .join(store.as("sb"),
+        col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey"))
+      .select(col("sa.id").as("new_id"), col("sb.id").as("corpus_id"),
+        agree.as("n_common_minhash"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** Number of simhash bits (small enough that 2^b stays in a signed

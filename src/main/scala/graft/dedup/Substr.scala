@@ -101,7 +101,14 @@ object Substr {
       col("__key"))
     val b = anchors.select(col("__id").as("id_b"), col("__pos").as("pos_b"),
       col("__key"))
-    val diag = a.join(b, Seq("__key"))
+    // the anchor self-join's two sides are the SAME corpus-scale
+    // frame, but its size ESTIMATE is the pre-explode scan size — a
+    // per-char explode underestimated ~100×, which let the planner
+    // auto-broadcast an anchor side and collect corpus-scale anchors
+    // to the driver (found by the factor-30 ScaleTrend point:
+    // maxResultSize abort at 1.2 GiB). Broadcast is never right here;
+    // pin the sort-merge strategy
+    val diag = a.join(b.hint("merge"), Seq("__key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
         (col("pos_a") - col("pos_b")).as("__diag"))
@@ -158,7 +165,11 @@ object Substr {
       }
     val a = anchors.select(col("__id"), col("__pos").as("pos_a"), col("__key"))
     val b = anchors.select(col("__id"), col("__pos").as("pos_b"), col("__key"))
-    val diag = a.join(b, Seq("__key", "__id"))
+    // same sort-merge pin as [[sharedRuns]]: both sides are the
+    // exploded anchor frame, whose size estimate (pre-explode scan
+    // bytes) is low enough to trip an auto-broadcast that collects
+    // corpus-scale anchors to the driver
+    val diag = a.join(b.hint("merge"), Seq("__key", "__id"))
       .filter(col("pos_a") < col("pos_b"))
       .select(col("__id"), col("pos_a"), col("pos_b"),
         (col("pos_b") - col("pos_a")).as("__diag"))

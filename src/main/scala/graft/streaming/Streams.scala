@@ -184,27 +184,12 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
       .drop("w")
     val nb = Dedup.bandedSignatures(sig, numHashes, bands)
-    // the batch twin's hot-bucket device (minhashLshPairsAgainst):
-    // census band keys, broadcast only the tiny blocklist, anti-join
-    // both sides — the stream-side anti-join is a stateless map pass
-    // per micro-batch
-    val hot = corpusBanded
-      .groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bkey"))
-    val store0 = corpusBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    val store = if (broadcastStore) broadcast(store0) else store0
-    val nbb = nb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    val agree = (0 until numHashes)
-      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    nbb.as("sa")
-      .join(store.as("sb"),
-        col("sa.band") === col("sb.band") && col("sa.bkey") === col("sb.bkey"))
-      .select(col("sa.id").as("new_id"), col("sb.id").as("corpus_id"),
-        agree.as("n_common_minhash"),
-        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    // the shared store-join tail (census the store's band keys,
+    // broadcast only the tiny blocklist, anti-join both sides — the
+    // stream-side anti-join is a stateless map pass per micro-batch):
+    // one body with the batch-equivalent ScaleTrend audit
+    Dedup.bandJoinAgainstStore(nb, corpusBanded, numHashes,
+      maxBucketSize, broadcastStore)
   }
 
   /** Streaming exact-dedup on an id column: duplicates arriving within
