@@ -3060,6 +3060,29 @@ object SparkEntry {
       graft.ops.Bootstrap.resampleMeans(
         t(s, dir, "documents"), "source", "n_chars", b = 32, seed = 7L)
         .orderBy("b")),
+    "p_bootstrap_duprate" -> ((s, dir) => {
+      // the error bar on THE curation number: the duplicate rate. A
+      // doc is flagged iff it rides any MinHash-LSH candidate pair
+      // (d_minhash_lsh's census, same slice/params), and the flag
+      // census is cluster-bootstrapped BY SOURCE — duplicates arrive
+      // in bursts from their crawl source, so the row bootstrap's
+      // interval would be too narrow exactly here. mean_micro = the
+      // resampled duplicate rate in ppm; the spread of the 32 rows is
+      // the CI a dedup-threshold decision should clear
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val pairs = graft.dedup.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 16, bands = 4)
+      val dup = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("__dup", lit(1L))
+      val flagged = docs.select(col("doc_id"), col("source"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("source"), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+      graft.ops.Bootstrap.resampleMeans(
+        flagged, "source", "is_dup", b = 32, seed = 11L)
+        .orderBy("b")
+    }),
     "p_sample_skew" -> ((s, dir) =>
       // sampling-bias audit: per-priority population vs hash-sample
       // shares in integer ppm — the after-every-sample check that a
@@ -6405,6 +6428,22 @@ object SparkEntry {
     "p_bootstrap_cluster" ->
       graft.ops.Bootstrap.resampleMeansSql(
         "documents", "source", "n_chars", b = 32, seed = 7L),
+    "p_bootstrap_duprate" -> {
+      // the flag census rides the d_minhash_lsh pair CTE verbatim
+      // (same params/slice); resampleMeansSql then renders the
+      // identical weight arithmetic over (source, is_dup)
+      val pairs = graft.dedup.Dedup.minhashLshSql(16, 4,
+        "WHERE doc_id % 5 = 0")
+      graft.ops.Bootstrap.resampleMeansSql(
+        s"""(SELECT d.source,
+           |    CASE WHEN u.id IS NULL THEN 0 ELSE 1 END AS is_dup
+           |  FROM (SELECT doc_id, source FROM documents
+           |    WHERE doc_id % 5 = 0) d
+           |  LEFT JOIN (SELECT DISTINCT id FROM (
+           |      SELECT unnest([id_a, id_b]) AS id FROM ($pairs) p) uu) u
+           |  ON d.doc_id = u.id) fl""".stripMargin,
+        "source", "is_dup", b = 32, seed = 11L)
+    },
     "p_sample_skew" ->
       graft.ops.Sampling.sampleSkewAuditSql(
         "orders", "o_orderkey", "o_orderpriority", fraction = 0.2),

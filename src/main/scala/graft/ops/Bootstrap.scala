@@ -75,6 +75,12 @@ object Bootstrap {
     * they always are — the row bootstrap's interval is too narrow by
     * ~sqrt(design effect) there). Either way the weight is a pure
     * function of (seed, b, key): no cluster census, no join.
+    *
+    * `xCol` must be NON-NEGATIVE for oracle parity: `mean_micro`
+    * divides with Spark's `div` (truncates toward zero) and DuckDB's
+    * `//` (floors) — identical on non-negative sums, divergent on
+    * negative ones. Shift negative metrics by a constant upstream
+    * (the library offset device) rather than relying on the division.
     */
   def resampleMeans(
       df: DataFrame, keyCol: String, xCol: String, b: Int = 32,
