@@ -294,39 +294,54 @@ object Bpe {
       census: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
   ): (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    // LAZY localCheckpoints throughout: the plan is truncated to a
+    // LogicalRDD either way (constant-size per round), but the
+    // materialization rides the NEXT round's argmax job instead of
+    // being its own blocking job — one job per round, not two (the
+    // per-gate trains are fixed-cost-dominated; this halves it)
     var seg = census.select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
         .as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // unpersist bookkeeping shifts by one round with lazy cuts: a
+    // lazy checkpoint's RDD still NEEDS its predecessor's blocks
+    // until its own first materialization (lineage truncates on
+    // compute), so each round frees the rdd made safe by the argmax
+    // it just ran — the one from TWO rounds back. At production merge
+    // counts (10⁴–10⁵ rounds) leaving them to the GC-driven
+    // ContextCleaner would accumulate executor storage for the whole
+    // train; Dataset.unpersist would be a no-op (no CacheManager
+    // entry), the handle is the underlying RDD
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var done = false
     var round = 0
     while (!done && round < numMerges) {
       // bounded driver argmax: ONE row per round (k rows total), the
-      // sanctioned driver-loop pattern (see scaladoc)
+      // sanctioned driver-loop pattern (see scaladoc); this action
+      // also materializes `seg`'s lazy checkpoint
       val top = pairCounts(seg, col("syms"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = None
       if (top.isEmpty || top(0).getAs[Long]("n") < minPairFreq) done = true
       else {
         val (a, b, n) = (top(0).getAs[String]("lhs"),
           top(0).getAs[String]("rhs"), top(0).getAs[Long]("n"))
         merges += ((a, b, n))
         val next = seg.withColumn("syms", mergeStep(col("syms"), a, b))
-          .localCheckpoint() // constant-size plan per round
-        // free the PREVIOUS round's checkpoint blocks now: after
-        // localCheckpoint the frame plans as a LogicalRDD with no
-        // CacheManager entry, so Dataset.unpersist would be a no-op —
-        // the persisted thing is the underlying RDD. `next` is eager
-        // (materialized), so the old blocks are already dead; at
-        // production merge counts (10⁴–10⁵ rounds) leaving them to
-        // the GC-driven ContextCleaner would accumulate executor
-        // storage for the whole train
-        checkpointRdd(seg).foreach(_.unpersist(false))
+          .localCheckpoint(false)
+        prevRdd = checkpointRdd(seg)
         seg = next
       }
       round += 1
     }
+    // materialize the final segmentation before returning: callers
+    // use it as a reused static side (it would materialize on first
+    // use anyway), and the last predecessor can then be freed
+    seg.count()
+    prevRdd.foreach(_.unpersist(false))
     (merges.toSeq, seg)
   }
 
