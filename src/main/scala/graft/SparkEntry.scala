@@ -3083,6 +3083,23 @@ object SparkEntry {
         flagged, "source", "is_dup", b = 32, seed = 11L)
         .orderBy("b")
     }),
+    "p_bootstrap_passrate" -> ((s, dir) => {
+      // the sibling error bar on the OTHER curation number: the
+      // quality-pass rate (t_quality_rules' AND-of-rules verdict,
+      // same slice), cluster-bootstrapped by source — quality is a
+      // per-source property in a crawled corpus (boilerplate, spam,
+      // templating correlate within a crawl), so between-source
+      // spread is the honest interval for "did the filter change
+      // really move the pass rate"
+      val flagged = graft.text.QualityFilters.withRules(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("source"), col("text")),
+        "text")
+        .select(col("source"), col("passes").cast("long").as("pass_flag"))
+      graft.ops.Bootstrap.resampleMeans(
+        flagged, "source", "pass_flag", b = 32, seed = 13L)
+        .orderBy("b")
+    }),
     "p_sample_skew" -> ((s, dir) =>
       // sampling-bias audit: per-priority population vs hash-sample
       // shares in integer ppm — the after-every-sample check that a
@@ -6443,6 +6460,16 @@ object SparkEntry {
            |      SELECT unnest([id_a, id_b]) AS id FROM ($pairs) p) uu) u
            |  ON d.doc_id = u.id) fl""".stripMargin,
         "source", "is_dup", b = 32, seed = 11L)
+    },
+    "p_bootstrap_passrate" -> {
+      // the AND-of-rules verdict is t_quality_rules' own rendering
+      val passes = graft.text.QualityFilters.rulesSql()
+        .map(_._2.replace("TXT", "text")).mkString("(", " AND ", ")")
+      graft.ops.Bootstrap.resampleMeansSql(
+        s"""(SELECT source,
+           |    CASE WHEN $passes THEN 1 ELSE 0 END AS pass_flag
+           |  FROM documents WHERE doc_id % 10 = 0) fl""".stripMargin,
+        "source", "pass_flag", b = 32, seed = 13L)
     },
     "p_sample_skew" ->
       graft.ops.Sampling.sampleSkewAuditSql(
