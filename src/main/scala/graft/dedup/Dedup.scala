@@ -85,8 +85,15 @@ object Dedup {
           .select(col("gram"))
         grams.join(broadcast(hot), Seq("gram"), "left_anti")
       }
+    // the gram frame feeds the self-join straight from scan + explode
+    // (no shuffle in between), so the planner's size estimate is the
+    // PRE-explode scan bytes — ~length(text)x under — and an
+    // auto-broadcast of a corpus-scale gram side can slip beneath the
+    // threshold (the Substr anchor lesson, found by the factor-30
+    // ScaleTrend point). Both sides are the same corpus-scale frame;
+    // pin sort-merge
     val inter = joinGrams.as("a")
-      .join(joinGrams.as("b"),
+      .join(joinGrams.as("b").hint("merge"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -138,8 +145,15 @@ object Dedup {
           .select(col("gram"))
         grams.join(broadcast(hot), Seq("gram"), "left_anti")
       }
+    // the gram frame feeds the self-join straight from scan + explode
+    // (no shuffle in between), so the planner's size estimate is the
+    // PRE-explode scan bytes — ~length(text)x under — and an
+    // auto-broadcast of a corpus-scale gram side can slip beneath the
+    // threshold (the Substr anchor lesson, found by the factor-30
+    // ScaleTrend point). Both sides are the same corpus-scale frame;
+    // pin sort-merge
     val inter = joinGrams.as("a")
-      .join(joinGrams.as("b"),
+      .join(joinGrams.as("b").hint("merge"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))

@@ -623,6 +623,22 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scan+explode self-joins (anchors, grams) pin sort-merge — never a broadcast side") {
+    // these self-joins are fed STRAIGHT from scan + explode (no
+    // shuffle in between), so the planner sees the pre-explode scan
+    // bytes — ~length(text)× under the real side — and would
+    // auto-broadcast a corpus-scale side (found by the factor-30
+    // ScaleTrend point: a 1.2 GiB driver collect; at 100 TB, an OOM).
+    // Both sides are the same corpus-scale frame; the merge hint must
+    // hold in the physical plan
+    for (q <- Seq("d_substr_self", "d_substr_runs", "d_substr_apply",
+      "d_ngram_jaccard", "d_containment_pairs")) {
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin"),
+        s"$q anchor/gram self-join lost its sort-merge pin:\n$p")
+    }
+  }
+
   test("LM surprise: census joins keep their gram equi-keys, V rides a broadcast") {
     // the unigram/bigram censuses are corpus-sized — they must join on
     // the gram key (never forced broadcast; no hint in the analyzed
