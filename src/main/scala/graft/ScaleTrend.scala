@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *   - lloyd_ivf_topk     — trained-IVF retrieval
   *     ([[graft.ann.Ann.lloydIvfTopK]]): the probes × assigned-cells
   *     join is the quadratic hazard if the probe slice stops pruning
+  *   - d_ngram_guarded    — the gram self-join
+  *     ([[graft.dedup.Dedup.ngramJaccardPairs]], production
+  *     `maxGramDocs` dial): hot shared grams are the quadratic
+  *     hazard; the r17 sort-merge pin is what this family would
+  *     catch regressing
   *
   * Blow-up construction: copy `i` shifts ids by a multiple of every
   * residue modulus the gates slice on (so each copy contributes the
@@ -105,7 +110,15 @@ object ScaleTrend {
           graft.ann.Ann.lloydIvfTopK(
             emb.filter(col("vec_id") % 40 === 1), emb,
             "vec_id", "embedding", k = 5)
-        }))
+        }),
+        // the gram self-join (scan+explode class, sort-merge-pinned
+        // in r17) at the PRODUCTION guard dial — the gate runs exact
+        // (guard off) for its oracle, the audit runs what deploys
+        "d_ngram_guarded" -> ((s: SparkSession, dir: String) =>
+          graft.dedup.Dedup.ngramJaccardPairs(
+            s.read.parquet(s"$dir/documents.parquet")
+              .filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 3, threshold = 0.5)))
       val wanted = if (args.length > 3) args(3).split(',').toSet else Set.empty[String]
       val unknown = wanted -- allFamilies.map(_._1).toSet
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

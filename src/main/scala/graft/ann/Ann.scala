@@ -1489,8 +1489,15 @@ object Ann {
           .select(col("band"), col("bkey"))
         buckets.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
+    // the bucket frame reaches this self-join with no shuffle since
+    // the scan (map-only sign + posexplode), so the planner's size
+    // estimate is the compressed parquet bytes — the decompressed
+    // ×bands bucket rows CARRYING FULL VECTORS can slip beneath the
+    // auto-broadcast threshold while being orders bigger (the
+    // scan+explode class, cf. Substr anchors). Both sides are the
+    // same corpus-scale frame; pin sort-merge
     bounded.as("a")
-      .join(bounded.as("b"),
+      .join(bounded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
