@@ -2085,6 +2085,26 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
+    "e_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): Lloyd-cluster the embedding
+      // space, prune near-identical pairs WITHIN each cell — the
+      // paraphrase-level dedup MinHash can't see, at cell-bounded
+      // (never corpus-quadratic) pair cost. The corpus is embeddings
+      // plus a perturbed twin of every %20==3 row (cosine ≈ 0.997 —
+      // the plantQueries device), so the gate prunes a KNOWN cohort:
+      // each twin's only ≥0.9 partner is its source, which holds the
+      // smaller id and survives as keeper
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .unionByName(Ann.plantQueries(
+          emb.filter(col("vec_id") % 20 === 3), "vec_id", "embedding",
+          idOffset = 1000000L, delta = 0.01))
+      Ann.semDedupPruned(corpus, "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id")
+    }),
     "e_cos_dedup_clusters" -> ((s, dir) => {
       // embedding-space dedup composed across modules: exact cosine
       // near-dup pairs -> connected components -> cluster labels, the
@@ -6094,6 +6114,10 @@ object SparkEntry {
       graft.ann.Ann.lloydAssignCountsSql(),
     "e_ann_ivf_lloyd_topk" ->
       graft.ann.Ann.lloydIvfTopKSql("id % 40 = 1", k = 5),
+    "e_semdedup" ->
+      graft.ann.Ann.semDedupPrunedSql(
+        "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
+        threshold = 0.9),
     "e_cos_neardup_lsh" -> {
       // corpus + int8 quantize->dequantize twins, mirroring the Spark
       // union via the SAME shared quantize helpers as quantizeInt8Sql

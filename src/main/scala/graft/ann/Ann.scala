@@ -1889,9 +1889,13 @@ object Ann {
   /** The WITH-body prefix training the Lloyd centroids: defines
     * `s0` (doubled nonzero corpus), `smp`, `c0` … `c<iters>` — the
     * trained centroid CTE is `c<iters>`. Callers splice and append.
+    * `s0Body` overrides the corpus CTE body (must produce nonzero
+    * `(id, v)` with `v` a DOUBLE list) — the planted-union twins ride
+    * through here.
     */
   private def lloydCentroidCtesSql(
       nCells: Int, iters: Int, maxTrainRows: Int, seed: Long, dim: Int,
+      s0Body: Option[String] = None,
   ): String = {
     val rounds = (1 to iters).map { r =>
       s"""${lloydAssignCtesSql(r.toString, "smp", s"c${r - 1}", dim)},
@@ -1908,9 +1912,11 @@ object Ann {
          |    END AS centroid
          |  FROM c${r - 1} c LEFT JOIN m$r USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""s0 AS (SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE ${dotSql("embedding", "embedding", dim)} > 0),
+    val s0 = s0Body.getOrElse(
+      s"""SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE ${dotSql("embedding", "embedding", dim)} > 0""".stripMargin)
+    s"""s0 AS ($s0),
        |smp AS (SELECT id, v FROM s0
        |  ORDER BY md5('$seed:' || CAST(id AS VARCHAR)), id LIMIT $maxTrainRows),
        |c0 AS (SELECT id AS cell, v AS centroid FROM smp
@@ -1957,6 +1963,88 @@ object Ann {
        |FROM scored
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * semantic dedup by clustering the embedding space and pruning
+    * near-identical pairs WITHIN each cluster. This is the published
+    * recipe for pruning paraphrase-level duplicates that MinHash
+    * can't see, at sub-quadratic cost: the all-pairs cosine is
+    * confined to a cell, so the pair join is cell-keyed and the
+    * quadratic term is bounded by the largest CELL, never the corpus
+    * (the cell census `lloydAssignCounts` is the dial that says
+    * whether nCells needs raising).
+    *
+    * Train = the deterministic [[lloydCentroids]] quantizer (the same
+    * trainer the IVF retrieval gates pin); assignment = the same
+    * map-only broadcast pass. A document is PRUNED iff some SAME-CELL
+    * partner with a smaller id reaches `threshold` cosine — the
+    * library's canonical min-id-survivor rule (the paper keeps one
+    * arbitrary member per ε-ball; min-id makes the choice a pure
+    * function of the data). Output: one row per pruned doc
+    * `(id, cell, keeper_id, n_dups)` — keeper_id the smallest
+    * qualifying partner, n_dups the count of qualifying lower-id
+    * partners. Survivors simply don't appear (anti-join the corpus
+    * against this frame to materialize the kept set).
+    */
+  def semDedupPruned(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold must be in (0, 1]")
+    val cents = lloydCentroids(corpus, idCol, vecCol, nCells, iters,
+      maxTrainRows, seed, dim)
+    val assigned = lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
+    val a = assigned.select(col("cell"), col("id"), col("v"),
+      norm(col("v")).as("n"))
+    // the assigned frame reaches this self-join map-only from the
+    // scan (the scan+explode estimate class — assignment adds no
+    // shuffle), and both sides are the same corpus-scale frame:
+    // pin sort-merge
+    a.as("x")
+      .join(a.as("y").hint("merge"),
+        col("x.cell") === col("y.cell") && col("y.id") < col("x.id"))
+      .filter(cosinePre(col("x.v"), col("y.v"), col("x.n"), col("y.n"))
+        >= threshold)
+      .groupBy(col("x.id").as("id"), col("x.cell").as("cell"))
+      .agg(min(col("y.id")).as("keeper_id"),
+        count(lit(1)).as("n_dups"))
+  }
+
+  /** DuckDB twin of [[semDedupPruned]] over the planted-union corpus:
+    * `embeddings` plus a perturbed twin (`id + idOffset`, every
+    * component `+ delta`) of each row matching `plantWhere` — the
+    * [[plantQueries]] device, so the gate has KNOWN semantic
+    * duplicates to prune (the synthetic corpus has no organic pairs
+    * above ~0.5 cosine).
+    */
+  def semDedupPrunedSql(
+      plantWhere: String, idOffset: Long, delta: Double, threshold: Double,
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): String = {
+    val s0 =
+      s"""SELECT id, v FROM (
+         |    SELECT vec_id AS id,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |    FROM embeddings
+         |    UNION ALL
+         |    SELECT vec_id + $idOffset AS id,
+         |      list_transform(range(1, ${dim + 1}), i ->
+         |        CAST(embedding[i] AS DOUBLE) + CAST($delta AS DOUBLE)) AS v
+         |    FROM embeddings WHERE ($plantWhere)) u
+         |  WHERE ${dotSql("v", "v", dim)} > 0""".stripMargin
+    s"""WITH ${lloydCentroidCtesSql(nCells, iters, maxTrainRows, seed, dim, Some(s0))},
+       |${lloydAssignCtesSql("f", "s0", s"c$iters", dim)},
+       |pr AS (SELECT x.id, x.cell, y.id AS yid
+       |  FROM af x JOIN af y ON x.cell = y.cell AND y.id < x.id
+       |  WHERE ${cosineSql("x.v", "y.v", dim)} >= $threshold)
+       |SELECT id, cell, min(yid) AS keeper_id,
+       |  CAST(count(*) AS BIGINT) AS n_dups
+       |FROM pr GROUP BY id, cell ORDER BY id""".stripMargin
+  }
 
   /** Embedding-space decontamination: corpus rows whose cosine to ANY
     * eval-set embedding reaches `threshold` — the semantic twin of the

@@ -632,10 +632,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     // Both sides are the same corpus-scale frame; the merge hint must
     // hold in the physical plan
     for (q <- Seq("d_substr_self", "d_substr_runs", "d_substr_apply",
-      "d_ngram_jaccard", "d_containment_pairs", "e_cos_neardup_lsh")) {
+      "d_ngram_jaccard", "d_containment_pairs", "e_cos_neardup_lsh",
+      "e_semdedup")) {
       val p = plan(q)
       assert(p.contains("SortMergeJoin"),
-        s"$q anchor/gram/bucket self-join lost its sort-merge pin:\n$p")
+        s"$q anchor/gram/bucket/cell self-join lost its sort-merge pin:\n$p")
     }
   }
 

@@ -496,6 +496,34 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(a.size > 1, "refinement collapsed to a single cell")
   }
 
+  test("semDedupPruned prunes planted twins back to their min-id sources, survivors untouched") {
+    import org.apache.spark.sql.functions.expr
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Ann.plantQueries(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", idOffset = 1000000L, delta = 0.01)
+    val corpus = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .unionByName(planted)
+    val pruned = Ann.semDedupPruned(corpus, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // at 0.9 the synthetic corpus has no organic pairs (floor ~0.5),
+    // so every pruned row must be a planted twin whose keeper is its
+    // own source — and no source (the min id of its pair) ever prunes
+    assert(pruned.nonEmpty, "no twin pruned — fixture inert")
+    assert(pruned.forall { case (id, keeper, _) =>
+      id >= 1000000L && keeper == id - 1000000L },
+      s"non-twin pruned or wrong keeper: ${pruned.filterNot { case (id, k, _) =>
+        id >= 1000000L && k == id - 1000000L }.take(3).toList}")
+    assert(pruned.forall(_._3 == 1L), "a twin found a second >=0.9 partner")
+    // twins prune only when they share their source's cell — the
+    // quantizer is trained on the union, so demand a strong majority
+    val nPlanted = planted.count()
+    assert(pruned.length * 10 >= nPlanted * 8,
+      s"only ${pruned.length} of $nPlanted twins pruned — cells split the pairs")
+  }
+
   test("planted cohort: brute force recovers every source at rank 1; LSH is a subset") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val where = col("vec_id") % 20 === 0
