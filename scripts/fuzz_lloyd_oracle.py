@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Fuzz the SHIPPED e_ann_ivf_lloyd_topk oracle SQL against an
+"""Fuzz the SHIPPED e_ann_ivf_lloyd_topk AND e_semdedup oracle SQL against an
 independent Python reference: the same documented algorithm (md5-seeded
 init, bounded md5 sample, argmax-cosine assignment with smallest-cell
 tie-break, id-ordered sequential-fold centroid means, empty cells keep
@@ -67,9 +67,9 @@ def assign(ids, vecs, cents):
     return out
 
 
-def ref_lloyd_topk(vecs_raw):
-    # s0: zero-norm excluded
-    s0 = {i: v for i, v in vecs_raw.items() if dot(v, v) > 0}
+def train_cents(s0):
+    """The shared Lloyd trainer: md5 sample + seeds, ITERS refinement
+    rounds, empty cells keep the prior centroid."""
     smp = sorted(s0, key=lambda i: (md5hex(f"{SEED}:{i}"), i))[:MAX_TRAIN]
     seeds = sorted(smp, key=lambda i: (md5hex(str(i)), i))[:N_CELLS]
     cents = {i: list(s0[i]) for i in seeds}
@@ -93,6 +93,39 @@ def ref_lloyd_topk(vecs_raw):
                     mean.append(acc / cnt)
                 nxt[c] = mean
         cents = nxt
+    return cents
+
+
+SEM_OFFSET = 1000000
+SEM_DELTA = 0.01
+SEM_THRESHOLD = 0.9
+
+
+def ref_semdedup(vecs_raw):
+    """Independent SemDeDup reference: planted union, shared trainer,
+    full-corpus assignment, within-cell lower-id partners >= threshold,
+    min-id keeper."""
+    union = {i: [float(x) for x in v] for i, v in vecs_raw.items()}
+    for i, v in vecs_raw.items():
+        if i % 20 == 3:
+            union[i + SEM_OFFSET] = [x + SEM_DELTA for x in v]
+    s0 = {i: v for i, v in union.items() if dot(v, v) > 0}
+    cents = train_cents(s0)
+    af = assign(list(s0), s0, cents)
+    out = []
+    for x in sorted(s0):
+        partners = [y for y in s0
+                    if af[y] == af[x] and y < x
+                    and cos(s0[x], s0[y]) >= SEM_THRESHOLD]
+        if partners:
+            out.append((x, af[x], min(partners), len(partners)))
+    return out
+
+
+def ref_lloyd_topk(vecs_raw):
+    # s0: zero-norm excluded
+    s0 = {i: v for i, v in vecs_raw.items() if dot(v, v) > 0}
+    cents = train_cents(s0)
     af = assign(list(s0), s0, cents)
     cell_members = {}
     for i, c in af.items():
@@ -111,7 +144,9 @@ def ref_lloyd_topk(vecs_raw):
 def main():
     out_dir = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["e_ann_ivf_lloyd_topk"]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = oracles["e_ann_ivf_lloyd_topk"]
+    sem_sql = oracles["e_semdedup"]
 
     random.seed(73)
     fails = 0
@@ -123,10 +158,13 @@ def main():
         n = random.randint(MAX_TRAIN + 5, MAX_TRAIN + 40) if big \
             else random.randint(3, 30)
         ids = sorted(random.sample(range(0, 4000 if big else 400), n))
-        # guarantee at least one query id (1 mod 40)
+        # guarantee at least one query id (1 mod 40) and one planted
+        # source (3 mod 20) so neither oracle runs on an empty cohort
         if not any(i % 40 == 1 for i in ids):
             ids[0] = 40 * random.randint(0, 9) + 1
-            ids = sorted(set(ids))
+        if not any(i % 20 == 3 for i in ids):
+            ids[-1] = 20 * random.randint(0, 9) + 3
+        ids = sorted(set(ids))
         vecs = {i: [random.randint(-64, 64) / 64.0 for _ in range(DIM)]
                 for i in ids}
         # adversarial plants: a duplicate pair (tie-break) and a zero
@@ -148,6 +186,14 @@ def main():
             print(f"MISMATCH trial {trial} (n={len(ids)})")
             print("  got ", got[:6])
             print("  want", want[:6])
+        got_sem = [(int(r[0]), int(r[1]), int(r[2]), int(r[3]))
+                   for r in con.sql(sem_sql).fetchall()]
+        want_sem = ref_semdedup(vecs)
+        if got_sem != want_sem:
+            fails += 1
+            print(f"SEMDEDUP MISMATCH trial {trial} (n={len(ids)})")
+            print("  got ", got_sem[:6])
+            print("  want", want_sem[:6])
         con.close()
     print(f"trials={trials} fails={fails}")
     sys.exit(1 if fails else 0)
