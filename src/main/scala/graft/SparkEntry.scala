@@ -4598,6 +4598,32 @@ object SparkEntry {
         .dropDuplicates("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "st_semdedup_incr" -> ((s, dir) => {
+      // incremental SemDeDup at the stream door: arriving embeddings
+      // assign map-side to the trained Lloyd centroids (<= nCells
+      // rows — broadcast-right by construction) and join the
+      // persisted cell-keyed store with NO strategy hint (the
+      // minhashIncrStream stance). Stateless stream-static: no
+      // watermark, no sentinels. Arrivals are planted twins
+      // (cosine ~ 0.997), so each surfaces its source as a same-cell
+      // >= 0.9 partner; the trained frames are localCheckpointed —
+      // a streaming join's static side re-executes per micro-batch
+      // otherwise
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.lloydCentroids(emb, "vec_id", "embedding")
+        .localCheckpoint()
+      val store = Ann.lloydAssigned(emb, "vec_id", "embedding", cents)
+        .localCheckpoint()
+      val twins = Ann.plantQueries(emb.filter(col("vec_id") % 20 === 3),
+        "vec_id", "embedding", idOffset = 1000000L, delta = 0.01)
+      graft.streaming.Replay.replayBatches(s,
+        Seq(twins.filter(col("vec_id") % 40 === 3),
+          twins.filter(col("vec_id") % 40 === 23)),
+        src => graft.streaming.Streams.semDedupIncrStream(
+          src, "vec_id", "embedding", cents, store, threshold = 0.9))
+        .orderBy("new_id", "corpus_id")
+    }),
     "st_decontam" -> ((s, dir) => {
       // fingerprint decontamination at the stream door (stateless
       // stream-static anti join — no watermark, no sentinels):
@@ -6116,6 +6142,13 @@ object SparkEntry {
       graft.ann.Ann.lloydIvfTopKSql("id % 40 = 1", k = 5),
     "e_semdedup" ->
       graft.ann.Ann.semDedupPrunedSql(
+        "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
+        threshold = 0.9),
+    "st_semdedup_incr" ->
+      // the incremental door shares the trainer/assignment CTEs with
+      // e_semdedup; the stream is stateless, so the batch-equivalent
+      // pair set IS the oracle (the st_decontam stance)
+      graft.ann.Ann.semDedupIncrSql(
         "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
         threshold = 0.9),
     "e_cos_neardup_lsh" -> {

@@ -1821,6 +1821,17 @@ object Ann {
     cents
   }
 
+  /** Public assignment door: `(id, v, cell)` of `corpus` against a
+    * TRAINED centroid frame — map-only (the ≤ nCells centroids ride
+    * as one broadcast array row). This is what writes the cell-keyed
+    * store layout the incremental SemDeDup door joins, and what
+    * assigns an arriving micro-batch at the stream door (stateless:
+    * no aggregation, no watermark).
+    */
+  def lloydAssigned(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
+
   def lloydAssignCounts(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
@@ -2045,6 +2056,32 @@ object Ann {
        |  CAST(count(*) AS BIGINT) AS n_dups
        |FROM pr GROUP BY id, cell ORDER BY id""".stripMargin
   }
+
+  /** DuckDB twin of the INCREMENTAL SemDeDup door
+    * ([[graft.streaming.Streams.semDedupIncrStream]]): train on the
+    * corpus, assign the corpus (the persisted store), assign the
+    * arriving twins (`plantWhere` rows perturbed by `delta` under
+    * `id + idOffset`) through the SAME argmax CTEs, and emit every
+    * same-cell (arrival, store) pair at `threshold` cosine.
+    */
+  def semDedupIncrSql(
+      plantWhere: String, idOffset: Long, delta: Double, threshold: Double,
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): String =
+    s"""WITH ${lloydCentroidCtesSql(nCells, iters, maxTrainRows, seed, dim)},
+       |${lloydAssignCtesSql("f", "s0", s"c$iters", dim)},
+       |tw AS (SELECT vec_id + $idOffset AS id,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE) + CAST($delta AS DOUBLE)) AS v
+       |  FROM embeddings WHERE ($plantWhere)),
+       |tnz AS (SELECT id, v FROM tw WHERE ${dotSql("v", "v", dim)} > 0),
+       |${lloydAssignCtesSql("n", "tnz", s"c$iters", dim)}
+       |SELECT t.id AS new_id, a.id AS corpus_id,
+       |  ${cosineSql("t.v", "a.v", dim)} AS score
+       |FROM an t JOIN af a ON t.cell = a.cell
+       |WHERE ${cosineSql("t.v", "a.v", dim)} >= $threshold
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   /** Embedding-space decontamination: corpus rows whose cosine to ANY
     * eval-set embedding reaches `threshold` — the semantic twin of the

@@ -192,6 +192,42 @@ object Streams {
       maxBucketSize, broadcastStore)
   }
 
+  /** Incremental SemDeDup at the stream door — the SEMANTIC twin of
+    * [[minhashIncrStream]] (paraphrase-level duplicates MinHash can't
+    * see): arriving embeddings assign map-side to the TRAINED Lloyd
+    * centroids (`cents`, ≤ nCells rows — the one side that is
+    * broadcast-right by construction), then join the persisted
+    * cell-keyed corpus store on the cell and emit every store partner
+    * at `threshold` cosine. Stateless stream-static — no aggregation,
+    * no watermark, no sentinels: a verdict per arriving vector inside
+    * its own micro-batch.
+    *
+    * `corpusStore` is the store in its persisted layout — ALREADY
+    * assigned `(id, v, cell)` ([[graft.ann.Ann.lloydAssigned]]; the
+    * cell IS its partition key), so the per-micro-batch static side
+    * is a scan, not a re-derivation. The store side carries NO join
+    * strategy hint — it is O(corpus) rows and the cell equi-join
+    * shuffles fine (the [[minhashIncrStream]] lesson; the trained
+    * centroid array is the only forced broadcast). `broadcastStore`
+    * restores the hint for stores known to be small.
+    */
+  def semDedupIncrStream(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, corpusStore: DataFrame, threshold: Double,
+      broadcastStore: Boolean = false): DataFrame = {
+    import graft.ann.Ann
+    val assigned = Ann.lloydAssigned(vecs, idCol, vecCol, cents)
+    val a = assigned.select(col("cell"), col("id").as("new_id"),
+      col("v").as("nv"), Ann.norm(col("v")).as("nn"))
+    val store0 = corpusStore.select(col("cell"), col("id").as("corpus_id"),
+      col("v").as("cv"), Ann.norm(col("v")).as("cn"))
+    val store = if (broadcastStore) broadcast(store0) else store0
+    a.join(store, Seq("cell"))
+      .select(col("new_id"), col("corpus_id"),
+        (Ann.dot(col("nv"), col("cv")) / (col("nn") * col("cn"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Streaming exact-dedup on an id column: duplicates arriving within
     * the watermark horizon are dropped; state for ids older than the
     * watermark is evicted (bounded memory). The streaming twin of the

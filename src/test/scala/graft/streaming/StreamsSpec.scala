@@ -222,6 +222,49 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("semDedupIncrStream: arriving twins surface their same-cell store partners") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    // four well-separated axis vectors: every twin's ONLY >= 0.9
+    // partner is its own source
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+    val corpus = (0 until 4).map(i => (i.toLong * 10, axis(i * 3)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.lloydCentroids(corpus, "vec_id", "embedding",
+      nCells = 4).localCheckpoint(true)
+    val store = Ann.lloydAssigned(corpus, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = Streams.semDedupIncrStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, store, threshold = 0.9)
+      .writeStream.format("memory").queryName("sd_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 4).map(i =>
+        (i.toLong * 10 + 1000000L, axis(i * 3).updated(1, 0.01))): _*)
+      query.processAllAvailable()
+      val got = spark.table("sd_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0 until 4).map(i => (i.toLong * 10 + 1000000L, i.toLong * 10)).toSet
+      assert(got == want, s"stream $got != planted $want")
+      // and the stream body equals the batch composition exactly
+      val batch = Ann.lloydAssigned(
+        (0 until 4).map(i => (i.toLong * 10 + 1000000L,
+          axis(i * 3).updated(1, 0.01))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents).as("n")
+        .join(store.as("c"), col("n.cell") === col("c.cell"))
+        .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"),
+          (Ann.dot(col("n.v"), col("c.v")) /
+            (Ann.norm(col("n.v")) * Ann.norm(col("c.v")))).as("score"))
+        .filter(col("score") >= 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally query.stop()
+  }
+
   test("surpriseStream equals batch surpriseScore per document (stream-static census join)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
