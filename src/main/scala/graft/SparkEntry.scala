@@ -3553,6 +3553,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text")
         .orderBy("doc_id")
     }),
+    "p_dsir_select" -> ((s, dir) => {
+      // DSIR end-to-end (Xie et al. 2023's deployment shape): rank
+      // by the contrastive target-vs-source LM score and keep the
+      // most-target-like documents under a global TOKEN budget — the
+      // composition whose two halves (p_contrastive_select,
+      // p_budget_select) gate separately. Budget units are the
+      // scorer's own gram count (no extra scan); the exact global
+      // prefix scan runs range-partitioned, never a single-partition
+      // window. Budget hits mid-corpus at sf0.01 so both branches of
+      // `selected` are exercised
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.Lm.contrastiveScore(
+        docs.filter(col("doc_id") % 10 === 2), "doc_id", "text",
+        docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 0), "text")
+      graft.ops.Selection.selectToBudget(
+        scored.select(col("doc_id"),
+          col("contrast_micro").cast("double").as("cs"),
+          col("n_grams").cast("long").as("nt")),
+        "doc_id", "cs", "nt", budget = 2000L)
+        .orderBy("id")
+    }),
     "t_normalize_nfc" -> ((s, dir) => {
       // Unicode canonicalization before fingerprinting (custom
       // codegen Expression — Spark has no normalization builtin):
@@ -6764,6 +6786,13 @@ object SparkEntry {
         whereClause = "WHERE doc_id % 10 = 2",
         targetWhere = "WHERE lang = 'en' AND doc_id % 3 = 0",
         sourceWhere = "WHERE doc_id % 3 = 0") + "\nORDER BY doc_id"),
+    "p_dsir_select" ->
+      graft.ops.Selection.selectToBudgetOverSql(
+        "(" + graft.text.Lm.contrastiveScoreSql(
+          whereClause = "WHERE doc_id % 10 = 2",
+          targetWhere = "WHERE lang = 'en' AND doc_id % 3 = 0",
+          sourceWhere = "WHERE doc_id % 3 = 0") + ") cs",
+        "doc_id", "contrast_micro", "n_grams", budget = 2000L),
     "t_normalize_nfc" ->
       s"""WITH r AS (SELECT p_partkey,
          |    p_name || ' cafe\u0301 u\u0308ber' AS raw

@@ -95,10 +95,21 @@ object Selection {
       scoreExpr: String, nTokensExpr: String, budget: Long,
       whereClause: String = "",
   ): String =
-    s"""WITH sized AS (SELECT doc_id AS id,
+    selectToBudgetOverSql(s"documents $whereClause", "doc_id",
+      scoreExpr, nTokensExpr, budget)
+
+  /** [[selectToBudgetSql]] over an arbitrary relation (a derived
+    * scoring subquery, a CTE) instead of the `documents` table — the
+    * composed-selection oracles (contrastive-score DSIR) ride here.
+    */
+  def selectToBudgetOverSql(
+      fromSql: String, idExpr: String, scoreExpr: String,
+      nTokensExpr: String, budget: Long,
+  ): String =
+    s"""WITH sized AS (SELECT $idExpr AS id,
        |    CAST($scoreExpr AS DOUBLE) AS score,
        |    CAST($nTokensExpr AS BIGINT) AS n_tokens
-       |  FROM documents $whereClause),
+       |  FROM $fromSql),
        |cum AS (SELECT id, n_tokens,
        |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
