@@ -4620,6 +4620,45 @@ object SparkEntry {
         .dropDuplicates("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "e_semdedup_store" -> ((s, dir) => {
+      // the cell-keyed STORE round trip st_semdedup_incr's comment
+      // promises: the assigned corpus persists to parquet PARTITIONED
+      // BY CELL (the layout where an incremental drop's cells prune
+      // at the scan), and the arriving twins' pair set runs against
+      // the RELOAD. The oracle recomputes train + both assignments
+      // inline, so a lossy write/read path — or a partition layout
+      // that changes values — hash-fails. A single-cell probe on the
+      // reload must carry a PartitionFilter (asserted on the plan:
+      // the layout claim, proven, not narrated)
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.lloydCentroids(emb, "vec_id", "embedding")
+        .localCheckpoint()
+      val out = s"${scratchRoot()}/semdedup_store"
+      Ann.lloydAssigned(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      // the partition column reads back through directory-value
+      // inference (int) — cast back to the id space for the join
+      val raw = s.read.parquet(out)
+      val firstCell = raw.agg(min(col("cell"))).head.get(0)
+      val probePlan = raw.filter(col("cell") === lit(firstCell))
+        .queryExecution.executedPlan.toString
+      require("""PartitionFilters: \[[^\]]*cell""".r
+        .findFirstIn(probePlan).isDefined,
+        s"cell probe does not prune at the scan:\n$probePlan")
+      val store = raw.withColumn("cell", col("cell").cast("long"))
+      val twins = Ann.plantQueries(emb.filter(col("vec_id") % 20 === 3),
+        "vec_id", "embedding", idOffset = 1000000L, delta = 0.01)
+      val a = Ann.lloydAssigned(twins, "vec_id", "embedding", cents)
+        .select(col("cell"), col("id").as("new_id"), col("v").as("nv"),
+          Ann.norm(col("v")).as("nn"))
+      a.join(store.select(col("cell"), col("id").as("corpus_id"),
+          col("v").as("cv"), Ann.norm(col("v")).as("cn")), Seq("cell"))
+        .select(col("new_id"), col("corpus_id"),
+          (Ann.dot(col("nv"), col("cv")) / (col("nn") * col("cn"))).as("score"))
+        .filter(col("score") >= 0.9)
+        .orderBy("new_id", "corpus_id")
+    }),
     "st_semdedup_incr" -> ((s, dir) => {
       // incremental SemDeDup at the stream door: arriving embeddings
       // assign map-side to the trained Lloyd centroids (<= nCells
@@ -6170,6 +6209,13 @@ object SparkEntry {
       // the incremental door shares the trainer/assignment CTEs with
       // e_semdedup; the stream is stateless, so the batch-equivalent
       // pair set IS the oracle (the st_decontam stance)
+      graft.ann.Ann.semDedupIncrSql(
+        "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
+        threshold = 0.9),
+    "e_semdedup_store" ->
+      // the reload path must reproduce the inline-recomputed pair
+      // set exactly — same oracle as the stream door (one CTE body,
+      // the d_minhash_store stance)
       graft.ann.Ann.semDedupIncrSql(
         "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
         threshold = 0.9),
