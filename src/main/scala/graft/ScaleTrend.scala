@@ -26,11 +26,18 @@ import org.apache.spark.sql.functions._
   *   - lloyd_ivf_topk     — trained-IVF retrieval
   *     ([[graft.ann.Ann.lloydIvfTopK]]): the probes × assigned-cells
   *     join is the quadratic hazard if the probe slice stops pruning
-  *   - d_ngram_guarded    — the gram self-join
-  *     ([[graft.dedup.Dedup.ngramJaccardPairs]], production
-  *     `maxGramDocs` dial): hot shared grams are the quadratic
-  *     hazard; the r17 sort-merge pin is what this family would
-  *     catch regressing
+  *
+  * NOT a family: the char-gram pair sources (`ngramJaccardPairs` /
+  * `ngramContainmentPairs`). The synthesizer's decorrelation is
+  * WORD-level (per-copy prefixes); char 3-grams live in a ~50k-value
+  * space and collide across copies, so their per-gram document
+  * frequency grows with the blow-up and pair volume grows
+  * data-induced-quadratically — exactly the regime the audit
+  * excludes by construction. That growth is also the operator's real
+  * production story: the `n` dial must rise with corpus size (the
+  * SemDeDup-nCells argument; the substr anchors run k = 12+ for the
+  * same reason), and the r17 sort-merge plan pin (PlanGuardSpec)
+  * guards the plan-shape hazard that actually regresses silently.
   *
   * Blow-up construction: copy `i` shifts ids by a multiple of every
   * residue modulus the gates slice on (so each copy contributes the
@@ -110,15 +117,7 @@ object ScaleTrend {
           graft.ann.Ann.lloydIvfTopK(
             emb.filter(col("vec_id") % 40 === 1), emb,
             "vec_id", "embedding", k = 5)
-        }),
-        // the gram self-join (scan+explode class, sort-merge-pinned
-        // in r17) at the PRODUCTION guard dial — the gate runs exact
-        // (guard off) for its oracle, the audit runs what deploys
-        "d_ngram_guarded" -> ((s: SparkSession, dir: String) =>
-          graft.dedup.Dedup.ngramJaccardPairs(
-            s.read.parquet(s"$dir/documents.parquet")
-              .filter(col("doc_id") % 50 === 0),
-            "doc_id", "text", n = 3, threshold = 0.5)))
+        }))
       val wanted = if (args.length > 3) args(3).split(',').toSet else Set.empty[String]
       val unknown = wanted -- allFamilies.map(_._1).toSet
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
@@ -127,6 +126,14 @@ object ScaleTrend {
         else allFamilies.filter(f => wanted(f._1))
 
       def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+        // cache-cold per timing (the Bench per-pass rule): several
+        // representatives persist internally (anchor/signature
+        // frames, session-lifetime), and a LATER family timing under
+        // an EARLIER family's leftover blocks measures memory
+        // pressure, not the operator — observed as a 9.5 → 14.1
+        // ratio swing on d_ngram_guarded between solo and in-sweep
+        // runs before this clear
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
