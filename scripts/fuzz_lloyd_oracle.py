@@ -159,11 +159,14 @@ def main():
             else random.randint(3, 30)
         ids = sorted(random.sample(range(0, 4000 if big else 400), n))
         # guarantee at least one query id (1 mod 40) and one planted
-        # source (3 mod 20) so neither oracle runs on an empty cohort
+        # source (3 mod 20) so neither oracle runs on an empty cohort —
+        # by ADDING ids, never replacing (a slot replacement could
+        # clobber the trial's only member of the other cohort and
+        # silently degrade that arm to an empty no-op)
         if not any(i % 40 == 1 for i in ids):
-            ids[0] = 40 * random.randint(0, 9) + 1
+            ids.append(40 * random.randint(0, 9) + 1)
         if not any(i % 20 == 3 for i in ids):
-            ids[-1] = 20 * random.randint(0, 9) + 3
+            ids.append(20 * random.randint(0, 9) + 3)
         ids = sorted(set(ids))
         vecs = {i: [random.randint(-64, 64) / 64.0 for _ in range(DIM)]
                 for i in ids}

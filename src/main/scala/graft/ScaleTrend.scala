@@ -131,9 +131,14 @@ object ScaleTrend {
         // frames, session-lifetime), and a LATER family timing under
         // an EARLIER family's leftover blocks measures memory
         // pressure, not the operator — observed as a 9.5 → 14.1
-        // ratio swing on d_ngram_guarded between solo and in-sweep
-        // runs before this clear
+        // ratio swing on the char-gram family between solo and
+        // in-sweep runs before this clear. clearCache() only drops
+        // CacheManager entries; localCheckpoint blocks (NN-descent's
+        // per-round cuts) are plain RDD persists and need the
+        // persistent-RDD sweep
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

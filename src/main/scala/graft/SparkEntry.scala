@@ -4649,14 +4649,11 @@ object SparkEntry {
       val store = raw.withColumn("cell", col("cell").cast("long"))
       val twins = Ann.plantQueries(emb.filter(col("vec_id") % 20 === 3),
         "vec_id", "embedding", idOffset = 1000000L, delta = 0.01)
-      val a = Ann.lloydAssigned(twins, "vec_id", "embedding", cents)
-        .select(col("cell"), col("id").as("new_id"), col("v").as("nv"),
-          Ann.norm(col("v")).as("nn"))
-      a.join(store.select(col("cell"), col("id").as("corpus_id"),
-          col("v").as("cv"), Ann.norm(col("v")).as("cn")), Seq("cell"))
-        .select(col("new_id"), col("corpus_id"),
-          (Ann.dot(col("nv"), col("cv")) / (col("nn") * col("cn"))).as("score"))
-        .filter(col("score") >= 0.9)
+      // the SHARED pair tail — one body with the stream door, so the
+      // reload gate can't drift from what st_semdedup_incr runs
+      Ann.semDedupPairsAgainstStore(
+        Ann.lloydAssigned(twins, "vec_id", "embedding", cents),
+        store, threshold = 0.9)
         .orderBy("new_id", "corpus_id")
     }),
     "st_semdedup_incr" -> ((s, dir) => {

@@ -2057,6 +2057,30 @@ object Ann {
        |FROM pr GROUP BY id, cell ORDER BY id""".stripMargin
   }
 
+  /** Same-cell pair scan of an ASSIGNED new side against an assigned
+    * store — the tail shared by the incremental SemDeDup stream door
+    * ([[graft.streaming.Streams.semDedupIncrStream]]), the
+    * persisted-store gate, and the spec's batch twin: one body that
+    * can't drift (the `Dedup.bandJoinAgainstStore` stance). Both
+    * inputs are `(id, v, cell)` frames ([[lloydAssigned]] output or
+    * its reload); output `(new_id, corpus_id, score)` for every pair
+    * at `threshold` cosine. The store side carries NO join-strategy
+    * hint (it is O(corpus) rows) unless `broadcastStore`.
+    */
+  def semDedupPairsAgainstStore(
+      newAssigned: DataFrame, store: DataFrame, threshold: Double,
+      broadcastStore: Boolean = false): DataFrame = {
+    val a = newAssigned.select(col("cell"), col("id").as("new_id"),
+      col("v").as("nv"), norm(col("v")).as("nn"))
+    val s0 = store.select(col("cell"), col("id").as("corpus_id"),
+      col("v").as("cv"), norm(col("v")).as("cn"))
+    val s = if (broadcastStore) broadcast(s0) else s0
+    a.join(s, Seq("cell"))
+      .select(col("new_id"), col("corpus_id"),
+        (dot(col("nv"), col("cv")) / (col("nn") * col("cn"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** DuckDB twin of the INCREMENTAL SemDeDup door
     * ([[graft.streaming.Streams.semDedupIncrStream]]): train on the
     * corpus, assign the corpus (the persisted store), assign the

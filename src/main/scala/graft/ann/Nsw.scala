@@ -77,10 +77,13 @@ object Nsw {
       k: Int, persistInputs: Boolean = true): DataFrame = {
     require(beam >= 1 && rounds >= 0 && k >= 1 && k <= beam,
       s"need 1 <= k <= beam and rounds >= 0, got beam=$beam rounds=$rounds k=$k")
+    val reused = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def reuse(df: DataFrame): DataFrame =
-      if (persistInputs)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (persistInputs) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        reused += p
+        p
+      } else df
     val g = reuse(graph)
     val nodes = reuse(corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
       .filter(Ann.norm(col("nv")) > 0))
@@ -96,9 +99,15 @@ object Nsw {
     // each round: b is referenced TWICE (kept ∪ expanded) — uncut,
     // the plan tree doubles per round (the HITS lesson, SCALE.md);
     // the beam is queries×beam rows, so an eager localCheckpoint per
-    // round costs nothing and keeps the plan constant-size
+    // round costs nothing and keeps the plan constant-size. Once a
+    // round's cut materializes, the PREVIOUS round's blocks are dead —
+    // free them now instead of leaking them to the ContextCleaner
+    // (the Bpe.train bookkeeping)
+    var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
     def expand(b: DataFrame): DataFrame = {
       val cut = b.localCheckpoint(true)
+      prevCut.foreach(_.unpersist(false))
+      prevCut = checkpointRdd(cut)
       val expanded = cut
         .unionByName(cut.join(g, col("node") === col("src"))
           .select(col("query_id"), col("dst").as("node")))
@@ -106,18 +115,36 @@ object Nsw {
       Ann.heapRank(score(expanded), "score", "double", beam,
         ascending = false)
     }
-    if (rounds == 0)
-      Ann.heapRank(score(beam0.distinct()), "score", "double", k,
-        ascending = false)
-    else {
-      val last = (2 to rounds).foldLeft(expand(beam0)) { (b, _) =>
-        expand(b.select(col("query_id"), col("neighbor_id").as("node")))
+    val result =
+      if (rounds == 0)
+        Ann.heapRank(score(beam0.distinct()), "score", "double", k,
+          ascending = false)
+      else {
+        val last = (2 to rounds).foldLeft(expand(beam0)) { (b, _) =>
+          expand(b.select(col("query_id"), col("neighbor_id").as("node")))
+        }
+        Ann.heapRank(
+          last.select(col("query_id"), col("neighbor_id"), col("score")),
+          "score", "double", k, ascending = false)
       }
-      Ann.heapRank(
-        last.select(col("query_id"), col("neighbor_id"), col("score")),
-        "score", "double", k, ascending = false)
-    }
+    // materialize the (queries×k) answer eagerly, then release
+    // everything the search pinned: the persisted inputs and the last
+    // round's beam — without this the session accumulates a graph- and
+    // corpus-projection-sized persist per call
+    val out = result.localCheckpoint(true)
+    prevCut.foreach(_.unpersist(false))
+    reused.foreach(_.unpersist(false))
+    out
   }
+
+  /** The checkpointed RDD behind a localCheckpointed frame — the
+    * unpersist handle (the Dataset itself has no CacheManager entry).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 
   /** NN-descent — the CORPUS-SCALE graph build that replaces
     * [[knnGraph]]'s guarded all-pairs arm (Dong et al.'s insight:
@@ -164,8 +191,16 @@ object Nsw {
           col("a.grp") === col("b.grp") && col("a.node") =!= col("b.node"))
         .select(col("a.node").as("src"), col("b.node").as("dst"))
     }.reduce(_.unionByName(_)).distinct()
+    // per-round cut bookkeeping: once round r's cut materializes, the
+    // previous round's blocks are dead — free them (the Bpe.train
+    // rule); the FINAL round's cut stays alive inside the returned
+    // lazy plan and is reaped by the ContextCleaner when the caller
+    // drops the frame
+    var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to rounds).foldLeft(topK(init)) { (e0, _) =>
       val e = e0.localCheckpoint(true)
+      prevCut.foreach(_.unpersist(false))
+      prevCut = checkpointRdd(e)
       // the LOCAL JOIN (Dong et al.): co-neighbors of the same node
       // meet — und(v→a) ⋈ und(v→b) → (a, b). Neighbor-of-neighbor
       // expansion alone misses exactly the pairs that matter (two

@@ -523,16 +523,20 @@ object Dedup {
     // otherwise pay a store-wide aggregation per micro-batch for an
     // always-empty blocklist
     val unguarded = maxBucketSize == Int.MaxValue
+    // the census is a store-wide aggregation: materialize the tiny
+    // blocklist ONCE (eager cut) so a streaming caller's micro-batches
+    // re-broadcast a checkpointed handful of rows instead of
+    // re-aggregating the corpus-scale store per batch; the anti-joins
+    // themselves are map-side broadcast filters and stay lazy
+    lazy val hot = corpusBanded
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+      .localCheckpoint(true)
     def withGuard(side: DataFrame): DataFrame =
       if (unguarded) side
-      else {
-        val hot = corpusBanded
-          .groupBy(col("band"), col("bkey"))
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") > maxBucketSize)
-          .select(col("band"), col("bkey"))
-        side.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-      }
+      else side.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     val store0 = withGuard(corpusBanded)
     val store = if (broadcastStore) broadcast(store0) else store0
     val nbb = withGuard(newBanded)

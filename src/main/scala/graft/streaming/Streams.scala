@@ -216,16 +216,13 @@ object Streams {
       cents: DataFrame, corpusStore: DataFrame, threshold: Double,
       broadcastStore: Boolean = false): DataFrame = {
     import graft.ann.Ann
-    val assigned = Ann.lloydAssigned(vecs, idCol, vecCol, cents)
-    val a = assigned.select(col("cell"), col("id").as("new_id"),
-      col("v").as("nv"), Ann.norm(col("v")).as("nn"))
-    val store0 = corpusStore.select(col("cell"), col("id").as("corpus_id"),
-      col("v").as("cv"), Ann.norm(col("v")).as("cn"))
-    val store = if (broadcastStore) broadcast(store0) else store0
-    a.join(store, Seq("cell"))
-      .select(col("new_id"), col("corpus_id"),
-        (Ann.dot(col("nv"), col("cv")) / (col("nn") * col("cn"))).as("score"))
-      .filter(col("score") >= threshold)
+    // assignment + the shared store pair tail
+    // (Ann.semDedupPairsAgainstStore — one body with the
+    // persisted-store gate and the spec's batch twin, so the stream
+    // door can't drift from what the oracle models)
+    Ann.semDedupPairsAgainstStore(
+      Ann.lloydAssigned(vecs, idCol, vecCol, cents), corpusStore,
+      threshold, broadcastStore)
   }
 
   /** Streaming exact-dedup on an id column: duplicates arriving within

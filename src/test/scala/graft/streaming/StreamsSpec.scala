@@ -251,15 +251,14 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       val want = (0 until 4).map(i => (i.toLong * 10 + 1000000L, i.toLong * 10)).toSet
       assert(got == want, s"stream $got != planted $want")
       // and the stream body equals the batch composition exactly
-      val batch = Ann.lloydAssigned(
-        (0 until 4).map(i => (i.toLong * 10 + 1000000L,
-          axis(i * 3).updated(1, 0.01))).toDF("vec_id", "embedding"),
-        "vec_id", "embedding", cents).as("n")
-        .join(store.as("c"), col("n.cell") === col("c.cell"))
-        .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"),
-          (Ann.dot(col("n.v"), col("c.v")) /
-            (Ann.norm(col("n.v")) * Ann.norm(col("c.v")))).as("score"))
-        .filter(col("score") >= 0.9)
+      // (same shared tail — the pin is that STREAM execution through
+      // the engine changes nothing)
+      val batch = Ann.semDedupPairsAgainstStore(
+        Ann.lloydAssigned(
+          (0 until 4).map(i => (i.toLong * 10 + 1000000L,
+            axis(i * 3).updated(1, 0.01))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents),
+        store, threshold = 0.9)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == batch, s"stream $got != batch $batch")
     } finally query.stop()
