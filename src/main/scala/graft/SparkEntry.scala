@@ -1693,9 +1693,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "d_minhash_lsh" -> ((s, dir) => {
+      // maxBucketSize = Int.MaxValue: the oracle renders NO guard, so
+      // the gate runs the unguarded contract on both engines (the
+      // st_minhash_incr stance) — the r17 ADVICE's latent divergence
+      // (a >1000-doc band bucket in the slice would have dropped
+      // pairs on the Spark side only) is retired. The guarded path is
+      // exercised by its own spec/PlanGuard fixtures
       graft.dedup.Dedup.minhashLshPairs(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", numHashes = 16, bands = 4)
+        "doc_id", "text", numHashes = 16, bands = 4,
+        maxBucketSize = Int.MaxValue)
         .orderBy("id_a", "id_b")
     }),
     "d_lsh_recall" -> ((s, dir) => {
@@ -1707,7 +1714,8 @@ object SparkEntry {
       // is the thing LSH exists to avoid)
       graft.dedup.Dedup.lshRecallAudit(
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5)
+        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5,
+        maxBucketSize = Int.MaxValue) // oracle renders no guard
     }),
     "d_lsh_histogram" -> ((s, dir) => {
       // LSH capacity planning: the per-band bucket-size histogram
@@ -3090,8 +3098,11 @@ object SparkEntry {
       // resampled duplicate rate in ppm; the spread of the 32 rows is
       // the CI a dedup-threshold decision should clear
       val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      // Int.MaxValue: the pair CTE in the oracle renders no guard —
+      // matching contracts on both engines (the r17 ADVICE fix)
       val pairs = graft.dedup.Dedup.minhashLshPairs(
-        docs, "doc_id", "text", numHashes = 16, bands = 4)
+        docs, "doc_id", "text", numHashes = 16, bands = 4,
+        maxBucketSize = Int.MaxValue)
       val dup = pairs
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
@@ -4845,7 +4856,8 @@ object SparkEntry {
       // other's blocking misses) before clustering
       val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
       val mh = graft.dedup.Dedup.minhashLshPairs(
-        docs, "doc_id", "text", numHashes = 16, bands = 4)
+        docs, "doc_id", "text", numHashes = 16, bands = 4,
+        maxBucketSize = Int.MaxValue) // oracle CTE renders no guard
         .select(col("id_a"), col("id_b"), lit("minhash").as("method"))
       val sh = graft.dedup.Dedup.simhashNearDupPairs(
         docs, "doc_id", "text", maxHamming = 3)

@@ -66,7 +66,12 @@ object Nsw {
     * persists them MEMORY_AND_DISK for the search's duration — the
     * reuse-over-recompute call a production searcher makes by reading
     * its index from storage; pass `false` when the caller has already
-    * persisted/checkpointed all three. The final cut ranks the LAST
+    * persisted/checkpointed all three. A frame the caller ALREADY
+    * persisted (non-NONE storage level) is left alone — persisted
+    * once is persisted; re-persisting would make the exit unpersist
+    * drop the CALLER's cache entry as a side effect (the r17 ADVICE
+    * hazard: `Dataset.unpersist` removes the entry for the plan, not
+    * a reference count). The final cut ranks the LAST
     * round's carried scores — cosine is pure, so re-scoring the final
     * beam through another pair of vector joins would compute
     * identical values; skipping it drops one join chain from the
@@ -79,7 +84,11 @@ object Nsw {
       s"need 1 <= k <= beam and rounds >= 0, got beam=$beam rounds=$rounds k=$k")
     val reused = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def reuse(df: DataFrame): DataFrame =
-      if (persistInputs) {
+      // skip frames the caller already persisted: reuse their cache
+      // instead of double-registering, and never unpersist what this
+      // search didn't persist (see the scaladoc)
+      if (persistInputs &&
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         reused += p
         p

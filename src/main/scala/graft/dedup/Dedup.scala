@@ -426,12 +426,20 @@ object Dedup {
         (0 until numHashes).map(j => col(s"mh$j")): _*)
 
     // hot-bucket census: tiny (only buckets over the cap), broadcast
-    // anti-joined so no reducer ever owns a pathological bucket
-    val hot = buckets.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bkey"))
-    val bounded = buckets.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    // anti-joined so no reducer ever owns a pathological bucket.
+    // Int.MaxValue = guard disabled by contract (no bucket can exceed
+    // it): skip the census pass entirely — the stance gates whose
+    // oracles render no guard pin, so Spark and the oracle run the
+    // same contract (the bandJoinAgainstStore rule)
+    val bounded =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else {
+        val hot = buckets.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize)
+          .select(col("band"), col("bkey"))
+        buckets.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
 
     val agree = (0 until numHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
@@ -477,14 +485,21 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val nb = bandedSignatures(newSigs, numHashes, bands)
     val cb = bandedSignatures(corpusSigs, numHashes, bands)
-    val hot = nb.select(col("band"), col("bkey"))
-      .unionByName(cb.select(col("band"), col("bkey")))
-      .groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bkey"))
-    val nbb = nb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    val cbb = cb.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    // Int.MaxValue = guard disabled by contract: skip the census pass
+    // (the bandJoinAgainstStore rule — gates whose oracles render no
+    // guard pin it, so the two engines run the same contract)
+    val (nbb, cbb) =
+      if (maxBucketSize == Int.MaxValue) (nb, cb)
+      else {
+        val hot = nb.select(col("band"), col("bkey"))
+          .unionByName(cb.select(col("band"), col("bkey")))
+          .groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize)
+          .select(col("band"), col("bkey"))
+        (nb.join(broadcast(hot), Seq("band", "bkey"), "left_anti"),
+          cb.join(broadcast(hot), Seq("band", "bkey"), "left_anti"))
+      }
     val agree = (0 until numHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -524,16 +539,20 @@ object Dedup {
     // always-empty blocklist
     val unguarded = maxBucketSize == Int.MaxValue
     // the census is a store-wide aggregation: materialize the tiny
-    // blocklist ONCE (eager cut) so a streaming caller's micro-batches
-    // re-broadcast a checkpointed handful of rows instead of
-    // re-aggregating the corpus-scale store per batch; the anti-joins
-    // themselves are map-side broadcast filters and stay lazy
-    lazy val hot = corpusBanded
+    // blocklist ONCE, as a driver-local literal
+    // ([[graft.ops.Skew.localBlocklist]] — it broadcasts downstream,
+    // so the driver hop is already in its dataflow), so a streaming
+    // caller's micro-batches re-broadcast a literal handful of rows
+    // instead of re-aggregating the corpus-scale store per batch, and
+    // a repeated BATCH caller leaks no storage (the r17 eager
+    // localCheckpoint left one checkpointed RDD behind per call); the
+    // anti-joins themselves are map-side broadcast filters and stay
+    // lazy
+    lazy val hot = graft.ops.Skew.localBlocklist(corpusBanded
       .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bkey"))
-      .localCheckpoint(true)
+      .select(col("band"), col("bkey")))
     def withGuard(side: DataFrame): DataFrame =
       if (unguarded) side
       else side.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
@@ -812,7 +831,8 @@ object Dedup {
     */
   def lshRecallAudit(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold out of (0, 1]")
     val thrMicro = math.floor(threshold * 1e6).toLong
@@ -829,7 +849,8 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
       .filter(expr(s"nc * 1000000L div (sa + sb - nc) >= ${thrMicro}L"))
       .select(col("id_a"), col("id_b"))
-    val cand = minhashLshPairs(df, idCol, textCol, numHashes, bands)
+    val cand = minhashLshPairs(df, idCol, textCol, numHashes, bands,
+      maxBucketSize)
       .filter(col("n_common_minhash") >= minAgree)
       .select(col("id_a"), col("id_b"))
     val found = truth.join(cand, Seq("id_a", "id_b"), "left_semi")

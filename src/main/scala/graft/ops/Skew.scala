@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** A tiny frame re-materialized as a driver-local literal
+    * (LocalRelation) — the lifecycle-free form of a hot-key
+    * blocklist. The census behind a blocklist is a corpus-wide
+    * aggregation, but its RESULT is bounded by contract (only keys
+    * over the guard dial, and it rides a `broadcast()` downstream —
+    * which collects to the driver anyway, so local materialization
+    * adds no new scale constraint). Compared to the eager
+    * `localCheckpoint` it replaces: no per-call executor blocks to
+    * leak (repeated batch callers accumulated one checkpointed RDD
+    * per call), and a streaming caller's micro-batches re-broadcast
+    * a literal instead of re-aggregating the corpus-scale store.
+    * Executes `df` NOW (one job) — callers skip it entirely when the
+    * guard is disabled.
+    */
+  def localBlocklist(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,

@@ -165,6 +165,16 @@ object Streams {
     * the 100 TB plan. `broadcastStore = true` restores the hint for
     * stores KNOWN to be small (e.g. a per-tenant blocklist);
     * defaults off.
+    *
+    * DEFAULT-BEHAVIOR CHANGE (r17): this door previously forced a
+    * broadcast of the store and ran UNGUARDED; it now defaults to
+    * `maxBucketSize = 1000`, so callers relying on the old default
+    * silently stop emitting pairs inside over-1000 store buckets —
+    * which is the intended production contract (a hot bucket is
+    * boilerplate, and its pairs are noise at quadratic cost), but a
+    * caller that wants the exhaustive pre-r17 behavior must now pass
+    * `maxBucketSize = Int.MaxValue` explicitly (what the
+    * `st_minhash_incr` gate pins, matching its guard-free oracle).
     */
   def minhashIncrStream(
       docs: DataFrame, idCol: String, textCol: String,
