@@ -2065,6 +2065,16 @@ object SparkEntry {
       graft.ann.Ann.lloydAssignCounts(
         t(s, dir, "embeddings"), "vec_id", "embedding")
     }),
+    "e_lloyd_cell_skew" -> ((s, dir) =>
+      // the OPERATIONAL skew readout (r17 verdict #3): the one-row
+      // census summary a SemDeDup/IVF deployment reads before the
+      // cell joins — max cell share vs the balanced share, top-3
+      // cells — with the documented rule "raise nCells when
+      // max_share_ppm > ~4x ideal_share_ppm" (within-cell cost is
+      // quadratic in the largest cell). Makes lloydAssignCounts a
+      // decision number instead of a narrative
+      graft.ann.Ann.lloydCellSkew(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
     "e_ann_ivf_lloyd_topk" -> ((s, dir) => {
       // END-TO-END retrieval through the deterministic Lloyd
       // quantizer — the full trained-IVF production path the MLlib
@@ -2110,7 +2120,12 @@ object SparkEntry {
         .unionByName(Ann.plantQueries(
           emb.filter(col("vec_id") % 20 === 3), "vec_id", "embedding",
           idOffset = 1000000L, delta = 0.01))
-      Ann.semDedupPruned(corpus, "vec_id", "embedding", threshold = 0.9)
+      // maxCellSize = Int.MaxValue: the oracle renders no guard, so
+      // the gate runs the unguarded contract on both engines (the
+      // st_minhash_incr stance); the guarded path has its own
+      // AnnSpec/PlanGuard fixtures
+      Ann.semDedupPruned(corpus, "vec_id", "embedding", threshold = 0.9,
+        maxCellSize = Int.MaxValue)
         .orderBy("id")
     }),
     "e_cos_dedup_clusters" -> ((s, dir) => {
@@ -4661,10 +4676,11 @@ object SparkEntry {
       val twins = Ann.plantQueries(emb.filter(col("vec_id") % 20 === 3),
         "vec_id", "embedding", idOffset = 1000000L, delta = 0.01)
       // the SHARED pair tail — one body with the stream door, so the
-      // reload gate can't drift from what st_semdedup_incr runs
+      // reload gate can't drift from what st_semdedup_incr runs;
+      // guard disabled to match the guard-free oracle
       Ann.semDedupPairsAgainstStore(
         Ann.lloydAssigned(twins, "vec_id", "embedding", cents),
-        store, threshold = 0.9)
+        store, threshold = 0.9, maxCellSize = Int.MaxValue)
         .orderBy("new_id", "corpus_id")
     }),
     "st_semdedup_incr" -> ((s, dir) => {
@@ -4690,7 +4706,8 @@ object SparkEntry {
         Seq(twins.filter(col("vec_id") % 40 === 3),
           twins.filter(col("vec_id") % 40 === 23)),
         src => graft.streaming.Streams.semDedupIncrStream(
-          src, "vec_id", "embedding", cents, store, threshold = 0.9))
+          src, "vec_id", "embedding", cents, store, threshold = 0.9,
+          maxCellSize = Int.MaxValue)) // oracle renders no guard
         .orderBy("new_id", "corpus_id")
     }),
     "st_decontam" -> ((s, dir) => {
@@ -6208,6 +6225,8 @@ object SparkEntry {
         "vec_id % 20 = 0", idOffset = 1000000L, delta = 0.01, k = 10),
     "e_ann_ivf_lloyd" ->
       graft.ann.Ann.lloydAssignCountsSql(),
+    "e_lloyd_cell_skew" ->
+      graft.ann.Ann.lloydCellSkewSql(),
     "e_ann_ivf_lloyd_topk" ->
       graft.ann.Ann.lloydIvfTopKSql("id % 40 = 1", k = 5),
     "e_semdedup" ->

@@ -1832,6 +1832,21 @@ object Ann {
       cents: DataFrame): DataFrame =
     lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
 
+  /** Over-`maxCellSize` cells of an assigned `(id, v, cell)` frame as
+    * a driver-local blocklist ([[graft.ops.Skew.localBlocklist]] —
+    * bounded by contract: only cells over the dial, broadcast
+    * downstream anyway). Executes the census NOW (one corpus pass);
+    * callers skip this entirely when the guard is disabled
+    * (`Int.MaxValue`), so a streaming door never pays a store-wide
+    * aggregation per micro-batch for an always-empty blocklist.
+    */
+  private def hotCells(assigned: DataFrame, maxCellSize: Int): DataFrame =
+    graft.ops.Skew.localBlocklist(assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .select(col("cell")))
+
   def lloydAssignCounts(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
@@ -1844,6 +1859,56 @@ object Ann {
       .agg(count(lit(1)).as("n"))
       .select(col("cell"), col("n"))
       .orderBy(col("cell"))
+  }
+
+  /** The OPERATIONAL skew readout over the Lloyd cell census — the
+    * one-row summary a SemDeDup/IVF deployment reads BEFORE running
+    * the cell joins, because every within-cell cost is quadratic in
+    * the largest cell: `(n_cells_used, n_rows, max_cell_n,
+    * max_share_ppm, ideal_share_ppm, top_cells)`. `max_share_ppm` is
+    * the largest cell's share of the corpus in ppm; `ideal_share_ppm`
+    * is the balanced share (10⁶/nCells); `top_cells` the three
+    * largest as `cell:n` (largest first, ties to the smaller cell
+    * id).
+    *
+    * THE THRESHOLD RULE: raise `nCells` when `max_share_ppm` exceeds
+    * ~4× `ideal_share_ppm` — a cell 4× over balance makes the
+    * within-cell pair term 16× the balanced cost, and the published
+    * recipe's cluster count scales with the corpus anyway (SemDeDup
+    * runs ~100k clusters at web scale, never 16). If retraining at a
+    * higher nCells still leaves a degenerate cell (boilerplate or
+    * near-constant embeddings collapse to one point no quantizer can
+    * split), THAT is the population the `maxCellSize` backstop on
+    * [[semDedupPruned]] / [[semDedupPairsAgainstStore]] exists to
+    * drop. All-integer output except the ppm fields, which use the
+    * engine-identical `floor(x + 0.5)` device.
+    */
+  def lloydCellSkew(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): DataFrame = {
+    val counts = lloydAssignCounts(corpus, idCol, vecCol, nCells, iters,
+      maxTrainRows, seed, dim)
+    counts.agg(
+      count(lit(1)).cast("long").as("n_cells_used"),
+      sum(col("n")).cast("long").as("n_rows"),
+      max(col("n")).cast("long").as("max_cell_n"),
+      // (-n, cell) struct sort = n desc, cell asc — deterministic
+      // top-3 without a window
+      array_join(
+        transform(
+          slice(array_sort(collect_list(struct(
+            (-col("n")).as("negn"), col("cell").as("cell"),
+            col("n").as("n")))), 1, 3),
+          t => concat_ws(":", t("cell"), t("n"))),
+        ",").as("top_cells"))
+      .select(col("n_cells_used"), col("n_rows"), col("max_cell_n"),
+        floor(col("max_cell_n") * lit(1000000.0) / col("n_rows")
+          + lit(0.5)).cast("long").as("max_share_ppm"),
+        lit(math.floor(1000000.0 / nCells + 0.5).toLong)
+          .as("ideal_share_ppm"),
+        col("top_cells"))
   }
 
   /** End-to-end retrieval through the DETERMINISTIC Lloyd quantizer —
@@ -1945,6 +2010,30 @@ object Ann {
        |SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af
        |GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** DuckDB twin of [[lloydCellSkew]] — the cell census folded to the
+    * one-row skew summary, ppm fields via the engine-identical
+    * `floor(x + 0.5)`.
+    */
+  def lloydCellSkewSql(
+      nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L, dim: Int = 64,
+  ): String =
+    s"""WITH ${lloydCentroidCtesSql(nCells, iters, maxTrainRows, seed, dim)},
+       |${lloydAssignCtesSql("f", "s0", s"c$iters", dim)},
+       |counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af
+       |  GROUP BY cell)
+       |SELECT CAST(count(*) AS BIGINT) AS n_cells_used,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(max(n) AS BIGINT) AS max_cell_n,
+       |  CAST(floor(max(n) * 1000000.0 / sum(n) + 0.5) AS BIGINT)
+       |    AS max_share_ppm,
+       |  CAST(${math.floor(1000000.0 / nCells + 0.5).toLong} AS BIGINT)
+       |    AS ideal_share_ppm,
+       |  (SELECT string_agg(cell || ':' || n, ',' ORDER BY n DESC, cell)
+       |   FROM (SELECT cell, n, row_number() OVER (ORDER BY n DESC, cell)
+       |       AS rn FROM counts QUALIFY rn <= 3) t) AS top_cells
+       |FROM counts""".stripMargin
+
   /** DuckDB twin of [[lloydIvfTopK]]: the trained-centroid CTEs, the
     * corpus assignment, per-query probe ranking, probed-cell scoring,
     * and the final per-query rank — queries are the `s0` rows
@@ -1997,19 +2086,47 @@ object Ann {
     * qualifying partner, n_dups the count of qualifying lower-id
     * partners. Survivors simply don't appear (anti-join the corpus
     * against this frame to materialize the kept set).
+    *
+    * HOT-CELL GUARD (`maxCellSize`): the within-cell pair term is
+    * quadratic in the largest cell, and real embedding corpora
+    * concentrate mass (boilerplate, empty docs, near-constant vectors
+    * all land in ONE cell) — a degenerate cell makes this operator
+    * quadratic at exactly the corpus scale it targets. Cells over
+    * `maxCellSize` are censused, the (tiny) blocklist broadcast, and
+    * the assigned frame anti-joined before the self-join — docs in a
+    * blocklisted cell are NOT examined and therefore SURVIVE (the
+    * conservative failure: a skipped dup costs tokens, a dropped
+    * survivor costs data). Unlike the band-bucket guards
+    * ([[graft.dedup.Dedup.bandJoinAgainstStore]]'s 1000), the default
+    * here is Int.MaxValue (guard OFF, census skipped by contract):
+    * a healthy cell is corpus/nCells-sized BY CONSTRUCTION, so any
+    * fixed absolute default meaningful for fine-grained LSH buckets
+    * would silently blocklist the entire corpus at the default
+    * nCells. Size the dial RELATIVELY — a small multiple (4–10×) of
+    * n/nCells — and read the skew off [[lloydCellSkew]] first: a
+    * max-cell share well above 1/nCells means raise nCells, and
+    * `maxCellSize` is the backstop for the degenerate mass that
+    * survives retraining.
     */
   def semDedupPruned(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
-      seed: Long = 42L, dim: Int = 64,
+      seed: Long = 42L, dim: Int = 64, maxCellSize: Int = Int.MaxValue,
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold must be in (0, 1]")
     val cents = lloydCentroids(corpus, idCol, vecCol, nCells, iters,
       maxTrainRows, seed, dim)
     val assigned = lloydAssign(lloydBase(corpus, idCol, vecCol), cents)
-    val a = assigned.select(col("cell"), col("id"), col("v"),
+    val a0 = assigned.select(col("cell"), col("id"), col("v"),
       norm(col("v")).as("n"))
+    // hot-cell guard: census -> driver-local blocklist -> broadcast
+    // anti-join (the bandJoinAgainstStore shape); Int.MaxValue skips
+    // the census pass by contract
+    val a =
+      if (maxCellSize == Int.MaxValue) a0
+      else a0.join(broadcast(hotCells(assigned, maxCellSize)),
+        Seq("cell"), "left_anti")
     // the assigned frame reaches this self-join map-only from the
     // scan (the scan+explode estimate class — assignment adds no
     // shuffle), and both sides are the same corpus-scale frame:
@@ -2066,13 +2183,36 @@ object Ann {
     * its reload); output `(new_id, corpus_id, score)` for every pair
     * at `threshold` cosine. The store side carries NO join-strategy
     * hint (it is O(corpus) rows) unless `broadcastStore`.
+    *
+    * HOT-CELL GUARD (`maxCellSize`): censused on the STORE side (the
+    * side that persists and accumulates boilerplate mass; the arrival
+    * side is bounded by its batch/micro-batch), the tiny blocklist
+    * materialized driver-local ONCE and broadcast-anti-joined on BOTH
+    * sides — byte-for-byte the
+    * [[graft.dedup.Dedup.bandJoinAgainstStore]] stance, including the
+    * Int.MaxValue-skips-census contract (a streaming caller would
+    * otherwise re-aggregate the corpus-scale store per micro-batch
+    * for an always-empty blocklist). Arrivals assigned to a
+    * blocklisted cell emit NO verdict (conservative: they pass as
+    * novel). Default OFF — see [[semDedupPruned]] for why an absolute
+    * cap that is right for fine-grained LSH buckets is wrong as a
+    * default for corpus/nCells-sized cells, and [[lloydCellSkew]] for
+    * the census that sizes the dial.
     */
   def semDedupPairsAgainstStore(
       newAssigned: DataFrame, store: DataFrame, threshold: Double,
+      maxCellSize: Int = Int.MaxValue,
       broadcastStore: Boolean = false): DataFrame = {
-    val a = newAssigned.select(col("cell"), col("id").as("new_id"),
+    val unguarded = maxCellSize == Int.MaxValue
+    lazy val hot = hotCells(store, maxCellSize)
+    def withGuard(side: DataFrame): DataFrame =
+      if (unguarded) side
+      else side.join(broadcast(hot), Seq("cell"), "left_anti")
+    val a = withGuard(newAssigned).select(col("cell"),
+      col("id").as("new_id"),
       col("v").as("nv"), norm(col("v")).as("nn"))
-    val s0 = store.select(col("cell"), col("id").as("corpus_id"),
+    val s0 = withGuard(store).select(col("cell"),
+      col("id").as("corpus_id"),
       col("v").as("cv"), norm(col("v")).as("cn"))
     val s = if (broadcastStore) broadcast(s0) else s0
     a.join(s, Seq("cell"))

@@ -220,10 +220,23 @@ object Streams {
     * shuffles fine (the [[minhashIncrStream]] lesson; the trained
     * centroid array is the only forced broadcast). `broadcastStore`
     * restores the hint for stores known to be small.
+    *
+    * `maxCellSize` is the hot-cell guard, censused on the STORE side
+    * once at stream construction (the blocklist rides every
+    * micro-batch as a driver-local literal — never a per-batch store
+    * aggregation) and anti-joined on BOTH sides, mirroring
+    * [[minhashIncrStream]]'s hot-bucket stance. Default OFF
+    * (Int.MaxValue skips the census by contract): cells are
+    * corpus/nCells-sized by construction, so the dial must be sized
+    * relative to the store (see
+    * [[graft.ann.Ann.semDedupPairsAgainstStore]] and
+    * [[graft.ann.Ann.lloydCellSkew]]); an arrival assigned to a
+    * blocklisted cell emits no verdict (passes as novel).
     */
   def semDedupIncrStream(
       vecs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, corpusStore: DataFrame, threshold: Double,
+      maxCellSize: Int = Int.MaxValue,
       broadcastStore: Boolean = false): DataFrame = {
     import graft.ann.Ann
     // assignment + the shared store pair tail
@@ -232,7 +245,7 @@ object Streams {
     // door can't drift from what the oracle models)
     Ann.semDedupPairsAgainstStore(
       Ann.lloydAssigned(vecs, idCol, vecCol, cents), corpusStore,
-      threshold, broadcastStore)
+      threshold, maxCellSize, broadcastStore)
   }
 
   /** Streaming exact-dedup on an id column: duplicates arriving within

@@ -249,6 +249,62 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       "broadcastStore dial no longer hints the store")
   }
 
+  test("SemDeDup cell joins: only the blocklist (and the centroid array) broadcast — the store side is join-strategy-free") {
+    import spark.implicits._
+    import graft.ann.Ann
+    // the semantic twin of the stream-door minhash pin: the store is
+    // O(corpus) rows, so a binding broadcast hint on it is a driver
+    // OOM at the scale the operator exists for — the only forced
+    // broadcasts are the (<= nCells)-row centroid array and, when the
+    // guard dial is set, the tiny hot-cell blocklist
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+    val corpus = Seq(
+      (10L, axis(0)), (11L, axis(0)), (12L, axis(0)),
+      (20L, axis(9)), (21L, axis(9)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.lloydCentroids(corpus, "vec_id", "embedding",
+      nCells = 4).localCheckpoint(true)
+    val store = Ann.lloydAssigned(corpus, "vec_id", "embedding", cents)
+    val arrivals = Ann.lloydAssigned(
+      Seq((1000020L, axis(9).updated(1, 0.01))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+    def hints(maxCellSize: Int, broadcastStore: Boolean): Int =
+      "ResolvedHint".r.findAllIn(
+        Ann.semDedupPairsAgainstStore(arrivals, store, 0.9,
+          maxCellSize, broadcastStore)
+          .queryExecution.analyzed.toString).size
+    // base: one centroid-array broadcast per assignment (arrival side
+    // + store side)
+    assert(hints(Int.MaxValue, false) == 2,
+      "store side gained (or an assignment lost) a broadcast hint")
+    // the guard adds exactly the two blocklist anti-join broadcasts
+    assert(hints(2, false) == 4,
+      "hot-cell blocklist anti-joins lost their broadcast hints")
+    // the store gains a hint ONLY via the explicit dial
+    assert(hints(2, true) == 5,
+      "broadcastStore dial no longer hints the store")
+    val guarded = Ann.semDedupPairsAgainstStore(arrivals, store, 0.9,
+      maxCellSize = 2).queryExecution.executedPlan.toString
+    assert(guarded.contains("BroadcastHashJoin") && guarded.contains("LeftAnti"),
+      s"guarded store join lost its broadcast anti-joins:\n$guarded")
+    // the pruned (batch self-join) path: the guard adds its anti-join
+    // inside BOTH printed sides of the self-join, and the sort-merge
+    // pin must survive the guard
+    def prunedHints(maxCellSize: Int): Int =
+      "ResolvedHint".r.findAllIn(
+        Ann.semDedupPruned(corpus, "vec_id", "embedding", 0.9,
+          nCells = 4, maxCellSize = maxCellSize)
+          .queryExecution.analyzed.toString).size
+    assert(prunedHints(2) - prunedHints(Int.MaxValue) == 2,
+      "pruned guard hint delta drifted (blocklist broadcast lost or store hinted)")
+    val guardedPruned = Ann.semDedupPruned(corpus, "vec_id", "embedding",
+      0.9, nCells = 4, maxCellSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(guardedPruned.contains("SortMergeJoin"),
+      s"guarded semDedupPruned lost its sort-merge pin:\n$guardedPruned")
+  }
+
   test("tfidf persistInput collapses the triple source scan to one cached pass") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

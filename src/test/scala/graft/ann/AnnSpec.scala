@@ -524,6 +524,88 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       s"only ${pruned.length} of $nPlanted twins pruned — cells split the pairs")
   }
 
+  test("semDedupPruned hot-cell guard: a degenerate cell is skipped, cold cells still prune") {
+    import spark.implicits._
+    // deterministic by construction: identical vectors ALWAYS share
+    // an argmax cell (no tie-break or training idiosyncrasy can split
+    // them), so the trio's cell has >= 3 members and the pair's
+    // exactly 2 — no other rows exist to contaminate either
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+    val corpus = Seq(
+      (10L, axis(0)), (11L, axis(0)), (12L, axis(0)), // degenerate mass
+      (20L, axis(9)), (21L, axis(9)))                 // a healthy dup pair
+      .toDF("vec_id", "embedding")
+    def prunedSet(maxCellSize: Int) =
+      Ann.semDedupPruned(corpus, "vec_id", "embedding", threshold = 0.9,
+        nCells = 4, maxCellSize = maxCellSize)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // unguarded: both clusters prune to their min id
+    assert(prunedSet(Int.MaxValue) == Set((11L, 10L), (12L, 10L), (21L, 20L)),
+      "unguarded baseline drifted — fixture no longer plants both clusters")
+    // guarded at 2: the 3-member cell is blocklisted (its docs SURVIVE
+    // unexamined — the conservative failure), the 2-member cell still
+    // prunes
+    assert(prunedSet(2) == Set((21L, 20L)),
+      "hot-cell guard inert or over-blocking")
+  }
+
+  test("semDedupPairsAgainstStore hot-cell guard blocks the degenerate store cell on both sides") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+    val corpus = Seq(
+      (10L, axis(0)), (11L, axis(0)), (12L, axis(0)),
+      (20L, axis(9)), (21L, axis(9)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.lloydCentroids(corpus, "vec_id", "embedding", nCells = 4)
+      .localCheckpoint(true)
+    val store = Ann.lloydAssigned(corpus, "vec_id", "embedding", cents)
+    // arrivals: one twin per direction (perturbed off-axis so cosine
+    // to its sources is ~0.99995, argmax cell unchanged)
+    val twins = Seq(
+      (1000010L, axis(0).updated(1, 0.01)),
+      (1000020L, axis(9).updated(1, 0.01)))
+      .toDF("vec_id", "embedding")
+    val arrivals = Ann.lloydAssigned(twins, "vec_id", "embedding", cents)
+    def pairs(maxCellSize: Int) =
+      Ann.semDedupPairsAgainstStore(arrivals, store, threshold = 0.9,
+        maxCellSize = maxCellSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Int.MaxValue) == Set(
+      (1000010L, 10L), (1000010L, 11L), (1000010L, 12L),
+      (1000020L, 20L), (1000020L, 21L)),
+      "unguarded baseline drifted — fixture no longer reaches both cells")
+    // guarded: the trio cell is censused hot on the STORE side and
+    // anti-joined on BOTH sides — the axis-0 arrival emits NO verdict
+    // (passes as novel), the healthy cell still matches
+    assert(pairs(2) == Set((1000020L, 20L), (1000020L, 21L)),
+      "store-side hot-cell guard inert or over-blocking")
+  }
+
+  test("lloydCellSkew reads the planted degenerate cell off the census") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+    val corpus = Seq(
+      (10L, axis(0)), (11L, axis(0)), (12L, axis(0)),
+      (20L, axis(9)), (21L, axis(9)))
+      .toDF("vec_id", "embedding")
+    val row = Ann.lloydCellSkew(corpus, "vec_id", "embedding", nCells = 4)
+      .collect().head
+    assert(row.getLong(0) == 2L, s"n_cells_used: $row")       // trio + pair
+    assert(row.getLong(1) == 5L, s"n_rows: $row")
+    assert(row.getLong(2) == 3L, s"max_cell_n: $row")
+    assert(row.getLong(3) == 600000L, s"max_share_ppm: $row") // floor(3e6/5+.5)
+    assert(row.getLong(4) == 250000L, s"ideal_share_ppm: $row") // 1e6/4
+    // 600000 > 4 x 250000 is false, but > ideal by 2.4x — the readout
+    // itself is the assertion; the threshold rule lives in the
+    // scaladoc. top_cells: largest first, cell ids are data-dependent
+    // init ids
+    assert(row.getString(5).matches("""\d+:3,\d+:2"""),
+      s"top_cells malformed: ${row.getString(5)}")
+  }
+
   test("planted cohort: brute force recovers every source at rank 1; LSH is a subset") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val where = col("vec_id") % 20 === 0

@@ -264,6 +264,60 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("semDedupIncrStream hot-cell guard blocks the degenerate store cell — stream equals batch at the same dial") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    // identical vectors always share an argmax cell, so the trio's
+    // cell is deterministically hot at maxCellSize = 2 and the pair's
+    // cell deterministically cold (the AnnSpec planting)
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+    val corpus = Seq(
+      (10L, axis(0)), (11L, axis(0)), (12L, axis(0)),
+      (20L, axis(9)), (21L, axis(9)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.lloydCentroids(corpus, "vec_id", "embedding",
+      nCells = 4).localCheckpoint(true)
+    val store = Ann.lloydAssigned(corpus, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    val arrivals = Seq(
+      (1000010L, axis(0).updated(1, 0.01)),  // twin of the hot trio
+      (1000020L, axis(9).updated(1, 0.01)))  // twin of the cold pair
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = Streams.semDedupIncrStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, store, threshold = 0.9, maxCellSize = 2)
+      .writeStream.format("memory").queryName("sd_hot_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      val got = spark.table("sd_hot_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.exists(_._1 == 1000010L),
+        s"hot-cell arrival still paired: $got — store-side guard inert")
+      assert(got == Set((1000020L, 20L), (1000020L, 21L)),
+        s"cold-cell pairs wrong: $got — guard over-blocks")
+      // guard parity with the batch twin at the SAME dial: the shared
+      // tail means stream execution through the engine changes nothing
+      val batch = Ann.semDedupPairsAgainstStore(
+        Ann.lloydAssigned(arrivals.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents),
+        store, threshold = 0.9, maxCellSize = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // and the fixture is non-vacuous: unguarded, the hot trio pairs
+      val unguarded = Ann.semDedupPairsAgainstStore(
+        Ann.lloydAssigned(arrivals.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents),
+        store, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(unguarded.exists(_._1 == 1000010L),
+        "unguarded baseline never pairs the trio — planting broke")
+    } finally query.stop()
+  }
+
   test("surpriseStream equals batch surpriseScore per document (stream-static census join)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
