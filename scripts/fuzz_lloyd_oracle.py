@@ -122,6 +122,35 @@ def ref_semdedup(vecs_raw):
     return out
 
 
+def ref_semdedup_incr(vecs_raw):
+    """Independent reference for the INCREMENTAL SemDeDup oracle
+    (st_semdedup_incr / e_semdedup_store): train on the CORPUS ONLY
+    (unlike ref_semdedup's planted union), assign the corpus (af) and
+    the perturbed twins (an) through the SAME argmax chain — the
+    double-applied assignment CTEs are exactly what this reference
+    pins — and emit every same-cell (twin, corpus) pair at threshold,
+    ordered (new_id, corpus_id)."""
+    corpus = {i: [float(x) for x in v] for i, v in vecs_raw.items()}
+    s0 = {i: v for i, v in corpus.items() if dot(v, v) > 0}
+    cents = train_cents(s0)
+    af = assign(list(s0), s0, cents)
+    # twins derive from ALL matching corpus rows (including zero-norm
+    # sources: a zero vector's twin is [delta]*DIM — nonzero, so it
+    # ASSIGNS even though its source was excluded from s0)
+    tw = {i + SEM_OFFSET: [x + SEM_DELTA for x in v]
+          for i, v in corpus.items() if i % 20 == 3}
+    tnz = {i: v for i, v in tw.items() if dot(v, v) > 0}
+    an = assign(list(tnz), tnz, cents)
+    out = []
+    for t in sorted(tnz):
+        for a in sorted(s0):
+            if an[t] == af[a]:
+                c = cos(tnz[t], s0[a])
+                if c >= SEM_THRESHOLD:
+                    out.append((t, a, c))
+    return out
+
+
 def ref_lloyd_topk(vecs_raw):
     # s0: zero-norm excluded
     s0 = {i: v for i, v in vecs_raw.items() if dot(v, v) > 0}
@@ -147,6 +176,7 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     sql = oracles["e_ann_ivf_lloyd_topk"]
     sem_sql = oracles["e_semdedup"]
+    incr_sql = oracles["st_semdedup_incr"]
 
     random.seed(73)
     fails = 0
@@ -175,6 +205,18 @@ def main():
         if len(ids) >= 6:
             vecs[ids[3]] = list(vecs[ids[1]])
             vecs[ids[5]] = [0.0] * DIM
+        # every 3rd trial, aim the plants at the INCR oracle's twin
+        # cohort: a zero vector AT a %20==3 id (its twin is nonzero
+        # and must assign while the source sits outside s0/af), and an
+        # exact duplicate of a twin SOURCE at a different id (exact
+        # centroid ties whose twins straddle the tie identically)
+        if trial % 3 == 0:
+            three = [i for i in ids if i % 20 == 3]
+            others = [i for i in ids if i % 20 != 3]
+            if three:
+                vecs[three[0]] = [0.0] * DIM
+            if len(three) >= 2 and others:
+                vecs[three[-1]] = list(vecs[others[0]])
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE embeddings AS SELECT * FROM (VALUES " +
@@ -197,6 +239,14 @@ def main():
             print(f"SEMDEDUP MISMATCH trial {trial} (n={len(ids)})")
             print("  got ", got_sem[:6])
             print("  want", want_sem[:6])
+        got_incr = [(int(r[0]), int(r[1]), float(r[2]))
+                    for r in con.sql(incr_sql).fetchall()]
+        want_incr = ref_semdedup_incr(vecs)
+        if got_incr != want_incr:
+            fails += 1
+            print(f"SEMDEDUP-INCR MISMATCH trial {trial} (n={len(ids)})")
+            print("  got ", got_incr[:6])
+            print("  want", want_incr[:6])
         con.close()
     print(f"trials={trials} fails={fails}")
     sys.exit(1 if fails else 0)
