@@ -98,11 +98,21 @@ object ScaleTrend {
       val allFamilies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "d_minhash_lsh" -> SparkEntry.queries("d_minhash_lsh"),
         "d_substr_self" -> SparkEntry.queries("d_substr_self"),
-        "nndescent_build" -> ((s: SparkSession, dir: String) =>
+        "nndescent_build" -> ((s: SparkSession, dir: String) => {
+          // groups follows the corpus at CONSTANT group size (~31 =
+          // the sf0.1 base slice 500/16) — the production rule the
+          // operator scaladoc documents: init is a within-group
+          // clique, so a FIXED groups dial is initSeeds·n²/groups, a
+          // deliberate data-quadratic the audit excludes by
+          // construction (caught by the r18 factor-30 point: 15.5 at
+          // 30× under the fixed dial, linear once groups scales)
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+            .filter(col("vec_id") % 4 === 0)
+          val groups = math.max(16, (emb.count() / 31L).toInt)
           graft.ann.Nsw.nnDescentGraph(
-            s.read.parquet(s"$dir/embeddings.parquet")
-              .filter(col("vec_id") % 4 === 0),
-            "vec_id", "embedding", k = 5, rounds = 2, groups = 16)),
+            emb, "vec_id", "embedding", k = 5, rounds = 2,
+            groups = groups)
+        }),
         "d_dedup_clusters" -> SparkEntry.queries("d_dedup_clusters"),
         "stream_band_join" -> ((s: SparkSession, dir: String) => {
           // the stream door's per-micro-batch body over a

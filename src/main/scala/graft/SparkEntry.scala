@@ -2122,10 +2122,30 @@ object SparkEntry {
           idOffset = 1000000L, delta = 0.01))
       // maxCellSize = Int.MaxValue: the oracle renders no guard, so
       // the gate runs the unguarded contract on both engines (the
-      // st_minhash_incr stance); the guarded path has its own
-      // AnnSpec/PlanGuard fixtures
+      // st_minhash_incr stance); the GUARDED path is oracle-gated by
+      // e_semdedup_guarded below
       Ann.semDedupPruned(corpus, "vec_id", "embedding", threshold = 0.9,
         maxCellSize = Int.MaxValue)
+        .orderBy("id")
+    }),
+    "e_semdedup_guarded" -> ((s, dir) => {
+      // the hot-cell guard ITSELF under the oracle: same planted
+      // corpus as e_semdedup, maxCellSize = 35 — at sf0.01 the 16
+      // cells census between ~24 and ~44 members, so the dial
+      // genuinely splits them (hot cells' twins vanish, cold cells'
+      // still prune) and BOTH engines must agree on the census, the
+      // blocklist, and the surviving pair set. Guard behavior proven
+      // by hash, not narrated by spec
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .unionByName(Ann.plantQueries(
+          emb.filter(col("vec_id") % 20 === 3), "vec_id", "embedding",
+          idOffset = 1000000L, delta = 0.01))
+      Ann.semDedupPruned(corpus, "vec_id", "embedding", threshold = 0.9,
+        maxCellSize = 35)
         .orderBy("id")
     }),
     "e_cos_dedup_clusters" -> ((s, dir) => {
@@ -6233,6 +6253,12 @@ object SparkEntry {
       graft.ann.Ann.semDedupPrunedSql(
         "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
         threshold = 0.9),
+    "e_semdedup_guarded" ->
+      // the guard rendered in SQL: census CTE -> NOT IN exclusion —
+      // both engines must agree on hot cells and the surviving pairs
+      graft.ann.Ann.semDedupPrunedSql(
+        "vec_id % 20 = 3", idOffset = 1000000L, delta = 0.01,
+        threshold = 0.9, maxCellSize = 35),
     "st_semdedup_incr" ->
       // the incremental door shares the trainer/assignment CTEs with
       // e_semdedup; the stream is stateless, so the batch-equivalent

@@ -2151,7 +2151,7 @@ object Ann {
   def semDedupPrunedSql(
       plantWhere: String, idOffset: Long, delta: Double, threshold: Double,
       nCells: Int = 16, iters: Int = 2, maxTrainRows: Int = 300,
-      seed: Long = 42L, dim: Int = 64,
+      seed: Long = 42L, dim: Int = 64, maxCellSize: Int = Int.MaxValue,
   ): String = {
     val s0 =
       s"""SELECT id, v FROM (
@@ -2164,10 +2164,26 @@ object Ann {
          |        CAST(embedding[i] AS DOUBLE) + CAST($delta AS DOUBLE)) AS v
          |    FROM embeddings WHERE ($plantWhere)) u
          |  WHERE ${dotSql("v", "v", dim)} > 0""".stripMargin
+    // the hot-cell guard rendered as its own CTE pair: census,
+    // blocklist, exclusion — cell counts are integers of a
+    // deterministic assignment, so the guarded pair frame is
+    // engine-exact. Int.MaxValue renders the unguarded text unchanged
+    // (the existing e_semdedup contract); a CTE (not an inline
+    // subquery) keeps DuckDB's per-reference CTE inlining from
+    // cascading through the heavy assignment chain
+    val (guardCtes, pairSrc) =
+      if (maxCellSize == Int.MaxValue) ("", "af")
+      else (
+        s"""hotc AS (SELECT cell FROM af GROUP BY cell
+           |  HAVING count(*) > $maxCellSize),
+           |afg AS (SELECT * FROM af
+           |  WHERE cell NOT IN (SELECT cell FROM hotc)),
+           |""".stripMargin,
+        "afg")
     s"""WITH ${lloydCentroidCtesSql(nCells, iters, maxTrainRows, seed, dim, Some(s0))},
        |${lloydAssignCtesSql("f", "s0", s"c$iters", dim)},
-       |pr AS (SELECT x.id, x.cell, y.id AS yid
-       |  FROM af x JOIN af y ON x.cell = y.cell AND y.id < x.id
+       |${guardCtes}pr AS (SELECT x.id, x.cell, y.id AS yid
+       |  FROM $pairSrc x JOIN $pairSrc y ON x.cell = y.cell AND y.id < x.id
        |  WHERE ${cosineSql("x.v", "y.v", dim)} >= $threshold)
        |SELECT id, cell, min(yid) AS keeper_id,
        |  CAST(count(*) AS BIGINT) AS n_dups

@@ -170,6 +170,18 @@ object Nsw {
     * iteration. Each round's edge frame is localCheckpointed
     * (referenced three ways — the [[beamSearch]] plan-doubling
     * lesson, cubed).
+    *
+    * THE `groups` DIAL MUST SCALE WITH THE CORPUS: the init is a
+    * CLIQUE within each of `groups` md5 buckets, so init pair volume
+    * is `initSeeds · n² / groups` — at a FIXED `groups` that term is
+    * quadratic in n (the r18 factor-30 ScaleTrend point caught
+    * exactly this: the 10× point's benign 2.23 hid it, factor 30
+    * showed the init bend). Size `groups ≈ n / (c·k)` for a small
+    * constant c (group size a few × k — enough clique edges to seed
+    * k neighbors, no more): then init is `initSeeds · c·k · n` =
+    * linear, and the per-round local join stays O(n·k²) as
+    * documented. The same fixed-dial rule as SemDeDup's nCells
+    * ([[graft.ann.Ann.lloydCellSkew]]).
     */
   def nnDescentGraph(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int, groups: Int, initSeeds: Int = 3,
