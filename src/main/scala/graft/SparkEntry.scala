@@ -3878,6 +3878,19 @@ object SparkEntry {
         graft.text.Vocab.topTokens(docs, "doc_id", "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    "p_ppl_buckets" -> ((s, dir) => {
+      // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+      // head/middle/tail terciles by reference-LM surprise — the
+      // "keep head+middle, drop tail" census behind web-corpus
+      // curation. Integer mean-surprise key (non-negative div ==
+      // floor on both engines), per-language ntile window, zero-gram
+      // docs excluded like CCNet drops empties
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.pplBuckets(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", "lang",
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .orderBy("lang", "bucket")
+    }),
     "p_curriculum_bins" -> ((s, dir) => {
       // curriculum binning: per-language ntile quartiles by length
       // with doc_id tie-break (partitioned window — the global-sort
@@ -6959,6 +6972,10 @@ object SparkEntry {
       (graft.text.Vocab.encodeSql(
         graft.text.Vocab.topTokensSql(100, ""),
         "WHERE doc_id % 50 = 0") + "\nORDER BY doc_id, pos"),
+    "p_ppl_buckets" ->
+      graft.text.Lm.pplBucketsSql(
+        whereClause = "WHERE doc_id % 3 = 0",
+        refWhereClause = "WHERE doc_id % 2 = 0"),
     "p_curriculum_bins" ->
       """WITH b AS (SELECT lang, doc_id, n_chars,
         |  ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin

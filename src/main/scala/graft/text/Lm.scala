@@ -487,4 +487,72 @@ object Lm {
        |FROM (SELECT doc_id FROM documents $whereClause) d
        |LEFT JOIN c USING (doc_id)""".stripMargin
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.4: score
+    * every document with a reference language model and split EACH
+    * LANGUAGE into head/middle/tail perplexity terciles — the recipe
+    * behind "keep head+middle, drop tail" web-corpus curation). The
+    * per-doc key is the INTEGER mean quantized surprise
+    * (`surprise_micro div n_grams` — both operands non-negative, so
+    * Spark's truncating `div` and SQL's flooring `//` agree), ranked
+    * `(key, id)` inside a per-language ntile(3) window — partitioned,
+    * never a global sort. Zero-gram documents are excluded (CCNet
+    * drops empties before bucketing). Output: one census row per
+    * `(lang, bucket)` — `(lang, bucket, n_docs, min_ppl_micro,
+    * max_ppl_micro)`, bucket ∈ head/middle/tail — the numbers a
+    * curation run reads to place its keep-threshold. To materialize
+    * the kept set, filter the bucketed frame instead of the census
+    * (same window, `bin <= 2`).
+    *
+    * 100 TB shape: the model censuses are corpus-sized equi-joins
+    * (no forced broadcast, text projected away before any shuffle —
+    * the [[surpriseScore]] plan), the lang lookup is an id-keyed
+    * equi-join, and the tercile window partitions by language.
+    */
+  def pplBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      reference: DataFrame, refTextCol: String, order: Int = 2,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = surpriseScore(df, idCol, textCol, reference, refTextCol,
+      order = order)
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), expr("surprise_micro div n_grams").as("ppl_key"))
+    val keyed = scored.join(df.select(col(idCol), col(langCol).as("lang")),
+      Seq(idCol))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ppl_key"), col(idCol))
+    keyed.withColumn("bin", ntile(3).over(w))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppl_key")).as("min_ppl_micro"),
+        max(col("ppl_key")).as("max_ppl_micro"))
+      .select(col("lang"),
+        when(col("bin") === 1, lit("head"))
+          .when(col("bin") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("n_docs"), col("min_ppl_micro"), col("max_ppl_micro"))
+  }
+
+  /** DuckDB rendering of [[pplBuckets]] over `documents(doc_id, text,
+    * lang)` — the [[surpriseScoreSql]] body nested as a CTE, the same
+    * integer key, the same per-language ntile.
+    */
+  def pplBucketsSql(
+      whereClause: String, refWhereClause: String, order: Int = 2,
+  ): String =
+    s"""WITH s AS (${surpriseScoreSql(whereClause, refWhereClause, order)}),
+       |k AS (SELECT d.lang, s.doc_id, s.surprise_micro // s.n_grams AS ppl_key
+       |  FROM s JOIN documents d USING (doc_id) WHERE s.n_grams > 0),
+       |b AS (SELECT lang, doc_id, ppl_key,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY ppl_key, doc_id) AS bin
+       |  FROM k)
+       |SELECT lang,
+       |  CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(ppl_key) AS BIGINT) AS min_ppl_micro,
+       |  CAST(max(ppl_key) AS BIGINT) AS max_ppl_micro
+       |FROM b GROUP BY lang, bin
+       |ORDER BY lang, bin""".stripMargin
 }

@@ -177,4 +177,41 @@ class LmSpec extends AnyFunSuite with SparkSpec {
       Lm.surpriseScore(d, "doc_id", "__gram", docs(2L -> "a"), "text")
     }
   }
+
+  test("pplBuckets: per-language terciles partition the corpus, surprise monotone head<=middle<=tail") {
+    import org.apache.spark.sql.functions._
+    // 7 docs per language with increasing rare-token content — the
+    // reference knows only common text, so surprise rises with i and
+    // the terciles must split 3/2/2 with monotone key ranges. Docs
+    // with a single token have ZERO bigrams and must be excluded
+    // (the CCNet drop-empties rule)
+    def mk(lang: String, base: Long) =
+      (0 until 7).map { i =>
+        val rare = Seq.tabulate(i)(j => s"${lang}rare${i}x$j").mkString(" ")
+        (base + i, s"the cat sat on the mat $rare", lang)
+      } :+ ((base + 99, "solo", lang)) // one token -> 0 grams -> dropped
+    val rows = mk("en", 0L) ++ mk("de", 100L)
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 3),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false),
+        StructField("lang", StringType, nullable = false))))
+    val ref = docs(1000L -> "the cat sat on the mat the cat ran")
+    val got = Lm.pplBuckets(corpus, "doc_id", "text", "lang", ref, "text")
+      .orderBy("lang", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    for (lang <- Seq("de", "en")) {
+      val l = got.filter(_._1 == lang)
+      assert(l.map(_._2).toSeq == Seq("head", "middle", "tail"),
+        s"$lang buckets: ${l.toSeq}")
+      assert(l.map(_._3).toSeq == Seq(3L, 2L, 2L),
+        s"$lang tercile sizes (7 docs, empty dropped): ${l.toSeq}")
+      // key ranges are disjoint and ordered: head.max <= middle.min,
+      // middle.max <= tail.min (<= because integer keys can tie)
+      assert(l(0)._5 <= l(1)._4 && l(1)._5 <= l(2)._4,
+        s"$lang tercile key ranges not monotone: ${l.toSeq}")
+    }
+  }
 }
