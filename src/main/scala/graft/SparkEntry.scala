@@ -3191,6 +3191,16 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source").asc_nulls_first)
     }),
+    "p_waterfill_caps" -> ((s, dir) =>
+      // waterfilling cap PLANNING: solve the largest per-source token
+      // cap whose capped total fits the budget (p_cap_source ENFORCES
+      // a given cap; this derives it) — 26k against the ~27.2k sf0.01
+      // token inventory puts tau = 1330 with 11 of 20 sources capped,
+      // so the dial genuinely splits them. One corpus census; the
+      // solve runs on the #groups-sized frame
+      graft.ops.Mixture.waterfillCaps(
+        t(s, dir, "documents"), "source", "text", tokenBudget = 26000L)
+        .orderBy("source")),
     "p_mixture_plan" -> ((s, dir) => {
       // recipe planning: per-language token inventory -> target
       // tokens, keep-rate (ppm) and epoch factor for a 100k-token
@@ -6673,6 +6683,10 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n FROM documents
          |WHERE $b < $cut GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
     },
+    "p_waterfill_caps" ->
+      (graft.ops.Mixture.waterfillCapsSql(
+        "documents", "source", tokenBudget = 26000L) +
+        "\nORDER BY source"),
     "p_cap_source" -> {
       val pred = graft.ops.Sampling.capPredicateSql("doc_id", cap = 10)
       s"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group

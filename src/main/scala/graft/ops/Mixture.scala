@@ -266,4 +266,99 @@ object Mixture {
        |SELECT $idExpr, $groupExpr, unnest(range(0, total)) AS epoch
        |FROM d WHERE total > 0""".stripMargin
   }
+
+  /** Waterfilling cap: solve for the LARGEST per-group token cap τ
+    * whose capped total fits the budget — `Σ_g min(tokens_g, τ) ≤
+    * tokenBudget`, τ maximal (up to the integer remainder, which
+    * stays unallocated — the deterministic floor contract). This is
+    * the allocation rule behind "cap the over-represented sources,
+    * keep the small ones whole" mixture design: [[Sampling
+    * .capPerGroup]] ENFORCES a given cap; this PLANS it from a
+    * budget.
+    *
+    * Closed form over the ascending-sorted census (tokens, group):
+    * the first rank k where `prefix(k−1) + (n−k+1)·tokens_k >
+    * budget` pins τ = `(budget − prefix(k−1)) div (n−k+1)`; if no
+    * rank violates, the whole corpus fits and τ = max tokens. At
+    * that first violation `tokens_{k−1} ≤ τ < tokens_k` holds (ties
+    * force the violation one rank earlier), so `min(tokens, τ)`
+    * caps exactly the ranks ≥ k. All-integer once past the census:
+    * the `div` is non-negative (truncation = floor on both engines).
+    *
+    * Output one row per group: `(groupCol, n_tokens, tau,
+    * alloc_tokens, capped)` — same τ on every row (the dial a
+    * sampler or [[Sampling.capPerGroup]] then enforces).
+    *
+    * 100 TB shape: ONE map-side-combined census over the corpus;
+    * everything after runs on the #groups-sized frame — the
+    * single-partition window is over groups (bounded: sources,
+    * languages, domains), never documents.
+    */
+  def waterfillCaps(
+      df: DataFrame, groupCol: String, textCol: String, tokenBudget: Long,
+  ): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget $tokenBudget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val census = df.groupBy(col(groupCol))
+      .agg(sum(graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col(groupCol))
+    val ranked = census
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = broadcast(census.agg(
+      count(lit(1)).cast("long").as("n_groups"),
+      max(col("n_tokens")).as("max_t")))
+    // first violating rank via lexicographic struct-min; fall back to
+    // max_t (the budget fits whole)
+    val tau = broadcast(ranked.crossJoin(totals)
+      .withColumn("prev_prefix", col("prefix") - col("n_tokens"))
+      .withColumn("m", col("n_groups") - col("rn") + lit(1L))
+      .agg(
+        min(when(
+          col("prev_prefix") + col("m") * col("n_tokens") > lit(tokenBudget),
+          struct(col("rn"),
+            expr(s"(${tokenBudget}L - prev_prefix) div m").as("tau"))))
+          .as("v"),
+        max(col("max_t")).as("max_t"))
+      .select(coalesce(col("v.tau"), col("max_t")).as("tau")))
+    census.crossJoin(tau)
+      .select(col(groupCol), col("n_tokens"), col("tau"),
+        least(col("n_tokens"), col("tau")).as("alloc_tokens"),
+        (col("n_tokens") > col("tau")).as("capped"))
+  }
+
+  /** DuckDB rendering of [[waterfillCaps]] over `documents`-shaped
+    * tables — the same census, ranks, first-violation τ, and capped
+    * allocation.
+    */
+  def waterfillCapsSql(
+      table: String, groupExpr: String, tokenBudget: Long,
+      whereClause: String = "",
+  ): String = {
+    val toksLen = s"CAST(len(${graft.text.TextFunctions.tokensSql
+      .replace("TXT", "text")}) AS BIGINT)"
+    s"""WITH census AS (SELECT $groupExpr AS g,
+       |    CAST(sum($toksLen) AS BIGINT) AS n_tokens
+       |  FROM $table $whereClause GROUP BY 1),
+       |r AS (SELECT g, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens, g) AS BIGINT) AS rn,
+       |    sum(n_tokens) OVER (ORDER BY n_tokens, g
+       |      ROWS UNBOUNDED PRECEDING) AS prefix
+       |  FROM census),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |    max(n_tokens) AS max_t FROM census),
+       |tau AS (SELECT coalesce(
+       |    arg_min(($tokenBudget - (prefix - n_tokens)) // (n_groups - rn + 1),
+       |        rn)
+       |      FILTER (WHERE (prefix - n_tokens)
+       |        + (n_groups - rn + 1) * n_tokens > $tokenBudget),
+       |    max(max_t)) AS tau
+       |  FROM r CROSS JOIN tot)
+       |SELECT g AS $groupExpr, n_tokens, CAST(tau AS BIGINT) AS tau,
+       |  CAST(least(n_tokens, tau) AS BIGINT) AS alloc_tokens,
+       |  n_tokens > tau AS capped
+       |FROM census CROSS JOIN tau""".stripMargin
+  }
 }

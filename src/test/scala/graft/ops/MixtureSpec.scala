@@ -128,4 +128,37 @@ class MixtureSpec extends AnyFunSuite with SparkSpec {
     assert(sql.contains("WHEN lang = 'pt''br' THEN"), sql)
     assert(sql.contains("WHEN lang = 'en' THEN"), sql)
   }
+
+  test("waterfillCaps solves the budget cap: split, remainder, and fits-whole cases") {
+    def toksDoc(lang: String, n: Int, id: Long) =
+      (id, lang, Seq.fill(n)("w").mkString(" "))
+    // inventories: a=2, b=5, c=10 (17 total)
+    val d = docs(toksDoc("a", 2, 1L), toksDoc("b", 5, 2L),
+      toksDoc("c", 4, 3L), toksDoc("c", 6, 4L))
+    def run(budget: Long): Map[String, (Long, Long, Long, Boolean)] =
+      Mixture.waterfillCaps(d, "lang", "text", budget)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+    // budget 12, ascending inventories (2, 5, 10): k=1: 0+3*2=6 <=
+    // 12; k=2: 2+2*5=12 <= 12; k=3: 7+1*10=17 > 12 -> tau = (12-7)
+    // div 1 = 5. alloc = 2+5+5 = 12 (exact fit)
+    val at12 = run(12L)
+    assert(at12("a") == ((2L, 5L, 2L, false)), s"$at12")
+    assert(at12("b") == ((5L, 5L, 5L, false)), s"$at12")
+    assert(at12("c") == ((10L, 5L, 5L, true)), s"$at12")
+    // budget 11: k=2 violates (2 + 2*5 = 12 > 11) -> tau = (11-2)
+    // div 2 = 4; alloc 2+4+4 = 10 < 11 — the integer remainder stays
+    // unallocated by contract
+    val at11 = run(11L)
+    assert(at11("b") == ((5L, 4L, 4L, true)) && at11("c")._4, s"$at11")
+    // budget 5: k=1 violates (0+3*2=6 > 5) -> tau = 5 div 3 = 1; all
+    // capped at 1
+    val at5 = run(5L)
+    assert(at5.values.forall(v => v._2 == 1L && v._3 == 1L && v._4), s"$at5")
+    // budget >= total: tau = max inventory, nothing capped
+    val at17 = run(17L)
+    assert(at17.values.forall(v => v._2 == 10L && !v._4), s"$at17")
+    assert(at17("c")._3 == 10L, s"$at17")
+  }
 }
