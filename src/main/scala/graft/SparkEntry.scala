@@ -2130,12 +2130,16 @@ object SparkEntry {
     }),
     "e_semdedup_guarded" -> ((s, dir) => {
       // the hot-cell guard ITSELF under the oracle: same planted
-      // corpus as e_semdedup, maxCellSize = 35 — at sf0.01 the 16
-      // cells census between ~24 and ~44 members, so the dial
-      // genuinely splits them (hot cells' twins vanish, cold cells'
-      // still prune) and BOTH engines must agree on the census, the
-      // blocklist, and the surviving pair set. Guard behavior proven
-      // by hash, not narrated by spec
+      // corpus as e_semdedup, maxCellSize = 35 — at sf0.01 (the
+      // driver's correctness SF) the 16 cells census between ~24 and
+      // ~44 members, so the dial genuinely splits them (hot cells'
+      // twins vanish, cold cells' still prune) and BOTH engines must
+      // agree on the census, the blocklist, and the surviving pair
+      // set. Guard behavior proven by hash, not narrated by spec.
+      // (At bench SF the same absolute dial blocks every cell — the
+      // timed work is then exactly the census + blocklist machinery;
+      // the dial is absolute because the oracle text must be one
+      // static string across SFs)
       import graft.ann.Ann
       val emb = t(s, dir, "embeddings")
       val corpus = emb
