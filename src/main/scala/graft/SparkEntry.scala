@@ -3008,6 +3008,18 @@ object SparkEntry {
           (col("n_est") - col("n_true")).as("overcount"))
         .orderBy("l_suppkey")
     }),
+    "e_rvq_encode" -> ((s, dir) => {
+      // residual quantization (the semantic-ID / additive-quantizer
+      // shape): two full-width seed-drawn 16-centroid stages — stage
+      // 2 quantizes stage 1's residual, so (c1, c2) is a coarse-to-
+      // fine address and err2 the remaining squared-L2. Broadcast
+      // codebooks, one struct-min argmin pass per stage, IEEE-exact
+      // folds so the error hash-matches
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      graft.ann.Rvq.rvqEncodeSeedDrawn(emb, emb, "vec_id", "embedding",
+        k = 16)
+        .orderBy("id")
+    }),
     "e_pq_encode" -> ((s, dir) => {
       // product quantization: 64-dim float32 → 8 codes of 4 bits
       // (16-centroid codebooks per 8-dim subspace) — deterministic
@@ -3634,6 +3646,37 @@ object SparkEntry {
           col("n_grams").cast("long").as("nt")),
         "doc_id", "cs", "nt", budget = 2000L)
         .orderBy("id")
+    }),
+    "p_softdedup" -> ((s, dir) => {
+      // SoftDeDup (Hu et al. 2024): reweight common documents down
+      // instead of deleting them — rarity = the corpus-as-its-own-
+      // reference mean quantized surprise (integer), weights
+      // normalized to mean ~1e6 ppm by a 1-row broadcast scalar and
+      // floor-clamped. minWeightPpm = 900000 genuinely clamps part
+      // of the sf0.01 slice (3 of 167 docs at introduction), so BOTH
+      // branches of the greatest() are exercised
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+      graft.text.Lm.softDedupWeights(docs, "doc_id", "text",
+        minWeightPpm = 900000L)
+        .orderBy("doc_id")
+    }),
+    "t_gopher_rep" -> ((s, dir) => {
+      // Gopher repetition-signal census (Rae et al. 2021 A1.1): one
+      // exact integer-ppm fraction per filter class — duplicate
+      // lines, duplicate line chars, top 2-gram char coverage,
+      // duplicated 5-gram char coverage. Map-side explodes (text
+      // projected away), two-level hash aggregates, id-keyed rejoins.
+      // The sf0.01 documents are single-line with no repeated
+      // 5-grams, so half the slice plants duplication (text doubled
+      // across a newline — mirrored in the oracle) to keep every
+      // signal's nonzero path under the hash
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 8 === 2,
+            concat(col("text"), lit("\n"), col("text")))
+            .otherwise(col("text")).as("text"))
+      graft.text.Repetition.gopherRepetition(docs, "doc_id", "text")
+        .orderBy("doc_id")
     }),
     "t_normalize_nfc" -> ((s, dir) => {
       // Unicode canonicalization before fingerprinting (custom
@@ -6607,6 +6650,9 @@ object SparkEntry {
         "orders", "o_orderpriority", "floor(o_totalprice * 100 + 0.5)", Seq(500, 900), 5),
     "s_kmv_groups" ->
       graft.ops.Sketches.kmvGroupsSql("orders", "o_orderpriority", "o_custkey", 64),
+    "e_rvq_encode" ->
+      (graft.ann.Rvq.rvqEncodeSql(16, 64, 42L, "WHERE vec_id % 3 = 1")
+        + "\nORDER BY id"),
     "e_pq_encode" ->
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
     "e_pq_pack_roundtrip" -> {
@@ -6924,6 +6970,15 @@ object SparkEntry {
           targetWhere = "WHERE lang = 'en' AND doc_id % 3 = 0",
           sourceWhere = "WHERE doc_id % 3 = 0") + ") cs",
         "doc_id", "contrast_micro", "n_grams", budget = 2000L),
+    "p_softdedup" ->
+      (graft.text.Lm.softDedupWeightsSql("WHERE doc_id % 3 = 1",
+        minWeightPpm = 900000L) + "\nORDER BY doc_id"),
+    "t_gopher_rep" ->
+      (graft.text.Repetition.gopherRepetitionSql("",
+        from = "(SELECT doc_id, CASE WHEN doc_id % 8 = 2 " +
+          "THEN text || chr(10) || text ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 4 = 2)")
+        + "\nORDER BY doc_id"),
     "t_normalize_nfc" ->
       s"""WITH r AS (SELECT p_partkey,
          |    p_name || ' cafe\u0301 u\u0308ber' AS raw

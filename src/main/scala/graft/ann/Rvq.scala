@@ -1,0 +1,200 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Residual vector quantization (RVQ) — the additive-quantizer family
+  * behind modern compressed indexes and "semantic ID" generation
+  * (Faiss `ResidualQuantizer`; RQ-VAE semantic IDs): a cascade of
+  * FULL-dimension codebooks where stage `t` quantizes the residual
+  * the first `t−1` stages left behind, so the reconstruction is the
+  * SUM of one centroid per stage and the code TUPLE is a coarse-to-
+  * fine address of the vector (the property semantic-ID retrieval
+  * exploits: shared prefixes = semantically close).
+  *
+  * Contrast with PQ ([[Ann.pqEncode]]): PQ splits dimensions and
+  * quantizes each slice independently (m codes, no ordering between
+  * them); RVQ keeps every stage full-width and ORDERS the codes by
+  * refinement. Same storage cost at equal code counts, different
+  * error geometry — RVQ wins when variance is not axis-aligned.
+  *
+  * Codebooks here are seed-drawn, the same deliberate oracle-exactness
+  * trade as [[Ann.pqCodebooks]]: stage 1's centroids are a
+  * deterministic md5-keyed sample of the corpus; stage 2's centroids
+  * are the stage-1 RESIDUALS of a second, differently-salted sample
+  * (a fresh sample, because the stage-1 seeds' own residuals are
+  * identically zero). A production deployment would Lloyd-refine each
+  * stage exactly as [[Ann.pqCodebooksRefined]] does per subspace —
+  * engine-specific floats, recall-spec'd rather than oracle-gated. A
+  * row drawn by both samples leaves a near-zero stage-2 centroid;
+  * harmless (it quantizes near-exact stage-1 matches) and documented
+  * rather than special-cased.
+  *
+  * 100 TB shape: both codebooks are `k`-row frames (tiny at any
+  * corpus size — always broadcast); the corpus is read by ONE encode
+  * pass per stage. Each stage is a broadcast nested-loop against the
+  * k-row codebook followed by a map-side-combinable struct-min argmin
+  * grouped on `(id, earlier codes)` — the candidate struct carries
+  * `(dist, code, residual)`, so each stage's shuffle moves exactly
+  * one residual array per input row (never k candidates, never the
+  * raw corpus twice). Doubles are fixed-order IEEE folds
+  * ([[Ann.l2sq]]) so argmins and the reported error agree with the
+  * oracle exactly; ties break to the lowest code.
+  */
+object Rvq {
+
+  /** Stage-1 codebook: `(code, centroid: array<double>)`, `k` rows —
+    * the first `k` vectors of the `md5(seed:r1:id)`-ordered slice
+    * (an unbiased deterministic sample, fetched with a distributed
+    * TakeOrdered heap, never a global sort; codes re-rank only the k
+    * sampled rows — bounded window).
+    */
+  def rvqStage1Codebook(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L,
+  ): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val shuffleKey = md5(concat(lit(s"$seed:r1:"), col("sid").cast("string")))
+    candidates
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .orderBy(shuffleKey, col("sid"))
+      .limit(k)
+      .withColumn("code",
+        row_number().over(Window.orderBy(shuffleKey, col("sid"))) - 1)
+      .select(col("code"),
+        transform(col("sv"), x => x.cast("double")).as("centroid"))
+  }
+
+  /** Stage-2 codebook: the stage-1 residuals of a second seeded
+    * sample (`md5(seed:r2:id)` order, first `k`), assigned against
+    * `cb1` with the shared argmin. `(code, centroid)`, `≤ k` rows.
+    */
+  def rvqStage2Codebook(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      cb1: DataFrame, k: Int, seed: Long = 42L,
+  ): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val shuffleKey = md5(concat(lit(s"$seed:r2:"), col("sid").cast("string")))
+    val sample2 = candidates
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .orderBy(shuffleKey, col("sid"))
+      .limit(k)
+      .withColumn("scode",
+        row_number().over(Window.orderBy(shuffleKey, col("sid"))) - 1)
+      .select(col("scode"),
+        transform(col("sv"), x => x.cast("double")).as("__vec"))
+    assignStage(sample2, Seq("scode"), cb1)
+      .select(col("scode").as("code"), col("__res").as("centroid"))
+  }
+
+  /** Shared per-stage assignment: argmin L2² of `__vec` against the
+    * broadcast codebook (ties to the lowest code), returning
+    * `(groupCols…, __code, __dist, __res)` where `__res` is the
+    * residual against the chosen centroid — the struct-min carries
+    * `(dist, code, residual)` so the argmin, its error, and the next
+    * stage's input all come out of ONE map-side-combinable aggregate.
+    */
+  private def assignStage(
+      df: DataFrame, groupCols: Seq[String], codebook: DataFrame,
+  ): DataFrame = {
+    val cand = df.crossJoin(broadcast(
+        codebook.select(col("code").as("__cb_code"),
+          col("centroid").as("__cb_cent"))))
+      .select(groupCols.map(col) :+
+        struct(Ann.l2sq(col("__vec"), col("__cb_cent")).as("dist"),
+          col("__cb_code").as("code"),
+          zip_with(col("__vec"), col("__cb_cent"), (a, b) => a - b)
+            .as("res")).as("__cand"): _*)
+    cand
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__cand")).as("__best"))
+      .select(groupCols.map(col) :+
+        col("__best.code").as("__code") :+
+        col("__best.dist").as("__dist") :+
+        col("__best.res").as("__res"): _*)
+  }
+
+  /** Two-stage RVQ encode: `(id, c1, c2, err2)` — the stage codes in
+    * refinement order and the final squared-L2 reconstruction error
+    * `‖v − cent1 − cent2‖²` (exactly stage 2's argmin distance; the
+    * number an index sizes its stage count by). Codebooks may be
+    * narrower than the configured `k` when the corpus is smaller;
+    * codes stay dense in `[0, |codebook|)`.
+    */
+  def rvqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      cb1: DataFrame, cb2: DataFrame,
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("__vec"))
+    val s1 = assignStage(base, Seq("id"), cb1)
+      .select(col("id"), col("__code").as("c1"), col("__res").as("__vec"))
+    assignStage(s1, Seq("id", "c1"), cb2)
+      .select(col("id"), col("c1"), col("__code").as("c2"),
+        col("__dist").as("err2"))
+  }
+
+  /** [[rvqEncode]] with both codebooks drawn from `candidates` — the
+    * gate-facing composition.
+    */
+  def rvqEncodeSeedDrawn(
+      df: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L,
+  ): DataFrame = {
+    val cb1 = rvqStage1Codebook(candidates, idCol, vecCol, k, seed)
+    val cb2 = rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed)
+    rvqEncode(df, idCol, vecCol, cb1, cb2)
+  }
+
+  /** DuckDB rendering of [[rvqEncodeSeedDrawn]] over
+    * `embeddings(vec_id, embedding)` restricted by `whereClause`
+    * (both codebooks draw from the same restricted slice; `dim` is
+    * the embedding width, needed to unroll the residual zip).
+    */
+  def rvqEncodeSql(
+      k: Int, dim: Int, seed: Long, whereClause: String): String = {
+    def residual(v: String, c: String): String =
+      s"list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+       |s1 AS (SELECT vec_id AS sid, embedding AS sv FROM e
+       |  ORDER BY md5('$seed:r1:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $k),
+       |cb1 AS (SELECT
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5('$seed:r1:' || CAST(sid AS VARCHAR)), sid) AS INT)
+       |      - 1 AS code,
+       |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM s1),
+       |s2raw AS (SELECT vec_id AS sid, embedding AS sv FROM e
+       |  ORDER BY md5('$seed:r2:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $k),
+       |s2 AS (SELECT
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5('$seed:r2:' || CAST(sid AS VARCHAR)), sid) AS INT)
+       |      - 1 AS scode,
+       |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM s2raw),
+       |s2a AS (SELECT scode, v, centroid,
+       |    ROW_NUMBER() OVER (PARTITION BY scode
+       |      ORDER BY ${Ann.l2sqSql("v", "centroid", dim)}, cb1.code) AS rn
+       |  FROM s2, cb1),
+       |cb2 AS (SELECT scode AS code, ${residual("v", "centroid")} AS centroid
+       |  FROM s2a WHERE rn = 1),
+       |v0 AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e),
+       |a1 AS (SELECT id, v, cb1.code AS c1, centroid,
+       |    ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY ${Ann.l2sqSql("v", "centroid", dim)}, cb1.code) AS rn
+       |  FROM v0, cb1),
+       |r1 AS (SELECT id, c1, ${residual("v", "centroid")} AS r
+       |  FROM a1 WHERE rn = 1),
+       |a2 AS (SELECT id, c1, cb2.code AS c2,
+       |    ${Ann.l2sqSql("r", "centroid", dim)} AS err2,
+       |    ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY ${Ann.l2sqSql("r", "centroid", dim)}, cb2.code) AS rn
+       |  FROM r1, cb2)
+       |SELECT id, c1, c2, err2 FROM a2 WHERE rn = 1""".stripMargin
+  }
+}

@@ -555,4 +555,82 @@ object Lm {
        |  CAST(max(ppl_key) AS BIGINT) AS max_ppl_micro
        |FROM b GROUP BY lang, bin
        |ORDER BY lang, bin""".stripMargin
+
+  /** SoftDeDup (Hu et al. 2024) — soft deduplication by REWEIGHTING
+    * instead of removal: measure each document's "data commonness"
+    * under the corpus' own n-gram distribution and give common
+    * (duplicated/boilerplate-heavy) documents a LOWER sampling
+    * weight, rare documents a higher one, with a floor so nothing is
+    * hard-dropped — the paper's case against hard dedup is exactly
+    * that removal throws away the re-weighted signal.
+    *
+    * The commonness proxy is the corpus-as-its-own-reference
+    * [[surpriseScore]]: per-gram surprise `(c(prefix)+V)/(c(gram)+1)`
+    * is monotone in `1/P(gram | corpus)`, so the per-doc INTEGER mean
+    * quantized surprise (`surprise_micro div n_grams`, the
+    * [[pplBuckets]] key) is a rarity score — high for documents the
+    * corpus model finds improbable, low for ones assembled from the
+    * corpus' most-repeated grams. Weights normalize that rarity to
+    * mean ≈ 1e6 ppm over the scored corpus and clamp below at
+    * `minWeightPpm`:
+    *
+    *   weight_ppm = max(minWeightPpm, (rarity_micro * 1e6) div mean_rarity)
+    *
+    * All-integer past the per-occurrence quantization: the mean is a
+    * BIGINT floor division of a 1-row global aggregate (broadcast,
+    * the q11 scalar pattern), and both engines floor the same
+    * non-negative operands (`div` truncates, `//` floors — equal on
+    * non-negatives). Overflow headroom: `rarity_micro * 1e6` caps at
+    * ~`V * 1e12` (surprise is at most `V+max(c1)` per gram), so a
+    * 1e6-token vocabulary still sits 6 orders under Long.MaxValue;
+    * the global rarity SUM wraps past ~9e18 total micro-units
+    * (`n_docs × mean_rarity`) — past that, lower the quantum (the
+    * same dial the header documents for [[surpriseScore]]).
+    * Zero-gram documents are excluded (no grams → no commonness
+    * evidence; the caller decides their fate upstream).
+    *
+    * Output: `(idCol, rarity_micro, weight_ppm)`. Downstream, feed
+    * `weight_ppm` to the weighted samplers ([[graft.ops.Mixture]])
+    * or multiply into a per-doc sampling probability.
+    *
+    * 100 TB shape: one self-referenced surprise scoring — the
+    * corpus-sized census equi-joins of [[surpriseScore]] (no forced
+    * broadcast, text projected away before any shuffle) — plus one
+    * 1-row global aggregate broadcast back over the doc-keyed frame.
+    * Nothing new shuffles at corpus scale.
+    */
+  def softDedupWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      order: Int = 2, minWeightPpm: Long = 100000L,
+  ): DataFrame = {
+    require(minWeightPpm >= 0, s"minWeightPpm $minWeightPpm must be >= 0")
+    val rarity = surpriseScore(df, idCol, textCol, df, textCol, order = order)
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), expr("surprise_micro div n_grams").as("rarity_micro"))
+    val mean = rarity
+      .agg(expr("sum(rarity_micro) div count(1)").as("__mean_rarity"))
+    rarity.crossJoin(broadcast(mean))
+      .select(col(idCol), col("rarity_micro"),
+        greatest(
+          expr("(rarity_micro * 1000000L) div __mean_rarity"),
+          lit(minWeightPpm)).as("weight_ppm"))
+  }
+
+  /** DuckDB rendering of [[softDedupWeights]] over `documents` —
+    * the [[surpriseScoreSql]] body as the self-referenced census
+    * (same WHERE on both roles), the same integer mean and clamp.
+    */
+  def softDedupWeightsSql(
+      whereClause: String, order: Int = 2, minWeightPpm: Long = 100000L,
+  ): String =
+    s"""WITH s AS (${surpriseScoreSql(whereClause, whereClause, order)}),
+       |r AS (SELECT doc_id, surprise_micro // n_grams AS rarity_micro
+       |  FROM s WHERE n_grams > 0),
+       |m AS (SELECT CAST(sum(rarity_micro) // count(*) AS BIGINT)
+       |    AS mean_rarity FROM r)
+       |SELECT r.doc_id,
+       |  CAST(r.rarity_micro AS BIGINT) AS rarity_micro,
+       |  CAST(greatest((r.rarity_micro * 1000000) // m.mean_rarity,
+       |    $minWeightPpm) AS BIGINT) AS weight_ppm
+       |FROM r CROSS JOIN m""".stripMargin
 }

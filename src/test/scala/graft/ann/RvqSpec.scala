@@ -1,0 +1,115 @@
+package graft.ann
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Residual quantization: sequential-reference exactness (codes AND
+  * the IEEE-exact reconstruction error), partition independence,
+  * clustered-data error reduction over stage 1, and the
+  * narrow-codebook path.
+  */
+class RvqSpec extends AnyFunSuite with SparkSpec {
+
+  private val dim = 16
+
+  private def emb(rows: Seq[(Long, Seq[Float])], parts: Int = 3) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, parts),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = false))))
+
+  private def clustered(n: Int, nClusters: Int, noise: Float = 0.1f) = {
+    val rnd = new scala.util.Random(11)
+    val centers =
+      Seq.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + noise * rnd.nextGaussian().toFloat).toSeq)
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Independent sequential reference: same sampling rule, same
+    * greedy per-stage argmin, same fold order as [[Ann.l2sq]].
+    */
+  private def refEncode(
+      rows: Seq[(Long, Seq[Float])], k: Int, seed: Long = 42L,
+  ): Map[Long, (Int, Int, Double, Double)] = {
+    val vs = rows.map { case (id, v) => id -> v.map(_.toDouble) }
+    def sample(salt: String): Seq[Seq[Double]] =
+      vs.sortBy { case (id, _) => (md5hex(s"$seed:$salt:$id"), id) }
+        .take(k).map(_._2)
+    def argmin(
+        v: Seq[Double], cb: Seq[(Int, Seq[Double])],
+    ): (Int, Seq[Double], Double) = {
+      val scored = cb.map { case (c, cent) =>
+        val res = v.zip(cent).map { case (a, b) => a - b }
+        val d = res.foldLeft(0.0)((acc, x) => acc + x * x)
+        (d, c, res)
+      }
+      val (d, c, res) = scored.minBy(t => (t._1, t._2))
+      (c, res, d)
+    }
+    val cb1 = sample("r1").zipWithIndex.map { case (v, c) => c -> v }
+    val cb2 = sample("r2").map(v => argmin(v, cb1)._2)
+      .zipWithIndex.map { case (r, c) => c -> r }
+    vs.map { case (id, v) =>
+      val (c1, r1, e1) = argmin(v, cb1)
+      val (c2, _, e2) = argmin(r1, cb2)
+      id -> ((c1, c2, e2, e1))
+    }.toMap
+  }
+
+  private def run(
+      rows: Seq[(Long, Seq[Float])], k: Int, parts: Int = 3,
+  ): Map[Long, (Int, Int, Double)] = {
+    val df = emb(rows, parts)
+    Rvq.rvqEncodeSeedDrawn(df, df, "vec_id", "embedding", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+  }
+
+  test("matches the sequential reference exactly, incl. the IEEE error; partition-independent") {
+    val rows = clustered(50, 5)
+    val want = refEncode(rows, k = 8)
+      .map { case (id, (c1, c2, e2, _)) => id -> ((c1, c2, e2)) }
+    assert(run(rows, k = 8) === want)
+    assert(run(rows, k = 8, parts = 7) === want)
+  }
+
+  test("stage 2 reduces mean reconstruction error on clustered vectors") {
+    val rows = clustered(80, 4)
+    val ref = refEncode(rows, k = 12)
+    val meanE1 = ref.values.map(_._4).sum / ref.size
+    val meanE2 = ref.values.map(_._3).sum / ref.size
+    val got = run(rows, k = 12)
+    val gotMeanE2 = got.values.map(_._3).sum / got.size
+    assert(gotMeanE2 === meanE2)
+    assert(meanE2 < meanE1 * 0.9,
+      s"stage 2 did not reduce error: e1=$meanE1 e2=$meanE2")
+  }
+
+  test("identical vectors share codes; codebook seeds encode to zero stage-1 residual") {
+    val base = clustered(30, 3)
+    val rows = base ++ Seq((1000L, base.head._2), (1001L, base.head._2))
+    val got = run(rows, k = 6)
+    assert(got(1000L) === got(1001L))
+    assert(got(1000L)._1 === got(base.head._1)._1)
+  }
+
+  test("corpus narrower than k yields dense codes and still matches the reference") {
+    val rows = clustered(5, 2)
+    val got = run(rows, k = 16)
+    val want = refEncode(rows, k = 16)
+      .map { case (id, (c1, c2, e2, _)) => id -> ((c1, c2, e2)) }
+    assert(got === want)
+    assert(got.values.forall(t => t._1 >= 0 && t._1 < 5 && t._2 >= 0 && t._2 < 5))
+  }
+}

@@ -214,4 +214,46 @@ class LmSpec extends AnyFunSuite with SparkSpec {
         s"$lang tercile key ranges not monotone: ${l.toSeq}")
     }
   }
+
+  test("softDedupWeights matches the sequential reference and downweights common docs") {
+    // three near-copies of the same sentence (common) + one rare doc
+    val corpusRows = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the cat sat on the mat again",
+      4L -> "zephyr quokka glyph nimbus vortex",
+      5L -> "x") // sub-order: excluded
+    def reference(minW: Long): Map[Long, (Long, Long)] = {
+      val sc = expected(corpusRows, corpusRows.map(_._2))
+      val rar = sc.collect { case (id, (n, sum, _)) if n > 0 =>
+        id -> sum / n }
+      val mean = rar.values.sum / rar.size
+      rar.map { case (id, r) =>
+        id -> ((r, math.max(r * 1000000L / mean, minW))) }
+    }
+    for (minW <- Seq(0L, 900000L)) {
+      val got = Lm.softDedupWeights(docs(corpusRows: _*), "doc_id", "text",
+          minWeightPpm = minW)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === reference(minW), s"minWeightPpm=$minW")
+    }
+    val unclamped = Lm.softDedupWeights(docs(corpusRows: _*), "doc_id",
+        "text", minWeightPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the rare doc outweighs every common near-copy; doc 5 excluded
+    assert(!unclamped.contains(5L))
+    for (id <- Seq(1L, 2L, 3L))
+      assert(unclamped(4L) > unclamped(id),
+        s"rare doc not upweighted over $id: $unclamped")
+    // identical docs get identical weights; mean ~1e6 up to flooring
+    assert(unclamped(1L) === unclamped(2L))
+    val mean = unclamped.values.sum / unclamped.size
+    assert(mean >= 900000L && mean <= 1100000L, s"weight mean $mean")
+    // partition independence
+    val repart = Lm.softDedupWeights(docs(corpusRows: _*).repartition(7),
+        "doc_id", "text", minWeightPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(repart === unclamped)
+  }
 }
