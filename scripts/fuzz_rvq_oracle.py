@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Fuzz the SHIPPED e_rvq_encode oracle SQL against an independent
+Python reference of the two-stage residual quantizer.
+
+The oracle is a nontrivial reformulation (window-ranked argmins over
+unrolled list arithmetic vs the operator's struct-min aggregates), so
+the real-data gate can pass while the encoding is wrong in general —
+e.g. a stage-2 codebook drawn before the stage-1 residual, a
+tie-break that prefers the wrong code, a sampling order that ranks by
+id before the md5 key, or a residual computed against the wrong
+centroid. Corpora here force those paths: duplicate vectors (exact
+distance ties at both stages), zero vectors, corpora narrower than k
+(dense narrow codebooks), ids colliding into both sample salts, and
+float32-rounded values (the parquet storage type — the reference
+rounds through float32 exactly like the table column does).
+
+Usage: python3 scripts/fuzz_rvq_oracle.py <verifyOutDir> [trials]
+"""
+import hashlib
+import json
+import random
+import struct
+import sys
+
+import duckdb
+
+K = 16
+DIM = 64
+SEED = 42
+
+
+def f32(x):
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def md5hex(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def sample(vs, salt, k):
+    order = sorted(vs, key=lambda iv: (md5hex(f"{SEED}:{salt}:{iv[0]}"), iv[0]))
+    return [v for _, v in order[:k]]
+
+
+def argmin(v, cb):
+    best = None
+    for c, cent in enumerate(cb):
+        res = [a - b for a, b in zip(v, cent)]
+        d = 0.0
+        for x in res:
+            d = d + x * x
+        if best is None or (d, c) < (best[0], best[1]):
+            best = (d, c, res)
+    return best  # (dist, code, residual)
+
+
+def ref_encode(rows):
+    # slice: vec_id % 3 = 1 (non-negative ids only in this fuzzer)
+    vs = [(i, [float(x) for x in v]) for i, v in rows if i % 3 == 1]
+    cb1 = sample(vs, "r1", K)
+    cb2 = [argmin(v, cb1)[2] for v in sample(vs, "r2", K)]
+    out = []
+    for i, v in sorted(vs):
+        d1, c1, r1 = argmin(v, cb1)
+        d2, c2, _ = argmin(r1, cb2)
+        out.append((i, c1, c2, d2))
+    return out
+
+
+def main():
+    out_dir = sys.argv[1]
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["e_rvq_encode"]
+
+    rnd = random.Random(17)
+    fails = 0
+    for trial in range(trials):
+        n = rnd.choice([1, 2, 5, K - 1, K + 3, 40])
+        rows = []
+        base = []
+        for i in range(n):
+            vec_id = 3 * rnd.randint(0, 10 ** 6) + rnd.choice([0, 1, 1, 1, 2])
+            if rnd.random() < 0.15 or not base:
+                v = [f32(rnd.gauss(0, 1)) for _ in range(DIM)]
+            elif rnd.random() < 0.5:
+                v = list(rnd.choice(base))  # exact duplicate: forces ties
+            else:
+                v = [0.0] * DIM
+            base.append(v)
+            rows.append((vec_id, v))
+        # de-dup ids (the table key is unique in testdata)
+        seen = {}
+        rows = [seen.setdefault(i, (i, v))
+                for i, v in rows if i not in seen]
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+        con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+        got = [tuple(r) for r in con.execute(sql).fetchall()]
+        con.close()
+
+        want = ref_encode(rows)
+        if got != want:
+            fails += 1
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:2]
+            print(f"FAIL trial {trial}: rows {len(got)} vs {len(want)}, "
+                  f"first diffs {diff}")
+
+    print(f"{trials - fails}/{trials} trials matched")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
