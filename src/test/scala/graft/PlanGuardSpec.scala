@@ -907,6 +907,46 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"t_pr_curve plans ${explodes(pr)} explodes vs t_calibration's ${explodes(cal)} — the corpus is scored twice")
   }
 
+  test("softDedupWeights: only the two 1-row scalars broadcast — the self-census joins stay strategy-free") {
+    // the censuses are corpus-sized at production scale (the
+    // surpriseScore contract); the only forced broadcasts are the
+    // vocabulary-size scalar inside the scorer (counted TWICE in the
+    // analyzed tree — the mean-rarity branch re-embeds the scorer
+    // lineage) and the mean-rarity scalar the weights normalize by
+    val analyzed = graft.text.Lm.softDedupWeights(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 3,
+      s"softDedupWeights hint count changed — a census join gained " +
+        s"(or a scalar lost) a broadcast hint:\n$analyzed")
+  }
+
+  test("gopherRepetition: no forced broadcast, no window — the argmax is a struct-min aggregate") {
+    val df = graft.text.Repetition.gopherRepetition(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"gopherRepetition gained a broadcast hint:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    // the top-gram argmax must stay a map-side-combinable aggregate;
+    // a per-doc row_number window here would be a corpus-wide sort
+    assert(!p.contains("Window"),
+      s"gopherRepetition plans a window — the struct-min argmax is gone:\n$p")
+  }
+
+  test("rvqEncodeSeedDrawn: exactly the three codebook broadcasts, nothing else hinted") {
+    // one hint per assignStage pass (cb1 for the stage-2 sample, cb1
+    // and cb2 for the corpus encode) — the corpus side must never
+    // gain one (a bound broadcast of the corpus is a driver OOM at
+    // the scale the operator targets)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val analyzed = graft.ann.Rvq.rvqEncodeSeedDrawn(
+      emb, emb, "vec_id", "embedding", k = 8)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 3,
+      s"rvqEncodeSeedDrawn hint count changed:\n$analyzed")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
