@@ -4892,6 +4892,27 @@ object SparkEntry {
     // sink round-trips write to ONE deterministic scratch dir per
     // query (SaveMode.Overwrite) — repeated bench/verify passes reuse
     // the path instead of leaking a table copy per invocation
+    "s_warc_roundtrip" -> ((s, dir) => {
+      // WARC ingest (the Common Crawl container): documents render as
+      // WARC/1.0 response records through the text sink, read back
+      // with the distributed sentinel-split reader (lineSep record
+      // delimiter, byte-exact Content-Length payload cut), and every
+      // field is hash-checked against the source rows — id parsed
+      // from the record URN, byte length from the header, payload
+      // digest from the cut itself
+      import graft.sources.Warc
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"), col("text"))
+      val out = s"${scratchRoot()}/warc_roundtrip"
+      Warc.writeWarc(docs, "doc_id", "text", s"$out/w")
+      Warc.readWarc(s, s"$out/w")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("id"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("id")
+    }),
     "s_csv_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       val nation = t(s, dir, "nation")
@@ -7647,6 +7668,10 @@ object SparkEntry {
         sep = "#"),
     "t_lang_rebalance" ->
       graft.ops.Sampling.temperatureWeightsSql("documents", "lang", "lang"),
+    "s_warc_roundtrip" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 5 = 3 ORDER BY id""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->
