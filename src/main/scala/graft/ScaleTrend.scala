@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   *     production guard dial, nCells following the corpus at constant
   *     target cell size (see the family comment for why cells derive
   *     from a hash, not a per-timing re-train)
+  *   - softdedup_weights — the LM-census topology (gram/prefix census
+  *     equi-joins + 1-row normalizer) at the production persistInput
+  *     dial; a linearity point, not a pair-source hazard — the census
+  *     join is a per-occurrence lookup at any factor
   *
   * NOT a family: the char-gram pair sources (`ngramJaccardPairs` /
   * `ngramContainmentPairs`). The synthesizer's decorrelation is
@@ -168,6 +172,23 @@ object ScaleTrend {
           val arrivals = assigned(emb.filter(col("vec_id") % 40 === 3))
           Ann.semDedupPairsAgainstStore(arrivals, store, threshold = 0.5,
             maxCellSize = 500)
+        }),
+        "softdedup_weights" -> ((s: SparkSession, dir: String) => {
+          // the LM-census topology's audit point (the same census
+          // equi-join shape backs t_lm_surprise, p_ppl_buckets,
+          // p_dsir_select, p_softdedup): corpus-sized gram/prefix
+          // censuses joined back onto the doc grams + the 1-row
+          // normalizer broadcast. Census keys are WORD grams, so the
+          // blow-up's per-copy prefixes keep per-gram counts constant
+          // — census rows grow linearly and the lookup join emits one
+          // row per doc-gram occurrence at any factor (never a pair
+          // source). Production dial: persistInput = true (one
+          // materialization of the token arrays and the rarity frame
+          // across the operator's five lineages)
+          graft.text.Lm.softDedupWeights(
+            s.read.parquet(s"$dir/documents.parquet")
+              .filter(col("doc_id") % 3 === 1),
+            "doc_id", "text", persistInput = true)
         }))
       val wanted = if (args.length > 3) args(3).split(',').toSet else Set.empty[String]
       val unknown = wanted -- allFamilies.map(_._1).toSet

@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  private val Sentinel = "WARC/1.0\r\n"
+  /** The record-start sentinel distributed reads split on (the
+    * `lineSep` of the text source / the Hadoop record delimiter).
+    */
+  val RecordSentinel = "WARC/1.0\r\n"
+
+  private def Sentinel = RecordSentinel
 
   /** Render one WARC/1.0 response record (header block + payload +
     * record separator) as a string column. `Content-Length` counts
@@ -62,8 +67,22 @@ object Warc {
     * headerless tail of a sentinel-containing payload) surface with
     * null fields; filter or quarantine downstream.
     */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", Sentinel).text(path)
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(spark.read.option("lineSep", Sentinel).text(path))
+
+  /** The streaming ingest door: WARC shards arrive as files, the text
+    * FileStreamSource splits records on the sentinel, and the SAME
+    * parse body as [[readWarc]] cuts each record — stream ≡ batch by
+    * construction. Compose with a checkpointed Append sink.
+    */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(spark.readStream.option("lineSep", Sentinel).text(path))
+
+  /** Shared record parse over a sentinel-split `value` frame (batch
+    * or streaming) — ONE body, so the two doors can never drift.
+    */
+  def parseWarcRecords(raw0: DataFrame): DataFrame = {
+    val raw = raw0
       .filter(length(col("value")) > 0) // drop the pre-sentinel empty split
     val headers = substring_index(col("value"), "\r\n\r\n", 1)
     val contentLength =

@@ -302,6 +302,48 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** Raw-file replay for TEXT-CONTAINER streams
+    * ([[graft.sources.Warc]]): the caller supplies raw shard BYTES
+    * (one file per micro-batch, staged with pinned modification
+    * times) and reader options — typically a record `lineSep` — and
+    * `build` parses the sentinel-split `value` frame the text
+    * FileStreamSource emits. Same engine path as [[replayBatches]]:
+    * checkpoint, Trigger.AvailableNow, checkpointed parquet Append
+    * sink.
+    */
+  def replayRawText(
+      spark: SparkSession, shards: Seq[Array[Byte]],
+      readerOptions: Map[String, String],
+      build: DataFrame => DataFrame,
+  ): DataFrame = withReplayConf(spark) {
+    require(shards.nonEmpty, "replayRawText: no shards")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    shards.zipWithIndex.foreach { case (bytes, i) =>
+      val dest = inDir.resolve(f"s$i%03d.txt")
+      Files.write(dest, bytes)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis((1000L + 1000L * i) * 1000L))
+    }
+    val src = spark.readStream
+      .options(readerOptions)
+      .option("maxFilesPerTrigger", 1)
+      .text(inDir.toString)
+    val q = build(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
   /** Two-source replay for STREAM-STREAM operators
     * ([[Streams.intervalJoin]]): each side stages into its own input
     * dir with interleaved modification times (a1, b1, a2, b2, …), so

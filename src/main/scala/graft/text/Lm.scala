@@ -597,16 +597,31 @@ object Lm {
     * corpus-sized census equi-joins of [[surpriseScore]] (no forced
     * broadcast, text projected away before any shuffle) — plus one
     * 1-row global aggregate broadcast back over the doc-keyed frame.
-    * Nothing new shuffles at corpus scale.
+    * Nothing new shuffles at corpus scale. The self-reference feeds
+    * FOUR lineages (two censuses, the vocab scalar, the doc grams)
+    * and the mean branch re-embeds the whole rarity lineage, so by
+    * default the source is re-scanned per lineage; when that scan is
+    * expensive pass `persistInput = true` — one MEMORY_AND_DISK
+    * materialization of the reference token arrays (the
+    * [[referenceCensus]] `persistReference` loan) plus one of the
+    * doc-keyed rarity frame, after which every lineage reads a cache
+    * (the [[TfIdf.topTerms]] persistInput contract: entries live
+    * until the session drops them).
     */
   def softDedupWeights(
       df: DataFrame, idCol: String, textCol: String,
       order: Int = 2, minWeightPpm: Long = 100000L,
+      persistInput: Boolean = false,
   ): DataFrame = {
     require(minWeightPpm >= 0, s"minWeightPpm $minWeightPpm must be >= 0")
-    val rarity = surpriseScore(df, idCol, textCol, df, textCol, order = order)
+    val rarity0 = surpriseScore(df, idCol, textCol, df, textCol,
+        persistReference = persistInput, order = order)
       .filter(col("n_grams") > 0)
       .select(col(idCol), expr("surprise_micro div n_grams").as("rarity_micro"))
+    val rarity =
+      if (persistInput)
+        rarity0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rarity0
     val mean = rarity
       .agg(expr("sum(rarity_micro) div count(1)").as("__mean_rarity"))
     rarity.crossJoin(broadcast(mean))

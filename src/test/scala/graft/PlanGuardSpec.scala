@@ -921,6 +921,32 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
         s"(or a scalar lost) a broadcast hint:\n$analyzed")
   }
 
+  test("softDedupWeights persistInput: every lineage reads a cache, values unchanged") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    // default: the five lineages (two censuses, vocab, doc grams, the
+    // re-embedded mean branch) each re-scan the source. Collect the
+    // expected values BEFORE registering any cache (the TfIdf
+    // cache-to-cache lesson at tfidf persistInput above).
+    val uncached = graft.text.Lm.softDedupWeights(docs, "doc_id", "text")
+    val cold = uncached.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(cold).size >= 4,
+      s"expected multiple source scans in the default plan:\n$cold")
+    val expected = uncached.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val cached = graft.text.Lm.softDedupWeights(docs, "doc_id", "text",
+      persistInput = true)
+    val warm = cached.queryExecution.executedPlan.toString
+    assert(warm.contains("InMemoryTableScan"),
+      s"persistInput plans no cache read:\n$warm")
+    val got = cached.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === expected, "persistInput changed values")
+    cached.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("gopherRepetition: no forced broadcast, no window — the argmax is a struct-min aggregate") {
     val df = graft.text.Repetition.gopherRepetition(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")

@@ -68,6 +68,33 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall { case (id, t) => got(id)._2 == t })
   }
 
+  test("streaming ingest door equals the batch reader on the same shards") {
+    val rows = Seq(
+      1L -> "alpha payload",
+      2L -> "naïve ☃ multi-byte",
+      3L -> "multi\nline\npayload",
+      4L -> "")
+    val dir = Files.createTempDirectory("warc_spec_").toString
+    Warc.writeWarc(docs(rows: _*), "doc_id", "text", s"$dir/w")
+    val batch = Warc.readWarc(spark, s"$dir/w")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSet
+    // the same records as raw shard bytes through the streaming door
+    // (2 shards -> 2 micro-batches), parsed by the SHARED body
+    val recs = docs(rows: _*).select(
+        col("doc_id"),
+        Warc.toWarcRecord(col("doc_id"), col("text")).as("rec"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val shards = recs.grouped(2)
+      .map(g => g.mkString("", "\n", "\n").getBytes("UTF-8")).toSeq
+    val streamed = graft.streaming.Replay.replayRawText(spark, shards,
+        Map("lineSep" -> Warc.RecordSentinel), Warc.parseWarcRecords)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4)
+  }
+
   test("a payload containing the record sentinel surfaces loudly, never merges") {
     val rows = Seq(10L -> "clean", 11L -> "bad WARC/1.0\r\n payload")
     val dir = Files.createTempDirectory("warc_spec_").toString
