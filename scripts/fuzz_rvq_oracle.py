@@ -67,10 +67,48 @@ def ref_encode(rows):
     return out
 
 
+def ref_topk(rows, n=5):
+    # the shipped top-k oracle's decomposition, fold orders mirrored:
+    # t1[c1] + t2[c2] in one add, then + x[c1][c2]
+    vs = [(i, [float(x) for x in v]) for i, v in rows if i % 3 == 1]
+    cb1 = sample(vs, "r1", K)
+    cb2 = [argmin(v, cb1)[2] for v in sample(vs, "r2", K)]
+    codes = {}
+    for i, v in vs:
+        _, c1, r1 = argmin(v, cb1)
+        _, c2, _ = argmin(r1, cb2)
+        codes[i] = (c1, c2)
+
+    def fold(parts):
+        acc = 0.0
+        for p in parts:
+            acc = acc + p
+        return acc
+
+    x = [[fold([2.0 * a * b for a, b in zip(ca, cb)]) for cb in cb2]
+         for ca in cb1]
+    out = []
+    for qid, q in sorted(vs):
+        if qid % 300 != 1:
+            continue
+        t1 = [fold([(p - c) * (p - c) for p, c in zip(q, cent)])
+              for cent in cb1]
+        t2 = [fold([c * c - 2.0 * p * c for p, c in zip(q, cent)])
+              for cent in cb2]
+        scored = sorted(
+            ((t1[c1] + t2[c2]) + x[c1][c2], nid)
+            for nid, (c1, c2) in codes.items() if nid != qid)
+        for rank, (adc, nid) in enumerate(scored[:n], start=1):
+            out.append((qid, nid, rank, adc))
+    return out
+
+
 def main():
     out_dir = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["e_rvq_encode"]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = oracles["e_rvq_encode"]
+    topk_sql = oracles["e_rvq_topk"]
 
     rnd = random.Random(17)
     fails = 0
@@ -79,7 +117,12 @@ def main():
         rows = []
         base = []
         for i in range(n):
-            vec_id = 3 * rnd.randint(0, 10 ** 6) + rnd.choice([0, 1, 1, 1, 2])
+            if rnd.random() < 0.3:
+                # a query id for the top-k oracle: % 300 == 1 (implies
+                # % 3 == 1, so it is also in the corpus slice)
+                vec_id = 300 * rnd.randint(0, 10 ** 4) + 1
+            else:
+                vec_id = 3 * rnd.randint(0, 10 ** 6) + rnd.choice([0, 1, 1, 1, 2])
             if rnd.random() < 0.15 or not base:
                 v = [f32(rnd.gauss(0, 1)) for _ in range(DIM)]
             elif rnd.random() < 0.5:
@@ -97,14 +140,21 @@ def main():
         con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
         con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
         got = [tuple(r) for r in con.execute(sql).fetchall()]
+        got_topk = [tuple(r) for r in con.execute(topk_sql).fetchall()]
         con.close()
 
         want = ref_encode(rows)
+        want_topk = ref_topk(rows)
         if got != want:
             fails += 1
             diff = [(g, w) for g, w in zip(got, want) if g != w][:2]
             print(f"FAIL trial {trial}: rows {len(got)} vs {len(want)}, "
                   f"first diffs {diff}")
+        elif got_topk != want_topk:
+            fails += 1
+            diff = [(g, w) for g, w in zip(got_topk, want_topk) if g != w][:2]
+            print(f"FAIL trial {trial} topk: rows {len(got_topk)} vs "
+                  f"{len(want_topk)}, first diffs {diff}")
 
     print(f"{trials - fails}/{trials} trials matched")
     sys.exit(1 if fails else 0)

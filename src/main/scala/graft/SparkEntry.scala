@@ -3020,6 +3020,19 @@ object SparkEntry {
         k = 16)
         .orderBy("id")
     }),
+    "e_rvq_topk" -> ((s, dir) => {
+      // RVQ asymmetric-distance top-5 self-search: per-query stage
+      // tables + the query-independent k² cross-term table (the
+      // additive-quantizer ADC — PQ's trick plus the cross term PQ's
+      // subspace independence lets it drop). Fixed IEEE folds, the
+      // pinned (t1 + t2) + x addition order, bounded-heap rank — so
+      // ranks hash-match the oracle exactly
+      import graft.ann.Rvq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      Rvq.rvqTopK(emb.filter(col("vec_id") % 300 === 1), emb,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_pq_encode" -> ((s, dir) => {
       // product quantization: 64-dim float32 → 8 codes of 4 bits
       // (16-centroid codebooks per 8-dim subspace) — deterministic
@@ -6703,6 +6716,9 @@ object SparkEntry {
     "e_rvq_encode" ->
       (graft.ann.Rvq.rvqEncodeSql(16, 64, 42L, "WHERE vec_id % 3 = 1")
         + "\nORDER BY id"),
+    "e_rvq_topk" ->
+      graft.ann.Rvq.rvqTopKSql(5, 16, 64, 42L,
+        "WHERE vec_id % 3 = 1", "WHERE vec_id % 300 = 1"),
     "e_pq_encode" ->
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
     "e_pq_pack_roundtrip" -> {

@@ -147,17 +147,94 @@ object Rvq {
     rvqEncode(df, idCol, vecCol, cb1, cb2)
   }
 
-  /** DuckDB rendering of [[rvqEncodeSeedDrawn]] over
-    * `embeddings(vec_id, embedding)` restricted by `whereClause`
-    * (both codebooks draw from the same restricted slice; `dim` is
-    * the embedding width, needed to unroll the residual zip).
+  /** RVQ asymmetric-distance top-k — the retrieval side of the
+    * additive quantizer. The exact expansion
+    * `‖q − a − b‖² = ‖q−a‖² + (‖b‖² − 2q·b) + 2a·b` splits into a
+    * per-query stage-1 table `t1[c1]`, a per-query stage-2 table
+    * `t2[c2]` (k entries each), and a QUERY-INDEPENDENT cross-term
+    * table `x[c1,c2]` (k² entries, computed once from the codebooks
+    * and broadcast) — so scoring a candidate is three array lookups
+    * and two adds over its `(c1, c2)` codes, no vector arithmetic
+    * per pair (the additive-quantizer analogue of PQ's ADC, which
+    * cannot drop the cross term because RVQ stages share the full
+    * width). Every double is a fixed IEEE fold, added in the pinned
+    * order `(t1 + t2) + x`, so ranks agree with the oracle exactly;
+    * ties break to the lowest neighbor id ([[Ann.heapRank]] — the
+    * bounded-heap tail, never a corpus-wide window).
+    *
+    * Output: `(query_id, neighbor_id, rank, adc)`.
     */
-  def rvqEncodeSql(
+  def rvqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      k: Int = 16, seed: Long = 42L, excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val cb1 = rvqStage1Codebook(candidates, idCol, vecCol, k, seed)
+    val cb2 = rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed)
+    rvqTopKWithCodebooks(queries, candidates, idCol, vecCol, n, cb1, cb2,
+      excludeSelf)
+  }
+
+  /** [[rvqTopK]] with caller-supplied codebooks (the persisted-index
+    * deployment shape; also the shared body a refined-codebook twin
+    * would reuse).
+    */
+  def rvqTopKWithCodebooks(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      cb1: DataFrame, cb2: DataFrame, excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val codes = rvqEncode(candidates, idCol, vecCol, cb1, cb2)
+      .select(col("id").as("neighbor_id"), col("c1"), col("c2"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val t1 = q.crossJoin(broadcast(cb1))
+      .select(col("query_id"), col("code"),
+        Ann.l2sq(col("qv"), col("centroid")).as("t"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("t")))),
+        e => e.getField("t")).as("t1"))
+    val t2 = q.crossJoin(broadcast(cb2))
+      .select(col("query_id"), col("code"),
+        aggregate(zip_with(col("qv"), col("centroid"),
+            (qj, cj) => cj * cj - lit(2.0) * qj * cj),
+          lit(0.0), (acc, x) => acc + x).as("t"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("t")))),
+        e => e.getField("t")).as("t2"))
+    val xterm = cb1.select(col("code").as("x1"), col("centroid").as("a"))
+      .crossJoin(cb2.select(col("code").as("x2"), col("centroid").as("b")))
+      .select(col("x1"), col("x2"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => lit(2.0) * x * y),
+          lit(0.0), (acc, v) => acc + v).as("x"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("x1"), col("x2"), col("x")))),
+        e => e.getField("x")).as("xflat"))
+    val scored = codes
+      .crossJoin(broadcast(t1.join(t2, Seq("query_id"))))
+      .crossJoin(broadcast(xterm))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        ((element_at(col("t1"), col("c1") + 1) +
+          element_at(col("t2"), col("c2") + 1)) +
+          element_at(col("xflat"),
+            col("c1") * size(col("t2")) + col("c2") + 1)).as("adc"))
+    Ann.heapRank(scored, "adc", "double", n, ascending = true)
+  }
+
+  /** Shared encode CTE chain over `embeddings(vec_id, embedding)`
+    * restricted by `whereClause`, ending with `e`, `cb1`, `cb2` and
+    * `codes(id, c1, c2, err2)` — reused by the encode and top-k
+    * oracles.
+    */
+  private def rvqCtesSql(
       k: Int, dim: Int, seed: Long, whereClause: String): String = {
     def residual(v: String, c: String): String =
       s"list_transform(range(1, ${dim + 1}), i -> " +
         s"CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
        |s1 AS (SELECT vec_id AS sid, embedding AS sv FROM e
        |  ORDER BY md5('$seed:r1:' || CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $k),
@@ -194,7 +271,58 @@ object Rvq {
        |    ${Ann.l2sqSql("r", "centroid", dim)} AS err2,
        |    ROW_NUMBER() OVER (PARTITION BY id
        |      ORDER BY ${Ann.l2sqSql("r", "centroid", dim)}, cb2.code) AS rn
-       |  FROM r1, cb2)
-       |SELECT id, c1, c2, err2 FROM a2 WHERE rn = 1""".stripMargin
+       |  FROM r1, cb2),
+       |codes AS (SELECT id, c1, c2, err2 FROM a2 WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB rendering of [[rvqEncodeSeedDrawn]] over
+    * `embeddings(vec_id, embedding)` restricted by `whereClause`
+    * (both codebooks draw from the same restricted slice; `dim` is
+    * the embedding width, needed to unroll the residual zip).
+    */
+  def rvqEncodeSql(
+      k: Int, dim: Int, seed: Long, whereClause: String): String =
+    s"""WITH ${rvqCtesSql(k, dim, seed, whereClause)}
+       |SELECT id, c1, c2, err2 FROM codes""".stripMargin
+
+  /** DuckDB rendering of [[rvqTopK]] (self-search over the
+    * `whereClause` slice, queries = `queryWhere` rows of it, self
+    * excluded) — same stage tables, same pinned `(t1 + t2) + x`
+    * addition order.
+    */
+  def rvqTopKSql(
+      n: Int, k: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String = {
+    def fold(body: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $body), " +
+        "(acc, x) -> acc + x)"
+    s"""WITH ${rvqCtesSql(k, dim, seed, whereClause)},
+       |q AS (SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM e $queryWhere),
+       |t1g AS (SELECT query_id, list(t ORDER BY code) AS t1
+       |  FROM (SELECT query_id, code,
+       |      ${Ann.l2sqSql("qv", "centroid", dim)} AS t FROM q, cb1)
+       |  GROUP BY query_id),
+       |t2g AS (SELECT query_id, list(t ORDER BY code) AS t2
+       |  FROM (SELECT query_id, code,
+       |      ${fold("centroid[i] * centroid[i] - 2.0 * qv[i] * centroid[i]")}
+       |        AS t FROM q, cb2)
+       |  GROUP BY query_id),
+       |xt AS (SELECT list(x ORDER BY x1, x2) AS xflat
+       |  FROM (SELECT cb1.code AS x1, cb2.code AS x2,
+       |      ${fold("2.0 * cb1.centroid[i] * cb2.centroid[i]")} AS x
+       |    FROM cb1, cb2)),
+       |scored AS (SELECT t1g.query_id, id AS neighbor_id,
+       |    (t1[c1 + 1] + t2[c2 + 1]) +
+       |      xflat[c1 * len(t2) + c2 + 1] AS adc
+       |  FROM codes, t1g, t2g, xt
+       |  WHERE t1g.query_id = t2g.query_id AND id <> t1g.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adc FROM ranked
+       |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -104,6 +104,59 @@ class RvqSpec extends AnyFunSuite with SparkSpec {
     assert(got(1000L)._1 === got(base.head._1)._1)
   }
 
+  test("rvqTopK: ADC decomposition is near-exact and ranking beats chance on clustered vectors") {
+    val rows = clustered(60, 4, noise = 0.05f)
+    val df = emb(rows)
+    val got = Rvq.rvqTopK(df, df, "vec_id", "embedding", n = 5, k = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // per-pair identity: adc == the decomposition recomputed from the
+    // reference codebooks (same fold orders -> exact), and within
+    // 1e-9 relative of the DIRECT ||q - a - b||^2 (algebraic identity)
+    val vs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ref = refEncode(rows, k = 12)
+    def sample(salt: String): Seq[Seq[Double]] =
+      rows.map { case (id, v) => id -> v.map(_.toDouble) }
+        .sortBy { case (id, _) => (md5hex(s"42:$salt:$id"), id) }
+        .take(12).map(_._2)
+    val cb1 = sample("r1").zipWithIndex.map { case (v, c) => c -> v }
+    val cb2raw = sample("r2")
+    def argminRes(v: Seq[Double], cb: Seq[(Int, Seq[Double])]): Seq[Double] = {
+      val scored = cb.map { case (c, cent) =>
+        val res = v.zip(cent).map { case (a, b) => a - b }
+        (res.foldLeft(0.0)((acc, x) => acc + x * x), c, res)
+      }
+      scored.minBy(t => (t._1, t._2))._3
+    }
+    val cb2 = cb2raw.map(v => argminRes(v, cb1)).zipWithIndex
+      .map { case (r, c) => c -> r }
+    for ((qid, nid, _, adc) <- got.take(40)) {
+      val q = vs(qid)
+      val (c1, c2, _, _) = ref(nid)
+      val a = cb1(c1)._2
+      val b = cb2(c2)._2
+      val t1 = q.zip(a).map { case (x, y) => x - y }
+        .foldLeft(0.0)((acc, x) => acc + x * x)
+      val t2 = q.zip(b).map { case (x, y) => y * y - 2.0 * x * y }
+        .foldLeft(0.0)(_ + _)
+      val x = a.zip(b).map { case (p, r) => 2.0 * p * r }
+        .foldLeft(0.0)(_ + _)
+      assert(adc === (t1 + t2) + x, s"ADC mismatch for ($qid, $nid)")
+      val recon = q.indices.map(i => q(i) - a(i) - b(i))
+      val direct = recon.foldLeft(0.0)((acc, d) => acc + d * d)
+      assert(math.abs(adc - direct) <= 1e-9 * math.max(1.0, direct),
+        s"decomposition drifted from the direct distance: $adc vs $direct")
+    }
+    // quality: top-1 neighbor shares the query's planted cluster for
+    // most queries (4 tight clusters, 15 members each)
+    val top1 = got.filter(_._3 == 1)
+    val sameCluster = top1.count { case (q, nb, _, _) =>
+      (q % 4) == (nb % 4) }
+    assert(sameCluster * 10 >= top1.length * 8,
+      s"only $sameCluster/${top1.length} top-1 hits in-cluster")
+  }
+
   test("corpus narrower than k yields dense codes and still matches the reference") {
     val rows = clustered(5, 2)
     val got = run(rows, k = 16)
