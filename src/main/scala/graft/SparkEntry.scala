@@ -3691,6 +3691,26 @@ object SparkEntry {
       graft.text.Repetition.gopherRepetition(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "t_c4_filters" -> ((s, dir) => {
+      // C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct +
+      // >=5-word line filter, then the <3-sentence / brace /
+      // lorem-ipsum page rules over the cleaned text. The synthetic
+      // corpus has no punctuation at all, so the slice plants all
+      // three verdict branches (mirrored in the oracle): single
+      // kept line but <3 sentences (drop), three punctuated lines
+      // (keep), and a brace+lorem tail with no terminal punct (drop
+      // on all three page rules at once)
+      val planted = t(s, dir, "documents").filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(".")))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(".\n"), col("text"), lit("!\n"),
+                col("text"), lit("?")))
+            .otherwise(concat(col("text"), lit(" {lorem ipsum}")))
+            .as("text"))
+      graft.text.C4.c4Clean(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "t_normalize_nfc" -> ((s, dir) => {
       // Unicode canonicalization before fingerprinting (custom
       // codegen Expression — Spark has no normalization builtin):
@@ -7039,6 +7059,15 @@ object SparkEntry {
     "p_softdedup" ->
       (graft.text.Lm.softDedupWeightsSql("WHERE doc_id % 3 = 1",
         minWeightPpm = 900000L) + "\nORDER BY doc_id"),
+    "t_c4_filters" ->
+      (graft.text.C4.c4CleanSql("",
+        from = "(SELECT doc_id, CASE " +
+          "WHEN doc_id % 3 = 0 THEN text || '.' " +
+          "WHEN doc_id % 3 = 1 THEN text || '.' || chr(10) || text || '!' " +
+          "|| chr(10) || text || '?' " +
+          "ELSE text || ' {lorem ipsum}' END AS text " +
+          "FROM documents WHERE doc_id % 4 = 3)")
+        + "\nORDER BY doc_id"),
     "t_gopher_rep" ->
       (graft.text.Repetition.gopherRepetitionSql("",
         from = "(SELECT doc_id, CASE WHEN doc_id % 8 = 2 " +
