@@ -3691,6 +3691,22 @@ object SparkEntry {
       graft.text.Repetition.gopherRepetition(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "p_corpus_card" -> ((s, dir) => {
+      // the per-source datasheet (corpus card): doc/token inventory,
+      // language share, quality-rule pass rate, exact-duplicate rate
+      // — one map-side signal projection, two source-keyed hash
+      // aggregations, #sources-sized output. The synthetic corpus
+      // has NO exact duplicates and only one stop-word type, so the
+      // gate plants dups (a %10 slice unioned back, mirrored in the
+      // oracle) and dials the rules to the corpus (minWords = 40
+      // splits it, minStopHits = 1) so every rate column is nonzero
+      // AND non-saturated
+      val docs = t(s, dir, "documents")
+      val planted = docs.unionByName(docs.filter(col("doc_id") % 10 === 0))
+      graft.ops.CorpusCard.corpusCard(planted, "text", "source", "lang",
+        graft.text.QualityFilters.Config(minWords = 40, minStopHits = 1))
+        .orderBy("source")
+    }),
     "t_c4_filters" -> ((s, dir) => {
       // C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct +
       // >=5-word line filter, then the <3-sentence / brace /
@@ -7059,6 +7075,12 @@ object SparkEntry {
     "p_softdedup" ->
       (graft.text.Lm.softDedupWeightsSql("WHERE doc_id % 3 = 1",
         minWeightPpm = 900000L) + "\nORDER BY doc_id"),
+    "p_corpus_card" ->
+      (graft.ops.CorpusCard.corpusCardSql("",
+        graft.text.QualityFilters.Config(minWords = 40, minStopHits = 1),
+        from = "(SELECT text, lang, source FROM documents UNION ALL " +
+          "SELECT text, lang, source FROM documents WHERE doc_id % 10 = 0)")
+        + "\nORDER BY source"),
     "t_c4_filters" ->
       (graft.text.C4.c4CleanSql("",
         from = "(SELECT doc_id, CASE " +
