@@ -3295,6 +3295,26 @@ object SparkEntry {
         "vec_id", "embedding", beam = 6, rounds = 3, k = 5)
         .orderBy("query_id", "rank")
     }),
+    "e_ann_hnsw" -> ((s, dir) => {
+      // HNSW (Malkov & Yashunin 2018): geometric md5 levels put 1/16
+      // of the corpus in an upper layer; a narrow upper beam finds a
+      // per-query ENTRY and the base beam starts there instead of the
+      // flat min-id — entry locality is the hierarchy's whole point.
+      // Exact layer graphs by gate contract (bounded slices); at
+      // corpus scale graphOf = nnDescentGraph per layer. The gate
+      // requires a populated upper layer (the Scala door falls back
+      // to the flat entry on an empty layer; the oracle does not)
+      import graft.ann.Nsw
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 === 0)
+      require(!corpus.filter(Nsw.hnswLevel(col("vec_id")) >= 1).isEmpty,
+        "gate contract: the sf slice must populate the upper layer")
+      Nsw.hnswSearch(corpus, emb.filter(col("vec_id") % 40 === 1),
+        "vec_id", "embedding",
+        g => Nsw.knnGraph(g, "vec_id", "embedding", k = 6),
+        beam = 6, rounds = 3, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_ann_beam_recall" -> ((s, dir) => {
       // recall@5 of the beam search vs the exact cosine top-5 over
       // the SAME %4 corpus — the graph-ANN regression gate beside
@@ -6878,6 +6898,15 @@ object SparkEntry {
          |  WHERE vec_id % 4 = 0 AND $nz),
          |${graft.ann.Nsw.beamSearchSql(graphK = 6, beam = 6, rounds = 3,
             k = 5, dim = 64)}""".stripMargin
+    },
+    "e_ann_hnsw" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 40 = 1 AND $nz),
+         |c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 4 = 0 AND $nz),
+         |${graft.ann.Nsw.hnswSearchSql(graphK = 6, beam = 6, rounds = 3,
+            k = 5, dim = 64, upperBeam = 4, upperRounds = 2)}""".stripMargin
     },
     "e_ann_beam_recall" -> {
       val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"

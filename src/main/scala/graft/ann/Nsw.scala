@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-based ANN — the NSW/HNSW family's search primitive, closing
@@ -79,7 +79,8 @@ object Nsw {
     */
   def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, beam: Int, rounds: Int,
-      k: Int, persistInputs: Boolean = true): DataFrame = {
+      k: Int, persistInputs: Boolean = true,
+      entries: Option[DataFrame] = None): DataFrame = {
     require(beam >= 1 && rounds >= 0 && k >= 1 && k <= beam,
       s"need 1 <= k <= beam and rounds >= 0, got beam=$beam rounds=$rounds k=$k")
     val reused = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -98,13 +99,20 @@ object Nsw {
       .filter(Ann.norm(col("nv")) > 0))
     val qs = reuse(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(Ann.norm(col("qv")) > 0))
-    val entry = nodes.agg(min(col("node")).as("node"))
     def score(cands: DataFrame): DataFrame =
       cands.join(nodes, Seq("node"))
         .join(qs, Seq("query_id"))
         .select(col("query_id"), col("node").as("neighbor_id"),
           Ann.cosine(col("qv"), col("nv")).as("score"))
-    val beam0 = qs.select(col("query_id")).crossJoin(broadcast(entry))
+    // per-query entry points (the HNSW descent hands these down) or
+    // the flat-NSW global min-id entry
+    val beam0 = entries match {
+      case Some(e) => qs.select(col("query_id"))
+        .join(e.select(col("query_id"), col("node")), Seq("query_id"))
+      case None =>
+        val entry = nodes.agg(min(col("node")).as("node"))
+        qs.select(col("query_id")).crossJoin(broadcast(entry))
+    }
     // each round: b is referenced TWICE (kept ∪ expanded) — uncut,
     // the plan tree doubles per round (the HITS lesson, SCALE.md);
     // the beam is queries×beam rows, so an eager localCheckpoint per
@@ -144,6 +152,59 @@ object Nsw {
     prevCut.foreach(_.unpersist(false))
     reused.foreach(_.unpersist(false))
     out
+  }
+
+  /** HNSW layer level for an id: the count of leading `0` hex chars
+    * of `md5("lvl:" || id)` — `P(level >= L) = 16^-L`, the geometric
+    * layer assignment of Malkov & Yashunin 2018 at `mL = 1/ln 16`
+    * (a coarser-than-classic shrink: each layer is 16× smaller, so
+    * even a trillion-row corpus needs only ~10 layers). Pure string
+    * arithmetic, so the oracle computes the identical level.
+    */
+  def hnswLevel(id: Column): Column =
+    length(regexp_extract(
+      md5(concat(lit("lvl:"), id.cast("string"))), "^(0*)", 1))
+
+  /** DuckDB rendering of [[hnswLevel]]. */
+  def hnswLevelSql(id: String): String =
+    s"length(regexp_extract(md5('lvl:' || CAST($id AS VARCHAR)), '^(0*)', 1))"
+
+  /** HNSW-style hierarchical search (Malkov & Yashunin 2018) in its
+    * Spark-native shape: nodes draw geometric levels ([[hnswLevel]]);
+    * the level-`>= 1` layer (16× smaller) is searched first with a
+    * narrow beam to find a GOOD PER-QUERY ENTRY, and the base-layer
+    * [[beamSearch]] starts from that entry instead of the flat-NSW
+    * global min id — the hierarchy buys entry locality, so the base
+    * beam needs fewer rounds to reach the query's neighborhood (the
+    * whole point of HNSW over NSW at corpus diameter).
+    *
+    * `graphOf` builds the kNN graph for a layer's node set —
+    * [[knnGraph]] for bounded layers/gates, [[nnDescentGraph]] at
+    * corpus scale (the base layer is the corpus itself; the upper
+    * layer is corpus/16, so one extra build at 1/256 the pair
+    * volume). One upper layer per call — at extreme scale, recurse:
+    * the upper layer's OWN entries can come from a `hnswSearch` over
+    * level >= 2 (each layer 16× smaller, ~10 layers at 1e12 rows);
+    * the single-upper-layer form is the gated one. An EMPTY upper
+    * layer (small corpora — levels are 1/16 draws) falls back to the
+    * flat entry, checked with one bounded action.
+    */
+  def hnswSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      graphOf: DataFrame => DataFrame,
+      beam: Int, rounds: Int, k: Int,
+      upperBeam: Int = 4, upperRounds: Int = 2,
+      persistInputs: Boolean = true): DataFrame = {
+    val upper = corpus.filter(hnswLevel(col(idCol)) >= 1)
+    val entries =
+      if (upper.isEmpty) None
+      else Some(
+        beamSearch(graphOf(upper), upper, queries, idCol, vecCol,
+          beam = upperBeam, rounds = upperRounds, k = 1,
+          persistInputs = persistInputs)
+          .select(col("query_id"), col("neighbor_id").as("node")))
+    beamSearch(graphOf(corpus), corpus, queries, idCol, vecCol,
+      beam, rounds, k, persistInputs, entries = entries)
   }
 
   /** The checkpointed RDD behind a localCheckpointed frame — the
@@ -351,6 +412,79 @@ object Nsw {
        |    ON a.node <> b.node) e
        |  WHERE rn <= $graphK),
        |${beamBodySql(beam, rounds, k, dim)}""".stripMargin
+  }
+
+  /** DuckDB rendering of [[hnswSearch]] over existing `q(query_id,
+    * qv)` and `c(node, cv)` CTEs: the level-`>= 1` layer and its
+    * inline exact graph, the narrow upper beam descent to a
+    * per-query entry, then the base beam from those entries. The
+    * upper layer must be NON-EMPTY (the Scala door falls back to the
+    * flat entry; the gate `require`s the layer instead so the two
+    * renderings never diverge).
+    */
+  def hnswSearchSql(graphK: Int, beam: Int, rounds: Int, k: Int,
+      dim: Int, upperBeam: Int, upperRounds: Int): String = {
+    require(rounds >= 1 && upperRounds >= 1,
+      s"the SQL rendering unrolls >= 1 round per layer, " +
+        s"got rounds=$rounds upperRounds=$upperRounds")
+    val cos = Ann.cosineSql("qv", "cv", dim)
+    val gCos = Ann.cosineSql("av", "cv", dim)
+    def knn(nodesCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT src, dst FROM (
+         |  SELECT a.node AS src, b.node AS dst, row_number() OVER (
+         |    PARTITION BY a.node
+         |    ORDER BY $gCos DESC, b.node) AS rn
+         |  FROM (SELECT node, cv AS av FROM $nodesCte) a JOIN $nodesCte b
+         |    ON a.node <> b.node) e
+         |  WHERE rn <= $graphK)""".stripMargin
+    def round(prev: String, tag: String, nodesCte: String, gCte: String,
+        width: Int): String =
+      s"""x$tag AS (SELECT DISTINCT query_id, node FROM (
+         |  SELECT query_id, node FROM $prev
+         |  UNION ALL
+         |  SELECT p.query_id, $gCte.dst AS node FROM $prev p
+         |  JOIN $gCte ON $gCte.src = p.node) u),
+         |s$tag AS (SELECT d.query_id, d.node, $cos AS score
+         |  FROM x$tag d JOIN $nodesCte nn ON nn.node = d.node
+         |  JOIN q ON q.query_id = d.query_id),
+         |b$tag AS (SELECT query_id, node, score FROM (
+         |  SELECT s.query_id, s.node, s.score, row_number() OVER (
+         |    PARTITION BY s.query_id ORDER BY s.score DESC, s.node) AS rn
+         |  FROM s$tag s) r WHERE rn <= $width)""".stripMargin
+    // the scored CTEs join `nodesCte nn ON nn.node` but score against
+    // q.qv and the layer's cv — alias the layer projection per layer
+    val upperRounds_ = (1 to upperRounds).map { r =>
+      round(if (r == 1) "bu0" else s"bu${r - 1}", s"u$r", "lvlc", "ug",
+        upperBeam)
+    }.mkString(",\n")
+    val baseRounds_ = (1 to rounds).map { r =>
+      round(if (r == 1) "bb0" else s"bb${r - 1}", s"b$r", "cc", "bg", beam)
+    }.mkString(",\n")
+    s"""lvl AS (SELECT node, cv FROM c
+       |  WHERE ${hnswLevelSql("node")} >= 1),
+       |lvlc AS (SELECT node, cv FROM lvl),
+       |cc AS (SELECT node, cv FROM c),
+       |${knn("lvl", "ug")},
+       |${knn("c", "bg")},
+       |uent0 AS (SELECT min(node) AS node FROM lvl),
+       |bu0 AS (SELECT q.query_id, uent0.node, 0.0 AS score FROM q, uent0),
+       |$upperRounds_,
+       |uent AS (SELECT query_id, node FROM (
+       |  SELECT query_id, node, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, node) AS rn
+       |  FROM bu$upperRounds) r WHERE rn = 1),
+       |bb0 AS (SELECT query_id, node, 0.0 AS score FROM uent),
+       |$baseRounds_,
+       |fs AS (SELECT DISTINCT query_id, node FROM bb$rounds),
+       |fscored AS (SELECT d.query_id, d.node, $cos AS score
+       |  FROM fs d JOIN c ON c.node = d.node
+       |  JOIN q ON q.query_id = d.query_id)
+       |SELECT query_id, node AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, node) AS INT) AS rank, score
+       |FROM fscored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** The beam-search iteration as CTEs + final SELECT, over existing

@@ -112,4 +112,91 @@ class NswSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refLevel(id: Long): Int =
+    md5hex(s"lvl:$id").takeWhile(_ == '0').length
+
+  test("hnswLevel matches the md5 reference and layers shrink ~16x") {
+    val ids = (0L until 4000L)
+    val got = frame(ids.map(i => (i, Seq(1.0f, 0.0f))), ("id", "v"))
+      .select(col("id"), Nsw.hnswLevel(col("id")).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === ids.map(i => i -> refLevel(i)).toMap)
+    val upper = got.values.count(_ >= 1)
+    // 4000/16 = 250 expected; allow generous binomial slack
+    assert(upper > 150 && upper < 380, s"upper layer size $upper")
+  }
+
+  test("beamSearch entries plumbing: constant min-id entries equal the flat search") {
+    val c = frame(circle, ("id", "v"))
+    val g = Nsw.knnGraph(c, "id", "v", k = 2)
+    val q = frame(Seq(
+      (100L, Seq(math.cos(7 * math.Pi / 6).toFloat,
+        math.sin(7 * math.Pi / 6).toFloat)),
+      (101L, Seq(math.cos(2 * math.Pi / 6).toFloat,
+        math.sin(2 * math.Pi / 6).toFloat))), ("id", "v"))
+    def rows(entries: Option[org.apache.spark.sql.DataFrame]) =
+      Nsw.beamSearch(g, c, q, "id", "v", beam = 3, rounds = 6, k = 2,
+        entries = entries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = rows(None)
+    val viaEntries = rows(Some(
+      q.select(col("id").as("query_id"), lit(0L).as("node"))))
+    assert(viaEntries === flat)
+  }
+
+  test("hnswSearch falls back to the flat entry on an empty upper layer") {
+    // pick 8 circle ids whose level is 0 — the upper layer is empty
+    // by construction, so hnswSearch must equal the flat beamSearch
+    val ids = (0L until 200L).filter(refLevel(_) == 0).take(8)
+    val pts = ids.zipWithIndex.map { case (id, i) =>
+      val a = i * math.Pi / 4
+      (id, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val c = frame(pts, ("id", "v"))
+    val q = frame(Seq((1000L, Seq(0.9f, -0.4f))), ("id", "v"))
+    def graphOf(df: org.apache.spark.sql.DataFrame) =
+      Nsw.knnGraph(df, "id", "v", k = 2)
+    val hnsw = Nsw.hnswSearch(c, q, "id", "v", graphOf(_),
+        beam = 3, rounds = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = Nsw.beamSearch(graphOf(c), c, q, "id", "v",
+        beam = 3, rounds = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hnsw === flat)
+  }
+
+  test("hnswSearch reaches an antipodal neighbor the flat search cannot (entry locality)") {
+    // 64-node ring; the md5 levels put exactly {26, 32, 54} in the
+    // upper layer (asserted, so a level-rule change fails loudly).
+    // A query AT node 32's angle is 32 ring-hops from the flat
+    // entry 0 — unreachable in 3 rounds — but the upper-layer
+    // descent hands the base beam node 32 itself as the entry.
+    val n = 64
+    val uppers = (0L until n).filter(refLevel(_) >= 1)
+    assert(uppers === Seq(26L, 32L, 54L), s"level rule moved: $uppers")
+    val pts = (0L until n.toLong).map { i =>
+      val a = 2 * math.Pi * i / n
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val c = frame(pts, ("id", "v"))
+    val qa = 2 * math.Pi * 32 / n + 0.01
+    val q = frame(Seq((1000L,
+      Seq(math.cos(qa).toFloat, math.sin(qa).toFloat))), ("id", "v"))
+    def graphOf(df: org.apache.spark.sql.DataFrame) =
+      Nsw.knnGraph(df, "id", "v", k = 2)
+    val hnsw = Nsw.hnswSearch(c, q, "id", "v", graphOf(_),
+      beam = 3, rounds = 3, k = 1).collect()
+    assert(hnsw.length == 1 && hnsw.head.getLong(1) == 32L,
+      s"descent did not reach node 32: ${hnsw.toSeq}")
+    val flat = Nsw.beamSearch(graphOf(c), c, q, "id", "v",
+      beam = 3, rounds = 3, k = 1).collect()
+    assert(flat.head.getLong(1) != 32L,
+      s"flat search reached 32 in 3 rounds — the fixture no longer " +
+        s"demonstrates entry locality: ${flat.toSeq}")
+  }
 }
