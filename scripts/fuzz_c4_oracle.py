@@ -33,7 +33,7 @@ def words(line):
 def ref(text):
     lines = text.split("\n")
     kept = [l for l in lines
-            if re.search(r'[.!?"]$', l.rstrip(" ")) and words(l) >= 5]
+            if re.search(r'[.!?"]\r?$', l.rstrip(" ")) and words(l) >= 5]
     cleaned = "\n".join(kept)
     sentences = len(re.findall(r"[.!?]+", cleaned))
     lorem = "lorem ipsum" in text.lower()
@@ -52,7 +52,7 @@ def plant(doc_id, text):
 
 
 WORDS = ["alpha", "bb", "naïve", "☃", "x", "LoReM", "IpSuM", "{", "end."]
-TAILS = [".", "!", "?", '"', "", " ", "...", ".  ", "?!"]
+TAILS = [".", "!", "?", '"', "", " ", "...", ".  ", "?!", ".\r", "\r"]
 
 
 def synth_doc(rnd):

@@ -195,16 +195,34 @@ object Nsw {
       beam: Int, rounds: Int, k: Int,
       upperBeam: Int = 4, upperRounds: Int = 2,
       persistInputs: Boolean = true): DataFrame = {
-    val upper = corpus.filter(hnswLevel(col(idCol)) >= 1)
-    val entries =
-      if (upper.isEmpty) None
-      else Some(
-        beamSearch(graphOf(upper), upper, queries, idCol, vecCol,
-          beam = upperBeam, rounds = upperRounds, k = 1,
-          persistInputs = persistInputs)
-          .select(col("query_id"), col("neighbor_id").as("node")))
-    beamSearch(graphOf(corpus), corpus, queries, idCol, vecCol,
-      beam, rounds, k, persistInputs, entries = entries)
+    // the fallback check must test the SEARCHABLE set (norm > 0 —
+    // the beamSearch node filter), not the raw level census: an
+    // upper layer of only zero-norm vectors would otherwise produce
+    // an empty entries frame and silently drop every query. The
+    // filtered layer feeds several lineages (the emptiness action,
+    // the graph build's count guard + join, the search projections),
+    // so it is persisted for the call when persistInputs is on —
+    // both inner beamSearch results are EAGER (localCheckpoint), so
+    // the release below runs after all reads.
+    val upper0 = corpus
+      .filter(hnswLevel(col(idCol)) >= 1 && Ann.norm(col(vecCol)) > 0)
+    val upperPersisted = persistInputs &&
+      upper0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val upper =
+      if (upperPersisted)
+        upper0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else upper0
+    try {
+      val entries =
+        if (upper.isEmpty) None
+        else Some(
+          beamSearch(graphOf(upper), upper, queries, idCol, vecCol,
+            beam = upperBeam, rounds = upperRounds, k = 1,
+            persistInputs = persistInputs)
+            .select(col("query_id"), col("neighbor_id").as("node")))
+      beamSearch(graphOf(corpus), corpus, queries, idCol, vecCol,
+        beam, rounds, k, persistInputs, entries = entries)
+    } finally if (upperPersisted) upper.unpersist(false)
   }
 
   /** The checkpointed RDD behind a localCheckpointed frame — the
@@ -451,19 +469,15 @@ object Nsw {
          |  SELECT s.query_id, s.node, s.score, row_number() OVER (
          |    PARTITION BY s.query_id ORDER BY s.score DESC, s.node) AS rn
          |  FROM s$tag s) r WHERE rn <= $width)""".stripMargin
-    // the scored CTEs join `nodesCte nn ON nn.node` but score against
-    // q.qv and the layer's cv — alias the layer projection per layer
     val upperRounds_ = (1 to upperRounds).map { r =>
-      round(if (r == 1) "bu0" else s"bu${r - 1}", s"u$r", "lvlc", "ug",
+      round(if (r == 1) "bu0" else s"bu${r - 1}", s"u$r", "lvl", "ug",
         upperBeam)
     }.mkString(",\n")
     val baseRounds_ = (1 to rounds).map { r =>
-      round(if (r == 1) "bb0" else s"bb${r - 1}", s"b$r", "cc", "bg", beam)
+      round(if (r == 1) "bb0" else s"bb${r - 1}", s"b$r", "c", "bg", beam)
     }.mkString(",\n")
     s"""lvl AS (SELECT node, cv FROM c
        |  WHERE ${hnswLevelSql("node")} >= 1),
-       |lvlc AS (SELECT node, cv FROM lvl),
-       |cc AS (SELECT node, cv FROM c),
        |${knn("lvl", "ug")},
        |${knn("c", "bg")},
        |uent0 AS (SELECT min(node) AS node FROM lvl),

@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: both codebooks are `k`-row frames (tiny at any
   * corpus size — always broadcast); the corpus is read by ONE encode
-  * pass per stage. Each stage is a broadcast nested-loop against the
+  * pass per stage — plus one full-corpus TakeOrdered per codebook
+  * DRAW, whose lineage re-executes per consumer unless
+  * `persistCodebooks` caches the two k-row frames (the dial the
+  * seed-drawn compositions expose; a production index reads its
+  * codebooks from storage instead). Each stage is a broadcast
+  * nested-loop against the
   * k-row codebook followed by a map-side-combinable struct-min argmin
   * grouped on `(id, earlier codes)` — the candidate struct carries
   * `(dist, code, residual)`, so each stage's shuffle moves exactly
@@ -136,15 +141,38 @@ object Rvq {
   }
 
   /** [[rvqEncode]] with both codebooks drawn from `candidates` — the
-    * gate-facing composition.
+    * gate-facing composition. The codebook DRAWS are full-corpus
+    * TakeOrdered scans whose lineage re-executes once per consumer
+    * (cb1 feeds the stage-2 build and the stage-1 encode; more in
+    * [[rvqTopK]]); `persistCodebooks` caches the two k-row frames
+    * MEMORY_AND_DISK so each draw scans the corpus once — the
+    * [[graft.text.TfIdf.topTerms]] persistInput contract (entries
+    * live until the session drops them). Values are identical either
+    * way; a production index persists its codebooks to storage.
     */
   def rvqEncodeSeedDrawn(
       df: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
-      k: Int, seed: Long = 42L,
+      k: Int, seed: Long = 42L, persistCodebooks: Boolean = false,
   ): DataFrame = {
-    val cb1 = rvqStage1Codebook(candidates, idCol, vecCol, k, seed)
-    val cb2 = rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed)
+    val (cb1, cb2) = seedDrawnCodebooks(candidates, idCol, vecCol, k, seed,
+      persistCodebooks)
     rvqEncode(df, idCol, vecCol, cb1, cb2)
+  }
+
+  /** The shared seed-drawn codebook pair, optionally persisted (see
+    * [[rvqEncodeSeedDrawn]]).
+    */
+  def seedDrawnCodebooks(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L, persistCodebooks: Boolean = false,
+  ): (DataFrame, DataFrame) = {
+    def hold(df: DataFrame): DataFrame =
+      if (persistCodebooks)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val cb1 = hold(rvqStage1Codebook(candidates, idCol, vecCol, k, seed))
+    val cb2 = hold(rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed))
+    (cb1, cb2)
   }
 
   /** RVQ asymmetric-distance top-k — the retrieval side of the
@@ -168,9 +196,14 @@ object Rvq {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, n: Int,
       k: Int = 16, seed: Long = 42L, excludeSelf: Boolean = true,
+      persistCodebooks: Boolean = false,
   ): DataFrame = {
-    val cb1 = rvqStage1Codebook(candidates, idCol, vecCol, k, seed)
-    val cb2 = rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed)
+    // cb1 feeds five lineages here (stage-2 build, two encode
+    // stages' re-embeds, t1, the cross-term) and cb2 three — at
+    // corpus scale pass persistCodebooks = true so each seed draw
+    // scans the corpus once (see rvqEncodeSeedDrawn)
+    val (cb1, cb2) = seedDrawnCodebooks(candidates, idCol, vecCol, k, seed,
+      persistCodebooks)
     rvqTopKWithCodebooks(queries, candidates, idCol, vecCol, n, cb1, cb2,
       excludeSelf)
   }

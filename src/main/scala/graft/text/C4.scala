@@ -34,9 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object C4 {
 
-  /** The line keep rule as a reusable predicate over a line column. */
+  /** The line keep rule as a reusable predicate over a line column.
+    * The terminal-punctuation anchor is `[.!?"]\r?$` — the `\r?` is
+    * load-bearing: lines come from a `\n` split, so CRLF text leaves
+    * a trailing `\r` on every line, and Java's `$` matches BEFORE a
+    * final `\r` while RE2's (DuckDB's) does not — without the
+    * explicit `\r?` the two engines disagree on every CRLF document.
+    */
   private def lineKeep(l: Column): Column =
-    rtrim(l).rlike("[.!?\"]$") &&
+    rtrim(l).rlike("[.!?\"]\r?$") &&
       size(TextFunctions.tokens(l)) >= 5
 
   /** Per-document C4 census + verdict; see object doc. */
@@ -72,7 +78,8 @@ object C4 {
        |    string_split(text, chr(10)) AS lines
        |  FROM $from $whereClause),
        |k AS (SELECT doc_id, text, lines,
-       |    list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$$')
+       |    list_filter(lines, l -> regexp_matches(rtrim(l),
+       |        '[.!?"]\\r?$$')
        |      AND len($toks) >= 5) AS kept
        |  FROM d)
        |SELECT doc_id,

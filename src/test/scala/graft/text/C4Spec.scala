@@ -29,7 +29,7 @@ class C4Spec extends AnyFunSuite with SparkSpec {
     def words(l: String): Int =
       l.trim.split("\\s+").count(_.nonEmpty)
     val kept = lines.filter(l =>
-      l.replaceAll(" +$", "").matches("(?s).*[.!?\"]") && words(l) >= 5)
+      l.replaceAll(" +$", "").matches("(?s).*[.!?\"]\r?") && words(l) >= 5)
     val cleaned = kept.mkString("\n")
     val sentences = "[.!?]+".r.findAllIn(cleaned).size.toLong
     val lorem = text.toLowerCase.contains("lorem ipsum")
@@ -44,13 +44,15 @@ class C4Spec extends AnyFunSuite with SparkSpec {
       2L -> "one two three four.",        // 4 words: dropped
       3L -> "one two three four five",    // no punct: dropped
       4L -> "he said one two \"three\"",  // ends in quote: kept
-      5L -> "one two three four five.   " // trailing spaces rtrim: kept
+      5L -> "one two three four five.   ", // trailing spaces rtrim: kept
+      6L -> "one two three four five.\r"    // CRLF residue: kept on BOTH engines
     ))
     assert(out(1L)._2 === 1L)
     assert(out(2L)._2 === 0L)
     assert(out(3L)._2 === 0L)
     assert(out(4L)._2 === 1L)
     assert(out(5L)._2 === 1L)
+    assert(out(6L)._2 === 1L)
   }
 
   test("page rules: sentence floor, brace, lorem ipsum (case-insensitive)") {
@@ -72,7 +74,7 @@ class C4Spec extends AnyFunSuite with SparkSpec {
   test("matches the sequential reference on random multi-line docs") {
     val rnd = new Random(13)
     val words = Vector("alpha", "beta", "gamma", "naïve", "x", "{", "lorem", "ipsum")
-    val tails = Vector(".", "!", "?", "\"", "", " ", "...")
+    val tails = Vector(".", "!", "?", "\"", "", " ", "...", ".\r", "\r")
     def line(): String =
       Seq.fill(rnd.nextInt(9))(words(rnd.nextInt(words.size)))
         .mkString(" ") + tails(rnd.nextInt(tails.size))
