@@ -990,6 +990,33 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"rvqTopK hint count changed:\n$analyzed")
   }
 
+  test("c4Clean and the WARC parse are map-only: no exchange, no window") {
+    val c4 = graft.text.C4.c4Clean(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!c4.contains("Exchange") && !c4.contains("Window"),
+      s"c4Clean gained a shuffle:\n$c4")
+    val dir = java.nio.file.Files.createTempDirectory("warc_guard_")
+    graft.sources.Warc.writeWarc(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 200),
+      "doc_id", "text", s"$dir/w")
+    val warc = graft.sources.Warc.readWarc(spark, s"$dir/w")
+      .queryExecution.executedPlan.toString
+    assert(!warc.contains("Exchange") && !warc.contains("Window"),
+      s"WARC parse gained a shuffle:\n$warc")
+    graft.ops.Fs.deleteRecursively(dir)
+  }
+
+  test("corpusCard: no forced broadcast, no window — source-keyed hash aggregates only") {
+    val card = graft.ops.CorpusCard.corpusCard(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "source", "lang")
+    assert(!card.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "corpusCard gained a broadcast hint")
+    val p = card.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"corpusCard plans a window:\n$p")
+  }
+
   test("no gated query plans a non-broadcast CartesianProduct") {
     // the one global scale invariant: a CartesianProduct node (the
     // physical fallback when neither side can broadcast and there is
