@@ -3711,6 +3711,28 @@ object SparkEntry {
       graft.text.Repetition.gopherRepetition(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "p_web_pipeline" -> ((s, dir) => {
+      // the published web-pipeline shape END-TO-END (the RefinedWeb/
+      // FineWeb recipe: extraction → line-level C4 cleaning → page
+      // verdict → soft-dedup reweighting): the C4-planted slice
+      // (t_c4_filters' fixture verbatim) feeds the keep verdict,
+      // survivors feed the corpus-as-its-own-reference SoftDeDup
+      // weights — a composition whose stages gate separately, here
+      // verified CHAINED through one oracle
+      val planted = t(s, dir, "documents").filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(".")))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(".\n"), col("text"), lit("!\n"),
+                col("text"), lit("?")))
+            .otherwise(concat(col("text"), lit(" {lorem ipsum}")))
+            .as("text"))
+      val kept = graft.text.C4.c4Clean(planted, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val survivors = planted.join(kept, Seq("doc_id"), "left_semi")
+      graft.text.Lm.softDedupWeights(survivors, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "p_corpus_card" -> ((s, dir) => {
       // the per-source datasheet (corpus card): doc/token inventory,
       // language share, quality-rule pass rate, exact-duplicate rate
@@ -7104,6 +7126,18 @@ object SparkEntry {
     "p_softdedup" ->
       (graft.text.Lm.softDedupWeightsSql("WHERE doc_id % 3 = 1",
         minWeightPpm = 900000L) + "\nORDER BY doc_id"),
+    "p_web_pipeline" -> {
+      val plantedSql = "(SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN text || '.' " +
+        "WHEN doc_id % 3 = 1 THEN text || '.' || chr(10) || text || '!' " +
+        "|| chr(10) || text || '?' " +
+        "ELSE text || ' {lorem ipsum}' END AS text " +
+        "FROM documents WHERE doc_id % 4 = 3)"
+      val keepSql = "(SELECT doc_id FROM (" +
+        graft.text.C4.c4CleanSql("", from = plantedSql) + ") ck WHERE keep)"
+      graft.text.Lm.softDedupWeightsSql(s"WHERE doc_id IN $keepSql",
+        from = plantedSql) + "\nORDER BY doc_id"
+    },
     "p_corpus_card" ->
       (graft.ops.CorpusCard.corpusCardSql("",
         graft.text.QualityFilters.Config(minWords = 40, minStopHits = 1),

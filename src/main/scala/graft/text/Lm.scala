@@ -450,6 +450,7 @@ object Lm {
     */
   def surpriseScoreSql(
       whereClause: String, refWhereClause: String, order: Int = 2,
+      from: String = "documents",
   ): String = {
     require(order >= 2, s"order $order must be >= 2")
     val toks = TextFunctions.tokensSql.replace("TXT", "lower(text)")
@@ -457,14 +458,14 @@ object Lm {
     val grams = TextFunctions.allGramsSql("toks", order)
     val prefixOf =
       s"array_to_string((string_split(gram, ' '))[1:${order - 1}], ' ')"
-    s"""WITH rt AS (SELECT $toks AS toks FROM documents $refWhereClause),
+    s"""WITH rt AS (SELECT $toks AS toks FROM $from $refWhereClause),
        |pc AS (SELECT w1, count(*) AS c1
        |  FROM (SELECT unnest($pGrams) AS w1 FROM rt) GROUP BY w1),
        |gc AS (SELECT gram, count(*) AS c12
        |  FROM (SELECT unnest($grams) AS gram FROM rt) GROUP BY gram),
        |v AS (SELECT count(DISTINCT w) AS v
        |  FROM (SELECT unnest(toks) AS w FROM rt)),
-       |dt AS (SELECT doc_id, $toks AS toks FROM documents $whereClause),
+       |dt AS (SELECT doc_id, $toks AS toks FROM $from $whereClause),
        |dg AS (SELECT doc_id, gram, $prefixOf AS w1
        |  FROM (SELECT doc_id, unnest($grams) AS gram FROM dt)),
        |sc AS (SELECT dg.doc_id, dg.gram,
@@ -484,7 +485,7 @@ object Lm {
        |  CASE WHEN coalesce(c.n_grams, 0) > 0
        |    THEN CAST(c.n_micro AS DOUBLE) / CAST(c.n_grams AS DOUBLE) / 1e6
        |    ELSE 0.0 END AS mean_surprise
-       |FROM (SELECT doc_id FROM documents $whereClause) d
+       |FROM (SELECT doc_id FROM $from $whereClause) d
        |LEFT JOIN c USING (doc_id)""".stripMargin
   }
 
@@ -631,14 +632,17 @@ object Lm {
           lit(minWeightPpm)).as("weight_ppm"))
   }
 
-  /** DuckDB rendering of [[softDedupWeights]] over `documents` —
-    * the [[surpriseScoreSql]] body as the self-referenced census
-    * (same WHERE on both roles), the same integer mean and clamp.
+  /** DuckDB rendering of [[softDedupWeights]] — the
+    * [[surpriseScoreSql]] body as the self-referenced census (same
+    * WHERE on both roles), the same integer mean and clamp. `from`
+    * is the source relation exposing `(doc_id, text)` (a table name
+    * or a parenthesized subquery for pipeline compositions).
     */
   def softDedupWeightsSql(
       whereClause: String, order: Int = 2, minWeightPpm: Long = 100000L,
+      from: String = "documents",
   ): String =
-    s"""WITH s AS (${surpriseScoreSql(whereClause, whereClause, order)}),
+    s"""WITH s AS (${surpriseScoreSql(whereClause, whereClause, order, from)}),
        |r AS (SELECT doc_id, surprise_micro // n_grams AS rarity_micro
        |  FROM s WHERE n_grams > 0),
        |m AS (SELECT CAST(sum(rarity_micro) // count(*) AS BIGINT)
