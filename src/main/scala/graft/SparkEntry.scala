@@ -3680,6 +3680,20 @@ object SparkEntry {
         "doc_id", "cs", "nt", budget = 2000L)
         .orderBy("id")
     }),
+    "p_doremi_weights" -> ((s, dir) => {
+      // DoReMi-style domain reweighting (Xie et al. 2023): per-domain
+      // mean contrastive excess (target vs source LM) → one
+      // first-order multiplicative-weights round from uniform, with
+      // the floor clamp and uniform smoothing — integer-exact; the
+      // two negative-capable divisions run floor semantics on both
+      // engines. Weights sum to ~1e6 across the 20 sources
+      val docs = t(s, dir, "documents")
+      graft.text.Lm.doremiDomainWeights(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "source",
+        docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 0), "text")
+        .orderBy("domain")
+    }),
     "p_softdedup" -> ((s, dir) => {
       // SoftDeDup (Hu et al. 2024): reweight common documents down
       // instead of deleting them — rarity = the corpus-as-its-own-
@@ -7123,6 +7137,11 @@ object SparkEntry {
           targetWhere = "WHERE lang = 'en' AND doc_id % 3 = 0",
           sourceWhere = "WHERE doc_id % 3 = 0") + ") cs",
         "doc_id", "contrast_micro", "n_grams", budget = 2000L),
+    "p_doremi_weights" ->
+      (graft.text.Lm.doremiDomainWeightsSql(
+        whereClause = "WHERE doc_id % 2 = 0",
+        targetWhere = "WHERE lang = 'en' AND doc_id % 3 = 0",
+        sourceWhere = "WHERE doc_id % 3 = 0") + "\nORDER BY domain"),
     "p_softdedup" ->
       (graft.text.Lm.softDedupWeightsSql("WHERE doc_id % 3 = 1",
         minWeightPpm = 900000L) + "\nORDER BY doc_id"),

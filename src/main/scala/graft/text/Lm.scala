@@ -632,6 +632,103 @@ object Lm {
           lit(minWeightPpm)).as("weight_ppm"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023) — the
+    * published recipe trains a proxy under Group DRO and runs
+    * multiplicative weights on per-domain EXCESS LOSS
+    * (`w'_d ∝ w_d · exp(η · excess_d)`), then smooths toward
+    * uniform. This operator is the engine-exact ONE-ROUND,
+    * FIRST-ORDER surrogate of that step, from a uniform baseline:
+    *
+    *   excess_d  = Σ contrast_micro / Σ n_grams   (per-gram integer
+    *               mean of the [[contrastiveScore]] target-vs-source
+    *               excess — positive where the target model finds
+    *               the domain less surprising than the source model)
+    *   factor_d  = max(1e6 + (etaPpm · excess_d) div 1e6, floorPpm)
+    *               (exp(ηx) ≈ 1 + ηx — the small-η regime;
+    *               `floorPpm` keeps a very source-like domain from
+    *               zeroing out, DoReMi's smoothing motive)
+    *   w_ppm_d   = ((1e6 − smoothingPpm) · ((factor_d · 1e6) div
+    *               Σ factor)) div 1e6 + smoothingPpm div K
+    *
+    * All BIGINT once past the per-occurrence quantization. The
+    * excess and the η product can be NEGATIVE (source-like domains)
+    * — verified safe: on INTEGER operands both Spark's `div` and
+    * DuckDB's `//` truncate toward zero (DuckDB floors only for
+    * floats), so plain integer division stays engine-exact at every
+    * sign. Both engines produce identical weights; Σ w ≈ 1e6 up to
+    * flooring. The deliberate deviations from the paper — one round
+    * instead of trained-proxy iteration, linear instead of
+    * exponential update — are what keep the step oracle-exact; the
+    * iteration is the caller's loop (re-fit the reference censuses
+    * on the reweighted mix and call again).
+    *
+    * Output: `(domain, n_docs, excess_micro, weight_ppm)` — one row
+    * per domain. 100 TB shape: the two census scorings of
+    * [[contrastiveScore]] (corpus-sized equi-joins, no forced
+    * broadcast), one id-keyed join to recover the domain, one
+    * #domains-sized aggregate, and a 1-row total broadcast back over
+    * it. Nothing new shuffles at corpus scale.
+    */
+  def doremiDomainWeights(
+      df: DataFrame, idCol: String, textCol: String, domainCol: String,
+      targetRef: DataFrame, sourceRef: DataFrame, refTextCol: String,
+      etaPpm: Long = 500000L, floorPpm: Long = 100000L,
+      smoothingPpm: Long = 10000L, order: Int = 2,
+  ): DataFrame = {
+    require(etaPpm >= 0 && floorPpm >= 0 && smoothingPpm >= 0 &&
+      smoothingPpm <= 1000000L,
+      s"bad dials: eta=$etaPpm floor=$floorPpm smoothing=$smoothingPpm")
+    val scored = contrastiveScore(df, idCol, textCol, targetRef, sourceRef,
+        refTextCol, order = order)
+      .join(df.select(col(idCol), col(domainCol).as("domain")), Seq(idCol))
+    val dom = scored.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(contrast_micro) div greatest(sum(n_grams), 1L)")
+          .as("excess_micro"))
+      .withColumn("__factor",
+        greatest(lit(1000000L) +
+          expr(s"($etaPpm * excess_micro) div 1000000L"),
+          lit(floorPpm)))
+    val tot = dom.agg(sum(col("__factor")).as("__tot"),
+      count(lit(1)).as("__k"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("excess_micro"),
+        (expr(s"((1000000L - $smoothingPpm) * " +
+          s"((__factor * 1000000L) div __tot)) div 1000000L") +
+          expr(s"$smoothingPpm div __k")).as("weight_ppm"))
+  }
+
+  /** DuckDB rendering of [[doremiDomainWeights]] over
+    * `documents(doc_id, text, source)` — the contrastive CTE, the
+    * same integer update and normalization.
+    */
+  def doremiDomainWeightsSql(
+      whereClause: String, targetWhere: String, sourceWhere: String,
+      domainCol: String = "source",
+      etaPpm: Long = 500000L, floorPpm: Long = 100000L,
+      smoothingPpm: Long = 10000L, order: Int = 2,
+  ): String =
+    s"""WITH cs AS (${contrastiveScoreSql(whereClause, targetWhere,
+          sourceWhere, order)}),
+       |dj AS (SELECT d.$domainCol AS domain, cs.n_grams,
+       |    cs.contrast_micro
+       |  FROM cs JOIN documents d USING (doc_id)),
+       |dm AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(contrast_micro) // greatest(sum(n_grams), 1)
+       |      AS BIGINT) AS excess_micro
+       |  FROM dj GROUP BY domain),
+       |f AS (SELECT domain, n_docs, excess_micro,
+       |    greatest(1000000 + ($etaPpm * excess_micro) // 1000000,
+       |      $floorPpm) AS factor
+       |  FROM dm),
+       |t AS (SELECT CAST(sum(factor) AS BIGINT) AS tot,
+       |    CAST(count(*) AS BIGINT) AS k FROM f)
+       |SELECT f.domain, f.n_docs, f.excess_micro,
+       |  CAST(((1000000 - $smoothingPpm) *
+       |      ((f.factor * 1000000) // t.tot)) // 1000000 +
+       |    $smoothingPpm // t.k AS BIGINT) AS weight_ppm
+       |FROM f CROSS JOIN t""".stripMargin
+
   /** DuckDB rendering of [[softDedupWeights]] — the
     * [[surpriseScoreSql]] body as the self-referenced census (same
     * WHERE on both roles), the same integer mean and clamp. `from`

@@ -215,6 +215,63 @@ class LmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("doremiDomainWeights: target-like domain upweighted, reference-exact, sums to ~1e6") {
+    // domain A looks like the target reference, domain B like the
+    // source reference, domain C is neutral junk
+    val corpus = Seq(
+      1L -> "alpha beta gamma alpha beta",
+      2L -> "alpha beta gamma delta",
+      10L -> "xx yy zz xx yy",
+      11L -> "yy zz xx yy zz",
+      20L -> "q r s t u v")
+    val domains = Map(1L -> "A", 2L -> "A", 10L -> "B", 11L -> "B",
+      20L -> "C")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        corpus.map { case (id, t) => Row(id, t, domains(id)) }, 3),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false),
+        StructField("source", StringType, nullable = false))))
+    val target = docs(100L -> "alpha beta gamma alpha beta gamma")
+    val source = docs(200L -> "xx yy zz xx yy zz")
+    val got = Lm.doremiDomainWeights(df, "doc_id", "text", "source",
+        target, source, "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set("A", "B", "C"))
+    // excesses: A positive (target-like), B negative (source-like)
+    assert(got("A")._2 > 0 && got("B")._2 < 0,
+      s"excess signs wrong: $got")
+    assert(got("A")._3 > got("C")._3 && got("C")._3 > got("B")._3,
+      s"weight ordering wrong: $got")
+    val wsum = got.values.map(_._3).sum
+    assert(wsum >= 997000L && wsum <= 1000000L, s"weights sum $wsum")
+    // exact sequential reference of the documented update
+    val sc = Lm.contrastiveScore(df, "doc_id", "text", target, source,
+        "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong,
+        r.getLong(4)))).toMap
+    // both engines TRUNCATE integer division at every sign (DuckDB's
+    // // floors only for floats), so the reference uses plain /
+    val want = Seq("A", "B", "C").map { d =>
+      val ids = domains.collect { case (id, dd) if dd == d => id }
+      val ng = ids.map(sc(_)._1).sum
+      val cm = ids.map(sc(_)._2).sum
+      val excess = cm / math.max(ng, 1L)
+      val factor = math.max(1000000L + (500000L * excess) / 1000000L,
+        100000L)
+      d -> (ids.size.toLong, excess, factor)
+    }
+    val totF = want.map(_._2._3).sum
+    for ((d, (n, excess, factor)) <- want) {
+      val w = ((1000000L - 10000L) * (factor * 1000000L / totF)) / 1000000L +
+        10000L / 3L
+      assert(got(d) === ((n, excess, w)), s"domain $d mismatch")
+    }
+  }
+
   test("softDedupWeights matches the sequential reference and downweights common docs") {
     // three near-copies of the same sentence (common) + one rare doc
     val corpusRows = Seq(
