@@ -3747,6 +3747,26 @@ object SparkEntry {
       graft.text.Lm.softDedupWeights(survivors, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "st_corpus_card" -> ((s, dir) => {
+      // the incremental datasheet: the streamable core is the
+      // per-(source, fingerprint) signal census — ONE Complete-mode
+      // aggregation through the engine (state: one row per distinct
+      // fingerprint; production swaps KMV sketches when exact dup
+      // state is too large) — and the card fold runs batch-side on
+      // the final snapshot through the SAME body as the batch card.
+      // Same plant and dials as p_corpus_card; identical oracle
+      val docs = t(s, dir, "documents")
+      val planted = docs.unionByName(docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id", "text", "source", "lang")
+      val cfg = graft.text.QualityFilters.Config(
+        minWords = 40, minStopHits = 1)
+      val census = graft.streaming.Replay.replayBatchesComplete(s,
+        Seq(planted.filter(col("doc_id") % 2 === 0),
+          planted.filter(col("doc_id") % 2 === 1)),
+        df => graft.ops.CorpusCard.signalCensus(
+          df, "text", "source", "lang", cfg))
+      graft.ops.CorpusCard.cardFromCensus(census).orderBy("source")
+    }),
     "p_corpus_card" -> ((s, dir) => {
       // the per-source datasheet (corpus card): doc/token inventory,
       // language share, quality-rule pass rate, exact-duplicate rate
@@ -7158,6 +7178,12 @@ object SparkEntry {
         from = plantedSql) + "\nORDER BY doc_id"
     },
     "p_corpus_card" ->
+      (graft.ops.CorpusCard.corpusCardSql("",
+        graft.text.QualityFilters.Config(minWords = 40, minStopHits = 1),
+        from = "(SELECT text, lang, source FROM documents UNION ALL " +
+          "SELECT text, lang, source FROM documents WHERE doc_id % 10 = 0)")
+        + "\nORDER BY source"),
+    "st_corpus_card" ->
       (graft.ops.CorpusCard.corpusCardSql("",
         graft.text.QualityFilters.Config(minWords = 40, minStopHits = 1),
         from = "(SELECT text, lang, source FROM documents UNION ALL " +

@@ -21,17 +21,26 @@ import graft.text.{QualityFilters, TextFunctions}
   *
   * 100 TB shape: one map-side projection computes every per-doc
   * signal (tokens, fingerprint, the 7 integer quality rules — all
-  * codegen Column exprs), then two source-keyed hash aggregations
-  * (the fingerprint census pre-groups on (source, fp), so the final
-  * fold sees one row per distinct fingerprint) joined on the
-  * #sources-sized result. Text never shuffles; nothing broadcasts.
+  * codegen Column exprs), then ONE (source, fingerprint)-keyed hash
+  * aggregation ([[signalCensus]] — map-side combinable) folded by a
+  * source-keyed aggregation over one row per distinct fingerprint
+  * ([[cardFromCensus]]). Text never shuffles; nothing broadcasts;
+  * the census/fold split is exactly what the streaming door
+  * maintains incrementally.
   */
 object CorpusCard {
 
-  /** One row per source: `(source, n_docs, total_tokens, en_ppm,
-    * quality_pass_ppm, exact_dup_ppm)`.
+  /** The STREAMABLE core: one `(source, fingerprint)`-keyed
+    * aggregation over the map-side signal projection —
+    * `(source, __fp, __c, __nt, __en, __pass)`. This is the single
+    * aggregation a Complete-mode stream can maintain (state = one
+    * row per distinct fingerprint; if exact-dup state is too large
+    * for a deployment, swap a KMV distinct sketch per source —
+    * [[graft.ops.Sketches]] — and keep the fold); the batch card and
+    * the stream door both fold it through [[cardFromCensus]], so
+    * stream ≡ batch by construction.
     */
-  def corpusCard(
+  def signalCensus(
       df: DataFrame, textCol: String, sourceCol: String, langCol: String,
       cfg: QualityFilters.Config = QualityFilters.Config(),
   ): DataFrame = {
@@ -39,27 +48,58 @@ object CorpusCard {
       df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
         col(textCol)),
       textCol, cfg)
-    val base = flagged.select(col("source"), col("lang"),
+    flagged.select(col("source"), col("lang"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
       TextFunctions.fingerprint(col(textCol)).as("__fp"),
       col("passes"))
-    val dupCensus = base
       .groupBy(col("source"), col("__fp"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col("source"))
-      .agg(sum(col("__c") - 1L).as("__dups"))
-    base
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__nt")).as("total_tokens"),
+      .agg(count(lit(1)).as("__c"),
+        sum(col("__nt")).as("__nt"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"),
         sum(when(col("passes"), 1L).otherwise(0L)).as("__pass"))
-      .join(dupCensus, Seq("source"))
+  }
+
+  /** Merge per-shard censuses by RE-AGGREGATING on the
+    * `(source, __fp)` key — a plain union would double-count rows
+    * for a fingerprint that straddles shards and corrupt the
+    * duplicate accounting (`Σ(c−1)` is not union-mergeable). The
+    * streaming door never needs this: Complete-mode state already
+    * keeps one row per key.
+    */
+  def mergeCensus(censuses: Seq[DataFrame]): DataFrame =
+    censuses.reduce(_ unionByName _)
+      .groupBy(col("source"), col("__fp"))
+      .agg(sum(col("__c")).as("__c"), sum(col("__nt")).as("__nt"),
+        sum(col("__en")).as("__en"), sum(col("__pass")).as("__pass"))
+
+  /** Fold a [[signalCensus]] (or its streamed Complete-mode
+    * snapshot, or a [[mergeCensus]] of shard censuses) to the card.
+    * REQUIRES one row per `(source, __fp)` (what all three producers
+    * guarantee): the duplicate accounting `Σ(c−1)` counts rows, so a
+    * key split across rows would under-count duplicates.
+    */
+  def cardFromCensus(census: DataFrame): DataFrame =
+    census
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(col("__en")).as("__en"),
+        sum(col("__pass")).as("__pass"),
+        sum(col("__c") - 1L).as("__dups"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         expr("(__en * 1000000L) div n_docs").as("en_ppm"),
         expr("(__pass * 1000000L) div n_docs").as("quality_pass_ppm"),
         expr("(__dups * 1000000L) div n_docs").as("exact_dup_ppm"))
-  }
+
+  /** One row per source: `(source, n_docs, total_tokens, en_ppm,
+    * quality_pass_ppm, exact_dup_ppm)` — [[signalCensus]] folded
+    * through [[cardFromCensus]].
+    */
+  def corpusCard(
+      df: DataFrame, textCol: String, sourceCol: String, langCol: String,
+      cfg: QualityFilters.Config = QualityFilters.Config(),
+  ): DataFrame =
+    cardFromCensus(signalCensus(df, textCol, sourceCol, langCol, cfg))
 
   /** DuckDB rendering of [[corpusCard]]; `from` is the source
     * relation exposing `(text, lang, source)` (a table name or a

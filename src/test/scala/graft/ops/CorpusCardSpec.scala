@@ -61,4 +61,27 @@ class CorpusCardSpec extends AnyFunSuite with SparkSpec {
     // partition independence
     assert(run(docs(rows: _*).repartition(7)) === got)
   }
+
+  test("per-shard censuses merge by re-aggregation; naive union corrupts dup accounting") {
+    val text = "the cat and the dog have a long walk with friends to be sure"
+    // the duplicate pair STRADDLES the two shards on purpose
+    val rows = Seq(
+      (1L, text, "A", "en"), (2L, text + " x", "A", "en"),
+      (3L, text, "A", "en"), (4L, text + " y", "A", "de"))
+    val all = docs(rows: _*)
+    val s1 = all.filter(org.apache.spark.sql.functions.col("doc_id") <= 2)
+    val s2 = all.filter(org.apache.spark.sql.functions.col("doc_id") > 2)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      CorpusCard.signalCensus(df, "text", "source", "lang", cfg)
+    def card(c: org.apache.spark.sql.DataFrame) =
+      CorpusCard.cardFromCensus(c).collect()
+        .map(r => r.getString(0) -> r.getLong(5)).toMap // exact_dup_ppm
+    val direct = card(census(all))
+    assert(direct("A") === 250000L, s"one dup in four docs: $direct")
+    val merged = card(CorpusCard.mergeCensus(Seq(census(s1), census(s2))))
+    assert(merged === direct)
+    val naive = card(census(s1).unionByName(census(s2)))
+    assert(naive("A") === 0L,
+      "naive union no longer mis-counts — update the mergeCensus scaladoc")
+  }
 }
