@@ -4861,6 +4861,31 @@ object SparkEntry {
         .dropDuplicates("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "e_rvq_store" -> ((s, dir) => {
+      // the semantic-ID store round trip: RVQ codes persist to
+      // parquet PARTITIONED BY the coarse code c1 (the layout where
+      // a coarse-cell probe prunes at the scan — how a compressed
+      // index shards its postings), reload, and the full code/error
+      // set must still hash-match the inline-recomputed oracle — a
+      // lossy write/read (or a layout that changes values) fails.
+      // A single-cell probe must carry a PartitionFilter (the layout
+      // claim, proven, not narrated)
+      import graft.ann.Rvq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      val out = s"${scratchRoot()}/rvq_store"
+      Rvq.rvqEncodeSeedDrawn(emb, emb, "vec_id", "embedding", k = 16)
+        .write.mode("overwrite").partitionBy("c1").parquet(out)
+      val raw = s.read.parquet(out)
+      val firstCell = raw.agg(min(col("c1"))).head.get(0)
+      val probePlan = raw.filter(col("c1") === lit(firstCell))
+        .queryExecution.executedPlan.toString
+      require("""PartitionFilters: \[[^\]]*c1""".r
+        .findFirstIn(probePlan).isDefined,
+        s"coarse-code probe does not prune at the scan:\n$probePlan")
+      raw.select(col("id"), col("c1").cast("int").as("c1"), col("c2"),
+        col("err2"))
+        .orderBy("id")
+    }),
     "e_semdedup_store" -> ((s, dir) => {
       // the cell-keyed STORE round trip st_semdedup_incr's comment
       // promises: the assigned corpus persists to parquet PARTITIONED
@@ -6831,6 +6856,11 @@ object SparkEntry {
     "e_rvq_topk" ->
       graft.ann.Rvq.rvqTopKSql(5, 16, 64, 42L,
         "WHERE vec_id % 3 = 1", "WHERE vec_id % 300 = 1"),
+    "e_rvq_store" ->
+      // the reload must reproduce the inline-recomputed encode
+      // exactly — same oracle as e_rvq_encode
+      (graft.ann.Rvq.rvqEncodeSql(16, 64, 42L, "WHERE vec_id % 3 = 1")
+        + "\nORDER BY id"),
     "e_pq_encode" ->
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
     "e_pq_pack_roundtrip" -> {
