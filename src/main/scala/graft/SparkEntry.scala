@@ -4861,6 +4861,26 @@ object SparkEntry {
         .dropDuplicates("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "st_rvq_incr" -> ((s, dir) => {
+      // incremental RVQ index ingest: codebooks train ONCE batch-side
+      // (the persisted-index shape), arrivals replay in micro-batches
+      // through the MAP-ONLY encode (literal codebooks, zero shuffle,
+      // stateless -> Append mode with no watermark) — codes and
+      // errors are bit-identical to the batch encode, so the union of
+      // micro-batch outputs hash-matches e_rvq_encode's own oracle
+      import graft.ann.Rvq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+        .select("vec_id", "embedding")
+      val (cb1, cb2) = Rvq.seedDrawnCodebooks(emb, "vec_id", "embedding",
+        k = 16)
+      val batches = Seq(
+        emb.filter(col("vec_id") % 9 === 1),
+        emb.filter(col("vec_id") % 9 === 4),
+        emb.filter(col("vec_id") % 9 === 7))
+      graft.streaming.Replay.replayBatches(s, batches,
+        src => Rvq.rvqEncodeMapOnly(src, "vec_id", "embedding", cb1, cb2))
+        .orderBy("id")
+    }),
     "e_rvq_store" -> ((s, dir) => {
       // the semantic-ID store round trip: RVQ codes persist to
       // parquet PARTITIONED BY the coarse code c1 (the layout where
@@ -6859,6 +6879,12 @@ object SparkEntry {
     "e_rvq_store" ->
       // the reload must reproduce the inline-recomputed encode
       // exactly — same oracle as e_rvq_encode
+      (graft.ann.Rvq.rvqEncodeSql(16, 64, 42L, "WHERE vec_id % 3 = 1")
+        + "\nORDER BY id"),
+    "st_rvq_incr" ->
+      // the micro-batched map-only encode must union to the batch
+      // encode exactly — same oracle as e_rvq_encode (the %9 batch
+      // residues {1,4,7} partition the %3=1 slice)
       (graft.ann.Rvq.rvqEncodeSql(16, 64, 42L, "WHERE vec_id % 3 = 1")
         + "\nORDER BY id"),
     "e_pq_encode" ->

@@ -140,6 +140,49 @@ object Rvq {
         col("__dist").as("err2"))
   }
 
+  /** MAP-ONLY encode: the codebooks collect to the driver (bounded —
+    * `k` rows each, the [[graft.ann.Ann.lshTopK]] literal-plane
+    * precedent) and ship as LITERAL `k × dim` arrays inside one
+    * per-row argmin fold, so encoding is a pure projection — NO
+    * shuffle at all, where [[rvqEncode]] pays one `(id)`-grouped
+    * struct-min shuffle per stage. Same `(dist, code)` tie rule and
+    * the same IEEE [[Ann.l2sq]] fold arithmetic, so codes AND errors
+    * are bit-identical to [[rvqEncode]] (spec-pinned) and the same
+    * oracle gates both. This is the production INGEST shape: train
+    * codebooks once, encode arrivals map-side — the body the
+    * streaming door replays per micro-batch (stateless, Append mode,
+    * no watermark).
+    */
+  def rvqEncodeMapOnly(
+      df: DataFrame, idCol: String, vecCol: String,
+      cb1: DataFrame, cb2: DataFrame,
+  ): DataFrame = {
+    def literal(cb: DataFrame): Column = array(
+      cb.orderBy("code").collect()
+        .map(r => array(r.getSeq[Double](1).map(lit): _*)): _*)
+    val a1 = literal(cb1)
+    val a2 = literal(cb2)
+    def argmin(v: Column, cbArr: Column, k: Int): Column =
+      aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(Double.MaxValue).as("dist"), lit(-1).as("code")),
+        (acc, j) => {
+          val d = Ann.l2sq(v, element_at(cbArr, j + 1))
+          when(d < acc.getField("dist"),
+            struct(d.as("dist"), j.as("code"))).otherwise(acc)
+        })
+    val k1 = cb1.count().toInt
+    val k2 = cb2.count().toInt
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__b1", argmin(col("__v"), a1, k1))
+      .withColumn("__r1",
+        zip_with(col("__v"),
+          element_at(a1, col("__b1.code") + 1), (a, b) => a - b))
+      .withColumn("__b2", argmin(col("__r1"), a2, k2))
+      .select(col("id"), col("__b1.code").as("c1"),
+        col("__b2.code").as("c2"), col("__b2.dist").as("err2"))
+  }
+
   /** [[rvqEncode]] with both codebooks drawn from `candidates` — the
     * gate-facing composition. The codebook DRAWS are full-corpus
     * TakeOrdered scans whose lineage re-executes once per consumer

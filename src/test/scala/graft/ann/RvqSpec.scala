@@ -157,6 +157,24 @@ class RvqSpec extends AnyFunSuite with SparkSpec {
       s"only $sameCluster/${top1.length} top-1 hits in-cluster")
   }
 
+  test("map-only encode is bit-identical to the shuffled encode; plan has no exchange") {
+    val rows = clustered(50, 5)
+    val df = emb(rows)
+    val (cb1, cb2) = Rvq.seedDrawnCodebooks(df, "vec_id", "embedding", k = 8)
+    val viaAgg = Rvq.rvqEncode(df, "vec_id", "embedding", cb1, cb2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    val mapOnly = Rvq.rvqEncodeMapOnly(df, "vec_id", "embedding", cb1, cb2)
+    val got = mapOnly.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got === viaAgg)
+    val plan = mapOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"map-only encode gained a shuffle:\n$plan")
+  }
+
   test("corpus narrower than k yields dense codes and still matches the reference") {
     val rows = clustered(5, 2)
     val got = run(rows, k = 16)
