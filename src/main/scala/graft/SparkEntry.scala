@@ -3033,6 +3033,24 @@ object SparkEntry {
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "e_pq_opq" -> ((s, dir) => {
+      // OPQ-style energy-balanced PQ (Ge et al. 2013, the
+      // deterministic axis-aligned member of the family): census each
+      // dimension's integer-quantized energy, deal dims round-robin
+      // into subspaces by energy rank, encode the PERMUTED vectors —
+      // the permutation collects to a bounded dim-entry literal, so
+      // the reorder is a pure projection
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 2)
+      val perm = Ann.opqPermutation(emb, "vec_id", "embedding", 8, 64)
+      val permuted = emb.select(col("vec_id"),
+        Ann.opqPermute("embedding", perm, 64).as("embedding"))
+      val cb = Ann.pqCodebooks(permuted, "vec_id", "embedding", 8, 16, 64)
+      Ann.pqEncode(permuted, "vec_id", "embedding", cb, 8, 64)
+        .select(col("id") +: (0 until 8).map(sb =>
+          element_at(col("codes"), sb + 1).as(s"code_$sb")): _*)
+        .orderBy("id")
+    }),
     "e_pq_encode" -> ((s, dir) => {
       // product quantization: 64-dim float32 → 8 codes of 4 bits
       // (16-centroid codebooks per 8-dim subspace) — deterministic
@@ -6889,6 +6907,8 @@ object SparkEntry {
         + "\nORDER BY id"),
     "e_pq_encode" ->
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
+    "e_pq_opq" ->
+      graft.ann.Ann.opqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 2"),
     "e_pq_pack_roundtrip" -> {
       // byte j of the 4-bit packing is code_{2j} | code_{2j+1} << 4 —
       // rendered as printf hex so the layout itself is under the hash

@@ -841,6 +841,99 @@ object Ann {
           x => x.cast("double")).as("centroid"))
   }
 
+  /** OPQ-style subspace permutation (Ge et al. 2013, the PARAMETRIC
+    * idea reduced to its axis-aligned deterministic form): PQ's
+    * quantization error concentrates when a few subspaces hoard the
+    * corpus' energy, so BALANCE them — census each dimension's
+    * integer-quantized second moment (`Σ floor(x·1000)²`, BIGINT —
+    * exact under any partitioning, the [[graft.text.Lm]] micro-unit
+    * discipline; overflow past ~1e15 rows·unit-energy → lower the
+    * quantum), rank dimensions by energy (ties to the lower index),
+    * and deal them round-robin into the `m` subspaces so each gets
+    * one dim from every energy tier. Output: `(perm_idx, dim_idx)` —
+    * position `perm_idx` (0-based, subspace-major) of the permuted
+    * vector takes source dimension `dim_idx`. The full OPQ learns a
+    * rotation; the permutation is the engine-exact, oracle-gateable
+    * member of the family, and composes with [[pqEncode]] by simply
+    * permuting the vectors first ([[opqPermute]]).
+    */
+  def opqPermutation(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int,
+  ): DataFrame = {
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    val energy = candidates
+      .select(posexplode(transform(col(vecCol),
+        x => {
+          val q = floor(x.cast("double") * lit(1000.0)).cast("long")
+          q * q
+        })).as(Seq("dim_idx", "__e")))
+      .groupBy(col("dim_idx"))
+      .agg(sum(col("__e")).as("__energy"))
+    val w = Window.orderBy(col("__energy").desc, col("dim_idx"))
+    energy
+      .withColumn("__rank", row_number().over(w) - 1) // bounded: dim rows
+      .select(col("dim_idx"),
+        ((col("__rank") % m) * lit(dim / m) +
+          (col("__rank") / m).cast("int")).as("perm_idx"))
+  }
+
+  /** Apply an [[opqPermutation]] map-side: the permutation collects
+    * to a `dim`-entry literal (bounded — one row per dimension) and
+    * the reorder is a pure projection; compose with [[pqEncode]] /
+    * [[pqTopKWithCodebooks]] on the permuted column.
+    */
+  def opqPermute(
+      vecCol: String, permutation: DataFrame, dim: Int,
+  ): Column = {
+    val perm = new Array[Int](dim)
+    permutation.select(col("perm_idx"), col("dim_idx")).collect()
+      .foreach(r => perm(r.getInt(0)) = r.getInt(1))
+    val lut = array(perm.map(lit): _*)
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => element_at(col(vecCol), element_at(lut, i + 1) + 1))
+  }
+
+  /** DuckDB rendering of [[opqPermutation]] + the permuted
+    * [[pqEncodeSql]]-style encode over `embeddings` — ends with CTE
+    * `pe(vec_id, embedding)` holding the PERMUTED vectors, for the
+    * caller to splice a standard encode over.
+    */
+  def opqPermuteCtesSql(m: Int, dim: Int, whereClause: String): String =
+    s"""src AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+       |en AS (SELECT i - 1 AS dim_idx,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)
+       |      * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT))
+       |      AS energy
+       |  FROM (SELECT embedding, unnest(range(1, $dim + 1)) AS i FROM src)
+       |  GROUP BY i - 1),
+       |rk AS (SELECT dim_idx,
+       |    CAST(row_number() OVER (ORDER BY energy DESC, dim_idx) AS INT)
+       |      - 1 AS rnk
+       |  FROM en),
+       |pm AS (SELECT dim_idx,
+       |    (rnk % $m) * ${dim / m} + rnk // $m AS perm_idx
+       |  FROM rk),
+       |pex AS (SELECT s.vec_id, p.perm_idx,
+       |    CAST(s.embedding[p.dim_idx + 1] AS DOUBLE) AS x
+       |  FROM src s, pm p),
+       |pe AS (SELECT vec_id, list(x ORDER BY perm_idx) AS embedding
+       |  FROM pex GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB rendering of the OPQ-permuted PQ encode: the permutation
+    * CTEs feed `pe`, and the standard [[pqEncodeSql]] chain runs over
+    * it (codebooks drawn from the PERMUTED slice, exactly like the
+    * Spark composition).
+    */
+  def opqEncodeSql(
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String = {
+    val cols = (0 until m)
+      .map(s => s"codes[${s + 1}] AS code_$s").mkString(", ")
+    s"""WITH ${opqPermuteCtesSql(m, dim, whereClause)},
+       |${pqCtesSql(m, k, dim, seed, "", from = "pe")}
+       |SELECT id, $cols FROM codes ORDER BY id""".stripMargin
+  }
+
   /** PRODUCTION-path PQ codebooks: per-subspace Lloyd (k-means)
     * refinement of the seed-drawn [[pqCodebooks]] init, exactly the
     * split [[ivfTopK]] makes for its coarse quantizer — the seeded
@@ -1044,9 +1137,10 @@ object Ann {
     * both the encode and top-k oracles.
     */
   private def pqCtesSql(
-      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String = {
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String,
+      from: String = "embeddings"): String = {
     val d = dim / m
-    s"""e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+    s"""e AS (SELECT vec_id, embedding FROM $from $whereClause),
        |sample AS (SELECT vec_id AS sid, embedding AS sv FROM e
        |  ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
        |seeds AS (SELECT sid, sv,
@@ -1077,10 +1171,11 @@ object Ann {
     * engines without list-encoding concerns.
     */
   def pqEncodeSql(
-      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String = {
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String,
+      from: String = "embeddings"): String = {
     val cols = (0 until m)
       .map(s => s"codes[${s + 1}] AS code_$s").mkString(", ")
-    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)}
+    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause, from)}
        |SELECT id, $cols FROM codes ORDER BY id""".stripMargin
   }
 

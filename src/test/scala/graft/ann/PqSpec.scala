@@ -42,6 +42,36 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(bySub.values.forall(_.map(_.getInt(1)).sorted.toSeq === (0 until k)))
   }
 
+  test("opqPermutation: a bijection that deals the energy ranks round-robin") {
+    // dimension j carries energy proportional to j (planted skew)
+    val rows = (0L until 30L).map(i =>
+      (i, (0 until dim).map(j => (j + 1) * 0.1f * (if (i % 2 == 0) 1 else -1))))
+    val df = emb(rows)
+    val perm = Ann.opqPermutation(df, "vec_id", "embedding", m, dim)
+      .collect().map(r => r.getInt(1) -> r.getInt(0)).toMap // perm_idx -> dim
+    assert(perm.keySet === (0 until dim).toSet)
+    assert(perm.values.toSet === (0 until dim).toSet, "not a bijection")
+    // energy rank r = dim-1-j here (higher j = higher energy), so the
+    // top-m dims (dim-1, dim-2, …) must land in m DISTINCT subspaces
+    val d = dim / m
+    val topSubspaces = (0 until m).map { r =>
+      val dimIdx = dim - 1 - r
+      perm.collectFirst { case (p, di) if di == dimIdx => p / d }.get
+    }
+    assert(topSubspaces.toSet.size === m,
+      s"top-energy dims share a subspace: $topSubspaces")
+    // applying the permutation is the literal reorder
+    val permutedHead = df.select(
+        Ann.opqPermute("embedding", Ann.opqPermutation(
+          df, "vec_id", "embedding", m, dim), dim).as("p"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .head()
+    val src = permutedHead.getSeq[Float](1)
+    val inv = perm.map { case (p, di) => p -> di }
+    assert(permutedHead.getSeq[Float](0).zipWithIndex.forall {
+      case (x, p) => x == src(inv(p)) })
+  }
+
   test("pqEncode: codes bounded, in subspace order, independent of partitioning") {
     val rows = clustered(60, 4)
     def codesOf(parts: Int): Map[Long, Seq[Int]] = {
