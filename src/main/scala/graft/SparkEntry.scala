@@ -3042,7 +3042,7 @@ object SparkEntry {
       // the reorder is a pure projection
       import graft.ann.Ann
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 2)
-      val perm = Ann.opqPermutation(emb, "vec_id", "embedding", 8, 64)
+      val perm = Ann.opqPermutation(emb, "embedding", 8, 64)
       val permuted = emb.select(col("vec_id"),
         Ann.opqPermute("embedding", perm, 64).as("embedding"))
       val cb = Ann.pqCodebooks(permuted, "vec_id", "embedding", 8, 16, 64)
@@ -3325,8 +3325,14 @@ object SparkEntry {
       import graft.ann.Nsw
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") % 4 === 0)
-      require(!corpus.filter(Nsw.hnswLevel(col("vec_id")) >= 1).isEmpty,
-        "gate contract: the sf slice must populate the upper layer")
+      // the require must test the SEARCHABLE set (norm > 0, mirroring
+      // hnswSearch's upper0 filter), not the raw level census: an
+      // upper layer of only zero-norm vectors would pass a raw-census
+      // require while the Scala door falls back to the flat entry and
+      // the oracle's norm-filtered lvl layer comes up empty
+      require(!corpus.filter(Nsw.hnswLevel(col("vec_id")) >= 1 &&
+          graft.ann.Ann.norm(col("embedding")) > 0).isEmpty,
+        "gate contract: the sf slice must populate the searchable upper layer")
       Nsw.hnswSearch(corpus, emb.filter(col("vec_id") % 40 === 1),
         "vec_id", "embedding",
         g => Nsw.knnGraph(g, "vec_id", "embedding", k = 6),
@@ -3784,6 +3790,35 @@ object SparkEntry {
         df => graft.ops.CorpusCard.signalCensus(
           df, "text", "source", "lang", cfg))
       graft.ops.CorpusCard.cardFromCensus(census).orderBy("source")
+    }),
+    "st_corpus_card_sketch" -> ((s, dir) => {
+      // the 100 TB streaming datasheet (the r18 verdict's one weak):
+      // per-source streaming state is four counters + a 16-entry KMV
+      // fingerprint sketch — bounded at ANY corpus size — where
+      // st_corpus_card keeps one exact row per distinct fingerprint
+      // (unbounded Complete-mode state at scale). Only the dup term
+      // is estimated, under the pinned KMV contract: EXACT when the
+      // sketch is underfull (src2 thinned to 12 < k fingerprints —
+      // source ≡ doc_id mod 20 in this corpus, so the thin predicate
+      // must be orthogonal to the source residue), (k-1)/h_k
+      // otherwise (the full 25-fp sources) — both branches live,
+      // deterministic md5 arithmetic, hash oracle. Same %10 dup
+      // plant; the card fold runs batch-side on the final snapshot
+      // through the SAME body as the batch form
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(
+        !(col("source") === "src2" && col("doc_id") % 8 < 6))
+      val planted = base.unionByName(base.filter(col("doc_id") % 10 === 0))
+        .select("doc_id", "text", "source", "lang")
+      val cfg = graft.text.QualityFilters.Config(
+        minWords = 40, minStopHits = 1)
+      val census = graft.streaming.Replay.replayBatchesComplete(s,
+        Seq(planted.filter(col("doc_id") % 2 === 0),
+          planted.filter(col("doc_id") % 2 === 1)),
+        df => graft.ops.CorpusCard.sketchCensus(
+          df, "text", "source", "lang", 16, cfg))
+      graft.ops.CorpusCard.cardFromSketchCensus(census, 16)
+        .orderBy("source")
     }),
     "p_corpus_card" -> ((s, dir) => {
       // the per-source datasheet (corpus card): doc/token inventory,
@@ -5123,6 +5158,28 @@ object SparkEntry {
       val out = s"${scratchRoot()}/warc_roundtrip"
       Warc.writeWarc(docs, "doc_id", "text", s"$out/w")
       Warc.readWarc(s, s"$out/w")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("id"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("id")
+    }),
+    "s_warc_gz" -> ((s, dir) => {
+      // compressed-WARC roundtrip (the Common Crawl WIRE format —
+      // .warc.gz shards, one gzip member per record): documents
+      // render through the member-per-record gz writer, read back
+      // with the binaryFile + streamed multi-member inflate reader
+      // (same sentinel split and parse body as the plain reader),
+      // every field hash-checked against the source rows. The slice
+      // spans multiple partitions, so shards genuinely concatenate
+      // many members
+      import graft.sources.Warc
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), col("text"))
+      val out = s"${scratchRoot()}/warc_gz"
+      Warc.writeWarcGz(docs, "doc_id", "text", s"$out/w")
+      Warc.readWarcGz(s, s"$out/w")
         .select(
           regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
             .cast("long").as("id"),
@@ -7265,6 +7322,14 @@ object SparkEntry {
         from = "(SELECT text, lang, source FROM documents UNION ALL " +
           "SELECT text, lang, source FROM documents WHERE doc_id % 10 = 0)")
         + "\nORDER BY source"),
+    "st_corpus_card_sketch" -> {
+      val baseSql = "SELECT doc_id, text, lang, source FROM documents " +
+        "WHERE NOT (source = 'src2' AND doc_id % 8 < 6)"
+      graft.ops.CorpusCard.sketchCardSql(16, "",
+        graft.text.QualityFilters.Config(minWords = 40, minStopHits = 1),
+        from = s"($baseSql UNION ALL SELECT * FROM ($baseSql) b " +
+          "WHERE doc_id % 10 = 0)") + "\nORDER BY source"
+    },
     "t_c4_filters" ->
       (graft.text.C4.c4CleanSql("",
         from = "(SELECT doc_id, CASE " +
@@ -7957,6 +8022,10 @@ object SparkEntry {
         |  md5(text) AS digest
         |FROM documents WHERE doc_id % 5 = 1 AND doc_id < 50000
         |ORDER BY id""".stripMargin,
+    "s_warc_gz" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 5 = 2 ORDER BY id""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->

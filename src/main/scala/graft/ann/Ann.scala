@@ -858,7 +858,7 @@ object Ann {
     * permuting the vectors first ([[opqPermute]]).
     */
   def opqPermutation(
-      candidates: DataFrame, idCol: String, vecCol: String,
+      candidates: DataFrame, vecCol: String,
       m: Int, dim: Int,
   ): DataFrame = {
     require(dim % m == 0, s"m $m must divide dim $dim")
@@ -887,8 +887,13 @@ object Ann {
       vecCol: String, permutation: DataFrame, dim: Int,
   ): Column = {
     val perm = new Array[Int](dim)
-    permutation.select(col("perm_idx"), col("dim_idx")).collect()
-      .foreach(r => perm(r.getInt(0)) = r.getInt(1))
+    val collected = permutation.select(col("perm_idx"), col("dim_idx")).collect()
+    // a short permutation (empty candidate slice, mismatched dim)
+    // would silently map every missing position to source dim 0 —
+    // fail loudly instead
+    require(collected.length == dim,
+      s"permutation has ${collected.length} rows, need exactly $dim")
+    collected.foreach(r => perm(r.getInt(0)) = r.getInt(1))
     val lut = array(perm.map(lit): _*)
     transform(sequence(lit(0), lit(dim - 1)),
       i => element_at(col(vecCol), element_at(lut, i + 1) + 1))

@@ -420,16 +420,25 @@ object Nsw {
     * `(query_id, neighbor_id, rank, score)` SELECT.
     */
   def beamSearchSql(graphK: Int, beam: Int, rounds: Int, k: Int,
-      dim: Int): String = {
+      dim: Int): String =
+    s"""${knnGraphCteSql("c", "g", graphK, dim)},
+       |${beamBodySql(beam, rounds, k, dim)}""".stripMargin
+
+  /** The exact-kNN graph CTE over a `(node, cv)` CTE — ONE renderer
+    * (same join, same `cos DESC, node` tie rule) shared by
+    * [[beamSearchSql]] and both of [[hnswSearchSql]]'s layers, so
+    * the tie-break rule cannot drift between the two oracles.
+    */
+  private def knnGraphCteSql(
+      nodesCte: String, outCte: String, graphK: Int, dim: Int): String = {
     val gCos = Ann.cosineSql("av", "cv", dim)
-    s"""g AS (SELECT src, dst FROM (
+    s"""$outCte AS (SELECT src, dst FROM (
        |  SELECT a.node AS src, b.node AS dst, row_number() OVER (
        |    PARTITION BY a.node
        |    ORDER BY $gCos DESC, b.node) AS rn
-       |  FROM (SELECT node, cv AS av FROM c) a JOIN c b
+       |  FROM (SELECT node, cv AS av FROM $nodesCte) a JOIN $nodesCte b
        |    ON a.node <> b.node) e
-       |  WHERE rn <= $graphK),
-       |${beamBodySql(beam, rounds, k, dim)}""".stripMargin
+       |  WHERE rn <= $graphK)""".stripMargin
   }
 
   /** DuckDB rendering of [[hnswSearch]] over existing `q(query_id,
@@ -446,15 +455,8 @@ object Nsw {
       s"the SQL rendering unrolls >= 1 round per layer, " +
         s"got rounds=$rounds upperRounds=$upperRounds")
     val cos = Ann.cosineSql("qv", "cv", dim)
-    val gCos = Ann.cosineSql("av", "cv", dim)
     def knn(nodesCte: String, outCte: String): String =
-      s"""$outCte AS (SELECT src, dst FROM (
-         |  SELECT a.node AS src, b.node AS dst, row_number() OVER (
-         |    PARTITION BY a.node
-         |    ORDER BY $gCos DESC, b.node) AS rn
-         |  FROM (SELECT node, cv AS av FROM $nodesCte) a JOIN $nodesCte b
-         |    ON a.node <> b.node) e
-         |  WHERE rn <= $graphK)""".stripMargin
+      knnGraphCteSql(nodesCte, outCte, graphK, dim)
     def round(prev: String, tag: String, nodesCte: String, gCte: String,
         width: Int): String =
       s"""x$tag AS (SELECT DISTINCT query_id, node FROM (

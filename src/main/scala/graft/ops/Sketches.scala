@@ -117,6 +117,27 @@ object Sketches {
           .otherwise(lit(k - 1.0) / col("kth_hash")).as("n_distinct_est"))
   }
 
+  /** Estimate column over a [[graft.functions.KmvSketch]] array (the
+    * k smallest distinct hashes, ascending): the [[kmvEstimate]]
+    * arithmetic — exact count when underfull, `(k-1)/h_k` otherwise,
+    * with `h_k` the LAST element normalized to (0,1). One cast, one
+    * (or two) IEEE divisions — engine-identical, so sketched cards
+    * sit under the same hash gates as the batch KMV rows.
+    */
+  def kmvSketchEstimate(sketch: Column, k: Int): Column = {
+    require(k > 1, s"k $k must be > 1 (the estimator divides by k-1)")
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit(k - 1.0) /
+        (element_at(sketch, size(sketch)).cast("double") / lit(HashSpan)))
+  }
+
+  /** DuckDB rendering of [[kmvSketchEstimate]] over a per-group
+    * `(n_kept, kth_hi)` pair (sketch size and its largest hash).
+    */
+  def kmvSketchEstimateSql(nKept: String, kthHi: String, k: Int): String =
+    s"CASE WHEN $nKept < $k THEN CAST($nKept AS DOUBLE) " +
+      s"ELSE ${k - 1}.0 / (CAST($kthHi AS DOUBLE) / $HashSpan) END"
+
   /** Distinct-overlap estimate between two corpora from their KMV
     * sketches — the set-operation KMV was built for (union is
     * [[kmvMergeSketches]]; intersection follows from the ρ statistic):

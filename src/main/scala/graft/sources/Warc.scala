@@ -70,6 +70,109 @@ object Warc {
   def readWarc(spark: SparkSession, path: String): DataFrame =
     parseWarcRecords(spark.read.option("lineSep", Sentinel).text(path))
 
+  /** Read `.warc.gz` shards — the wire format Common Crawl actually
+    * ships: each shard is a CONCATENATION of gzip members
+    * (conventionally one record per member, so an index can
+    * range-read a single record). The sentinel-split text source
+    * cannot see through gzip, so ingest is `binaryFile` → one
+    * sequential multi-member inflate per shard (`GZIPInputStream`
+    * handles member concatenation — the public warcio pattern) → the
+    * SAME sentinel split and record parse as [[readWarc]], so
+    * compressed and plain reads can never drift.
+    *
+    * 100 TB shape: parallelism is PER SHARD, the crawl deployment
+    * unit (~1 GB shards, tens of thousands per crawl) —
+    * listing-parallel binaryFile scan, one task per shard, map-only,
+    * nothing shuffles. Within a shard gzip decompression is
+    * inherently sequential (no sync points), which is exactly why
+    * crawls ship many medium shards instead of few huge ones. The
+    * inflate is STREAMED record-by-record: peak task memory is the
+    * compressed shard + the largest single record, never the full
+    * decompressed shard. Malformed gzip (corrupt member, plain text,
+    * truncated trailer) fails LOUDLY with the inflater's IOException
+    * — it never silently truncates or merges records.
+    */
+  def readWarcGz(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val records = spark.read.format("binaryFile").load(s"$path/*.warc.gz")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => gzRecordIterator(bytes))
+      .toDF("value")
+    parseWarcRecords(records)
+  }
+
+  /** Streamed multi-member inflate + sentinel split (the lineSep
+    * semantics: separator removed, a leading empty split when the
+    * stream opens with the sentinel — [[parseWarcRecords]] drops it).
+    */
+  private def gzRecordIterator(bytes: Array[Byte]): Iterator[String] =
+    new Iterator[String] {
+      private val reader = new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 64 * 1024),
+        java.nio.charset.StandardCharsets.UTF_8)
+      private val buf = new Array[Char](64 * 1024)
+      private val sb = new StringBuilder
+      private var eof = false
+      private var pending: List[String] = Nil
+      private def fill(): Unit =
+        while (pending.isEmpty && !eof) {
+          val n = reader.read(buf)
+          if (n < 0) {
+            eof = true
+            reader.close()
+            if (sb.nonEmpty) { pending = List(sb.toString); sb.clear() }
+          } else {
+            sb.appendAll(buf, 0, n)
+            var idx = sb.indexOf(RecordSentinel)
+            val done = List.newBuilder[String]
+            while (idx >= 0) {
+              done += sb.substring(0, idx)
+              sb.delete(0, idx + RecordSentinel.length)
+              idx = sb.indexOf(RecordSentinel)
+            }
+            pending = done.result()
+          }
+        }
+      def hasNext: Boolean = { fill(); pending.nonEmpty }
+      def next(): String = {
+        fill()
+        if (pending.isEmpty) throw new NoSuchElementException("empty")
+        val h = pending.head; pending = pending.tail; h
+      }
+    }
+
+  /** Write `(idCol, payloadCol)` rows as `.warc.gz` shards under
+    * `path` — one shard per partition, one gzip MEMBER PER RECORD
+    * (the Common Crawl layout [[readWarcGz]] reads and a record
+    * index range-reads). The record rendering is [[toWarcRecord]],
+    * shared with the plain writer. Egress is map-only (each task
+    * writes its own shard); this writer targets a task-visible
+    * filesystem — the verification-harness stance of the binary
+    * ingest gates; a cluster egress would wrap the same member
+    * framing in a Hadoop OutputFormat.
+    */
+  def writeWarcGz(
+      df: DataFrame, idCol: String, payloadCol: String, path: String,
+  ): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.select(toWarcRecord(col(idCol), col(payloadCol)).as("value"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        if (it.hasNext) {
+          val f = java.nio.file.Paths.get(path, f"part-$i%05d.warc.gz")
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(f))
+          try it.foreach { row =>
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(row.getString(0)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.finish() // end the member, keep the shard stream open
+          } finally out.close()
+        }
+        Iterator.single(i)
+      }.count(): Unit
+  }
+
   /** The streaming ingest door: WARC shards arrive as files, the text
     * FileStreamSource splits records on the sentinel, and the SAME
     * parse body as [[readWarc]] cuts each record — stream ≡ batch by
@@ -97,10 +200,16 @@ object Warc {
       nullif(regexp_extract(headers, "(?m)^WARC-Type: ([^\r\n]*)\r?$", 1),
         lit("")).as("warc_type"),
       contentLength.as("content_length"),
-      when(contentLength.isNotNull,
+      // the cast("int") of the substr length would WRAP for a
+      // (malformed or adversarial) Content-Length >= 2^31 — the
+      // wrapped negative length yields an empty payload with no
+      // signal; guard the cut so oversized claims surface as the
+      // same loud null-payload row as other malformed records
+      when(contentLength.between(0L, Int.MaxValue.toLong),
         decode(encode(col("value"), "UTF-8")
           .substr(octet_length(headers) + lit(5), contentLength.cast("int")),
           "UTF-8"))
+        .otherwise(lit(null).cast("string"))
         .as("payload"))
   }
 }

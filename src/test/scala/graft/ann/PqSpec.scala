@@ -47,7 +47,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     val rows = (0L until 30L).map(i =>
       (i, (0 until dim).map(j => (j + 1) * 0.1f * (if (i % 2 == 0) 1 else -1))))
     val df = emb(rows)
-    val perm = Ann.opqPermutation(df, "vec_id", "embedding", m, dim)
+    val perm = Ann.opqPermutation(df, "embedding", m, dim)
       .collect().map(r => r.getInt(1) -> r.getInt(0)).toMap // perm_idx -> dim
     assert(perm.keySet === (0 until dim).toSet)
     assert(perm.values.toSet === (0 until dim).toSet, "not a bijection")
@@ -63,7 +63,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     // applying the permutation is the literal reorder
     val permutedHead = df.select(
         Ann.opqPermute("embedding", Ann.opqPermutation(
-          df, "vec_id", "embedding", m, dim), dim).as("p"),
+          df, "embedding", m, dim), dim).as("p"),
         org.apache.spark.sql.functions.col("embedding"))
       .head()
     val src = permutedHead.getSeq[Float](1)

@@ -112,4 +112,69 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(bad.forall(r => r.isNullAt(3) || r.getString(3) != rows(1)._2),
       "the sentinel-containing payload cannot survive delimiter splitting intact")
   }
+
+  test("an oversized Content-Length claim yields the loud null payload, never a wrapped cut") {
+    // 2^31 + 10 wraps to a negative int — the guard must surface the
+    // record as the same null-payload row as other malformed records
+    val rec = Warc.RecordSentinel +
+      "WARC-Type: response\r\nWARC-Record-ID: <urn:graft:1>\r\n" +
+      s"Content-Length: ${Int.MaxValue.toLong + 11L}\r\n\r\npayload\r\n\r\n"
+    val dir = Files.createTempDirectory("warc_spec_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "rec.warc"), rec.getBytes("UTF-8"))
+    val rows = Warc.readWarc(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(2) === Int.MaxValue.toLong + 11L,
+      "the claimed length still parses")
+    assert(rows.head.isNullAt(3), "oversized claim must yield a null payload")
+  }
+
+  test("gz roundtrip is byte-exact and member-concatenation genuinely splits records") {
+    val rows = Seq(
+      1L -> "plain ascii payload",
+      2L -> "naïve ☃ 漢字 — multi-byte",
+      3L -> "embedded\r\n\r\nseparator stays inside",
+      4L -> "", 5L -> "five", 6L -> "six", 7L -> "seven")
+    val dir = Files.createTempDirectory("warc_gz_spec_").toString
+    Warc.writeWarcGz(docs(rows: _*), "doc_id", "text", s"$dir/w")
+    // 3 input partitions, 7 records: at least one shard holds >= 3
+    // gzip members, so the multi-member inflate is genuinely on trial
+    val shards = new java.io.File(s"$dir/w").listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(shards.nonEmpty && shards.length <= 3)
+    val got = Warc.readWarcGz(spark, s"$dir/w")
+      .select(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+        .cast("long").as("id"), col("content_length"), col("payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got.keySet === rows.map(_._1).toSet)
+    for ((id, text) <- rows) {
+      assert(got(id)._2 === text, s"payload $id corrupted through gzip")
+      assert(got(id)._1 === text.getBytes("UTF-8").length.toLong)
+    }
+    // and the compressed read equals the plain read on the same rows
+    Warc.writeWarc(docs(rows: _*), "doc_id", "text", s"$dir/plain")
+    val plain = Warc.readWarc(spark, s"$dir/plain")
+      .select(col("record_id"), col("content_length"), col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val gz = Warc.readWarcGz(spark, s"$dir/w")
+      .select(col("record_id"), col("content_length"), col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(gz === plain, "gz and plain readers drifted")
+  }
+
+  test("malformed gzip fails loudly — plain text through the gz reader never parses silently") {
+    val dir = Files.createTempDirectory("warc_gz_bad_").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/w", "bogus.warc.gz"),
+      (Warc.RecordSentinel + "WARC-Type: response\r\n\r\n").getBytes("UTF-8"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Warc.readWarcGz(spark, s"$dir/w").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[java.util.zip.ZipException]),
+      s"expected a loud ZipException, got: $ex")
+  }
 }

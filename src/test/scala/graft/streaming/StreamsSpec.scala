@@ -807,4 +807,54 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(winners.toSeq == got.toSeq)
   }
+
+  test("sketchCensus stream: bounded per-source state, estimate contract, stream equals batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.CorpusCard
+    val k = 8
+    // source "big": 40 distinct fingerprints (>> k, estimator branch)
+    // + 10 exact duplicates; source "small": 5 distinct (< k, EXACT
+    // branch). Duplicates must not occupy sketch slots.
+    val big = (0 until 40).map(i => (s"unique text number $i", "big", "en")) ++
+      (0 until 10).map(_ => ("unique text number 0", "big", "en"))
+    val small = (0 until 5).map(i => (s"short doc $i", "small", "de"))
+    val docs = (big ++ small).toDF("text", "source", "lang")
+    val input = MemoryStream[(String, String, String)]
+    val query = CorpusCard.sketchCensus(
+      input.toDF().toDF("text", "source", "lang"), "text", "source", "lang", k)
+      .writeStream.format("memory").queryName("sk_census")
+      .outputMode("complete").start()
+    try {
+      val rows = (big ++ small)
+      input.addData(rows.take(20): _*) // fingerprint state crosses
+      query.processAllAvailable()      // a real batch boundary
+      input.addData(rows.drop(20): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sk_census")
+      // THE STATE BOUND: one row per source, sketch <= k entries —
+      // where the exact census would hold 45 fingerprint rows
+      val sizes = streamed.select($"source", expr("size(__sk)")).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(sizes == Map("big" -> k, "small" -> 5),
+        s"sketch sizes $sizes — state not bounded at k=$k")
+      // stream == batch (duplicate-blind, order-blind, mergeable)
+      val batch = CorpusCard.sketchCensus(docs, "text", "source", "lang", k)
+      val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getSeq[Long](5))).toSet
+      assert(key(streamed) == key(batch), "stream != batch census")
+      // the pinned estimate contract on the folded card
+      val card = CorpusCard.cardFromSketchCensus(streamed, k)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(5), r.getDouble(6), r.getLong(7))).toMap
+      val (smallKept, smallEst, smallPpm) = card("small")
+      assert(smallKept == 5 && smallEst == 5.0 && smallPpm == 0L,
+        s"underfull sketch must be EXACT, got ${card("small")}")
+      val (bigKept, bigEst, _) = card("big")
+      assert(bigKept == k, "full sketch must report k kept")
+      assert(bigEst > 40 * 0.4 && bigEst < 40 * 2.5,
+        s"estimator wildly off: $bigEst for 40 distinct")
+    } finally query.stop()
+  }
 }
