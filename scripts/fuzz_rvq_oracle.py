@@ -103,12 +103,60 @@ def ref_topk(rows, n=5):
     return out
 
 
+def ref_refined(rows, k=8, iters=2, train=120):
+    """Independent reference of the e_rvq_refined oracle: per-stage
+    deterministic Lloyd (argmin ties to the lowest code, sid-ordered
+    0.0-seeded mean folds, empty codes keep their centroid), stage-2
+    init residualized against the REFINED stage 1, then the shared
+    encode tail."""
+    vs = [(i, [float(x) for x in v]) for i, v in rows if i % 3 == 1]
+    cb1_init = sample(vs, "r1", k)
+    smp = sorted(vs, key=lambda iv: (md5hex(f"{SEED}:rvql:{iv[0]}"), iv[0]))
+    smp = smp[:train]
+
+    def refine(smp_pairs, cb0):
+        cb = [list(c) for c in cb0]
+        for _ in range(iters):
+            groups = {}
+            for sid, v in smp_pairs:
+                _, c, _ = argmin(v, cb)
+                groups.setdefault(c, []).append((sid, v))
+            newcb = []
+            for c, cent in enumerate(cb):
+                if c not in groups:
+                    newcb.append(cent)
+                    continue
+                ms = sorted(groups[c])
+                cnt = float(len(ms))
+                mean = []
+                for d in range(len(cent)):
+                    acc = 0.0
+                    for _, v in ms:
+                        acc = acc + v[d]
+                    mean.append(acc / cnt)
+                newcb.append(mean)
+            cb = newcb
+        return cb
+
+    cb1 = refine(smp, cb1_init)
+    cb2_init = [argmin(v, cb1)[2] for v in sample(vs, "r2", k)]
+    rsmp = [(sid, argmin(v, cb1)[2]) for sid, v in smp]
+    cb2 = refine(rsmp, cb2_init)
+    out = []
+    for i, v in sorted(vs):
+        _, c1, r1 = argmin(v, cb1)
+        d2, c2, _ = argmin(r1, cb2)
+        out.append((i, c1, c2, d2))
+    return out
+
+
 def main():
     out_dir = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     sql = oracles["e_rvq_encode"]
     topk_sql = oracles["e_rvq_topk"]
+    refined_sql = oracles["e_rvq_refined"]
 
     rnd = random.Random(17)
     fails = 0
@@ -141,10 +189,12 @@ def main():
         con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
         got = [tuple(r) for r in con.execute(sql).fetchall()]
         got_topk = [tuple(r) for r in con.execute(topk_sql).fetchall()]
+        got_refined = [tuple(r) for r in con.execute(refined_sql).fetchall()]
         con.close()
 
         want = ref_encode(rows)
         want_topk = ref_topk(rows)
+        want_refined = ref_refined(rows)
         if got != want:
             fails += 1
             diff = [(g, w) for g, w in zip(got, want) if g != w][:2]
@@ -155,6 +205,12 @@ def main():
             diff = [(g, w) for g, w in zip(got_topk, want_topk) if g != w][:2]
             print(f"FAIL trial {trial} topk: rows {len(got_topk)} vs "
                   f"{len(want_topk)}, first diffs {diff}")
+        elif got_refined != want_refined:
+            fails += 1
+            diff = [(g, w)
+                    for g, w in zip(got_refined, want_refined) if g != w][:2]
+            print(f"FAIL trial {trial} refined: rows {len(got_refined)} vs "
+                  f"{len(want_refined)}, first diffs {diff}")
 
     print(f"{trials - fails}/{trials} trials matched")
     sys.exit(1 if fails else 0)

@@ -3033,6 +3033,22 @@ object SparkEntry {
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "e_rvq_refined" -> ((s, dir) => {
+      // the PRODUCTION RVQ codebooks: per-stage deterministic Lloyd
+      // refinement of the seed draws (argmin ties to the lowest
+      // code, id-ordered IEEE mean folds, empty codes keep their
+      // centroid — the lloydCentroids discipline applied to L2
+      // k-means), stage 2 residualizing against the REFINED stage 1.
+      // Training touches only the bounded sample; the encode tail is
+      // shared verbatim with the seed-drawn twin, so both sit under
+      // the same hash oracle family. The recall-vs-seed-drawn floor
+      // is RvqSpec's pin
+      import graft.ann.Rvq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      val (cb1, cb2) = Rvq.rvqCodebooksRefined(emb, "vec_id", "embedding",
+        k = 8, iters = 2, maxTrainRows = 120)
+      Rvq.rvqEncode(emb, "vec_id", "embedding", cb1, cb2).orderBy("id")
+    }),
     "e_pq_opq" -> ((s, dir) => {
       // OPQ-style energy-balanced PQ (Ge et al. 2013, the
       // deterministic axis-aligned member of the family): census each
@@ -6951,6 +6967,9 @@ object SparkEntry {
     "e_rvq_topk" ->
       graft.ann.Rvq.rvqTopKSql(5, 16, 64, 42L,
         "WHERE vec_id % 3 = 1", "WHERE vec_id % 300 = 1"),
+    "e_rvq_refined" ->
+      (graft.ann.Rvq.rvqRefinedEncodeSql(8, 2, 120, 64, 42L,
+        "WHERE vec_id % 3 = 1") + "\nORDER BY id"),
     "e_rvq_store" ->
       // the reload must reproduce the inline-recomputed encode
       // exactly — same oracle as e_rvq_encode

@@ -218,6 +218,85 @@ object Rvq {
     (cb1, cb2)
   }
 
+  /** PRODUCTION-path RVQ codebooks: per-stage Lloyd (L2 k-means)
+    * refinement of the seed-drawn draws — the additive-quantizer
+    * analogue of [[Ann.pqCodebooksRefined]], but DETERMINISTIC and
+    * oracle-exact like [[Ann.lloydCentroids]]: the argmin assignment
+    * ties to the lowest code, the per-cell mean is a fixed-order
+    * IEEE fold over members sorted by id, an emptied code keeps its
+    * previous centroid, and every step is the same arithmetic the
+    * unrolled-CTE oracle computes — so the refined encode hash-gates
+    * where MLlib floats could only be recall-spec'd. Stage 2's init
+    * residualizes against the REFINED stage 1 (refining stage 1
+    * moves every stage-2 target).
+    *
+    * 100 TB shape: training touches only the `maxTrainRows` sample
+    * (a distributed TakeOrdered heap, never a global sort); each
+    * round is one broadcast argmin + one k-group mean over the
+    * sample; per-round frames are localCheckpointed (constant-size
+    * plan — the iterative-engine rule); the corpus is only ever read
+    * by the downstream encode pass. Output matches
+    * [[seedDrawnCodebooks]] (`(code, centroid)` × 2), so
+    * [[rvqEncode]] / [[rvqTopKWithCodebooks]] are shared between the
+    * twins.
+    */
+  def rvqCodebooksRefined(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2, maxTrainRows: Int = 300, seed: Long = 42L,
+  ): (DataFrame, DataFrame) = {
+    require(iters >= 1 && maxTrainRows >= k,
+      s"need iters >= 1 and maxTrainRows >= k, got $iters / $maxTrainRows")
+    val smp = candidates
+      .select(col(idCol).as("sid"),
+        transform(col(vecCol), x => x.cast("double")).as("__vec"))
+      .orderBy(md5(concat(lit(s"$seed:rvql:"), col("sid").cast("string"))),
+        col("sid"))
+      .limit(maxTrainRows)
+      .localCheckpoint(true)
+    val dim = smp.select(size(col("__vec"))).head.getInt(0)
+    val cb1 = refineStage(smp,
+      rvqStage1Codebook(candidates, idCol, vecCol, k, seed), iters, dim)
+    val r1 = assignStage(smp, Seq("sid"), cb1)
+      .select(col("sid"), col("__res").as("__vec"))
+      .localCheckpoint(true)
+    val cb2 = refineStage(r1,
+      rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed), iters, dim)
+    (cb1, cb2)
+  }
+
+  /** One stage's Lloyd rounds over a `(sid, __vec)` sample: broadcast
+    * argmin (ties to the lowest code), id-sorted IEEE mean fold,
+    * empty codes keep their centroid. Each round's k-row codebook is
+    * eagerly localCheckpointed so the plan stays constant-size.
+    */
+  private def refineStage(
+      smp: DataFrame, cb0: DataFrame, iters: Int, dim: Int): DataFrame = {
+    var cb = cb0.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val asg = smp.crossJoin(broadcast(
+          cb.select(col("code").as("__cb_code"),
+            col("centroid").as("__cb_cent"))))
+        .select(col("sid"), col("__vec"),
+          struct(Ann.l2sq(col("__vec"), col("__cb_cent")).as("dist"),
+            col("__cb_code").as("code")).as("__cand"))
+        .groupBy(col("sid"))
+        .agg(min(col("__cand")).as("__b"), first(col("__vec")).as("__vec"))
+        .select(col("sid"), col("__b.code").as("code"), col("__vec"))
+      val means = asg.groupBy(col("code"))
+        .agg(sort_array(collect_list(struct(col("sid"),
+          col("__vec").as("v")))).as("ms"),
+          count(lit(1)).cast("double").as("cnt"))
+        .select(col("code"), expr(s"transform(sequence(1, $dim), d -> " +
+          "aggregate(ms, CAST(0.0 AS DOUBLE), " +
+          "(acc, m) -> acc + element_at(m.v, d)) / cnt)").as("mean"))
+      cb = cb.join(means, Seq("code"), "left")
+        .select(col("code"), coalesce(col("mean"), col("centroid"))
+          .as("centroid"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
   /** RVQ asymmetric-distance top-k — the retrieval side of the
     * additive quantizer. The exact expansion
     * `‖q − a − b‖² = ‖q−a‖² + (‖b‖² − 2q·b) + 2a·b` splits into a
@@ -342,20 +421,128 @@ object Rvq {
        |  FROM s2, cb1),
        |cb2 AS (SELECT scode AS code, ${residual("v", "centroid")} AS centroid
        |  FROM s2a WHERE rn = 1),
-       |v0 AS (SELECT vec_id AS id,
+       |${encodeCtesSql("cb1", "cb2", dim)}""".stripMargin
+  }
+
+  /** The shared encode tail over `e` against codebook CTEs
+    * `$cb1`/`$cb2` — ends with `codes(id, c1, c2, err2)`. ONE
+    * renderer for the seed-drawn and Lloyd-refined oracles, so the
+    * argmin/tie arithmetic cannot drift between the twins.
+    */
+  private def encodeCtesSql(cb1: String, cb2: String, dim: Int): String = {
+    def residual(v: String, c: String): String =
+      s"list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+    s"""v0 AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e),
-       |a1 AS (SELECT id, v, cb1.code AS c1, centroid,
+       |a1 AS (SELECT id, v, $cb1.code AS c1, centroid,
        |    ROW_NUMBER() OVER (PARTITION BY id
-       |      ORDER BY ${Ann.l2sqSql("v", "centroid", dim)}, cb1.code) AS rn
-       |  FROM v0, cb1),
+       |      ORDER BY ${Ann.l2sqSql("v", "centroid", dim)}, $cb1.code) AS rn
+       |  FROM v0, $cb1),
        |r1 AS (SELECT id, c1, ${residual("v", "centroid")} AS r
        |  FROM a1 WHERE rn = 1),
-       |a2 AS (SELECT id, c1, cb2.code AS c2,
+       |a2 AS (SELECT id, c1, $cb2.code AS c2,
        |    ${Ann.l2sqSql("r", "centroid", dim)} AS err2,
        |    ROW_NUMBER() OVER (PARTITION BY id
-       |      ORDER BY ${Ann.l2sqSql("r", "centroid", dim)}, cb2.code) AS rn
-       |  FROM r1, cb2),
+       |      ORDER BY ${Ann.l2sqSql("r", "centroid", dim)}, $cb2.code) AS rn
+       |  FROM r1, $cb2),
        |codes AS (SELECT id, c1, c2, err2 FROM a2 WHERE rn = 1)""".stripMargin
+  }
+
+  /** One stage's unrolled Lloyd rounds (the [[refineStage]] twin)
+    * over a `(sid, v)` sample CTE starting from `$cb0Cte`, emitting
+    * `cb$tag$iters` — argmin ties to the lowest code, id-ordered
+    * list_reduce mean (the [[Ann]] Lloyd fold pairing: Spark's 0.0
+    * seed + in-order adds ≡ DuckDB's seedless list_reduce), NULL
+    * member list keeps the previous centroid (tested on ms ITSELF —
+    * the empty-cell lesson from the IVF oracle).
+    */
+  private def refineCtesSql(
+      tag: String, smpCte: String, cb0Cte: String, iters: Int,
+      dim: Int): String = {
+    val first =
+      s"""cb${tag}0 AS (SELECT code, centroid FROM $cb0Cte)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val prev = s"cb$tag${r - 1}"
+      s"""as$tag$r AS (SELECT sid, v, code FROM (
+         |  SELECT s.sid, s.v, c.code,
+         |    ROW_NUMBER() OVER (PARTITION BY s.sid
+         |      ORDER BY ${Ann.l2sqSql("s.v", "c.centroid", dim)}, c.code)
+         |      AS rn
+         |  FROM $smpCte s, $prev c) x WHERE rn = 1),
+         |m$tag$r AS (SELECT code,
+         |    list(struct_pack(sid := sid, v := v) ORDER BY sid) AS ms,
+         |    CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM as$tag$r GROUP BY code),
+         |cb$tag$r AS (SELECT c.code,
+         |    CASE WHEN m.ms IS NULL THEN c.centroid
+         |    ELSE list_transform(range(1, ${dim + 1}), d ->
+         |      list_reduce(list_transform(m.ms, m -> m.v[d]),
+         |        (x, y) -> x + y) / m.cnt)
+         |    END AS centroid
+         |  FROM $prev c LEFT JOIN m$tag$r m USING (code))""".stripMargin
+    }.mkString(",\n")
+    s"$first,\n$rounds"
+  }
+
+  /** DuckDB rendering of [[rvqCodebooksRefined]] + [[rvqEncode]] over
+    * `embeddings(vec_id, embedding)` restricted by `whereClause` —
+    * the seed draws, the unrolled per-stage Lloyd rounds, and the
+    * SHARED encode tail.
+    */
+  def rvqRefinedEncodeSql(
+      k: Int, iters: Int, maxTrainRows: Int, dim: Int, seed: Long,
+      whereClause: String): String = {
+    def residual(v: String, c: String): String =
+      s"list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+    // the seed-drawn inits: reuse the draw CTEs (cb1/cb2) but note
+    // cb2's init must residualize against the REFINED cb1, so the
+    // draw chain is re-rendered here with cbr1$iters as the stage-2
+    // assignment target
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+       |s1 AS (SELECT vec_id AS sid, embedding AS sv FROM e
+       |  ORDER BY md5('$seed:r1:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $k),
+       |cb1init AS (SELECT
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5('$seed:r1:' || CAST(sid AS VARCHAR)), sid) AS INT)
+       |      - 1 AS code,
+       |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM s1),
+       |smp AS (SELECT sid, v FROM (
+       |    SELECT vec_id AS sid,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e) b
+       |  ORDER BY md5('$seed:rvql:' || CAST(sid AS VARCHAR)), sid
+       |  LIMIT $maxTrainRows),
+       |${refineCtesSql("r1_", "smp", "cb1init", iters, dim)},
+       |cb1 AS (SELECT code, centroid FROM cbr1_$iters),
+       |s2raw AS (SELECT vec_id AS sid, embedding AS sv FROM e
+       |  ORDER BY md5('$seed:r2:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $k),
+       |s2 AS (SELECT
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5('$seed:r2:' || CAST(sid AS VARCHAR)), sid) AS INT)
+       |      - 1 AS scode,
+       |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM s2raw),
+       |s2a AS (SELECT scode, v, centroid,
+       |    ROW_NUMBER() OVER (PARTITION BY scode
+       |      ORDER BY ${Ann.l2sqSql("v", "centroid", dim)}, cb1.code) AS rn
+       |  FROM s2, cb1),
+       |cb2init AS (SELECT scode AS code, ${residual("v", "centroid")}
+       |    AS centroid
+       |  FROM s2a WHERE rn = 1),
+       |rs AS (SELECT sid, ${residual("v", "centroid")} AS v FROM (
+       |    SELECT s.sid, s.v, c.centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.sid
+       |        ORDER BY ${Ann.l2sqSql("s.v", "c.centroid", dim)}, c.code)
+       |        AS rn
+       |    FROM smp s, cb1 c) x WHERE rn = 1),
+       |${refineCtesSql("r2_", "rs", "cb2init", iters, dim)},
+       |cb2 AS (SELECT code, centroid FROM cbr2_$iters),
+       |${encodeCtesSql("cb1", "cb2", dim)}
+       |SELECT id, c1, c2, err2 FROM codes""".stripMargin
   }
 
   /** DuckDB rendering of [[rvqEncodeSeedDrawn]] over

@@ -183,4 +183,44 @@ class RvqSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
     assert(got.values.forall(t => t._1 >= 0 && t._1 < 5 && t._2 >= 0 && t._2 < 5))
   }
+
+  test("rvqCodebooksRefined: error does not regress and recall@5 >= seed-drawn on clustered data") {
+    val rows = clustered(120, 6)
+    val df = emb(rows)
+    val (rcb1, rcb2) = Rvq.rvqCodebooksRefined(df, "vec_id", "embedding",
+      k = 8, iters = 2, maxTrainRows = 120)
+    val (scb1, scb2) = Rvq.seedDrawnCodebooks(df, "vec_id", "embedding", k = 8)
+    // Lloyd refinement must not LOSE reconstruction quality vs the
+    // raw draw on data with clear cluster structure
+    def meanErr(cb1: org.apache.spark.sql.DataFrame,
+        cb2: org.apache.spark.sql.DataFrame): Double =
+      Rvq.rvqEncode(df, "vec_id", "embedding", cb1, cb2)
+        .agg(org.apache.spark.sql.functions.avg("err2")).head.getDouble(0)
+    val (re, se) = (meanErr(rcb1, rcb2), meanErr(scb1, scb2))
+    assert(re <= se, s"refined mean err2 $re above seed-drawn $se")
+    // the pinned recall floor: refined ADC recall@5 vs exact L2 must
+    // not drop below the seed-drawn number on the same slice
+    val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val exactTop = rows.filter(_._1 < 8).map { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      qid -> rows.filter(_._1 != qid).map { case (id, v) =>
+        val d = qd.zip(v.map(_.toDouble))
+          .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def meanHits(cb1: org.apache.spark.sql.DataFrame,
+        cb2: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Rvq.rvqTopKWithCodebooks(queries, df, "vec_id",
+        "embedding", 5, cb1, cb2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(approx.keySet === exactTop.keySet)
+      exactTop.map { case (qid, ex) => (approx(qid) & ex).size }
+        .sum.toDouble / exactTop.size
+    }
+    val (rh, sh) = (meanHits(rcb1, rcb2), meanHits(scb1, scb2))
+    assert(rh >= sh, s"refined recall@5 $rh below seed-drawn $sh")
+    assert(rh > 1.0, s"refined recall@5 $rh no better than noise")
+  }
 }
