@@ -173,6 +173,48 @@ object ScaleTrend {
           Ann.semDedupPairsAgainstStore(arrivals, store, threshold = 0.5,
             maxCellSize = 500)
         }),
+        "rvq_encode" -> ((s: SparkSession, dir: String) => {
+          // the RVQ ingest path at the production dial
+          // (persistCodebooks = true — each seed draw scans the
+          // corpus ONCE; the audit would otherwise time the
+          // documented lineage re-execution, not the operator):
+          // two k-row broadcast codebooks, one struct-min argmin
+          // pass per stage — expected linear
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+            .filter(col("vec_id") % 3 === 1)
+          graft.ann.Rvq.rvqEncodeSeedDrawn(emb, emb, "vec_id", "embedding",
+            k = 16, persistCodebooks = true)
+        }),
+        "rvq_topk" -> ((s: SparkSession, dir: String) => {
+          // RVQ ADC retrieval at the gate's bounded-query dial (%300
+          // residue — queries grow linearly with the blow-up but stay
+          // driver-broadcastable by the family contract): encode +
+          // three broadcast lookup tables; the k² cross-term is
+          // corpus-independent — the quadratic hazard would be the
+          // codes × queries score join outgrowing its broadcast
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+            .filter(col("vec_id") % 3 === 1)
+          graft.ann.Rvq.rvqTopK(emb.filter(col("vec_id") % 300 === 1), emb,
+            "vec_id", "embedding", 5, persistCodebooks = true)
+        }),
+        "hnsw_search" -> ((s: SparkSession, dir: String) => {
+          // the two-layer HNSW composition with BOTH layer graphs
+          // built by NN-descent under the groups-follows-the-corpus
+          // rule (groups ≈ n/31, the r18 fixed-dial lesson — computed
+          // per LAYER, since the upper layer is 16× smaller): one
+          // extra build at ~1/256 the base pair volume plus the
+          // upper descent; expected ~linear like the flat beam
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          val corpus = emb.filter(col("vec_id") % 4 === 0)
+          def graphOf(layer: org.apache.spark.sql.DataFrame) = {
+            val groups = math.max(4, (layer.count() / 31L).toInt)
+            graft.ann.Nsw.nnDescentGraph(layer, "vec_id", "embedding",
+              k = 5, rounds = 2, groups = groups)
+          }
+          graft.ann.Nsw.hnswSearch(corpus,
+            emb.filter(col("vec_id") % 40 === 1), "vec_id", "embedding",
+            graphOf, beam = 6, rounds = 3, k = 5)
+        }),
         "softdedup_weights" -> ((s: SparkSession, dir: String) => {
           // the LM-census topology's audit point (the same census
           // equi-join shape backs t_lm_surprise, p_ppl_buckets,

@@ -3049,6 +3049,35 @@ object SparkEntry {
         k = 8, iters = 2, maxTrainRows = 120)
       Rvq.rvqEncode(emb, "vec_id", "embedding", cb1, cb2).orderBy("id")
     }),
+    "e_sq8_encode" -> ((s, dir) => {
+      // scalar quantization (the faiss QT_8bit shape, deterministic
+      // max-abs variant): per-dim scale census (dim bounded rows,
+      // always broadcastable), signed-byte codes + reconstruction
+      // err as ONE map-only projection against the collected scale
+      // literal — the third quantizer beside PQ and RVQ, for the
+      // 4x-compression / zero-training operating point
+      import graft.ann.Sq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val scales = Sq.sq8Scales(emb, "embedding")
+      Sq.sq8Encode(emb, "vec_id", "embedding", scales, 64)
+        .select(col("id"),
+          concat_ws(",", transform(col("codes"), c => c.cast("string")))
+            .as("codes_str"),
+          col("err8"))
+        .orderBy("id")
+    }),
+    "e_sq8_topk" -> ((s, dir) => {
+      // SQ8 asymmetric retrieval: exact queries vs decoded candidates
+      // (decode = two flops/dim), squared-L2 ascending through the
+      // bounded-heap rank — every double one fixed IEEE fold, so
+      // ranks hash-match
+      import graft.ann.Sq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val scales = Sq.sq8Scales(emb, "embedding")
+      Sq.sq8TopK(emb.filter(col("vec_id") % 300 === 0), emb,
+        "vec_id", "embedding", 5, scales, 64)
+        .orderBy("query_id", "rank")
+    }),
     "e_pq_opq" -> ((s, dir) => {
       // OPQ-style energy-balanced PQ (Ge et al. 2013, the
       // deterministic axis-aligned member of the family): census each
@@ -6970,6 +6999,12 @@ object SparkEntry {
     "e_rvq_refined" ->
       (graft.ann.Rvq.rvqRefinedEncodeSql(8, 2, 120, 64, 42L,
         "WHERE vec_id % 3 = 1") + "\nORDER BY id"),
+    "e_sq8_encode" ->
+      (graft.ann.Sq.sq8EncodeSql(64, "WHERE vec_id % 3 = 0")
+        + "\nORDER BY id"),
+    "e_sq8_topk" ->
+      graft.ann.Sq.sq8TopKSql(5, 64, "WHERE vec_id % 3 = 0",
+        "WHERE vec_id % 300 = 0"),
     "e_rvq_store" ->
       // the reload must reproduce the inline-recomputed encode
       // exactly — same oracle as e_rvq_encode

@@ -1,0 +1,164 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) — the third compression member of the
+  * quantizer taxonomy beside PQ (subspace codebooks, ann/Ann.scala)
+  * and RVQ (residual cascade, ann/Rvq.scala): every DIMENSION is
+  * quantized independently to a signed byte against a per-dimension
+  * scale, the `QT_8bit`-style scalar quantizer production stores ship
+  * when 4× compression with near-zero training cost beats codebook
+  * quality (faiss `ScalarQuantizer`; Lucene/pgvector int8). Here in
+  * its deterministic symmetric max-abs form: `scale_d = max |v_d|`
+  * over the corpus (an EXACT census — no training, no floats beyond
+  * one divide), `code_d = floor(v_d / scale_d · 127)` ∈ [−127, 127],
+  * decode `code_d · scale_d / 127`.
+  *
+  * Everything is a fixed IEEE op sequence both engines compute
+  * identically (one divide + multiply + floor per dimension), so
+  * encode AND asymmetric retrieval sit under DuckDB hash gates —
+  * unlike faiss's trained quantiles, which would be recall-spec'd.
+  *
+  * 100 TB shape: the scale census is ONE map-side posexplode +
+  * dim-keyed max aggregate (dim rows out — bounded, broadcastable
+  * always); encode/decode are pure projections against the collected
+  * dim-entry literal (the [[Ann.opqPermute]] / lshTopK bounded-collect
+  * precedent), so encoding shuffles NOTHING; retrieval is the
+  * family's scored-pairs → bounded-heap [[Ann.heapRank]] tail.
+  * A constant-zero dimension (scale 0) encodes to 0 rather than
+  * dividing by zero.
+  */
+object Sq {
+
+  /** Per-dimension max-abs scale census: `(dim_idx, scale)`, `dim`
+    * rows — exact, order-blind, mergeable (max of maxes).
+    */
+  def sq8Scales(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("dim_idx", "__x")))
+      .groupBy(col("dim_idx"))
+      .agg(max(abs(col("__x").cast("double"))).as("scale"))
+
+  /** The collected dim-entry scale literal (bounded by contract). */
+  private def scaleLiteral(scales: DataFrame, dim: Int): Column = {
+    val arr = new Array[Double](dim)
+    val rows = scales.select(col("dim_idx"), col("scale")).collect()
+    require(rows.length == dim,
+      s"scale census has ${rows.length} rows, need exactly $dim")
+    rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    array(arr.map(lit): _*)
+  }
+
+  /** Map-only SQ8 encode: `(id, codes: array<int>, err8)` — the
+    * signed-byte codes and the squared-L2 reconstruction error
+    * against the decode (the number that says whether 8 bits
+    * suffice for this corpus). Pure projection; nothing shuffles.
+    */
+  def sq8Encode(
+      df: DataFrame, idCol: String, vecCol: String,
+      scales: DataFrame, dim: Int,
+  ): DataFrame = {
+    val sarr = scaleLiteral(scales, dim)
+    def codeAt(v: Column, i: Column): Column = {
+      val s = element_at(sarr, i + 1)
+      when(s > 0,
+        floor(element_at(v, i + 1).cast("double") / s * lit(127.0))
+          .cast("int"))
+        .otherwise(lit(0))
+    }
+    def decodeAt(codes: Column, i: Column): Column =
+      element_at(codes, i + 1).cast("double") *
+        element_at(sarr, i + 1) / lit(127.0)
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("codes",
+        transform(sequence(lit(0), lit(dim - 1)), i => codeAt(col("__v"), i)))
+      .withColumn("__dv",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => decodeAt(col("codes"), i)))
+      .select(col("id"), col("codes"),
+        Ann.l2sq(col("__v"), col("__dv")).as("err8"))
+  }
+
+  /** Asymmetric SQ8 top-k: exact queries against DECODED candidates
+    * (the scalar quantizer's ADC — decode is two flops per
+    * dimension, so scoring is one fused projection per pair), ranked
+    * ascending by squared L2 through the bounded-heap tail. Output:
+    * `(query_id, neighbor_id, rank, adc8)`.
+    */
+  def sq8TopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      scales: DataFrame, dim: Int, excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val sarr = scaleLiteral(scales, dim)
+    val enc = sq8Encode(candidates, idCol, vecCol, scales, dim)
+      .select(col("id").as("neighbor_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("codes"), i + 1).cast("double") *
+            element_at(sarr, i + 1) / lit(127.0)).as("__dv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val scored = q.join(enc,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.l2sq(col("qv"), col("__dv")).as("adc8"))
+    Ann.heapRank(scored, "adc8", "double", n, ascending = true)
+  }
+
+  /** Shared CTE chain over `embeddings(vec_id, embedding)` restricted
+    * by `whereClause`: `e`, the scale census `sc`/`scl`, `codes`, and
+    * the decode `dec` — reused by both oracles.
+    */
+  private def sq8CtesSql(dim: Int, whereClause: String): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+       |sc AS (SELECT i - 1 AS dim_idx,
+       |    max(abs(CAST(embedding[i] AS DOUBLE))) AS scale
+       |  FROM (SELECT embedding, unnest(range(1, ${dim + 1})) AS i FROM e) x
+       |  GROUP BY i - 1),
+       |scl AS (SELECT list(scale ORDER BY dim_idx) AS sarr FROM sc),
+       |codes AS (SELECT vec_id AS id,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CASE WHEN sarr[i] > 0
+       |        THEN CAST(floor(CAST(embedding[i] AS DOUBLE) / sarr[i]
+       |          * 127.0) AS INT)
+       |        ELSE 0 END) AS codes,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM e, scl),
+       |dec AS (SELECT id, v, codes,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(codes[i] AS DOUBLE) * sarr[i] / 127.0) AS dv
+       |  FROM codes, scl)""".stripMargin
+
+  /** DuckDB rendering of [[sq8Scales]] + [[sq8Encode]]; codes render
+    * as a comma-joined string (a stable cross-engine scalar).
+    */
+  def sq8EncodeSql(dim: Int, whereClause: String): String =
+    s"""WITH ${sq8CtesSql(dim, whereClause)}
+       |SELECT id,
+       |  array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')
+       |    AS codes_str,
+       |  ${Ann.l2sqSql("v", "dv", dim)} AS err8
+       |FROM dec""".stripMargin
+
+  /** DuckDB rendering of [[sq8TopK]] (self-search over the
+    * `whereClause` slice, queries = `queryWhere` rows, self
+    * excluded).
+    */
+  def sq8TopKSql(n: Int, dim: Int, whereClause: String,
+      queryWhere: String): String =
+    s"""WITH ${sq8CtesSql(dim, whereClause)},
+       |q AS (SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM e $queryWhere),
+       |scored AS (SELECT q.query_id, d.id AS neighbor_id,
+       |    ${Ann.l2sqSql("qv", "dv", dim)} AS adc8
+       |  FROM q, dec d WHERE q.query_id <> d.id),
+       |ranked AS (SELECT query_id, neighbor_id, adc8,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc8, neighbor_id) AS INT)
+       |      AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adc8 FROM ranked
+       |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
+}
