@@ -3049,6 +3049,35 @@ object SparkEntry {
         k = 8, iters = 2, maxTrainRows = 120)
       Rvq.rvqEncode(emb, "vec_id", "embedding", cb1, cb2).orderBy("id")
     }),
+    "e_ann_mrl" -> ((s, dir) => {
+      // Matryoshka funnel retrieval (Kusupati et al. 2022): coarse
+      // cosine over the FIRST 16 stored components (nested prefixes
+      // are themselves embeddings) ranks 20 candidates per query at
+      // a quarter of the scoring cost, then only those re-score at
+      // full width — the adaptive-retrieval shape; prefix zero-norms
+      // excluded per stage (the cosine NaN rule, applied to the
+      // slice too)
+      import graft.ann.Matryoshka
+      val emb = t(s, dir, "embeddings")
+      Matryoshka.mrlTopK(emb.filter(col("vec_id") % 40 === 2),
+        emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding",
+        n = 5, coarseDim = 16, coarseN = 20)
+        .orderBy("query_id", "rank")
+    }),
+    "e_margin_mine" -> ((s, dir) => {
+      // margin-based bitext mining (Artetxe & Schwenk 2019, the
+      // CCMatrix recipe): ratio margin = cos / mean-of-own-kNN-cos
+      // per side, per-source best target above threshold — the
+      // hub-sentence correction raw cosine mining lacks. Two
+      // exact-kNN runs (verifier arm by contract; ANN-swappable),
+      // then only bounded per-row mean frames and one argmax
+      import graft.ann.Mining
+      val emb = t(s, dir, "embeddings")
+      Mining.marginMine(emb.filter(col("vec_id") % 4 === 1),
+        emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+        .orderBy("src_id")
+    }),
     "e_sq8_encode" -> ((s, dir) => {
       // scalar quantization (the faiss QT_8bit shape, deterministic
       // max-abs variant): per-dim scale census (dim bounded rows,
@@ -6999,6 +7028,13 @@ object SparkEntry {
     "e_rvq_refined" ->
       (graft.ann.Rvq.rvqRefinedEncodeSql(8, 2, 120, 64, 42L,
         "WHERE vec_id % 3 = 1") + "\nORDER BY id"),
+    "e_ann_mrl" ->
+      graft.ann.Matryoshka.mrlTopKSql(5, 16, 20, 64,
+        "WHERE vec_id % 4 = 2", "WHERE vec_id % 40 = 2"),
+    "e_margin_mine" ->
+      (graft.ann.Mining.marginMineSql(4, 64, 1.0,
+        "WHERE vec_id % 4 = 1", "WHERE vec_id % 4 = 3")
+        + "\nORDER BY src_id"),
     "e_sq8_encode" ->
       (graft.ann.Sq.sq8EncodeSql(64, "WHERE vec_id % 3 = 0")
         + "\nORDER BY id"),

@@ -1,0 +1,119 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+  * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  * Embeddings" — the CCMatrix/LASER recipe): raw cosine is a poor
+  * mined-pair criterion because some sentences are "hubs" that score
+  * high against everything; the fix scores a candidate pair by its
+  * cosine RELATIVE to what each side scores against its own nearest
+  * neighbors — `margin(x, y) = cos(x, y) / ((avgNN(x) + avgNN(y)) /
+  * 2)`, the "ratio" margin — and keeps, per source sentence, the
+  * best-margin target above a threshold (the "max" strategy).
+  *
+  * Determinism: the kNN runs use the family's exact verifier
+  * ([[Ann.bruteForceTopK]], gate contract — at corpus scale both
+  * runs swap to any ANN family unchanged); each side's neighbor
+  * mean is a rank-ordered IEEE fold over its ≤ k scores divided by
+  * the actual count; the argmax ties to the smaller target id. All
+  * of it is oracle arithmetic, so mined pairs hash-gate.
+  *
+  * 100 TB shape: the margin layer itself is bounded — two per-side
+  * mean frames (one row per sentence) equi-joined back onto the
+  * forward run (queries × k rows), then one per-source argmax; the
+  * quadratic lives entirely inside the pluggable kNN stage, which is
+  * the ANN family's already-audited problem.
+  */
+object Mining {
+
+  /** Mine `(src_id, dst_id, cos, margin)` pairs: per source row the
+    * best-margin target with `margin >= threshold`. `srcSide` and
+    * `dstSide` are independent corpora (self-matches legitimate —
+    * ids may collide across languages).
+    */
+  def marginMine(
+      srcSide: DataFrame, dstSide: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      threshold: Double,
+  ): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val fwd = Ann.bruteForceTopK(srcSide, dstSide, idCol, vecCol, k,
+      excludeSelf = false)
+    val bwd = Ann.bruteForceTopK(dstSide, srcSide, idCol, vecCol, k,
+      excludeSelf = false)
+    def nnMean(run: DataFrame, outId: String, outMean: String): DataFrame =
+      run.groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("score"))))
+          .as("ms"), count(lit(1)).cast("double").as("cnt"))
+        .select(col("query_id").as(outId),
+          (expr("aggregate(ms, CAST(0.0 AS DOUBLE), " +
+            "(acc, m) -> acc + m.score)") / col("cnt")).as(outMean))
+    val fm = nnMean(fwd, "src_id", "src_nn")
+    val bm = nnMean(bwd, "dst_id", "dst_nn")
+    val margins = fwd
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
+        col("score").as("cos"))
+      .join(fm, Seq("src_id"))
+      .join(bm, Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"), col("cos"),
+        (col("cos") / ((col("src_nn") + col("dst_nn")) / lit(2.0)))
+          .as("margin"))
+    margins
+      .groupBy(col("src_id"))
+      .agg(max(struct(col("margin"), (-col("dst_id")).as("negdst"),
+        col("dst_id").as("dst_id"), col("cos").as("cos"))).as("best"))
+      .select(col("src_id"), col("best.dst_id").as("dst_id"),
+        col("best.cos").as("cos"), col("best.margin").as("margin"))
+      .filter(col("margin") >= threshold)
+  }
+
+  /** DuckDB rendering of [[marginMine]] over `embeddings` with the
+    * two sides selected by `srcWhere` / `dstWhere` (full WHERE
+    * clauses). Same fold pairing as every census mean here: Spark's
+    * 0.0-seeded rank-ordered `aggregate` ≡ DuckDB's seedless
+    * `list_reduce` over `list(score ORDER BY rank)`.
+    */
+  def marginMineSql(
+      k: Int, dim: Int, threshold: Double,
+      srcWhere: String, dstWhere: String): String = {
+    val nz = s"${Ann.dotSql("embedding", "embedding", dim)} > 0"
+    def run(qCte: String, cCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    ${Ann.cosineSql("q.v", "c.v", dim)} AS score,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${Ann.cosineSql("q.v", "c.v", dim)} DESC, c.id)
+         |      AS rank
+         |  FROM $qCte q, $cCte c) r WHERE rank <= $k)""".stripMargin
+    def mean(runCte: String, outCte: String, idAs: String,
+        meanAs: String): String =
+      s"""$outCte AS (SELECT query_id AS $idAs,
+         |    list_reduce(list(score ORDER BY rank), (x, y) -> x + y)
+         |      / CAST(count(*) AS DOUBLE) AS $meanAs
+         |  FROM $runCte GROUP BY query_id)""".stripMargin
+    s"""WITH s AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings $srcWhere AND $nz),
+       |d AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings $dstWhere AND $nz),
+       |${run("s", "d", "fwd")},
+       |${run("d", "s", "bwd")},
+       |${mean("fwd", "fm", "src_id", "src_nn")},
+       |${mean("bwd", "bm", "dst_id", "dst_nn")},
+       |margins AS (SELECT f.query_id AS src_id, f.neighbor_id AS dst_id,
+       |    f.score AS cos,
+       |    f.score / ((fm.src_nn + bm.dst_nn) / 2.0) AS margin
+       |  FROM fwd f
+       |  JOIN fm ON fm.src_id = f.query_id
+       |  JOIN bm ON bm.dst_id = f.neighbor_id),
+       |best AS (SELECT src_id, dst_id, cos, margin FROM (
+       |  SELECT src_id, dst_id, cos, margin, row_number() OVER (
+       |    PARTITION BY src_id ORDER BY margin DESC, dst_id) AS rn
+       |  FROM margins) b WHERE rn = 1)
+       |SELECT src_id, dst_id, cos, margin FROM best
+       |WHERE margin >= $threshold""".stripMargin
+  }
+}
