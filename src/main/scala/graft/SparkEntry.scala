@@ -5008,6 +5008,32 @@ object SparkEntry {
         src => Rvq.rvqEncodeMapOnly(src, "vec_id", "embedding", cb1, cb2))
         .orderBy("id")
     }),
+    "st_sq8_incr" -> ((s, dir) => {
+      // incremental SQ8 ingest (the scalar-quantizer twin of
+      // st_rvq_incr): the scale census trains ONCE batch-side and
+      // freezes (the persisted-index shape — re-censusing per batch
+      // would re-scale old codes), arrivals replay through the
+      // map-only encode projection (literal scales, zero shuffle,
+      // stateless Append) — codes and errors bit-identical to the
+      // batch encode, so the micro-batch union hash-matches
+      // e_sq8_encode's own oracle
+      import graft.ann.Sq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+        .select("vec_id", "embedding")
+      val scales = Sq.sq8Scales(emb, "embedding")
+        .localCheckpoint(true) // train once; freeze for every batch
+      val batches = Seq(
+        emb.filter(col("vec_id") % 9 === 0),
+        emb.filter(col("vec_id") % 9 === 3),
+        emb.filter(col("vec_id") % 9 === 6))
+      graft.streaming.Replay.replayBatches(s, batches,
+        src => Sq.sq8Encode(src, "vec_id", "embedding", scales, 64)
+          .select(col("id"),
+            concat_ws(",", transform(col("codes"), c => c.cast("string")))
+              .as("codes_str"),
+            col("err8")))
+        .orderBy("id")
+    }),
     "e_rvq_store" -> ((s, dir) => {
       // the semantic-ID store round trip: RVQ codes persist to
       // parquet PARTITIONED BY the coarse code c1 (the layout where
@@ -5232,6 +5258,38 @@ object SparkEntry {
       val out = s"${scratchRoot()}/warc_roundtrip"
       Warc.writeWarc(docs, "doc_id", "text", s"$out/w")
       Warc.readWarc(s, s"$out/w")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("id"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("id")
+    }),
+    "st_warc_gz" -> ((s, dir) => {
+      // incremental COMPRESSED crawl ingest: .warc.gz shards (one
+      // gzip member per record, driver-staged — bounded verification
+      // harness like st_warc_ingest) arrive as files through the
+      // binaryFile FileStreamSource; each micro-batch runs the SAME
+      // member-inflate + sentinel parse as the batch gz reader —
+      // compressed stream ≡ compressed batch ≡ plain batch
+      import graft.sources.Warc
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4 && col("doc_id") < 50000)
+        .select(col("doc_id"),
+          Warc.toWarcRecord(col("doc_id"), col("text")).as("rec"))
+        .orderBy("doc_id").collect()
+      def member(rec: String): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(rec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gz.close()
+        bo.toByteArray
+      }
+      val shards = rows.grouped(math.max(1, rows.length / 3 + 1)).map { g =>
+        g.toArray.flatMap(r => member(r.getString(1)))
+      }.toSeq
+      graft.streaming.Replay.replayRawBinary(s, shards, ".warc.gz",
+        bin => Warc.parseWarcGz(bin))
         .select(
           regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
             .cast("long").as("id"),
@@ -7041,6 +7099,11 @@ object SparkEntry {
     "e_sq8_topk" ->
       graft.ann.Sq.sq8TopKSql(5, 64, "WHERE vec_id % 3 = 0",
         "WHERE vec_id % 300 = 0"),
+    "st_sq8_incr" ->
+      // micro-batched map-only encode must union to the batch encode
+      // exactly — same oracle as e_sq8_encode
+      (graft.ann.Sq.sq8EncodeSql(64, "WHERE vec_id % 3 = 0")
+        + "\nORDER BY id"),
     "e_rvq_store" ->
       // the reload must reproduce the inline-recomputed encode
       // exactly — same oracle as e_rvq_encode
@@ -8116,6 +8179,11 @@ object SparkEntry {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents WHERE doc_id % 5 = 2 ORDER BY id""".stripMargin,
+    "st_warc_gz" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 5 = 4 AND doc_id < 50000
+        |ORDER BY id""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->

@@ -92,13 +92,39 @@ object Warc {
     * truncated trailer) fails LOUDLY with the inflater's IOException
     * — it never silently truncates or merges records.
     */
-  def readWarcGz(spark: SparkSession, path: String): DataFrame = {
+  def readWarcGz(spark: SparkSession, path: String): DataFrame =
+    parseWarcGz(spark.read.format("binaryFile").load(s"$path/*.warc.gz"))
+
+  /** The streaming compressed-ingest door: `.warc.gz` shards arrive
+    * as FILES through the binaryFile FileStreamSource (one task per
+    * shard, stateless Append — the [[readWarcStream]] contract with
+    * the inflate in front), through the SAME member-inflate + parse
+    * body as [[readWarcGz]], so compressed stream ≡ compressed batch
+    * ≡ plain batch by construction.
+    */
+  def readWarcGzStream(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // binaryFile's schema is fixed, but the STREAMING source demands
+    // it explicitly (no inference on streams)
+    val schema = StructType(Seq(StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    parseWarcGz(spark.readStream.format("binaryFile").schema(schema)
+      .load(s"$path/*.warc.gz"))
+  }
+
+  /** Shared gz body over a binaryFile `(…, content)` frame (batch or
+    * streaming): streamed multi-member inflate per shard, then the
+    * ONE sentinel-split parse body.
+    */
+  def parseWarcGz(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
     import spark.implicits._
-    val records = spark.read.format("binaryFile").load(s"$path/*.warc.gz")
+    parseWarcRecords(bin
       .select(col("content")).as[Array[Byte]]
       .flatMap(bytes => gzRecordIterator(bytes))
-      .toDF("value")
-    parseWarcRecords(records)
+      .toDF("value"))
   }
 
   /** Streamed multi-member inflate + sentinel split (the lineSep

@@ -344,6 +344,57 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** Raw-BINARY shard replay (the [[replayRawText]] sibling for
+    * sources the text reader cannot split — compressed WARC members):
+    * each byte array stages as one `s%03d$suffix` file, the
+    * binaryFile FileStreamSource delivers one file per micro-batch in
+    * pinned mtime order, and `build` maps the `(path, …, content)`
+    * frame. Stateless map-only builds need no sentinels.
+    */
+  def replayRawBinary(
+      spark: SparkSession, shards: Seq[Array[Byte]], suffix: String,
+      build: DataFrame => DataFrame,
+  ): DataFrame = withReplayConf(spark) {
+    require(shards.nonEmpty, "replayRawBinary: no shards")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    shards.zipWithIndex.foreach { case (bytes, i) =>
+      val dest = inDir.resolve(f"s$i%03d$suffix")
+      Files.write(dest, bytes)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis((1000L + 1000L * i) * 1000L))
+    }
+    // binaryFile's schema is FIXED but the streaming source still
+    // demands it explicitly (no inference on streams)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val src = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", 1)
+      .load(inDir.toString)
+    val q = build(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
   /** Two-source replay for STREAM-STREAM operators
     * ([[Streams.intervalJoin]]): each side stages into its own input
     * dir with interleaved modification times (a1, b1, a2, b2, …), so

@@ -163,6 +163,34 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(gz === plain, "gz and plain readers drifted")
   }
 
+  test("gz streaming ingest equals the gz batch reader on the same shards") {
+    val rows = Seq(1L -> "alpha", 2L -> "naïve ☃", 3L -> "", 4L -> "delta")
+    def member(rec: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(rec.getBytes("UTF-8")); gz.close(); bo.toByteArray
+    }
+    val recs = docs(rows: _*).select(
+        Warc.toWarcRecord(col("doc_id"), col("text")).as("rec"))
+      .orderBy("rec").collect().map(_.getString(0))
+    val shards = recs.grouped(2).map(_.flatMap(member)).toSeq
+    val streamed = graft.streaming.Replay.replayRawBinary(spark, shards,
+      ".warc.gz", bin => Warc.parseWarcGz(bin))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSet
+    val dir = Files.createTempDirectory("warc_gz_st_").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    shards.zipWithIndex.foreach { case (b, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/w", f"s$i%02d.warc.gz"), b)
+    }
+    val batch = Warc.readWarcGz(spark, s"$dir/w")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4)
+  }
+
   test("malformed gzip fails loudly — plain text through the gz reader never parses silently") {
     val dir = Files.createTempDirectory("warc_gz_bad_").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
