@@ -170,6 +170,63 @@ def ref_hnsw(vecs, queries):
     return out
 
 
+def nnd_graph(vecs, node_ids, groups):
+    """The NN-descent edge chain (the ref_nndescent_recall build)
+    restricted to `node_ids`, as an adjacency dict."""
+    sub = set(node_ids)
+    init = set()
+    for seed in ND_SEEDS:
+        by = {}
+        for i in sub:
+            by.setdefault(bucket(i, seed) % groups, []).append(i)
+        for g in by.values():
+            init.update((a, b) for a in g for b in g if a != b)
+    e = topk_edges(init, vecs, ND_K)
+    for _ in range(ND_ROUNDS):
+        und = set(e) | {(d, s) for s, d in e}
+        by = {}
+        for s, d in und:
+            by.setdefault(s, set()).add(d)
+        cand = set(e)
+        for v, nb in by.items():
+            cand.update((a, b) for a in nb for b in nb if a != b)
+        e = topk_edges(cand, vecs, ND_K)
+    g = {}
+    for s, d in e:
+        g.setdefault(s, set()).add(d)
+    return g
+
+
+def ref_hnsw_nnd(vecs, queries, upper_groups=1, base_groups=16):
+    """e_ann_hnsw_nnd: the hnsw descent with per-layer NN-descent
+    graphs (upper clique groups=1, base groups=16)."""
+    lvl = {i for i in vecs if hnsw_level(i) >= 1}
+    if not lvl or not queries:
+        return []
+    ug = nnd_graph(vecs, lvl, upper_groups)
+    bg = nnd_graph(vecs, set(vecs), base_groups)
+
+    def descend(qv, start, g, width, rounds):
+        beam = set(start)
+        for _ in range(rounds):
+            cand = set(beam)
+            for v in beam:
+                cand |= g.get(v, set())
+            beam = set(sorted(cand,
+                key=lambda n: (-cos(qv, vecs[n]), n))[:width])
+        return beam
+
+    out = []
+    for q, qv in sorted(queries.items()):
+        upper = descend(qv, {min(lvl)}, ug, HNSW_UPPER_BEAM,
+                        HNSW_UPPER_ROUNDS)
+        entry = sorted(upper, key=lambda n: (-cos(qv, vecs[n]), n))[0]
+        beam = descend(qv, {entry}, bg, BEAM, BEAM_ROUNDS)
+        final = sorted(beam, key=lambda n: (-cos(qv, vecs[n]), n))[:TOPK]
+        out.extend((q, n, r + 1) for r, n in enumerate(final))
+    return out
+
+
 def ref_rank_metrics(vecs_all, labels, w, idcg, k=10, lab_ids=None):
     """Exact run (excludeSelf) over queries vec_id%20==3, then
     label-match MRR / capped recall / nDCG with the WEIGHT LITERALS
@@ -277,12 +334,16 @@ def main():
         got_hnsw = [(r[0], r[1], r[2])
                     for r in con.sql(oracles["e_ann_hnsw"]).fetchall()]
         want_hnsw = ref_hnsw(vecs_nz, nz(queries))
+        got_hnnd = [(r[0], r[1], r[2])
+                    for r in con.sql(oracles["e_ann_hnsw_nnd"]).fetchall()]
+        want_hnnd = ref_hnsw_nnd(vecs_nz, nz(queries))
         got_rm = [tuple(map(int, r)) for r in
                   con.sql(oracles["e_rank_metrics"]).fetchall()]
         want_rm = ref_rank_metrics(nz(all_vecs), labels, w, idcg,
                                    lab_ids=list(all_vecs))
         if (got_beam != want_beam or got_nd != want_nd
-                or got_hnsw != want_hnsw or got_rm != want_rm):
+                or got_hnsw != want_hnsw or got_hnnd != want_hnnd
+                or got_rm != want_rm):
             fails += 1
             print(f"MISMATCH trial {trial} (n={n})")
             if got_beam != want_beam:
@@ -293,6 +354,9 @@ def main():
             if got_hnsw != want_hnsw:
                 print("  hnsw got ", got_hnsw[:8])
                 print("  hnsw want", want_hnsw[:8])
+            if got_hnnd != want_hnnd:
+                print("  hnsw_nnd got ", got_hnnd[:8])
+                print("  hnsw_nnd want", want_hnnd[:8])
             if got_rm != want_rm:
                 print("  rank got ", got_rm[:4])
                 print("  rank want", want_rm[:4])

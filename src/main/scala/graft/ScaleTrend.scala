@@ -215,6 +215,26 @@ object ScaleTrend {
             emb.filter(col("vec_id") % 40 === 1), "vec_id", "embedding",
             graphOf, beam = 6, rounds = 3, k = 5)
         }),
+        "sketch_card" -> ((s: SparkSession, dir: String) => {
+          // the bounded-state corpus card: one map-side signal
+          // projection into ONE source-keyed aggregation whose state
+          // is four counters + a k-entry KMV sketch per source —
+          // linear by construction; the hazard would be the O(k)
+          // sketch insert degrading under per-source row growth
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          graft.ops.CorpusCard.cardFromSketchCensus(
+            graft.ops.CorpusCard.sketchCensus(
+              docs, "text", "source", "lang", 64), 64)
+        }),
+        "sq8_encode" -> ((s: SparkSession, dir: String) => {
+          // scalar-quantizer ingest: dim-keyed max census + map-only
+          // code/error projection — the zero-shuffle encode claim
+          // under the blow-up
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+            .filter(col("vec_id") % 3 === 0)
+          val scales = graft.ann.Sq.sq8Scales(emb, "embedding")
+          graft.ann.Sq.sq8Encode(emb, "vec_id", "embedding", scales, 64)
+        }),
         "softdedup_weights" -> ((s: SparkSession, dir: String) => {
           // the LM-census topology's audit point (the same census
           // equi-join shape backs t_lm_surprise, p_ppl_buckets,

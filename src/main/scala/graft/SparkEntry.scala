@@ -3413,6 +3413,30 @@ object SparkEntry {
         beam = 6, rounds = 3, k = 5)
         .orderBy("query_id", "rank")
     }),
+    "e_ann_hnsw_nnd" -> ((s, dir) => {
+      // the END-TO-END hierarchical production path: HNSW descent
+      // with BOTH layer graphs built by NN-descent (never all-pairs)
+      // — e_ann_beam_nnd lifted to the hierarchy. The groups dial is
+      // PER LAYER, pinned to the oracle's constants: the upper layer
+      // (~corpus/16, under 50 rows at the gate SFs) runs one seeded
+      // clique (groups = 1 — a corpus-derived dial would over-shard
+      // it into unseedable buckets), the base layer runs the
+      // e_ann_nndescent dial (16)
+      import graft.ann.Nsw
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 === 0)
+      require(!corpus.filter(Nsw.hnswLevel(col("vec_id")) >= 1 &&
+          graft.ann.Ann.norm(col("embedding")) > 0).isEmpty,
+        "gate contract: the sf slice must populate the searchable upper layer")
+      def graphOf(layer: org.apache.spark.sql.DataFrame) = {
+        val groups = if (layer.count() < 50) 1 else 16
+        Nsw.nnDescentGraph(layer, "vec_id", "embedding",
+          k = 5, rounds = 2, groups = groups)
+      }
+      Nsw.hnswSearch(corpus, emb.filter(col("vec_id") % 40 === 1),
+        "vec_id", "embedding", graphOf, beam = 6, rounds = 3, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "e_ann_beam_recall" -> ((s, dir) => {
       // recall@5 of the beam search vs the exact cosine top-5 over
       // the SAME %4 corpus — the graph-ANN regression gate beside
@@ -7249,6 +7273,16 @@ object SparkEntry {
          |  WHERE vec_id % 4 = 0 AND $nz),
          |${graft.ann.Nsw.hnswSearchSql(graphK = 6, beam = 6, rounds = 3,
             k = 5, dim = 64, upperBeam = 4, upperRounds = 2)}""".stripMargin
+    },
+    "e_ann_hnsw_nnd" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 40 = 1 AND $nz),
+         |c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 4 = 0 AND $nz),
+         |${graft.ann.Nsw.hnswSearchNndSql(beam = 6, rounds = 3, k = 5,
+            dim = 64, upperBeam = 4, upperRounds = 2,
+            ndK = 5, ndRounds = 2, upperGroups = 1, baseGroups = 16)}""".stripMargin
     },
     "e_ann_beam_recall" -> {
       val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"

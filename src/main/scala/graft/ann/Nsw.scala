@@ -341,45 +341,53 @@ object Nsw {
     * `e_ann_beam_nnd` splices it under [[beamBodySql]]).
     */
   def nnDescentEdgesSql(k: Int, rounds: Int, groups: Int, dim: Int,
-      initSeeds: Int = 3, seed: Long = 42L): String = {
+      initSeeds: Int = 3, seed: Long = 42L,
+      nodesCte: String = "c", tag: String = ""): String = {
     val cos = Ann.cosineSql("sv", "dv", dim)
     def bucket(s: Long) =
       s"(CAST(('0x' || substr(md5('$s:' || CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)"
+    // the multiply-referenced CTEs (each round's edge cut feeds the
+    // next round's und TWICE — a self-join — and the final cut feeds
+    // downstream consumers) are AS MATERIALIZED: without the pin an
+    // engine that inlines CTEs re-evaluates the whole prefix chain
+    // per reference, turning the unrolled build exponential in
+    // rounds (observed: the composed hnsw_nnd oracle at 200+ s on a
+    // 21-node corpus, sub-second once pinned)
     def cut(inCte: String, outCte: String): String =
-      s"""$outCte AS (SELECT src, dst FROM (
+      s"""$outCte AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT s.src, s.dst, row_number() OVER (PARTITION BY s.src
          |    ORDER BY s.score DESC, s.dst) AS rn
          |  FROM $inCte s) r WHERE rn <= $k)""".stripMargin
     def scored(candCte: String, outCte: String): String =
       s"""$outCte AS (SELECT d.src, d.dst, $cos AS score
          |  FROM $candCte d
-         |  JOIN (SELECT node, cv AS sv FROM c) a ON a.node = d.src
-         |  JOIN (SELECT node, cv AS dv FROM c) b ON b.node = d.dst)""".stripMargin
+         |  JOIN (SELECT node, cv AS sv FROM $nodesCte) a ON a.node = d.src
+         |  JOIN (SELECT node, cv AS dv FROM $nodesCte) b ON b.node = d.dst)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
-      val prev = s"e${r - 1}"
+      val prev = s"${tag}e${r - 1}"
       Seq(
-        s"""und$r AS (SELECT DISTINCT src, dst FROM (
+        s"""${tag}und$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            |  SELECT src, dst FROM $prev
            |  UNION ALL
            |  SELECT dst AS src, src AS dst FROM $prev) u)""".stripMargin,
-        s"""cand$r AS (SELECT DISTINCT src, dst FROM (
+        s"""${tag}cand$r AS (SELECT DISTINCT src, dst FROM (
            |  SELECT src, dst FROM $prev
            |  UNION ALL
-           |  SELECT x.dst AS src, y.dst AS dst FROM und$r x JOIN und$r y
+           |  SELECT x.dst AS src, y.dst AS dst FROM ${tag}und$r x JOIN ${tag}und$r y
            |    ON x.src = y.src AND x.dst <> y.dst) u)""".stripMargin,
-        scored(s"cand$r", s"sc$r"),
-        cut(s"sc$r", s"e$r")).mkString(",\n")
+        scored(s"${tag}cand$r", s"${tag}sc$r"),
+        cut(s"${tag}sc$r", s"${tag}e$r")).mkString(",\n")
     }.mkString(",\n")
     val initArms = (0 until initSeeds).map { j =>
       s"""SELECT a.node AS src, b.node AS dst
-         |  FROM (SELECT node, ${bucket(seed + j)} % $groups AS g FROM c) a
-         |  JOIN (SELECT node, ${bucket(seed + j)} % $groups AS g FROM c) b
+         |  FROM (SELECT node, ${bucket(seed + j)} % $groups AS g FROM $nodesCte) a
+         |  JOIN (SELECT node, ${bucket(seed + j)} % $groups AS g FROM $nodesCte) b
          |  ON a.g = b.g AND a.node <> b.node""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""cand0 AS (SELECT DISTINCT src, dst FROM (
+    s"""${tag}cand0 AS (SELECT DISTINCT src, dst FROM (
        |$initArms) i),
-       |${scored("cand0", "sc0")},
-       |${cut("sc0", "e0")},
+       |${scored(s"${tag}cand0", s"${tag}sc0")},
+       |${cut(s"${tag}sc0", s"${tag}e0")},
        |$roundCtes""".stripMargin
   }
 
@@ -451,12 +459,46 @@ object Nsw {
     */
   def hnswSearchSql(graphK: Int, beam: Int, rounds: Int, k: Int,
       dim: Int, upperBeam: Int, upperRounds: Int): String = {
+    def knn(nodesCte: String, outCte: String): String =
+      knnGraphCteSql(nodesCte, outCte, graphK, dim)
+    s"""lvl AS (SELECT node, cv FROM c
+       |  WHERE ${hnswLevelSql("node")} >= 1),
+       |${knn("lvl", "ug")},
+       |${knn("c", "bg")},
+       |${hnswDescentSql(beam, rounds, k, dim, upperBeam, upperRounds)}""".stripMargin
+  }
+
+  /** The [[hnswSearchSql]] composition with BOTH layer graphs built
+    * by the unrolled NN-descent chain instead of the exact kNN — the
+    * corpus-scale twin the Scala door runs with `graphOf =
+    * nnDescentGraph` (the `e_ann_beam_nnd` pairing, lifted to the
+    * hierarchy). The two builds carry distinct CTE tags; the groups
+    * dial is PER LAYER (`upperGroups` ≪ `baseGroups` — the upper
+    * layer is 16× smaller, the fixed-dial rule applied per layer).
+    */
+  def hnswSearchNndSql(beam: Int, rounds: Int, k: Int,
+      dim: Int, upperBeam: Int, upperRounds: Int,
+      ndK: Int, ndRounds: Int, upperGroups: Int, baseGroups: Int): String =
+    s"""lvl AS (SELECT node, cv FROM c
+       |  WHERE ${hnswLevelSql("node")} >= 1),
+       |${nnDescentEdgesSql(ndK, ndRounds, upperGroups, dim,
+          nodesCte = "lvl", tag = "u_")},
+       |ug AS MATERIALIZED (SELECT src, dst FROM u_e$ndRounds),
+       |${nnDescentEdgesSql(ndK, ndRounds, baseGroups, dim,
+          nodesCte = "c", tag = "b_")},
+       |bg AS MATERIALIZED (SELECT src, dst FROM b_e$ndRounds),
+       |${hnswDescentSql(beam, rounds, k, dim, upperBeam, upperRounds)}""".stripMargin
+
+  /** The two-layer descent over existing `q`, `c`, `lvl`, `ug`, `bg`
+    * CTEs — ONE renderer shared by the exact-graph and NN-descent
+    * oracles, so the round/tie arithmetic cannot drift.
+    */
+  private def hnswDescentSql(beam: Int, rounds: Int, k: Int,
+      dim: Int, upperBeam: Int, upperRounds: Int): String = {
     require(rounds >= 1 && upperRounds >= 1,
       s"the SQL rendering unrolls >= 1 round per layer, " +
         s"got rounds=$rounds upperRounds=$upperRounds")
     val cos = Ann.cosineSql("qv", "cv", dim)
-    def knn(nodesCte: String, outCte: String): String =
-      knnGraphCteSql(nodesCte, outCte, graphK, dim)
     def round(prev: String, tag: String, nodesCte: String, gCte: String,
         width: Int): String =
       s"""x$tag AS (SELECT DISTINCT query_id, node FROM (
@@ -478,11 +520,7 @@ object Nsw {
     val baseRounds_ = (1 to rounds).map { r =>
       round(if (r == 1) "bb0" else s"bb${r - 1}", s"b$r", "c", "bg", beam)
     }.mkString(",\n")
-    s"""lvl AS (SELECT node, cv FROM c
-       |  WHERE ${hnswLevelSql("node")} >= 1),
-       |${knn("lvl", "ug")},
-       |${knn("c", "bg")},
-       |uent0 AS (SELECT min(node) AS node FROM lvl),
+    s"""uent0 AS (SELECT min(node) AS node FROM lvl),
        |bu0 AS (SELECT q.query_id, uent0.node, 0.0 AS score FROM q, uent0),
        |$upperRounds_,
        |uent AS (SELECT query_id, node FROM (

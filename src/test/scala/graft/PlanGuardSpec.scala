@@ -342,6 +342,36 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SQ8 encode is a pure projection — no exchange, no join in the encode frame") {
+    // the map-only ingest claim (the rvqEncodeMapOnly sibling): once
+    // the dim-row scale census is collected, encoding arrivals must
+    // not shuffle — the property st_sq8_incr's zero-shuffle
+    // micro-batch body rests on
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 3 === 0)
+    val scales = graft.ann.Sq.sq8Scales(emb, "embedding")
+    val p = graft.ann.Sq.sq8Encode(emb, "vec_id", "embedding", scales, 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"sq8Encode must stay map-only, got:\n$p")
+  }
+
+  test("sketched corpus-card census plans ONE keyed aggregation — no join, no window") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 4 === 1)
+    val p = graft.ops.CorpusCard.sketchCensus(
+      docs, "text", "source", "lang", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"sketchCensus must be one keyed aggregation, got:\n$p")
+    // one hash-partition exchange (the source key), nothing else
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"sketchCensus plans $exchanges exchanges, expected exactly 1:\n$p")
+  }
+
   test("LSH plane weights never appear as plan literals (task-binary bloat pin)") {
     // the round-4 regression: 192 per-plane typedLit arrays, duplicated
     // by the optimizer into every operator on both self-join sides ->
