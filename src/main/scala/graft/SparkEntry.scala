@@ -3107,6 +3107,20 @@ object SparkEntry {
         "vec_id", "embedding", 5, scales, 64)
         .orderBy("query_id", "rank")
     }),
+    "e_sq8_ivf" -> ((s, dir) => {
+      // composed IVF-SQ8 (the faiss IVF…,SQ8 shape): md5-seeded
+      // coarse cells prune to nProbe per query, survivors score
+      // against their DECODED bytes — assignment + decode fuse into
+      // ONE map-only projection per candidate against two bounded
+      // broadcast literals; L2 end-to-end, so no zero-norm
+      // exclusions anywhere
+      import graft.ann.Sq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val scales = Sq.sq8Scales(emb, "embedding")
+      Sq.ivfSq8TopK(emb.filter(col("vec_id") % 300 === 0), emb,
+        "vec_id", "embedding", 5, scales, 64)
+        .orderBy("query_id", "rank")
+    }),
     "e_pq_opq" -> ((s, dir) => {
       // OPQ-style energy-balanced PQ (Ge et al. 2013, the
       // deterministic axis-aligned member of the family): census each
@@ -7128,6 +7142,9 @@ object SparkEntry {
       // exactly — same oracle as e_sq8_encode
       (graft.ann.Sq.sq8EncodeSql(64, "WHERE vec_id % 3 = 0")
         + "\nORDER BY id"),
+    "e_sq8_ivf" ->
+      graft.ann.Sq.ivfSq8TopKSql(5, 64, 16, 4,
+        "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
     "e_rvq_store" ->
       // the reload must reproduce the inline-recomputed encode
       // exactly — same oracle as e_rvq_encode

@@ -106,6 +106,109 @@ object Sq {
     Ann.heapRank(scored, "adc8", "double", n, ascending = true)
   }
 
+  /** Composed IVF-SQ8 (the faiss `IVF…,SQ8` index shape): a coarse
+    * cell quantizer prunes the corpus to `nProbe` cells per query,
+    * and only the survivors score — against their DECODED bytes, so
+    * the fine storage is 4× smaller while the probe math is
+    * unchanged. The coarse pick is the deterministic md5-seeded cell
+    * device ([[Ann.ivfTopKHashCells]]'s quantizer) under the L2
+    * metric end-to-end: argmin-L2² assignment (ties to the smallest
+    * cell id — and NO zero-norm exclusions anywhere, L2 has no NaN
+    * hazard), per-query `nProbe` nearest cells, decoded-L2² scoring
+    * through the bounded-heap tail.
+    *
+    * 100 TB shape: cell assignment + SQ8 decode fuse into ONE
+    * map-only projection per candidate against two bounded broadcast
+    * literals (the centroid array and the dim-entry scales); the
+    * scored join shuffles only on cell id; `nProbe/nCells` of the
+    * corpus reaches each query's heap.
+    */
+  def ivfSq8TopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      scales: DataFrame, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val sarr = scaleLiteral(scales, dim)
+    val cents = candidates
+      .select(col(idCol).as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .withColumn("ck", md5(col("cell").cast("string")))
+      .orderBy(col("ck"), col("cell")).limit(nCells)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+    def cellDists(vec: Column): Column =
+      transform(col("cents"), ct =>
+        struct(Ann.l2sq(vec, ct("centroid")).as("d"),
+          ct("cell").as("cell")))
+    def decodeAt(v: Column, i: Column): Column = {
+      val s = element_at(sarr, i + 1)
+      val code = when(s > 0,
+        floor(element_at(v, i + 1).cast("double") / s * lit(127.0))
+          .cast("int")).otherwise(lit(0))
+      code.cast("double") * s / lit(127.0)
+    }
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_min(cellDists(col("__v")))("cell"))
+      .withColumn("__dv",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => decodeAt(col("__v"), i)))
+      .select(col("neighbor_id"), col("cell"), col("__dv"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ds", array_sort(cellDists(col("qv"))))
+      .withColumn("np", least(lit(nProbe), size(col("ds"))))
+      .withColumn("probe", explode(slice(col("ds"), lit(1), col("np"))))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.l2sq(col("qv"), col("__dv")).as("adc8"))
+    Ann.heapRank(scored, "adc8", "double", n, ascending = true)
+  }
+
+  /** DuckDB rendering of [[ivfSq8TopK]] (self-search over the
+    * `whereClause` slice, queries = `queryWhere` rows, self
+    * excluded).
+    */
+  def ivfSq8TopKSql(
+      n: Int, dim: Int, nCells: Int, nProbe: Int,
+      whereClause: String, queryWhere: String): String =
+    s"""WITH ${sq8CtesSql(dim, whereClause)},
+       |cents AS (SELECT vec_id AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |assign0 AS (SELECT d.id AS neighbor_id, d.dv, c.cell,
+       |    row_number() OVER (PARTITION BY d.id
+       |      ORDER BY ${Ann.l2sqSql("d.v", "c.centroid", dim)}, c.cell) AS rn
+       |  FROM dec d CROSS JOIN cents c),
+       |assigned AS (SELECT neighbor_id, dv, cell FROM assign0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM e $queryWhere),
+       |probe0 AS (SELECT q.query_id, q.qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${Ann.l2sqSql("q.qv", "c.centroid", dim)}, c.cell) AS rn
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qv, cell FROM probe0 WHERE rn <= $nProbe),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    ${Ann.l2sqSql("qv", "dv", dim)} AS adc8
+       |  FROM probes JOIN assigned USING (cell)
+       |  WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc8,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc8, neighbor_id) AS INT)
+       |      AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adc8 FROM ranked
+       |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
+
   /** Shared CTE chain over `embeddings(vec_id, embedding)` restricted
     * by `whereClause`: `e`, the scale census `sc`/`scl`, `codes`, and
     * the decode `dec` — reused by both oracles.

@@ -87,4 +87,33 @@ class SqSpec extends AnyFunSuite with SparkSpec {
     assert(hits.sum.toDouble / hits.size >= 4.0,
       s"8-bit recall@5 ${hits.sum.toDouble / hits.size} below floor 4.0")
   }
+
+  test("ivfSq8TopK: probing every cell reproduces the flat SQ8 search; pruning keeps a recall floor") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0L until 60L).map(i =>
+      (i, centers((i % 4).toInt).map(x =>
+        x + 0.05f * rnd.nextGaussian().toFloat).toSeq))
+    val df = emb(rows)
+    val scales = Sq.sq8Scales(df, "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    def collect(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getInt(2)) -> x.getLong(1)).toMap
+    // nProbe = nCells: no pruning, must equal the flat decoded search
+    val full = collect(Sq.ivfSq8TopK(queries, df, "vec_id", "embedding", 5,
+      scales, dim, nCells = 8, nProbe = 8))
+    val flat = collect(Sq.sq8TopK(queries, df, "vec_id", "embedding", 5,
+      scales, dim))
+    assert(full === flat, "full-probe IVF-SQ8 must equal flat SQ8")
+    // pruned probing on clustered data keeps most of the top-5
+    val pruned = Sq.ivfSq8TopK(queries, df, "vec_id", "embedding", 5,
+      scales, dim, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = flat.toSeq.groupBy(_._1._1).map { case (qid, rs) =>
+      (pruned.getOrElse(qid, Set.empty) & rs.map(_._2).toSet).size
+    }
+    assert(hits.sum.toDouble / hits.size >= 3.0,
+      s"pruned recall ${hits.sum.toDouble / hits.size} below floor")
+  }
 }
