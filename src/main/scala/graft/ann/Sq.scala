@@ -54,28 +54,40 @@ object Sq {
     * against the decode (the number that says whether 8 bits
     * suffice for this corpus). Pure projection; nothing shuffles.
     */
+  /** `code_i` for element `i` of `v` against the scale literal. */
+  private def codeAt(sarr: Column, v: Column, i: Column): Column = {
+    val s = element_at(sarr, i + 1)
+    when(s > 0,
+      floor(element_at(v, i + 1).cast("double") / s * lit(127.0))
+        .cast("int"))
+      .otherwise(lit(0))
+  }
+
+  /** FUSED per-element decode-of-encode `decode(code_i(v))` — element
+    * `i` references only element `i` of the raw vector. Deriving the
+    * decode from a 64-wide intermediate `codes` array instead nests
+    * the whole codes tree under every element (the projection
+    * collapses once codes is not itself an output column) — a
+    * ~dim²-node expression whose optimize/codegen cost dominated the
+    * query (6 s of plan time on a 35-row result before this fusion).
+    */
+  private def decodedAt(sarr: Column, v: Column, i: Column): Column =
+    codeAt(sarr, v, i).cast("double") *
+      element_at(sarr, i + 1) / lit(127.0)
+
   def sq8Encode(
       df: DataFrame, idCol: String, vecCol: String,
       scales: DataFrame, dim: Int,
   ): DataFrame = {
     val sarr = scaleLiteral(scales, dim)
-    def codeAt(v: Column, i: Column): Column = {
-      val s = element_at(sarr, i + 1)
-      when(s > 0,
-        floor(element_at(v, i + 1).cast("double") / s * lit(127.0))
-          .cast("int"))
-        .otherwise(lit(0))
-    }
-    def decodeAt(codes: Column, i: Column): Column =
-      element_at(codes, i + 1).cast("double") *
-        element_at(sarr, i + 1) / lit(127.0)
     df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("codes",
-        transform(sequence(lit(0), lit(dim - 1)), i => codeAt(col("__v"), i)))
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => codeAt(sarr, col("__v"), i)))
       .withColumn("__dv",
         transform(sequence(lit(0), lit(dim - 1)),
-          i => decodeAt(col("codes"), i)))
+          i => decodedAt(sarr, col("__v"), i)))
       .select(col("id"), col("codes"),
         Ann.l2sq(col("__v"), col("__dv")).as("err8"))
   }
@@ -92,11 +104,13 @@ object Sq {
       scales: DataFrame, dim: Int, excludeSelf: Boolean = true,
   ): DataFrame = {
     val sarr = scaleLiteral(scales, dim)
-    val enc = sq8Encode(candidates, idCol, vecCol, scales, dim)
-      .select(col("id").as("neighbor_id"),
+    val enc = candidates
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__dv",
         transform(sequence(lit(0), lit(dim - 1)),
-          i => element_at(col("codes"), i + 1).cast("double") *
-            element_at(sarr, i + 1) / lit(127.0)).as("__dv"))
+          i => decodedAt(sarr, col("__v"), i)))
+      .select(col("neighbor_id"), col("__dv"))
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val scored = q.join(enc,
@@ -140,13 +154,6 @@ object Sq {
       transform(col("cents"), ct =>
         struct(Ann.l2sq(vec, ct("centroid")).as("d"),
           ct("cell").as("cell")))
-    def decodeAt(v: Column, i: Column): Column = {
-      val s = element_at(sarr, i + 1)
-      val code = when(s > 0,
-        floor(element_at(v, i + 1).cast("double") / s * lit(127.0))
-          .cast("int")).otherwise(lit(0))
-      code.cast("double") * s / lit(127.0)
-    }
     val assigned = candidates
       .select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -154,7 +161,7 @@ object Sq {
       .withColumn("cell", array_min(cellDists(col("__v")))("cell"))
       .withColumn("__dv",
         transform(sequence(lit(0), lit(dim - 1)),
-          i => decodeAt(col("__v"), i)))
+          i => decodedAt(sarr, col("__v"), i)))
       .select(col("neighbor_id"), col("cell"), col("__dv"))
     val probes = queries
       .select(col(idCol).as("query_id"),

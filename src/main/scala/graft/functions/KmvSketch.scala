@@ -28,6 +28,12 @@ final case class KmvSketchBuffer(items: List[Long])
   * [[graft.ops.Sketches.kmvHashes]]' COUNT-DISTINCT stance); the
   * input is Option-ized so a nullable hash column deserializes
   * instead of throwing (the [[TopK]] lesson).
+  *
+  * The buffer is a sorted list with O(k) insert — right for the
+  * census dials here (k ≤ a few hundred); a deployment running
+  * k ≫ 1024 for tighter estimates should swap an array-backed
+  * binary-search buffer into `add` (same contract, same encoder
+  * shape).
   */
 final case class KmvSketch(k: Int)
     extends Aggregator[Option[Long], KmvSketchBuffer, Seq[Long]] {
