@@ -3064,6 +3064,20 @@ object SparkEntry {
         n = 5, coarseDim = 16, coarseN = 20)
         .orderBy("query_id", "rank")
     }),
+    "e_ann_mrl_lsh" -> ((s, dir) => {
+      // the PRODUCTION Matryoshka funnel: the coarse stage is LSH
+      // over the 16-component PREFIX (nesting means the coarse index
+      // hashes a quarter of the floats; any family index slots in),
+      // multi-probed 1-bit flips, then the full-width rerank of the
+      // bounded survivors — the whole composition under one oracle
+      // where e_ann_mrl gates the verifier-arm coarse stage
+      import graft.ann.Matryoshka
+      val emb = t(s, dir, "embeddings")
+      Matryoshka.mrlLshTopK(emb.filter(col("vec_id") % 40 === 2),
+        emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding",
+        n = 5, coarseDim = 16, coarseN = 20, planes = 12, multiProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
     "e_margin_mine" -> ((s, dir) => {
       // margin-based bitext mining (Artetxe & Schwenk 2019, the
       // CCMatrix recipe): ratio margin = cos / mean-of-own-kNN-cos
@@ -7126,6 +7140,9 @@ object SparkEntry {
         "WHERE vec_id % 3 = 1") + "\nORDER BY id"),
     "e_ann_mrl" ->
       graft.ann.Matryoshka.mrlTopKSql(5, 16, 20, 64,
+        "WHERE vec_id % 4 = 2", "WHERE vec_id % 40 = 2"),
+    "e_ann_mrl_lsh" ->
+      graft.ann.Matryoshka.mrlLshTopKSql(5, 16, 20, 64, 12, 2,
         "WHERE vec_id % 4 = 2", "WHERE vec_id % 40 = 2"),
     "e_margin_mine" ->
       (graft.ann.Mining.marginMineSql(4, 64, 1.0,

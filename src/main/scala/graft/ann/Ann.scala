@@ -270,7 +270,7 @@ object Ann {
     * by its bucket's occupancy, so level 2 trades ~6× candidates for
     * the ~6× recall gain of reaching hamming-2 buckets.
     */
-  private def probeMasks(planes: Int, multiProbe: Int): Seq[Long] = {
+  private[ann] def probeMasks(planes: Int, multiProbe: Int): Seq[Long] = {
     require(multiProbe == 1 || multiProbe == 2,
       s"multiProbe $multiProbe must be 1 (own + 1-bit) or 2 (+ 2-bit)")
     val one = Seq(0L) ++ (0 until planes).map(p => 1L << p)

@@ -64,6 +64,83 @@ object Matryoshka {
     Ann.heapRank(rescored, "score", "double", n, ascending = false)
   }
 
+  /** The PRODUCTION funnel: the coarse stage runs [[Ann.lshTopK]]
+    * over the PREFIX instead of the all-pairs verifier — nesting
+    * means the coarse index hashes/stores `coarseDim` floats per row,
+    * so any of the family's index builds slots in unchanged; this
+    * composition gates the LSH member end-to-end. Prefix zero-norms
+    * drop at the coarse stage (lshTopK's own filter, on the sliced
+    * column); the rerank re-scores only the bounded survivor set at
+    * full width.
+    */
+  def mrlLshTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      coarseDim: Int, coarseN: Int,
+      planes: Int = 12, multiProbe: Int = 1,
+  ): DataFrame = {
+    require(n >= 1 && coarseN >= n,
+      s"need coarseN >= n >= 1, got n=$n coarseN=$coarseN")
+    def prefix(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        transform(slice(col(vecCol), 1, coarseDim), x => x.cast("double"))
+          .as(vecCol))
+    val coarse = Ann.lshTopK(prefix(queries), prefix(candidates),
+      idCol, vecCol, coarseN, planes, coarseDim, multiProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val rescored = coarse
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.cosine(col("qv"), col("cv")).as("score"))
+    Ann.heapRank(rescored, "score", "double", n, ascending = false)
+  }
+
+  /** DuckDB rendering of [[mrlLshTopK]] over `embeddings` (candidates
+    * restricted by `whereClause`, queries by `queryWhere` over the
+    * same slice, self excluded) — the prefix signature/cosine simply
+    * fold indexes `1..coarseDim` of the stored list.
+    */
+  def mrlLshTopKSql(
+      n: Int, coarseDim: Int, coarseN: Int, dim: Int,
+      planes: Int, multiProbe: Int,
+      whereClause: String, queryWhere: String): String = {
+    val sig = Ann.lshSignatureSql("embedding", planes, coarseDim)
+    val masks = Ann.probeMasks(planes, multiProbe).mkString(", ")
+    val preNz = s"${Ann.dotSql("embedding", "embedding", coarseDim)} > 0"
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings $whereClause),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, $sig AS bucket
+       |  FROM e WHERE $preNz),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv, $sig AS qsig
+       |  FROM e ${if (queryWhere.isEmpty) "WHERE" else s"$queryWhere AND"}
+       |    $preNz),
+       |q AS (SELECT query_id, qv, xor(qsig, m.mask) AS bucket
+       |  FROM q0 CROSS JOIN (SELECT unnest([$masks]) AS mask) m),
+       |cscored AS (SELECT DISTINCT query_id, neighbor_id,
+       |    ${Ann.cosineSql("qv", "cv", coarseDim)} AS cscore
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |coarse AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cscore DESC, neighbor_id) AS rn
+       |  FROM cscored) f WHERE rn <= $coarseN),
+       |rescored AS (SELECT f.query_id, f.neighbor_id,
+       |    ${Ann.cosineSql("qv", "cv", dim)} AS score
+       |  FROM coarse f JOIN c ON c.neighbor_id = f.neighbor_id
+       |  JOIN q0 ON q0.query_id = f.query_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INT) AS rank, score
+       |FROM rescored
+       |QUALIFY rank <= $n
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB rendering of [[mrlTopK]] as a self-search over the
     * `whereClause` slice of `embeddings`, queries = `queryWhere`
     * rows, self excluded. The prefix cosine simply folds indexes

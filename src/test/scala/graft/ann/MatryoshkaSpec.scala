@@ -56,6 +56,36 @@ class MatryoshkaSpec extends AnyFunSuite with SparkSpec {
     assert(!got.exists(_._2 == 100L), "zero-prefix candidate must be excluded")
   }
 
+  test("the LSH-coarse funnel keeps a recall floor and ranks by FULL-width cosine") {
+    val rows = clustered(80, 4)
+    val df = emb(rows)
+    val q = df.filter(col("vec_id") < 6)
+    val got = Matryoshka.mrlLshTopK(q, df, "vec_id", "embedding",
+      n = 5, coarseDim = 8, coarseN = 15, planes = 6, multiProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    // ranks follow the full-dim cosine recomputed independently
+    val vs = rows.toMap
+    for ((qid, nid, _, score) <- got) {
+      val qd = vs(qid).map(_.toDouble); val nd = vs(nid).map(_.toDouble)
+      val dot = qd.zip(nd).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val cos = dot / (math.sqrt(qd.map(x => x * x).sum) *
+        math.sqrt(nd.map(x => x * x).sum))
+      assert(math.abs(cos - score) < 1e-9,
+        s"($qid,$nid) score $score is not the full-width cosine $cos")
+    }
+    val exact = Ann.bruteForceTopK(q, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.map { case (qid, ex) =>
+      (byQ.getOrElse(qid, Set.empty) & ex).size
+    }
+    assert(hits.sum.toDouble / hits.size >= 2.0,
+      s"lsh funnel recall@5 ${hits.sum.toDouble / hits.size} below floor")
+  }
+
   test("a narrow funnel keeps a recall floor on clustered vectors") {
     val rows = clustered(80, 4)
     val df = emb(rows)
