@@ -39,10 +39,25 @@ object Mining {
       threshold: Double,
   ): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
-    val fwd = Ann.bruteForceTopK(srcSide, dstSide, idCol, vecCol, k,
-      excludeSelf = false)
-    val bwd = Ann.bruteForceTopK(dstSide, srcSide, idCol, vecCol, k,
-      excludeSelf = false)
+    marginFromRuns(
+      Ann.bruteForceTopK(srcSide, dstSide, idCol, vecCol, k,
+        excludeSelf = false),
+      Ann.bruteForceTopK(dstSide, srcSide, idCol, vecCol, k,
+        excludeSelf = false),
+      threshold)
+  }
+
+  /** The margin layer over CALLER-SUPPLIED kNN runs — the actually
+    * pluggable form ([[marginMine]] is the gate-facing exact-run
+    * composition): `fwd`/`bwd` are `(query_id, neighbor_id, rank,
+    * score)` frames from ANY of the family's searches (LSH, IVF,
+    * graph, funnel — the score must be the same metric both ways).
+    * Everything here is bounded: two per-row mean frames, two
+    * equi-joins onto the forward run, one per-source argmax.
+    */
+  def marginFromRuns(
+      fwd: DataFrame, bwd: DataFrame, threshold: Double,
+  ): DataFrame = {
     def nnMean(run: DataFrame, outId: String, outMean: String): DataFrame =
       run.groupBy(col("query_id"))
         .agg(sort_array(collect_list(struct(col("rank"), col("score"))))

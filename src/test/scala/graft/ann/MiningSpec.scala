@@ -45,6 +45,31 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
     assert(tied.toSeq === Seq((1L, 21L)), s"tie must keep the smaller id: ${tied.toSeq}")
   }
 
+  test("marginFromRuns is the pluggable core: feeding it the exact runs reproduces marginMine, and an LSH run slots in") {
+    val rnd = new scala.util.Random(31)
+    val src = (0L until 12L).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val dst = (100L until 115L).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val (s, d) = (emb(src), emb(dst))
+    val viaRuns = Mining.marginFromRuns(
+      Ann.bruteForceTopK(s, d, "vec_id", "embedding", 3, excludeSelf = false),
+      Ann.bruteForceTopK(d, s, "vec_id", "embedding", 3, excludeSelf = false),
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val viaMine = Mining.marginMine(s, d, "vec_id", "embedding", 3,
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(viaRuns === viaMine)
+    // any family search slots in: the LSH run produces a well-formed
+    // mining result (per-source unique, margins finite)
+    val lsh = Mining.marginFromRuns(
+      Ann.lshTopK(s, d, "vec_id", "embedding", 3, planes = 4, dim = dim),
+      Ann.lshTopK(d, s, "vec_id", "embedding", 3, planes = 4, dim = dim),
+      threshold = 0.0).collect()
+    assert(lsh.map(_.getLong(0)).distinct.length === lsh.length,
+      "one mined target per source")
+    assert(lsh.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
   test("margin demotes a hub that raw cosine would mine") {
     // dst 30 is a 'hub': its common direction scores ~0.79 against
     // EVERY src, so its own-kNN mean equals its pair score and its
