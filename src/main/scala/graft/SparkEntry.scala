@@ -3092,6 +3092,19 @@ object SparkEntry {
         k = 4, threshold = 1.0)
         .orderBy("src_id")
     }),
+    "e_margin_mine_lsh" -> ((s, dir) => {
+      // the PRODUCTION mining composition: both kNN runs through the
+      // multi-probed hyperplane LSH index (marginFromRuns' pluggable
+      // core under a gate, not just a spec) — the id spaces of the
+      // two residue slices are disjoint, so lshTopK's equal-id drop
+      // is a no-op here (the scaladoc'd contract)
+      import graft.ann.Mining
+      val emb = t(s, dir, "embeddings")
+      Mining.marginMineLsh(emb.filter(col("vec_id") % 4 === 1),
+        emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding",
+        k = 4, threshold = 1.0, planes = 12, dim = 64, multiProbe = 2)
+        .orderBy("src_id")
+    }),
     "e_sq8_encode" -> ((s, dir) => {
       // scalar quantization (the faiss QT_8bit shape, deterministic
       // max-abs variant): per-dim scale census (dim bounded rows,
@@ -7147,6 +7160,11 @@ object SparkEntry {
     "e_margin_mine" ->
       (graft.ann.Mining.marginMineSql(4, 64, 1.0,
         "WHERE vec_id % 4 = 1", "WHERE vec_id % 4 = 3")
+        + "\nORDER BY src_id"),
+    "e_margin_mine_lsh" ->
+      (graft.ann.Mining.marginMineLshSql(4, 64, 1.0,
+        "WHERE vec_id % 4 = 1", "WHERE vec_id % 4 = 3",
+        planes = 12, multiProbe = 2)
         + "\nORDER BY src_id"),
     "e_sq8_encode" ->
       (graft.ann.Sq.sq8EncodeSql(64, "WHERE vec_id % 3 = 0")

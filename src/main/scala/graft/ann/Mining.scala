@@ -102,12 +102,6 @@ object Mining {
          |      ORDER BY ${Ann.cosineSql("q.v", "c.v", dim)} DESC, c.id)
          |      AS rank
          |  FROM $qCte q, $cCte c) r WHERE rank <= $k)""".stripMargin
-    def mean(runCte: String, outCte: String, idAs: String,
-        meanAs: String): String =
-      s"""$outCte AS (SELECT query_id AS $idAs,
-         |    list_reduce(list(score ORDER BY rank), (x, y) -> x + y)
-         |      / CAST(count(*) AS DOUBLE) AS $meanAs
-         |  FROM $runCte GROUP BY query_id)""".stripMargin
     s"""WITH s AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings $srcWhere AND $nz),
@@ -116,7 +110,22 @@ object Mining {
        |  FROM embeddings $dstWhere AND $nz),
        |${run("s", "d", "fwd")},
        |${run("d", "s", "bwd")},
-       |${mean("fwd", "fm", "src_id", "src_nn")},
+       |${marginTailSql(threshold)}""".stripMargin
+  }
+
+  /** The margin-layer CTE tail over existing `fwd`/`bwd` run CTEs
+    * (`(query_id, neighbor_id, score, rank)`) — ONE renderer shared
+    * by the exact and LSH oracles (the [[marginFromRuns]] twin), so
+    * the mean fold and tie rules cannot drift.
+    */
+  private def marginTailSql(threshold: Double): String = {
+    def mean(runCte: String, outCte: String, idAs: String,
+        meanAs: String): String =
+      s"""$outCte AS (SELECT query_id AS $idAs,
+         |    list_reduce(list(score ORDER BY rank), (x, y) -> x + y)
+         |      / CAST(count(*) AS DOUBLE) AS $meanAs
+         |  FROM $runCte GROUP BY query_id)""".stripMargin
+    s"""${mean("fwd", "fm", "src_id", "src_nn")},
        |${mean("bwd", "bm", "dst_id", "dst_nn")},
        |margins AS (SELECT f.query_id AS src_id, f.neighbor_id AS dst_id,
        |    f.score AS cos,
@@ -130,5 +139,58 @@ object Mining {
        |  FROM margins) b WHERE rn = 1)
        |SELECT src_id, dst_id, cos, margin FROM best
        |WHERE margin >= $threshold""".stripMargin
+  }
+
+  /** [[marginFromRuns]] composed with [[Ann.lshTopK]] runs both ways
+    * — the production composition the gate pins (the exact-run twin
+    * is [[marginMine]]). NOTE [[Ann.lshTopK]] always drops equal-id
+    * pairs; mine across sides with disjoint id spaces (the gate's
+    * residue slices are) or re-key first.
+    */
+  def marginMineLsh(
+      srcSide: DataFrame, dstSide: DataFrame,
+      idCol: String, vecCol: String, k: Int, threshold: Double,
+      planes: Int = 12, dim: Int = 64, multiProbe: Int = 1,
+  ): DataFrame =
+    marginFromRuns(
+      Ann.lshTopK(srcSide, dstSide, idCol, vecCol, k, planes, dim,
+        multiProbe),
+      Ann.lshTopK(dstSide, srcSide, idCol, vecCol, k, planes, dim,
+        multiProbe),
+      threshold)
+
+  /** DuckDB rendering of [[marginMineLsh]] — two LSH run chains (the
+    * [[Ann.lshTopKSql]] shape with per-side slices) under the SHARED
+    * margin tail.
+    */
+  def marginMineLshSql(
+      k: Int, dim: Int, threshold: Double,
+      srcWhere: String, dstWhere: String,
+      planes: Int = 12, multiProbe: Int = 1): String = {
+    val nz = s"${Ann.dotSql("embedding", "embedding", dim)} > 0"
+    val sig = Ann.lshSignatureSql("v", planes, dim)
+    val masks = Ann.probeMasks(planes, multiProbe).mkString(", ")
+    def side(cte: String, where: String): String =
+      s"""$cte AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings $where AND $nz),
+         |${cte}s AS (SELECT id, v, $sig AS sig FROM $cte)""".stripMargin
+    def run(qCte: String, cCte: String, outCte: String): String =
+      s"""${outCte}0 AS (SELECT DISTINCT q.query_id, c.id AS neighbor_id,
+         |    ${Ann.cosineSql("q.qv", "c.v", dim)} AS score
+         |  FROM (SELECT id AS query_id, v AS qv, xor(sig, m.mask) AS bucket
+         |        FROM ${qCte}s CROSS JOIN (SELECT unnest([$masks]) AS mask) m) q
+         |  JOIN (SELECT id, v, sig AS bucket FROM ${cCte}s) c USING (bucket)
+         |  WHERE q.query_id <> c.id),
+         |$outCte AS (SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT query_id, neighbor_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |    AS rank
+         |  FROM ${outCte}0) r WHERE rank <= $k)""".stripMargin
+    s"""WITH ${side("s", srcWhere)},
+       |${side("d", dstWhere)},
+       |${run("s", "d", "fwd")},
+       |${run("d", "s", "bwd")},
+       |${marginTailSql(threshold)}""".stripMargin
   }
 }
