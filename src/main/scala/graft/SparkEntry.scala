@@ -3134,6 +3134,20 @@ object SparkEntry {
         "vec_id", "embedding", 5, scales, 64)
         .orderBy("query_id", "rank")
     }),
+    "e_rvq_refined_topk" -> ((s, dir) => {
+      // the refined-RVQ family end-to-end: deterministic Lloyd
+      // codebooks feeding the shared ADC retrieval — the refined
+      // index's actual query path, ranks AND distances hash-matched
+      // (rvqTopKWithCodebooks is the shared body, so only the
+      // codebooks differ from e_rvq_topk)
+      import graft.ann.Rvq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      val (cb1, cb2) = Rvq.rvqCodebooksRefined(emb, "vec_id", "embedding",
+        k = 8, iters = 2, maxTrainRows = 120)
+      Rvq.rvqTopKWithCodebooks(emb.filter(col("vec_id") % 300 === 1), emb,
+        "vec_id", "embedding", 5, cb1, cb2)
+        .orderBy("query_id", "rank")
+    }),
     "e_sq8_ivf" -> ((s, dir) => {
       // composed IVF-SQ8 (the faiss IVF…,SQ8 shape): md5-seeded
       // coarse cells prune to nProbe per query, survivors score
@@ -7151,6 +7165,9 @@ object SparkEntry {
     "e_rvq_refined" ->
       (graft.ann.Rvq.rvqRefinedEncodeSql(8, 2, 120, 64, 42L,
         "WHERE vec_id % 3 = 1") + "\nORDER BY id"),
+    "e_rvq_refined_topk" ->
+      graft.ann.Rvq.rvqRefinedTopKSql(5, 8, 2, 120, 64, 42L,
+        "WHERE vec_id % 3 = 1", "WHERE vec_id % 300 = 1"),
     "e_ann_mrl" ->
       graft.ann.Matryoshka.mrlTopKSql(5, 16, 20, 64,
         "WHERE vec_id % 4 = 2", "WHERE vec_id % 40 = 2"),

@@ -562,12 +562,35 @@ object Rvq {
     */
   def rvqTopKSql(
       n: Int, k: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String =
+    s"""WITH ${rvqCtesSql(k, dim, seed, whereClause)},
+       |${topKTailSql(n, dim, queryWhere)}""".stripMargin
+
+  /** DuckDB rendering of the refined-codebook retrieval
+    * ([[rvqCodebooksRefined]] + [[rvqTopKWithCodebooks]]): the
+    * refined-encode CTE chain under the SHARED ADC tail.
+    */
+  def rvqRefinedTopKSql(
+      n: Int, k: Int, iters: Int, maxTrainRows: Int, dim: Int, seed: Long,
       whereClause: String, queryWhere: String): String = {
+    val enc = rvqRefinedEncodeSql(k, iters, maxTrainRows, dim, seed,
+      whereClause)
+    // strip the final SELECT (the encode oracle's own output row) and
+    // splice the retrieval tail over the same CTE names
+    val body = enc.substring(0, enc.lastIndexOf("\nSELECT id, c1, c2, err2"))
+    s"""$body,
+       |${topKTailSql(n, dim, queryWhere)}""".stripMargin
+  }
+
+  /** The ADC top-k tail over existing `e`/`cb1`/`cb2`/`codes` CTEs —
+    * ONE renderer for the seed-drawn and refined oracles (same stage
+    * tables, same pinned `(t1 + t2) + x` addition order).
+    */
+  private def topKTailSql(n: Int, dim: Int, queryWhere: String): String = {
     def fold(body: String): String =
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $body), " +
         "(acc, x) -> acc + x)"
-    s"""WITH ${rvqCtesSql(k, dim, seed, whereClause)},
-       |q AS (SELECT vec_id AS query_id,
+    s"""q AS (SELECT vec_id AS query_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
        |  FROM e $queryWhere),
        |t1g AS (SELECT query_id, list(t ORDER BY code) AS t1
