@@ -364,8 +364,13 @@ object Rvq {
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("code"), col("t")))),
         e => e.getField("t")).as("t2"))
+    // the k x k cross-term pairing must carry the hint: a
+    // localCheckpointed codebook (the refined twin) is a LogicalRDD
+    // with no size stats, and the unhinted cross join then plans the
+    // shuffle-shuffle CartesianProduct instead of broadcasting k rows
     val xterm = cb1.select(col("code").as("x1"), col("centroid").as("a"))
-      .crossJoin(cb2.select(col("code").as("x2"), col("centroid").as("b")))
+      .crossJoin(broadcast(
+        cb2.select(col("code").as("x2"), col("centroid").as("b"))))
       .select(col("x1"), col("x2"),
         aggregate(zip_with(col("a"), col("b"),
             (x, y) => lit(2.0) * x * y),
