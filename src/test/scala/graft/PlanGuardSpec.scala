@@ -1003,20 +1003,23 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"rvqEncodeSeedDrawn hint count changed:\n$analyzed")
   }
 
-  test("rvqTopK: nine broadcasts (codebook lineages re-embedded per consumer), corpus never hinted") {
+  test("rvqTopK: ten broadcasts (codebook lineages re-embedded per consumer), corpus never hinted") {
     // every hint wraps a k-row codebook (or 1-row/array-row derived)
     // side: the encode subtree carries 3 (cb1 at stage 1, cb2 at
     // stage 2, cb2's inner cb1 assignment), the query-table subtree
     // 4 (its own hint + t1's cb1 + t2's cb2 + cb2's inner cb1), the
-    // cross-term subtree 2 (its hint + cb2's inner cb1) — 9 total
-    // because the analyzed tree re-embeds cb2's lineage per
-    // consumer. The corpus codes side must stay hint-free.
+    // cross-term subtree 3 (its own hint + the k×k pairing's cb2
+    // hint — required since the refined twin's localCheckpointed
+    // codebooks carry no size stats, the CartesianProduct guard's
+    // catch — + cb2's inner cb1) — 10 total because the analyzed
+    // tree re-embeds cb2's lineage per consumer. The corpus codes
+    // side must stay hint-free.
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val analyzed = graft.ann.Rvq.rvqTopK(
       emb.filter(org.apache.spark.sql.functions.col("vec_id") % 40 === 1),
       emb, "vec_id", "embedding", n = 5, k = 8)
       .queryExecution.analyzed.toString
-    assert("ResolvedHint".r.findAllIn(analyzed).size == 9,
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 10,
       s"rvqTopK hint count changed:\n$analyzed")
   }
 
