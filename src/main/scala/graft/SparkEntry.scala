@@ -3148,6 +3148,18 @@ object SparkEntry {
         "vec_id", "embedding", 5, cb1, cb2)
         .orderBy("query_id", "rank")
     }),
+    "e_quantizer_pick" -> ((s, dir) => {
+      // the cross-quantizer selection census: SQ8 vs seed-drawn RVQ
+      // vs Lloyd-refined RVQ total reconstruction error over the SAME
+      // slice, in exact micro-units (floor(err·1e6) BIGINT — the
+      // partition-independent census fold) — the readout a curation
+      // run uses to pick its compression family
+      import graft.ann.Sq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      Sq.quantizerPick(emb, "vec_id", "embedding", 64,
+        refinedTrainRows = 120)
+        .orderBy("family")
+    }),
     "e_sq8_ivf" -> ((s, dir) => {
       // composed IVF-SQ8 (the faiss IVF…,SQ8 shape): md5-seeded
       // coarse cells prune to nProbe per query, survivors score
@@ -7197,6 +7209,9 @@ object SparkEntry {
     "e_sq8_ivf" ->
       graft.ann.Sq.ivfSq8TopKSql(5, 64, 16, 4,
         "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
+    "e_quantizer_pick" ->
+      (graft.ann.Sq.quantizerPickSql(64, "WHERE vec_id % 3 = 1",
+        refinedTrainRows = 120) + "\nORDER BY family"),
     "e_rvq_store" ->
       // the reload must reproduce the inline-recomputed encode
       // exactly — same oracle as e_rvq_encode

@@ -216,6 +216,66 @@ object Sq {
        |SELECT query_id, neighbor_id, rank, adc8 FROM ranked
        |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
 
+  /** Cross-quantizer reconstruction census — the operator behind the
+    * "which quantizer for this corpus" curation decision: one row per
+    * family over the SAME slice, `(family, n_rows,
+    * err_sum_micro)` where `err_sum_micro = Σ floor(err · 1e6)`
+    * (BIGINT — exact under any partitioning, the micro-unit
+    * discipline every gated census here uses; the raw double sum
+    * would be partition-order-dependent). Families at their gate
+    * dials: SQ8 (zero training, 4× compression at dim=64/float32),
+    * seed-drawn RVQ and Lloyd-refined RVQ (2×k-way codes). Lower
+    * total error at equal storage wins; the row census pins the
+    * comparison is over identical inputs.
+    */
+  def quantizerPick(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      rvqK: Int = 16, refinedK: Int = 8, refinedIters: Int = 2,
+      refinedTrainRows: Int = 300, seed: Long = 42L,
+  ): DataFrame = {
+    def census(family: String, errs: DataFrame, errCol: String): DataFrame =
+      errs.agg(count(lit(1)).as("n_rows"),
+        sum(floor(col(errCol) * lit(1000000.0)).cast("long"))
+          .as("err_sum_micro"))
+        .select(lit(family).as("family"), col("n_rows"),
+          col("err_sum_micro"))
+    val scales = sq8Scales(corpus, vecCol)
+    val sq8 = census("sq8",
+      sq8Encode(corpus, idCol, vecCol, scales, dim), "err8")
+    val rvq = census("rvq_seed",
+      Rvq.rvqEncodeSeedDrawn(corpus, corpus, idCol, vecCol, rvqK, seed),
+      "err2")
+    val (rcb1, rcb2) = Rvq.rvqCodebooksRefined(corpus, idCol, vecCol,
+      refinedK, refinedIters, refinedTrainRows, seed)
+    val rvqr = census("rvq_refined",
+      Rvq.rvqEncode(corpus, idCol, vecCol, rcb1, rcb2), "err2")
+    sq8.unionByName(rvq).unionByName(rvqr)
+  }
+
+  /** DuckDB rendering of [[quantizerPick]] — each family's existing
+    * CTE chain wrapped in its own subquery (the chains share CTE
+    * names), folded to the identical micro-unit census.
+    */
+  def quantizerPickSql(
+      dim: Int, whereClause: String,
+      rvqK: Int = 16, refinedK: Int = 8, refinedIters: Int = 2,
+      refinedTrainRows: Int = 300, seed: Long = 42L,
+  ): String = {
+    def fold(family: String, inner: String, errCol: String): String =
+      s"""SELECT '$family' AS family, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(floor($errCol * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS err_sum_micro
+         |FROM ($inner) t""".stripMargin
+    fold("sq8", sq8EncodeSql(dim, whereClause), "err8") +
+      "\nUNION ALL\n" +
+      fold("rvq_seed",
+        Rvq.rvqEncodeSql(rvqK, dim, seed, whereClause), "err2") +
+      "\nUNION ALL\n" +
+      fold("rvq_refined",
+        Rvq.rvqRefinedEncodeSql(refinedK, refinedIters, refinedTrainRows,
+          dim, seed, whereClause), "err2")
+  }
+
   /** Shared CTE chain over `embeddings(vec_id, embedding)` restricted
     * by `whereClause`: `e`, the scale census `sc`/`scl`, `codes`, and
     * the decode `dec` — reused by both oracles.
