@@ -5410,6 +5410,40 @@ object SparkEntry {
           md5(col("payload")).as("digest"))
         .orderBy("id")
     }),
+    "s_jsonl_quarantine" -> ((s, dir) => {
+      // ingest robustness: JSONL with planted malformed lines (every
+      // %3==0 line truncated mid-record) through the PERMISSIVE
+      // quarantine reader — good rows parse with full fidelity
+      // (digest hash-checked against the source), corrupt rows land
+      // as null-field quarantine rows, NEVER silently dropped (the
+      // count is part of the hash). Staging is the bounded
+      // driver-side harness (the binary-ingest stance)
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 1 && col("doc_id") < 50000)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .orderBy("doc_id").collect()
+      val lines = rows.map { r =>
+        if (r.getLong(0) % 3 == 0) r.getString(1).dropRight(5)
+        else r.getString(1)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl_gate_")
+      tmp.toFile.deleteOnExit()
+      val f = tmp.resolve("docs.jsonl")
+      java.nio.file.Files.write(f,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.deleteOnExit()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Sources.readJsonQuarantine(s, tmp.toString, schema)
+        .select(col("doc_id"),
+          when(col("_corrupt").isNull, md5(col("text"))).as("digest"),
+          when(col("_corrupt").isNotNull, 1).otherwise(0).as("bad"))
+        .orderBy(col("bad"), col("doc_id"))
+    }),
     "s_csv_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       val nation = t(s, dir, "nation")
@@ -8302,6 +8336,14 @@ object SparkEntry {
         |  md5(text) AS digest
         |FROM documents WHERE doc_id % 5 = 4 AND doc_id < 50000
         |ORDER BY id""".stripMargin,
+    "s_jsonl_quarantine" ->
+      """SELECT doc_id, md5(text) AS digest, 0 AS bad FROM documents
+        |WHERE doc_id % 7 = 1 AND doc_id < 50000 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1
+        |FROM documents
+        |WHERE doc_id % 7 = 1 AND doc_id < 50000 AND doc_id % 3 = 0
+        |ORDER BY bad, doc_id""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->

@@ -28,6 +28,30 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL ingest with CORRUPT-RECORD QUARANTINE — the robustness
+    * door a 100 TB crawl feed needs: a malformed line must neither
+    * fail the job (FAILFAST) nor vanish silently (DROPMALFORMED);
+    * PERMISSIVE mode nulls the data fields and lands the raw line in
+    * `corruptCol`, so downstream filters quarantine it with full
+    * provenance and the good/bad census is one aggregation away.
+    * The scan stays listing-parallel and map-only like any JSON read.
+    * (Spark caveat, worth knowing: a projection referencing ONLY the
+    * corrupt column is disallowed — select at least one data field
+    * alongside it.)
+    */
+  def readJsonQuarantine(
+      spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt",
+  ): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already defines $corruptCol")
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
   def writeParquet(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)

@@ -65,4 +65,33 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(moved !== manifest)
   }
+
+  test("readJsonQuarantine: good rows parse, corrupt lines quarantine VERBATIM, never drop") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_q_")
+    val lines = Seq(
+      """{"doc_id":1,"text":"alpha"}""",
+      """{"doc_id":2,"text":"naïve \n escaped"}""",
+      """{"doc_id":3,"text":"truncat""", // malformed: cut mid-string
+      """not json at all""")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val got = Sources.readJsonQuarantine(spark, dir.toString, schema)
+      .collect()
+    assert(got.length === 4, "quarantine must never drop a line")
+    val good = got.filter(_.isNullAt(2))
+    assert(good.map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "alpha", 2L -> "naïve \n escaped"))
+    val bad = got.filter(!_.isNullAt(2)).map(_.getString(2)).toSet
+    assert(bad === Set(lines(2), lines(3)),
+      s"corrupt lines must land verbatim for provenance: $bad")
+    // a schema already claiming the quarantine column fails loudly
+    intercept[IllegalArgumentException] {
+      Sources.readJsonQuarantine(spark, dir.toString,
+        schema.add("_corrupt", StringType))
+    }
+    graft.ops.Fs.deleteRecursively(dir)
+  }
 }
