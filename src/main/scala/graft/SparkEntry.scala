@@ -3518,6 +3518,21 @@ object SparkEntry {
           beam = 6, rounds = 3, k = 5),
         q, corpus, "vec_id", "embedding", n = 5)
     }),
+    "e_ann_hnsw_recall" -> ((s, dir) => {
+      // recall@5 of the HIERARCHICAL search vs the exact cosine
+      // top-5 — completes the recall-gate family for the graph arm
+      // (beam has one; the hierarchy's descended entry must not LOSE
+      // recall against it, the number this row lets a round compare)
+      import graft.ann.{Ann, Nsw}
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 === 0)
+      val q = emb.filter(col("vec_id") % 40 === 1)
+      Ann.annRecall(
+        Nsw.hnswSearch(corpus, q, "vec_id", "embedding",
+          g => Nsw.knnGraph(g, "vec_id", "embedding", k = 6),
+          beam = 6, rounds = 3, k = 5),
+        q, corpus, "vec_id", "embedding", n = 5)
+    }),
     "e_mean_pool" -> ((s, dir) => {
       // chunk->document mean pooling (5 chunk vectors per synthetic
       // doc): integer-quantized per-dim means, one posexplode + one
@@ -7412,6 +7427,18 @@ object SparkEntry {
            |${graft.ann.Nsw.beamSearchSql(graphK = 6, beam = 6, rounds = 3,
               k = 5, dim = 64)}""".stripMargin
       graft.ann.Ann.annRecallSql(beamSql, "vec_id % 40 = 1", n = 5,
+        candWhere = "vec_id % 4 = 0")
+    },
+    "e_ann_hnsw_recall" -> {
+      val nz = s"${graft.ann.Ann.dotSql("embedding", "embedding", 64)} > 0"
+      val hnswSql =
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           |  WHERE vec_id % 40 = 1 AND $nz),
+           |c AS (SELECT vec_id AS node, embedding AS cv FROM embeddings
+           |  WHERE vec_id % 4 = 0 AND $nz),
+           |${graft.ann.Nsw.hnswSearchSql(graphK = 6, beam = 6, rounds = 3,
+              k = 5, dim = 64, upperBeam = 4, upperRounds = 2)}""".stripMargin
+      graft.ann.Ann.annRecallSql(hnswSql, "vec_id % 40 = 1", n = 5,
         candWhere = "vec_id % 4 = 0")
     },
     "e_mean_pool" ->
