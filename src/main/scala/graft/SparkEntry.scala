@@ -5459,6 +5459,41 @@ object SparkEntry {
           when(col("_corrupt").isNotNull, 1).otherwise(0).as("bad"))
         .orderBy(col("bad"), col("doc_id"))
     }),
+    "st_jsonl_quarantine" -> ((s, dir) => {
+      // the quarantine door STREAMED: JSONL shards (same plant as
+      // the batch gate — every %3==0 line truncated) arrive as files
+      // through the JSON FileStreamSource with the PERMISSIVE +
+      // corrupt-column options; stateless map per micro-batch, so
+      // Append with no watermark — good rows parse, malformed lines
+      // quarantine, nothing drops, same oracle as the batch door's
+      // accounting (over the %7==3 slice)
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 3 && col("doc_id") < 50000)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .orderBy("doc_id").collect()
+      val lines = rows.map { r =>
+        if (r.getLong(0) % 3 == 0) r.getString(1).dropRight(5)
+        else r.getString(1)
+      }
+      val shards = lines.grouped(math.max(1, lines.length / 3 + 1))
+        .map(_.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.Replay.replayRawJson(s, shards, schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt"),
+        src => src.select(col("doc_id"),
+          when(col("_corrupt").isNull, md5(col("text"))).as("digest"),
+          when(col("_corrupt").isNotNull, 1).otherwise(0).as("bad")))
+        .orderBy(col("bad"), col("doc_id"))
+    }),
     "s_csv_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       val nation = t(s, dir, "nation")
@@ -8370,6 +8405,14 @@ object SparkEntry {
         |SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1
         |FROM documents
         |WHERE doc_id % 7 = 1 AND doc_id < 50000 AND doc_id % 3 = 0
+        |ORDER BY bad, doc_id""".stripMargin,
+    "st_jsonl_quarantine" ->
+      """SELECT doc_id, md5(text) AS digest, 0 AS bad FROM documents
+        |WHERE doc_id % 7 = 3 AND doc_id < 50000 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1
+        |FROM documents
+        |WHERE doc_id % 7 = 3 AND doc_id < 50000 AND doc_id % 3 = 0
         |ORDER BY bad, doc_id""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -344,6 +344,47 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** Raw-JSONL shard replay (the [[replayRawText]] sibling through
+    * the JSON FileStreamSource): each byte array stages as one
+    * `.jsonl` file delivered in pinned mtime order; `schema` and
+    * `readerOptions` pass straight to the reader (the quarantine
+    * door's PERMISSIVE + corrupt-column options ride here).
+    */
+  def replayRawJson(
+      spark: SparkSession, shards: Seq[Array[Byte]],
+      schema: org.apache.spark.sql.types.StructType,
+      readerOptions: Map[String, String],
+      build: DataFrame => DataFrame,
+  ): DataFrame = withReplayConf(spark) {
+    require(shards.nonEmpty, "replayRawJson: no shards")
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    shards.zipWithIndex.foreach { case (bytes, i) =>
+      val dest = inDir.resolve(f"s$i%03d.jsonl")
+      Files.write(dest, bytes)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis((1000L + 1000L * i) * 1000L))
+    }
+    val src = spark.readStream
+      .schema(schema)
+      .options(readerOptions)
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir.toString)
+    val q = build(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    deleteRecursively(inDir)
+    deleteRecursively(root.resolve("ckpt"))
+    reapAtExit(root)
+    spark.read.parquet(outDir)
+  }
+
   /** Raw-BINARY shard replay (the [[replayRawText]] sibling for
     * sources the text reader cannot split — compressed WARC members):
     * each byte array stages as one `s%03d$suffix` file, the
