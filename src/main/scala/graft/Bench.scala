@@ -91,12 +91,15 @@ object Bench {
     // the ONLY filter applies to extras too — profiling one family
     // must not pay 3 MLlib k-means fits of fixed cost per run
     val runKmeans = only.forall(_.exists("e_ann_ivf_kmeans".startsWith))
-    val kmeansIvf = if (!runKmeans) -1.0 else {
+    // filtered-out renders as null, failed as -1.0 — the two used to
+    // share the -1.0 sentinel, making a SPARK_GRAFT_BENCH_ONLY run's
+    // extras indistinguishable from a genuine failure in the JSON
+    val extras = if (!runKmeans) s"""{"e_ann_ivf_kmeans":null}""" else {
       timeKmeansIvf() // warmup
       val ts = Seq.fill(2)(timeKmeansIvf())
-      if (ts.exists(_ < 0)) -1.0 else ts.min
+      val kmeansIvf = if (ts.exists(_ < 0)) -1.0 else ts.min
+      s"""{"e_ann_ivf_kmeans":$kmeansIvf}"""
     }
-    val extras = s"""{"e_ann_ivf_kmeans":$kmeansIvf}"""
     // tripwire: a single query dominating the suite is how the r4
     // plan-size regression slipped past local runs — flag any query
     // above 8x the per-query median (and above 2s absolute, so

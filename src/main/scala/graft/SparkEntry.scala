@@ -3496,9 +3496,16 @@ object SparkEntry {
           graft.ann.Ann.norm(col("embedding")) > 0).isEmpty,
         "gate contract: the sf slice must populate the searchable upper layer")
       def graphOf(layer: org.apache.spark.sql.DataFrame) = {
-        val groups = if (layer.count() < 50) 1 else 16
+        // WHICH layer, not HOW BIG: the oracle pins upper=1/base=16,
+        // so the Scala side must pick by layer identity — the upper
+        // layer holds only promoted (level >= 1) rows, the base layer
+        // holds everyone. A row-count rule (the old `count() < 50`)
+        // diverges from the oracle at any SF where the upper layer
+        // reaches 50 rows or the base layer drops below it.
+        val isUpper =
+          layer.filter(Nsw.hnswLevel(col("vec_id")) === 0).isEmpty
         Nsw.nnDescentGraph(layer, "vec_id", "embedding",
-          k = 5, rounds = 2, groups = groups)
+          k = 5, rounds = 2, groups = if (isUpper) 1 else 16)
       }
       Nsw.hnswSearch(corpus, emb.filter(col("vec_id") % 40 === 1),
         "vec_id", "embedding", graphOf, beam = 6, rounds = 3, k = 5)

@@ -72,6 +72,12 @@ object Mining {
         col("score").as("cos"))
       .join(fm, Seq("src_id"))
       .join(bm, Seq("dst_id"))
+      // degenerate-neighborhood guard: a non-positive mean-NN sum
+      // makes the ratio margin NaN/Inf (or sign-flipped), and NaN
+      // sorts LARGEST under Spark's comparison semantics — such a
+      // row would pass `margin >= threshold` and win the argmax over
+      // every real candidate; exclude it before the margin divide
+      .filter((col("src_nn") + col("dst_nn")) > lit(0.0))
       .select(col("src_id"), col("dst_id"), col("cos"),
         (col("cos") / ((col("src_nn") + col("dst_nn")) / lit(2.0)))
           .as("margin"))
@@ -132,7 +138,8 @@ object Mining {
        |    f.score / ((fm.src_nn + bm.dst_nn) / 2.0) AS margin
        |  FROM fwd f
        |  JOIN fm ON fm.src_id = f.query_id
-       |  JOIN bm ON bm.dst_id = f.neighbor_id),
+       |  JOIN bm ON bm.dst_id = f.neighbor_id
+       |  WHERE (fm.src_nn + bm.dst_nn) > 0.0),
        |best AS (SELECT src_id, dst_id, cos, margin FROM (
        |  SELECT src_id, dst_id, cos, margin, row_number() OVER (
        |    PARTITION BY src_id ORDER BY margin DESC, dst_id) AS rn

@@ -497,6 +497,20 @@ object Rvq {
     */
   def rvqRefinedEncodeSql(
       k: Int, iters: Int, maxTrainRows: Int, dim: Int, seed: Long,
+      whereClause: String): String =
+    s"""WITH ${rvqRefinedCtesSql(k, iters, maxTrainRows, dim, seed,
+        whereClause)}
+       |SELECT id, c1, c2, err2 FROM codes""".stripMargin
+
+  /** The refined-encode CTE chain (the `WITH` body through `codes`,
+    * no final SELECT) — ONE renderer composed by both
+    * [[rvqRefinedEncodeSql]] and [[rvqRefinedTopKSql]], replacing the
+    * old splice-on-a-marker (`lastIndexOf` of the encode oracle's
+    * final SELECT) that would throw at render time if the encode
+    * output line ever changed.
+    */
+  private def rvqRefinedCtesSql(
+      k: Int, iters: Int, maxTrainRows: Int, dim: Int, seed: Long,
       whereClause: String): String = {
     def residual(v: String, c: String): String =
       s"list_transform(range(1, ${dim + 1}), i -> " +
@@ -505,7 +519,7 @@ object Rvq {
     // cb2's init must residualize against the REFINED cb1, so the
     // draw chain is re-rendered here with cbr1$iters as the stage-2
     // assignment target
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings $whereClause),
        |s1 AS (SELECT vec_id AS sid, embedding AS sv FROM e
        |  ORDER BY md5('$seed:r1:' || CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $k),
@@ -546,8 +560,7 @@ object Rvq {
        |    FROM smp s, cb1 c) x WHERE rn = 1),
        |${refineCtesSql("r2_", "rs", "cb2init", iters, dim)},
        |cb2 AS (SELECT code, centroid FROM cbr2_$iters),
-       |${encodeCtesSql("cb1", "cb2", dim)}
-       |SELECT id, c1, c2, err2 FROM codes""".stripMargin
+       |${encodeCtesSql("cb1", "cb2", dim)}""".stripMargin
   }
 
   /** DuckDB rendering of [[rvqEncodeSeedDrawn]] over
@@ -577,15 +590,10 @@ object Rvq {
     */
   def rvqRefinedTopKSql(
       n: Int, k: Int, iters: Int, maxTrainRows: Int, dim: Int, seed: Long,
-      whereClause: String, queryWhere: String): String = {
-    val enc = rvqRefinedEncodeSql(k, iters, maxTrainRows, dim, seed,
-      whereClause)
-    // strip the final SELECT (the encode oracle's own output row) and
-    // splice the retrieval tail over the same CTE names
-    val body = enc.substring(0, enc.lastIndexOf("\nSELECT id, c1, c2, err2"))
-    s"""$body,
+      whereClause: String, queryWhere: String): String =
+    s"""WITH ${rvqRefinedCtesSql(k, iters, maxTrainRows, dim, seed,
+        whereClause)},
        |${topKTailSql(n, dim, queryWhere)}""".stripMargin
-  }
 
   /** The ADC top-k tail over existing `e`/`cb1`/`cb2`/`codes` CTEs —
     * ONE renderer for the seed-drawn and refined oracles (same stage

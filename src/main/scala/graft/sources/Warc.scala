@@ -188,11 +188,21 @@ object Warc {
           val f = java.nio.file.Paths.get(path, f"part-$i%05d.warc.gz")
           val out = new java.io.BufferedOutputStream(
             java.nio.file.Files.newOutputStream(f))
+          // close-shield: lets each member's GZIPOutputStream be
+          // close()d — releasing its native Deflater deterministically
+          // instead of waiting on GC cleaners, which on a ~1 GB shard
+          // of small records can exhaust native memory — while the
+          // shard stream itself stays open across members
+          val shield = new java.io.FilterOutputStream(out) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              out.write(b, off, len) // bulk (the filter default is per-byte)
+            override def close(): Unit = flush()
+          }
           try it.foreach { row =>
-            val gz = new java.util.zip.GZIPOutputStream(out)
+            val gz = new java.util.zip.GZIPOutputStream(shield)
             gz.write(row.getString(0)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            gz.finish() // end the member, keep the shard stream open
+            gz.close() // finish the member + end() its Deflater
           } finally out.close()
         }
         Iterator.single(i)
