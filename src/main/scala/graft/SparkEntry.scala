@@ -3238,6 +3238,22 @@ object SparkEntry {
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "e_ivfpq_refined" -> ((s, dir) => {
+      // the PRODUCTION composed index: coarse cells + REFINED fine
+      // codes — deterministic per-subspace Lloyd codebooks
+      // (pqCodebooksRefinedDet: seed-drawn init, bounded md5 sample,
+      // the refined-RVQ round discipline applied per subspace)
+      // feeding the identical ivfPqTopKWithCodebooks body as
+      // e_ivfpq_topk, so only the codebooks differ between the
+      // twins. The recall-vs-seed-drawn floor is PqSpec's pin
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val cb = Ann.pqCodebooksRefinedDet(emb, "vec_id", "embedding",
+        8, 16, 64, iters = 2, maxTrainRows = 120)
+      Ann.ivfPqTopKWithCodebooks(emb.filter(col("vec_id") % 300 === 0),
+        emb, "vec_id", "embedding", 5, cb)
+        .orderBy("query_id", "rank")
+    }),
     "e_pq_topk" -> ((s, dir) => {
       // PQ asymmetric-distance top-5 self-search: every double (the
       // per-query distance table, the ADC fold) is a fixed IEEE op
@@ -7333,6 +7349,9 @@ object SparkEntry {
     },
     "e_ivfpq_topk" ->
       graft.ann.Ann.ivfPqTopKSql(5, 16, 4, 8, 16, 64, 42L,
+        "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
+    "e_ivfpq_refined" ->
+      graft.ann.Ann.ivfPqRefinedTopKSql(5, 16, 4, 8, 16, 2, 120, 64, 42L,
         "WHERE vec_id % 3 = 0", "WHERE vec_id % 300 = 0"),
     "e_pq_topk" ->
       graft.ann.Ann.pqTopKSql(5, 8, 16, 64, 42L,

@@ -1044,6 +1044,39 @@ object Ann {
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, dim: Int,
+  ): DataFrame =
+    pqBestPerSub(df, idCol, vecCol, codebooks, m, dim)
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("best")))),
+        e => e.getField("best").getField("code")).as("codes"))
+
+  /** Per-row PQ reconstruction error: `(id, errq)` with
+    * `errq = Σ_s l2sq(subvec_s, centroid_{s, code_s})` folded in
+    * subspace order (the same sorted-struct assembly as
+    * [[pqEncode]]'s codes, so the per-id sum is a fixed IEEE op
+    * sequence — engine-exact, never a partition-order double sum).
+    * The number [[graft.ann.Sq.quantizerPick]]'s census folds.
+    */
+  def pqEncodeErr(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int,
+  ): DataFrame =
+    pqBestPerSub(df, idCol, vecCol, codebooks, m, dim)
+      .groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("best")))),
+          e => e.getField("best").getField("dist")),
+        lit(0.0), (acc, x) => acc + x).as("errq"))
+
+  /** The shared PQ assignment body: subspace explode (map-only, `m`
+    * rows per vector), broadcast codebook join, map-side-combinable
+    * struct-min argmin — `(id, sub, best(dist, code))`, ties to the
+    * lowest code.
+    */
+  private def pqBestPerSub(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int,
   ): DataFrame = {
     require(dim % m == 0, s"m $m must divide dim $dim")
     val d = dim / m
@@ -1060,10 +1093,54 @@ object Ann {
           col("code")).as("cand"))
       .groupBy(col("id"), col("sub"))
       .agg(min(col("cand")).as("best"))
-      .groupBy(col("id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("best")))),
-        e => e.getField("best").getField("code")).as("codes"))
+  }
+
+  /** DETERMINISTIC production-path PQ codebooks — the
+    * [[pqCodebooksRefined]] idea (per-subspace Lloyd over a bounded
+    * sample) rebuilt on the [[Rvq.rvqCodebooksRefined]] discipline so
+    * the refined encode HASH-GATES instead of being recall-spec'd:
+    * the init is the seed-drawn [[pqCodebooks]] draw, the training
+    * sample is a bounded md5 TakeOrdered, and each subspace runs
+    * [[Rvq.refineStage]]'s rounds (argmin ties to the lowest code,
+    * id-sorted IEEE mean fold, empty codes keep their centroid) —
+    * the SAME Scala body the gated refined-RVQ twin runs, so the
+    * round arithmetic is shared with its oracle renderer.
+    *
+    * 100 TB shape: training touches only the `maxTrainRows` sample
+    * (localCheckpointed once, reused by all `m` chains); each round
+    * is one broadcast argmin + one k-group mean over `maxTrainRows`
+    * subvectors; per-round codebooks are localCheckpointed
+    * (constant-size plan); the corpus is only ever read by the
+    * downstream [[pqEncode]] pass. Output matches [[pqCodebooks]]
+    * (`(sub, code, centroid)`), so every consumer — [[pqEncode]],
+    * [[pqTopKWithCodebooks]], [[ivfPqTopKWithCodebooks]] — is shared
+    * between the twins.
+    */
+  def pqCodebooksRefinedDet(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int, iters: Int = 2, maxTrainRows: Int = 300,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val d = dim / m
+    val init = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
+      .localCheckpoint(true) // m·k bounded rows, reused by m chains
+    val smp = candidates
+      .select(col(idCol).as("sid"),
+        transform(col(vecCol), x => x.cast("double")).as("__vec"))
+      .orderBy(md5(concat(lit(s"$seed:pql:"), col("sid").cast("string"))),
+        col("sid"))
+      .limit(maxTrainRows)
+      .localCheckpoint(true)
+    (0 until m).map { sIdx =>
+      val subSmp = smp.select(col("sid"),
+        slice(col("__vec"), sIdx * d + 1, d).as("__vec"))
+      Rvq.refineStage(subSmp,
+        init.filter(col("sub") === sIdx).select(col("code"), col("centroid")),
+        iters, d)
+        .select(lit(sIdx).as("sub"), col("code"), col("centroid"))
+    }.reduce(_.unionByName(_))
   }
 
   /** PQ asymmetric-distance top-k (ADC): each query precomputes its
@@ -1143,7 +1220,18 @@ object Ann {
     */
   private def pqCtesSql(
       m: Int, k: Int, dim: Int, seed: Long, whereClause: String,
-      from: String = "embeddings"): String = {
+      from: String = "embeddings"): String =
+    s"""${pqSeedCbCtesSql(m, k, dim, seed, whereClause, from, "cb")},
+       |${pqEncodeTailCtesSql(m, dim)}""".stripMargin
+
+  /** The seed-drawn codebook CTE chain (`e`, the md5 draw, `subs`,
+    * `$cbName(sub, code, centroid)`) — composed by [[pqCtesSql]]
+    * (with the encode tail over it) and by [[pqRefinedCtesSql]]
+    * (as the Lloyd init, under a different name).
+    */
+  private def pqSeedCbCtesSql(
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String,
+      from: String, cbName: String): String = {
     val d = dim / m
     s"""e AS (SELECT vec_id, embedding FROM $from $whereClause),
        |sample AS (SELECT vec_id AS sid, embedding AS sv FROM e
@@ -1153,22 +1241,64 @@ object Ann {
        |      ORDER BY md5('$seed:' || CAST(sid AS VARCHAR)), sid) AS INT) - 1
        |    AS code FROM sample),
        |subs AS (SELECT unnest(range(0, $m)) AS sub),
-       |cb AS (SELECT sub, code,
+       |$cbName AS (SELECT sub, code,
        |    list_transform(list_slice(sv, sub * $d + 1, sub * $d + $d),
        |      x -> CAST(x AS DOUBLE)) AS centroid
-       |  FROM seeds, subs),
-       |vs AS (SELECT vec_id AS id, sub,
+       |  FROM seeds, subs)""".stripMargin
+  }
+
+  /** The encode tail over existing `e`/`subs`/`cb` CTEs — `vs`,
+    * `dists`, `best` (per-(id,sub) argmin, dist kept for the err
+    * census), `codes`. ONE renderer for the seed-drawn and
+    * Lloyd-refined chains, so the assignment/tie arithmetic cannot
+    * drift between the twins.
+    */
+  private def pqEncodeTailCtesSql(m: Int, dim: Int): String = {
+    val d = dim / m
+    s"""vs AS (SELECT vec_id AS id, sub,
        |    list_transform(list_slice(embedding, sub * $d + 1, sub * $d + $d),
        |      x -> CAST(x AS DOUBLE)) AS subvec
        |  FROM e, subs),
        |dists AS (SELECT id, vs.sub, code,
        |    ${l2sqSql("subvec", "centroid", d)} AS dist
        |  FROM vs JOIN cb ON vs.sub = cb.sub),
-       |best AS (SELECT id, sub, code,
+       |best AS (SELECT id, sub, code, dist,
        |    ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist, code) AS rn
        |  FROM dists),
        |codes AS (SELECT id, list(code ORDER BY sub) AS codes
        |  FROM best WHERE rn = 1 GROUP BY id)""".stripMargin
+  }
+
+  /** DuckDB rendering of [[pqCodebooksRefinedDet]] + the shared
+    * encode tail: the seed-drawn draw as Lloyd init (`cb0`), the
+    * bounded md5 training sample, `m` per-subspace unrolled Lloyd
+    * chains ([[Rvq.refineCtesSql]] — the SAME renderer the gated
+    * refined-RVQ oracle runs, so the round arithmetic is shared),
+    * their union as `cb`, then `vs`/`dists`/`best`/`codes` verbatim.
+    * `psmp` is MATERIALIZED — it feeds every per-subspace chain and
+    * would otherwise re-evaluate `m · iters` times.
+    */
+  private[ann] def pqRefinedCtesSql(
+      m: Int, k: Int, dim: Int, iters: Int, maxTrainRows: Int, seed: Long,
+      whereClause: String): String = {
+    val d = dim / m
+    val chains = (0 until m).map { s =>
+      s"""psmp$s AS (SELECT sid, list_slice(v, ${s * d + 1}, ${s * d + d})
+         |    AS v FROM psmp),
+         |pcbi$s AS (SELECT code, centroid FROM cb0 WHERE sub = $s),
+         |${Rvq.refineCtesSql(s"q${s}_", s"psmp$s", s"pcbi$s", iters, d)}""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s =>
+      s"SELECT $s AS sub, code, centroid FROM cbq${s}_$iters")
+      .mkString("\n  UNION ALL ")
+    s"""${pqSeedCbCtesSql(m, k, dim, seed, whereClause, "embeddings", "cb0")},
+       |psmp AS MATERIALIZED (SELECT vec_id AS sid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e
+       |  ORDER BY md5('$seed:pql:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $maxTrainRows),
+       |$chains,
+       |cb AS ($union),
+       |${pqEncodeTailCtesSql(m, dim)}""".stripMargin
   }
 
   /** DuckDB rendering of [[pqEncode]] flattened to one INT column per
@@ -1183,6 +1313,31 @@ object Ann {
     s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause, from)}
        |SELECT id, $cols FROM codes ORDER BY id""".stripMargin
   }
+
+  /** DuckDB rendering of [[pqEncodeErr]] over the seed-drawn chain:
+    * per-id reconstruction error as a subspace-ordered fold of the
+    * argmin distances (`list_reduce` over `list(dist ORDER BY sub)`
+    * ≡ Spark's 0.0-seeded in-order `aggregate` — the census fold
+    * pairing).
+    */
+  def pqEncodeErrSql(
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String =
+    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)}
+       |SELECT id, list_reduce(list(dist ORDER BY sub), (x, y) -> x + y)
+       |  AS errq
+       |FROM best WHERE rn = 1 GROUP BY id""".stripMargin
+
+  /** [[pqEncodeErrSql]] over the Lloyd-refined chain
+    * ([[pqCodebooksRefinedDet]]'s oracle twin).
+    */
+  def pqRefinedEncodeErrSql(
+      m: Int, k: Int, dim: Int, iters: Int, maxTrainRows: Int, seed: Long,
+      whereClause: String): String =
+    s"""WITH ${pqRefinedCtesSql(m, k, dim, iters, maxTrainRows, seed,
+        whereClause)}
+       |SELECT id, list_reduce(list(dist ORDER BY sub), (x, y) -> x + y)
+       |  AS errq
+       |FROM best WHERE rn = 1 GROUP BY id""".stripMargin
 
   /** DuckDB rendering of [[pqTopK]] with queries = rows of the same
     * restricted slice matching `queryWhere` (self-search, self
@@ -1326,6 +1481,23 @@ object Ann {
       idCol: String, vecCol: String, n: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 8, k: Int = 16, dim: Int = 64, seed: Long = 42L,
+  ): DataFrame =
+    ivfPqTopKWithCodebooks(queries, candidates, idCol, vecCol, n,
+      pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed),
+      nCells, nProbe, m, dim)
+
+  /** [[ivfPqTopK]] with caller-supplied PQ codebooks — the shared
+    * composed-index body behind both twins: seed-drawn
+    * ([[pqCodebooks]], gated as `e_ivfpq_topk`) and deterministic
+    * Lloyd-refined ([[pqCodebooksRefinedDet]], gated as
+    * `e_ivfpq_refined`) — a production index is coarse cells +
+    * REFINED fine codes, and this is where they compose.
+    */
+  def ivfPqTopKWithCodebooks(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      codebooks: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, dim: Int = 64,
   ): DataFrame = {
     val d = dim / m
     require(dim % m == 0, s"m $m must divide dim $dim")
@@ -1351,7 +1523,6 @@ object Ann {
       .withColumn("cell", array_max(cellScores(col("cv"), col("cn")))("cell"))
       .select(col("neighbor_id"), col("cell"))
 
-    val codebooks = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
     val cellCodes = pqEncode(candidates, idCol, vecCol, codebooks, m, dim)
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(assigned, Seq("neighbor_id"))
@@ -1407,10 +1578,40 @@ object Ann {
       s"ivfPqTopKSql whereClause must start with 'WHERE ': '$whereClause'")
     require(queryWhere.startsWith("WHERE "),
       s"ivfPqTopKSql queryWhere must start with 'WHERE ': '$queryWhere'")
+    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)},
+       |${ivfPqTailSql(n, nCells, nProbe, m, dim, queryWhere)}""".stripMargin
+  }
+
+  /** DuckDB rendering of the REFINED composed index
+    * ([[pqCodebooksRefinedDet]] + [[ivfPqTopKWithCodebooks]]): the
+    * per-subspace unrolled-Lloyd chain builds `cb`, then the
+    * identical coarse-cell + ADC tail as [[ivfPqTopKSql]] — one
+    * shared renderer each side of the codebooks, so only the
+    * codebooks differ between the twins.
+    */
+  def ivfPqRefinedTopKSql(
+      n: Int, nCells: Int, nProbe: Int, m: Int, k: Int, iters: Int,
+      maxTrainRows: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String = {
+    require(whereClause.startsWith("WHERE "),
+      s"ivfPqRefinedTopKSql whereClause must start with 'WHERE ': '$whereClause'")
+    require(queryWhere.startsWith("WHERE "),
+      s"ivfPqRefinedTopKSql queryWhere must start with 'WHERE ': '$queryWhere'")
+    s"""WITH ${pqRefinedCtesSql(m, k, dim, iters, maxTrainRows, seed,
+        whereClause)},
+       |${ivfPqTailSql(n, nCells, nProbe, m, dim, queryWhere)}""".stripMargin
+  }
+
+  /** The coarse-cell + ADC retrieval tail over existing
+    * `e`/`subs`/`cb`/`codes` CTEs — ONE renderer for the seed-drawn
+    * and refined composed-index oracles.
+    */
+  private def ivfPqTailSql(
+      n: Int, nCells: Int, nProbe: Int, m: Int, dim: Int,
+      queryWhere: String): String = {
     val d = dim / m
     val nz = s"${dotSql("embedding", "embedding", dim)} > 0"
-    s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)},
-       |cents AS (SELECT vec_id AS cell, embedding AS centroid
+    s"""cents AS (SELECT vec_id AS cell, embedding AS centroid
        |  FROM e WHERE $nz
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
        |assign0 AS (SELECT ee.vec_id AS neighbor_id, c.cell,

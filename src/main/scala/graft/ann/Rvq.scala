@@ -269,7 +269,7 @@ object Rvq {
     * empty codes keep their centroid. Each round's k-row codebook is
     * eagerly localCheckpointed so the plan stays constant-size.
     */
-  private def refineStage(
+  private[ann] def refineStage(
       smp: DataFrame, cb0: DataFrame, iters: Int, dim: Int): DataFrame = {
     var cb = cb0.localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -462,7 +462,7 @@ object Rvq {
     * member list keeps the previous centroid (tested on ms ITSELF —
     * the empty-cell lesson from the IVF oracle).
     */
-  private def refineCtesSql(
+  private[ann] def refineCtesSql(
       tag: String, smpCte: String, cb0Cte: String, iters: Int,
       dim: Int): String = {
     val first =

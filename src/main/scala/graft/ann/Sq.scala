@@ -224,14 +224,20 @@ object Sq {
     * discipline every gated census here uses; the raw double sum
     * would be partition-order-dependent). Families at their gate
     * dials: SQ8 (zero training, 4× compression at dim=64/float32),
-    * seed-drawn RVQ and Lloyd-refined RVQ (2×k-way codes). Lower
-    * total error at equal storage wins; the row census pins the
-    * comparison is over identical inputs.
+    * seed-drawn RVQ and Lloyd-refined RVQ (2×k-way codes), and
+    * seed-drawn PQ and deterministic-Lloyd-refined PQ (`m` subspace
+    * codes — the different storage/quality trade the census needs
+    * beside the additive and scalar families). Lower total error at
+    * a given storage point wins; the row census pins the comparison
+    * is over identical inputs. Storage per vector at the defaults:
+    * SQ8 = dim bytes, RVQ = 2 codes, PQ = `m` codes — read the
+    * census per storage tier, not as one flat argmin.
     */
   def quantizerPick(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       rvqK: Int = 16, refinedK: Int = 8, refinedIters: Int = 2,
       refinedTrainRows: Int = 300, seed: Long = 42L,
+      pqM: Int = 8, pqK: Int = 16,
   ): DataFrame = {
     def census(family: String, errs: DataFrame, errCol: String): DataFrame =
       errs.agg(count(lit(1)).as("n_rows"),
@@ -249,7 +255,17 @@ object Sq {
       refinedK, refinedIters, refinedTrainRows, seed)
     val rvqr = census("rvq_refined",
       Rvq.rvqEncode(corpus, idCol, vecCol, rcb1, rcb2), "err2")
-    sq8.unionByName(rvq).unionByName(rvqr)
+    val pqs = census("pq_seed",
+      Ann.pqEncodeErr(corpus, idCol, vecCol,
+        Ann.pqCodebooks(corpus, idCol, vecCol, pqM, pqK, dim, seed),
+        pqM, dim), "errq")
+    val pqr = census("pq_refined",
+      Ann.pqEncodeErr(corpus, idCol, vecCol,
+        Ann.pqCodebooksRefinedDet(corpus, idCol, vecCol, pqM, pqK, dim,
+          refinedIters, refinedTrainRows, seed),
+        pqM, dim), "errq")
+    sq8.unionByName(rvq).unionByName(rvqr).unionByName(pqs)
+      .unionByName(pqr)
   }
 
   /** DuckDB rendering of [[quantizerPick]] — each family's existing
@@ -260,6 +276,7 @@ object Sq {
       dim: Int, whereClause: String,
       rvqK: Int = 16, refinedK: Int = 8, refinedIters: Int = 2,
       refinedTrainRows: Int = 300, seed: Long = 42L,
+      pqM: Int = 8, pqK: Int = 16,
   ): String = {
     def fold(family: String, inner: String, errCol: String): String =
       s"""SELECT '$family' AS family, CAST(count(*) AS BIGINT) AS n_rows,
@@ -273,7 +290,14 @@ object Sq {
       "\nUNION ALL\n" +
       fold("rvq_refined",
         Rvq.rvqRefinedEncodeSql(refinedK, refinedIters, refinedTrainRows,
-          dim, seed, whereClause), "err2")
+          dim, seed, whereClause), "err2") +
+      "\nUNION ALL\n" +
+      fold("pq_seed",
+        Ann.pqEncodeErrSql(pqM, pqK, dim, seed, whereClause), "errq") +
+      "\nUNION ALL\n" +
+      fold("pq_refined",
+        Ann.pqRefinedEncodeErrSql(pqM, pqK, dim, refinedIters,
+          refinedTrainRows, seed, whereClause), "errq")
   }
 
   /** Shared CTE chain over `embeddings(vec_id, embedding)` restricted

@@ -145,6 +145,73 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       s"refined recall@10 $refinedHits below seed-drawn $seedHits")
   }
 
+  test("pqCodebooksRefinedDet: shape, partition-independence, composed-IVF recall floor >= seed-drawn") {
+    val rows = clustered(120, 6)
+    val df = emb(rows)
+    def det(parts: Int) =
+      Ann.pqCodebooksRefinedDet(emb(rows, parts), "vec_id", "embedding",
+        m, k, dim, iters = 2, maxTrainRows = 100)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val cb = det(2)
+    assert(cb.length === m * k)
+    assert(cb.forall(_._3.length === dim / m))
+    // deterministic Lloyd: bit-identical centroids at any partitioning
+    assert(cb === det(5), "refined centroids depend on input partitioning")
+    // the composed production index (coarse cells + refined codes)
+    // must not LOSE recall vs the same index on seed-drawn codebooks
+    val queries = df.filter(col("vec_id") < 8)
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val c = df.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), _.cast("double")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val exact = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.l2sq(col("qv"), col("cv")).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(codebooks: org.apache.spark.sql.DataFrame): Int =
+      Ann.ivfPqTopKWithCodebooks(queries, df, "vec_id", "embedding", 10,
+        codebooks, m = m, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(exact.contains)
+    val refinedHits = hits(Ann.pqCodebooksRefinedDet(df, "vec_id",
+      "embedding", m, k, dim, iters = 2, maxTrainRows = 100))
+    val seedHits = hits(Ann.pqCodebooks(df, "vec_id", "embedding", m, k, dim))
+    assert(refinedHits >= seedHits,
+      s"composed refined recall $refinedHits below seed-drawn $seedHits")
+  }
+
+  test("pqEncodeErr: errq equals the sum of per-subspace argmin distances, partition-independent") {
+    val rows = clustered(40, 4)
+    val df = emb(rows)
+    val cb = Ann.pqCodebooks(df, "vec_id", "embedding", m, k, dim)
+    def errs(parts: Int): Map[Long, Double] =
+      Ann.pqEncodeErr(emb(rows, parts), "vec_id", "embedding", cb, m, dim)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = errs(1)
+    assert(one.size === 40)
+    assert(one.values.forall(_ >= 0.0))
+    assert(one === errs(5), "errq depends on input partitioning")
+    // cross-check one row against a direct reconstruction
+    val cbMap = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codes = Ann.pqEncode(df, "vec_id", "embedding", cb, m, dim)
+      .filter(col("id") === 0L).head().getSeq[Int](1)
+    val v = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    val d = dim / m
+    val want = (0 until m).map { s =>
+      val cent = cbMap((s, codes(s)))
+      v.slice(s * d, s * d + d).zip(cent).map { case (a, b) =>
+        (a - b) * (a - b) }.sum
+    }.sum
+    assert(math.abs(one(0L) - want) < 1e-9,
+      s"errq ${one(0L)} != direct reconstruction $want")
+  }
+
   test("pq_pack/pq_unpack: round-trip over random codes at 4 and 8 bits") {
     import graft.functions.PqCodes.{pq_pack, pq_unpack}
     val rnd = new scala.util.Random(11)
