@@ -78,6 +78,30 @@ object ScaleTrend {
   // the shift, so each copy contributes an identical slice
   private val ResidueLcm = 4200L
 
+  /** The sign-decorrelated blow-up table for the sign-LSH families
+    * (falls back to the plain table at factor 1, where the two are
+    * identical — copy 0 is untouched in both).
+    */
+  private def lshEmb(s: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "embeddings_lsh.parquet")
+    s.read.parquet(
+      if (Files.exists(p)) p.toString else s"$dir/embeddings.parquet")
+  }
+
+  /** The production LSH width rule: planes follow the corpus at
+    * constant expected bucket occupancy (`ceil(log2 n) + 3` — the
+    * sf0.1 gate slice of ~500 rows lands exactly on the gates' 12
+    * planes; each doubling of the corpus adds one plane, keeping
+    * expected candidates per query constant). The [[graft.ann.Ann
+    * .lshBandKeys]] scaladoc's structural-defence argument (bucket
+    * width is what bounds the chance-collision fraction of n²) made
+    * into the dial rule every other corpus-following family here
+    * (nnd groups, SemDeDup nCells) already carries.
+    */
+  private def lshPlanes(n: Long): Int =
+    math.max(12, (math.log(math.max(n, 2L).toDouble) / math.log(2.0))
+      .ceil.toInt + 3)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -235,6 +259,42 @@ object ScaleTrend {
           val scales = graft.ann.Sq.sq8Scales(emb, "embedding")
           graft.ann.Sq.sq8Encode(emb, "vec_id", "embedding", scales, 64)
         }),
+        "mrl_lsh_topk" -> ((s: SparkSession, dir: String) => {
+          // the Matryoshka LSH funnel (coarse prefix-LSH pass →
+          // bounded full-width rerank) over the SIGN-DECORRELATED
+          // blow-up (see [[synthesize]] — cross-copy bucket
+          // collisions are the embedding analogue of char-gram
+          // collisions, excluded by construction), at the
+          // production dial: planes FOLLOW the corpus at constant
+          // expected bucket occupancy (ceil(log2 n) + 3 — n=500 →
+          // the gate's 12; the lshBandKeys scaladoc's structural
+          // defence made quantitative), the r18 fixed-dial rule
+          // applied to the LSH width
+          import graft.ann.Matryoshka
+          val emb = lshEmb(s, dir)
+          val corpus = emb.filter(col("vec_id") % 4 === 2)
+          val planes = lshPlanes(corpus.count())
+          Matryoshka.mrlLshTopK(emb.filter(col("vec_id") % 40 === 2),
+            corpus, "vec_id", "embedding",
+            n = 5, coarseDim = 16, coarseN = 20, planes = planes,
+            multiProbe = 2)
+        }),
+        "margin_mine_lsh" -> ((s: SparkSession, dir: String) => {
+          // margin-based bitext mining over two directional
+          // multi-probe LSH runs — the round's other new pair-source
+          // composition: BOTH sides grow with the corpus (mining is
+          // corpus × corpus through the index), so the planes dial
+          // following the TOTAL side size is what keeps per-bucket
+          // occupancy — and with it the two runs' candidate volumes —
+          // linear; same sign-decorrelated table as mrl_lsh_topk
+          import graft.ann.Mining
+          val emb = lshEmb(s, dir)
+          val src = emb.filter(col("vec_id") % 4 === 1)
+          val planes = lshPlanes(src.count())
+          Mining.marginMineLsh(src, emb.filter(col("vec_id") % 4 === 3),
+            "vec_id", "embedding", k = 4, threshold = 1.0,
+            planes = planes, dim = 64, multiProbe = 2)
+        }),
         "softdedup_weights" -> ((s: SparkSession, dir: String) => {
           // the LM-census topology's audit point (the same census
           // equi-join shape backs t_lm_surprise, p_ppl_buckets,
@@ -339,6 +399,31 @@ object ScaleTrend {
         vec.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
     bigEmb.write.mode("overwrite").parquet(s"$blowDir/embeddings.parquet")
+
+    // the sign-LSH families' table: copy i's vectors additionally
+    // pass through a per-copy ORTHOGONAL sign flip (component j
+    // negated iff xxhash64(i, j) is even; copy 0 untouched). Norms,
+    // intra-copy cosines, cluster structure, and per-copy bucket
+    // skew are preserved EXACTLY; only cross-copy sign-LSH bucket
+    // collisions are removed — near-identical copies share every
+    // hyperplane sign, so on the plain blow-up each bucket's
+    // occupancy would grow with the factor and the candidate volume
+    // data-induced-quadratically: the embedding analogue of the
+    // char-gram collision regime the audit excludes by construction
+    // (word prefixes are the doc-side version of this transform).
+    val bigEmbLsh = (0 until factor).map { i =>
+      val base =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit((i * 1e-4).toFloat)).otherwise(x))
+      val vec =
+        if (i == 0) base
+        else transform(base, (x, j) =>
+          when(pmod(xxhash64(lit(i), j), lit(2)) === 0, -x).otherwise(x))
+      emb.select((col("vec_id") + lit(i * vecShift)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    bigEmbLsh.write.mode("overwrite").parquet(s"$blowDir/embeddings_lsh.parquet")
   }
 
 }

@@ -298,20 +298,34 @@ object Ann {
       norm(col(vecCol)).as("cn"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
       .filter(col("cn") > 0) // zero-norm: see bruteForceTopK
-    // query probes (norm computed before the probe explode — once per
-    // query, not once per probe)
     val probes = probeMasks(planes, multiProbe).map(lit)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"),
       lshSignature(col(vecCol), planes, dim).as("qsig"))
       .filter(col("qn") > 0)
-      .select(col("query_id"), col("qv"), col("qn"),
-        explode(array(probes.map(m => col("qsig").bitwiseXOR(m)): _*)).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+    // PAYLOAD-FREE probe join: the explode multiplies query rows by
+    // the probe count (79 at the default dial, 154 at two-bit probes
+    // over 17 planes), so the dim-wide vector must NOT ride through
+    // it — carrying qv here cost an ~8x wall-clock multiple on a
+    // corpus-sized query side (measured at the margin-mining 30x
+    // point: 27.4s -> the raw id-only join's 3.6s). Ids and buckets
+    // go through the explode; vectors join back onto the DEDUPED
+    // pair set once per pair (each side's signature scan re-executes
+    // once for that re-join — map-only, cheap next to shuffling the
+    // payload probe-count times).
+    val pairs = q.select(col("query_id"),
+        explode(array(probes.map(m => col("qsig").bitwiseXOR(m)): _*))
+          .as("bucket"))
+      .join(c.select(col("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = pairs
+      .join(q.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+      .join(c.select(col("neighbor_id"), col("cv"), col("cn")),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("score"))
-      .dropDuplicates("query_id", "neighbor_id")
     // each query's scored partition is every row sharing a probed
     // bucket — a corpus FRACTION, not a constant — so rank through the
     // bounded-heap TopK aggregate, not a per-query window sort

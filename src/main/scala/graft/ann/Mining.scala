@@ -56,8 +56,15 @@ object Mining {
     * equi-joins onto the forward run, one per-source argmax.
     */
   def marginFromRuns(
-      fwd: DataFrame, bwd: DataFrame, threshold: Double,
+      fwd0: DataFrame, bwd: DataFrame, threshold: Double,
   ): DataFrame = {
+    // the forward run feeds TWO lineages (its own mean frame and the
+    // margins join) — unpersisted, the entire upstream kNN search
+    // (the expensive stage by construction) would execute twice; the
+    // run is a bounded queries × k frame, so hold it
+    // MEMORY_AND_DISK (the rvq persistCodebooks contract: entries
+    // live until the session drops them). bwd feeds one lineage.
+    val fwd = fwd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def nnMean(run: DataFrame, outId: String, outMean: String): DataFrame =
       run.groupBy(col("query_id"))
         .agg(sort_array(collect_list(struct(col("rank"), col("score"))))
