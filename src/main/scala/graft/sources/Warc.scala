@@ -66,6 +66,15 @@ object Warc {
     * payload)`. Records whose header block is malformed (e.g. the
     * headerless tail of a sentinel-containing payload) surface with
     * null fields; filter or quarantine downstream.
+    *
+    * TEXT-PAYLOAD DOOR (pinned contract, WarcSpec): payloads pass
+    * through String, so a response record carrying non-UTF-8 bytes
+    * (images, gzip'd HTTP bodies — common in response-type WARC) is
+    * replacement-char-substituted, NOT byte-faithful. LLM pipelines
+    * consume WET/text records, which this door serves exactly; for
+    * byte-faithful response records use [[readWarcBinary]] /
+    * [[readWarcGzBinary]], whose payload column is `binary` and
+    * byte-cut before any String decode.
     */
   def readWarc(spark: SparkSession, path: String): DataFrame =
     parseWarcRecords(spark.read.option("lineSep", Sentinel).text(path))
@@ -91,6 +100,9 @@ object Warc {
     * decompressed shard. Malformed gzip (corrupt member, plain text,
     * truncated trailer) fails LOUDLY with the inflater's IOException
     * — it never silently truncates or merges records.
+    *
+    * TEXT-PAYLOAD DOOR like [[readWarc]] (the same pinned contract):
+    * byte-faithful response payloads go through [[readWarcGzBinary]].
     */
   def readWarcGz(spark: SparkSession, path: String): DataFrame =
     parseWarcGz(spark.read.format("binaryFile").load(s"$path/*.warc.gz"))
@@ -247,5 +259,141 @@ object Warc {
           "UTF-8"))
         .otherwise(lit(null).cast("string"))
         .as("payload"))
+  }
+
+  // ---- Binary-faithful doors (response-type records) -----------------
+
+  /** BYTE-FAITHFUL WARC read: `(record_id, warc_type, content_length,
+    * payload: binary)` with the payload byte-cut BEFORE any String
+    * decode — the door for response-type records whose bodies are not
+    * UTF-8 text (images, gzip'd HTTP bodies). The header block is
+    * ASCII by the WARC spec and is the only part decoded; payload
+    * bytes pass through untouched. Record split, field rules, and
+    * malformed-record semantics mirror [[readWarc]] exactly (null
+    * fields on a bad header block; a Content-Length past the record
+    * end yields the available bytes — the same comes-up-short row
+    * the text door surfaces).
+    *
+    * 100 TB shape: binaryFile listing-parallel scan, one task per
+    * shard, map-only byte scans — nothing shuffles, nothing decodes.
+    */
+  def readWarcBinary(spark: SparkSession, path: String): DataFrame =
+    parseWarcBinary(spark.read.format("binaryFile").load(s"$path/*.warc"),
+      gz = false)
+
+  /** [[readWarcBinary]] over `.warc.gz` shards: the same streamed
+    * multi-member inflate as [[readWarcGz]], but splitting and
+    * cutting BYTES — payloads never round-trip through a charset.
+    */
+  def readWarcGzBinary(spark: SparkSession, path: String): DataFrame =
+    parseWarcBinary(spark.read.format("binaryFile").load(s"$path/*.warc.gz"),
+      gz = true)
+
+  /** Shared binary body over a binaryFile `(…, content)` frame. */
+  private def parseWarcBinary(bin: DataFrame, gz: Boolean): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val in: java.io.InputStream =
+          if (gz) new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+          else new java.io.ByteArrayInputStream(bytes)
+        byteRecordIterator(in).map(parseBinaryRecord)
+      }
+      .toDF("record_id", "warc_type", "content_length", "payload")
+  }
+
+  private val SentinelBytes =
+    RecordSentinel.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val HeaderEndBytes =
+    "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** One record's byte parse — the [[parseWarcRecords]] rules applied
+    * to raw bytes: headers end at the first `\r\n\r\n` (ASCII-decoded
+    * for the field regexes — header blocks are ASCII by spec), the
+    * payload is the `Content-Length` bytes after it, never decoded.
+    */
+  private def parseBinaryRecord(
+      rec: Array[Byte]): (String, String, java.lang.Long, Array[Byte]) = {
+    val he = indexOfBytes(rec, HeaderEndBytes, 0)
+    val headerEnd = if (he < 0) rec.length else he
+    val headers = new String(rec, 0, headerEnd,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    def field(re: scala.util.matching.Regex): String =
+      re.findFirstMatchIn(headers).map(_.group(1)).filter(_.nonEmpty).orNull
+    val recordId = field("(?m)^WARC-Record-ID: <([^>]*)>\r?$".r)
+    val warcType = field("(?m)^WARC-Type: ([^\r\n]*)\r?$".r)
+    val clStr = field("(?m)^Content-Length: ([0-9]+)\r?$".r)
+    val cl: java.lang.Long =
+      try { if (clStr == null) null else java.lang.Long.valueOf(clStr) }
+      catch { case _: NumberFormatException => null }
+    val payload: Array[Byte] =
+      if (he < 0 || cl == null || cl < 0L || cl > Int.MaxValue.toLong) null
+      else {
+        val start = headerEnd + HeaderEndBytes.length
+        val end = math.min(rec.length.toLong, start + cl).toInt
+        if (start > rec.length) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(rec, start, end)
+      }
+    (recordId, warcType, cl, payload)
+  }
+
+  /** Streamed byte-level sentinel split — [[gzRecordIterator]] +
+    * [[parseWarcRecords]]'s combined semantics (separator removed,
+    * EMPTY splits dropped — the text door's `length > 0` filter)
+    * without any charset round-trip.
+    */
+  private def byteRecordIterator(
+      in: java.io.InputStream): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private val buf = new Array[Byte](64 * 1024)
+      private var acc = new java.io.ByteArrayOutputStream(64 * 1024)
+      private var eof = false
+      private var pending: List[Array[Byte]] = Nil
+      private def fill(): Unit =
+        while (pending.isEmpty && !eof) {
+          val n = in.read(buf)
+          if (n < 0) {
+            eof = true
+            in.close()
+            val tail = acc.toByteArray
+            if (tail.nonEmpty) pending = List(tail)
+          } else {
+            acc.write(buf, 0, n)
+            var bytes = acc.toByteArray
+            var idx = indexOfBytes(bytes, SentinelBytes, 0)
+            val done = List.newBuilder[Array[Byte]]
+            while (idx >= 0) {
+              if (idx > 0)
+                done += java.util.Arrays.copyOfRange(bytes, 0, idx)
+              bytes = java.util.Arrays.copyOfRange(bytes,
+                idx + SentinelBytes.length, bytes.length)
+              idx = indexOfBytes(bytes, SentinelBytes, 0)
+            }
+            acc = new java.io.ByteArrayOutputStream(64 * 1024)
+            acc.write(bytes)
+            pending = done.result()
+          }
+        }
+      def hasNext: Boolean = { fill(); pending.nonEmpty }
+      def next(): Array[Byte] = {
+        fill()
+        if (pending.isEmpty) throw new NoSuchElementException("empty")
+        val h = pending.head; pending = pending.tail; h
+      }
+    }
+
+  private def indexOfBytes(
+      hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
   }
 }

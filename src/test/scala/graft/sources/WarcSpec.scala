@@ -205,4 +205,78 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(causes(ex).exists(_.isInstanceOf[java.util.zip.ZipException]),
       s"expected a loud ZipException, got: $ex")
   }
+
+  // a WARC response record with an arbitrary-BYTE body (the binary
+  // doors' reality: images, gzip'd HTTP bodies)
+  private def binRecord(id: Long, body: Array[Byte]): Array[Byte] = {
+    val header = (Warc.RecordSentinel +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    header ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  // NOT valid UTF-8: a BOM-ish lead, a gzip magic, an embedded
+  // header-end sequence, an overlong-encoding fragment
+  private val binPayload: Array[Byte] =
+    Array(0xFF, 0xFE, 0x00, 0x1F, 0x8B, 0x08).map(_.toByte) ++
+      "\r\n\r\n".getBytes("US-ASCII") ++
+      Array(0x80, 0xC3, 0x28, 0x7F).map(_.toByte)
+
+  test("binary door: non-UTF-8 response payloads round-trip byte-exactly, plain and gz") {
+    val dir = Files.createTempDirectory("warc_bin_spec_").toString
+    val shard = binRecord(1L, binPayload) ++
+      binRecord(2L, "plain text body".getBytes("UTF-8"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/w", "s0.warc"), shard)
+    def check(df: DataFrame): Unit = {
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getAs[Array[Byte]](3))).sortBy(_._1)
+      assert(got.length === 2)
+      assert(got.forall(_._2 === "response"))
+      assert(got(0)._1 === "urn:graft:1" &&
+        got(0)._3 === binPayload.length.toLong)
+      assert(got(0)._4.toSeq === binPayload.toSeq,
+        "binary payload not byte-faithful")
+      assert(got(1)._4.toSeq === "plain text body".getBytes("UTF-8").toSeq)
+    }
+    check(Warc.readWarcBinary(spark, s"$dir/w"))
+    // the gz twin over the same two records as two gzip members
+    def member(rec: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(rec); gz.close(); bo.toByteArray
+    }
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/g"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/g", "s0.warc.gz"),
+      member(binRecord(1L, binPayload)) ++
+        member(binRecord(2L, "plain text body".getBytes("UTF-8"))))
+    check(Warc.readWarcGzBinary(spark, s"$dir/g"))
+  }
+
+  test("the text door's non-UTF-8 mangling is the PINNED contract: detectable, never silent corruption passing as faithful") {
+    val dir = Files.createTempDirectory("warc_bin_text_").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/w", "s0.warc"),
+      binRecord(1L, binPayload))
+    val row = Warc.readWarc(spark, s"$dir/w").collect().head
+    // the scaladoc'd text-door behavior: replacement-char
+    // substitution — the payload comes back changed AND carrying
+    // U+FFFD, so a pipeline that accidentally routes binary records
+    // through the text door sees the damage, not a quiet pass-through
+    val textPayload = row.getString(3)
+    assert(textPayload != null)
+    assert(textPayload.getBytes("UTF-8").toSeq !== binPayload.toSeq,
+      "a non-UTF-8 payload cannot survive the text door unchanged")
+    assert(textPayload.contains('�'),
+      "mangling must surface as replacement chars, not silent bytes")
+    // and the binary door on the SAME shard is the faithful read
+    val bin = Warc.readWarcBinary(spark, s"$dir/w").collect().head
+    assert(bin.getAs[Array[Byte]](3).toSeq === binPayload.toSeq)
+  }
 }
