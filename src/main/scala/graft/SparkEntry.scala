@@ -4133,6 +4133,23 @@ object SparkEntry {
         .map { case ((a, b, n), i) => (i + 1, a, b, n) }
         .toDF("rank", "lhs", "rhs", "n")
     }),
+    "t_bpe_local" -> ((s, dir) => {
+      // the PRODUCTION-round-count trainer: the Sennrich pair-count-
+      // DELTA algorithm over the collected census (per round, work
+      // proportional to the affected words — the shape a 32k-merge
+      // vocabulary needs; Bpe.train's one-job-per-round twin is
+      // priced in SCALE.md). Hash-gated against the SAME unrolled
+      // mergesSql oracle as t_bpe_merges at a deeper round dial, and
+      // BpeSpec pins trainLocal ≡ train on fuzzed corpora
+      import graft.text.Bpe
+      val census = Bpe.wordCensus(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text")
+      val (merges, _) = Bpe.trainLocal(census, numMerges = 12)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+        .toDF("rank", "lhs", "rhs", "n")
+    }),
     "t_bpe_encode" -> ((s, dir) => {
       // corpus encoded with the trained vocab: per-doc subword and
       // OOV counts (the packing-budget numbers). Hash-gated against
@@ -6819,6 +6836,8 @@ object SparkEntry {
       graft.text.Bpe.pairCountsSql(20, "WHERE doc_id % 10 = 0"),
     "t_bpe_merges" ->
       graft.text.Bpe.mergesSql(8, "WHERE doc_id % 10 = 0"),
+    "t_bpe_local" ->
+      graft.text.Bpe.mergesSql(12, "WHERE doc_id % 10 = 0"),
     "t_bpe_encode" ->
       graft.text.Bpe.encodeStatsSql(8, "WHERE doc_id % 10 = 0", "WHERE doc_id % 20 = 0"),
     "t_fertility" ->

@@ -345,6 +345,147 @@ object Bpe {
     (merges.toSeq, seg)
   }
 
+  /** PRODUCTION-ROUND-COUNT trainer — the Sennrich/SentencePiece
+    * pair-count-DELTA algorithm over the collected census. [[train]]
+    * recomputes the full pair census every round (one distributed
+    * job per merge — the right shape for gate-sized round counts,
+    * priced in SCALE.md: ~0.1 s of fixed job cost per round, so a
+    * 32k-merge production vocabulary would spend ~an hour on job
+    * overhead alone). This twin exploits what production trainers
+    * exploit: a merge only changes pair counts in the words that
+    * CONTAIN the merged pair, so counts are maintained incrementally
+    * — per round, work proportional to the affected words, not the
+    * vocabulary — with a tree-ordered argmax. The census (the ONLY
+    * corpus-sized step) still comes from the cluster; the merge loop
+    * runs on the driver over the vocabulary-sized frame, which is
+    * the scale split 100 TB tokenizer training actually uses (a
+    * top-`maxCensusRows` census of any corpus fits driver memory;
+    * the bound is LOUD — a silent truncation would silently change
+    * the vocabulary).
+    *
+    * Bit-identical to [[train]] by construction (BpeSpec pins merge
+    * tables AND segmentations equal, and the gate shares
+    * [[mergesSql]]): the argmax total order is (n desc, lhs, rhs)
+    * with strings compared as UTF-8 BYTES (Spark's and DuckDB's
+    * string order — `String.compareTo` would diverge on
+    * supplementary code points), the merge scan is [[mergeStep]]'s
+    * greedy left-to-right fold, symbols split by CODE POINTS, and
+    * the early-stop rule is the same `minPairFreq` check.
+    */
+  def trainLocal(
+      census: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
+      maxCensusRows: Int = 2000000,
+  ): (Seq[(String, String, Long)], DataFrame) = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    val spark = census.sparkSession
+    val rows = census.select(col("word").cast("string"), col("freq").cast("long"))
+      .limit(maxCensusRows + 1).collect()
+    require(rows.length <= maxCensusRows,
+      s"trainLocal: census exceeds maxCensusRows=$maxCensusRows — a " +
+        "truncated census silently changes the vocabulary; raise the " +
+        "bound explicitly or train on a censused sample")
+    val words = rows.map(_.getString(0))
+    val freqs = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] = words.map(w =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+
+    // UTF-8 byte order — the engines' string order
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val cmp = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int =
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1) // n DESC
+        else if (x._2 != y._2) { if (utf8Lt(x._2, y._2)) -1 else 1 }
+        else if (x._3 != y._3) { if (utf8Lt(x._3, y._3)) -1 else 1 }
+        else 0
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val order = new java.util.TreeSet[(Long, String, String)](cmp)
+    // pair -> word indices that (at some point) contained it; stale
+    // entries are harmless (the rescan no-ops), missing entries are
+    // impossible (every created adjacency registers here)
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0L) { counts(p) = nw; order.add((nw, p._1, p._2)): Unit }
+      else counts.remove(p): Unit
+    }
+    def forPairs(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i + 1 < s.length) { f((s(i), s(i + 1))); i += 1 }
+    }
+    var i = 0
+    while (i < syms.length) {
+      val w = i
+      forPairs(syms(i)) { p =>
+        bump(p, freqs(w))
+        occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+      }
+      i += 1
+    }
+
+    // mergeStep's greedy left-to-right scan, verbatim semantics
+    def greedy(s: Array[String], a: String, b: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+      var j = 0
+      while (j < s.length) {
+        if (out.nonEmpty && out.last == a && s(j) == b)
+          out(out.length - 1) = a + b
+        else out += s(j)
+        j += 1
+      }
+      out.toArray
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var done = false
+    while (!done && round < numMerges) {
+      val head = if (order.isEmpty) null else order.first()
+      if (head == null || head._1 < minPairFreq) done = true
+      else {
+        val (n, a, b) = head
+        merges += ((a, b, n))
+        val affected = occ.getOrElse((a, b),
+          scala.collection.mutable.Set.empty[Int]).toArray.sorted
+        var k = 0
+        while (k < affected.length) {
+          val w = affected(k)
+          val old = syms(w)
+          val merged = greedy(old, a, b)
+          if (merged.length != old.length) { // a merge strictly shrinks
+            forPairs(old)(p => bump(p, -freqs(w)))
+            forPairs(merged) { p =>
+              bump(p, freqs(w))
+              occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+            }
+            syms(w) = merged
+          }
+          k += 1
+        }
+      }
+      round += 1
+    }
+    import spark.implicits._
+    val seg = words.indices
+      .map(w => (words(w), freqs(w), syms(w).toSeq))
+      .toDF("word", "freq", "syms")
+    (merges.toSeq, seg)
+  }
+
   /** The checkpointed RDD behind a `localCheckpoint`ed frame — the
     * handle `unpersist` must target (the Dataset itself has no
     * CacheManager entry). None for frames that are not a plain

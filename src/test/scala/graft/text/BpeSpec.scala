@@ -139,6 +139,44 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       s"unicode split diverged: replay $replayed != train $trained")
   }
 
+  test("trainLocal (pair-count-delta trainer) equals train: merges AND segmentations, incl. ties, unicode, early stop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abcde😀".toCharArray // incl. a supplementary pair source
+    def randWord(): String = {
+      val cps = "abcde" + new String(Character.toChars(0x1F600))
+      val arr = cps.codePoints().toArray
+      (0 until (1 + rnd.nextInt(6)))
+        .map(_ => new String(Character.toChars(arr(rnd.nextInt(arr.length)))))
+        .mkString
+    }
+    assert(alphabet.length == 7) // sanity: the emoji is two chars
+    for (trial <- 0 until 6) {
+      val docs = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(4))(randWord()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val census = wordCensus(docs, "text")
+      val rounds = 1 + rnd.nextInt(10)
+      val (m1, s1) = train(census, numMerges = rounds)
+      val (m2, s2) = trainLocal(census, numMerges = rounds)
+      assert(m2 === m1, s"trial $trial: merge tables diverged")
+      def segMap(df: org.apache.spark.sql.DataFrame) =
+        df.select("word", "syms").collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(segMap(s2) === segMap(s1),
+        s"trial $trial: segmentations diverged")
+    }
+  }
+
+  test("trainLocal fails loudly past maxCensusRows — never a silent vocabulary truncation") {
+    import spark.implicits._
+    val census = (0 until 10).map(i => (s"w$i", 2L)).toDF("word", "freq")
+    val ex = intercept[IllegalArgumentException] {
+      trainLocal(census, numMerges = 2, maxCensusRows = 5)
+    }
+    assert(ex.getMessage.contains("maxCensusRows"))
+  }
+
   test("round-1 pair statistic matches the SQL-gated rendering's semantics") {
     val census = wordCensus(corpus(), "text")
     val syms = expr(
