@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Buffer carrier (Catalyst derives the encoder from the Product). */
-final case class KmvSketchBuffer(items: List[Long])
+/** Buffer carrier (Catalyst derives the encoder from the Product);
+  * `items` stays SORTED ascending.
+  */
+final case class KmvSketchBuffer(items: Array[Long])
 
 /** Bounded per-group KMV (bottom-k) sketch: a typed Aggregator that
   * keeps the `k` smallest DISTINCT hash values per group, ascending.
@@ -29,25 +31,40 @@ final case class KmvSketchBuffer(items: List[Long])
   * input is Option-ized so a nullable hash column deserializes
   * instead of throwing (the [[TopK]] lesson).
   *
-  * The buffer is a sorted list with O(k) insert — right for the
-  * census dials here (k ≤ a few hundred); a deployment running
-  * k ≫ 1024 for tighter estimates should swap an array-backed
-  * binary-search buffer into `add` (same contract, same encoder
-  * shape).
+  * The buffer is a sorted Array[Long]: membership/position via
+  * binary search (O(log k) — the dedup check and the insertion
+  * point in one probe), insertion via two arraycopy memmoves — the
+  * large-k shape (k ≫ 1024) the r19 sorted-list buffer deferred;
+  * same contract, same ArrayType(LongType) encoder shape, and a
+  * duplicate or an above-max arrival on a full sketch allocates
+  * NOTHING (the common case once the sketch saturates).
   */
 final case class KmvSketch(k: Int)
     extends Aggregator[Option[Long], KmvSketchBuffer, Seq[Long]] {
 
   require(k > 1, s"k $k must be > 1 (the estimator divides by k-1)")
 
-  override def zero: KmvSketchBuffer = KmvSketchBuffer(Nil)
+  override def zero: KmvSketchBuffer = KmvSketchBuffer(Array.emptyLongArray)
 
-  private def add(items: List[Long], h: Long): List[Long] = {
-    val (below, above) = items.span(_ < h)
-    if (above.headOption.contains(h)) items // distinct: already a slot
-    else if (items.size < k) below ::: h :: above
-    else if (h < items.last) (below ::: h :: above).init
-    else items
+  private def add(items: Array[Long], h: Long): Array[Long] = {
+    val idx = java.util.Arrays.binarySearch(items, h)
+    if (idx >= 0) items // distinct: already a slot
+    else {
+      val ins = -idx - 1
+      if (items.length < k) {
+        val out = new Array[Long](items.length + 1)
+        System.arraycopy(items, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(items, ins, out, ins + 1, items.length - ins)
+        out
+      } else if (ins < k) { // h below the current max: displace it
+        val out = new Array[Long](k)
+        System.arraycopy(items, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(items, ins, out, ins + 1, k - ins - 1)
+        out
+      } else items
+    }
   }
 
   override def reduce(b: KmvSketchBuffer, in: Option[Long]): KmvSketchBuffer =
@@ -62,7 +79,7 @@ final case class KmvSketch(k: Int)
   /** Ascending; the last element is the k-th smallest (the
     * estimator's `h_k`) when the sketch is full.
     */
-  override def finish(b: KmvSketchBuffer): Seq[Long] = b.items
+  override def finish(b: KmvSketchBuffer): Seq[Long] = b.items.toSeq
 
   override def bufferEncoder: Encoder[KmvSketchBuffer] =
     Encoders.product[KmvSketchBuffer]

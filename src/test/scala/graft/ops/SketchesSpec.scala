@@ -129,6 +129,28 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(global === grouped)
   }
 
+  test("KmvSketch aggregator at a large-k dial (4096) equals the sorted-distinct reference, duplicates invisible") {
+    import graft.functions.KmvSketch
+    val k = 4096
+    // 6000 distinct hashes (> k: the displace path), each twice (the
+    // duplicate-blind slot rule), shuffled across 7 partitions so
+    // merge() runs over genuinely split buffers
+    val vals = new scala.util.Random(23)
+      .shuffle((0 until 6000).map(i => i.toLong * 2654435761L))
+    val df = (vals ++ vals).toDF("h").repartition(7)
+    val got = df.agg(KmvSketch.kmv_sketch(col("h"), k).as("sk"))
+      .collect().head.getSeq[Long](0)
+    val want = vals.distinct.sorted.take(k)
+    assert(got.length === k)
+    assert(got.toList === want.toList,
+      "array-backed buffer diverged from the sorted-distinct reference")
+    // underfull stays exact and ascending at the same dial
+    val few = Seq(5L, 1L, 5L, 3L).toDF("h")
+    val fk = few.agg(KmvSketch.kmv_sketch(col("h"), k)).collect()
+      .head.getSeq[Long](0)
+    assert(fk.toList === List(1L, 3L, 5L))
+  }
+
   test("kmvOverlap estimates a planted 50% Jaccard within 20%") {
     // |A|=6000, |B|=6000, |A∩B|=4000, |A∪B|=8000 → J = 0.5
     val a = spark.range(6000).select(col("id").as("v"))
