@@ -1793,7 +1793,14 @@ object Ann {
       if (persistSignatures)
         sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sig0
-    val buckets = sig.select(col("id"), col("v"), col("vn"),
+    // PAYLOAD-FREE buckets (the r20 lshTopK lesson, applied to the
+    // banded self-join): the posexplode multiplies rows by `bands`,
+    // so the dim-wide vector must not ride through the bucket
+    // shuffle — ids and band keys pair up first, and the deduped
+    // candidate set joins the persisted signature frame back once
+    // per side (two id-equi-joins at candidate volume, noise next to
+    // shuffling the payload `bands` times on both self-join sides)
+    val buckets = sig.select(col("id"),
       posexplode(col("keys")).as(Seq("band", "bkey")))
     val bounded =
       if (maxBucketSize <= 0) buckets
@@ -1807,18 +1814,23 @@ object Ann {
     // the bucket frame reaches this self-join with no shuffle since
     // the scan (map-only sign + posexplode), so the planner's size
     // estimate is the compressed parquet bytes — the decompressed
-    // ×bands bucket rows CARRYING FULL VECTORS can slip beneath the
-    // auto-broadcast threshold while being orders bigger (the
-    // scan+explode class, cf. Substr anchors). Both sides are the
-    // same corpus-scale frame; pin sort-merge
-    bounded.as("a")
+    // ×bands bucket rows can slip beneath the auto-broadcast
+    // threshold while being orders bigger (the scan+explode class,
+    // cf. Substr anchors). Both sides are the same corpus-scale
+    // frame; pin sort-merge
+    val pairs = bounded.as("a")
       .join(bounded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.vn").as("na"), col("b.vn").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("v").as("va"),
+        col("vn").as("na")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"),
+        col("na"), col("nb"))
   }
 
   /** DuckDB rendering of [[cosineNearDupLsh]] (census off — the
