@@ -3148,6 +3148,21 @@ object SparkEntry {
         "vec_id", "embedding", 5, cb1, cb2)
         .orderBy("query_id", "rank")
     }),
+    "e_ivfrvq_refined" -> ((s, dir) => {
+      // the additive-quantizer production index: md5-seeded L2
+      // coarse cells + Lloyd-REFINED RVQ fine codes, the family's
+      // third composed index beside e_ivfpq_refined and e_sq8_ivf —
+      // ADC scores only probed survivors from (c1, c2) codes, never
+      // vectors. RvqSpec proves nProbe >= nCells ≡ the flat
+      // rvqTopKWithCodebooks
+      import graft.ann.Rvq
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      val (cb1, cb2) = Rvq.rvqCodebooksRefined(emb, "vec_id", "embedding",
+        k = 8, iters = 2, maxTrainRows = 120)
+      Rvq.ivfRvqTopK(emb.filter(col("vec_id") % 300 === 1), emb,
+        "vec_id", "embedding", 5, cb1, cb2, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "e_quantizer_pick" -> ((s, dir) => {
       // the cross-quantizer selection census: SQ8 vs seed-drawn RVQ
       // vs Lloyd-refined RVQ total reconstruction error over the SAME
@@ -7305,6 +7320,9 @@ object SparkEntry {
         "WHERE vec_id % 3 = 1") + "\nORDER BY id"),
     "e_rvq_refined_topk" ->
       graft.ann.Rvq.rvqRefinedTopKSql(5, 8, 2, 120, 64, 42L,
+        "WHERE vec_id % 3 = 1", "WHERE vec_id % 300 = 1"),
+    "e_ivfrvq_refined" ->
+      graft.ann.Rvq.ivfRvqRefinedTopKSql(5, 8, 2, 120, 64, 42L, 16, 4,
         "WHERE vec_id % 3 = 1", "WHERE vec_id % 300 = 1"),
     "e_ann_mrl" ->
       graft.ann.Matryoshka.mrlTopKSql(5, 16, 20, 64,

@@ -1370,6 +1370,20 @@ object Ann {
        |  AS errq
        |FROM best WHERE rn = 1 GROUP BY id""".stripMargin
 
+  /** [[pqEncodeErrSql]] over the OPQ-permuted chain
+    * ([[opqPermutation]] + [[opqPermute]] + [[pqEncodeErr]] on the
+    * permuted column — the permutation is orthogonal, so the
+    * reconstruction error is directly comparable with the plain PQ
+    * rows in [[graft.ann.Sq.quantizerPick]]'s census).
+    */
+  def opqEncodeErrSql(
+      m: Int, k: Int, dim: Int, seed: Long, whereClause: String): String =
+    s"""WITH ${opqPermuteCtesSql(m, dim, whereClause)},
+       |${pqCtesSql(m, k, dim, seed, "", from = "pe")}
+       |SELECT id, list_reduce(list(dist ORDER BY sub), (x, y) -> x + y)
+       |  AS errq
+       |FROM best WHERE rn = 1 GROUP BY id""".stripMargin
+
   /** [[pqEncodeErrSql]] over the Lloyd-refined chain
     * ([[pqCodebooksRefinedDet]]'s oracle twin).
     */

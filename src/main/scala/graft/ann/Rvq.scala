@@ -348,6 +348,98 @@ object Rvq {
   ): DataFrame = {
     val codes = rvqEncode(candidates, idCol, vecCol, cb1, cb2)
       .select(col("id").as("neighbor_id"), col("c1"), col("c2"))
+    val (t1, t2, xterm) = adcTables(queries, idCol, vecCol, cb1, cb2)
+    val scored = codes
+      .crossJoin(broadcast(t1.join(t2, Seq("query_id"))))
+      .crossJoin(broadcast(xterm))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        ((element_at(col("t1"), col("c1") + 1) +
+          element_at(col("t2"), col("c2") + 1)) +
+          element_at(col("xflat"),
+            col("c1") * size(col("t2")) + col("c2") + 1)).as("adc"))
+    Ann.heapRank(scored, "adc", "double", n, ascending = true)
+  }
+
+  /** Composed IVF-RVQ (the faiss `IVF…` shape over the additive
+    * quantizer — the family's third coarse-pruned index beside
+    * [[graft.ann.Ann.ivfPqTopKWithCodebooks]] and
+    * [[graft.ann.Sq.ivfSq8TopK]]): the md5-seeded L2 cell quantizer
+    * ([[graft.ann.Sq.ivfSq8TopK]]'s coarse device — RVQ is L2
+    * end-to-end, so no zero-norm exclusions anywhere, ties to the
+    * smallest cell id) prunes the corpus to `nProbe` cells per
+    * query, and the RVQ ADC (three broadcast lookup tables, the
+    * pinned `(t1 + t2) + x` addition order) scores ONLY the
+    * survivors from their `(c1, c2)` codes. Pass
+    * [[rvqCodebooksRefined]]'s output for the production
+    * coarse-cells + refined-fine-codes index (`e_ivfrvq_refined`);
+    * with `nProbe >= nCells` the result is PROVEN identical to the
+    * flat [[rvqTopKWithCodebooks]] (RvqSpec).
+    *
+    * 100 TB shape: the corpus is touched twice map-only (cell
+    * assignment against the broadcast centroid list, the encode's
+    * two struct-min stages), then the scored join is a cell
+    * equi-join of the probe list against `(cell, id, c1, c2)` —
+    * codes, never vectors; `nProbe/nCells` of the code table reaches
+    * each query's heap.
+    */
+  def ivfRvqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, n: Int,
+      cb1: DataFrame, cb2: DataFrame,
+      nCells: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val cents = candidates
+      .select(col(idCol).as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .withColumn("ck", md5(col("cell").cast("string")))
+      .orderBy(col("ck"), col("cell")).limit(nCells)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+    def cellDists(vec: Column): Column =
+      transform(col("cents"), ct =>
+        struct(Ann.l2sq(vec, ct("centroid")).as("d"), ct("cell").as("cell")))
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", array_min(cellDists(col("__v")))("cell"))
+      .select(col("neighbor_id"), col("cell"))
+    val cellCodes = rvqEncode(candidates, idCol, vecCol, cb1, cb2)
+      .select(col("id").as("neighbor_id"), col("c1"), col("c2"))
+      .join(assigned, Seq("neighbor_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ds", array_sort(cellDists(col("qv"))))
+      .withColumn("np", least(lit(nProbe), size(col("ds"))))
+      .withColumn("probe", explode(slice(col("ds"), lit(1), col("np"))))
+      .select(col("query_id"), col("probe.cell").as("cell"))
+    val (t1, t2, xterm) = adcTables(queries, idCol, vecCol, cb1, cb2)
+    val scored = probes
+      .join(broadcast(t1.join(t2, Seq("query_id"))), Seq("query_id"))
+      .join(cellCodes, Seq("cell"))
+      .crossJoin(broadcast(xterm))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        ((element_at(col("t1"), col("c1") + 1) +
+          element_at(col("t2"), col("c2") + 1)) +
+          element_at(col("xflat"),
+            col("c1") * size(col("t2")) + col("c2") + 1)).as("adc"))
+    Ann.heapRank(scored, "adc", "double", n, ascending = true)
+  }
+
+  /** The per-query ADC lookup tables — `t1(query_id, t1)`,
+    * `t2(query_id, t2)`, and the 1-row query-independent cross-term
+    * `xterm(xflat)` — ONE builder for the flat
+    * [[rvqTopKWithCodebooks]] and the composed [[ivfRvqTopK]].
+    */
+  private def adcTables(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cb1: DataFrame, cb2: DataFrame,
+  ): (DataFrame, DataFrame, DataFrame) = {
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val t1 = q.crossJoin(broadcast(cb1))
@@ -378,17 +470,7 @@ object Rvq {
       .agg(transform(
         array_sort(collect_list(struct(col("x1"), col("x2"), col("x")))),
         e => e.getField("x")).as("xflat"))
-    val scored = codes
-      .crossJoin(broadcast(t1.join(t2, Seq("query_id"))))
-      .crossJoin(broadcast(xterm))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
-        else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
-        ((element_at(col("t1"), col("c1") + 1) +
-          element_at(col("t2"), col("c2") + 1)) +
-          element_at(col("xflat"),
-            col("c1") * size(col("t2")) + col("c2") + 1)).as("adc"))
-    Ann.heapRank(scored, "adc", "double", n, ascending = true)
+    (t1, t2, xterm)
   }
 
   /** Shared encode CTE chain over `embeddings(vec_id, embedding)`
@@ -599,7 +681,20 @@ object Rvq {
     * ONE renderer for the seed-drawn and refined oracles (same stage
     * tables, same pinned `(t1 + t2) + x` addition order).
     */
-  private def topKTailSql(n: Int, dim: Int, queryWhere: String): String = {
+  private def topKTailSql(n: Int, dim: Int, queryWhere: String): String =
+    s"""${adcTablesSql(dim, queryWhere)},
+       |scored AS (SELECT t1g.query_id, id AS neighbor_id,
+       |    (t1[c1 + 1] + t2[c2 + 1]) +
+       |      xflat[c1 * len(t2) + c2 + 1] AS adc
+       |  FROM codes, t1g, t2g, xt
+       |  WHERE t1g.query_id = t2g.query_id AND id <> t1g.query_id),
+       |${rankedTailSql(n)}""".stripMargin
+
+  /** The per-query ADC table CTEs (`q`, `t1g`, `t2g`, `xt`) over
+    * existing `e`/`cb1`/`cb2` — ONE renderer for the flat and
+    * IVF-composed retrieval oracles (the [[adcTables]] twin).
+    */
+  private def adcTablesSql(dim: Int, queryWhere: String): String = {
     def fold(body: String): String =
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $body), " +
         "(acc, x) -> acc + x)"
@@ -618,17 +713,56 @@ object Rvq {
        |xt AS (SELECT list(x ORDER BY x1, x2) AS xflat
        |  FROM (SELECT cb1.code AS x1, cb2.code AS x2,
        |      ${fold("2.0 * cb1.centroid[i] * cb2.centroid[i]")} AS x
-       |    FROM cb1, cb2)),
-       |scored AS (SELECT t1g.query_id, id AS neighbor_id,
-       |    (t1[c1 + 1] + t2[c2 + 1]) +
-       |      xflat[c1 * len(t2) + c2 + 1] AS adc
-       |  FROM codes, t1g, t2g, xt
-       |  WHERE t1g.query_id = t2g.query_id AND id <> t1g.query_id),
-       |ranked AS (SELECT query_id, neighbor_id, adc,
+       |    FROM cb1, cb2))""".stripMargin
+  }
+
+  private def rankedTailSql(n: Int): String =
+    s"""ranked AS (SELECT query_id, neighbor_id, adc,
        |    CAST(ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, adc FROM ranked
        |WHERE rank <= $n ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** DuckDB rendering of the composed refined index
+    * ([[rvqCodebooksRefined]] + [[ivfRvqTopK]]): the refined-encode
+    * CTE chain, the md5-seeded L2 cells over `v0` (the encode
+    * chain's own double-vector frame), the probe list, and the
+    * shared ADC tables scoring only probed survivors.
+    */
+  def ivfRvqRefinedTopKSql(
+      n: Int, k: Int, iters: Int, maxTrainRows: Int, dim: Int, seed: Long,
+      nCells: Int, nProbe: Int,
+      whereClause: String, queryWhere: String): String =
+    s"""WITH ${rvqRefinedCtesSql(k, iters, maxTrainRows, dim, seed,
+        whereClause)},
+       |cents AS (SELECT vec_id AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |assign0 AS (SELECT v0.id AS neighbor_id, c.cell,
+       |    row_number() OVER (PARTITION BY v0.id
+       |      ORDER BY ${Ann.l2sqSql("v0.v", "c.centroid", dim)}, c.cell)
+       |      AS rn
+       |  FROM v0 CROSS JOIN cents c),
+       |assigned AS (SELECT neighbor_id, cell FROM assign0 WHERE rn = 1),
+       |ccodes AS (SELECT codes.id AS neighbor_id, c1, c2, a.cell
+       |  FROM codes JOIN assigned a ON codes.id = a.neighbor_id),
+       |${adcTablesSql(dim, queryWhere)},
+       |probe0 AS (SELECT q.query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${Ann.l2sqSql("q.qv", "c.centroid", dim)}, c.cell)
+       |      AS rn
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, cell FROM probe0 WHERE rn <= $nProbe),
+       |scored AS (SELECT p.query_id, cc.neighbor_id,
+       |    (t1[c1 + 1] + t2[c2 + 1]) +
+       |      xflat[c1 * len(t2) + c2 + 1] AS adc
+       |  FROM probes p
+       |  JOIN t1g ON t1g.query_id = p.query_id
+       |  JOIN t2g ON t2g.query_id = p.query_id
+       |  JOIN ccodes cc ON cc.cell = p.cell
+       |  CROSS JOIN xt
+       |  WHERE cc.neighbor_id <> p.query_id),
+       |${rankedTailSql(n)}""".stripMargin
 }

@@ -264,8 +264,15 @@ object Sq {
         Ann.pqCodebooksRefinedDet(corpus, idCol, vecCol, pqM, pqK, dim,
           refinedIters, refinedTrainRows, seed),
         pqM, dim), "errq")
+    val permuted = corpus.select(col(idCol),
+      Ann.opqPermute(vecCol,
+        Ann.opqPermutation(corpus, vecCol, pqM, dim), dim).as(vecCol))
+    val opq = census("pq_opq",
+      Ann.pqEncodeErr(permuted, idCol, vecCol,
+        Ann.pqCodebooks(permuted, idCol, vecCol, pqM, pqK, dim, seed),
+        pqM, dim), "errq")
     sq8.unionByName(rvq).unionByName(rvqr).unionByName(pqs)
-      .unionByName(pqr)
+      .unionByName(pqr).unionByName(opq)
   }
 
   /** DuckDB rendering of [[quantizerPick]] — each family's existing
@@ -297,7 +304,10 @@ object Sq {
       "\nUNION ALL\n" +
       fold("pq_refined",
         Ann.pqRefinedEncodeErrSql(pqM, pqK, dim, refinedIters,
-          refinedTrainRows, seed, whereClause), "errq")
+          refinedTrainRows, seed, whereClause), "errq") +
+      "\nUNION ALL\n" +
+      fold("pq_opq",
+        Ann.opqEncodeErrSql(pqM, pqK, dim, seed, whereClause), "errq")
   }
 
   /** Shared CTE chain over `embeddings(vec_id, embedding)` restricted

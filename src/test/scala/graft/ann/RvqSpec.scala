@@ -223,4 +223,35 @@ class RvqSpec extends AnyFunSuite with SparkSpec {
     assert(rh >= sh, s"refined recall@5 $rh below seed-drawn $sh")
     assert(rh > 1.0, s"refined recall@5 $rh no better than noise")
   }
+
+  test("ivfRvqTopK: full-probe run is identical to the flat ADC retrieval; pruning only shrinks the result") {
+    import org.apache.spark.sql.functions.col
+    val rows = clustered(100, 5)
+    val df = emb(rows)
+    val queries = df.filter(col("vec_id") < 6)
+    val (cb1, cb2) = Rvq.rvqCodebooksRefined(df, "vec_id", "embedding",
+      k = 8, iters = 2, maxTrainRows = 100)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val flat = key(Rvq.rvqTopKWithCodebooks(queries, df, "vec_id",
+      "embedding", 5, cb1, cb2))
+    // nProbe >= nCells: the cell join prunes nothing, so the composed
+    // index must reproduce the flat ADC ranking EXACTLY (rank, adc)
+    val full = key(Rvq.ivfRvqTopK(queries, df, "vec_id", "embedding", 5,
+      cb1, cb2, nCells = 8, nProbe = 8))
+    assert(full === flat, "full-probe IVF-RVQ diverged from flat ADC")
+    // pruned probes: well-formed per query, and every returned adc
+    // must equal the flat ADC of the same pair (pruning narrows the
+    // candidate set, never changes a surviving pair's score)
+    val pruned = key(Rvq.ivfRvqTopK(queries, df, "vec_id", "embedding", 5,
+      cb1, cb2, nCells = 8, nProbe = 2))
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (_, _, rank, _) => rank >= 1 && rank <= 5 })
+    val flatAdc = key(Rvq.rvqTopKWithCodebooks(queries, df, "vec_id",
+      "embedding", 100, cb1, cb2))
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(pruned.forall { case (q, nb, _, adc) => flatAdc((q, nb)) == adc },
+      "a pruned pair's ADC diverged from the flat scoring")
+  }
 }
