@@ -1023,6 +1023,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"rvqTopK hint count changed:\n$analyzed")
   }
 
+  test("ivfRvqTopK: no CartesianProduct on data; cents/ADC tables broadcast, the code table never hinted") {
+    // the composed index must keep the rvqTopK discipline with the
+    // coarse stage added: the executed plan's only nested-loop joins
+    // are against 1-row/bounded broadcast sides (cents, the ADC
+    // tables, xterm) — a CartesianProduct (the localCheckpointed-
+    // codebook regression this family's hints exist for) or a
+    // broadcast of the corpus-code side would be the scale killer
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (cb1, cb2) = graft.ann.Rvq.rvqCodebooksRefined(
+      emb, "vec_id", "embedding", k = 8, iters = 1, maxTrainRows = 60)
+    val plan = graft.ann.Rvq.ivfRvqTopK(
+      emb.filter(col("vec_id") % 40 === 1), emb,
+      "vec_id", "embedding", 5, cb1, cb2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"composed IVF-RVQ degraded to a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"composed IVF-RVQ lost its bounded-side broadcasts:\n$plan")
+  }
+
   test("c4Clean and the WARC parse are map-only: no exchange, no window") {
     val c4 = graft.text.C4.c4Clean(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
