@@ -3207,6 +3207,25 @@ object SparkEntry {
           element_at(col("codes"), sb + 1).as(s"code_$sb")): _*)
         .orderBy("id")
     }),
+    "e_pq_opq_topk" -> ((s, dir) => {
+      // OPQ retrieval end-to-end: queries AND corpus permute through
+      // the same energy-balanced map (an orthogonal transform — the
+      // permuted-space ADC ranking is the operator's real ranking),
+      // then the standard seed-drawn PQ ADC scores the permuted
+      // codes — completes the OPQ member from encode-only
+      // (e_pq_opq) to retrieval, sharing pqTopKWithCodebooks with
+      // the plain and refined twins
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 2)
+      val perm = Ann.opqPermutation(emb, "embedding", 8, 64)
+      val permuted = emb.select(col("vec_id"),
+        Ann.opqPermute("embedding", perm, 64).as("embedding"))
+      val cb = Ann.pqCodebooks(permuted, "vec_id", "embedding", 8, 16, 64)
+      Ann.pqTopKWithCodebooks(
+        permuted.filter(col("vec_id") % 300 === 2), permuted,
+        "vec_id", "embedding", 5, cb, 8, 64)
+        .orderBy("query_id", "rank")
+    }),
     "e_pq_encode" -> ((s, dir) => {
       // product quantization: 64-dim float32 → 8 codes of 4 bits
       // (16-centroid codebooks per 8-dim subspace) — deterministic
@@ -7371,6 +7390,9 @@ object SparkEntry {
       graft.ann.Ann.pqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 0"),
     "e_pq_opq" ->
       graft.ann.Ann.opqEncodeSql(8, 16, 64, 42L, "WHERE vec_id % 3 = 2"),
+    "e_pq_opq_topk" ->
+      graft.ann.Ann.opqTopKSql(5, 8, 16, 64, 42L,
+        "WHERE vec_id % 3 = 2", "WHERE vec_id % 300 = 2"),
     "e_pq_pack_roundtrip" -> {
       // byte j of the 4-bit packing is code_{2j} | code_{2j+1} << 4 —
       // rendered as printf hex so the layout itself is under the hash

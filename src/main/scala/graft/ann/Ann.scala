@@ -1402,10 +1402,32 @@ object Ann {
     */
   def pqTopKSql(
       n: Int, m: Int, k: Int, dim: Int, seed: Long,
-      whereClause: String, queryWhere: String): String = {
-    val d = dim / m
+      whereClause: String, queryWhere: String): String =
     s"""WITH ${pqCtesSql(m, k, dim, seed, whereClause)},
-       |q AS (SELECT vec_id AS query_id, sub,
+       |${pqTopKTailSql(n, m, dim, queryWhere)}""".stripMargin
+
+  /** DuckDB rendering of the OPQ-permuted ADC retrieval
+    * ([[opqPermutation]] + [[opqPermute]] + [[pqTopKWithCodebooks]]
+    * on the permuted column — queries permute through the SAME map,
+    * so ranks are the permuted-space ADC ranking): the permutation
+    * CTEs feed `pe`, the standard codebook/encode chain runs over
+    * it, and the shared retrieval tail scores it.
+    */
+  def opqTopKSql(
+      n: Int, m: Int, k: Int, dim: Int, seed: Long,
+      whereClause: String, queryWhere: String): String =
+    s"""WITH ${opqPermuteCtesSql(m, dim, whereClause)},
+       |${pqCtesSql(m, k, dim, seed, "", from = "pe")},
+       |${pqTopKTailSql(n, m, dim, queryWhere)}""".stripMargin
+
+  /** The ADC retrieval tail over existing `e`/`subs`/`cb`/`codes`
+    * CTEs — ONE renderer for the plain and OPQ-permuted top-k
+    * oracles.
+    */
+  private def pqTopKTailSql(
+      n: Int, m: Int, dim: Int, queryWhere: String): String = {
+    val d = dim / m
+    s"""q AS (SELECT vec_id AS query_id, sub,
        |    list_transform(list_slice(embedding, sub * $d + 1, sub * $d + $d),
        |      x -> CAST(x AS DOUBLE)) AS qsubvec
        |  FROM e, subs $queryWhere),
