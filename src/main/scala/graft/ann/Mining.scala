@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * the actual count; the argmax ties to the smaller target id. All
   * of it is oracle arithmetic, so mined pairs hash-gate.
   *
-  * 100 TB shape: the margin layer itself is bounded — two per-side
-  * mean frames (one row per sentence) equi-joined back onto the
-  * forward run (queries × k rows), then one per-source argmax; the
+  * 100 TB shape: the margin layer itself is bounded — the forward
+  * side's neighbor mean rides the run as a window aggregate (one
+  * pass, no persist), the backward side's one-row-per-sentence mean
+  * frame equi-joins on, then one per-source argmax; the
   * quadratic lives entirely inside the pluggable kNN stage, which is
   * the ANN family's already-audited problem.
   */
@@ -52,19 +53,28 @@ object Mining {
     * composition): `fwd`/`bwd` are `(query_id, neighbor_id, rank,
     * score)` frames from ANY of the family's searches (LSH, IVF,
     * graph, funnel — the score must be the same metric both ways).
-    * Everything here is bounded: two per-row mean frames, two
-    * equi-joins onto the forward run, one per-source argmax.
+    * Everything here is bounded: the forward run's neighbor mean is
+    * a window aggregate riding the run itself (single lineage, no
+    * persist), the backward mean frame equi-joins on, then one
+    * per-source argmax.
     */
   def marginFromRuns(
       fwd0: DataFrame, bwd: DataFrame, threshold: Double,
   ): DataFrame = {
-    // the forward run feeds TWO lineages (its own mean frame and the
-    // margins join) — unpersisted, the entire upstream kNN search
-    // (the expensive stage by construction) would execute twice; the
-    // run is a bounded queries × k frame, so hold it
-    // MEMORY_AND_DISK (the rvq persistCodebooks contract: entries
-    // live until the session drops them). bwd feeds one lineage.
-    val fwd = fwd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the forward run feeds ONE lineage: its per-query neighbor mean
+    // rides along as a WINDOW aggregate (same partition key the
+    // argmax groups on) instead of a separate mean frame joined back
+    // — the r20 shape persisted the run MEMORY_AND_DISK to stop the
+    // upstream kNN search executing twice through two lineages, and
+    // leaked the cache entry for the session's lifetime (r20 ADVICE).
+    // The window computes the IDENTICAL rank-ordered IEEE fold
+    // (sort_array over (rank, score) structs, 0.0-seeded aggregate,
+    // divided by the window count), so every mined value is
+    // bit-equal; the plan loses one self-join, one persist, and the
+    // double-execution hazard in one move. bwd still feeds one mean
+    // frame (it has no row-level role — only its means join).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
     def nnMean(run: DataFrame, outId: String, outMean: String): DataFrame =
       run.groupBy(col("query_id"))
         .agg(sort_array(collect_list(struct(col("rank"), col("score"))))
@@ -72,12 +82,16 @@ object Mining {
         .select(col("query_id").as(outId),
           (expr("aggregate(ms, CAST(0.0 AS DOUBLE), " +
             "(acc, m) -> acc + m.score)") / col("cnt")).as(outMean))
-    val fm = nnMean(fwd, "src_id", "src_nn")
     val bm = nnMean(bwd, "dst_id", "dst_nn")
-    val margins = fwd
+    val margins = fwd0
+      .withColumn("ms",
+        sort_array(collect_list(struct(col("rank"), col("score"))).over(w)))
+      .withColumn("src_nn",
+        expr("aggregate(ms, CAST(0.0 AS DOUBLE), " +
+          "(acc, m) -> acc + m.score)") /
+          count(lit(1)).over(w).cast("double"))
       .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
-        col("score").as("cos"))
-      .join(fm, Seq("src_id"))
+        col("score").as("cos"), col("src_nn"))
       .join(bm, Seq("dst_id"))
       // degenerate-neighborhood guard: a non-positive mean-NN sum
       // makes the ratio margin NaN/Inf (or sign-flipped), and NaN

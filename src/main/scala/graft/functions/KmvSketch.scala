@@ -73,8 +73,30 @@ final case class KmvSketch(k: Int)
       case None => b
     }
 
-  override def merge(a: KmvSketchBuffer, b: KmvSketchBuffer): KmvSketchBuffer =
-    KmvSketchBuffer(b.items.foldLeft(a.items)(add))
+  /** Single-pass two-pointer merge of the two SORTED buffers, deduped
+    * and truncated at k: O(k) time and ONE allocation — the
+    * element-at-a-time fold re-allocated a k-length array per
+    * inserted element, O(k²) bytes churned when merging two full
+    * large-k sketches (every shuffle-side combine at the k=4096 dial).
+    */
+  override def merge(a: KmvSketchBuffer, b: KmvSketchBuffer): KmvSketchBuffer = {
+    val xs = a.items; val ys = b.items
+    if (ys.isEmpty) a
+    else if (xs.isEmpty) b
+    else {
+      val out = new Array[Long](math.min(xs.length + ys.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < xs.length || j < ys.length)) {
+        val takeX = j >= ys.length || (i < xs.length && xs(i) <= ys(j))
+        val v = if (takeX) xs(i) else ys(j)
+        if (takeX) { i += 1; if (j < ys.length && ys(j) == v) j += 1 }
+        else j += 1 // ys(j) < xs(i): no cross-buffer dup possible
+        out(n) = v; n += 1
+      }
+      KmvSketchBuffer(
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+    }
+  }
 
   /** Ascending; the last element is the k-th smallest (the
     * estimator's `h_k`) when the sketch is full.

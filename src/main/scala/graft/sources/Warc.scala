@@ -161,14 +161,24 @@ object Warc {
             reader.close()
             if (sb.nonEmpty) { pending = List(sb.toString); sb.clear() }
           } else {
+            // resume the sentinel scan where the previous fill left
+            // off: everything before the last sentinel-length-1 chars
+            // of the old tail was already scanned clean, so only a
+            // match straddling the fill boundary can start there. A
+            // record spanning F fills is O(R) total scan work instead
+            // of the old from-zero rescan's O(F·R).
+            val prevLen = sb.length
             sb.appendAll(buf, 0, n)
-            var idx = sb.indexOf(RecordSentinel)
+            var start = 0
+            var idx = sb.indexOf(RecordSentinel,
+              math.max(0, prevLen - RecordSentinel.length + 1))
             val done = List.newBuilder[String]
             while (idx >= 0) {
-              done += sb.substring(0, idx)
-              sb.delete(0, idx + RecordSentinel.length)
-              idx = sb.indexOf(RecordSentinel)
+              done += sb.substring(start, idx)
+              start = idx + RecordSentinel.length
+              idx = sb.indexOf(RecordSentinel, start)
             }
+            if (start > 0) sb.delete(0, start)
             pending = done.result()
           }
         }
@@ -348,7 +358,14 @@ object Warc {
       in: java.io.InputStream): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private val buf = new Array[Byte](64 * 1024)
-      private var acc = new java.io.ByteArrayOutputStream(64 * 1024)
+      // ONE growing accumulator, valid bytes [0, len): records are cut
+      // out by offset, the un-consumed tail compacts to the front with
+      // a single arraycopy per fill, and the sentinel scan resumes at
+      // the fill boundary — a record spanning F fills costs O(R) scan
+      // + O(R) amortized copy instead of the old per-fill
+      // acc.toByteArray + from-zero rescan's O(F·R) of each.
+      private var acc = new Array[Byte](64 * 1024)
+      private var len = 0
       private var eof = false
       private var pending: List[Array[Byte]] = Nil
       private def fill(): Unit =
@@ -357,22 +374,32 @@ object Warc {
           if (n < 0) {
             eof = true
             in.close()
-            val tail = acc.toByteArray
-            if (tail.nonEmpty) pending = List(tail)
+            if (len > 0) pending =
+              List(java.util.Arrays.copyOfRange(acc, 0, len))
           } else {
-            acc.write(buf, 0, n)
-            var bytes = acc.toByteArray
-            var idx = indexOfBytes(bytes, SentinelBytes, 0)
+            if (len + n > acc.length) {
+              val grown = new Array[Byte](
+                math.max(acc.length * 2, len + n))
+              System.arraycopy(acc, 0, grown, 0, len)
+              acc = grown
+            }
+            System.arraycopy(buf, 0, acc, len, n)
+            val prevLen = len
+            len += n
+            var cur = 0
+            var idx = indexOfBytes(acc, SentinelBytes,
+              math.max(0, prevLen - SentinelBytes.length + 1), len)
             val done = List.newBuilder[Array[Byte]]
             while (idx >= 0) {
-              if (idx > 0)
-                done += java.util.Arrays.copyOfRange(bytes, 0, idx)
-              bytes = java.util.Arrays.copyOfRange(bytes,
-                idx + SentinelBytes.length, bytes.length)
-              idx = indexOfBytes(bytes, SentinelBytes, 0)
+              if (idx > cur)
+                done += java.util.Arrays.copyOfRange(acc, cur, idx)
+              cur = idx + SentinelBytes.length
+              idx = indexOfBytes(acc, SentinelBytes, cur, len)
             }
-            acc = new java.io.ByteArrayOutputStream(64 * 1024)
-            acc.write(bytes)
+            if (cur > 0) {
+              System.arraycopy(acc, cur, acc, 0, len - cur)
+              len -= cur
+            }
             pending = done.result()
           }
         }
@@ -385,9 +412,10 @@ object Warc {
     }
 
   private def indexOfBytes(
-      hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+      hay: Array[Byte], needle: Array[Byte], from: Int,
+      until: Int = -1): Int = {
     var i = math.max(from, 0)
-    val last = hay.length - needle.length
+    val last = (if (until >= 0) until else hay.length) - needle.length
     while (i <= last) {
       var j = 0
       while (j < needle.length && hay(i + j) == needle(j)) j += 1

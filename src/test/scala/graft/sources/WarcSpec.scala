@@ -258,6 +258,48 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     check(Warc.readWarcGzBinary(spark, s"$dir/g"))
   }
 
+  test("a record spanning many 64 KiB fill buffers is byte-identical through both doors (the resumed-scan iterators)") {
+    // > 4 fills (the iterators' buffers are 64 KiB): a deterministic
+    // ASCII pattern EMBEDDING 7-char sentinel PREFIXES ("WARC/1.")
+    // every 7919 bytes — some land right at fill boundaries, so a
+    // scan that resumes at the wrong offset (or a match test that
+    // ignores the fill boundary) corrupts or splits the record
+    val big = new Array[Byte](300 * 1024)
+    var i = 0
+    while (i < big.length) {
+      big(i) = (if (i % 7919 < 7) "WARC/1.".charAt(i % 7919)
+                else ('a' + i % 23).toChar).toByte
+      i += 1
+    }
+    val dir = Files.createTempDirectory("warc_bigrec_").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/g"))
+    def member(rec: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(rec); gz.close(); bo.toByteArray
+    }
+    // one gz shard: big record between two small ones, all in ONE
+    // member so the inflate stream feeds the iterator in 64 KiB fills
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/g", "s0.warc.gz"),
+      member(binRecord(1L, "head".getBytes("US-ASCII")) ++
+        binRecord(2L, big) ++
+        binRecord(3L, "tail".getBytes("US-ASCII"))))
+    val gotBin = Warc.readWarcGzBinary(spark, s"$dir/g").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](3)).toMap
+    assert(gotBin.keySet === Set("urn:graft:1", "urn:graft:2", "urn:graft:3"))
+    assert(gotBin("urn:graft:2").toSeq === big.toSeq,
+      "multi-fill record not byte-faithful through the binary door")
+    assert(gotBin("urn:graft:1").toSeq === "head".getBytes("US-ASCII").toSeq)
+    assert(gotBin("urn:graft:3").toSeq === "tail".getBytes("US-ASCII").toSeq)
+    // the text door over the same shard: the payload is pure ASCII,
+    // so the gz TEXT iterator must hand it back char-identical too
+    val gotTxt = Warc.readWarcGz(spark, s"$dir/g").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(gotTxt("urn:graft:2") === new String(big, "US-ASCII"),
+      "multi-fill record not char-faithful through the gz text door")
+  }
+
   test("the text door's non-UTF-8 mangling is the PINNED contract: detectable, never silent corruption passing as faithful") {
     val dir = Files.createTempDirectory("warc_bin_text_").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
