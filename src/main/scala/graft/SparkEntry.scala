@@ -3622,8 +3622,11 @@ object SparkEntry {
       // the number that says how many rounds the build needs
       import graft.ann.Nsw
       val corpus = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      // materialize = false: the census below reads the edge list
+      // exactly once, so the final round fuses into its single action
+      // instead of paying an eager checkpoint round-trip
       val g = Nsw.nnDescentGraph(corpus, "vec_id", "embedding",
-        k = 5, rounds = 2, groups = 16)
+        k = 5, rounds = 2, groups = 16, materialize = false)
       Nsw.graphRecall(g, corpus, "vec_id", "embedding", k = 5)
     }),
     "e_rank_metrics" -> ((s, dir) => {

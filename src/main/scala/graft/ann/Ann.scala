@@ -67,7 +67,7 @@ object Ann {
   /** Cosine given pre-computed norms (per-row constants hoisted out of
     * the pair join). Same operand order as [[cosine]] — bit-identical.
     */
-  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+  private[ann] def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
   /** DuckDB rendering of [[cosine]] for 1-based list columns A/B of

@@ -95,15 +95,21 @@ object Nsw {
         p
       } else df
     val g = reuse(graph)
-    val nodes = reuse(corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
-      .filter(Ann.norm(col("nv")) > 0))
-    val qs = reuse(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .filter(Ann.norm(col("qv")) > 0))
+    // norms hoisted to per-row columns (the bruteForceTopK rule):
+    // scoring a candidate costs one fused dot, not three — operand
+    // order matches Ann.cosine, so the doubles are bit-identical
+    val nodes = reuse(corpus.select(col(idCol).as("node"), col(vecCol).as("nv"),
+        Ann.norm(col(vecCol)).as("nn"))
+      .filter(col("nn") > 0))
+    val qs = reuse(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        Ann.norm(col(vecCol)).as("qn"))
+      .filter(col("qn") > 0))
     def score(cands: DataFrame): DataFrame =
       cands.join(nodes, Seq("node"))
         .join(qs, Seq("query_id"))
         .select(col("query_id"), col("node").as("neighbor_id"),
-          Ann.cosine(col("qv"), col("nv")).as("score"))
+          Ann.cosinePre(col("qv"), col("nv"), col("qn"), col("nn"))
+            .as("score"))
     // per-query entry points (the HNSW descent hands these down) or
     // the flat-NSW global min-id entry
     val beam0 = entries match {
@@ -125,10 +131,18 @@ object Nsw {
       val cut = b.localCheckpoint(true)
       prevCut.foreach(_.unpersist(false))
       prevCut = checkpointRdd(cut)
+      // ONE exchange keyed query_id serves the whole round (guide
+      // §2.4): the dedup's aggregate (ClusteredDistribution(query_id,
+      // node) is satisfied by hashpartitioning(query_id)), the score
+      // joins (broadcast locally, key-preserving at scale), and the
+      // final heapRank cut (grouped by query_id) all ride the same
+      // partitioning — previously the distinct hashed by (query_id,
+      // node) and heapRank re-exchanged by query_id, two shuffles of
+      // the same rows per round
       val expanded = cut
         .unionByName(cut.join(g, col("node") === col("src"))
           .select(col("query_id"), col("dst").as("node")))
-        .distinct()
+        .repartition(col("query_id")).distinct()
       Ann.heapRank(score(expanded), "score", "double", beam,
         ascending = false)
     }
@@ -264,20 +278,58 @@ object Nsw {
     */
   def nnDescentGraph(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int, groups: Int, initSeeds: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, materialize: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 0 && groups >= 1 && initSeeds >= 1,
       s"bad nn-descent params k=$k rounds=$rounds groups=$groups initSeeds=$initSeeds")
-    val nodes = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
-      .filter(Ann.norm(col("nv")) > 0)
-    val src = nodes.select(col("node").as("src"), col("nv").as("sv"))
-    val dst = nodes.select(col("node").as("dst"), col("nv").as("dv"))
+    // the node projection feeds EVERY round's topK twice (src + dst
+    // sides) plus the init's seed groupings, and each round is its
+    // own eager action (the localCheckpoint cadence below) — unpersisted,
+    // every action re-runs the corpus scan + norm filter from storage:
+    // 2·(rounds+1) corpus scans per build (guide §5 reuse-within-one-
+    // lineage; the index builder's read-once call). Persisted here,
+    // released before returning — the RETURNED graph is an eager
+    // localCheckpoint, so no caller-visible lineage references the
+    // loan (the Caching.withPersisted contract, inlined because the
+    // rounds need the loan across several intermediate actions).
+    // the norm is hoisted to a per-node column (the bruteForceTopK
+    // rule): cosine over a candidate pair then costs ONE fused dot
+    // instead of three — same operand order as Ann.cosine, so the
+    // doubles are bit-identical to the per-pair recomputation
+    val nodes0 = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"),
+        Ann.norm(col(vecCol)).as("nn"))
+      .filter(col("nn") > 0)
+    val nodesPersisted =
+      nodes0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val nodes =
+      if (nodesPersisted)
+        nodes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else nodes0
+    val src = nodes.select(col("node").as("src"), col("nv").as("sv"),
+      col("nn").as("sn"))
+    val dst = nodes.select(col("node").as("dst"), col("nv").as("dv"),
+      col("nn").as("dn"))
+    // candidate frames arrive hash-partitioned by src (dedupBySrc);
+    // joining the dst vectors FIRST and the src vectors LAST means the
+    // frame feeding heapRank is partitioned by src (locally the vector
+    // joins broadcast and preserve the child partitioning; at scale
+    // the SMJ re-keys, and src-last restores it), so the top-k
+    // aggregate (grouped by query_id = src) adds NO exchange
     def topK(cands: DataFrame): DataFrame =
       Ann.heapRank(
-        cands.join(src, Seq("src")).join(dst, Seq("dst"))
+        cands.join(dst, Seq("dst")).join(src, Seq("src"))
           .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
-            Ann.cosine(col("sv"), col("dv")).as("score")),
+            Ann.cosinePre(col("sv"), col("dv"), col("sn"), col("dn"))
+              .as("score")),
         "score", "double", k, ascending = false)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    // ONE exchange keyed src per dedup (guide §2.4): hashpartitioning
+    // (src) satisfies the distinct aggregate's ClusteredDistribution
+    // (src, dst), so the dedup itself adds no shuffle — and every
+    // downstream consumer of the deduped pairs (the wedge self-join's
+    // BOTH sides key on src/mid=src; topK's final cut groups by src)
+    // rides the same partitioning instead of re-exchanging
+    def dedupBySrc(pairs: DataFrame): DataFrame =
+      pairs.repartition(col("src")).distinct()
     // init: a clique within each md5 group, unioned across initSeeds
     // INDEPENDENT groupings — one grouping alone partitions the
     // graph into disjoint components the descent can never merge
@@ -290,28 +342,53 @@ object Nsw {
       g.as("a").join(g.as("b"),
           col("a.grp") === col("b.grp") && col("a.node") =!= col("b.node"))
         .select(col("a.node").as("src"), col("b.node").as("dst"))
-    }.reduce(_.unionByName(_)).distinct()
+    }.reduce(_.unionByName(_))
     // per-round cut bookkeeping: once round r's cut materializes, the
     // previous round's blocks are dead — free them (the Bpe.train
-    // rule); the FINAL round's cut stays alive inside the returned
-    // lazy plan and is reaped by the ContextCleaner when the caller
-    // drops the frame
+    // rule); the FINAL cut is materialized below and reaped by the
+    // ContextCleaner when the caller drops the returned frame
     var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
-    (1 to rounds).foldLeft(topK(init)) { (e0, _) =>
+    val last = (1 to rounds).foldLeft(topK(dedupBySrc(init))) { (e0, _) =>
       val e = e0.localCheckpoint(true)
       prevCut.foreach(_.unpersist(false))
       prevCut = checkpointRdd(e)
       // the LOCAL JOIN (Dong et al.): co-neighbors of the same node
       // meet — und(v→a) ⋈ und(v→b) → (a, b). Neighbor-of-neighbor
       // expansion alone misses exactly the pairs that matter (two
-      // nodes pointing AT a shared hub never meet through it)
-      val und = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      // nodes pointing AT a shared hub never meet through it).
+      // und is deduped BY SRC so the self-join's two sides (keyed
+      // x.src and y.mid = src) are both already distributed on their
+      // join key: the wedge join plans exchange-free over the dedup's
+      // single shuffle, where the (src,dst)-hashed distinct forced a
+      // re-exchange of each side per round
+      val und = dedupBySrc(e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))))
       val wedges = und.as("x").join(
           und.select(col("src").as("mid"), col("dst").as("dst2")).as("y"),
           col("x.src") === col("y.mid") && col("x.dst") =!= col("y.dst2"))
         .select(col("x.dst").as("src"), col("y.dst2").as("dst"))
-      topK(e.unionByName(wedges).distinct())
+      topK(dedupBySrc(e.unionByName(wedges)))
+    }
+    // materialize (default): the final cut checkpoints eagerly so the
+    // node-projection loan can release with nothing recomputed — the
+    // returned graph is (n·k) edge rows, the localCheckpoint of the
+    // index a production build would WRITE — and downstream searches
+    // (beamSearch persists its graph input per round) never re-execute
+    // the build. A SINGLE-PASS consumer (graphRecall's census reads
+    // the edges exactly once) passes materialize = false instead: the
+    // final round's cut stays lazy and fuses into the consumer's one
+    // action — an eager checkpoint there is a pure extra
+    // action + memory round-trip. The loan still releases (unpersist
+    // is safe under a lazy reference: execution falls back to the
+    // source scan), so neither arm leaks a session-lifetime persist.
+    if (materialize) {
+      val out = last.localCheckpoint(true)
+      prevCut.foreach(_.unpersist(false))
+      if (nodesPersisted) nodes.unpersist(false)
+      out
+    } else {
+      if (nodesPersisted) nodes.unpersist(false)
+      last
     }
   }
 
