@@ -1129,20 +1129,36 @@ object Dedup {
         .toDF("id", "cluster")
     }
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // the flood join streams edges against the round's labels keyed
+    // dst = id every round: pre-partitioning the persisted edge list
+    // by dst makes that side exchange-free for the whole loop (one
+    // shuffle paid once instead of per round — it only matters in the
+    // sort-merge regime at genuine graph scale; locally the label
+    // side broadcasts and the edge side never shuffles either way)
+    val edgesByDst = edges.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the init IS the first flood, fused: every node starts at
+    // least(own id, min neighbor id) — one aggregate over the edge
+    // list, exactly what a first loop round's flood would compute
+    // from identity labels, minus that round's jump/persist/checkpoint
+    // machinery (the label trajectory differs from identity-init by
+    // one round's head start; the fixpoint — and the emitted
+    // labeling — is the identical component minimum)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels.select(col("id"), col("label")),
+      val nbrMin = edgesByDst.join(labels.select(col("id"), col("label")),
         col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // materialized so the pointer-jump self-join reads it once, not
-      // re-evaluating the flood join on both sides. The round's
-      // STARTING label rides along as old_label, so convergence is a
-      // filter-count over the checkpointed round output — no extra
-      // join per round (the change join this replaces was a fourth
-      // shuffle at genuine graph scale).
+      // materialized so the pointer-jump self-joins read it instead of
+      // re-evaluating the flood join per reference. The round's
+      // STARTING label rides along as old_label, so convergence
+      // detection needs no extra join (and — below — no extra JOB).
       val flooded = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old_label"),
@@ -1150,21 +1166,38 @@ object Dedup {
             .as("label"))
         .persist()
       // pointer jump: label <- label(label); labels are always node
-      // ids of the same component, so the join hits and stays inside it
-      val next = flooded.as("f")
+      // ids of the same component, so the join hits and stays inside
+      // it. ONE jump per round — a second jump over the same round
+      // mapping was measured a no-op here (identical changed-counts
+      // every round): jumping shortcuts label CHAINS, but round count
+      // is bounded by flood propagation through the graph, which a
+      // deeper jump cannot accelerate.
+      val jumped = flooded.as("f")
         .join(flooded.select(col("id").as("jid"), col("label").as("jlabel")),
           col("f.label") === col("jid"), "left")
         .select(col("f.id").as("id"),
           coalesce(col("jlabel"), col("f.label")).as("label"),
           col("f.old_label").as("old_label"))
+      // convergence is OBSERVED on the checkpoint action itself
+      // (CollectMetrics): the old filter-count was a whole extra job —
+      // cheap in task time, but one more scheduler/planning round-trip
+      // per iteration of a loop whose cost is round-trips
+      val conv = org.apache.spark.sql.Observation()
+      val next = jumped
+        .observe(conv, sum(when(col("label") =!= col("old_label"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint() // truncate lineage: constant-size plans per round
-      val changed = next.filter(col("label") =!= col("old_label")).count()
+      val changed = conv.get.get("changed").flatMap(Option(_)) match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L // no rows observed => nothing changed
+      }
       flooded.unpersist()
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       converged = changed == 0
       i += 1
     }
+    edgesByDst.unpersist()
     edges.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
