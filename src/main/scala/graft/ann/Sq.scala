@@ -245,34 +245,54 @@ object Sq {
           .as("err_sum_micro"))
         .select(lit(family).as("family"), col("n_rows"),
           col("err_sum_micro"))
-    val scales = sq8Scales(corpus, vecCol)
-    val sq8 = census("sq8",
-      sq8Encode(corpus, idCol, vecCol, scales, dim), "err8")
-    val rvq = census("rvq_seed",
-      Rvq.rvqEncodeSeedDrawn(corpus, corpus, idCol, vecCol, rvqK, seed),
-      "err2")
-    val (rcb1, rcb2) = Rvq.rvqCodebooksRefined(corpus, idCol, vecCol,
-      refinedK, refinedIters, refinedTrainRows, seed)
-    val rvqr = census("rvq_refined",
-      Rvq.rvqEncode(corpus, idCol, vecCol, rcb1, rcb2), "err2")
-    val pqs = census("pq_seed",
-      Ann.pqEncodeErr(corpus, idCol, vecCol,
-        Ann.pqCodebooks(corpus, idCol, vecCol, pqM, pqK, dim, seed),
-        pqM, dim), "errq")
-    val pqr = census("pq_refined",
-      Ann.pqEncodeErr(corpus, idCol, vecCol,
-        Ann.pqCodebooksRefinedDet(corpus, idCol, vecCol, pqM, pqK, dim,
-          refinedIters, refinedTrainRows, seed),
-        pqM, dim), "errq")
-    val permuted = corpus.select(col(idCol),
-      Ann.opqPermute(vecCol,
-        Ann.opqPermutation(corpus, vecCol, pqM, dim), dim).as(vecCol))
-    val opq = census("pq_opq",
-      Ann.pqEncodeErr(permuted, idCol, vecCol,
-        Ann.pqCodebooks(permuted, idCol, vecCol, pqM, pqK, dim, seed),
-        pqM, dim), "errq")
-    sq8.unionByName(rvq).unionByName(rvqr).unionByName(pqs)
-      .unionByName(pqr).unionByName(opq)
+    // the six families are INDEPENDENT until the final union, but
+    // their codebook trainings are eager driver-action chains (Lloyd
+    // checkpoints, sample cuts, permutation collects — ~20 sequential
+    // actions all told, measured: 56 single-task jobs, task time 2.0 s
+    // of a 4.3 s wall). Constructing them concurrently from a small
+    // pool overlaps those action chains (guide §2.6 "overlap
+    // independent jobs" — at cluster scale the training jobs
+    // back-fill executors the same way). Plans, arithmetic and the
+    // emitted union ORDER are exactly the sequential ones — only the
+    // driver-side scheduling overlaps.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val arms: Seq[Future[DataFrame]] = Seq(
+        Future(census("sq8",
+          sq8Encode(corpus, idCol, vecCol, sq8Scales(corpus, vecCol), dim),
+          "err8")),
+        Future(census("rvq_seed",
+          Rvq.rvqEncodeSeedDrawn(corpus, corpus, idCol, vecCol, rvqK, seed),
+          "err2")),
+        Future {
+          val (rcb1, rcb2) = Rvq.rvqCodebooksRefined(corpus, idCol, vecCol,
+            refinedK, refinedIters, refinedTrainRows, seed)
+          census("rvq_refined",
+            Rvq.rvqEncode(corpus, idCol, vecCol, rcb1, rcb2), "err2")
+        },
+        Future(census("pq_seed",
+          Ann.pqEncodeErr(corpus, idCol, vecCol,
+            Ann.pqCodebooks(corpus, idCol, vecCol, pqM, pqK, dim, seed),
+            pqM, dim), "errq")),
+        Future(census("pq_refined",
+          Ann.pqEncodeErr(corpus, idCol, vecCol,
+            Ann.pqCodebooksRefinedDet(corpus, idCol, vecCol, pqM, pqK, dim,
+              refinedIters, refinedTrainRows, seed),
+            pqM, dim), "errq")),
+        Future {
+          val permuted = corpus.select(col(idCol),
+            Ann.opqPermute(vecCol,
+              Ann.opqPermutation(corpus, vecCol, pqM, dim), dim).as(vecCol))
+          census("pq_opq",
+            Ann.pqEncodeErr(permuted, idCol, vecCol,
+              Ann.pqCodebooks(permuted, idCol, vecCol, pqM, pqK, dim, seed),
+              pqM, dim), "errq")
+        })
+      Await.result(Future.sequence(arms),
+        scala.concurrent.duration.Duration.Inf).reduce(_.unionByName(_))
+    } finally pool.shutdown()
   }
 
   /** DuckDB rendering of [[quantizerPick]] — each family's existing
