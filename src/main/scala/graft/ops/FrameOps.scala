@@ -23,7 +23,15 @@ object FrameOps {
     * load pipeline (reference README.md:44-47).
     */
   def preprocess(df: DataFrame, columns: Map[String, String] = Map.empty): DataFrame =
-    df.withColumnsRenamed(columns).dropDuplicates()
+    // post-dedup coalesce(1): the dedup's map-side partial aggregation
+    // still runs distributed; only the (already per-partition-deduped)
+    // final merge collapses to one task. Loader frames are dimension
+    // rows headed for a single-connection JDBC boundary — batchInsert
+    // COLLECTS them — so every downstream consumer otherwise pays
+    // shuffle.partitions near-empty tasks per action (and a .cache()
+    // on the result pins that width against AQE coalescing: measured
+    // 32-task stages over 25-row frames in c_load_roundtrip)
+    df.withColumnsRenamed(columns).dropDuplicates().coalesce(1)
 
   /** A2 (`connector.py:43-59`): invert the rename for columns still
     * present, restoring user-facing names.
@@ -62,7 +70,9 @@ object FrameOps {
   def getRows(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.forall(df.columns.contains),
       "Not all columns appear in dataframe.")
-    df.select(columns.map(quoted): _*).dropDuplicates()
+    // same post-dedup coalesce(1) as [[preprocess]] — see the note
+    // there (these rows are about to cross the JDBC boundary)
+    df.select(columns.map(quoted): _*).dropDuplicates().coalesce(1)
   }
 
   /** A5 (`dataframe_operations.py:79-103`): cast db-fetched columns to
