@@ -40,6 +40,35 @@ object Bench {
     require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES $nPasses must be >= 1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // parallelism observability (additions-only; the JSON line is
+    // byte-compatible): a listener counts tasks and the peak number
+    // of simultaneously running tasks per timed query, reported on
+    // STDERR after the passes. This is the scaling signal the
+    // cpus=8-vs-32 comparison needs — a query whose peak width never
+    // reaches the core count is overhead-bound at this SF and its
+    // flat 8/32 ratio says nothing about the operator.
+    val taskCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+    @volatile var currentQuery: String = null
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+          val q = currentQuery
+          if (q != null) {
+            val now = running.incrementAndGet()
+            taskCounts.merge(q, (1L, now),
+              (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+          } else running.incrementAndGet()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          running.decrementAndGet(); ()
+        }
+      })
+    System.err.println(s"[bench] cores=${spark.sparkContext.defaultParallelism} " +
+      s"shufflePartitions=${spark.conf.get("spark.sql.shuffle.partitions")}")
     // warmup: one untimed pass
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -56,16 +85,25 @@ object Bench {
     def timedPass(): Map[String, Double] = {
       spark.catalog.clearCache()
       names.map { name =>
+        currentQuery = name
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
+        currentQuery = null
         // failed queries must be visible in the output, not blend in
         // as a normal-looking elapsed time
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
     val passes = Seq.fill(nPasses)(timedPass())
+    // per-query task census over all timed passes (stderr, never the
+    // JSON line): total tasks and the peak concurrent width
+    names.foreach { n =>
+      Option(taskCounts.get(n)).foreach { case (total, peak) =>
+        System.err.println(s"[bench-tasks] $n tasks=$total peakWidth=$peak")
+      }
+    }
     val results = names.map { n =>
       val ts = passes.map(_(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
