@@ -1138,52 +1138,82 @@ object Ann {
     require(dim % m == 0, s"m $m must divide dim $dim")
     require(iters >= 1, s"iters $iters must be >= 1")
     val d = dim / m
-    val init = pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
-      .localCheckpoint(true) // m·k bounded rows
-    // ALL m subspaces refine in ONE frame keyed by `sub` — the
-    // subspaces are independent, so m separate per-subspace chains
-    // compute the identical numbers while paying m·iters·2 jobs of
-    // fixed cost; the fused loop pays 2 jobs per round regardless of
-    // m (measured: 4.0 s -> ~1.5 s on the e_ivfpq_refined gate)
-    val subSmp = candidates
+    // the training sample is BOUNDED BY CONTRACT (maxTrainRows — a
+    // distributed TakeOrdered cut), so the per-subspace Lloyd loop
+    // runs on the DRIVER over the collected sample — the same move as
+    // [[Rvq.rvqCodebooksRefined]]: the distributed loop paid an eager
+    // m·k-row checkpoint per iteration plus the exploded-sample
+    // checkpoint, scheduler round-trips for microseconds of
+    // arithmetic. The sample cut and the seed-codebook draw stay
+    // distributed. Arithmetic replayed step for step: argmin L2²
+    // ascending by code with strict-< updates (the struct-min
+    // `(dist, code)` tie rule), then each `(sub, code)`'s centroid
+    // becomes the IEEE left-fold mean of its members in sid order
+    // (the distributed form's sort_array-by-sid saw the identical
+    // order), and an emptied code keeps its previous centroid.
+    val init: Array[((Int, Int), Array[Double])] =
+      pqCodebooks(candidates, idCol, vecCol, m, k, dim, seed)
+        .select(col("sub"), col("code"), col("centroid"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .sortBy(_._1)
+    val sample: Array[Array[Double]] = candidates
       .select(col(idCol).as("sid"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .orderBy(md5(concat(lit(s"$seed:pql:"), col("sid").cast("string"))),
         col("sid"))
       .limit(maxTrainRows)
-      .select(col("sid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("__v"))
-      .select(col("sid"), col("sub"),
-        slice(col("__v"), col("sub") * d + 1, lit(d)).as("__vec"))
-      .localCheckpoint(true)
+      .orderBy(col("sid")) // the mean folds' member order
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
     var cb = init
     for (_ <- 1 to iters) {
-      // broadcast argmin per (sid, sub), ties to the lowest code —
-      // Rvq.refineStage's round body with `sub` joined into the keys
-      val asg = subSmp.join(broadcast(
-          cb.select(col("sub"), col("code").as("__cb_code"),
-            col("centroid").as("__cb_cent"))), Seq("sub"))
-        .select(col("sid"), col("sub"), col("__vec"),
-          struct(l2sq(col("__vec"), col("__cb_cent")).as("dist"),
-            col("__cb_code").as("code")).as("__cand"))
-        .groupBy(col("sid"), col("sub"))
-        .agg(min(col("__cand")).as("__b"), first(col("__vec")).as("__vec"))
-        .select(col("sid"), col("sub"), col("__b.code").as("code"),
-          col("__vec"))
-      val means = asg.groupBy(col("sub"), col("code"))
-        .agg(sort_array(collect_list(struct(col("sid"),
-          col("__vec").as("v")))).as("ms"),
-          count(lit(1)).cast("double").as("cnt"))
-        .select(col("sub"), col("code"),
-          expr(s"transform(sequence(1, $d), dd -> " +
-            "aggregate(ms, CAST(0.0 AS DOUBLE), " +
-            "(acc, mm) -> acc + element_at(mm.v, dd)) / cnt)").as("mean"))
-      cb = cb.join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("mean"), col("centroid")).as("centroid"))
-        .localCheckpoint(true)
+      val bySub: Map[Int, Array[((Int, Int), Array[Double])]] =
+        cb.groupBy(_._1._1)
+      val assigned: Array[Array[Int]] = sample.map { v =>
+        Array.tabulate(m) { sub =>
+          var bestD = Double.PositiveInfinity
+          var best = -1
+          // init is code-ascending within each sub and the map below
+          // preserves positions, so iteration order = ascending code
+          bySub(sub).foreach { case ((_, c), cent) =>
+            var acc = 0.0
+            var i = 0
+            while (i < d) {
+              val diff = v(sub * d + i) - cent(i); acc += diff * diff; i += 1
+            }
+            if (best < 0 || acc < bestD) { bestD = acc; best = c }
+          }
+          best
+        }
+      }
+      cb = cb.map { case ((sub, c), cent) =>
+        val members = sample.indices.filter(mi => assigned(mi)(sub) == c)
+        if (members.isEmpty) ((sub, c), cent)
+        else {
+          val cnt = members.size.toDouble
+          ((sub, c), Array.tabulate(d) { dd =>
+            members.foldLeft(0.0)((acc, mi) =>
+              acc + sample(mi)(sub * d + dd)) / cnt
+          })
+        }
+      }
     }
-    cb
+    val rows = cb.map { case ((sub, c), cent) =>
+      org.apache.spark.sql.Row(sub, c, cent.toSeq) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true),
+        nullable = true)))
+    val spark = candidates.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   /** PQ asymmetric-distance top-k (ADC): each query precomputes its

@@ -246,22 +246,128 @@ object Rvq {
   ): (DataFrame, DataFrame) = {
     require(iters >= 1 && maxTrainRows >= k,
       s"need iters >= 1 and maxTrainRows >= k, got $iters / $maxTrainRows")
-    val smp = candidates
+    // the training sample is BOUNDED BY CONTRACT (maxTrainRows — a
+    // distributed TakeOrdered cut of the corpus), so the Lloyd loop
+    // itself runs on the DRIVER over the collected sample: the
+    // distributed form paid ~12 eager actions (per-iteration k-row
+    // checkpoints, sample cut, dim probe — measured 46 single-task
+    // scheduler jobs on e_ivfrvq_refined for ~2.5 s of task time)
+    // for microseconds of arithmetic. The driver loop replays the
+    // identical IEEE arithmetic (see [[refineLocal]]); the corpus-
+    // scale passes — the sample cut and the two seed draws — stay
+    // distributed, and the returned codebooks are k-row literal
+    // frames exactly as before.
+    val sample: Array[Array[Double]] = candidates
       .select(col(idCol).as("sid"),
         transform(col(vecCol), x => x.cast("double")).as("__vec"))
       .orderBy(md5(concat(lit(s"$seed:rvql:"), col("sid").cast("string"))),
         col("sid"))
       .limit(maxTrainRows)
-      .localCheckpoint(true)
-    val dim = smp.select(size(col("__vec"))).head.getInt(0)
-    val cb1 = refineStage(smp,
-      rvqStage1Codebook(candidates, idCol, vecCol, k, seed), iters, dim)
-    val r1 = assignStage(smp, Seq("sid"), cb1)
-      .select(col("sid"), col("__res").as("__vec"))
-      .localCheckpoint(true)
-    val cb2 = refineStage(r1,
-      rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed), iters, dim)
+      // re-sorted by sid so the driver-side mean folds see members in
+      // the same order the distributed form's sort_array-by-sid did
+      .orderBy(col("sid"))
+      .select(col("__vec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val spark = candidates.sparkSession
+    val cb1Local = refineLocal(sample,
+      collectCodebook(rvqStage1Codebook(candidates, idCol, vecCol, k, seed)),
+      iters)
+    val cb1 = literalCodebook(spark, cb1Local)
+    // stage-2 inputs: the sample's residuals against REFINED stage 1
+    // (residualLocal mirrors assignStage's argmin + zip_with residual)
+    val r1 = sample.map(v => residualLocal(v, cb1Local))
+    val cb2 = literalCodebook(spark, refineLocal(r1,
+      collectCodebook(
+        rvqStage2Codebook(candidates, idCol, vecCol, cb1, k, seed)),
+      iters))
     (cb1, cb2)
+  }
+
+  /** Collect a bounded `(code, centroid)` codebook frame, ascending by
+    * code (codes are unique; order only fixes the driver loop's
+    * deterministic iteration).
+    */
+  private[ann] def collectCodebook(cb: DataFrame): Array[(Int, Array[Double])] =
+    cb.select(col("code"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** A collected codebook back as the k-row literal frame every
+    * consumer (broadcast encode joins, ADC table builds) already
+    * expects — schema `(code int, centroid array<double>)`.
+    */
+  private[ann] def literalCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Array[(Int, Array[Double])]): DataFrame = {
+    val rows = cb.map { case (c, cent) =>
+      org.apache.spark.sql.Row(c, cent.toSeq) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true),
+        nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** Driver-side argmin: L2² against each centroid ascending by code,
+    * strict-< update — exactly the struct-min `(dist, code)` rule
+    * (ties keep the lower code). The fold order inside l2sq matches
+    * [[Ann.l2sq]]: ascending index, `acc + (x−y)·(x−y)`.
+    */
+  private def argminLocal(
+      v: Array[Double], cb: Array[(Int, Array[Double])]): Int = {
+    var bestD = Double.PositiveInfinity
+    var best = -1
+    cb.foreach { case (c, cent) =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = v(i) - cent(i); acc += d * d; i += 1
+      }
+      if (best < 0 || acc < bestD) { bestD = acc; best = c }
+    }
+    best
+  }
+
+  /** Driver-side residual against the argmin centroid —
+    * [[assignStage]]'s `zip_with(__vec, cent, a − b)` per element. */
+  private def residualLocal(
+      v: Array[Double], cb: Array[(Int, Array[Double])]): Array[Double] = {
+    val cent = cb.find(_._1 == argminLocal(v, cb)).get._2
+    Array.tabulate(v.length)(i => v(i) - cent(i))
+  }
+
+  /** Driver-side twin of the distributed [[refineStage]], arithmetic
+    * pinned step for step: per iteration, every sample row assigns to
+    * its argmin code (ties to the lowest code), then each code's
+    * centroid becomes the IEEE left-fold mean of its members in sid
+    * order (`sample` arrives sid-sorted; the distributed form's
+    * `sort_array(collect_list(struct(sid, v)))` saw the identical
+    * order), `Σ member(d)` then `/ count` — and an emptied code keeps
+    * its previous centroid.
+    */
+  private[ann] def refineLocal(
+      sample: Array[Array[Double]], cb0: Array[(Int, Array[Double])],
+      iters: Int): Array[(Int, Array[Double])] = {
+    var cb = cb0
+    for (_ <- 1 to iters) {
+      val assigned = sample.map(v => argminLocal(v, cb))
+      cb = cb.map { case (c, cent) =>
+        val members = sample.indices.filter(assigned(_) == c)
+        if (members.isEmpty) (c, cent)
+        else {
+          val cnt = members.size.toDouble
+          (c, Array.tabulate(cent.length) { d =>
+            members.foldLeft(0.0)((acc, mi) => acc + sample(mi)(d)) / cnt
+          })
+        }
+      }
+    }
+    cb
   }
 
   /** One stage's Lloyd rounds over a `(sid, __vec)` sample: broadcast
