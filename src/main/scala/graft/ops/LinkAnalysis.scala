@@ -118,52 +118,61 @@ object LinkAnalysis {
       .union(e.select(col("dst"))).distinct().localCheckpoint()
     var scores = nodes
       .withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
-    // every iteration cuts lineage TWICE (a, then scores): the
-    // rescale's max-aggregate references its input frame a second
-    // time, so without an eager cut per half-step the plan doubles
-    // per rescale — 4 rescale branches per round made the naive
-    // version exponential in iters (67 s for 5 rounds on a 24-node
-    // graph, all analyzer time). With the cuts each round is two
-    // node-sized jobs and the plan stays constant-size.
+    // every half-step still cuts lineage eagerly (without the cuts
+    // the plan doubled per rescale — 67 s of pure analyzer time for 5
+    // rounds on a 24-node graph), but the rescale MAX now rides the
+    // cut action itself as an OBSERVED metric (CollectMetrics — the
+    // Dedup.connectedComponents convergence device) instead of a
+    // separate max-aggregate job + broadcast crossJoin per half-step:
+    // the loop's cost is driver round-trips (measured: ~330 tasks at
+    // peak width 4 on the co-citation gate), so one job per half-step
+    // is the floor, and the rescale becomes a LITERAL projection over
+    // the checkpointed rows — identical integer arithmetic, no
+    // broadcast, no plan growth from the max branch.
     var live = List.empty[org.apache.spark.rdd.RDD[_]]
-    def cut(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint() // eager
-      c
-    }
-    def rescale(df: DataFrame, c: String): DataFrame = {
-      val mx = df.agg(max(col(c)).as("__mx"))
-      df.crossJoin(broadcast(mx))
-        .withColumn(c, expr(s"$c * 1000000L div __mx"))
-        .drop("__mx")
+    def rescaleCut(df: DataFrame, c: String)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val m = df.observe(obs, max(col(c)).as("__mx"))
+        .localCheckpoint() // eager: the observation is complete here
+      val mx = obs.get.get("__mx").flatMap(Option(_)) match {
+        case Some(n: Number) => n.longValue()
+        case _ => 1L // empty frame: the projection below has no rows
+      }
+      (m.withColumn(c, expr(s"$c * 1000000L div ${mx}L")), checkpointRdd(m))
     }
     for (_ <- 1 to iters) {
       val authSum = e
         .join(scores.select(col("domain").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("domain")).agg(sum(col("hub")).as("auth"))
-      val a = cut(rescale(
+      val (a, aRdd) = rescaleCut(
         nodes.join(authSum, Seq("domain"), "left")
           .select(col("domain"), coalesce(col("auth"), lit(0L)).as("auth")),
-        "auth"))
+        "auth")
       val hubSum = e
         .join(a.select(col("domain").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("domain")).agg(sum(col("auth")).as("hub"))
-      val next = cut(rescale(
+      val (h, hRdd) = rescaleCut(
         nodes.join(hubSum, Seq("domain"), "left")
           .select(col("domain"), coalesce(col("hub"), lit(0L)).as("hub")),
         "hub")
-        .join(a, Seq("domain"))
-        .select(col("domain"), col("hub"), col("auth")))
-      // next is materialized: everything older is dead — free it now
-      // rather than waiting for the GC-driven ContextCleaner
+      // the round's result stays a LAZY node-sized join of the two
+      // checkpointed half-steps (each a literal projection over a
+      // LogicalRDD, so plan size is constant across rounds); the next
+      // round's first cut materializes through it exactly once
+      val next = h.join(a, Seq("domain"))
+        .select(col("domain"), col("hub"), col("auth"))
+      // this round's cuts are materialized: the previous round's
+      // blocks are dead — free them now rather than waiting for the
+      // GC-driven ContextCleaner
       live.foreach(_.unpersist(false))
-      live = List(a, next).flatMap(checkpointRdd)
+      live = List(aRdd, hRdd).flatten
       scores = next
     }
-    // the final frame is materialized: free everything but its own
-    // checkpoint (edges, nodes, the final a)
-    (checkpointRdd(e) ++ checkpointRdd(nodes) ++
-      live.filterNot(r => checkpointRdd(scores).contains(r)))
-      .foreach(_.unpersist(false))
+    // free edges and nodes; the LAST round's two checkpoints stay —
+    // the returned frame reads the final hub/auth rows from them
+    // (the pre-observation version leaked its final cut the same way)
+    (checkpointRdd(e) ++ checkpointRdd(nodes)).foreach(_.unpersist(false))
     scores
   }
 
