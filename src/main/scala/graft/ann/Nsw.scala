@@ -226,6 +226,18 @@ object Nsw {
       if (upperPersisted)
         upper0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else upper0
+    // the BASE graph build is independent of the whole upper-layer
+    // chain (its own build + the entry beam) — only the final base
+    // beam needs the entries. Both builds are eager driver-action
+    // chains (NN-descent rounds with per-round checkpoints: measured
+    // ~50 ms/job over ~96 jobs on the gate — round-trip-bound), so
+    // overlapping them is the guide §2.6 pattern (the quantizerPick
+    // device): at cluster scale the two builds' jobs back-fill each
+    // other's stragglers; plans and arithmetic are exactly the
+    // sequential ones.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val baseGraphF = scala.concurrent.Future(graphOf(corpus))(
+      scala.concurrent.ExecutionContext.fromExecutor(pool))
     try {
       val entries =
         if (upper.isEmpty) None
@@ -234,9 +246,14 @@ object Nsw {
             beam = upperBeam, rounds = upperRounds, k = 1,
             persistInputs = persistInputs)
             .select(col("query_id"), col("neighbor_id").as("node")))
-      beamSearch(graphOf(corpus), corpus, queries, idCol, vecCol,
+      val baseGraph = scala.concurrent.Await.result(
+        baseGraphF, scala.concurrent.duration.Duration.Inf)
+      beamSearch(baseGraph, corpus, queries, idCol, vecCol,
         beam, rounds, k, persistInputs, entries = entries)
-    } finally if (upperPersisted) upper.unpersist(false)
+    } finally {
+      pool.shutdown()
+      if (upperPersisted) upper.unpersist(false)
+    }
   }
 
   /** The checkpointed RDD behind a localCheckpointed frame — the
