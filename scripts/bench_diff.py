@@ -26,6 +26,18 @@ def load(p):
 def main(old_p, new_p, top_n=25):
     old, new = load(old_p), load(new_p)
     oq, nq = old["queries"], new["queries"]
+    # Bench's -1.0 sentinel marks a FAILED query; folding it into
+    # totals/ratios would deflate NEW and read as a huge "improvement"
+    # (the r10 failure mode renderLine exists to prevent). Drop failed
+    # entries from the arithmetic and warn as loudly as REMOVED.
+    failed = sorted({q for q, v in oq.items() if v < 0} |
+                    {q for q, v in nq.items() if v < 0} |
+                    set(old.get("failed") or []) | set(new.get("failed") or []))
+    if failed:
+        print(f"FAILED queries (excluded from totals/ratios — "
+              f"a red board, not a speedup!): {failed}")
+    oq = {q: v for q, v in oq.items() if v >= 0 and q not in failed}
+    nq = {q: v for q, v in nq.items() if v >= 0 and q not in failed}
     common = sorted(set(oq) & set(nq))
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
@@ -33,6 +45,9 @@ def main(old_p, new_p, top_n=25):
         print(f"REMOVED queries (regression hazard!): {only_old}")
     if only_new:
         print(f"added queries: {only_new}")
+    if not common:
+        raise SystemExit("no common queries between the two boards "
+                         "(disjoint SPARK_GRAFT_BENCH_ONLY filters?)")
     so = sum(oq[q] for q in common)
     sn = sum(nq[q] for q in common)
     ratios = [nq[q] / max(oq[q], 1e-9) for q in common]

@@ -44,18 +44,26 @@ object ProfileOne {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         if (record) {
           val i = s.stageInfo
+          // taskMetrics can be null for stages completed with
+          // failures — default the metric fields to 0 rather than
+          // NPE-ing inside the listener and silently dropping rows
+          val m = Option(i.taskMetrics)
           stages(i.stageId) = StageRow(i.stageId,
             i.name.takeWhile(_ != '\n').take(90), i.numTasks,
-            i.taskMetrics.executorRunTime,
-            i.taskMetrics.shuffleReadMetrics.totalBytesRead,
-            i.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            m.map(_.executorRunTime).getOrElse(0L),
+            m.map(_.shuffleReadMetrics.totalBytesRead).getOrElse(0L),
+            m.map(_.shuffleWriteMetrics.bytesWritten).getOrElse(0L))
         }
     })
 
     for (i <- 1 to reps) {
       spark.catalog.clearCache()
-      jobs.clear(); stages.clear()
+      // flip record BEFORE clearing: the listener bus is async, so a
+      // straggler event from the PREVIOUS rep can land after the flip
+      // — clearing second evicts any such leakage instead of letting
+      // it pollute the recorded rep
       record = i == reps
+      jobs.clear(); stages.clear()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -63,8 +71,13 @@ object ProfileOne {
     }
     // one settle so late listener events land
     Thread.sleep(300)
-    val jw = jobs.toSeq.map { case (id, (t0, t1)) => (id, t1 - t0) }
-    println(s"JOBS n=${jw.size} wallSumMs=${jw.map(_._2).sum}")
+    // a job whose end event never landed (t1 == 0) would print a
+    // nonsense negative wall — report it as incomplete instead
+    val (done, incomplete) = jobs.toSeq.partition(_._2._2 != 0L)
+    val jw = done.map { case (id, (t0, t1)) => (id, t1 - t0) }
+    println(s"JOBS n=${jw.size} wallSumMs=${jw.map(_._2).sum}" +
+      (if (incomplete.nonEmpty)
+        s" incomplete=${incomplete.map(_._1).mkString(",")}" else ""))
     jw.foreach { case (id, ms) => println(f"  job $id%3d  ${ms}%6d ms") }
     println(s"STAGES n=${stages.size} tasks=${stages.values.map(_.tasks).sum} " +
       s"taskMsSum=${stages.values.map(_.taskMs).sum}")
